@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (SURVEY.md §2.3 LLM block): exact and near dedup, embedding cosine
+  * similarity (threshold self-join + kNN), token statistics, and a
+  * mixed-modality join. All vector math uses codegen'd higher-order
+  * array functions (`transform` / `zip_with` / `aggregate`) — no UDFs
+  * in the hot path — with float→double casts per SURVEY §2.1-R5.
+  *
+  * Scale posture: the near-dup join is blocked on (lang, source) and
+  * the similarity joins are thresholded; at 100 TB the same shapes get
+  * a MinHash-LSH / IVF prefilter in front (see
+  * [[graft.ops.Pipeline]]) — blocking keys are the scale lever, the
+  * verify step is unchanged.
+  */
+object LlmOps {
+
+  private def documents(s: SparkSession, d: String)  = Tables.t(s, d, "documents")
+  private def embeddings(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  /** embedding (float32) → double vector. */
+  def vecD(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Σ x² over a double array (sequential left fold — deterministic). */
+  def sqNorm(v: Column): Column = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+
+  /** vec_id, double vector, and L2 norm — shared by the similarity joins. */
+  private def normed(s: SparkSession, d: String, id: String, v: String, n: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id").as(id), vecD(col("embedding")).as(v))
+      .withColumn(n, sqrt(sqNorm(col(v))))
+
+  val dedupExactHash: Q = (s, d) =>
+    documents(s, d)
+      .agg(cnt.as("n_docs"), countDistinct(md5(col("text"))).as("n_uniq"))
+
+  val dedupNearJaccard: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+              array_distinct(split(col("text"), " ")).as("tk"))
+    val a = toks.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                        col("tk").as("a_tk"))
+    val b = toks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                        col("source").as("b_source"), col("tk").as("b_tk"))
+    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+              col("a_id") < col("b_id"))
+      .filter(size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
+              size(array_union(col("a_tk"), col("b_tk"))) >= 0.9)
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+      .limit(2000)
+  }
+
+  val simPairsThreshold: Q = (s, d) => {
+    val e1 = normed(s, d, "a", "va", "na")
+    val e2 = normed(s, d, "b", "vb", "nb")
+    e1.join(e2, col("a") < col("b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") > 0.42)
+      .select(col("a"), col("b"), round(col("sim") * 100).cast("long").as("sim_pct"))
+      .orderBy("a", "b")
+      .limit(2000)
+  }
+
+  val simKnnPerQuery: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val q = normed(s, d, "q", "vq", "nq").filter(col("q") < 10)
+    val n = normed(s, d, "n", "vn", "nn")
+    val w = Window.partitionBy("q").orderBy(col("s").desc, col("n"))
+    q.join(n, col("q") =!= col("n"))
+      .withColumn("s", dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("q", "n", "rn")
+      .orderBy("q", "rn")
+  }
+
+  val textTokenCounts: Q = (s, d) =>
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(cnt.as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(50)
+
+  val textLangStats: Q = (s, d) =>
+    documents(s, d)
+      .groupBy("lang")
+      .agg(cnt.as("n_docs"),
+           sum(length(col("text")).cast("long")).cast("long").as("total_chars"),
+           round(avg(size(split(col("text"), " ")).cast("long")) * 1000)
+             .cast("long").as("avg_toks_milli"))
+      .orderBy("lang")
+
+  val multimodalJoin: Q = (s, d) =>
+    documents(s, d)
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("lang"), col("label"), sqNorm(vecD(col("embedding"))).as("sq"))
+      .groupBy("lang", "label")
+      .agg(cnt.as("c"), round(sum(col("sq")) * 1000).cast("long").as("sq_milli"))
+      .orderBy("lang", "label")
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact_hash" -> dedupExactHash,
+    "dedup_near_jaccard" -> dedupNearJaccard,
+    "sim_pairs_threshold" -> simPairsThreshold,
+    "sim_knn_per_query" -> simKnnPerQuery,
+    "text_token_counts" -> textTokenCounts,
+    "text_lang_stats" -> textLangStats,
+    "multimodal_join" -> multimodalJoin,
+  )
+}

@@ -1,0 +1,408 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Relational operator surface (SURVEY.md §2.3): scans / projection /
+  * filter / expressions, joins, TPC-H-shaped multi-join analytics,
+  * aggregation, sort / limit / set ops, and the scalar function
+  * families. All pure DataFrame transforms — Catalyst handles pushdown,
+  * pruning, join selection and two-phase aggregation (SURVEY.md §4.2);
+  * small dimensions are broadcast explicitly (GlobalKTable analogue).
+  */
+object Relational {
+
+  private def lineitem(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String)   = Tables.t(s, d, "orders")
+  private def customer(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def supplier(s: SparkSession, d: String) = Tables.t(s, d, "supplier")
+  private def part(s: SparkSession, d: String)     = Tables.t(s, d, "part")
+  private def nation(s: SparkSession, d: String)   = Tables.t(s, d, "nation")
+  private def region(s: SparkSession, d: String)   = Tables.t(s, d, "region")
+  private def events(s: SparkSession, d: String)   = Tables.t(s, d, "events")
+
+  // ---- scans / projection / filter / expressions -------------------------
+
+  val scanProject: Q = (s, d) =>
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  val scanFilter: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("2000-01-01") &&
+              col("l_shipdate") < ts("2000-02-01"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+              to_date(col("l_shipdate")).as("d"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filterCompound: Q = (s, d) =>
+    orders(s, d)
+      .filter((col("o_orderstatus") === "F" || col("o_totalprice") > 300000) &&
+              col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+              !(col("o_custkey") % 10 === 3))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  val exprArithmetic: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))).as("charge_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(1000)
+
+  val exprCaseWhen: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+          .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+          .otherwise("low").as("pclass"))
+      .agg(cnt.as("c"))
+      .orderBy("pclass")
+
+  val exprNullHandling: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(coalesce(nullif(col("l_returnflag"), lit("N")), lit("NONE")).as("f"))
+      .agg(cnt.as("c"),
+           count(nullif(col("l_discount"), lit(0.0))).as("nonzero_disc"))
+      .orderBy("f")
+
+  // ---- joins -------------------------------------------------------------
+
+  val joinInner: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           round(sum(col("o_totalprice")) * 100).cast("long").as("total_cents"))
+      .orderBy("c_custkey")
+      .limit(500)
+
+  val joinBroadcastDim: Q = (s, d) =>
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(cnt.as("c"))
+      .orderBy("r_name", "n_name")
+
+  val joinLeftOuter: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d),
+            col("c_custkey") === col("o_custkey") && col("o_totalprice") > 400000,
+            "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n"))
+      .filter(col("n") === 0)
+      .orderBy("c_custkey")
+      .limit(200)
+
+  val joinFullOuter: Q = (s, d) => {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k")).agg(cnt.as("ca"))
+    val b = o.filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey").as("k")).agg(cnt.as("cb"))
+    a.join(b, a("k") === b("k"), "full_outer")
+      .select(coalesce(a("k"), b("k")).as("k"), col("ca"), col("cb"))
+      .orderBy("k")
+      .limit(500)
+  }
+
+  val joinSemi: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinAnti: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 450000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .limit(200)
+
+  /** Non-equi band join; Spark plans a broadcast nested-loop join with
+    * the small supplier side broadcast. At 100 TB the scale path is a
+    * banded equi-join: bucket both sides on floor(acctbal / bandwidth)
+    * and join on adjacent buckets, turning O(n·m) into a co-partitioned
+    * equi-join.
+    */
+  val joinThetaBand: Q = (s, d) =>
+    broadcast(supplier(s, d))
+      .join(customer(s, d),
+            col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+      .groupBy("s_suppkey")
+      .agg(cnt.as("c"))
+      .orderBy("s_suppkey")
+
+  val joinCrossSmall: Q = (s, d) =>
+    region(s, d).crossJoin(broadcast(nation(s, d)))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** As-of join (latest signup at-or-before each purchase). Spark has
+    * no native as-of join; expressed as band join + per-purchase
+    * `max(struct(ts, id))` — lexicographic struct max picks the id of
+    * the latest qualifying signup (ties → max id), identical to the
+    * oracle's correlated-subquery formulation but one shuffle.
+    */
+  val joinAsofLastSignup: Q = (s, d) => {
+    val e = events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    p.join(sg, col("p_user") === col("s_user") && col("s_ts") <= col("p_ts"))
+      .groupBy("purchase_id")
+      .agg(max(struct(col("s_ts"), col("s_id"))).getField("s_id").as("last_signup_id"))
+      .orderBy("purchase_id")
+      .limit(1000)
+  }
+
+  // ---- multi-join analytics (TPC-H shapes) -------------------------------
+
+  val q1PricingSummary: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+        round(sum(col("l_extendedprice") * 100)).cast("long").as("sum_base_cents"),
+        round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)))
+          .cast("long").as("sum_disc_cents"),
+        cnt.as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q3ShippingPriority: Q = (s, d) =>
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d).filter(col("o_orderdate") < ts("1998-03-15")),
+            col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+      .select("l_orderkey", "rev_cents", "od")
+      .orderBy(col("rev_cents").desc, col("od"), col("l_orderkey"))
+      .limit(10)
+
+  val q5LocalSupplier: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("n_name"))
+
+  val q6ForecastRevenue: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1997-01-01") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sumCents(col("l_extendedprice") * col("l_discount")).as("rev_cents"))
+
+  // ---- aggregation -------------------------------------------------------
+
+  val aggStatsMulti: Q = (s, d) =>
+    customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(cnt.as("c"),
+           cents(min(col("c_acctbal"))).as("min_cents"),
+           cents(max(col("c_acctbal"))).as("max_cents"),
+           sum(cents(col("c_acctbal"))).cast("long").as("sum_cents"))
+      .orderBy("c_mktsegment")
+
+  val aggCountDistinct: Q = (s, d) =>
+    orders(s, d)
+      .agg(countDistinct(col("o_custkey")).as("custs"),
+           countDistinct(col("o_orderpriority")).as("prios"))
+
+  val aggHaving: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(cnt.as("n"))
+      .filter(col("n") >= 15)
+      .orderBy(col("n").desc, col("o_custkey"))
+
+  val aggRollup: Q = (s, d) =>
+    // rollup(Column*) rather than rollup(String*): the String overload
+    // resolves through Dataset.col and trips the ambiguous-self-join
+    // check whenever a join sits upstream (Spark 4.1).
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(cnt.as("c"))
+      .toDF("nn0", "seg0", "c")
+      .select(coalesce(col("nn0"), lit("ALL")).as("nn"),
+              coalesce(col("seg0"), lit("ALL")).as("seg"), col("c"))
+      .orderBy("nn", "seg")
+
+  val aggCube: Q = (s, d) =>
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity"))).cast("long").as("q"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("f"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("s"), col("q"))
+      .orderBy("f", "s")
+
+  /** GROUPING SETS has no DataFrame API — SQL entry point (SURVEY §3.2-E2). */
+  val aggGroupingSets: Q = (s, d) =>
+    Tables.sql(s, d,
+      """SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr,
+        |       CAST(count(*) AS BIGINT) c
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),())
+        |ORDER BY st, pr""".stripMargin)
+
+  // ---- sort / limit / set ops -------------------------------------------
+
+  val sortMultiKey: Q = (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_orderstatus").asc, col("o_orderdate").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_orderstatus"), to_date(col("o_orderdate")).as("d"))
+
+  val topkGlobal: Q = (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+
+  private def statusKeys(s: SparkSession, d: String, status: String) =
+    orders(s, d).filter(col("o_orderstatus") === status)
+      .select(col("o_custkey").as("k"))
+
+  val setUnionAll: Q = (s, d) =>
+    statusKeys(s, d, "F").unionByName(statusKeys(s, d, "P"))
+      .orderBy("k").limit(1000)
+
+  val setUnionDistinct: Q = (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("k"))
+      .union(supplier(s, d).select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  val setIntersect: Q = (s, d) =>
+    customer(s, d).select(col("c_custkey").as("k"))
+      .intersect(orders(s, d).select(col("o_custkey").as("k")))
+      .orderBy("k").limit(500)
+
+  val setExcept: Q = (s, d) =>
+    statusKeys(s, d, "F").except(statusKeys(s, d, "P"))
+      .orderBy("k").limit(500)
+
+  // ---- scalar function families -----------------------------------------
+
+  val strFuncs: Q = (s, d) =>
+    part(s, d)
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        lower(col("p_type")).as("lt"),
+        length(col("p_name")).cast("long").as("ln"),
+        substring(col("p_name"), 1, 5).as("s5"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("bc"),
+        regexp_replace(col("p_brand"), "Brand#", "B").as("rb"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("long").as("bnum"))
+      .orderBy("p_partkey")
+      .limit(500)
+
+  val dateFuncs: Q = (s, d) =>
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_add(to_date(col("o_orderdate")), 30).isNotNull.as("has30"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("dd"))
+      .orderBy("o_orderkey")
+      .limit(500)
+
+  val mathFuncs: Q = (s, d) =>
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("f"),
+        ceil(col("l_extendedprice")).as("c"),
+        (abs(col("l_discount") - 0.05) > 0.001).as("far"),
+        round(sqrt(col("l_quantity")) * 1000).cast("long").as("sq"),
+        (col("l_orderkey") % 7).as("m7"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(1000)
+
+  val jsonFuncs: Q = (s, d) =>
+    events(s, d)
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).cast("long").as("sum_k"),
+           cnt.as("c"))
+      .orderBy("event_type")
+
+  val arrayFuncs: Q = (s, d) =>
+    Tables.t(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1) * 1e6).cast("long").as("e0_micro"),
+        round(aggregate(
+          transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x * x) * 1e6).cast("long").as("sq_norm_micro"))
+      .orderBy("vec_id")
+      .limit(500)
+
+  val queries: Map[String, Q] = Map(
+    "scan_project" -> scanProject,
+    "scan_filter" -> scanFilter,
+    "filter_compound" -> filterCompound,
+    "expr_arithmetic" -> exprArithmetic,
+    "expr_case_when" -> exprCaseWhen,
+    "expr_null_handling" -> exprNullHandling,
+    "join_inner" -> joinInner,
+    "join_broadcast_dim" -> joinBroadcastDim,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_theta_band" -> joinThetaBand,
+    "join_cross_small" -> joinCrossSmall,
+    "join_asof_last_signup" -> joinAsofLastSignup,
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "agg_stats_multi" -> aggStatsMulti,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_having" -> aggHaving,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "sort_multi_key" -> sortMultiKey,
+    "topk_global" -> topkGlobal,
+    "set_union_all" -> setUnionAll,
+    "set_union_distinct" -> setUnionDistinct,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "str_funcs" -> strFuncs,
+    "date_funcs" -> dateFuncs,
+    "math_funcs" -> mathFuncs,
+    "json_funcs" -> jsonFuncs,
+    "array_funcs" -> arrayFuncs,
+  )
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Batch equivalents of the streaming topology surface (SURVEY.md
+  * §2.3 `stream_*`, §1.1): tumbling / hopping / session windows, keyed
+  * dedup, time-band stream-stream join, per-key running aggregation,
+  * and the two-leg reconciliation flagship.
+  *
+  * Each body is written against plain `DataFrame` transforms that are
+  * equally valid on a streaming DataFrame — the true-streaming twins
+  * (watermarks, `MemoryStream`, append/update modes) live in
+  * [[graft.streaming.StreamOps]] and reuse these shapes, which is the
+  * capability-parity argument of SURVEY.md §2.5.
+  */
+object Streaming {
+
+  private def events(s: SparkSession, d: String) = Tables.t(s, d, "events")
+
+  private def typed(s: SparkSession, d: String, tpe: String, prefix: String): DataFrame =
+    events(s, d).filter(col("event_type") === tpe)
+      .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              col("ts").as(s"${prefix}_ts"))
+
+  /** Tumbling 1-day window (streaming twin: `window($"ts", "1 day")`). */
+  val tumblingDaily: Q = (s, d) =>
+    events(s, d)
+      .groupBy(to_date(col("ts")).as("w"), col("event_type"))
+      .agg(cnt.as("c"), sumCents(col("value")).as("val_cents"))
+      .orderBy("w", "event_type")
+
+  /** Hopping window, 1h size / 30m slide, via the same `window()`
+    * function a streaming query would use. The oracle's generate_series
+    * starts at 2024-01-01, so windows opened before the series start
+    * (Spark assigns boundary events to the 2023-12-31 23:30 window too)
+    * are clipped to the series range.
+    */
+  val sliding1h30m: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "60 minutes", "30 minutes"))
+      .agg(cnt.as("c"))
+      .filter(col("window.start").between(ts("2024-01-01 00:00:00"),
+                                          ts("2024-01-31 00:00:00")))
+      .select(unix_timestamp(col("window.start")).as("w_start"), col("c"))
+      .orderBy("w_start")
+      .limit(2000)
+
+  /** Session windows with a 30-minute gap. Spark opens a new session
+    * when the next event's window [ts, ts+gap) does not overlap the
+    * previous one — i.e. at gap ≥ 30 min, matching the oracle's
+    * gaps-and-islands `>= INTERVAL 30 MINUTE` break condition.
+    */
+  val session30m: Q = (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(cnt.as("len"))
+      .groupBy("user_id")
+      .agg(cnt.as("n_sessions"), max(col("len")).as("max_len"))
+      .orderBy("user_id")
+
+  /** Keyed dedup per (user, type, minute) — retransmit suppression.
+    * Streaming twin: `dropDuplicatesWithinWatermark`.
+    */
+  val dedupKeys: Q = (s, d) =>
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+              date_trunc("minute", col("ts")).as("mn"))
+      .dropDuplicates("user_id", "event_type", "mn")
+      .groupBy("user_id", "event_type")
+      .agg(cnt.as("c"))
+      .orderBy("user_id", "event_type")
+      .limit(2000)
+
+  /** Time-band join of two event legs (clicks → purchases within 1h).
+    * Streaming twin adds `withWatermark` on both sides; the equi-key on
+    * user_id keeps it a shuffled hash join, with the band predicate as
+    * a post-join filter — no nested loop.
+    */
+  val streamStreamJoin1h: Q = (s, d) => {
+    val a = typed(s, d, "click", "a")
+    val b = typed(s, d, "purchase", "b")
+    a.join(b, col("a_user") === col("b_user") &&
+              col("b_ts") >= col("a_ts") &&
+              col("b_ts") < col("a_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("a_id").as("click_id"), col("b_id").as("purch_id"))
+      .orderBy("click_id", "purch_id")
+      .limit(2000)
+  }
+
+  /** Per-key running aggregate — the KTable / update-mode analogue. */
+  val runningCount: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(cnt.as("n_events"), sumCents(col("value")).as("total_cents"))
+      .orderBy("user_id")
+
+  /** Two-leg windowed reconciliation — the reference's flagship shape
+    * (SURVEY.md §1.1): signups matched to purchases within 24h, plus
+    * unmatched counts on both legs via anti-joins against the matched
+    * pair set.
+    */
+  val reconLegMatch: Q = (s, d) => {
+    val a = typed(s, d, "signup", "a")
+    val b = typed(s, d, "purchase", "b")
+    val m = a.join(b, col("a_user") === col("b_user") &&
+                      col("b_ts") >= col("a_ts") &&
+                      col("b_ts") < col("a_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("a_id"), col("b_id"))
+    val matched = m.agg(cnt.as("c")).select(lit("matched").as("status"), col("c"))
+    val unmatchedA = a.join(m.select("a_id").distinct(), Seq("a_id"), "left_anti")
+      .agg(cnt.as("c")).select(lit("unmatched_a").as("status"), col("c"))
+    val unmatchedB = b.join(m.select("b_id").distinct(), Seq("b_id"), "left_anti")
+      .agg(cnt.as("c")).select(lit("unmatched_b").as("status"), col("c"))
+    matched.unionByName(unmatchedA).unionByName(unmatchedB).orderBy("status")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling_daily" -> tumblingDaily,
+    "stream_sliding_1h30m" -> sliding1h30m,
+    "stream_session_30m" -> session30m,
+    "stream_dedup_keys" -> dedupKeys,
+    "stream_stream_join_1h" -> streamStreamJoin1h,
+    "stream_running_count" -> runningCount,
+    "recon_leg_match" -> reconLegMatch,
+  )
+}

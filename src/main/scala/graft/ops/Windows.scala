@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Window-function surface (SURVEY.md §2.3 `win_*`). Ranking functions
+  * are cast to long: Spark emits IntegerType for row_number/rank/ntile
+  * while the oracle (DuckDB) emits BIGINT, and the driver compares
+  * schemas.
+  *
+  * Scale note: all partitioned windows shuffle once on their partition
+  * key and stream within the partition — fine at any scale given
+  * non-degenerate key cardinality. `win_ntile`'s global ORDER BY window
+  * is single-partition by construction; the 100 TB path is a
+  * range-partitioned global sort + partition-offset pass (or
+  * `percentile_approx` when approximate buckets suffice).
+  */
+object Windows {
+
+  private def orders(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+
+  val winTopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+      .limit(1000)
+  }
+
+  val winRankDense: Q = (s, d) => {
+    val wr = Window.partitionBy("p_brand").orderBy(col("p_size").desc, col("p_partkey"))
+    val wd = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+    Tables.t(s, d, "part")
+      .withColumn("rk", rank().over(wr).cast("long"))
+      .withColumn("drk", dense_rank().over(wd).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("p_brand", "p_partkey", "rk", "drk")
+      .orderBy("p_brand", "rk", "p_partkey")
+  }
+
+  val winLagLead: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              lag("o_orderkey", 1).over(w).as("prev_ok"),
+              lead("o_orderkey", 1).over(w).as("next_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
+  val winRunningSum: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              sum(cents(col("o_totalprice"))).over(w).cast("long").as("run_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
+  val winNtile: Q = (s, d) => {
+    val w = Window.orderBy("o_totalprice", "o_orderkey")
+    orders(s, d)
+      .select(col("o_totalprice"), ntile(4).over(w).cast("long").as("b"))
+      .groupBy("b")
+      .agg(cnt.as("c"), cents(min(col("o_totalprice"))).as("mn"))
+      .orderBy("b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_topk_per_group" -> winTopkPerGroup,
+    "win_rank_dense" -> winRankDense,
+    "win_lag_lead" -> winLagLead,
+    "win_running_sum" -> winRunningSum,
+    "win_ntile" -> winNtile,
+  )
+}

@@ -1,0 +1,271 @@
+package graft.oracle
+
+/** The validated DuckDB oracle SQL for every declared query —
+  * SURVEY.md Appendix A, verbatim (executed and validated against
+  * DuckDB 1.0 on sf0.01/sf0.1 by the survey session). The driver runs
+  * these over the same parquet tables and hash-compares against the
+  * Spark results (column names must match — SURVEY §2.1).
+  */
+object OracleSql {
+
+  val sql: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) d
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-02-01'
+  ORDER BY l_orderkey, l_linenumber""",
+    "filter_compound" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+  WHERE (o_orderstatus = 'F' OR o_totalprice > 300000) AND o_orderpriority IN ('1-URGENT','2-HIGH')
+    AND NOT (o_custkey % 10 = 3) ORDER BY o_orderkey""",
+    "expr_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+  CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT) charge_cents
+  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
+    "expr_case_when" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+         WHEN o_orderpriority = '3-MEDIUM' THEN 'mid' ELSE 'low' END pclass,
+  count(*) c FROM orders GROUP BY 1 ORDER BY 1""",
+    "expr_null_handling" ->
+      """SELECT coalesce(nullif(l_returnflag,'N'),'NONE') f, count(*) c,
+  CAST(count(nullif(l_discount, 0.0)) AS BIGINT) nonzero_disc
+  FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "join_inner" ->
+      """SELECT c_custkey, c_name, CAST(count(o_orderkey) AS BIGINT) n_orders,
+  CAST(round(sum(o_totalprice)*100) AS BIGINT) total_cents
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1,2 ORDER BY c_custkey LIMIT 500""",
+    "join_broadcast_dim" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) c
+  FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1,2 ORDER BY 1,2""",
+    "join_left_outer" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) n
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 400000
+  GROUP BY 1 HAVING count(o_orderkey) = 0 ORDER BY c_custkey LIMIT 200""",
+    "join_full_outer" ->
+      """SELECT coalesce(a.k, b.k) k, a.ca, b.cb FROM
+  (SELECT o_custkey k, CAST(count(*) AS BIGINT) ca FROM orders WHERE o_orderstatus='F' GROUP BY 1) a
+  FULL JOIN (SELECT o_custkey k, CAST(count(*) AS BIGINT) cb FROM orders WHERE o_orderstatus='P' GROUP BY 1) b
+  ON a.k = b.k ORDER BY k LIMIT 500""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+  ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+  ORDER BY c_custkey LIMIT 200""",
+    "join_theta_band" ->
+      """SELECT s_suppkey, CAST(count(*) AS BIGINT) c
+  FROM supplier JOIN customer ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+  GROUP BY 1 ORDER BY 1""",
+    "join_cross_small" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1,2""",
+    "join_asof_last_signup" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+  s AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup')
+  SELECT p.event_id purchase_id, max(s.event_id) last_signup_id
+  FROM p JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+  WHERE s.ts = (SELECT max(s2.ts) FROM s s2 WHERE s2.user_id = p.user_id AND s2.ts <= p.ts)
+  GROUP BY 1 ORDER BY 1 LIMIT 1000""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(l_quantity)) AS BIGINT) sum_qty,
+  CAST(round(sum(l_extendedprice*100)) AS BIGINT) sum_base_cents,
+  CAST(round(sum(round(l_extendedprice*(1-l_discount)*100))) AS BIGINT) sum_disc_cents,
+  CAST(count(*) AS BIGINT) count_order
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' GROUP BY 1,2 ORDER BY 1,2""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) rev_cents,
+  CAST(o_orderdate AS DATE) od
+  FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey
+  WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY 1,3 ORDER BY rev_cents DESC, od, l_orderkey LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) rev_cents
+  FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey
+  JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+  JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+  WHERE r_name='ASIA' GROUP BY 1 ORDER BY rev_cents DESC, n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) rev_cents
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "agg_stats_multi" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) c,
+  CAST(round(min(c_acctbal)*100) AS BIGINT) min_cents, CAST(round(max(c_acctbal)*100) AS BIGINT) max_cents,
+  CAST(round(sum(CAST(round(c_acctbal*100) AS BIGINT))) AS BIGINT) sum_cents
+  FROM customer GROUP BY 1 ORDER BY 1""",
+    "agg_count_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) custs,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) prios FROM orders""",
+    "agg_having" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) n FROM orders GROUP BY 1
+  HAVING count(*) >= 15 ORDER BY n DESC, o_custkey""",
+    "agg_rollup" ->
+      """SELECT coalesce(n_name,'ALL') nn, coalesce(c_mktsegment,'ALL') seg, CAST(count(*) AS BIGINT) c
+  FROM customer JOIN nation ON c_nationkey=n_nationkey
+  GROUP BY ROLLUP(n_name, c_mktsegment) ORDER BY 1,2""",
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') f, coalesce(l_linestatus,'ALL') s,
+  CAST(round(sum(l_quantity)) AS BIGINT) q
+  FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1,2""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') st, coalesce(o_orderpriority,'ALL') pr, CAST(count(*) AS BIGINT) c
+  FROM orders GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),()) ORDER BY 1,2""",
+    "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 1000""",
+    "win_rank_dense" ->
+      """SELECT p_brand, p_partkey, rk, drk FROM (
+  SELECT p_brand, p_partkey, rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) rk,
+  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) drk FROM part) t
+  WHERE rk <= 5 ORDER BY p_brand, rk, p_partkey""",
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) prev_ok,
+  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) next_ok
+  FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) run_cents
+  FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    "win_ntile" ->
+      """SELECT b, CAST(count(*) AS BIGINT) c, CAST(round(min(o_totalprice)*100) AS BIGINT) mn FROM (
+  SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) b FROM orders) t
+  GROUP BY 1 ORDER BY 1""",
+    "sort_multi_key" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) d FROM orders
+  ORDER BY o_orderstatus ASC, o_orderdate DESC, o_orderkey ASC LIMIT 100""",
+    "topk_global" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) cents FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "set_union_all" ->
+      """SELECT k FROM (
+  SELECT o_custkey k FROM orders WHERE o_orderstatus='F'
+  UNION ALL SELECT o_custkey k FROM orders WHERE o_orderstatus='P') t
+  ORDER BY k LIMIT 1000""",
+    "set_union_distinct" ->
+      """SELECT c_nationkey k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k""",
+    "set_intersect" ->
+      """SELECT c_custkey k FROM customer INTERSECT SELECT o_custkey FROM orders ORDER BY k LIMIT 500""",
+    "set_except" ->
+      """SELECT o_custkey k FROM orders WHERE o_orderstatus='F' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='P' ORDER BY k LIMIT 500""",
+    "str_funcs" ->
+      """SELECT p_partkey, upper(p_brand) ub, lower(p_type) lt, length(p_name) ln,
+  substr(p_name, 1, 5) s5, concat(p_brand, ':', p_type) bc, replace(p_brand,'Brand#','B') rb,
+  CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) bnum
+  FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey LIMIT 500""",
+    "date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) y, CAST(month(o_orderdate) AS BIGINT) m,
+  CAST(day(o_orderdate) AS BIGINT) d, CAST(o_orderdate AS DATE) + INTERVAL 30 DAY IS NOT NULL has30,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) dd
+  FROM orders ORDER BY o_orderkey LIMIT 500""",
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice) AS BIGINT) f,
+  CAST(ceil(l_extendedprice) AS BIGINT) c, abs(l_discount - 0.05) > 0.001 far,
+  CAST(round(sqrt(l_quantity)*1000) AS BIGINT) sq, CAST(l_orderkey % 7 AS BIGINT) m7
+  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
+    "json_funcs" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) sum_k,
+  CAST(count(*) AS BIGINT) c FROM events GROUP BY 1 ORDER BY 1""",
+    "array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) dim,
+  CAST(round(embedding[1]*1e6) AS BIGINT) e0_micro,
+  CAST(round(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))*1e6) AS BIGINT) sq_norm_micro
+  FROM embeddings ORDER BY vec_id LIMIT 500""",
+    "stream_tumbling_daily" ->
+      """SELECT date_trunc('day', ts) w, event_type, CAST(count(*) AS BIGINT) c,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) val_cents
+  FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "stream_sliding_1h30m" ->
+      """WITH wins AS (SELECT ws FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 30 MINUTE) t(ws))
+  SELECT CAST(floor(epoch(ws)) AS BIGINT) w_start, CAST(count(*) AS BIGINT) c
+  FROM wins JOIN events e ON e.ts >= ws AND e.ts < ws + INTERVAL 60 MINUTE
+  GROUP BY 1 ORDER BY 1 LIMIT 2000""",
+    "stream_session_30m" ->
+      """WITH d AS (SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END brk
+  FROM events),
+  s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) sid FROM d)
+  SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) n_sessions, CAST(max(cnt) AS BIGINT) max_len
+  FROM (SELECT user_id, sid, count(*) cnt FROM s GROUP BY 1,2) t
+  GROUP BY 1 ORDER BY 1""",
+    "stream_dedup_keys" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) c FROM (
+  SELECT user_id, event_type, min(event_id) FROM events GROUP BY user_id, event_type, date_trunc('minute', ts)) t
+  GROUP BY 1,2 ORDER BY 1,2 LIMIT 2000""",
+    "stream_stream_join_1h" ->
+      """SELECT a.event_id click_id, b.event_id purch_id
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') a
+  JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') b
+  ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 MINUTE
+  ORDER BY 1,2 LIMIT 2000""",
+    "stream_running_count" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) n_events,
+  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) total_cents
+  FROM events GROUP BY 1 ORDER BY 1""",
+    "recon_leg_match" ->
+      """WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup'),
+  b AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+  m AS (SELECT a.event_id a_id, b.event_id b_id FROM a JOIN b
+        ON a.user_id=b.user_id AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 24 HOUR)
+  SELECT 'matched' status, CAST(count(*) AS BIGINT) c FROM m
+  UNION ALL SELECT 'unmatched_a', CAST(count(*) AS BIGINT) FROM a WHERE event_id NOT IN (SELECT a_id FROM m)
+  UNION ALL SELECT 'unmatched_b', CAST(count(*) AS BIGINT) FROM b WHERE event_id NOT IN (SELECT b_id FROM m)
+  ORDER BY 1""",
+    "dedup_exact_hash" ->
+      """SELECT CAST(count(*) AS BIGINT) n_docs, CAST(count(DISTINCT md5(text)) AS BIGINT) n_uniq
+  FROM documents""",
+    "dedup_near_jaccard" ->
+      """WITH toks AS (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) tk FROM documents)
+  SELECT a.doc_id a_id, b.doc_id b_id FROM toks a JOIN toks b
+  ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
+  ORDER BY 1,2 LIMIT 2000""",
+    "sim_pairs_threshold" ->
+      """SELECT e1.vec_id a, e2.vec_id b,
+  CAST(round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])*100) AS BIGINT) sim_pct
+  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+  WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) > 0.42
+  ORDER BY 1,2 LIMIT 2000""",
+    "sim_knn_per_query" ->
+      """WITH sims AS (SELECT e1.vec_id q, e2.vec_id n,
+    list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) s
+  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id <> e2.vec_id WHERE e1.vec_id < 10)
+  SELECT q, n, rn FROM (SELECT q, n, s, row_number() OVER (PARTITION BY q ORDER BY s DESC, n) rn FROM sims) t
+  WHERE rn <= 3 ORDER BY q, rn""",
+    "text_token_counts" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) c FROM (
+  SELECT unnest(string_split(text,' ')) tok FROM documents) t
+  WHERE tok <> '' GROUP BY 1 ORDER BY c DESC, tok LIMIT 50""",
+    "text_lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) total_chars,
+  CAST(round(avg(CAST(len(string_split(text,' ')) AS BIGINT))*1000) AS BIGINT) avg_toks_milli
+  FROM documents GROUP BY 1 ORDER BY 1""",
+    "multimodal_join" ->
+      """SELECT d.lang, e.label, CAST(count(*) AS BIGINT) c,
+  CAST(round(sum(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))*1000) AS BIGINT) sq_milli
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  GROUP BY 1,2 ORDER BY 1,2""",
+    "udf_scalar_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'S' WHEN o_totalprice < 300000 THEN 'M' ELSE 'L' END b,
+  CAST(count(*) AS BIGINT) c FROM orders GROUP BY 1 ORDER BY 1""",
+    "udaf_geomean" ->
+      """SELECT c_mktsegment, CAST(round(exp(avg(ln(c_acctbal)))*100) AS BIGINT) geo_cents
+  FROM customer WHERE c_acctbal > 0 GROUP BY 1 ORDER BY 1""",
+    "udtf_explode_chars" ->
+      """SELECT lang, tok, CAST(count(*) AS BIGINT) c FROM (
+  SELECT lang, unnest(string_split(text, ' ')) tok FROM documents) t
+  WHERE tok IN ('join','filter','window') GROUP BY 1,2 ORDER BY 1,2""",
+  )
+}

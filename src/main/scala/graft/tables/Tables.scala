@@ -1,0 +1,55 @@
+package graft.tables
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.storage.StorageLevel
+
+/** Table registry: loads the driver-generated parquet tables
+  * (`TESTDATA.md`) once per `(session, sfDir)` and caches them
+  * `MEMORY_AND_DISK` — the Bench harness runs the whole query battery
+  * against one sfDir in a single session, so re-reading parquet per
+  * query would be the dominant avoidable cost (SURVEY.md §4.4).
+  *
+  * At cluster scale the same registry shape holds: tables become
+  * catalog tables / DSv2 scans and the cache becomes optional, but the
+  * query functions only ever see a `DataFrame`, so nothing else changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+  private val viewsFor = TrieMap.empty[Int, String]
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name), {
+        val df =
+          if (name == "events") {
+            // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
+            // rejects outright; read it as raw nanos (legacy conf) and
+            // truncate to µs with integer division — `DIV` keeps the
+            // arithmetic in long space (ns values exceed double's 2^53
+            // exact-integer range, so `/ 1000` would corrupt them).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(s"$sfDir/$name.parquet")
+              .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          } else spark.read.parquet(s"$sfDir/$name.parquet")
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** Run SQL with all tables registered as temp views over `sfDir`.
+    * Needed where the DataFrame API has no equivalent (GROUPING SETS).
+    */
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    val key = System.identityHashCode(spark)
+    if (!viewsFor.get(key).contains(sfDir)) {
+      names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+      viewsFor(key) = sfDir
+    }
+    spark.sql(query)
+  }
+}
