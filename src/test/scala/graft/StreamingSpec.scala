@@ -1,0 +1,155 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Evt
+
+/** Layer-3 streaming-semantics tests (SURVEY.md §5.2/§2.5): clock-
+  * controlled MemoryStream feeds — the Spark analogue of the
+  * TopologyTestDriver pattern. Event time is explicit; watermark
+  * advancement is driven by the max event time of the previous batch.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def evt(id: Long, t: String, user: Long = 1L,
+                  tpe: String = "click", v: Double = 1.0): Evt =
+    Evt(id, ts(t), user, tpe, v, """{"k":1}""")
+
+  private var sinkId = 0
+  private def nextSink(): String = { sinkId += 1; s"sink_$sinkId" }
+
+  /** Run a streaming query over a MemoryStream, feeding batches in
+    * order (processAllAvailable between), return the sink table.
+    */
+  private def run(batches: Seq[Seq[Evt]], mode: String)
+                 (topology: DataFrame => DataFrame): DataFrame = {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Evt]
+    val sink = nextSink()
+    val q = topology(stream.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode(mode).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(sink)
+  }
+
+  test("watermark drops late data; append mode emits final windows only") {
+    // batch1: two events on Jan 1; batch2 advances watermark far past
+    // Jan 1 (event on Jan 5); batch3: a LATE Jan 1 event -> dropped.
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 11:00:00")),
+      Seq(evt(3, "2024-01-05 00:00:00")),
+      Seq(evt(4, "2024-01-01 12:00:00"))), // late
+      "append")(df => StreamOps.tumblingDaily(df))
+    val jan1 = out.filter(col("window.start") === ts("2024-01-01 00:00:00")).collect()
+    assert(jan1.length == 1, "exactly one final emission for the Jan-1 window")
+    assert(jan1.head.getAs[Long]("c") == 2, "late event must NOT be counted")
+  }
+
+  test("session windows merge across micro-batches") {
+    // Events 10:00 and 10:10 arrive in batch1; 10:20 in batch2 — still
+    // within the 30-minute gap, so ONE session of length 3 once closed.
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 10:10:00")),
+      Seq(evt(3, "2024-01-01 10:20:00")),
+      Seq(evt(9, "2024-01-02 00:00:00"))), // advance watermark to close it
+      "append")(df => StreamOps.session30m(df))
+    val sessions = out.filter(col("user_id") === 1 &&
+      col("session_window.start") === ts("2024-01-01 10:00:00")).collect()
+    assert(sessions.length == 1)
+    assert(sessions.head.getAs[Long]("len") == 3)
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses retransmits across batches") {
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:00:10"), evt(2, "2024-01-01 10:00:20")), // same (user,type,minute)
+      Seq(evt(3, "2024-01-01 10:00:30"))), // retransmit again, same minute
+      "append")(df => StreamOps.dedupKeys(df))
+    assert(out.count() == 1, "one row per (user,type,minute) key")
+  }
+
+  test("stream-stream band join matches within 1h only") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val sink = nextSink()
+    val q = StreamOps.bandJoin1h(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    clicks.addData(evt(1, "2024-01-01 10:00:00", user = 7, tpe = "click"))
+    purchases.addData(
+      evt(100, "2024-01-01 10:30:00", user = 7, tpe = "purchase"), // in band
+      evt(101, "2024-01-01 12:00:00", user = 7, tpe = "purchase")) // out of band
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(sink).collect()
+    assert(rows.map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purch_id"))).toSet
+      == Set((1L, 100L)))
+  }
+
+  test("running count in update mode accumulates across batches") {
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:00:00", user = 1), evt(2, "2024-01-01 10:01:00", user = 2)),
+      Seq(evt(3, "2024-01-01 10:02:00", user = 1))),
+      "update")(df => StreamOps.runningCount(df))
+    // memory sink in update mode appends each update; take the LAST emission per key
+    val latest = out.groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(latest == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("flatMapGroupsWithState running count equals batch groupBy") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Evt]
+    val sink = nextSink()
+    val q = StreamOps.runningCountStateful(stream.toDF().as[Evt])
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    val all = Seq(
+      evt(1, "2024-01-01 10:00:00", user = 1), evt(2, "2024-01-01 10:01:00", user = 2),
+      evt(3, "2024-01-01 10:02:00", user = 1), evt(4, "2024-01-01 10:03:00", user = 1))
+    stream.addData(all.take(2)); q.processAllAvailable()
+    stream.addData(all.drop(2)); q.processAllAvailable()
+    q.stop()
+    val latest = spark.table(sink).groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val expected = all.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(latest == expected)
+  }
+
+  test("exactly-once file sink: restart from checkpoint does not duplicate") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_eos").toString
+    val ckpt = s"$dir/ckpt"; val outPath = s"$dir/out"
+    val stream = MemoryStream[Evt]
+    def start() = stream.toDF()
+      .writeStream.format("parquet").option("path", outPath)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    stream.addData(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 10:01:00"))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    stream.addData(evt(3, "2024-01-01 10:02:00"))
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(outPath).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"no dupes / no loss across restart, got $ids")
+  }
+
+  test("approx_count_distinct within 2% of exact (HLL capability, R7)") {
+    val o = graft.tables.Tables.t(spark, sf, "orders")
+    val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val approx = o.agg(approx_count_distinct(col("o_custkey"), 0.02))
+      .collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.02 + 0.02)
+  }
+}
