@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator tests: the sketch-based dedups must reproduce the
+  * exact blocked-Jaccard join's pair set (recall 1 at these parameters
+  * on this corpus), ANN results must be a subset-consistent ranking,
+  * and the text/multimodal operators must be deterministic.
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    q(name).collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+
+  test("minhash-LSH verified pairs == exact blocked-Jaccard pairs") {
+    assert(pairs("dedup_minhash_lsh") == pairs("dedup_near_jaccard"))
+  }
+
+  test("simhash verified pairs == exact blocked-Jaccard pairs (this corpus)") {
+    assert(pairs("dedup_simhash") == pairs("dedup_near_jaccard"))
+  }
+
+  test("ngram jaccard pairs are a subset of token-set jaccard candidates' blocks") {
+    val ng = pairs("dedup_ngram_jaccard")
+    assert(ng.nonEmpty)
+    assert(ng.forall { case (a, b) => a < b })
+  }
+
+  test("ann_ivf_topk: 3 ranked neighbours per query, no self-matches") {
+    val rows = q("ann_ivf_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q"))
+    assert(byQ.size == 10)
+    assert(byQ.values.forall(_.length == 3))
+    assert(rows.forall(r => r.getAs[Long]("q") != r.getAs[Long]("n")))
+  }
+
+  test("ann_ivf recall vs brute-force top-3 is high on this corpus") {
+    val ivf = q("ann_ivf_topk").collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("n"))).toSet
+    val exact = q("sim_knn_per_query").collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("n"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("langid confusion counts sum to doc count") {
+    val total = q("text_langid").agg(sum("c")).collect().head.getLong(0)
+    assert(total == graft.tables.Tables.t(spark, sf, "documents").count())
+  }
+
+  test("quality scores bounded: 0 <= per-doc milli <= 1000 implies sum bound") {
+    val rows = q("text_quality_score").collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val s = r.getAs[Long]("quality_milli")
+      assert(s >= 0 && s <= 1000 * n)
+    }
+  }
+
+  test("fingerprints: md5 hex shape, min-shingle <= any shingle") {
+    val rows = q("text_fingerprint").collect()
+    assert(rows.forall(_.getAs[String]("fp").matches("[0-9a-f]{32}")))
+    assert(rows.forall(_.getAs[String]("fp_shingle").matches("[0-9a-f]{32}")))
+  }
+
+  test("multimodal decode: n_bytes equals text byte length; dims in range") {
+    val rows = q("multimodal_decode").collect()
+    assert(rows.forall { r =>
+      val w = r.getAs[Long]("width"); val h = r.getAs[Long]("height")
+      w >= 1 && w <= 64 && h >= 1 && h <= 64
+    })
+    val d = graft.tables.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => r.getAs[Long]("n_bytes") == d(r.getAs[Long]("doc_id"))))
+  }
+}
