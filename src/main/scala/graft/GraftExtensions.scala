@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, VecDot}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works next to
+  * the Column API. Install with:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic, or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * This is also the registration point for the deferred optimizer rules
+  * of SURVEY.md §4.3 (e.g. rewriting a cosine-threshold self-join into
+  * an LSH-bucketed prefilter + verify at cluster scale) — they would be
+  * `injectOptimizerRule` entries here.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(VecDot(es(0), es(1)),
+               Multiply(Sqrt(VecDot(es(0), es(0))), Sqrt(VecDot(es(1), es(1)))))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_jaccard"),
+      info("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard similarity of two sorted-distinct string arrays"),
+      (es: Seq[Expression]) => SortedJaccard(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash"),
+      info("minhash", "minhash(tokens[, k]) - k-long MinHash signature of a token array (default k=128)"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => MinHashSignature(t, 128)
+        case Seq(t, k) => MinHashSignature(t,
+          k.eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      info("simhash", "simhash(tokens) - 64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source + serde surface — the analogue of the reference substrate's
+  * `Consumed.with(serde, timestampExtractor)` (SURVEY.md §1.1): every
+  * entry point yields the SAME canonical event schema, so topologies
+  * are source-agnostic. Batch parquet is the test/bench path; JSON/CSV
+  * readers exercise the serde surface; the file-stream reader is the
+  * bounded stand-in for the Kafka source (whose connector jar is absent
+  * in this environment — SURVEY §0 — so `kafkaEvents` expresses the
+  * production wiring but cannot execute here).
+  */
+object Sources {
+
+  /** Canonical event schema (mirrors events.parquet, FIXTURES.md). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** JSON-lines source — the JSON-serde path (`from_json` analogue is
+    * applied by the reader itself via the explicit schema; no inference
+    * pass, which at 100 TB would be a full extra scan).
+    */
+  def eventsFromJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema).json(path)
+
+  /** CSV source with explicit schema + timestamp parsing. */
+  def eventsFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  /** Serde for a payload column: JSON string → typed struct → columns.
+    * This is the decode step a Kafka value column goes through.
+    */
+  def decodeJsonPayload(payload: DataFrame, colName: String): DataFrame =
+    payload
+      .withColumn("decoded", from_json(col(colName), eventSchema))
+      .select(col("decoded.*"))
+
+  /** Streaming file source — bounded stand-in for a topic: new files in
+    * `path` are discovered per micro-batch, schema fixed up front.
+    */
+  def eventsStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(path)
+
+  /** Production Kafka wiring (NOT executable here: spark-sql-kafka jar
+    * absent). Value bytes → JSON serde → canonical schema; event-time
+    * comes from the payload, not the broker timestamp — the
+    * TimestampExtractor analogue.
+    */
+  def kafkaEvents(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select(col("e.*"))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** Source/serde surface tests: JSON-lines, CSV, JSON-payload decode,
+  * and the streaming file source all yield the canonical event schema
+  * and the same rows as the parquet ground truth.
+  */
+class SourcesSpec extends SparkSpecBase {
+
+  private lazy val events = graft.tables.Tables.t(spark, sf, "events")
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("JSON-lines round trip preserves rows and schema") {
+    val path = s"$tmp/events_json"
+    events.coalesce(1).write.mode("overwrite").json(path)
+    val back = Sources.eventsFromJsonLines(spark, path)
+    assert(back.schema == Sources.eventSchema)
+    assert(back.count() == events.count())
+    val a = events.agg(sum("event_id"), sum(round(col("value") * 100).cast("long"))).collect().head
+    val b = back.agg(sum("event_id"), sum(round(col("value") * 100).cast("long"))).collect().head
+    assert(a == b)
+  }
+
+  test("CSV round trip preserves rows") {
+    val path = s"$tmp/events_csv"
+    events
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    val back = Sources.eventsFromCsv(spark, path)
+    assert(back.count() == events.count())
+    // timestamps survive the round trip to the microsecond
+    val a = events.agg(sum(unix_timestamp(col("ts")))).collect().head
+    val b = back.agg(sum(unix_timestamp(col("ts")))).collect().head
+    assert(a == b)
+  }
+
+  test("JSON payload serde decodes to canonical columns") {
+    val payloads = events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+    val decoded = Sources.decodeJsonPayload(payloads, "value")
+    assert(decoded.schema == Sources.eventSchema)
+    assert(decoded.count() == events.count())
+  }
+
+  test("streaming file source processes existing files as a batch") {
+    val path = s"$tmp/events_stream"
+    events.write.mode("overwrite").parquet(path)
+    val q = Sources.eventsStream(spark, path)
+      .groupBy("event_type").agg(count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName("src_stream").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("src_stream").agg(sum("c")).collect().head.getLong(0)
+    assert(streamed == events.count())
+  }
+
+  test("GraftExtensions registers SQL functions usable from spark.sql") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared session alive (same SparkContext)
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      extended.read.parquet(s"$sf/embeddings.parquet").limit(5)
+        .createOrReplaceTempView("emb5")
+      val viaSql = extended.sql(
+        """SELECT vec_id,
+          |  vec_dot(embedding, embedding) sq,
+          |  round(vec_cosine(embedding, embedding)) one,
+          |  simhash(array('a','b')) sh,
+          |  size(minhash(array('a','b'), 16)) k
+          |FROM emb5 ORDER BY vec_id""".stripMargin).collect()
+      assert(viaSql.length == 5)
+      assert(viaSql.forall(_.getAs[Double]("one") == 1.0))
+      assert(viaSql.forall(_.getAs[Int]("k") == 16))
+      assert(extended.sql(
+        "SELECT sorted_jaccard(array('a','b'), array('a','c')) j").collect()
+        .head.getAs[Double]("j") > 0.3)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
