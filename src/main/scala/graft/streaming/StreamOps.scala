@@ -103,4 +103,41 @@ object StreamOps {
           Iterator((user, n))
       }
   }
+
+  /** Spark 4 `transformWithState` processor — the full Processor-API
+    * analogue (named value states, timer surface available via the
+    * handle). Keeps a per-user (count, cents) pair; emits the refreshed
+    * totals per batch. Requires the RocksDB state store provider.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var count: ValueState[Long] = _
+    @transient private var cents: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", E.scalaLong, TTLConfig.NONE)
+      cents = getHandle.getValueState[Long]("cents", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var n = if (count.exists()) count.get() else 0L
+      var c = if (cents.exists()) cents.get() else 0L
+      rows.foreach { e => n += 1; c += math.round(e.value * 100) }
+      count.update(n); cents.update(c)
+      Iterator((user, n, c))
+    }
+  }
+
+  /** Running (count, cents) per user via `transformWithState`. */
+  def runningTotalsTws(events: Dataset[Evt]): Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -125,6 +125,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(latest == expected)
   }
 
+  test("transformWithState keeps named value states across batches (RocksDB)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.runningTotalsTws(stream.toDF().as[Evt])
+        .toDF("user_id", "n", "cents")
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      stream.addData(evt(1, "2024-01-01 10:00:00", user = 1, v = 1.50),
+                     evt(2, "2024-01-01 10:01:00", user = 2, v = 2.25))
+      q.processAllAvailable()
+      stream.addData(evt(3, "2024-01-01 10:02:00", user = 1, v = 0.25))
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark.table(sink)
+        .groupBy("user_id").agg(max("n").as("n"), max("cents").as("cents"))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("cents")))).toMap
+      assert(latest == Map(1L -> ((2L, 175L)), 2L -> ((1L, 225L))))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("exactly-once file sink: restart from checkpoint does not duplicate") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
