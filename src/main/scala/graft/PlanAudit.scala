@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit: dumps `explain("formatted")` for representative
+  * queries plus targeted probes (parquet pushdown on uncached reads,
+  * broadcast selection, TakeOrderedAndProject fusion, codegen spans).
+  * Run: `sbt "runMain graft.PlanAudit"` — findings recorded in PLANS.md.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+
+    def section(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n======== $name ========")
+      df.explain("formatted")
+    }
+
+    // Pushdown on a DIRECT parquet read (the 100 TB path — Tables
+    // caching is a bench-scale choice; production scans must push).
+    section("direct_scan_pushdown") {
+      spark.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber")
+    }
+
+    for (name <- Seq("q5_local_supplier", "q3_shipping_priority", "topk_global",
+                     "join_broadcast_dim", "sim_pairs_threshold",
+                     "dedup_minhash_lsh", "join_asof_last_signup",
+                     "stream_session_30m"))
+      section(name)(SparkEntry.queries(name)(spark, d))
+
+    spark.stop()
+  }
+}
