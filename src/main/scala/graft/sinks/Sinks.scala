@@ -1,0 +1,62 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Sink surface — the `KStream.to` / `Materialized` analogues
+  * (SURVEY.md §2.2 rows 9, 25), plus the two write-side layout tools
+  * that matter at 100 TB: partitioned layout (partition pruning on
+  * read) and bucketed layout (shuffle-free co-located joins).
+  */
+object Sinks {
+
+  /** Partitioned parquet: one directory per partition-column value →
+    * reads filtered on those columns prune whole directories
+    * (`PartitionFilters` in the scan, no IO for skipped values).
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed catalog table: rows are hash-bucketed on `key` at write
+    * time, so joins/aggregations between tables bucketed on the same
+    * key with the same bucket count need NO shuffle at read time — the
+    * co-located-join layout for repeated fact⋈fact joins at scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Streaming upsert sink (`KTable` materialization): per micro-batch,
+    * merge the batch into a keyed parquet view keeping the latest row
+    * per key by `tsCol`. The merge here is read-union-dedup-rewrite via
+    * a staging directory — correct and idempotent for the bounded
+    * scales this repo runs at; a production deployment swaps the body
+    * for a transactional MERGE INTO (Delta/Iceberg) with the same
+    * (key, ts) semantics.
+    */
+  def upsertParquet(stream: DataFrame, path: String, checkpoint: String,
+                    keyCol: String, tsCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val current =
+          if (fs.exists(new Path(path))) spark.read.parquet(path) else batch.limit(0)
+        val w = Window.partitionBy(keyCol)
+          .orderBy(col(tsCol).desc, col(keyCol))
+        val merged = current.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val stage = path + "__stage"
+        merged.write.mode(SaveMode.Overwrite).parquet(stage)
+        fs.delete(new Path(path), true)
+        fs.rename(new Path(stage), new Path(path))
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scale
+import graft.sinks.Sinks
+import graft.streaming.StreamOps.Evt
+
+/** Write-side layout + skew tests: partition pruning, shuffle-free
+  * bucketed joins, KTable-style upsert materialization, salted joins.
+  */
+class SinksScaleSpec extends SparkSpecBase {
+
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+
+  test("partitioned write prunes partitions on read") {
+    val orders = graft.tables.Tables.t(spark, sf, "orders")
+    val path = s"$tmp/orders_part"
+    Sinks.writePartitioned(orders, path, "o_orderstatus")
+    val read = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.contains("o_orderstatus"), plan.take(500))
+    assert(read.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // warehouse dir is a static conf, set in SparkSpecBase
+    val c = graft.tables.Tables.t(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val o = graft.tables.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    Sinks.writeBucketed(c, "cust_b", "c_custkey", 4)
+    Sinks.writeBucketed(o, "ord_b", "c_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("cust_b").join(spark.table("ord_b"), "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() == c.join(o, "c_custkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("upsert sink keeps latest row per key across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[Evt]
+    val path = s"$tmp/ktable"
+    val q = Sinks.upsertParquet(stream.toDF(), path, s"$tmp/ktable_ckpt",
+                                "user_id", "ts")
+    stream.addData(
+      Evt(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0, "{}"),
+      Evt(2, ts("2024-01-01 10:05:00"), 2, "signup", 2.0, "{}"))
+    q.processAllAvailable()
+    stream.addData(
+      Evt(3, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0, "{}")) // newer for user 1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(path)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 3L, 2L -> 2L), "latest event per user wins")
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    val e = graft.tables.Tables.t(spark, sf, "events")
+      .select("event_id", "user_id") // user_id skew stand-in
+    val dim = graft.tables.Tables.t(spark, sf, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("user_name", concat(lit("u"), col("user_id")))
+    val plain = e.join(dim, Seq("user_id"))
+    val salted = Scale.saltedJoin(e, dim, "user_id", 8)
+    assert(salted.count() == plain.count())
+    val a = plain.agg(sum("event_id")).collect().head.getLong(0)
+    val b = salted.agg(sum("event_id")).collect().head.getLong(0)
+    assert(a == b)
+  }
+}
