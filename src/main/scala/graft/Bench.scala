@@ -21,12 +21,30 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The timed battery is the 58 SURVEY.md §2.3 queries BASELINE.md
-    // was measured on — the extra pipeline operators (graft.ops
-    // .Pipeline) are correctness-gated by Verify but not baseline-
-    // comparable, so timing them would skew the total vs BASELINE.
-    val timed = SparkEntry.queries.view
-      .filterKeys(!graft.ops.Pipeline.queries.contains(_)).toMap
+    // The timed battery is pinned to the 58 queries BASELINE.md was
+    // measured on — operators added beyond the SURVEY §2.3 contract
+    // (pipeline sketches, extra window/scalar families) are
+    // correctness-gated by Verify but not baseline-comparable, so
+    // timing them would skew the total vs BASELINE.
+    val baselineKeys = Set(
+      "scan_project", "scan_filter", "filter_compound", "expr_arithmetic",
+      "expr_case_when", "expr_null_handling", "join_inner",
+      "join_broadcast_dim", "join_left_outer", "join_full_outer",
+      "join_semi", "join_anti", "join_theta_band", "join_cross_small",
+      "join_asof_last_signup", "q1_pricing_summary", "q3_shipping_priority",
+      "q5_local_supplier", "q6_forecast_revenue", "agg_stats_multi",
+      "agg_count_distinct", "agg_having", "agg_rollup", "agg_cube",
+      "agg_grouping_sets", "win_topk_per_group", "win_rank_dense",
+      "win_lag_lead", "win_running_sum", "win_ntile", "sort_multi_key",
+      "topk_global", "set_union_all", "set_union_distinct", "set_intersect",
+      "set_except", "str_funcs", "date_funcs", "math_funcs", "json_funcs",
+      "array_funcs", "stream_tumbling_daily", "stream_sliding_1h30m",
+      "stream_session_30m", "stream_dedup_keys", "stream_stream_join_1h",
+      "stream_running_count", "recon_leg_match", "dedup_exact_hash",
+      "dedup_near_jaccard", "sim_pairs_threshold", "sim_knn_per_query",
+      "text_token_counts", "text_lang_stats", "multimodal_join",
+      "udf_scalar_bucket", "udaf_geomean", "udtf_explode_chars")
+    val timed = SparkEntry.queries.view.filterKeys(baselineKeys).toMap
     // Warm pass (untimed) materializes the Tables cache and JITs the
     // codegen'd stages; then best-of-3 timed runs per query — the same
     // protocol BASELINE.md's DuckDB numbers were measured with (warm,

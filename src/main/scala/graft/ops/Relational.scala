@@ -379,8 +379,45 @@ object Relational {
       .orderBy("vec_id")
       .limit(500)
 
+  /** arg_max/arg_min keyed by the unique o_orderkey — deterministic
+    * per-group first/last status.
+    */
+  val aggArgExtremes: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(expr("max_by(o_orderstatus, o_orderkey)").as("last_status"),
+           expr("min_by(o_orderstatus, o_orderkey)").as("first_status"),
+           cnt.as("n"))
+      .orderBy("o_custkey")
+      .limit(1000)
+
+  val exprBitwise: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"),
+              col("o_orderkey").bitwiseAND(255).as("b_and"),
+              col("o_orderkey").bitwiseOR(4096).as("b_or"),
+              col("o_orderkey").bitwiseXOR(1365).as("b_xor"),
+              shiftleft(col("o_orderkey"), 2).as("b_shl"),
+              shiftright(col("o_orderkey"), 3).as("b_shr"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+
+  val strFuncs2: Q = (s, d) =>
+    customer(s, d)
+      .select(col("c_custkey"),
+              split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+              instr(col("c_name"), "#").cast("long").as("pos"),
+              lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+              reverse(col("c_name")).as("rev"),
+              locate("Customer", col("c_name")).cast("long").as("cpos"))
+      .orderBy("c_custkey")
+      .limit(500)
+
   val queries: Map[String, Q] = Map(
     "scan_project" -> scanProject,
+    "agg_arg_extremes" -> aggArgExtremes,
+    "expr_bitwise" -> exprBitwise,
+    "str_funcs2" -> strFuncs2,
     "scan_filter" -> scanFilter,
     "filter_compound" -> filterCompound,
     "expr_arithmetic" -> exprArithmetic,

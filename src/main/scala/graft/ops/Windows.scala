@@ -74,11 +74,37 @@ object Windows {
       .orderBy("b")
   }
 
+  val winFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              first(col("o_orderkey")).over(w).as("first_ok"),
+              last(col("o_orderkey")).over(w).as("last_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
+  /** percent_rank/cume_dist: ratios of exact integer ranks — identical
+    * doubles across engines; integer-scaled per R2 anyway.
+    */
+  val winPctRank: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(percent_rank().over(w) * 1e6).cast("long").as("pr_micro"),
+              round(cume_dist().over(w) * 1e6).cast("long").as("cd_micro"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
     "win_topk_per_group" -> winTopkPerGroup,
     "win_rank_dense" -> winRankDense,
     "win_lag_lead" -> winLagLead,
     "win_running_sum" -> winRunningSum,
     "win_ntile" -> winNtile,
+    "win_first_last" -> winFirstLast,
+    "win_pct_rank" -> winPctRank,
   )
 }

@@ -341,6 +341,41 @@ object OracleSql {
   SELECT doc_id, fp,
   list_min(list_transform(generate_series(1, len(t)-2), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) fp_shingle
   FROM tk ORDER BY doc_id LIMIT 500""",
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+  first_value(o_orderkey) OVER w first_ok,
+  last_value(o_orderkey) OVER w last_ok
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    "win_pct_rank" ->
+      """SELECT o_custkey, o_orderkey,
+  CAST(round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)*1e6) AS BIGINT) pr_micro,
+  CAST(round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)*1e6) AS BIGINT) cd_micro
+  FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    "agg_arg_extremes" ->
+      """SELECT o_custkey,
+  arg_max(o_orderstatus, o_orderkey) last_status,
+  arg_min(o_orderstatus, o_orderkey) first_status,
+  CAST(count(*) AS BIGINT) n
+  FROM orders GROUP BY 1 ORDER BY o_custkey LIMIT 1000""",
+    "expr_bitwise" ->
+      """SELECT o_orderkey,
+  CAST(o_orderkey & 255 AS BIGINT) b_and,
+  CAST(o_orderkey | 4096 AS BIGINT) b_or,
+  CAST(xor(o_orderkey, 1365) AS BIGINT) b_xor,
+  CAST(o_orderkey << 2 AS BIGINT) b_shl,
+  CAST(o_orderkey >> 3 AS BIGINT) b_shr
+  FROM orders ORDER BY o_orderkey LIMIT 1000""",
+    "str_funcs2" ->
+      """SELECT c_custkey,
+  split_part(c_name, '#', 2) name_num,
+  CAST(instr(c_name, '#') AS BIGINT) pos,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') padded,
+  reverse(c_name) rev,
+  CAST(strpos(c_name, 'Customer') AS BIGINT) cpos
+  FROM customer ORDER BY c_custkey LIMIT 500""",
     "multimodal_decode" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) n_bytes,
   CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) width,
