@@ -31,10 +31,6 @@ object LlmOps {
   /** Σ x² over a double array (sequential left fold — deterministic). */
   def sqNorm(v: Column): Column = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
 
-  /** Dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
-
   /** vec_id, raw float vector, and L2 norm — shared by the similarity
     * joins. The norm and all pairwise dots go through the codegen'd
     * [[graft.functions.VecDot]] kernel (identical double arithmetic to

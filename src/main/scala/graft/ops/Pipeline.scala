@@ -206,6 +206,20 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Token counting with a BPE-ish regex (word pieces + standalone
+    * punctuation) instead of whitespace split — the tokenizer-shaped
+    * counterpart of `text_token_counts`. On this corpus (no
+    * punctuation) the piece set matches the whitespace tokens; on real
+    * text the regex splits punctuation into its own pieces.
+    */
+  val textTokenBpe: Q = (s, d) =>
+    documents(s, d)
+      .select(explode(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("piece"))
+      .groupBy("piece")
+      .agg(cnt.as("c"))
+      .orderBy(col("c").desc, col("piece"))
+      .limit(50)
+
   /** Document fingerprinting: whole-doc content hash + min-shingle
     * fingerprint (the MinHash-1 / winnowing shape over a rolling 3-gram
     * window).
@@ -259,6 +273,7 @@ object Pipeline {
     "ann_ivf_topk" -> annIvfTopk,
     "text_langid" -> textLangid,
     "text_quality_score" -> textQualityScore,
+    "text_token_bpe" -> textTokenBpe,
     "text_fingerprint" -> textFingerprint,
     "multimodal_decode" -> multimodalDecode,
   )

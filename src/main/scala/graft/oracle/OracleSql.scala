@@ -336,6 +336,10 @@ object OracleSql {
   CAST(count(*) AS BIGINT) n_docs,
   CAST(sum(CAST(round(1000*(0.5*(least(n_tok,50)/50.0) + 0.5*(1.0 - n_stop*1.0/n_tok))) AS BIGINT)) AS BIGINT) quality_milli
   FROM d GROUP BY 1 ORDER BY 1""",
+    "text_token_bpe" ->
+      """SELECT piece, CAST(count(*) AS BIGINT) c FROM (
+  SELECT unnest(regexp_extract_all(text, '\w+|[^\w\s]')) piece FROM documents) t
+  GROUP BY 1 ORDER BY c DESC, piece LIMIT 50""",
     "text_fingerprint" ->
       """WITH tk AS (SELECT doc_id, string_split(text,' ') t, md5(text) fp FROM documents)
   SELECT doc_id, fp,
