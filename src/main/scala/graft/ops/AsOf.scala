@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** As-of join, scale path. Spark has no native as-of operator; the
+  * composed form in [[Relational.joinAsofLastSignup]] (equi+range join
+  * → struct-max) is correct but materializes every (purchase, earlier
+  * signup) pair first — quadratic in per-key event count. This variant
+  * is the per-key linear-after-sort algorithm: co-group both legs by
+  * key (one shuffle each), sort the key's events, and sweep purchases
+  * with a moving pointer into signups — the classic merge-based as-of,
+  * expressed with `KeyValueGroupedDataset.cogroup` (Spark's idiomatic
+  * per-key imperative escape hatch; preference ladder (d) of the build
+  * contract, justified because no built-in composition avoids the
+  * pairwise blowup).
+  *
+  * Both implementations share one oracle — the driver hash-compares
+  * them against the same DuckDB SQL.
+  */
+object AsOf {
+
+  /** Generic as-of: for each left row, the right row with the greatest
+    * `ts <= left.ts` (ties on ts broken by greatest id). Inner
+    * semantics: left rows with no qualifying right row are dropped.
+    * Rows: (id, key, tsMicros).
+    */
+  def asofLastPrior(left: DataFrame, right: DataFrame): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(col("id").as[Long], col("key").as[Long], col("ts").as[Long])
+    val r = right.select(col("id").as[Long], col("key").as[Long], col("ts").as[Long])
+    l.groupByKey(_._2).cogroup(r.groupByKey(_._2)) { (_, ls, rs) =>
+      // Per-key: sort both legs once, sweep lefts in ts order while
+      // advancing a pointer over rights; the running best is the
+      // (ts, id)-max right row at or before the current left ts.
+      val lefts = ls.toArray.sortBy(x => (x._3, x._1))
+      val rights = rs.toArray.sortBy(x => (x._3, x._1))
+      var j = 0
+      var best: Option[(Long, Long, Long)] = None
+      lefts.iterator.flatMap { case (lid, _, lts) =>
+        while (j < rights.length && rights(j)._3 <= lts) {
+          // rights are (ts, id)-ascending, so each admitted candidate
+          // IS the new (ts, id)-max — matching the oracle's
+          // latest-ts-then-greatest-id tiebreak.
+          best = Some(rights(j))
+          j += 1
+        }
+        best.map(b => (lid, b._1)).iterator
+      }
+    }.toDF("purchase_id", "last_signup_id")
+  }
+
+  /** The oracle query shape on the events table, via the cogroup path. */
+  val joinAsofCogroup: Q = (s, d) => {
+    val e = Tables.t(s, d, "events")
+    def leg(tpe: String) = e.filter(col("event_type") === tpe)
+      .select(col("event_id").as("id"), col("user_id").as("key"),
+              unix_micros(col("ts")).as("ts"))
+    asofLastPrior(leg("purchase"), leg("signup"))
+      .orderBy("purchase_id")
+      .limit(1000)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_asof_cogroup" -> joinAsofCogroup,
+  )
+}

@@ -273,6 +273,16 @@ object OracleSql {
   SELECT lang, unnest(string_split(text, ' ')) tok FROM documents) t
   WHERE tok IN ('join','filter','window') GROUP BY 1,2 ORDER BY 1,2""",
 
+    // Cogroup-based as-of (graft.ops.AsOf) — same semantics, same
+    // oracle as the composed band-join formulation above.
+    "join_asof_cogroup" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+  s AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup')
+  SELECT p.event_id purchase_id, max(s.event_id) last_signup_id
+  FROM p JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+  WHERE s.ts = (SELECT max(s2.ts) FROM s s2 WHERE s2.user_id = p.user_id AND s2.ts <= p.ts)
+  GROUP BY 1 ORDER BY 1 LIMIT 1000""",
+
     // ---- pipeline operators (graft.ops.Pipeline) ----
     // MinHash+LSH at 32 bands × 4 rows has recall > 1-1e-15 for J≥0.9,
     // so its verified output equals the exact blocked join's — it

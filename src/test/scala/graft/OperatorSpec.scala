@@ -94,6 +94,14 @@ class OperatorSpec extends SparkSpecBase {
     assert(byStatus("unmatched_a") <= nA)
   }
 
+  test("cogroup as-of equals composed band-join as-of") {
+    val a = q("join_asof_last_signup").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("last_signup_id"))).toSet
+    val b = q("join_asof_cogroup").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("last_signup_id"))).toSet
+    assert(a == b)
+  }
+
   test("vec_dot matches interpreted higher-order fold bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vec_dot
