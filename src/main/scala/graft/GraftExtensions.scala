@@ -16,10 +16,10 @@ import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, VecDot}
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * This is also the registration point for the deferred optimizer rules
-  * of SURVEY.md §4.3 (e.g. rewriting a cosine-threshold self-join into
-  * an LSH-bucketed prefilter + verify at cluster scale) — they would be
-  * `injectOptimizerRule` entries here.
+  * Also injects [[graft.plans.JaccardPrefilterRule]] (SURVEY.md §4.3):
+  * Jaccard-threshold filters gain a size-ratio prefilter conjunct.
+  * Further similarity-join rewrites (cosine self-join → LSH bucket +
+  * verify) would be additional `injectOptimizerRule` entries here.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),

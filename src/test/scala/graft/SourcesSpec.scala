@@ -85,4 +85,36 @@ class SourcesSpec extends SparkSpecBase {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("JaccardPrefilterRule injects size guard and preserves the result set") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      extended.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs")
+      val sql =
+        """WITH toks AS (SELECT doc_id, lang, source,
+          |  array_sort(array_distinct(split(text, ' '))) tk FROM docs)
+          |SELECT a.doc_id a_id, b.doc_id b_id FROM toks a JOIN toks b
+          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+          |  WHERE sorted_jaccard(a.tk, b.tk) >= 0.9""".stripMargin
+      val df = extended.sql(sql)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("size("),
+        s"size-ratio prefilter missing from optimized plan:\n${optimized.take(600)}")
+      // same pair set as the rule-free DataFrame implementation
+      val viaRule = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = SparkEntry.queries("dedup_near_jaccard")(extended, sf)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      assert(viaRule == plain)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
