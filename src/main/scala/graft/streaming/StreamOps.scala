@@ -77,6 +77,35 @@ object StreamOps {
       .select("click_id", "purch_id")
   }
 
+  /** Streaming two-leg reconciliation — the flagship topology
+    * (SURVEY.md §1.1): full-outer stream-stream join of leg A (signups)
+    * and leg B (purchases) on key + 24h band, with watermarks on both
+    * sides. Within the window, matches emit as soon as both legs
+    * arrive; once the watermark passes a row's join window, the row is
+    * evicted and emitted null-padded — i.e. classified `unmatched_a` /
+    * `unmatched_b` — exactly the reconciliation outcome stream.
+    */
+  def reconStream(legA: DataFrame, legB: DataFrame,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val a = legA
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+              col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = legB
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+              col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("a_user") === col("b_user") &&
+              col("b_ts") >= col("a_ts") &&
+              col("b_ts") < col("a_ts") + expr("INTERVAL 24 HOURS"),
+           "full_outer")
+      .select(
+        when(col("a_id").isNotNull && col("b_id").isNotNull, "matched")
+          .when(col("b_id").isNull, "unmatched_a")
+          .otherwise("unmatched_b").as("status"),
+        col("a_id"), col("b_id"))
+  }
+
   /** Per-key running aggregate in update mode — the KTable analogue:
     * every micro-batch emits the refreshed per-key row.
     */

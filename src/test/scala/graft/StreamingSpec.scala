@@ -125,6 +125,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(latest == expected)
   }
 
+  test("streaming reconciliation: matches emit in-window, watermark evicts unmatched") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val signups = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val sink = nextSink()
+    val q = graft.streaming.StreamOps.reconStream(signups.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    // user 1: signup + purchase within 24h -> matched
+    // user 2: signup, never purchases        -> unmatched_a after eviction
+    // user 3: purchase, never signed up      -> unmatched_b after eviction
+    signups.addData(evt(1, "2024-01-01 10:00:00", user = 1, tpe = "signup"),
+                    evt(2, "2024-01-01 10:00:00", user = 2, tpe = "signup"))
+    purchases.addData(evt(100, "2024-01-01 12:00:00", user = 1, tpe = "purchase"),
+                      evt(101, "2024-01-01 12:00:00", user = 3, tpe = "purchase"))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the 24h join windows; the
+    // watermark is computed from the previous batch's max event time
+    // and outer-join eviction emits in a later batch, so feed several
+    // advancing rounds (verified: emission lands within these).
+    for (i <- 1 to 4) {
+      signups.addData(evt(8L + i, s"2024-02-0$i 00:00:00", user = 99, tpe = "signup"))
+      purchases.addData(evt(898L + i, s"2024-02-0$i 00:00:00", user = 99, tpe = "purchase"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table(sink)
+      .filter((col("a_id").isNull || col("a_id") < 9) &&
+              (col("b_id").isNull || col("b_id") < 899))
+      .collect()
+      .map(r => (r.getAs[String]("status"),
+                 Option(r.getAs[java.lang.Long]("a_id")).map(_.toLong),
+                 Option(r.getAs[java.lang.Long]("b_id")).map(_.toLong))).toSet
+    assert(rows == Set(
+      ("matched", Some(1L), Some(100L)),
+      ("unmatched_a", Some(2L), None),
+      ("unmatched_b", None, Some(101L))))
+  }
+
   test("transformWithState keeps named value states across batches (RocksDB)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
