@@ -119,7 +119,31 @@ object Pipeline {
       .limit(2000)
   }
 
-  // ---- similarity search: IVF --------------------------------------------
+  /** Embedding-cosine near-dup: document pairs (same language) whose
+    * embeddings exceed the similarity threshold — the semantic-dedup
+    * member of the dedup family (exact / MinHash / SimHash / n-gram /
+    * embedding). Threshold per SURVEY §2.1-R5 (0.42 sits in a measured
+    * gap of the distribution).
+    */
+  val dedupEmbeddingCosine: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val v = embeddings(s, d).select(col("vec_id"), col("embedding").as("ve"))
+      .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
+      .join(docs, col("vec_id") === col("doc_id"))
+    val a = v.select(col("doc_id").as("a_id"), col("lang"),
+                     col("ve").as("va"), col("nv").as("na"))
+    val b = v.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                     col("ve").as("vb"), col("nv").as("nb"))
+    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") > 0.42)
+      .select(col("a_id"), col("b_id"),
+              round(col("sim") * 100).cast("long").as("sim_pct"))
+      .orderBy("a_id", "b_id")
+      .limit(2000)
+  }
+
+  // ---- similarity search: IVF + LSH --------------------------------------
 
   /** IVF-style ANN: centroids = vectors with id < 16 (a deterministic
     * stand-in for k-means output), every vector assigned to its nearest
@@ -152,6 +176,46 @@ object Pipeline {
       .withColumn("s", vec_dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
     val wr = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
     cand
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid").as("q"), col("vec_id").as("n"), col("rn"))
+      .orderBy("q", "rn")
+  }
+
+  /** Random-hyperplane LSH ANN — the bucketed cosine scale path
+    * alongside IVF: 4 fixed hyperplanes give a 4-bit sign bucket per
+    * vector; queries probe their own bucket plus the 4 Hamming-1
+    * neighbours, then rerank candidates exactly. No SQL oracle (the
+    * hyperplane family is engine-side); PipelineSpec checks structure
+    * and measures recall vs brute force — NOTE this corpus is
+    * near-random (max cosine ≈ 0.51, FIXTURES.md), the regime where
+    * sign-LSH recall is weakest; on clustered real embeddings the same
+    * operator's recall rises with similarity.
+    */
+  val annLshTopk: Q = (s, d) => {
+    val dims = 64
+    val planes: Seq[Seq[Double]] = Seq.tabulate(4) { i =>
+      Seq.tabulate(dims) { j =>
+        // deterministic pseudo-random direction in [-1, 1)
+        val z = graft.functions.TokenHash.mix64(i.toLong * dims + j)
+        z.toDouble / Long.MaxValue.toDouble
+      }
+    }
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (p, i) =>
+        when(vec_dot(v, typedLit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val v = embeddings(s, d).select(col("vec_id"), col("embedding").as("ve"))
+      .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
+      .withColumn("bucket", bucketOf(col("ve")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"), col("nv").as("nq"),
+              explode(array(col("bucket"), col("bucket").bitwiseXOR(1),
+                            col("bucket").bitwiseXOR(2), col("bucket").bitwiseXOR(4),
+                            col("bucket").bitwiseXOR(8))).as("probe"))
+    val wr = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
+    q.join(v, col("probe") === col("bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("s", vec_dot(col("qe"), col("ve")) / (col("nq") * col("nv")))
       .withColumn("rn", row_number().over(wr).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("qid").as("q"), col("vec_id").as("n"), col("rn"))
@@ -270,7 +334,9 @@ object Pipeline {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_lsh_topk" -> annLshTopk,
     "text_langid" -> textLangid,
     "text_quality_score" -> textQualityScore,
     "text_token_bpe" -> textTokenBpe,

@@ -304,6 +304,14 @@ object OracleSql {
   ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.s,b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
   ORDER BY 1,2 LIMIT 2000""",
+    "dedup_embedding_cosine" ->
+      """WITH v AS (SELECT e.vec_id doc_id, d.lang, e.embedding::DOUBLE[] ve
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
+  SELECT a.doc_id a_id, b.doc_id b_id,
+    CAST(round(list_cosine_similarity(a.ve, b.ve)*100) AS BIGINT) sim_pct
+  FROM v a JOIN v b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE list_cosine_similarity(a.ve, b.ve) > 0.42
+  ORDER BY 1,2 LIMIT 2000""",
     "ann_ivf_topk" ->
       """WITH c AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
   v AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),

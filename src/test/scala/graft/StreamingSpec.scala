@@ -53,6 +53,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(jan1.head.getAs[Long]("c") == 2, "late event must NOT be counted")
   }
 
+  test("hopping windows assign events to both overlapping windows") {
+    // one event at 10:15 in 60m/30m hopping windows -> windows starting
+    // 09:30 and 10:00 each count it once (after watermark closes them)
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:15:00")),
+      Seq(evt(9, "2024-01-02 00:00:00"))), // close the windows
+      "append")(df => StreamOps.sliding1h30m(df))
+    val starts = out.filter(col("c") === 1)
+      .select(col("window.start").as("ws")).collect()
+      .map(_.getTimestamp(0).toString).sorted.toSeq
+    assert(starts.exists(_.startsWith("2024-01-01 09:30")) &&
+           starts.exists(_.startsWith("2024-01-01 10:00")), starts.toString)
+  }
+
   test("session windows merge across micro-batches") {
     // Events 10:00 and 10:10 arrive in batch1; 10:20 in batch2 — still
     // within the 30-minute gap, so ONE session of length 3 once closed.
