@@ -391,6 +391,28 @@ object Relational {
       .orderBy("o_custkey")
       .limit(1000)
 
+  /** Exact percentiles with continuous interpolation over integer
+    * cents: Spark `percentile` and DuckDB `quantile_cont` share the
+    * pos = p·(n−1) linear-interpolation definition, and interpolating
+    * exact integers in double is engine-identical; the result is
+    * rounded back to cents (R2).
+    */
+  val aggPercentiles: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(round(expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)"))
+             .cast("long").as("p50"),
+           round(expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.9)"))
+             .cast("long").as("p90"))
+      .orderBy("o_orderstatus")
+
+  /** Fixed-width histogram — integer bucket arithmetic, order-exact. */
+  val aggHistogram: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(cnt.as("c"))
+      .orderBy("bucket")
+
   val exprBitwise: Q = (s, d) =>
     orders(s, d)
       .select(col("o_orderkey"),
@@ -416,6 +438,8 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "scan_project" -> scanProject,
     "agg_arg_extremes" -> aggArgExtremes,
+    "agg_percentiles" -> aggPercentiles,
+    "agg_histogram" -> aggHistogram,
     "expr_bitwise" -> exprBitwise,
     "str_funcs2" -> strFuncs2,
     "scan_filter" -> scanFilter,

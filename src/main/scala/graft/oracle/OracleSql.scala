@@ -382,6 +382,14 @@ object OracleSql {
   arg_min(o_orderstatus, o_orderkey) first_status,
   CAST(count(*) AS BIGINT) n
   FROM orders GROUP BY 1 ORDER BY o_custkey LIMIT 1000""",
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+  CAST(round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5)) AS BIGINT) p50,
+  CAST(round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9)) AS BIGINT) p90
+  FROM orders GROUP BY 1 ORDER BY 1""",
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) bucket, CAST(count(*) AS BIGINT) c
+  FROM orders GROUP BY 1 ORDER BY 1""",
     "expr_bitwise" ->
       """SELECT o_orderkey,
   CAST(o_orderkey & 255 AS BIGINT) b_and,
