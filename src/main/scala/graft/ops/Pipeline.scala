@@ -47,25 +47,32 @@ object Pipeline {
     * PipelineSpec), produced without the quadratic block join.
     */
   val dedupMinhashLsh: Q = (s, d) => {
-    val base = documents(s, d).select(
+    val docs = documents(s, d).select(
       col("doc_id"), col("lang"), col("source"),
       array_sort(array_distinct(toks)).as("tk"))
+    // Band phase shuffles only (id, block, band, bucket) — never the
+    // token arrays — and candidate pairs are dedup'd as bare id pairs
+    // before the arrays are joined back for the verify.
+    val banded = docs
       .withColumn("sig", minhash(col("tk"), NumHashes))
-      .withColumn("bands",
-        transform(sequence(lit(0), lit(Bands - 1)),
-          b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
-      .select(col("doc_id"), col("lang"), col("source"), col("tk"),
-              posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val a = base.select(col("doc_id").as("a_id"), col("lang"), col("source"),
-                        col("band_idx"), col("band_key"), col("tk").as("a_tk"))
-    val b = base.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-                        col("source").as("b_source"), col("band_idx").as("b_bi"),
-                        col("band_key").as("b_bk"), col("tk").as("b_tk"))
-    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
-              col("band_idx") === col("b_bi") && col("band_key") === col("b_bk") &&
-              col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_tk", "b_tk")
+      .select(col("doc_id"), col("lang"), col("source"),
+              posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+                b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
+                .as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                          col("band_idx"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                          col("source").as("b_source"), col("band_idx").as("b_bi"),
+                          col("band_key").as("b_bk"))
+    val candidates = a
+      .join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+               col("band_idx") === col("b_bi") && col("band_key") === col("b_bk") &&
+               col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(docs.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
       .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= 0.9)
       .select("a_id", "b_id")
       .orderBy("a_id", "b_id")
