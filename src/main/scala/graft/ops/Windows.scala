@@ -98,8 +98,22 @@ object Windows {
       .limit(1000)
   }
 
+  /** Interval RANGE frames (value-based, peers included) — no
+    * DataFrame API for interval bounds, so this uses the SQL entry
+    * point like `agg_grouping_sets` (SURVEY §3.2-E2).
+    */
+  val winRangeFrame: Q = (s, d) =>
+    graft.tables.Tables.sql(s, d,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND INTERVAL 30 DAYS FOLLOWING) AS BIGINT) n_near,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) cents_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "win_topk_per_group" -> winTopkPerGroup,
+    "win_range_frame" -> winRangeFrame,
     "win_rank_dense" -> winRankDense,
     "win_lag_lead" -> winLagLead,
     "win_running_sum" -> winRunningSum,

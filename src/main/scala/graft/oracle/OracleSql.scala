@@ -363,6 +363,13 @@ object OracleSql {
   SELECT doc_id, fp,
   list_min(list_transform(generate_series(1, len(t)-2), i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) fp_shingle
   FROM tk ORDER BY doc_id LIMIT 500""",
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND INTERVAL 30 DAY FOLLOWING) AS BIGINT) n_near,
+  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) cents_30d
+  FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000""",
     "win_first_last" ->
       """SELECT o_custkey, o_orderkey,
   first_value(o_orderkey) OVER w first_ok,
