@@ -119,7 +119,27 @@ object Streaming {
     matched.unionByName(unmatchedA).unionByName(unmatchedB).orderBy("status")
   }
 
+  /** Pivot — per-user event-type counts as columns (the re-keyed
+    * KTable.groupBy().aggregate() analogue in wide form). Explicit
+    * value list keeps the plan single-pass (no distinct-values scan)
+    * and the output schema fixed.
+    */
+  val aggPivot: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "signup", "view", "error"))
+      .agg(cnt)
+      .select(col("user_id"),
+              coalesce(col("click"), lit(0L)).as("n_click"),
+              coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+              coalesce(col("signup"), lit(0L)).as("n_signup"),
+              coalesce(col("view"), lit(0L)).as("n_view"),
+              coalesce(col("error"), lit(0L)).as("n_error"))
+      .orderBy("user_id")
+      .limit(2000)
+
   val queries: Map[String, Q] = Map(
+    "agg_pivot" -> aggPivot,
     "stream_tumbling_daily" -> tumblingDaily,
     "stream_sliding_1h30m" -> sliding1h30m,
     "stream_session_30m" -> session30m,

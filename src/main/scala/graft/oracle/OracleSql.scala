@@ -186,6 +186,14 @@ object OracleSql {
   CAST(round(embedding[1]*1e6) AS BIGINT) e0_micro,
   CAST(round(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))*1e6) AS BIGINT) sq_norm_micro
   FROM embeddings ORDER BY vec_id LIMIT 500""",
+    "agg_pivot" ->
+      """SELECT user_id,
+  CAST(count(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) n_click,
+  CAST(count(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) n_purchase,
+  CAST(count(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) n_signup,
+  CAST(count(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) n_view,
+  CAST(count(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) n_error
+  FROM events GROUP BY 1 ORDER BY 1 LIMIT 2000""",
     "stream_tumbling_daily" ->
       """SELECT date_trunc('day', ts) w, event_type, CAST(count(*) AS BIGINT) c,
   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) val_cents
