@@ -57,6 +57,31 @@ class PropertySpec extends SparkSpecBase {
     assert(j1 == j2)
   }
 
+  test("null semantics: join keys, aggregates, set ops") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((Some(1L), "a1"), (None, "a2"), (Some(2L), "a3"))
+      .toDF("k", "va")
+    val b = Seq((Some(1L), "b1"), (None, "b2"))
+      .toDF("k", "vb")
+    // null keys never match in equi-joins
+    val inner = a.join(b, a("k") === b("k")).count()
+    assert(inner == 1)
+    // ...but null-safe equality matches them
+    val nullSafe = a.join(b, a("k") <=> b("k")).count()
+    assert(nullSafe == 2)
+    // count(*) counts nulls, count(col) skips them
+    assert(a.agg(count(lit(1))).collect().head.getLong(0) == 3)
+    assert(a.agg(count(col("k"))).collect().head.getLong(0) == 2)
+    // distinct/set semantics treat null as a value
+    val u = a.select("k").union(b.select("k")).distinct().count()
+    assert(u == 3) // 1, 2, null
+    // left join null-pads and coalesce recovers
+    val lj = a.join(b, a("k") === b("k"), "left_outer")
+      .select(coalesce(col("vb"), lit("none")).as("vb")).collect()
+    assert(lj.count(_.getString(0) == "none") == 2)
+  }
+
   test("generated integer predicates: filter partition law on custkeys") {
     val total = orders.count()
     samples(Gen.choose(2, 97), 8).foreach { m =>
