@@ -413,6 +413,27 @@ object Relational {
       .agg(cnt.as("c"))
       .orderBy("bucket")
 
+  /** Deterministic array aggregation: collect_set is unordered, so the
+    * output array is sorted — the only hash-stable way to emit
+    * collected groups (R1 applied inside a value).
+    */
+  val aggCollectSet: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+           cnt.as("c"))
+      .orderBy("o_orderpriority")
+
+  val joinRightOuter: Q = (s, d) =>
+    customer(s, d)
+      .join(nation(s, d),
+            col("c_nationkey") === col("n_nationkey") && col("c_acctbal") > 9000,
+            "right_outer")
+      .groupBy("n_name")
+      .agg(count(col("c_custkey")).as("n_cust"))
+      .orderBy("n_name")
+      .limit(30)
+
   val exprBitwise: Q = (s, d) =>
     orders(s, d)
       .select(col("o_orderkey"),
@@ -440,6 +461,8 @@ object Relational {
     "agg_arg_extremes" -> aggArgExtremes,
     "agg_percentiles" -> aggPercentiles,
     "agg_histogram" -> aggHistogram,
+    "agg_collect_set" -> aggCollectSet,
+    "join_right_outer" -> joinRightOuter,
     "expr_bitwise" -> exprBitwise,
     "str_funcs2" -> strFuncs2,
     "scan_filter" -> scanFilter,

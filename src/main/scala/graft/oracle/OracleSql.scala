@@ -397,6 +397,13 @@ object OracleSql {
   arg_min(o_orderstatus, o_orderkey) first_status,
   CAST(count(*) AS BIGINT) n
   FROM orders GROUP BY 1 ORDER BY o_custkey LIMIT 1000""",
+    "agg_collect_set" ->
+      """SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) statuses, CAST(count(*) AS BIGINT) c
+  FROM orders GROUP BY 1 ORDER BY 1""",
+    "join_right_outer" ->
+      """SELECT n_name, CAST(count(c_custkey) AS BIGINT) n_cust
+  FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey AND c_acctbal > 9000
+  GROUP BY 1 ORDER BY 1 LIMIT 30""",
     "agg_percentiles" ->
       """SELECT o_orderstatus,
   CAST(round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5)) AS BIGINT) p50,
