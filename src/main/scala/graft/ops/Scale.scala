@@ -21,7 +21,7 @@ object Scale {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(hash(struct(big.columns.map(col): _*)), lit(salts)))
+      pmod(hash(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
