@@ -424,6 +424,17 @@ object Relational {
            cnt.as("c"))
       .orderBy("o_orderpriority")
 
+  /** Ordered string aggregation (listagg shape): collect → sort →
+    * join, the deterministic form of string_agg.
+    */
+  val aggStringAgg: Q = (s, d) =>
+    customer(s, d)
+      .filter(col("c_custkey") < 40)
+      .groupBy("c_mktsegment")
+      .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("namecat"),
+           cnt.as("c"))
+      .orderBy("c_mktsegment")
+
   val joinRightOuter: Q = (s, d) =>
     customer(s, d)
       .join(nation(s, d),
@@ -462,6 +473,7 @@ object Relational {
     "agg_percentiles" -> aggPercentiles,
     "agg_histogram" -> aggHistogram,
     "agg_collect_set" -> aggCollectSet,
+    "agg_string_agg" -> aggStringAgg,
     "join_right_outer" -> joinRightOuter,
     "expr_bitwise" -> exprBitwise,
     "str_funcs2" -> strFuncs2,

@@ -397,6 +397,9 @@ object OracleSql {
   arg_min(o_orderstatus, o_orderkey) first_status,
   CAST(count(*) AS BIGINT) n
   FROM orders GROUP BY 1 ORDER BY o_custkey LIMIT 1000""",
+    "agg_string_agg" ->
+      """SELECT c_mktsegment, array_to_string(list_sort(list(c_name)), ',') AS namecat, CAST(count(*) AS BIGINT) c
+  FROM customer WHERE c_custkey < 40 GROUP BY 1 ORDER BY 1""",
     "agg_collect_set" ->
       """SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) statuses, CAST(count(*) AS BIGINT) c
   FROM orders GROUP BY 1 ORDER BY 1""",
