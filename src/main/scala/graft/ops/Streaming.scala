@@ -101,22 +101,25 @@ object Streaming {
 
   /** Two-leg windowed reconciliation — the reference's flagship shape
     * (SURVEY.md §1.1): signups matched to purchases within 24h, plus
-    * unmatched counts on both legs via anti-joins against the matched
-    * pair set.
+    * unmatched counts on both legs. ONE full-outer band join classifies
+    * every row (matched = both legs present; null side = unmatched) —
+    * the same single-pass shape as the streaming twin
+    * [[graft.streaming.StreamOps.reconStream]], and 3× less join work
+    * than the matched/anti/anti formulation.
     */
   val reconLegMatch: Q = (s, d) => {
     val a = typed(s, d, "signup", "a")
     val b = typed(s, d, "purchase", "b")
-    val m = a.join(b, col("a_user") === col("b_user") &&
-                      col("b_ts") >= col("a_ts") &&
-                      col("b_ts") < col("a_ts") + expr("INTERVAL 24 HOURS"))
-      .select(col("a_id"), col("b_id"))
-    val matched = m.agg(cnt.as("c")).select(lit("matched").as("status"), col("c"))
-    val unmatchedA = a.join(m.select("a_id").distinct(), Seq("a_id"), "left_anti")
-      .agg(cnt.as("c")).select(lit("unmatched_a").as("status"), col("c"))
-    val unmatchedB = b.join(m.select("b_id").distinct(), Seq("b_id"), "left_anti")
-      .agg(cnt.as("c")).select(lit("unmatched_b").as("status"), col("c"))
-    matched.unionByName(unmatchedA).unionByName(unmatchedB).orderBy("status")
+    a.join(b, col("a_user") === col("b_user") &&
+              col("b_ts") >= col("a_ts") &&
+              col("b_ts") < col("a_ts") + expr("INTERVAL 24 HOURS"),
+           "full_outer")
+      .select(when(col("a_id").isNotNull && col("b_id").isNotNull, "matched")
+                .when(col("b_id").isNull, "unmatched_a")
+                .otherwise("unmatched_b").as("status"))
+      .groupBy("status")
+      .agg(cnt.as("c"))
+      .orderBy("status")
   }
 
   /** Pivot — per-user event-type counts as columns (the re-keyed
