@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -371,6 +371,45 @@ object Relational {
       .limit(1000)
       .select("l_orderkey", "l_linenumber", "f", "c", "far", "sq", "m7")
 
+  /** Coarse date truncation (week starts Monday in both engines). */
+  val dateTruncFuncs: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(to_date(date_trunc("week", col("o_orderdate"))).as("wk"),
+               to_date(date_trunc("quarter", col("o_orderdate"))).as("qt"))
+      .agg(cnt.as("c"))
+      .orderBy("wk", "qt")
+      .limit(500)
+
+  /** Array surface 2: slice / concat / min / max over the embedding
+    * vectors (1-based slices in both engines; float→double per R5).
+    */
+  val arrayFuncs2: Q = (s, d) => {
+    def vecD(c: Column) = transform(c, _.cast("double"))
+    Tables.t(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        round(aggregate(vecD(slice(col("embedding"), 1, 8)), lit(0.0), _ + _) * 1e6)
+          .cast("long").as("head_sum_micro"),
+        size(concat(slice(col("embedding"), 1, 4), slice(col("embedding"), 61, 4)))
+          .cast("long").as("cat_len"),
+        round(array_max(vecD(col("embedding"))) * 1e6).cast("long").as("mx_micro"),
+        round(array_min(vecD(col("embedding"))) * 1e6).cast("long").as("mn_micro"))
+      .orderBy("vec_id")
+      .limit(500)
+  }
+
+  /** MapType surface: JSON payload → map<string,long> → key access /
+    * key-set cardinality (the serde-to-map path of SURVEY §1.2).
+    */
+  val mapFuncs: Q = (s, d) =>
+    events(s, d)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+      .groupBy("event_type")
+      .agg(sum(element_at(col("m"), "k")).cast("long").as("sum_k"),
+           max(size(map_keys(col("m")))).cast("long").as("max_keys"))
+      .orderBy("event_type")
+
   val jsonFuncs: Q = (s, d) =>
     events(s, d)
       .groupBy("event_type")
@@ -520,6 +559,9 @@ object Relational {
     "set_except" -> setExcept,
     "str_funcs" -> strFuncs,
     "date_funcs" -> dateFuncs,
+    "date_trunc_funcs" -> dateTruncFuncs,
+    "array_funcs2" -> arrayFuncs2,
+    "map_funcs" -> mapFuncs,
     "math_funcs" -> mathFuncs,
     "json_funcs" -> jsonFuncs,
     "array_funcs" -> arrayFuncs,

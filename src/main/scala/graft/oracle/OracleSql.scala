@@ -172,6 +172,23 @@ object OracleSql {
   CAST(day(o_orderdate) AS BIGINT) d, CAST(o_orderdate AS DATE) + INTERVAL 30 DAY IS NOT NULL has30,
   CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) dd
   FROM orders ORDER BY o_orderkey LIMIT 500""",
+    "date_trunc_funcs" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) wk,
+  CAST(date_trunc('quarter', o_orderdate) AS DATE) qt,
+  CAST(count(*) AS BIGINT) c
+  FROM orders GROUP BY 1,2 ORDER BY 1,2 LIMIT 500""",
+    "array_funcs2" ->
+      """SELECT vec_id,
+  CAST(round(list_sum(embedding[1:8]::DOUBLE[])*1e6) AS BIGINT) head_sum_micro,
+  CAST(len(list_concat(embedding[1:4], embedding[61:64])) AS BIGINT) cat_len,
+  CAST(round(list_max(embedding::DOUBLE[])*1e6) AS BIGINT) mx_micro,
+  CAST(round(list_min(embedding::DOUBLE[])*1e6) AS BIGINT) mn_micro
+  FROM embeddings ORDER BY vec_id LIMIT 500""",
+    "map_funcs" ->
+      """SELECT event_type,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
+  CAST(max(len(json_keys(props))) AS BIGINT) max_keys
+  FROM events GROUP BY 1 ORDER BY 1""",
     "math_funcs" ->
       """SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice) AS BIGINT) f,
   CAST(ceil(l_extendedprice) AS BIGINT) c, abs(l_discount - 0.05) > 0.001 far,
