@@ -8,13 +8,28 @@ import org.apache.spark.sql.Row
   */
 class OperatorSpec extends SparkSpecBase {
 
-  test("every declared query returns rows and every query has oracle SQL") {
+  test("every declared query returns rows; oracles and bench keys are consistent") {
     val keys = SparkEntry.queries.keySet
-    assert(keys == SparkEntry.oracleSql.keySet.union(keys), "queries missing")
+    // every oracle belongs to a declared query (no orphan oracle SQL)
+    val orphans = SparkEntry.oracleSql.keySet -- keys
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+    // the only deliberately oracle-less queries are the engine-side
+    // hash-family sketches
+    val unoracled = keys -- SparkEntry.oracleSql.keySet
+    assert(unoracled == Set("dedup_simhash", "ann_lsh_topk"),
+      s"unexpected oracle-less queries: $unoracled")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n > 0, s"$name returned no rows")
     }
+  }
+
+  test("bench battery keys all resolve to declared queries") {
+    // guards against a rename silently dropping a query from BENCH_r{N}
+    val src = scala.io.Source.fromFile("src/main/scala/graft/Bench.scala").mkString
+    val quoted = "\"([a-z0-9_]+)\"".r.findAllMatchIn(src).map(_.group(1)).toSet
+    val benchKeys = quoted.intersect(SparkEntry.queries.keySet)
+    assert(benchKeys.size == 58, s"expected 58 baseline keys, got ${benchKeys.size}")
   }
 
   test("query keys are valid directory names (R8)") {
