@@ -26,7 +26,7 @@ class OperatorSpec extends SparkSpecBase {
 
   test("bench battery keys all resolve to declared queries") {
     // guards against a rename silently dropping a query from BENCH_r{N}
-    val src = scala.io.Source.fromFile("src/main/scala/graft/Bench.scala").mkString
+    val src = scala.io.Source.fromFile("src/main/scala/graft/Bench.scala", "UTF-8").mkString
     val quoted = "\"([a-z0-9_]+)\"".r.findAllMatchIn(src).map(_.group(1)).toSet
     val benchKeys = quoted.intersect(SparkEntry.queries.keySet)
     assert(benchKeys.size == 58, s"expected 58 baseline keys, got ${benchKeys.size}")
