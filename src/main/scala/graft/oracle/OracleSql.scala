@@ -418,7 +418,7 @@ object OracleSql {
       """SELECT c_mktsegment, array_to_string(list_sort(list(c_name)), ',') AS namecat, CAST(count(*) AS BIGINT) c
   FROM customer WHERE c_custkey < 40 GROUP BY 1 ORDER BY 1""",
     "agg_collect_set" ->
-      """SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) statuses, CAST(count(*) AS BIGINT) c
+      """SELECT o_orderpriority, array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') statuses, CAST(count(*) AS BIGINT) c
   FROM orders GROUP BY 1 ORDER BY 1""",
     "join_right_outer" ->
       """SELECT n_name, CAST(count(c_custkey) AS BIGINT) n_cust

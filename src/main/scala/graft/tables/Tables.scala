@@ -21,14 +21,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Fact-sized tables get repartitioned to the session's parallelism
-    * at cache-load: the sf0.1 parquet files are single files under
-    * `maxPartitionBytes`, so without this every downstream query runs
-    * its scan on 1–3 partitions regardless of available cores. The
-    * one-time shuffle happens at cache materialization; dimensions
-    * stay as-read (they are broadcast everywhere anyway).
+  /** Fact-sized tables get repartitioned at cache-load: the sf0.1
+    * parquet files are single files under `maxPartitionBytes`, so
+    * without this every downstream query runs its scan on 1–3
+    * partitions regardless of available cores. The one-time shuffle
+    * happens at cache materialization; dimensions stay as-read (they
+    * are broadcast everywhere anyway).
+    *
+    * The partition count is capped at 16 regardless of core count:
+    * measured at sf0.1, 32-way cached partitions cost more in task
+    * scheduling than they buy in map parallelism (every scan stage =
+    * one task per cached partition), and the battery's per-query work
+    * is milliseconds per task either way. At real cluster scale the
+    * cache is optional and partitioning comes from the source layout,
+    * so this cap is bench-session sizing, not a library limit
+    * (`SPARK_GRAFT_FACT_PARTS` overrides).
     */
   private val factTables = Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  private def factParts(spark: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_FACT_PARTS").map(_.toInt)
+      .getOrElse(math.min(spark.sparkContext.defaultParallelism, 16))
 
   private val cache = TrieMap.empty[(Int, String, String), DataFrame]
   private val viewsFor = TrieMap.empty[Int, String]
@@ -39,16 +52,16 @@ object Tables {
         val df =
           if (name == "events") {
             // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
-            // rejects outright; read it as raw nanos (legacy conf) and
-            // truncate to µs with integer division — `DIV` keeps the
-            // arithmetic in long space (ns values exceed double's 2^53
-            // exact-integer range, so `/ 1000` would corrupt them).
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            // rejects outright; `nanosAsLong` (set at session build by
+            // graft.Sessions) reads it as raw nanos, truncated to µs
+            // with integer division — `DIV` keeps the arithmetic in
+            // long space (ns values exceed double's 2^53 exact-integer
+            // range, so `/ 1000` would corrupt them).
             spark.read.parquet(s"$sfDir/$name.parquet")
               .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
           } else spark.read.parquet(s"$sfDir/$name.parquet")
         val partitioned =
-          if (factTables(name)) df.repartition(spark.sparkContext.defaultParallelism)
+          if (factTables(name)) df.repartition(factParts(spark))
           else df
         partitioned.persist(StorageLevel.MEMORY_AND_DISK)
       })

@@ -36,6 +36,40 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("LeftAnti"))
   }
 
+  test("win_ntile never single-partitions the fact table") {
+    val p = plan("win_ntile")
+    // The two-phase ranking replaces `Window.orderBy(...)`'s
+    // data-sized Exchange SinglePartition with a hash exchange per
+    // price bucket. The ONLY single-partition exchange allowed is the
+    // one over the bucket-count aggregate (bounded rows by
+    // construction): every occurrence must sit directly above a
+    // HashAggregate, never above a table scan.
+    val lines = p.linesIterator.toVector
+    val spIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") => i
+    }
+    assert(spIdx.nonEmpty, "expected the bounded bucket-count exchange")
+    spIdx.foreach { i =>
+      assert(lines(i + 1).contains("HashAggregate"),
+        s"SinglePartition exchange over non-aggregated data:\n${lines.slice(i, i + 3).mkString("\n")}")
+    }
+    // and the fact-side window is bucket-partitioned
+    assert(p.contains("windowspecdefinition(__cb"), p.take(800))
+  }
+
+  test("win_ntile two-phase ranking equals the window-ntile formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("o_totalprice", "o_orderkey")
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_totalprice"), ntile(4).over(w).cast("long").as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("c"),
+           (round(min(col("o_totalprice")) * 100)).cast("long").as("mn"))
+      .orderBy("b")
+      .collect().toSeq
+    assert(q("win_ntile").collect().toSeq == expect)
+  }
+
   test("similarity kernel (VecDot) sits in the join hot path") {
     // execute first so AQE finalizes; codegen stages show as *(n)
     val df = q("sim_pairs_threshold")
