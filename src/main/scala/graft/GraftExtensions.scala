@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, VecDot}
+import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, VecDot, VecSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works next to
@@ -16,10 +16,12 @@ import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, VecDot}
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Also injects [[graft.plans.JaccardPrefilterRule]] (SURVEY.md §4.3):
-  * Jaccard-threshold filters gain a size-ratio prefilter conjunct.
-  * Further similarity-join rewrites (cosine self-join → LSH bucket +
-  * verify) would be additional `injectOptimizerRule` entries here.
+  * Also injects the SURVEY.md §4.3 similarity-join rewrites:
+  * [[graft.plans.JaccardPrefilterRule]] (Jaccard-threshold filters gain
+  * a size-ratio prefilter conjunct) and
+  * [[graft.plans.CosineBandRule]] (cosine-threshold inner joins gain a
+  * projection-band equi-join key with ±1 probes — bucket-then-verify as
+  * a plan rewrite).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -29,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
+    ext.injectOptimizerRule(_ => graft.plans.CosineBandRule)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),
@@ -41,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Divide(VecDot(es(0), es(1)),
                Multiply(Sqrt(VecDot(es(0), es(0))), Sqrt(VecDot(es(1), es(1)))))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      info("vec_sum", "vec_sum(a) - element sum of a float/double array in double precision"),
+      (es: Seq[Expression]) => VecSum(es.head)))
     ext.injectFunction((
       FunctionIdentifier("sorted_jaccard"),
       info("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard similarity of two sorted-distinct string arrays"),

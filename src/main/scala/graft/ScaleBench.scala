@@ -55,6 +55,40 @@ object ScaleBench {
     val (rowsLsh, tLsh) = time("dedup_minhash_lsh")
     println(f"[scalebench] speedup exact/lsh = ${tExact / tLsh}%.1f x; " +
       s"equal results = ${rowsExact == rowsLsh}")
+
+    // ---- sign-LSH ANN recall + crossover at 100k clustered vectors ------
+    // (the regime real embedding corpora live in; the sf corpora are
+    // near-random and too small for 16-bit buckets to mean anything)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.vec_dot
+    val dims = 64
+    val nVec = 100000L
+    val corpus = graft.ops.Pipeline
+      .clusteredCorpus(spark, nVec, clusters = 2000, dims = dims, noise = 0.05)
+      .cache()
+    corpus.count()
+    val nQ = 50
+    def recallOf(bits: Int, radius: Int): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val got = graft.ops.Pipeline
+        .lshTopkDf(corpus, col("vec_id") < nQ, dims, bits, radius, 3)
+        .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("n"))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val q = corpus.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("ve").as("qe"))
+      val w = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
+      val exact = q.join(corpus, col("vec_id") =!= col("qid"))
+        .withColumn("s", vec_dot(col("qe"), col("ve")) /
+          (sqrt(vec_dot(col("qe"), col("qe"))) * sqrt(vec_dot(col("ve"), col("ve")))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+      (got.intersect(exact).size.toDouble / exact.size, sec)
+    }
+    Seq((16, 1), (16, 2), (20, 2)).foreach { case (b, r) =>
+      val (rec, sec) = recallOf(b, r)
+      println(f"[scalebench] lsh bits=$b radius=$r  recall@3=$rec%.3f  ${sec}%6.2f s")
+    }
     spark.stop()
   }
 }

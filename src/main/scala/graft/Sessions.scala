@@ -19,4 +19,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries; a
+      // many-query workload (Verify/Bench run 58-85 distinct plans,
+      // several codegen units each) evicts and recompiles constantly
+      // at that size. Static conf — must be set at builder time.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 }

@@ -81,6 +81,60 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Σxᵢ in double precision over `array<float>`/`array<double>` — the
+  * projection kernel of the cosine band rewrite
+  * ([[graft.plans.CosineBandRule]]): ⟨x, 1⃗⟩ = Σxᵢ, so the normalized
+  * all-ones projection is `vec_sum(x) / (‖x‖·√d)`. Same widening and
+  * sequential accumulation rules as [[VecDot]].
+  */
+case class VecSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sum requires array<float> or array<double> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += (if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += ((double) $a.$get($i)); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity |A∩B| / |A∪B| over two SORTED, DISTINCT string
   * arrays — a single codegen'd merge pass, O(|A|+|B|), no per-call hash
   * sets. Replaces the interpreted `array_intersect`/`array_union` pair
@@ -157,6 +211,10 @@ object VectorFunctions {
 
   /** Σx² — the squared L2 norm, via the same kernel. */
   def vec_sqnorm(v: Column): Column = vec_dot(v, v)
+
+  /** Σx — element sum in double precision (see [[VecSum]]). */
+  def vec_sum(v: Column): Column =
+    ColumnShim.column(VecSum(ColumnShim.expression(v)))
 
   /** Jaccard over sorted-distinct string arrays (see [[SortedJaccard]]). */
   def sorted_jaccard(a: Column, b: Column): Column =

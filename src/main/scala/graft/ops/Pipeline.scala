@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,22 +152,49 @@ object Pipeline {
 
   // ---- similarity search: IVF + LSH --------------------------------------
 
-  /** IVF-style ANN: centroids = vectors with id < 16 (a deterministic
-    * stand-in for k-means output), every vector assigned to its nearest
-    * centroid cell, queries (id < 10) probe their 4 nearest cells and
+  /** IVF ANN over a real (computed) index: centroids come from a
+    * deterministic seeded k-means — init = the 16 vectors with id < 16
+    * (a fixed, data-independent seed), then 2 Lloyd iterations of
+    * {assign to argmax-cosine centroid, recompute component-wise
+    * means}. Every refined centroid component is quantized to 1e-3
+    * (`round(avg·1000)/1000`): parallel summation order differs across
+    * engines by ~1e-13, so quantizing makes the centroids — and hence
+    * the assignment, probes and final ranking — bit-reproducible, which
+    * is what lets a plain-SQL oracle pin the whole index.
+    *
+    * Query path: queries (id < 10) probe their 4 nearest cells and
     * rank candidates exactly. The cell assignment is the partitioning
     * story at scale: each cell is a partition, a query touches nprobe
-    * of them.
+    * of them; the k-means build is itself shuffle-parallel (assignment
+    * is a broadcast cross join, means are a two-level groupBy).
     */
   val annIvfTopk: Q = (s, d) => {
     val v = embeddings(s, d).select(col("vec_id"), col("embedding").as("ve"))
       .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
-    val c = v.filter(col("vec_id") < 16)
+
+    // argmax-cosine cell per vector, centroids broadcast
+    def assignTo(c: DataFrame): DataFrame =
+      v.join(broadcast(c), lit(true))
+        .withColumn("s", vec_dot(col("ve"), col("ce")) / (col("nv") * col("nc")))
+        .groupBy("vec_id")
+        .agg(expr("max_by(cid, s)").as("cell"))
+
+    // component-wise quantized means of each cell's members
+    def centroidsFrom(assign: DataFrame): DataFrame =
+      assign.join(v.select("vec_id", "ve"), "vec_id")
+        .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((round(avg(col("x")) * 1000) / 1000).as("mval"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+                       e => e.getField("mval")).as("ce"))
+        .select(col("cell").as("cid"), col("ce"))
+        .withColumn("nc", sqrt(vec_dot(col("ce"), col("ce"))))
+
+    val c0 = v.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("ve").as("ce"), col("nv").as("nc"))
-    val assign = v.join(broadcast(c), lit(true))
-      .withColumn("s", vec_dot(col("ve"), col("ce")) / (col("nv") * col("nc")))
-      .groupBy("vec_id")
-      .agg(expr("max_by(cid, s)").as("cell"))
+    val c = centroidsFrom(assignTo(centroidsFrom(assignTo(c0))))
+    val assign = assignTo(c)
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("ve").as("qe"), col("nv").as("nq"))
     val wp = Window.partitionBy("qid").orderBy(col("ps").desc, col("cid"))
@@ -189,44 +216,85 @@ object Pipeline {
       .orderBy("q", "rn")
   }
 
-  /** Random-hyperplane LSH ANN — the bucketed cosine scale path
-    * alongside IVF: 4 fixed hyperplanes give a 4-bit sign bucket per
-    * vector; queries probe their own bucket plus the 4 Hamming-1
-    * neighbours, then rerank candidates exactly. No SQL oracle (the
-    * hyperplane family is engine-side); PipelineSpec checks structure
-    * and measures recall vs brute force — NOTE this corpus is
-    * near-random (max cosine ≈ 0.51, FIXTURES.md), the regime where
-    * sign-LSH recall is weakest; on clustered real embeddings the same
-    * operator's recall rises with similarity.
+  /** Random-hyperplane (sign) LSH ANN — the bucketed cosine scale path
+    * alongside IVF, parametric in hash width and probe radius:
+    * `bits` fixed hyperplanes give a `bits`-bit sign bucket per vector;
+    * a query probes every bucket within Hamming distance `radius` of
+    * its own (multiprobe: 1 + C(bits,1) + ... + C(bits,radius)
+    * buckets), then reranks candidates exactly. Candidate volume is
+    * ~n·probes/2^bits per query — bits sizes the bucket grain to the
+    * corpus (≈ log2(n/targetBucketSize)), radius buys recall at a
+    * fixed, corpus-independent probe cost.
+    *
+    * Plane j of hyperplane i is a deterministic pseudo-random double in
+    * [-1, 1) from a splitmix64 of (i·dims + j) — a fixed engine-side
+    * seed, reproducible everywhere the library runs.
+    *
+    * No SQL oracle (the hyperplane family is engine-side); PipelineSpec
+    * checks structure on the driver corpus AND measures recall ≥ 0.8 at
+    * 16 bits / radius 2 on a clustered synthetic corpus — the regime
+    * real embeddings live in. (The driver corpus is near-random — max
+    * cosine ≈ 0.51, FIXTURES.md — the weakest regime for any LSH.)
     */
-  val annLshTopk: Q = (s, d) => {
-    val dims = 64
-    val planes: Seq[Seq[Double]] = Seq.tabulate(4) { i =>
+  def lshTopkDf(vecs: DataFrame, isQuery: Column, dims: Int, bits: Int,
+                radius: Int, k: Int): DataFrame = {
+    require(bits <= 30, "bucket id is an Int")
+    val planes: Seq[Seq[Double]] = Seq.tabulate(bits) { i =>
       Seq.tabulate(dims) { j =>
-        // deterministic pseudo-random direction in [-1, 1)
         val z = graft.functions.TokenHash.mix64(i.toLong * dims + j)
         z.toDouble / Long.MaxValue.toDouble
       }
     }
-    def bucketOf(v: org.apache.spark.sql.Column) =
+    def bucketOf(v: Column) =
       planes.zipWithIndex.map { case (p, i) =>
         when(vec_dot(v, typedLit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
-    val v = embeddings(s, d).select(col("vec_id"), col("embedding").as("ve"))
+    // all XOR masks within the probe radius (mask 0 = the home bucket)
+    val masks: Seq[Int] =
+      (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= radius)
+    val v = vecs.select(col("vec_id"), col("ve"))
       .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
       .withColumn("bucket", bucketOf(col("ve")))
-    val q = v.filter(col("vec_id") < 10)
+    val q = v.filter(isQuery)
       .select(col("vec_id").as("qid"), col("ve").as("qe"), col("nv").as("nq"),
-              explode(array(col("bucket"), col("bucket").bitwiseXOR(1),
-                            col("bucket").bitwiseXOR(2), col("bucket").bitwiseXOR(4),
-                            col("bucket").bitwiseXOR(8))).as("probe"))
+              explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+                .as("probe"))
     val wr = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
     q.join(v, col("probe") === col("bucket") && col("vec_id") =!= col("qid"))
       .withColumn("s", vec_dot(col("qe"), col("ve")) / (col("nq") * col("nv")))
       .withColumn("rn", row_number().over(wr).cast("long"))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("qid").as("q"), col("vec_id").as("n"), col("rn"))
       .orderBy("q", "rn")
+  }
+
+  /** Driver-corpus instantiation: 2k vectors → 4 bits (~125/bucket),
+    * Hamming-1 probes, top-3 — identical output to round 1's fixed
+    * 4-bit formulation. At 16 bits the same operator serves
+    * million-vector corpora (see the clustered-recall test).
+    */
+  val annLshTopk: Q = (s, d) =>
+    lshTopkDf(
+      embeddings(s, d).select(col("vec_id"), col("embedding").as("ve")),
+      col("vec_id") < 10, dims = 64, bits = 4, radius = 1, k = 3)
+
+  /** Deterministic clustered synthetic embeddings — the regime real
+    * (post-training) embedding corpora live in, used to measure ANN
+    * recall where the driver corpus (near-random, FIXTURES.md) can't:
+    * vector i = center(i mod clusters) + noise·u(i), every component a
+    * fixed xxhash64-derived double in [-1, 1). Pure generator — no
+    * source data, no RNG state; the same (n, clusters, dims, noise)
+    * always yields the same corpus on any cluster.
+    */
+  def clusteredCorpus(s: SparkSession, n: Long, clusters: Int, dims: Int,
+                      noise: Double): DataFrame = {
+    def u(salt: String, a: Column, b: Column): Column =
+      xxhash64(lit(salt), a, b).cast("double") / Long.MaxValue.toDouble
+    s.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        j => u("c", pmod(col("id"), lit(clusters)), j) +
+             u("n", col("id"), j) * noise).as("ve"))
   }
 
   // ---- text analysis -----------------------------------------------------

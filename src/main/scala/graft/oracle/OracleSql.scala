@@ -338,15 +338,24 @@ object OracleSql {
   WHERE list_cosine_similarity(a.ve, b.ve) > 0.42
   ORDER BY 1,2 LIMIT 2000""",
     "ann_ivf_topk" ->
-      """WITH c AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
-  v AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),
-  assign AS (
-    SELECT v.vec_id, arg_max(c.cid, list_cosine_similarity(v.ve, c.ce)) cell
-    FROM v CROSS JOIN c GROUP BY v.vec_id),
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),
+  c0 AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
+  a1 AS (SELECT v.vec_id, arg_max(c0.cid, list_cosine_similarity(v.ve, c0.ce)) cell
+         FROM v CROSS JOIN c0 GROUP BY v.vec_id),
+  m1 AS (SELECT a1.cell, r.i pos, round(avg(v.ve[r.i])*1000)/1000 mval
+         FROM a1 JOIN v USING (vec_id), range(1,65) r(i) GROUP BY a1.cell, r.i),
+  c1 AS (SELECT cell cid, list(mval ORDER BY pos) ce FROM m1 GROUP BY cell),
+  a2 AS (SELECT v.vec_id, arg_max(c1.cid, list_cosine_similarity(v.ve, c1.ce)) cell
+         FROM v CROSS JOIN c1 GROUP BY v.vec_id),
+  m2 AS (SELECT a2.cell, r.i pos, round(avg(v.ve[r.i])*1000)/1000 mval
+         FROM a2 JOIN v USING (vec_id), range(1,65) r(i) GROUP BY a2.cell, r.i),
+  c2 AS (SELECT cell cid, list(mval ORDER BY pos) ce FROM m2 GROUP BY cell),
+  assign AS (SELECT v.vec_id, arg_max(c2.cid, list_cosine_similarity(v.ve, c2.ce)) cell
+             FROM v CROSS JOIN c2 GROUP BY v.vec_id),
   q AS (SELECT vec_id qid, ve qe FROM v WHERE vec_id < 10),
   probes AS (
     SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(qe, ce) DESC, cid) pr
-    FROM q CROSS JOIN c),
+    FROM q CROSS JOIN c2),
   cand AS (
     SELECT q.qid, a.vec_id n, list_cosine_similarity(q.qe, v.ve) s
     FROM q JOIN probes p ON p.qid = q.qid AND p.pr <= 4

@@ -59,6 +59,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(lsh.intersect(exact).nonEmpty)
   }
 
+  test("sign-LSH 16 bits + multiprobe radius 2: recall >= 0.8 on clustered corpus") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.vec_dot
+    val dims = 64
+    val corpus = graft.ops.Pipeline
+      .clusteredCorpus(spark, n = 2000, clusters = 50, dims = dims, noise = 0.05)
+      .cache()
+    val nQ = 20
+    val lsh = graft.ops.Pipeline
+      .lshTopkDf(corpus, col("vec_id") < nQ, dims, bits = 16, radius = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Long]("n"))).toSet
+    // brute-force truth
+    val v = corpus.select(col("vec_id"), col("ve"))
+    val q = v.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
+    val exact = q.join(v, col("vec_id") =!= col("qid"))
+      .withColumn("s", vec_dot(col("qe"), col("ve")) /
+        (sqrt(vec_dot(col("qe"), col("qe"))) * sqrt(vec_dot(col("ve"), col("ve")))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"clustered-corpus LSH recall too low: $recall")
+    corpus.unpersist()
+  }
+
   test("dedup_embedding_cosine pairs are same-language and above threshold") {
     val rows = q("dedup_embedding_cosine").collect()
     assert(rows.nonEmpty)

@@ -117,4 +117,40 @@ class SourcesSpec extends SparkSpecBase {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("CosineBandRule bands the cosine-threshold join and preserves results") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // dedup_embedding_cosine's shape: same-language inner self-join
+      // with a cosine > 0.42 predicate over precomputed norms
+      val df = SparkEntry.queries("dedup_embedding_cosine")(extended, sf)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__cosb"),
+        s"cosine band key missing from optimized plan:\n${optimized.take(800)}")
+      assert(optimized.toLowerCase.contains("vecsum"),
+        s"projection kernel missing:\n${optimized.take(800)}")
+      // the band key turns the pure-theta join into an equi-join: no
+      // nested-loop join remains in the physical plan
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(800))
+      // identical pair set with the rule off (the shared plain session)
+      val banded = df.collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+                   r.getAs[Long]("sim_pct"))).toSet
+      val plain = q("dedup_embedding_cosine").collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+                   r.getAs[Long]("sim_pct"))).toSet
+      assert(banded == plain)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
