@@ -209,6 +209,13 @@ object Relational {
     * suppliers — and therefore of join output rows — survive into the
     * big customer⋈orders⋈lineitem chain. Same result as filtering at
     * the end, with the row reduction moved upstream of the fact joins.
+    *
+    * The customer side is ALSO pre-restricted to ASIA nations (a
+    * broadcast semi join): the final `c_nationkey = s_nationkey`
+    * condition can only hold for such customers, so the semi filter
+    * drops ~4/5 of customers — and of every intermediate build side —
+    * without changing the result. At any scale this is the
+    * "push the join's implied filter to both sides" move.
     */
   val q5LocalSupplier: Q = (s, d) => {
     val nationAsia = nation(s, d)
@@ -218,7 +225,10 @@ object Relational {
     val suppAsia = supplier(s, d)
       .join(broadcast(nationAsia), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_nationkey", "n_name")
-    customer(s, d)
+    val custAsia = customer(s, d)
+      .join(broadcast(nationAsia.select("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"), "left_semi")
+    custAsia
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(suppAsia),

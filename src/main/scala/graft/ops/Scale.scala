@@ -51,19 +51,19 @@ object Scale {
   def globalRank(df: DataFrame, coarse: Column, sortCols: Seq[Column]): DataFrame = {
     val withB = df.withColumn("__cb", coarse.cast("long"))
     val counts = withB.groupBy("__cb").agg(count(lit(1)).as("__bn"))
-    // Offsets + grand total in one pass over the tiny bucket-count
-    // table. partitionBy(const) keeps WindowExec on an ordinary hash
-    // exchange (1 task over ≤ thousands of bucket rows — bounded by
-    // construction, NOT data-sized; the fact table itself never sees a
-    // single-partition exchange).
-    val wCum = Window.partitionBy(lit(0)).orderBy("__cb")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(lit(0))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = counts.select(
-      col("__cb"),
-      coalesce(sum("__bn").over(wCum), lit(0L)).as("__off"),
-      sum("__bn").over(wAll).as("__n"))
+    // Offsets + grand total via a bucket×bucket broadcast cross join
+    // over the tiny count table (B² rows for B buckets — bounded by
+    // construction, NOT data-sized). Deliberately not a global-order
+    // window: that would plan a single-partition WindowExec, and the
+    // whole point of this operator is that nothing in it ever requires
+    // one.
+    val offsets = counts
+      .crossJoin(broadcast(
+        counts.select(col("__cb").as("__cb2"), col("__bn").as("__bn2"))))
+      .groupBy("__cb")
+      .agg(coalesce(sum(when(col("__cb2") < col("__cb"), col("__bn2"))), lit(0L))
+             .as("__off"),
+           sum("__bn2").as("__n"))
     val w = Window.partitionBy("__cb").orderBy(sortCols: _*)
     withB
       .join(broadcast(offsets), "__cb")

@@ -40,19 +40,10 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("win_ntile")
     // The two-phase ranking replaces `Window.orderBy(...)`'s
     // data-sized Exchange SinglePartition with a hash exchange per
-    // price bucket. The ONLY single-partition exchange allowed is the
-    // one over the bucket-count aggregate (bounded rows by
-    // construction): every occurrence must sit directly above a
-    // HashAggregate, never above a table scan.
-    val lines = p.linesIterator.toVector
-    val spIdx = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("Exchange SinglePartition") => i
-    }
-    assert(spIdx.nonEmpty, "expected the bounded bucket-count exchange")
-    spIdx.foreach { i =>
-      assert(lines(i + 1).contains("HashAggregate"),
-        s"SinglePartition exchange over non-aggregated data:\n${lines.slice(i, i + 3).mkString("\n")}")
-    }
+    // price bucket; bucket offsets come from a broadcast cross join
+    // over the bucket-count table, so NO single-partition exchange
+    // exists anywhere in the plan.
+    assert(!p.contains("Exchange SinglePartition"), p.take(1200))
     // and the fact-side window is bucket-partitioned
     assert(p.contains("windowspecdefinition(__cb"), p.take(800))
   }
