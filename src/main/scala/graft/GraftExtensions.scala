@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, VecDot, VecSum}
+import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, SortedOverlap, VecDot, VecSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works next to
@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_jaccard"),
       info("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard similarity of two sorted-distinct string arrays"),
       (es: Seq[Expression]) => SortedJaccard(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_overlap"),
+      info("sorted_overlap", "sorted_overlap(a, b) - intersection count of two sorted-distinct string arrays"),
+      (es: Seq[Expression]) => SortedOverlap(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("minhash"),
       info("minhash", "minhash(tokens[, k]) - k-long MinHash signature of a token array (default k=128)"),

@@ -204,6 +204,65 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** |A∩B| over two SORTED, DISTINCT string arrays — the same single
+  * merge pass as [[SortedJaccard]] but returning the raw intersection
+  * count, for ASYMMETRIC set similarities (containment |A∩B|/|A| —
+  * quote/subset detection — where Jaccard's symmetric union
+  * normalization is wrong).
+  */
+case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_overlap requires array<string> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level entry point: dot product in double precision. */
   def vec_dot(a: Column, b: Column): Column =
@@ -219,4 +278,8 @@ object VectorFunctions {
   /** Jaccard over sorted-distinct string arrays (see [[SortedJaccard]]). */
   def sorted_jaccard(a: Column, b: Column): Column =
     ColumnShim.column(SortedJaccard(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** |A∩B| over sorted-distinct string arrays (see [[SortedOverlap]]). */
+  def sorted_overlap(a: Column, b: Column): Column =
+    ColumnShim.column(SortedOverlap(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

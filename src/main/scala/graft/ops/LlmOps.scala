@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{sorted_jaccard, vec_dot}
+import graft.functions.VectorFunctions.{sorted_jaccard, sorted_overlap, vec_dot}
 import graft.tables.Tables
 import Util._
 
@@ -111,6 +111,34 @@ object LlmOps {
              .cast("long").as("avg_toks_milli"))
       .orderBy("lang")
 
+  /** Asymmetric containment near-dup (quote/subset detection):
+    * directed pairs where ≥ 70% of a's token set appears in b —
+    * `|A∩B| / |A|`, which Jaccard's symmetric union normalization
+    * cannot express (a short doc quoted inside a long one has high
+    * containment but low Jaccard). Same blocked-join scale shape as
+    * [[dedupNearJaccard]]; the per-pair kernel is the codegen'd
+    * [[graft.functions.SortedOverlap]] merge pass. Directed: (a,b) and
+    * (b,a) are distinct findings.
+    */
+  val textContainment: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+              array_sort(array_distinct(split(col("text"), " "))).as("tk"))
+    val a = toks.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                        col("tk").as("a_tk"))
+    val b = toks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                        col("source").as("b_source"), col("tk").as("b_tk"))
+    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+              col("a_id") =!= col("b_id"))
+      .withColumn("cont",
+        sorted_overlap(col("a_tk"), col("b_tk")).cast("double") / size(col("a_tk")))
+      .filter(col("cont") >= 0.7)
+      .select(col("a_id"), col("b_id"),
+              round(col("cont") * 1000).cast("long").as("cont_milli"))
+      .orderBy("a_id", "b_id")
+      .limit(2000)
+  }
+
   val multimodalJoin: Q = (s, d) =>
     documents(s, d)
       .join(embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -126,6 +154,7 @@ object LlmOps {
     "sim_knn_per_query" -> simKnnPerQuery,
     "text_token_counts" -> textTokenCounts,
     "text_lang_stats" -> textLangStats,
+    "text_containment" -> textContainment,
     "multimodal_join" -> multimodalJoin,
   )
 }

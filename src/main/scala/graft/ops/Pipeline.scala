@@ -83,6 +83,14 @@ object Pipeline {
     * (lang, source) blocks as the candidate filter, exact Jaccard ≥ 0.9
     * as the verify. No SQL oracle (the sketch is engine-specific);
     * PipelineSpec asserts the verified output equals the exact join's.
+    *
+    * Corpus note (measured): this tiny-vocab corpus concentrates
+    * sketches weakly — true J ≥ 0.9 pairs span Hamming 0..19 at sf0.1 —
+    * so the Hamming-16 prefilter is part of this operator's DECLARED
+    * semantics (sketch-near AND token-near), and prefix banding cannot
+    * be recall-1 here. On realistic corpora (many features, near-dups
+    * at Hamming ≤ bands−1) the linear-candidate scale path is
+    * [[simhashBandedDf]] below.
     */
   val dedupSimhash: Q = (s, d) => {
     val base = documents(s, d).select(
@@ -101,6 +109,56 @@ object Pipeline {
       .select("a_id", "b_id")
       .orderBy("a_id", "b_id")
       .limit(2000)
+  }
+
+  /** Banded SimHash near-dup — the linear-candidate scale path for
+    * sketch dedup: the 64-bit sketch splits into `bands` equal-width
+    * prefixes and candidates are pairs sharing ≥ 1 (band index, band
+    * value) key within their block. By pigeonhole this is RECALL-1 for
+    * every pair at Hamming ≤ bands − 1 (≤ bands−1 flipped bits cannot
+    * touch all `bands` disjoint bands), so with `maxHamming ≤ bands − 1`
+    * the banded output EQUALS the blocked pairwise join's — without the
+    * O(n²) candidate phase. The shuffle carries only (id, block, band
+    * key); sketches and token arrays join back for the verify
+    * (Hamming ≤ maxHamming, then exact Jaccard ≥ `jaccard`).
+    *
+    * Standard parameters: bands = 4 (16-bit bands), maxHamming = 3 —
+    * the classic web-dedup configuration. PipelineSpec proves banded ==
+    * blocked-exact on a synthetic tight-near-dup corpus (the regime the
+    * guarantee applies to; see [[dedupSimhash]]'s corpus note for why
+    * the driver corpus is not that regime).
+    */
+  def simhashBandedDf(docs: DataFrame, bands: Int, maxHamming: Int,
+                      jaccard: Double): DataFrame = {
+    require(64 % bands == 0 && maxHamming <= bands - 1,
+      "recall-1 needs maxHamming <= bands - 1 and equal-width bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val base = docs.select(col("doc_id"), col("block"), col("tk"))
+      .withColumn("sh", simhash(col("tk")))
+    val banded = base.select(
+      col("doc_id"), col("block"),
+      posexplode(array((0 until bands).map(bi =>
+        shiftrightunsigned(col("sh"), bi * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("doc_id").as("a_id"), col("block"),
+                          col("band_idx"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("block").as("b_block"),
+                          col("band_idx").as("b_bi"), col("band_key").as("b_bk"))
+    val candidates = a
+      .join(b, col("block") === col("b_block") && col("band_idx") === col("b_bi") &&
+               col("band_key") === col("b_bk") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(base.select(col("doc_id").as("a_id"), col("tk").as("a_tk"),
+                        col("sh").as("a_sh")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("tk").as("b_tk"),
+                        col("sh").as("b_sh")), "b_id")
+      .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
+      .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= jaccard)
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
   }
 
   /** 3-gram shingle Jaccard ≥ 0.8 within (lang, source) blocks —

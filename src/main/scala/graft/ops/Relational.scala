@@ -501,6 +501,23 @@ object Relational {
            cnt.as("c"))
       .orderBy("c_mktsegment")
 
+  /** Deterministic per-group mode (most frequent value, smallest value
+    * wins ties) — count-then-rank, both phases hash-partitioned on the
+    * group key; no global state at any scale.
+    */
+  val aggMode: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("c").desc, col("o_orderpriority"))
+    orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(cnt.as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_p"), col("c"))
+      .orderBy("o_orderstatus")
+  }
+
   val joinRightOuter: Q = (s, d) =>
     customer(s, d)
       .join(nation(s, d),
@@ -538,6 +555,7 @@ object Relational {
     "agg_arg_extremes" -> aggArgExtremes,
     "agg_percentiles" -> aggPercentiles,
     "agg_histogram" -> aggHistogram,
+    "agg_mode" -> aggMode,
     "agg_collect_set" -> aggCollectSet,
     "agg_string_agg" -> aggStringAgg,
     "join_right_outer" -> joinRightOuter,

@@ -117,7 +117,25 @@ object Windows {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) cents_30d
         |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000""".stripMargin)
 
+  /** GLOBAL percent_rank without a single-partition sort — the second
+    * consumer of [[Scale.globalRank]] (after `win_ntile`):
+    * pr = (rn − 1)/(n − 1) from the bucket-parallel global row number.
+    * Exact-integer division in double is engine-identical, so the
+    * oracle's `percent_rank() OVER (ORDER BY ...)` pins it bit-for-bit.
+    */
+  val winPctRankGlobal: Q = (s, d) =>
+    Scale.globalRank(
+        orders(s, d).select("o_orderkey", "o_totalprice"),
+        floor(col("o_totalprice") / 5000),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      .select(col("o_orderkey"),
+              round((col("__rn") - 1) * lit(1e6) / (col("__n") - 1))
+                .cast("long").as("pr_micro"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+
   val queries: Map[String, Q] = Map(
+    "win_pct_rank_global" -> winPctRankGlobal,
     "win_topk_per_group" -> winTopkPerGroup,
     "win_range_frame" -> winRangeFrame,
     "win_rank_dense" -> winRankDense,

@@ -441,6 +441,27 @@ object OracleSql {
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) bucket, CAST(count(*) AS BIGINT) c
   FROM orders GROUP BY 1 ORDER BY 1""",
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) c
+    FROM orders GROUP BY 1, 2)
+  SELECT o_orderstatus, o_orderpriority AS mode_p, c FROM (
+    SELECT o_orderstatus, o_orderpriority, c,
+      row_number() OVER (PARTITION BY o_orderstatus ORDER BY c DESC, o_orderpriority) rn
+    FROM c) t
+  WHERE rn = 1 ORDER BY o_orderstatus""",
+    "win_pct_rank_global" ->
+      """SELECT o_orderkey,
+  CAST(round((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1) * 1e6
+             / (count(*) OVER () - 1)) AS BIGINT) pr_micro
+  FROM orders ORDER BY o_orderkey LIMIT 1000""",
+    "text_containment" ->
+      """WITH toks AS (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) tk FROM documents)
+  SELECT a.doc_id a_id, b.doc_id b_id,
+    CAST(round(len(list_intersect(a.tk,b.tk))::DOUBLE / len(a.tk) * 1000) AS BIGINT) cont_milli
+  FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(a.tk) >= 0.7
+  ORDER BY 1, 2 LIMIT 2000""",
     "expr_bitwise" ->
       """SELECT o_orderkey,
   CAST(o_orderkey & 255 AS BIGINT) b_and,

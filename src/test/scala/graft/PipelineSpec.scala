@@ -26,6 +26,37 @@ class PipelineSpec extends SparkSpecBase {
     assert(ng.forall { case (a, b) => a < b })
   }
 
+  test("banded simhash == blocked pairwise on a tight-near-dup corpus (recall-1 regime)") {
+    import graft.functions.HashFunctions.simhash
+    import graft.functions.VectorFunctions.sorted_jaccard
+    // 200 clusters x 2 docs: 98 shared tokens + 2 unique per doc
+    // (pair Jaccard = 98/102 ~ 0.96; cross-cluster Jaccard = 0)
+    val docs = spark.range(400).select(
+      col("id").as("doc_id"),
+      lit("b").as("block"),
+      array_sort(array_distinct(concat(
+        transform(sequence(lit(0), lit(97)),
+          j => concat_ws("_", lit("w"), floor(col("id") / 2), j)),
+        array(concat(lit("u"), col("id"), lit("_1")),
+              concat(lit("u"), col("id"), lit("_2")))))).as("tk"))
+      .cache()
+    val banded = graft.ops.Pipeline
+      .simhashBandedDf(docs, bands = 4, maxHamming = 3, jaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: all pairs in the block, same verify predicates
+    val a = docs.select(col("doc_id").as("a_id"), col("tk").as("a_tk"))
+      .withColumn("a_sh", simhash(col("a_tk")))
+    val b = docs.select(col("doc_id").as("b_id"), col("tk").as("b_tk"))
+      .withColumn("b_sh", simhash(col("b_tk")))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
+      .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(exact.nonEmpty, "synthetic corpus produced no tight pairs")
+    assert(banded == exact)
+    docs.unpersist()
+  }
+
   test("ann_ivf_topk: 3 ranked neighbours per query, no self-matches") {
     val rows = q("ann_ivf_topk").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q"))
