@@ -192,10 +192,16 @@ object Relational {
         cnt.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** BUILDING customers ⋈ dated orders is ~1/5 × ~1/2 of orders —
+    * broadcast-sized at bench scale (hinted: the filter selectivities
+    * defeat the static size estimate, which would demote this to a
+    * sort-merge join). At TB scale the hint comes out; AQE's runtime
+    * stats then pick the shuffle join that is genuinely needed.
+    */
   val q3ShippingPriority: Q = (s, d) =>
-    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      .join(orders(s, d).filter(col("o_orderdate") < ts("1998-03-15")),
-            col("c_custkey") === col("o_custkey"))
+    broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d).filter(col("o_orderdate") < ts("1998-03-15")),
+              col("c_custkey") === col("o_custkey")))
       .join(lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15")),
             col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("od"))
@@ -228,8 +234,14 @@ object Relational {
     val custAsia = customer(s, d)
       .join(broadcast(nationAsia.select("n_nationkey")),
             col("c_nationkey") === col("n_nationkey"), "left_semi")
-    custAsia
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+    // The ASIA-restricted customer⋈orders intermediate is ~1/5 of
+    // orders — broadcast-sized here, and the semi join above defeats
+    // the planner's size estimate (it keeps the unfiltered customer
+    // stats), which would otherwise demote this to a sort-merge join.
+    // At TB scale the hint comes out and AQE picks the shuffle join —
+    // which is then genuinely required.
+    broadcast(custAsia
+        .join(orders(s, d), col("c_custkey") === col("o_custkey")))
       .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(suppAsia),
             col("l_suppkey") === col("s_suppkey") &&

@@ -30,6 +30,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("q3/q5 stay broadcast-joined at sf0.1 (hints beat bad static estimates)") {
+    // the sf0.001 guard below can't catch this: small inputs broadcast
+    // regardless; at sf0.1 the filtered/semi-joined intermediates
+    // defeat static size estimates and only the explicit hints keep
+    // orders⋈lineitem off a sort-merge join
+    for (name <- Seq("q3_shipping_priority", "q5_local_supplier")) {
+      val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"$name at sf0.1:\n${p.take(600)}")
+    }
+  }
+
   test("recon_leg_match is a single full-outer join (no anti-join recompute)") {
     val p = plan("recon_leg_match")
     assert(p.contains("FullOuter"), p.take(600))
