@@ -482,6 +482,21 @@ object Relational {
              .cast("long").as("p90"))
       .orderBy("o_orderstatus")
 
+  /** Approximate percentiles — `percentile_approx` (KLL-style sketch,
+    * mergeable across partitions: the 100 TB path where exact
+    * `percentile` would buffer whole groups). No oracle (sketch is
+    * engine-specific, R7); OperatorSpec asserts ≤ 1% relative error vs
+    * the exact `agg_percentiles` at the same accuracy parameter.
+    */
+  val aggApproxPercentiles: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5, 10000)")
+             .as("p50"),
+           expr("approx_percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.9, 10000)")
+             .as("p90"))
+      .orderBy("o_orderstatus")
+
   /** Fixed-width histogram — integer bucket arithmetic, order-exact. */
   val aggHistogram: Q = (s, d) =>
     orders(s, d)
@@ -568,6 +583,7 @@ object Relational {
     "agg_percentiles" -> aggPercentiles,
     "agg_histogram" -> aggHistogram,
     "agg_mode" -> aggMode,
+    "agg_approx_percentiles" -> aggApproxPercentiles,
     "agg_collect_set" -> aggCollectSet,
     "agg_string_agg" -> aggStringAgg,
     "join_right_outer" -> joinRightOuter,

@@ -16,7 +16,8 @@ class OperatorSpec extends SparkSpecBase {
     // the only deliberately oracle-less queries are the engine-side
     // hash-family sketches
     val unoracled = keys -- SparkEntry.oracleSql.keySet
-    assert(unoracled == Set("dedup_simhash", "ann_lsh_topk"),
+    assert(unoracled == Set("dedup_simhash", "ann_lsh_topk",
+                            "agg_approx_percentiles"),
       s"unexpected oracle-less queries: $unoracled")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
@@ -131,6 +132,19 @@ class OperatorSpec extends SparkSpecBase {
     val diff = hof.as("a").join(fast.as("b"), "vec_id")
       .filter(col("a.s") =!= col("b.s")).count()
     assert(diff == 0, "vec_dot diverges from the reference fold")
+  }
+
+  test("agg_approx_percentiles within 1% of exact percentiles (R7)") {
+    val approx = q("agg_approx_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = q("agg_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50).toDouble / p50 <= 0.01, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90).toDouble / p90 <= 0.01, s"$k p90: $a90 vs $p90")
+    }
   }
 
   test("sorted_jaccard matches array_intersect/array_union formulation") {
