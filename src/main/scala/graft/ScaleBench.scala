@@ -14,12 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder("local[16]", 16).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = "/tmp/graft_scalebench"

@@ -169,4 +169,25 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** Interactive queries (Kafka Streams IQ / store.all() analogue):
+    * read a streaming operator's STATE STORE as a DataFrame, straight
+    * from the query's checkpoint, via Spark's state data source. Works
+    * on a live query's checkpoint (last committed batch) or a stopped
+    * one — the state is the queryable materialized view of the
+    * topology, without routing an RPC to the running job. Columns:
+    * `key` / `value` structs (operator-specific) + `partition_id`.
+    *
+    * At scale this reads the checkpoint's store files directly (HDFS/
+    * S3), one task per state partition — the same parallelism the
+    * store was written with.
+    */
+  def readStateStore(spark: org.apache.spark.sql.SparkSession,
+                     checkpointDir: String,
+                     storeName: String = "default",
+                     operatorId: Int = 0): DataFrame =
+    spark.read.format("statestore")
+      .option("storeName", storeName)
+      .option("operatorId", operatorId)
+      .load(checkpointDir)
 }

@@ -229,6 +229,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids == Seq(1L, 2L, 3L), s"no dupes / no loss across restart, got $ids")
   }
 
+  test("state data source reads the running-count store (interactive queries)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_iq_ckpt").toString
+    val stream = MemoryStream[Evt]
+    val sink = nextSink()
+    val q = StreamOps.runningCount(stream.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    stream.addData(evt(1, "2024-01-01 10:00:00", user = 1),
+                   evt(2, "2024-01-01 10:01:00", user = 1),
+                   evt(3, "2024-01-01 10:02:00", user = 2))
+    q.processAllAvailable()
+    stream.addData(evt(4, "2024-01-01 10:03:00", user = 2))
+    q.processAllAvailable()
+    q.stop()
+    // store.all() analogue: per-user aggregation buffers straight from
+    // the checkpoint — no running query needed
+    val state = StreamOps.readStateStore(spark, ckpt)
+    val counts = state
+      .select(col("key.user_id"), col("value.*"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L),
+      s"state store contents: ${state.collect().mkString("; ")} schema ${state.schema}")
+  }
+
   test("approx_count_distinct within 2% of exact (HLL capability, R7)") {
     val o = graft.tables.Tables.t(spark, sf, "orders")
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
