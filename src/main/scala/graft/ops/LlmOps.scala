@@ -139,6 +139,18 @@ object LlmOps {
       .limit(2000)
   }
 
+  /** Near-dup pairs → dedup CLUSTERS: connected components over the
+    * `dedup_near_jaccard` pair graph, each doc labeled with its
+    * component's minimum doc_id (the canonical survivor — "keep one
+    * per cluster" is the actual dedup decision a pipeline executes;
+    * pair lists are just its input). Iterative min-label propagation,
+    * see [[Scale.connectedComponents]].
+    */
+  val dedupClusterCanonical: Q = (s, d) =>
+    Scale.connectedComponents(dedupNearJaccard(s, d), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy("doc_id")
+
   val multimodalJoin: Q = (s, d) =>
     documents(s, d)
       .join(embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -155,6 +167,7 @@ object LlmOps {
     "text_token_counts" -> textTokenCounts,
     "text_lang_stats" -> textLangStats,
     "text_containment" -> textContainment,
+    "dedup_cluster_canonical" -> dedupClusterCanonical,
     "multimodal_join" -> multimodalJoin,
   )
 }

@@ -71,6 +71,49 @@ object Scale {
       .drop("__cb", "__off")
   }
 
+  /** Connected components of an undirected edge list by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round takes the min of its own and its neighbours' labels; at
+    * fixpoint every component carries its minimum node id — the
+    * canonical-document assignment that turns near-dup PAIRS into
+    * dedup CLUSTERS (keep one doc per component).
+    *
+    * Each round is one shuffle-parallel join + aggregate; rounds
+    * converge in O(component diameter) — near-dup clusters are
+    * shallow, so a handful. `localCheckpoint` truncates the growing
+    * lineage per round (iterative-algorithm hygiene; the data stays
+    * distributed). At extreme scale the same loop takes the
+    * large-star/small-star contraction steps to cut diameters;
+    * the per-round plan shape is unchanged.
+    *
+    * Output: (node, label) for every node that appears in an edge.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(src).as("u"), col(dst).as("v"))
+      .union(edges.select(col(dst).as("u"), col(src).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = und.join(labels, col("v") === col("node"))
+        .groupBy("u").agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, col("node") === col("u"), "left")
+        .select(col("node"), col("label"),
+                least(col("label"), coalesce(col("nbr_label"), col("label")))
+                  .as("new_label"))
+        .localCheckpoint()
+      changed = next.filter(col("new_label") =!= col("label")).count()
+      labels = next.select(col("node"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels
+  }
+
   /** Global ntile over the two-phase ranking above — same bucket
     * semantics as SQL `NTILE(k) OVER (ORDER BY ...)`: the first
     * `n mod k` tiles get `n div k + 1` rows, the rest `n div k`.

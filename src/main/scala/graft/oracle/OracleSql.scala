@@ -261,6 +261,19 @@ object OracleSql {
   ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
   ORDER BY 1,2 LIMIT 2000""",
+    "dedup_cluster_canonical" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) tk FROM documents),
+  pairs AS (
+    SELECT a.doc_id a_id, b.doc_id b_id FROM toks a JOIN toks b
+    ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
+    ORDER BY 1,2 LIMIT 2000),
+  edges AS (SELECT a_id u, b_id v FROM pairs UNION SELECT b_id u, a_id v FROM pairs),
+  reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+  SELECT u doc_id, least(u, min(v)) canonical_id FROM reach GROUP BY u ORDER BY u""",
     "sim_pairs_threshold" ->
       """SELECT e1.vec_id a, e2.vec_id b,
   CAST(round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])*100) AS BIGINT) sim_pct

@@ -57,6 +57,20 @@ class PipelineSpec extends SparkSpecBase {
     docs.unpersist()
   }
 
+  test("dedup clustering: pair endpoints share a label; canonical is the component min") {
+    val labels = q("dedup_cluster_canonical").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val prs = pairs("dedup_near_jaccard")
+    assert(prs.nonEmpty)
+    prs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (canonical, members) =>
+      assert(members.keys.min == canonical,
+        s"canonical $canonical is not the min of its cluster")
+    }
+  }
+
   test("ann_ivf_topk: 3 ranked neighbours per query, no self-matches") {
     val rows = q("ann_ivf_topk").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q"))
