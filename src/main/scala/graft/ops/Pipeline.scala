@@ -432,6 +432,24 @@ object Pipeline {
       .orderBy("doc_id")
       .limit(500)
 
+  /** Deterministic train/holdout split — the scalable sampling idiom:
+    * membership is a pure function of the row key (md5 prefix mod 100),
+    * so the split is stable across runs, machines, engines and data
+    * reshuffles, needs no RNG state or sampling pass, and any engine
+    * can reproduce it row-by-row (which is exactly what the SQL oracle
+    * does). 80/20 by hash bucket; output = per-(lang, split) counts.
+    */
+  val splitTrainHoldout: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    documents(s, d)
+      .select(col("lang"),
+              when(bucket < 80, "train").otherwise("holdout").as("split"))
+      .groupBy("lang", "split")
+      .agg(cnt.as("n"))
+      .orderBy("lang", "split")
+  }
+
   // ---- multimodal binary columns -----------------------------------------
 
   /** Multimodal plumbing: text → opaque `binary` payload column (the
@@ -475,5 +493,6 @@ object Pipeline {
     "text_token_bpe" -> textTokenBpe,
     "text_fingerprint" -> textFingerprint,
     "multimodal_decode" -> multimodalDecode,
+    "split_train_holdout" -> splitTrainHoldout,
   )
 }

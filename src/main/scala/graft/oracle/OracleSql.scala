@@ -261,6 +261,12 @@ object OracleSql {
   ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
   ORDER BY 1,2 LIMIT 2000""",
+    "split_train_holdout" ->
+      """SELECT lang,
+  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+       THEN 'train' ELSE 'holdout' END split,
+  CAST(count(*) AS BIGINT) n
+  FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_cluster_canonical" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) tk FROM documents),
   pairs AS (
