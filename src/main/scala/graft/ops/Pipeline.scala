@@ -403,6 +403,51 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Stratified deterministic sample — N docs per language, chosen by
+    * md5(doc_id) order: reproducible on any engine with no RNG, and
+    * each stratum samples independently in parallel (hash-partitioned
+    * window). The per-stratum window never sees more than the stratum.
+    */
+  val sampleStratified: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("lang", "rn")
+  }
+
+  /** The training-data pipeline END-TO-END in one declarative plan:
+    * quality-filter → exact-dedup (keep the smallest doc_id per
+    * distinct text) → deterministic hash split → per-(lang, split)
+    * counts. Every stage is the already-validated operator expression;
+    * composing them is a single Catalyst plan — no materialization
+    * between stages, predicate pushdown and partial aggregation across
+    * stage boundaries for free. This is the shape a 100 TB corpus-prep
+    * job actually runs.
+    */
+  val pipelineQualityDedupSplit: Q = (s, d) => {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin("a", "the")))
+    val qualityMilli = round(lit(1000) *
+      (lit(0.5) * (least(nTok, lit(50)) / lit(50.0)) +
+       lit(0.5) * (lit(1.0) - nStop * lit(1.0) / nTok))).cast("long")
+    val kept = documents(s, d)
+      .filter(qualityMilli >= 600)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    kept
+      .select(col("lang"),
+              when(bucket < 80, "train").otherwise("holdout").as("split"))
+      .groupBy("lang", "split")
+      .agg(cnt.as("n"))
+      .orderBy("lang", "split")
+  }
+
   /** Token counting with a BPE-ish regex (word pieces + standalone
     * punctuation) instead of whitespace split — the tokenizer-shaped
     * counterpart of `text_token_counts`. On this corpus (no
@@ -494,5 +539,7 @@ object Pipeline {
     "text_fingerprint" -> textFingerprint,
     "multimodal_decode" -> multimodalDecode,
     "split_train_holdout" -> splitTrainHoldout,
+    "sample_stratified" -> sampleStratified,
+    "pipeline_quality_dedup_split" -> pipelineQualityDedupSplit,
   )
 }

@@ -261,6 +261,28 @@ object OracleSql {
   ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
   ORDER BY 1,2 LIMIT 2000""",
+    "sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+    SELECT lang, doc_id,
+      CAST(row_number() OVER (PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) rn
+    FROM documents) t
+  WHERE rn <= 10 ORDER BY lang, rn""",
+    "pipeline_quality_dedup_split" ->
+      """WITH q AS (
+    SELECT doc_id, lang, text,
+      CAST(round(1000*(0.5*(least(len(string_split(text,' ')),50)/50.0)
+        + 0.5*(1.0 - len(list_filter(string_split(text,' '), t -> t IN ('a','the')))*1.0
+          / len(string_split(text,' '))))) AS BIGINT) qm
+    FROM documents),
+  kept AS (
+    SELECT arg_min(doc_id, doc_id) doc_id, arg_min(lang, doc_id) lang
+    FROM q WHERE qm >= 600 GROUP BY md5(text))
+  SELECT lang,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+         THEN 'train' ELSE 'holdout' END split,
+    CAST(count(*) AS BIGINT) n
+  FROM kept GROUP BY 1, 2 ORDER BY 1, 2""",
     "split_train_holdout" ->
       """SELECT lang,
   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
