@@ -84,6 +84,19 @@ object ScaleBench {
       val (rec, sec) = recallOf(b, r)
       println(f"[scalebench] lsh bits=$b radius=$r  recall@3=$rec%.3f  ${sec}%6.2f s")
     }
+
+    // ---- connected components at 1M edges --------------------------------
+    // deterministic worst-ish-diameter graph: 100k chains of length 10
+    // (1M nodes, 900k edges, diameter 10 → ~10 label-propagation rounds)
+    val chains = spark.range(1000000L)
+      .filter(col("id") % 10 =!= 9) // last node of each chain has no out-edge
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val t0 = System.nanoTime()
+    val cc = graft.ops.Scale.connectedComponents(chains, "src", "dst")
+    val nComponents = cc.select("label").distinct().count()
+    val ccSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scalebench] connected-components 1M nodes/900k edges: " +
+      f"$nComponents%d components in ${ccSec}%6.2f s (expect 100000)")
     spark.stop()
   }
 }
