@@ -270,6 +270,24 @@ object Relational {
            sum(cents(col("c_acctbal"))).cast("long").as("sum_cents"))
       .orderBy("c_mktsegment")
 
+  /** Bivariate statistics — Pearson correlation, population covariance
+    * and sample stddev of (quantity, extendedprice) per return flag.
+    * Rounding grain per output magnitude: corr ∈ [−1,1] → micro;
+    * covar ~1e5 → whole units; stddev ~1e1 → milli — each leaves ≥ 6
+    * orders of magnitude between FP summation-order noise (~1e-12
+    * relative) and the rounding boundary (R2 across engines).
+    */
+  val aggCorrStats: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")) * 1e6)
+             .cast("long").as("corr_micro"),
+           round(covar_pop(col("l_quantity"), col("l_extendedprice")))
+             .cast("long").as("covar_units"),
+           round(stddev_samp(col("l_quantity")) * 1000)
+             .cast("long").as("sd_qty_milli"))
+      .orderBy("l_returnflag")
+
   val aggCountDistinct: Q = (s, d) =>
     orders(s, d)
       .agg(countDistinct(col("o_custkey")).as("custs"),
@@ -583,6 +601,7 @@ object Relational {
     "agg_percentiles" -> aggPercentiles,
     "agg_histogram" -> aggHistogram,
     "agg_mode" -> aggMode,
+    "agg_corr_stats" -> aggCorrStats,
     "agg_approx_percentiles" -> aggApproxPercentiles,
     "agg_collect_set" -> aggCollectSet,
     "agg_string_agg" -> aggStringAgg,

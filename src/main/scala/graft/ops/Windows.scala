@@ -134,7 +134,24 @@ object Windows {
       .orderBy("o_orderkey")
       .limit(1000)
 
+  /** Rows-frame moving average (last 4 orders per customer) — integer
+    * cents averaged over an exact ≤4-element frame: the sum is exact in
+    * long, the division is one deterministic IEEE op, so the double is
+    * engine-identical without rounding tricks.
+    */
+  val winMovingAvg: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-3, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(avg(cents(col("o_totalprice"))).over(w))
+                .cast("long").as("ma_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_moving_avg" -> winMovingAvg,
     "win_pct_rank_global" -> winPctRankGlobal,
     "win_topk_per_group" -> winTopkPerGroup,
     "win_range_frame" -> winRangeFrame,

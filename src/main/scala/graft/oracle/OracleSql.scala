@@ -490,6 +490,18 @@ object OracleSql {
       row_number() OVER (PARTITION BY o_orderstatus ORDER BY c DESC, o_orderpriority) rn
     FROM c) t
   WHERE rn = 1 ORDER BY o_orderstatus""",
+    "agg_corr_stats" ->
+      """SELECT l_returnflag,
+  CAST(round(corr(l_quantity, l_extendedprice) * 1e6) AS BIGINT) corr_micro,
+  CAST(round(covar_pop(l_quantity, l_extendedprice)) AS BIGINT) covar_units,
+  CAST(round(stddev_samp(l_quantity) * 1000) AS BIGINT) sd_qty_milli
+  FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "win_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+  CAST(round(avg(CAST(round(o_totalprice*100) AS BIGINT))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS BIGINT) ma_cents
+  FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000""",
     "win_pct_rank_global" ->
       """SELECT o_orderkey,
   CAST(round((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1) * 1e6
