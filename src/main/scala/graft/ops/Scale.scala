@@ -111,6 +111,12 @@ object Scale {
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
+    // partial labels are silently WRONG answers — refuse to return them
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIter; raise it or pre-contract with large-star/small-star")
     labels
   }
 
