@@ -107,10 +107,11 @@ case class VecSum(child: Expression)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    val isFloat = elemIsFloat
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += (if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i))
+      s += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i))
       i += 1
     }
     s

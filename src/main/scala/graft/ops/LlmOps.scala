@@ -45,15 +45,14 @@ object LlmOps {
     documents(s, d)
       .agg(cnt.as("n_docs"), countDistinct(md5(col("text"))).as("n_uniq"))
 
-  /** Near-dup detection: token-set Jaccard ≥ 0.9 within (lang, source)
-    * blocks. Token sets are sorted+deduped ONCE per document, then each
-    * candidate pair costs a single codegen'd merge pass
-    * ([[graft.functions.SortedJaccard]]) instead of two per-pair hash
-    * sets. Blocking keys bound the quadratic term — at 100 TB the same
-    * shape takes MinHash-LSH band keys as the block
-    * (see [[graft.ops.Pipeline]]); the verify pass is unchanged.
+  /** (lang, source)-blocked token-set self-join: one sorted-distinct
+    * token array per document, candidate pairs constrained by
+    * `idCond(a_id, b_id)` — the shared scaffolding of every blocked
+    * pairwise text-similarity operator (Jaccard dedup, containment).
+    * Output columns: a_id, b_id, a_tk, b_tk.
     */
-  val dedupNearJaccard: Q = (s, d) => {
+  private def blockedTokenPairs(s: SparkSession, d: String,
+                                idCond: (Column, Column) => Column): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
               array_sort(array_distinct(split(col("text"), " "))).as("tk"))
@@ -62,12 +61,23 @@ object LlmOps {
     val b = toks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
                         col("source").as("b_source"), col("tk").as("b_tk"))
     a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
-              col("a_id") < col("b_id"))
+              idCond(col("a_id"), col("b_id")))
+  }
+
+  /** Near-dup detection: token-set Jaccard ≥ 0.9 within (lang, source)
+    * blocks. Token sets are sorted+deduped ONCE per document, then each
+    * candidate pair costs a single codegen'd merge pass
+    * ([[graft.functions.SortedJaccard]]) instead of two per-pair hash
+    * sets. Blocking keys bound the quadratic term — at 100 TB the same
+    * shape takes MinHash-LSH band keys as the block
+    * (see [[graft.ops.Pipeline]]); the verify pass is unchanged.
+    */
+  val dedupNearJaccard: Q = (s, d) =>
+    blockedTokenPairs(s, d, _ < _)
       .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= 0.9)
       .select("a_id", "b_id")
       .orderBy("a_id", "b_id")
       .limit(2000)
-  }
 
   val simPairsThreshold: Q = (s, d) => {
     val e1 = normed(s, d, "a", "va", "na")
@@ -120,16 +130,8 @@ object LlmOps {
     * [[graft.functions.SortedOverlap]] merge pass. Directed: (a,b) and
     * (b,a) are distinct findings.
     */
-  val textContainment: Q = (s, d) => {
-    val toks = documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-              array_sort(array_distinct(split(col("text"), " "))).as("tk"))
-    val a = toks.select(col("doc_id").as("a_id"), col("lang"), col("source"),
-                        col("tk").as("a_tk"))
-    val b = toks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-                        col("source").as("b_source"), col("tk").as("b_tk"))
-    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
-              col("a_id") =!= col("b_id"))
+  val textContainment: Q = (s, d) =>
+    blockedTokenPairs(s, d, _ =!= _) // directed: (a,b) and (b,a) distinct
       .withColumn("cont",
         sorted_overlap(col("a_tk"), col("b_tk")).cast("double") / size(col("a_tk")))
       .filter(col("cont") >= 0.7)
@@ -137,7 +139,6 @@ object LlmOps {
               round(col("cont") * 1000).cast("long").as("cont_milli"))
       .orderBy("a_id", "b_id")
       .limit(2000)
-  }
 
   /** Near-dup pairs → dedup CLUSTERS: connected components over the
     * `dedup_near_jaccard` pair graph, each doc labeled with its

@@ -307,9 +307,10 @@ object Pipeline {
       planes.zipWithIndex.map { case (p, i) =>
         when(vec_dot(v, typedLit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
-    // all XOR masks within the probe radius (mask 0 = the home bucket)
-    val masks: Seq[Int] =
-      (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= radius)
+    // all XOR masks within the probe radius (mask 0 = the home bucket),
+    // generated combinatorially — O(C(bits, radius)), not O(2^bits)
+    val masks: Seq[Int] = (0 to radius).flatMap(r =>
+      (0 until bits).combinations(r).map(_.map(1 << _).sum))
     val v = vecs.select(col("vec_id"), col("ve"))
       .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
       .withColumn("bucket", bucketOf(col("ve")))
@@ -387,21 +388,36 @@ object Pipeline {
       .orderBy("lang", "predicted")
   }
 
+  /** Doc quality in integer milli (R2-safe): length saturation +
+    * stopword density. ONE definition shared by the standalone scoring
+    * query and the composed corpus-prep pipeline.
+    */
+  private def qualityMilli: Column = {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin("a", "the")))
+    round(lit(1000) *
+      (lit(0.5) * (least(nTok, lit(50)) / lit(50.0)) +
+       lit(0.5) * (lit(1.0) - nStop * lit(1.0) / nTok))).cast("long")
+  }
+
+  /** Deterministic 80/20 split label from the md5-prefix hash bucket —
+    * shared by `split_train_holdout` and the composed pipeline.
+    */
+  private def splitLabel: Column = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    when(bucket < 80, "train").otherwise("holdout")
+  }
+
   /** Quality scoring: doc-length saturation + stopword-density terms,
     * integer-milli per doc (R2-safe), aggregated per language.
     */
-  val textQualityScore: Q = (s, d) => {
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin("a", "the")))
-    val qualityMilli = round(lit(1000) *
-      (lit(0.5) * (least(nTok, lit(50)) / lit(50.0)) +
-       lit(0.5) * (lit(1.0) - nStop * lit(1.0) / nTok))).cast("long")
+  val textQualityScore: Q = (s, d) =>
     documents(s, d)
       .select(col("lang"), qualityMilli.as("qm"))
       .groupBy("lang")
       .agg(cnt.as("n_docs"), sum(col("qm")).cast("long").as("quality_milli"))
       .orderBy("lang")
-  }
 
   /** Stratified deterministic sample — N docs per language, chosen by
     * md5(doc_id) order: reproducible on any engine with no RNG, and
@@ -427,26 +443,16 @@ object Pipeline {
     * stage boundaries for free. This is the shape a 100 TB corpus-prep
     * job actually runs.
     */
-  val pipelineQualityDedupSplit: Q = (s, d) => {
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin("a", "the")))
-    val qualityMilli = round(lit(1000) *
-      (lit(0.5) * (least(nTok, lit(50)) / lit(50.0)) +
-       lit(0.5) * (lit(1.0) - nStop * lit(1.0) / nTok))).cast("long")
-    val kept = documents(s, d)
+  val pipelineQualityDedupSplit: Q = (s, d) =>
+    documents(s, d)
       .filter(qualityMilli >= 600)
       .groupBy(md5(col("text")).as("h"))
       .agg(min(struct(col("doc_id"), col("lang"))).as("m"))
       .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
-    kept
-      .select(col("lang"),
-              when(bucket < 80, "train").otherwise("holdout").as("split"))
+      .select(col("lang"), splitLabel.as("split"))
       .groupBy("lang", "split")
       .agg(cnt.as("n"))
       .orderBy("lang", "split")
-  }
 
   /** Token counting with a BPE-ish regex (word pieces + standalone
     * punctuation) instead of whitespace split — the tokenizer-shaped
@@ -484,16 +490,12 @@ object Pipeline {
     * can reproduce it row-by-row (which is exactly what the SQL oracle
     * does). 80/20 by hash bucket; output = per-(lang, split) counts.
     */
-  val splitTrainHoldout: Q = (s, d) => {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+  val splitTrainHoldout: Q = (s, d) =>
     documents(s, d)
-      .select(col("lang"),
-              when(bucket < 80, "train").otherwise("holdout").as("split"))
+      .select(col("lang"), splitLabel.as("split"))
       .groupBy("lang", "split")
       .agg(cnt.as("n"))
       .orderBy("lang", "split")
-  }
 
   // ---- multimodal binary columns -----------------------------------------
 

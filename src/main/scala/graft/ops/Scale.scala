@@ -49,7 +49,10 @@ object Scale {
     * bucket-count table (thousands of rows at most) is ever centralized.
     */
   def globalRank(df: DataFrame, coarse: Column, sortCols: Seq[Column]): DataFrame = {
-    val withB = df.withColumn("__cb", coarse.cast("long"))
+    // null sort keys rank first under Window.orderBy's ASC NULLS FIRST;
+    // a null bucket would instead DROP the row at the offsets equi-join,
+    // so nulls map to the lowest bucket explicitly
+    val withB = df.withColumn("__cb", coalesce(coarse.cast("long"), lit(Long.MinValue)))
     val counts = withB.groupBy("__cb").agg(count(lit(1)).as("__bn"))
     // Offsets + grand total via a bucket×bucket broadcast cross join
     // over the tiny count table (B² rows for B buckets — bounded by
@@ -96,7 +99,8 @@ object Scale {
       .localCheckpoint()
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .persist()
+    var prev: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -106,11 +110,16 @@ object Scale {
         .select(col("node"), col("label"),
                 least(col("label"), coalesce(col("nbr_label"), col("label")))
                   .as("new_label"))
-        .localCheckpoint()
+        .persist()
       changed = next.filter(col("new_label") =!= col("label")).count()
+      // `next` is materialized by the count; the round before last can
+      // now release its blocks — only two label generations ever live
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = labels
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
+    if (prev != null) prev.unpersist(blocking = false)
     // partial labels are silently WRONG answers — refuse to return them
     if (changed > 0)
       throw new IllegalStateException(

@@ -121,7 +121,11 @@ object CosineBandRule extends Rule[LogicalPlan] {
         if !cond.references.exists(_.name.startsWith(BucketPrefix)) =>
       findCosine(cond, left, right) match {
         case Some(CosMatch(a, na, b, nb, t)) =>
-          val w = math.sqrt(2.0 - 2.0 * t)
+          // the Cauchy–Schwarz bound holds in exact arithmetic; the
+          // projections carry ~d·ulp FP error, so the band is inflated
+          // by a relative epsilon to keep the necessary condition
+          // necessary for COMPUTED values too
+          val w = math.sqrt(2.0 - 2.0 * t) * (1.0 + 1e-9)
           val bl = Alias(bucketExpr(a, na, w), s"${BucketPrefix}_l")()
           val newLeft = Project(left.output :+ bl, left)
           val br = Alias(bucketExpr(b, nb, w), s"${BucketPrefix}_r")()
