@@ -73,6 +73,21 @@ class PlanSpec extends SparkSpecBase {
     assert(q("win_ntile").collect().toSeq == expect)
   }
 
+  test("globalRank ranks null sort keys first (parity with Window.orderBy)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, Long)]((null, 1L), (10L, 2L), (null, 3L),
+                                         (5L, 4L), (20L, 5L))
+      .toDF("price", "id")
+    val got = graft.ops.Scale
+      .globalRank(df, floor(col("price") / 10), Seq(col("price"), col("id")))
+      .select("id", "__rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = df
+      .withColumn("rn", row_number().over(Window.orderBy("price", "id")).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"null rows must rank first and never drop: $got vs $expect")
+  }
+
   test("similarity kernel (VecDot) sits in the join hot path") {
     // execute first so AQE finalizes; codegen stages show as *(n)
     val df = q("sim_pairs_threshold")
