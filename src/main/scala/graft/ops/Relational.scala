@@ -563,6 +563,33 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Scalar subquery — price above 1.8× the global mean. Catalyst plans
+    * the subquery once (a 1-row reuse), not per row. Both the price and
+    * the threshold are discretized to integer cents BEFORE comparing:
+    * the engines' parallel `avg` differs by ~1e-12 relative, and a raw
+    * double boundary would make near-boundary rows engine-dependent.
+    */
+  val subqScalar: Q = (s, d) =>
+    Tables.sql(s, d,
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) cents
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+        |      CAST(round(1.8 * (SELECT avg(o_totalprice) FROM orders) * 100) AS BIGINT)
+        |ORDER BY o_orderkey""".stripMargin)
+
+  /** Correlated EXISTS — customers with at least one big order.
+    * Catalyst DECORRELATES this to a left-semi hash join (asserted in
+    * PlanSpec): the per-row subquery a naive engine would run becomes
+    * one shuffle-free broadcast semi join at this scale, a keyed semi
+    * join at any scale.
+    */
+  val subqExistsCorrelated: Q = (s, d) =>
+    Tables.sql(s, d,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)
+
   val joinRightOuter: Q = (s, d) =>
     customer(s, d)
       .join(nation(s, d),
@@ -602,6 +629,8 @@ object Relational {
     "agg_histogram" -> aggHistogram,
     "agg_mode" -> aggMode,
     "agg_corr_stats" -> aggCorrStats,
+    "subq_scalar" -> subqScalar,
+    "subq_exists_correlated" -> subqExistsCorrelated,
     "agg_approx_percentiles" -> aggApproxPercentiles,
     "agg_collect_set" -> aggCollectSet,
     "agg_string_agg" -> aggStringAgg,

@@ -490,6 +490,17 @@ object OracleSql {
       row_number() OVER (PARTITION BY o_orderstatus ORDER BY c DESC, o_orderpriority) rn
     FROM c) t
   WHERE rn = 1 ORDER BY o_orderstatus""",
+    "subq_scalar" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) cents
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+        CAST(round(1.8 * (SELECT avg(o_totalprice) FROM orders) * 100) AS BIGINT)
+  ORDER BY o_orderkey""",
+    "subq_exists_correlated" ->
+      """SELECT c_custkey, c_name FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+  ORDER BY c_custkey""",
     "agg_corr_stats" ->
       """SELECT l_returnflag,
   CAST(round(corr(l_quantity, l_extendedprice) * 1e6) AS BIGINT) corr_micro,

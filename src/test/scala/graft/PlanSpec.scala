@@ -73,6 +73,11 @@ class PlanSpec extends SparkSpecBase {
     assert(q("win_ntile").collect().toSeq == expect)
   }
 
+  test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    assert(plan("subq_exists_correlated").contains("LeftSemi"),
+      plan("subq_exists_correlated").take(600))
+  }
+
   test("globalRank ranks null sort keys first (parity with Window.orderBy)") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
