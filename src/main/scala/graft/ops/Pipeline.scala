@@ -497,6 +497,26 @@ object Pipeline {
       .agg(cnt.as("n"))
       .orderBy("lang", "split")
 
+  /** Token-budget shard packing (sequence-packing shape): documents in
+    * doc_id order fill contiguous 2048-token shards — shard of a doc =
+    * the shard its cumulative token count ENDS in (oversized tails
+    * spill to the next shard). The cumulative count is a distributed
+    * prefix sum ([[Scale.globalPrefixSum]] — two-phase bucket-parallel,
+    * no single-partition pass), so the packing plan scales like any
+    * keyed aggregation. Output: per-shard doc and token totals.
+    */
+  val packTokenShards: Q = (s, d) => {
+    val budget = 2048L
+    val ps = graft.ops.Scale.globalPrefixSum(
+      documents(s, d).select(col("doc_id"), size(toks).cast("long").as("n_tok")),
+      floor(col("doc_id") / 1000), Seq(col("doc_id")), col("n_tok"))
+    ps.select(col("doc_id"), col("n_tok"),
+              floor((col("__ps") - 1) / budget).cast("long").as("shard"))
+      .groupBy("shard")
+      .agg(cnt.as("n_docs"), sum("n_tok").cast("long").as("toks"))
+      .orderBy("shard")
+  }
+
   // ---- multimodal binary columns -----------------------------------------
 
   /** Multimodal plumbing: text → opaque `binary` payload column (the
@@ -542,6 +562,7 @@ object Pipeline {
     "multimodal_decode" -> multimodalDecode,
     "split_train_holdout" -> splitTrainHoldout,
     "sample_stratified" -> sampleStratified,
+    "pack_token_shards" -> packTokenShards,
     "pipeline_quality_dedup_split" -> pipelineQualityDedupSplit,
   )
 }

@@ -74,6 +74,32 @@ object Scale {
       .drop("__cb", "__off")
   }
 
+  /** Distributed GLOBAL prefix sum — same two-phase shape as
+    * [[globalRank]] but accumulating `value` instead of row counts:
+    * per-bucket totals → broadcast bucket offsets → within-bucket
+    * running sum + offset. Adds `__ps` (inclusive prefix sum in the
+    * global `sortCols` order). Never single-partitions the data; the
+    * only centralized table is the bucket totals.
+    */
+  def globalPrefixSum(df: DataFrame, coarse: Column, sortCols: Seq[Column],
+                      value: Column): DataFrame = {
+    val withB = df.withColumn("__cb", coalesce(coarse.cast("long"), lit(Long.MinValue)))
+      .withColumn("__v", value)
+    val sums = withB.groupBy("__cb").agg(sum("__v").as("__bs"))
+    val offsets = sums
+      .crossJoin(broadcast(
+        sums.select(col("__cb").as("__cb2"), col("__bs").as("__bs2"))))
+      .groupBy("__cb")
+      .agg(coalesce(sum(when(col("__cb2") < col("__cb"), col("__bs2"))), lit(0L))
+             .as("__off"))
+    val w = Window.partitionBy("__cb").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offsets), "__cb")
+      .withColumn("__ps", sum("__v").over(w) + col("__off"))
+      .drop("__cb", "__off", "__v")
+  }
+
   /** Connected components of an undirected edge list by iterative
     * min-label propagation: every node starts labeled with itself; each
     * round takes the min of its own and its neighbours' labels; at

@@ -261,6 +261,12 @@ object OracleSql {
   ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
   ORDER BY 1,2 LIMIT 2000""",
+    "pack_token_shards" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text,' ')) n_tok FROM documents),
+  ps AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) ps FROM d)
+  SELECT CAST(floor((ps - 1) / 2048) AS BIGINT) shard,
+         CAST(count(*) AS BIGINT) n_docs, CAST(sum(n_tok) AS BIGINT) toks
+  FROM ps GROUP BY 1 ORDER BY 1""",
     "sample_stratified" ->
       """SELECT lang, doc_id, rn FROM (
     SELECT lang, doc_id,

@@ -93,6 +93,25 @@ class PlanSpec extends SparkSpecBase {
     assert(got == expect, s"null rows must rank first and never drop: $got vs $expect")
   }
 
+  test("globalPrefixSum equals the global-window running sum; no single-partition pass") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, Long, Long)]((null, 1L, 5L), (10L, 2L, 7L),
+                                               (null, 3L, 1L), (5L, 4L, 2L), (20L, 5L, 9L))
+      .toDF("price", "id", "v")
+    val got = graft.ops.Scale
+      .globalPrefixSum(df, floor(col("price") / 10), Seq(col("price"), col("id")), col("v"))
+      .select("id", "__ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy("price", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("ps", sum("v").over(w))
+      .select("id", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"$got vs $expect")
+    val p = SparkEntry.queries("pack_token_shards")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("similarity kernel (VecDot) sits in the join hot path") {
     // execute first so AQE finalizes; codegen stages show as *(n)
     val df = q("sim_pairs_threshold")
