@@ -256,6 +256,27 @@ class StreamingSpec extends SparkSpecBase {
       s"state store contents: ${state.collect().mkString("; ")} schema ${state.schema}")
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates (batch-backfill capability)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // a file-source backlog processed as a bounded streaming run — the
+    // operational shape for backfilling a streaming topology over
+    // historical data, then handing off to the continuous trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val src = s"$dir/in"; val ckpt = s"$dir/ckpt"
+    val events = graft.tables.Tables.t(spark, sf, "events").limit(200)
+    events.write.parquet(src)
+    val sink = nextSink()
+    val q = spark.readStream.schema(events.schema).parquet(src)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val total = spark.table(sink).agg(sum("count")).collect().head.getLong(0)
+    assert(total == 200, s"backlog fully processed, got $total")
+  }
+
   test("approx_count_distinct within 2% of exact (HLL capability, R7)") {
     val o = graft.tables.Tables.t(spark, sf, "orders")
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
