@@ -30,7 +30,10 @@ object PlanAudit {
     for (name <- Seq("q5_local_supplier", "q3_shipping_priority", "topk_global",
                      "join_broadcast_dim", "sim_pairs_threshold",
                      "dedup_minhash_lsh", "join_asof_last_signup",
-                     "stream_session_30m"))
+                     "stream_session_30m",
+                     // round-2 scale machinery
+                     "win_ntile", "pack_token_shards", "ann_ivf_topk",
+                     "subq_exists_correlated"))
       section(name)(SparkEntry.queries(name)(spark, d))
 
     spark.stop()

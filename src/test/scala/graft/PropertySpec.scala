@@ -91,4 +91,24 @@ class PropertySpec extends SparkSpecBase {
       assert(a + b == total, s"modulo $m")
     }
   }
+
+  test("globalRank emits a permutation 1..n under generated bucket widths") {
+    val n = orders.count()
+    // the ranking must be a bijection onto 1..n REGARDLESS of how the
+    // coarse bucketing slices the data — bucket width is an internal
+    // parallelism knob, not a semantic one
+    samples(Gen.choose(500, 100000), 5).foreach { w =>
+      val rns = graft.ops.Scale
+        .globalRank(orders.select("o_totalprice", "o_orderkey"),
+                    floor(col("o_totalprice") / w),
+                    Seq(col("o_totalprice"), col("o_orderkey")))
+      val stats = rns.agg(count(lit(1)).as("c"),
+                          countDistinct(col("__rn")).as("d"),
+                          min("__rn").as("mn"), max("__rn").as("mx"))
+        .collect().head
+      assert(stats.getLong(0) == n && stats.getLong(1) == n &&
+             stats.getLong(2) == 1L && stats.getLong(3) == n,
+        s"width $w: $stats")
+    }
+  }
 }
