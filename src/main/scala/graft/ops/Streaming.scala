@@ -141,7 +141,32 @@ object Streaming {
       .orderBy("user_id")
       .limit(2000)
 
+  /** Ordered-funnel analysis: users who signed up, then clicked AFTER
+    * their first signup, then purchased AFTER that first
+    * qualifying click. Each stage is a keyed min-aggregation joined to
+    * the previous stage's per-user frontier — three co-partitioned
+    * shuffles on user_id, no per-user iteration, the standard
+    * distributed funnel shape.
+    */
+  val eventFunnel: Q = (s, d) => {
+    val e = events(s, d)
+    def firstAfter(tpe: String, frontier: org.apache.spark.sql.DataFrame,
+                   tcol: String, out: String) =
+      e.filter(col("event_type") === tpe)
+        .join(frontier, Seq("user_id"))
+        .filter(col("ts") > col(tcol))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("st"))
+    val cl = firstAfter("click", su, "st", "ct")
+    val pu = firstAfter("purchase", cl, "ct", "pt")
+    su.agg(cnt.as("n_signup"))
+      .crossJoin(cl.agg(cnt.as("n_click_after")))
+      .crossJoin(pu.agg(cnt.as("n_purchase_after")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_funnel" -> eventFunnel,
     "agg_pivot" -> aggPivot,
     "stream_tumbling_daily" -> tumblingDaily,
     "stream_sliding_1h30m" -> sliding1h30m,

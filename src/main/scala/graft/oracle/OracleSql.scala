@@ -261,6 +261,15 @@ object OracleSql {
   ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
   ORDER BY 1,2 LIMIT 2000""",
+    "event_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) st FROM events WHERE event_type='signup' GROUP BY 1),
+  c AS (SELECT e.user_id, min(e.ts) ct FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.st
+        WHERE e.event_type='click' GROUP BY 1),
+  p AS (SELECT e.user_id, min(e.ts) pt FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+        WHERE e.event_type='purchase' GROUP BY 1)
+  SELECT CAST((SELECT count(*) FROM s) AS BIGINT) n_signup,
+         CAST((SELECT count(*) FROM c) AS BIGINT) n_click_after,
+         CAST((SELECT count(*) FROM p) AS BIGINT) n_purchase_after""",
     "pack_token_shards" ->
       """WITH d AS (SELECT doc_id, len(string_split(text,' ')) n_tok FROM documents),
   ps AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) ps FROM d)
