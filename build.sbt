@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally round-trips through sbt's logger, which
+// prefixes every stdout line with "[info] " — that prefix is exactly
+// what has kept the driver from parsing Bench's one-line JSON metric
+// (BENCH_r01/r02 "parsed": null). StdoutOutput passes the child's
+// stdout/stderr through verbatim, so the metric line reaches the log
+// unprefixed and machine-parseable (bench.json stays as the file
+// channel).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

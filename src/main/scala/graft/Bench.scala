@@ -18,6 +18,12 @@ object Bench {
       // it should be ON (skew joins, partition coalescing) — this is a
       // bench-session setting, not a library default.
       .config("spark.sql.adaptive.enabled", "false")
+      // Opt in to the fact-intermediate broadcast hints that static
+      // size estimates get wrong at sf0.1 (q3/q5). Bench-session-only:
+      // the same hints are an OOM hazard beyond bench scale, so the
+      // library default (AQE on, no hint) decides join strategy from
+      // runtime stats instead.
+      .config("spark.graft.benchHints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The timed battery is pinned to the 58 queries BASELINE.md was

@@ -189,6 +189,13 @@ object Pipeline {
     * member of the dedup family (exact / MinHash / SimHash / n-gram /
     * embedding). Threshold per SURVEY §2.1-R5 (0.42 sits in a measured
     * gap of the distribution).
+    *
+    * The join pins `size(va) = size(vb)`: comparing embeddings from
+    * different models/dims is meaningless (vec_dot would silently
+    * truncate), and the explicit conjunct is the equal-dimensionality
+    * guarantee [[graft.plans.CosineBandRule]] requires before banding
+    * this join (the oracle carries the same `len(a.ve) = len(b.ve)`
+    * guard; a no-op on this fixed-64-dim corpus).
     */
   val dedupEmbeddingCosine: Q = (s, d) => {
     val docs = documents(s, d).select(col("doc_id"), col("lang"))
@@ -199,7 +206,8 @@ object Pipeline {
                      col("ve").as("va"), col("nv").as("na"))
     val b = v.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
                      col("ve").as("vb"), col("nv").as("nb"))
-    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id") &&
+              size(col("va")) === size(col("vb")))
       .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") > 0.42)
       .select(col("a_id"), col("b_id"),
@@ -230,12 +238,20 @@ object Pipeline {
     val v = embeddings(s, d).select(col("vec_id"), col("embedding").as("ve"))
       .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
 
-    // argmax-cosine cell per vector, centroids broadcast
-    def assignTo(c: DataFrame): DataFrame =
+    // argmax-cosine cell per vector, centroids broadcast. Ties break to
+    // the SMALLEST cid explicitly: 1e-3-quantized centroids can
+    // collide, giving exactly equal scores, and max_by/arg_max leave
+    // that choice engine- and partition-order-dependent — the
+    // row_number tiebreak (mirrored verbatim in the oracle SQL) keeps
+    // the whole index bit-reproducible.
+    def assignTo(c: DataFrame): DataFrame = {
+      val wa = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
       v.join(broadcast(c), lit(true))
         .withColumn("s", vec_dot(col("ve"), col("ce")) / (col("nv") * col("nc")))
-        .groupBy("vec_id")
-        .agg(expr("max_by(cid, s)").as("cell"))
+        .withColumn("rr", row_number().over(wa))
+        .filter(col("rr") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+    }
 
     // component-wise quantized means of each cell's members
     def centroidsFrom(assign: DataFrame): DataFrame =

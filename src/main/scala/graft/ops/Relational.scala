@@ -192,14 +192,25 @@ object Relational {
         cnt.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Bench-session-only broadcast hint for FACT-SIZED intermediates
+    * whose static size estimates are wrong at sf0.1 (filter/semi-join
+    * selectivity is invisible to the planner without AQE — PLANS.md).
+    * A hard-coded hint on a fact-derived side is an OOM hazard at any
+    * larger scale, so the library default leaves join selection to the
+    * planner/AQE; the bench session (and the sf0.1 PlanSpec guard)
+    * opts in via `spark.graft.benchHints`. Fixed-cardinality dimension
+    * tables (region 5 rows, nation 25) stay unconditionally broadcast.
+    */
+  private def benchBroadcast(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.benchHints", "false").toBoolean)
+      broadcast(df)
+    else df
+
   /** BUILDING customers ⋈ dated orders is ~1/5 × ~1/2 of orders —
-    * broadcast-sized at bench scale (hinted: the filter selectivities
-    * defeat the static size estimate, which would demote this to a
-    * sort-merge join). At TB scale the hint comes out; AQE's runtime
-    * stats then pick the shuffle join that is genuinely needed.
+    * broadcast-sized at bench scale only (see [[benchBroadcast]]).
     */
   val q3ShippingPriority: Q = (s, d) =>
-    broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    benchBroadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .join(orders(s, d).filter(col("o_orderdate") < ts("1998-03-15")),
               col("c_custkey") === col("o_custkey")))
       .join(lineitem(s, d).filter(col("l_shipdate") > ts("1998-03-15")),
@@ -235,15 +246,16 @@ object Relational {
       .join(broadcast(nationAsia.select("n_nationkey")),
             col("c_nationkey") === col("n_nationkey"), "left_semi")
     // The ASIA-restricted customer⋈orders intermediate is ~1/5 of
-    // orders — broadcast-sized here, and the semi join above defeats
-    // the planner's size estimate (it keeps the unfiltered customer
-    // stats), which would otherwise demote this to a sort-merge join.
-    // At TB scale the hint comes out and AQE picks the shuffle join —
-    // which is then genuinely required.
-    broadcast(custAsia
+    // orders — broadcast-sized at bench scale only, and the semi join
+    // above defeats the planner's size estimate (it keeps the
+    // unfiltered customer stats), which would otherwise demote this to
+    // a sort-merge join. Both fact-derived hints are bench-gated
+    // ([[benchBroadcast]]); in the library default AQE's runtime stats
+    // pick the join strategy that is genuinely needed.
+    benchBroadcast(custAsia
         .join(orders(s, d), col("c_custkey") === col("o_custkey")))
       .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppAsia),
+      .join(benchBroadcast(suppAsia),
             col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")

@@ -126,6 +126,7 @@ object Scale {
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()
+    var lastPersisted: DataFrame = labels
     var prev: DataFrame = null
     var changed = 1L
     var iter = 0
@@ -142,6 +143,7 @@ object Scale {
       // now release its blocks — only two label generations ever live
       if (prev != null) prev.unpersist(blocking = false)
       prev = labels
+      lastPersisted = next
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
@@ -152,7 +154,17 @@ object Scale {
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — component diameter exceeds " +
           "maxIter; raise it or pre-contract with large-star/small-star")
-    labels
+    // Hand back a SELF-CONTAINED result: localCheckpoint materializes
+    // the final labels (node-count sized, 2 columns) and cuts lineage,
+    // so the last cached generation and the checkpointed edge list can
+    // be released NOW instead of leaking for the session lifetime
+    // (every Verify/test invocation used to pin another copy). The
+    // result's own blocks are RDD-level (not CacheManager-pinned) and
+    // the ContextCleaner reclaims them once the caller drops the
+    // DataFrame.
+    val out = labels.localCheckpoint(eager = true)
+    lastPersisted.unpersist(blocking = false)
+    out
   }
 
   /** Global ntile over the two-phase ranking above — same bucket

@@ -390,24 +390,30 @@ object OracleSql {
     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
   SELECT a.doc_id a_id, b.doc_id b_id,
     CAST(round(list_cosine_similarity(a.ve, b.ve)*100) AS BIGINT) sim_pct
-  FROM v a JOIN v b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM v a JOIN v b ON a.lang = b.lang AND a.doc_id < b.doc_id AND len(a.ve) = len(b.ve)
   WHERE list_cosine_similarity(a.ve, b.ve) > 0.42
   ORDER BY 1,2 LIMIT 2000""",
     "ann_ivf_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),
   c0 AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
-  a1 AS (SELECT v.vec_id, arg_max(c0.cid, list_cosine_similarity(v.ve, c0.ce)) cell
-         FROM v CROSS JOIN c0 GROUP BY v.vec_id),
+  a1 AS (SELECT vec_id, cell FROM (
+         SELECT v.vec_id, c0.cid cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c0.ce) DESC, c0.cid) rr
+         FROM v CROSS JOIN c0) WHERE rr = 1),
   m1 AS (SELECT a1.cell, r.i pos, round(avg(v.ve[r.i])*1000)/1000 mval
          FROM a1 JOIN v USING (vec_id), range(1,65) r(i) GROUP BY a1.cell, r.i),
   c1 AS (SELECT cell cid, list(mval ORDER BY pos) ce FROM m1 GROUP BY cell),
-  a2 AS (SELECT v.vec_id, arg_max(c1.cid, list_cosine_similarity(v.ve, c1.ce)) cell
-         FROM v CROSS JOIN c1 GROUP BY v.vec_id),
+  a2 AS (SELECT vec_id, cell FROM (
+         SELECT v.vec_id, c1.cid cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c1.ce) DESC, c1.cid) rr
+         FROM v CROSS JOIN c1) WHERE rr = 1),
   m2 AS (SELECT a2.cell, r.i pos, round(avg(v.ve[r.i])*1000)/1000 mval
          FROM a2 JOIN v USING (vec_id), range(1,65) r(i) GROUP BY a2.cell, r.i),
   c2 AS (SELECT cell cid, list(mval ORDER BY pos) ce FROM m2 GROUP BY cell),
-  assign AS (SELECT v.vec_id, arg_max(c2.cid, list_cosine_similarity(v.ve, c2.ce)) cell
-             FROM v CROSS JOIN c2 GROUP BY v.vec_id),
+  assign AS (SELECT vec_id, cell FROM (
+             SELECT v.vec_id, c2.cid cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c2.ce) DESC, c2.cid) rr
+             FROM v CROSS JOIN c2) WHERE rr = 1),
   q AS (SELECT vec_id qid, ve qe FROM v WHERE vec_id < 10),
   probes AS (
     SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(qe, ce) DESC, cid) pr

@@ -29,8 +29,21 @@ import graft.functions.{VecDot, VecSum}
   * `vec_dot(a,b) / (na · nb) >|≥ t` with `0 < t < 1`, `a`/`na` from one
   * side and `b`/`nb` from the other, where each `n` is (possibly
   * through column aliases) `sqrt(vec_dot(x, x))` of the same side's
-  * vector — anything else is left untouched. Idempotent: rewritten
-  * joins carry the `__cosb` bucket attributes and are skipped.
+  * vector, AND the condition also pins `size(a) = size(b)` — anything
+  * else is left untouched. Idempotent: rewritten joins carry the
+  * `__cosb` bucket attributes and are skipped.
+  *
+  * The dimensionality guard is load-bearing, not cosmetic: `vec_dot`
+  * truncates to the shorter operand, so the predicate is well-defined
+  * for ragged pairs — but each side's projection normalizes by ITS OWN
+  * `sqrt(size(v))`, i.e. a different unit direction per length, and
+  * the Cauchy–Schwarz band bound only holds when both sides project
+  * onto the SAME direction. Counterexample (round-2 advice): a=[1,0,0,0],
+  * b=[1], t=0.9 has cos=1 yet |p(a)−p(b)| = 0.5 > w ≈ 0.447 — banding
+  * would silently drop the pair. Requiring an explicit
+  * `size(a) = size(b)` conjunct makes every joinable pair share one
+  * dimension, under which the bound is exact; ragged-pair joins keep
+  * their original nested-loop plan.
   *
   * Production note: one projection is the minimal member of the
   * family; k independent directions multiply pruning power at the cost
@@ -67,6 +80,24 @@ object CosineBandRule extends Rule[LogicalPlan] {
   private case class CosMatch(a: Expression, na: Expression,
                               b: Expression, nb: Expression, t: Double)
 
+  /** True iff some conjunct pins `size(a) = size(b)` (either order,
+    * seen through aliases) — the equal-dimensionality guarantee the
+    * band bound needs (see the rule doc's counterexample).
+    */
+  private def hasSizeGuard(conjuncts: Seq[Expression], a: Expression,
+                           b: Expression, m: Map[ExprId, Expression]): Boolean = {
+    val da = dealias(a, m)
+    val db = dealias(b, m)
+    conjuncts.exists {
+      case EqualTo(Size(x, _), Size(y, _)) =>
+        val dx = dealias(x, m)
+        val dy = dealias(y, m)
+        ((dx semanticEquals da) && (dy semanticEquals db)) ||
+          ((dx semanticEquals db) && (dy semanticEquals da))
+      case _ => false
+    }
+  }
+
   /** Find a cosine-threshold conjunct with vector/norm sided left/right
     * and norms provably `sqrt(vec_dot(x,x))` of that side's vector.
     */
@@ -95,7 +126,8 @@ object CosineBandRule extends Rule[LogicalPlan] {
               case (na, nb)
                   if sided(a, left) && sided(b, right) &&
                      sided(na, left) && sided(nb, right) &&
-                     isNormOf(na, a) && isNormOf(nb, b) =>
+                     isNormOf(na, a) && isNormOf(nb, b) &&
+                     hasSizeGuard(conjuncts, a, b, m) =>
                 CosMatch(a, na, b, nb, t)
             }
           case _ => None

@@ -153,4 +153,56 @@ class SourcesSpec extends SparkSpecBase {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("CosineBandRule is ragged-safe: no size guard → no rewrite, no dropped pairs") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import extended.implicits._
+      import graft.functions.VectorFunctions.vec_dot
+      // the round-2 advice counterexample: a 4-dim and a 1-dim vector
+      // have truncating-cosine 1 but land in non-adjacent band buckets
+      val vs = Seq(
+        (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+        (2L, Seq(1.0)),
+        (3L, Seq(0.95, 0.05, 0.0, 0.0)),
+        (4L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "ve")
+        // barrier: without it ConvertToLocalRelation folds the norm
+        // projection into the LocalRelation and the rule (correctly)
+        // can no longer prove na/nb are norms — real corpora are
+        // file-backed, which is what this mimics
+        .repartition(2)
+        .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
+      val a = vs.select(col("id").as("a_id"), col("ve").as("va"), col("nv").as("na"))
+      val b = vs.select(col("id").as("b_id"), col("ve").as("vb"), col("nv").as("nb"))
+      def pairs(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // WITHOUT a size(a)=size(b) conjunct the band bound is invalid
+      // for ragged pairs — the rule must leave the join alone, and
+      // every truncating-cosine pair must survive
+      val ragged = a.join(b, col("a_id") < col("b_id") &&
+          vec_dot(col("va"), col("vb")) / (col("na") * col("nb")) > lit(0.9))
+        .select("a_id", "b_id")
+      assert(!ragged.queryExecution.optimizedPlan.toString.contains("__cosb"),
+        "rule fired without an equal-dimensionality guarantee")
+      assert(pairs(ragged) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      // WITH the conjunct the rewrite is sound: it fires and returns
+      // exactly the equal-dimension qualifying pairs
+      val guarded = a.join(b, col("a_id") < col("b_id") &&
+          size(col("va")) === size(col("vb")) &&
+          vec_dot(col("va"), col("vb")) / (col("na") * col("nb")) > lit(0.9))
+        .select("a_id", "b_id")
+      assert(guarded.queryExecution.optimizedPlan.toString.contains("__cosb"),
+        "rule must fire once dimensions are pinned equal")
+      assert(pairs(guarded) == Set((1L, 3L)))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }

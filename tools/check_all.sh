@@ -11,6 +11,8 @@ for sf in 0.001 0.01 0.1; do
   python3 tools/oracle_check.py /root/testdata/sf$sf /tmp/chk$sf
 done
 echo "== bench sf0.1"
+# run / outputStrategy = StdoutOutput: the metric line arrives unprefixed
+# (older logs had sbt's "[info] " in front — accept both)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench" 2>&1 \
-  | grep -E '^\[info\] \{"metric"' | tail -1 | sed 's/\[info\] //' \
+  | grep -E '^(\[info\] )?\{"metric"' | tail -1 | sed 's/\[info\] //' \
   | python3 -c "import json,sys; d=json.load(sys.stdin); print('total', round(d['value'],2), 's,', len(d['queries']), 'queries')"
