@@ -32,6 +32,7 @@ object Pipeline {
 
   private def documents(s: SparkSession, d: String)  = Tables.t(s, d, "documents")
   private def embeddings(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+  private def events(s: SparkSession, d: String)     = Tables.t(s, d, "events")
 
   /** Ordered tokens (shingling needs order; corpus docs have ≥10 tokens). */
   private val toks = split(col("text"), " ")
@@ -234,7 +235,12 @@ object Pipeline {
     * of them; the k-means build is itself shuffle-parallel (assignment
     * is a broadcast cross join, means are a two-level groupBy).
     */
-  val annIvfTopk: Q = (s, d) => {
+  /** The shared IVF index build (see [[annIvfTopk]]'s doc for the
+    * determinism story): returns (vectors-with-norms, refined
+    * centroids, cell assignment) so the ANN query and the
+    * cluster-census query run the SAME index.
+    */
+  private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val v = embeddings(s, d).select(col("vec_id"), col("embedding").as("ve"))
       .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
 
@@ -268,7 +274,11 @@ object Pipeline {
     val c0 = v.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("ve").as("ce"), col("nv").as("nc"))
     val c = centroidsFrom(assignTo(centroidsFrom(assignTo(c0))))
-    val assign = assignTo(c)
+    (v, c, assignTo(c))
+  }
+
+  val annIvfTopk: Q = (s, d) => {
+    val (v, c, assign) = ivfIndex(s, d)
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("ve").as("qe"), col("nv").as("nq"))
     val wp = Window.partitionBy("qid").orderBy(col("ps").desc, col("cid"))
@@ -533,6 +543,130 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** Train/eval contamination check — the decontamination pass every
+    * training-data pipeline runs before an eval release: a train doc is
+    * CONTAMINATED if it shares at least one 8-gram with any held-out
+    * doc of the same language. The split is the deterministic hash
+    * split ([[splitLabel]]), the candidate structure is an inverted
+    * index (explode 8-grams, equi-join on the gram), so the whole check
+    * is linear shuffle volume — never a pairwise doc join. 8 tokens
+    * (docs have ≥ 10) keeps grams specific even on this tiny vocabulary.
+    * Output: per-language train-doc and contaminated counts.
+    */
+  val decontaminateNgram: Q = (s, d) => {
+    val g = 8
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), toks.as("t"), splitLabel.as("split"))
+    def grams(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("t")) - (g - 1)),
+        i => concat_ws(" ", (0 until g).map(o => element_at(col("t"), i + o)): _*)))
+        .as("gram"))
+    val evalGrams = grams(docs.filter(col("split") === "holdout"))
+      .select("lang", "gram").distinct()
+    val contam = grams(docs.filter(col("split") === "train"))
+      .join(evalGrams, Seq("lang", "gram"), "left_semi")
+      .select("lang", "doc_id").distinct()
+      .groupBy("lang").agg(cnt.as("nc"))
+    docs.filter(col("split") === "train")
+      .groupBy("lang").agg(cnt.as("n_train"))
+      .join(contam, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+              coalesce(col("nc"), lit(0L)).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
+  /** Repetition-ratio quality signal: 1 − distinct/total tokens per
+    * doc (integer-milli, R2-safe — the ratio is non-negative so HALF_UP
+    * and half-away-from-zero agree), summed per language. High
+    * repetition is the classic boilerplate/spam marker a corpus filter
+    * thresholds on.
+    */
+  val textRepetitionRatio: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang"),
+        round(lit(1000) * (lit(1.0) - size(array_distinct(toks)) * lit(1.0) / size(toks)))
+          .cast("long").as("rep_milli"))
+      .groupBy("lang")
+      .agg(cnt.as("n_docs"), sum("rep_milli").cast("long").as("rep_milli_sum"))
+      .orderBy("lang")
+
+  /** Symmetric int8 embedding quantization — the 4× storage/bandwidth
+    * compression a 100 TB vector corpus ships with: per vector,
+    * scale = 127 / max|xᵢ|, qᵢ = ⌊xᵢ·scale + 0.5⌋ ∈ [−127, 127].
+    * `floor(x + 0.5)` rather than `round`: components are signed and
+    * the two engines disagree on negative halves (SURVEY §2.1-R2);
+    * floor-plus-half is the same IEEE expression on both. Output:
+    * per-vector integer checksum (sum / min / max of the quantized
+    * components) — enough for the oracle to pin every component
+    * without emitting 64 columns.
+    */
+  val embeddingQuantize: Q = (s, d) => {
+    val ve = transform(col("embedding"), x => x.cast("double"))
+    embeddings(s, d)
+      .select(col("vec_id"), ve.as("ve"))
+      .withColumn("m", array_max(transform(col("ve"), x => abs(x))))
+      .withColumn("q", transform(col("ve"),
+        x => floor(x * 127.0 / col("m") + 0.5).cast("long")))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+      .limit(2000)
+  }
+
+  /** Topic-bucketing census over the SAME seeded-k-means index
+    * [[annIvfTopk]] searches: vectors per cell. At 100 TB this is the
+    * partition-size audit run before writing cluster-partitioned
+    * output (skewed cells → split; empty cells → index rebuild).
+    */
+  val embeddingClusterSizes: Q = (s, d) => {
+    val (_, _, assign) = ivfIndex(s, d)
+    assign.groupBy(col("cell")).agg(cnt.as("n_vecs")).orderBy("cell")
+  }
+
+  /** Deterministic global training-order shuffle + round-robin shard
+    * export: docs ordered by (md5(doc_id), doc_id) — a reproducible
+    * permutation, no RNG state — then dealt into 16 shards by rank.
+    * The global order comes from [[Scale.globalRank]] (bucket = first
+    * md5 byte), so nothing ever single-partitions: at 100 TB each of
+    * the 256 hash buckets ranks independently and only the 256-row
+    * count table is centralized. Output: per-shard doc count + id
+    * checksum.
+    */
+  val corpusShuffleShards: Q = (s, d) => {
+    val ranked = Scale.globalRank(
+      documents(s, d).select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h")),
+      conv(substring(col("h"), 1, 2), 16, 10).cast("long"),
+      Seq(col("h"), col("doc_id")))
+    ranked
+      .select(col("doc_id"), ((col("__rn") - 1) % 16).cast("long").as("shard"))
+      .groupBy("shard")
+      .agg(cnt.as("n_docs"), sum("doc_id").cast("long").as("id_sum"))
+      .orderBy("shard")
+  }
+
+  /** PII-scrub shape over the JSON payload column: redact every digit
+    * run, count affected rows and emit redacted-length totals per
+    * event type. The corpus payloads are synthetic (`{"k": 87}`), so
+    * the interesting part is the contract — regexp redaction is a
+    * per-row codegen'd scan, counts are exact, and the same query
+    * body runs on a streaming DataFrame.
+    */
+  val textPiiScrub: Q = (s, d) => {
+    val red = regexp_replace(col("props"), "\\d+", "#")
+    events(s, d)
+      .select(col("event_type"), col("props"), red.as("red"))
+      .groupBy("event_type")
+      .agg(cnt.as("n"),
+           sum(when(col("red") =!= col("props"), 1L).otherwise(0L))
+             .cast("long").as("n_redacted"),
+           sum(length(col("red"))).cast("long").as("red_len"))
+      .orderBy("event_type")
+  }
+
   // ---- multimodal binary columns -----------------------------------------
 
   /** Multimodal plumbing: text → opaque `binary` payload column (the
@@ -580,5 +714,11 @@ object Pipeline {
     "sample_stratified" -> sampleStratified,
     "pack_token_shards" -> packTokenShards,
     "pipeline_quality_dedup_split" -> pipelineQualityDedupSplit,
+    "decontaminate_ngram" -> decontaminateNgram,
+    "text_repetition_ratio" -> textRepetitionRatio,
+    "embedding_quantize" -> embeddingQuantize,
+    "embedding_cluster_sizes" -> embeddingClusterSizes,
+    "corpus_shuffle_shards" -> corpusShuffleShards,
+    "text_pii_scrub" -> textPiiScrub,
   )
 }

@@ -165,8 +165,29 @@ object Streaming {
       .crossJoin(pu.agg(cnt.as("n_purchase_after")))
   }
 
+  /** Windowed top-k: the two most frequent event types per day (ties
+    * break alphabetically). The Kafka Streams analogue is a windowed
+    * count + per-window rank; in Structured Streaming the windowed
+    * count is incremental (update mode) and the rank is the per-batch
+    * post-process in `foreachBatch` — rank-over-window is not an
+    * incremental operator, so the canonical streaming shape ranks each
+    * emitted window snapshot, which this batch body mirrors exactly.
+    */
+  val topkPerDay: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("c").desc, col("event_type"))
+    events(s, d)
+      .select(to_date(col("ts")).as("w"), col("event_type"))
+      .groupBy("w", "event_type")
+      .agg(cnt.as("c"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .orderBy("w", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "event_funnel" -> eventFunnel,
+    "stream_topk_per_day" -> topkPerDay,
     "agg_pivot" -> aggPivot,
     "stream_tumbling_daily" -> tumblingDaily,
     "stream_sliding_1h30m" -> sliding1h30m,

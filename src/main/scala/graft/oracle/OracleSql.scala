@@ -569,5 +569,77 @@ object OracleSql {
   CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) height,
   CAST((doc_id * 7 + octet_length(encode(text))) % 256 AS BIGINT) mean_px
   FROM documents ORDER BY doc_id LIMIT 500""",
+    "decontaminate_ngram" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text,' ') t,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+         THEN 'train' ELSE 'holdout' END split
+    FROM documents),
+  sh AS (SELECT doc_id, lang, split,
+    unnest(list_transform(generate_series(1, len(t)-7),
+      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])) gram
+    FROM tk),
+  ev AS (SELECT DISTINCT lang, gram FROM sh WHERE split = 'holdout'),
+  contam AS (SELECT DISTINCT s.lang, s.doc_id FROM sh s
+             JOIN ev ON s.lang = ev.lang AND s.gram = ev.gram
+             WHERE s.split = 'train')
+  SELECT t.lang, CAST(count(*) AS BIGINT) n_train,
+    CAST(coalesce(c.nc, 0) AS BIGINT) n_contaminated
+  FROM tk t
+  LEFT JOIN (SELECT lang, count(*) nc FROM contam GROUP BY 1) c ON t.lang = c.lang
+  WHERE t.split = 'train'
+  GROUP BY t.lang, c.nc ORDER BY t.lang""",
+    "text_repetition_ratio" ->
+      """WITH t AS (SELECT lang, string_split(text,' ') tk FROM documents)
+  SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+    CAST(sum(CAST(round(1000*(1.0 - len(list_distinct(tk))*1.0/len(tk))) AS BIGINT)) AS BIGINT) rep_milli_sum
+  FROM t GROUP BY 1 ORDER BY 1""",
+    "embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),
+  mv AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) m FROM v),
+  qv AS (SELECT vec_id, list_transform(ve, x -> CAST(floor(x*127.0/m + 0.5) AS BIGINT)) q FROM mv)
+  SELECT vec_id, CAST(list_sum(q) AS BIGINT) q_sum,
+    CAST(list_min(q) AS BIGINT) q_min, CAST(list_max(q) AS BIGINT) q_max
+  FROM qv ORDER BY vec_id LIMIT 2000""",
+    "embedding_cluster_sizes" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),
+  c0 AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
+  a1 AS (SELECT vec_id, cell FROM (
+         SELECT v.vec_id, c0.cid cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c0.ce) DESC, c0.cid) rr
+         FROM v CROSS JOIN c0) WHERE rr = 1),
+  m1 AS (SELECT a1.cell, r.i pos, round(avg(v.ve[r.i])*1000)/1000 mval
+         FROM a1 JOIN v USING (vec_id), range(1,65) r(i) GROUP BY a1.cell, r.i),
+  c1 AS (SELECT cell cid, list(mval ORDER BY pos) ce FROM m1 GROUP BY cell),
+  a2 AS (SELECT vec_id, cell FROM (
+         SELECT v.vec_id, c1.cid cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c1.ce) DESC, c1.cid) rr
+         FROM v CROSS JOIN c1) WHERE rr = 1),
+  m2 AS (SELECT a2.cell, r.i pos, round(avg(v.ve[r.i])*1000)/1000 mval
+         FROM a2 JOIN v USING (vec_id), range(1,65) r(i) GROUP BY a2.cell, r.i),
+  c2 AS (SELECT cell cid, list(mval ORDER BY pos) ce FROM m2 GROUP BY cell),
+  assign AS (SELECT vec_id, cell FROM (
+             SELECT v.vec_id, c2.cid cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c2.ce) DESC, c2.cid) rr
+             FROM v CROSS JOIN c2) WHERE rr = 1)
+  SELECT cell, CAST(count(*) AS BIGINT) n_vecs FROM assign GROUP BY 1 ORDER BY 1""",
+    "corpus_shuffle_shards" ->
+      """WITH r AS (SELECT doc_id,
+    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+    FROM documents)
+  SELECT CAST((rn-1) % 16 AS BIGINT) shard, CAST(count(*) AS BIGINT) n_docs,
+    CAST(sum(doc_id) AS BIGINT) id_sum
+  FROM r GROUP BY 1 ORDER BY 1""",
+    "text_pii_scrub" ->
+      """WITH r AS (SELECT event_type, props, regexp_replace(props, '\d+', '#', 'g') red FROM events)
+  SELECT event_type, CAST(count(*) AS BIGINT) n,
+    CAST(sum(CASE WHEN red <> props THEN 1 ELSE 0 END) AS BIGINT) n_redacted,
+    CAST(sum(length(red)) AS BIGINT) red_len
+  FROM r GROUP BY 1 ORDER BY 1""",
+    "stream_topk_per_day" ->
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) w, event_type, CAST(count(*) AS BIGINT) c
+    FROM events GROUP BY 1, 2),
+  r AS (SELECT w, event_type, c,
+    CAST(row_number() OVER (PARTITION BY w ORDER BY c DESC, event_type) AS BIGINT) rk FROM c)
+  SELECT w, event_type, c, rk FROM r WHERE rk <= 2 ORDER BY w, rk""",
   )
 }

@@ -167,4 +167,47 @@ class PipelineSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.forall(r => r.getAs[Long]("n_bytes") == d(r.getAs[Long]("doc_id"))))
   }
+
+  test("decontamination: contaminated is a subset of the train split") {
+    val rows = q("decontaminate_ngram").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_train"); val c = r.getAs[Long]("n_contaminated")
+      assert(c >= 0 && c <= t, s"lang ${r.getAs[String]("lang")}: $c of $t")
+    }
+  }
+
+  test("int8 quantization: components bounded, max component hits ±127") {
+    val rows = q("embedding_quantize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("q_min"); val mx = r.getAs[Long]("q_max")
+      assert(mn >= -127 && mx <= 127)
+      // scale = 127/max|x|: the largest-magnitude component quantizes
+      // to exactly ±127
+      assert(mx == 127 || mn == -127, s"vec ${r.getAs[Long]("vec_id")}: [$mn,$mx]")
+    }
+  }
+
+  test("cluster census accounts for every vector exactly once") {
+    val total = q("embedding_cluster_sizes").agg(sum("n_vecs")).collect().head.getLong(0)
+    assert(total == graft.tables.Tables.t(spark, sf, "embeddings").count())
+  }
+
+  test("shuffle shards are balanced round-robin over the whole corpus") {
+    val rows = q("corpus_shuffle_shards").collect()
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(rows.map(_.getAs[Long]("shard")).toSet == (0L until 16L).toSet)
+    assert(counts.max - counts.min <= 1, s"unbalanced: ${counts.toSeq}")
+    assert(counts.sum == graft.tables.Tables.t(spark, sf, "documents").count())
+  }
+
+  test("windowed top-k emits at most k rows per window, ranked contiguously") {
+    val rows = q("stream_topk_per_day").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("w")).values.foreach { g =>
+      assert(g.length <= 2)
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
 }
