@@ -33,7 +33,10 @@ object PlanAudit {
                      "stream_session_30m",
                      // round-2 scale machinery
                      "win_ntile", "pack_token_shards", "ann_ivf_topk",
-                     "subq_exists_correlated"))
+                     "subq_exists_correlated",
+                     // round-3 pipeline operators
+                     "decontaminate_ngram", "corpus_shuffle_shards",
+                     "embedding_quantize", "stream_topk_per_day"))
       section(name)(SparkEntry.queries(name)(spark, d))
 
     spark.stop()

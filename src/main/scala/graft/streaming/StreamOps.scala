@@ -106,6 +106,31 @@ object StreamOps {
         col("a_id"), col("b_id"))
   }
 
+  /** Windowed top-k, streaming side (twin of `stream_topk_per_day`):
+    * the per-window counts are the INCREMENTAL operator — update mode
+    * refreshes exactly the windows a batch touches — while the rank is
+    * applied per emitted snapshot via [[rankTopk]] in `foreachBatch`
+    * (rank-over-window is not an incremental computation; the
+    * canonical streaming shape re-ranks the serving view after each
+    * merge, which is what the test does and what a real serving sink
+    * would do).
+    */
+  def topkWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day")("start").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The per-snapshot rank step shared by the batch query and the
+    * foreachBatch post-process: top-k event types per window, ties
+    * alphabetical.
+    */
+  def rankTopk(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("c").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Per-key running aggregate in update mode — the KTable analogue:
     * every micro-batch emits the refreshed per-key row.
     */

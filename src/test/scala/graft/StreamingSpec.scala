@@ -119,6 +119,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(latest == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("windowed top-k: update-mode counts + per-snapshot rank in foreachBatch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Evt]
+    // serving view: merge each update-mode emission by (window, type)
+    val latest = scala.collection.concurrent.TrieMap.empty[(Timestamp, String), Long]
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      batch.collect().foreach { r =>
+        latest((r.getAs[Timestamp]("w"), r.getAs[String]("event_type"))) =
+          r.getAs[Long]("c")
+      }
+    val q = StreamOps.topkWindowCounts(stream.toDF())
+      .writeStream.outputMode("update").foreachBatch(mergeBatch).start()
+    stream.addData(
+      evt(1, "2024-01-01 09:00:00", tpe = "click"),
+      evt(2, "2024-01-01 10:00:00", tpe = "click"),
+      evt(3, "2024-01-01 11:00:00", tpe = "view"))
+    q.processAllAvailable()
+    stream.addData( // day-1 view overtakes click; day 2 opens
+      evt(4, "2024-01-01 12:00:00", tpe = "view"),
+      evt(5, "2024-01-01 13:00:00", tpe = "view"),
+      evt(6, "2024-01-02 09:00:00", tpe = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val ranked = StreamOps.rankTopk(
+        latest.toSeq.map { case ((w, t), c) => (w, t, c) }.toDF("w", "event_type", "c"), 2)
+      .collect()
+      .map(r => (r.getAs[Timestamp]("w"), r.getAs[String]("event_type"),
+                 r.getAs[Long]("c"), r.getAs[Long]("rk"))).toSet
+    assert(ranked == Set(
+      (ts("2024-01-01 00:00:00"), "view", 3L, 1L),
+      (ts("2024-01-01 00:00:00"), "click", 2L, 2L),
+      (ts("2024-01-02 00:00:00"), "purchase", 1L, 1L)))
+  }
+
   test("flatMapGroupsWithState running count equals batch groupBy") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
