@@ -97,6 +97,31 @@ object ScaleBench {
     val ccSec = (System.nanoTime() - t0) / 1e9
     println(f"[scalebench] connected-components 1M nodes/900k edges: " +
       f"$nComponents%d components in ${ccSec}%6.2f s (expect 100000)")
+
+    // ---- round-3: pipeline ops on the 100k-doc corpus --------------------
+    // decontamination is inverted-index shaped (linear gram volume); the
+    // shard export rides globalRank — both should scale like a keyed agg
+    time("decontaminate_ngram")
+    time("corpus_shuffle_shards")
+
+    // ---- globalRank vs the single-partition window at 10M rows -----------
+    // the concrete cost of the plan Scale.globalRank exists to avoid
+    val big10 = spark.range(10000000L)
+      .select(col("id"), xxhash64(col("id")).as("v")).cache()
+    big10.count()
+    val tg0 = System.nanoTime()
+    val rankedMax = graft.ops.Scale
+      .globalRank(big10, shiftright(col("v"), 56), Seq(col("v"), col("id")))
+      .agg(max("__rn")).collect().head.getLong(0)
+    val tg = (System.nanoTime() - tg0) / 1e9
+    println(f"[scalebench] globalRank 10M rows (256 hash buckets): max rn=$rankedMax in ${tg}%6.2f s")
+    val tw0 = System.nanoTime()
+    val wMax = big10
+      .withColumn("rn", row_number().over(Window.orderBy("v", "id")))
+      .agg(max("rn")).collect().head.getInt(0)
+    val tw = (System.nanoTime() - tw0) / 1e9
+    println(f"[scalebench] Window.orderBy 10M rows (single partition): max rn=$wMax in ${tw}%6.2f s" +
+      f" -> globalRank speedup ${tw / tg}%.1f x")
     spark.stop()
   }
 }

