@@ -122,6 +122,73 @@ object Streaming {
       .orderBy("status")
   }
 
+  /** Tolerance-classified reconciliation — the value-matching layer on
+    * top of [[reconLegMatch]]'s time-band pairing: each matched pair is
+    * classified exact / near (within 1.00) / mismatch on its
+    * integer-cents amounts. Cents make the money comparison bit-stable
+    * on any engine (R2); the tolerance boundary is an integer compare,
+    * so no FP edge exists.
+    */
+  val reconValueTolerance: Q = (s, d) => {
+    val a = events(s, d).filter(col("event_type") === "signup")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+              cents(col("value")).as("a_cents"))
+    val b = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+              cents(col("value")).as("b_cents"))
+    a.join(b, col("a_user") === col("b_user") &&
+              col("b_ts") >= col("a_ts") &&
+              col("b_ts") < col("a_ts") + expr("INTERVAL 24 HOURS"))
+      .select(when(col("a_cents") === col("b_cents"), "exact")
+                .when(abs(col("a_cents") - col("b_cents")) <= 100, "near")
+                .otherwise("mismatch").as("value_class"))
+      .groupBy("value_class")
+      .agg(cnt.as("c"))
+      .orderBy("value_class")
+  }
+
+  /** Per-user inactivity-gap detection (the session-timeout /
+    * keep-alive-loss shape): consecutive events more than 6h apart,
+    * counted per user with the worst gap. Gaps are whole-second
+    * integers (R4: both engines floor epoch seconds; the ns→µs
+    * truncation can't move a second boundary), and the 6h threshold
+    * sits on ns-random timestamps — an exact-boundary collision is
+    * measure-zero.
+    */
+  val streamGapDetect: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_s") > 21600)
+      .groupBy("user_id")
+      .agg(cnt.as("n_gaps"), max("gap_s").cast("long").as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** Weekly retention cohorts: users bucketed by the week of their
+    * first signup, counted distinct in every week they were active —
+    * the standard cohort-retention matrix, built from one keyed
+    * min-aggregation and one distinct count, both co-partitioned on
+    * user_id. Week truncation is Monday-based on both engines (R4).
+    */
+  val eventsRetentionCohort: Q = (s, d) => {
+    val first = events(s, d).filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("ts").as("ft"))
+      .select(col("user_id"), to_date(date_trunc("week", col("ft"))).as("cohort_w"))
+    events(s, d)
+      .join(first, Seq("user_id"))
+      .select(col("cohort_w"), to_date(date_trunc("week", col("ts"))).as("active_w"),
+              col("user_id"))
+      .distinct()
+      .groupBy("cohort_w", "active_w")
+      .agg(cnt.as("n_users"))
+      .orderBy("cohort_w", "active_w")
+  }
+
   /** Pivot — per-user event-type counts as columns (the re-keyed
     * KTable.groupBy().aggregate() analogue in wide form). Explicit
     * value list keeps the plan single-pass (no distinct-values scan)
@@ -196,5 +263,8 @@ object Streaming {
     "stream_stream_join_1h" -> streamStreamJoin1h,
     "stream_running_count" -> runningCount,
     "recon_leg_match" -> reconLegMatch,
+    "recon_value_tolerance" -> reconValueTolerance,
+    "stream_gap_detect" -> streamGapDetect,
+    "events_retention_cohort" -> eventsRetentionCohort,
   )
 }

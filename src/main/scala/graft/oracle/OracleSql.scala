@@ -635,6 +635,30 @@ object OracleSql {
     CAST(sum(CASE WHEN red <> props THEN 1 ELSE 0 END) AS BIGINT) n_redacted,
     CAST(sum(length(red)) AS BIGINT) red_len
   FROM r GROUP BY 1 ORDER BY 1""",
+    "recon_value_tolerance" ->
+      """WITH a AS (SELECT user_id a_user, ts a_ts, CAST(round(value*100) AS BIGINT) a_cents
+    FROM events WHERE event_type='signup'),
+  b AS (SELECT user_id b_user, ts b_ts, CAST(round(value*100) AS BIGINT) b_cents
+    FROM events WHERE event_type='purchase'),
+  j AS (SELECT CASE WHEN a_cents = b_cents THEN 'exact'
+               WHEN abs(a_cents - b_cents) <= 100 THEN 'near'
+               ELSE 'mismatch' END value_class
+        FROM a JOIN b ON a_user = b_user AND b_ts >= a_ts AND b_ts < a_ts + INTERVAL 24 HOUR)
+  SELECT value_class, CAST(count(*) AS BIGINT) c FROM j GROUP BY 1 ORDER BY 1""",
+    "stream_gap_detect" ->
+      """WITH g AS (SELECT user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) -
+    CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) gap_s
+    FROM events)
+  SELECT user_id, CAST(count(*) AS BIGINT) n_gaps, CAST(max(gap_s) AS BIGINT) max_gap_s
+  FROM g WHERE gap_s > 21600 GROUP BY 1 ORDER BY 1""",
+    "events_retention_cohort" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) cohort_w
+    FROM events WHERE event_type='signup' GROUP BY 1),
+  act AS (SELECT DISTINCT f.cohort_w, CAST(date_trunc('week', e.ts) AS DATE) active_w, e.user_id
+    FROM events e JOIN f ON e.user_id = f.user_id)
+  SELECT cohort_w, active_w, CAST(count(*) AS BIGINT) n_users
+  FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_topk_per_day" ->
       """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) w, event_type, CAST(count(*) AS BIGINT) c
     FROM events GROUP BY 1, 2),

@@ -147,6 +147,37 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("retention cohorts: weekly actives never exceed the cohort's size") {
+    import org.apache.spark.sql.functions._
+    val rows = q("events_retention_cohort").collect()
+    assert(rows.nonEmpty)
+    val cohortSizes = graft.tables.Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("ft"))
+      .groupBy(to_date(date_trunc("week", col("ft"))).as("cohort_w"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cw = r.getDate(0)
+      assert(r.getAs[Long]("n_users") <= cohortSizes(cw),
+        s"cohort $cw week ${r.getDate(1)} exceeds cohort size")
+    }
+  }
+
+  test("reconciliation value classes partition the banded pair set") {
+    val rows = q("recon_value_tolerance").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("c")).toMap
+    assert(rows.keySet.subsetOf(Set("exact", "near", "mismatch")))
+    assert(rows.values.sum > 0)
+  }
+
+  test("gap detection: every reported gap exceeds the threshold") {
+    val rows = q("stream_gap_detect").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("max_gap_s") > 21600L &&
+                            r.getAs[Long]("n_gaps") >= 1L))
+  }
+
   test("sorted_jaccard matches array_intersect/array_union formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.sorted_jaccard
