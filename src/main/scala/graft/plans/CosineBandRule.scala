@@ -133,7 +133,7 @@ object CosineBandRule extends Rule[LogicalPlan] {
           case _ => None
         }
       case _ => None
-    }.toStream.headOption
+    }.nextOption()
   }
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
