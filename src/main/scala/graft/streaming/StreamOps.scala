@@ -195,6 +195,59 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** EVENT-TIME TIMERS — the Processor-API `punctuate` analogue, and
+    * the true-streaming twin of the batch `stream_gap_detect` query:
+    * every input row re-arms a per-user timer at lastSeen + gap; when
+    * the watermark passes an armed instant with no newer event having
+    * arrived, the runtime invokes [[handleExpiredTimer]] and the
+    * processor emits (user, lastSeenMillis). The output row is
+    * produced by TIME PASSING, not by any input record — the one
+    * topology shape only a timer surface can express (Kafka Streams:
+    * `ProcessorContext.schedule` + `Punctuator`).
+    */
+  class GapTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("lastSeen", E.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val maxTs = rows.map(_.ts.getTime).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      if (maxTs > prev) {
+        // re-arm: one live timer per user
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev + gapMs)
+        lastSeen.update(maxTs)
+        getHandle.registerTimer(maxTs + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Long)] =
+      Iterator((user, lastSeen.get()))
+  }
+
+  /** Per-user inactivity timeouts via event-time timers: emits
+    * (user_id, last_seen_millis) once the watermark passes
+    * lastSeen + gapMs. Requires the RocksDB state store provider.
+    */
+  def gapTimeouts(events: Dataset[Evt], gapMs: Long,
+                  watermark: String = "1 minute"): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new GapTimeoutProcessor(gapMs),
+                          TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Interactive queries (Kafka Streams IQ / store.all() analogue):
     * read a streaming operator's STATE STORE as a DataFrame, straight
     * from the query's checkpoint, via Spark's state data source. Works

@@ -244,6 +244,46 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("event-time timers fire inactivity timeouts (punctuate analogue)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.gapTimeouts(stream.toDF().as[Evt], gapMs = 3600 * 1000L)
+        .toDF("user_id", "last_seen")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      stream.addData(evt(1, "2024-01-01 10:00:00", user = 1),
+                     evt(2, "2024-01-01 10:05:00", user = 2))
+      q.processAllAvailable()
+      // user 1 stays active — its timer re-arms to 11:30
+      stream.addData(evt(3, "2024-01-01 10:30:00", user = 1))
+      q.processAllAvailable()
+      // two afternoon events drive the watermark past 11:30 and 11:05
+      // (watermark advances off the PREVIOUS batch's max event time)
+      stream.addData(evt(4, "2024-01-01 13:00:00", user = 99))
+      q.processAllAvailable()
+      stream.addData(evt(5, "2024-01-01 13:05:00", user = 99))
+      q.processAllAvailable()
+      q.stop()
+      val fired = spark.table(sink).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_seen")).toMap
+      // both idle users time out with their true last-seen instants;
+      // user 99's own timer (14:05) is beyond the final watermark
+      assert(fired == Map(
+        1L -> ts("2024-01-01 10:30:00").getTime,
+        2L -> ts("2024-01-01 10:05:00").getTime), s"got $fired")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("exactly-once file sink: restart from checkpoint does not duplicate") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
