@@ -65,7 +65,39 @@ object AsOf {
       .limit(1000)
   }
 
+  /** Nearest-neighbour as-of: for each purchase, the signup closest in
+    * time within ±24h (EITHER direction) — the sensor-alignment
+    * variant of the as-of family (last-prior / cogroup-merge /
+    * nearest). Distance is whole seconds (R4: both engines floor epoch
+    * seconds identically, so the integer distances — and therefore the
+    * ranking — are engine-independent); ties break by earlier signup
+    * ts then smaller id, a total order.
+    */
+  val joinAsofNearest: Q = (s, d) => {
+    val e = Tables.t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("diff_s"), col("s_ts"), col("s_id"))
+    p.join(sg, col("p_user") === col("s_user") &&
+               col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+               col("s_ts") <= col("p_ts") + expr("INTERVAL 24 HOURS"))
+      .withColumn("diff_s",
+        abs(unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id").as("purchase_id"), col("s_id").as("nearest_signup_id"),
+              col("diff_s").cast("long").as("diff_s"))
+      .orderBy("purchase_id")
+      .limit(2000)
+  }
+
   val queries: Map[String, Q] = Map(
     "join_asof_cogroup" -> joinAsofCogroup,
+    "join_asof_nearest" -> joinAsofNearest,
   )
 }

@@ -168,6 +168,38 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Gaps-and-islands sessionization with per-user stats: sessions are
+    * maximal event runs with inter-event gaps ≤ 30 min (the same gap
+    * as `stream_session_30m`), identified by a running sum of boundary
+    * markers; output per user = session count, event count, total
+    * in-session dwell seconds. Exposes session STRUCTURE where the
+    * session-window query exposes only per-window counts. Gap
+    * classification compares INTEGER whole-second diffs that both
+    * engines compute identically (R4), so the session assignment is
+    * bit-stable even when a gap lands exactly on the threshold.
+    */
+  val eventsSessionizeStats: Q = (s, d) => {
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wrun = wo.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wo)))
+      .withColumn("new_sess",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_sess").over(wrun))
+      .groupBy("user_id", "sid")
+      .agg(cnt.as("n_ev"),
+           (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("dur_s"))
+      .groupBy("user_id")
+      .agg(cnt.as("n_sessions"), sum("n_ev").cast("long").as("n_events"),
+           sum("dur_s").cast("long").as("dwell_s"))
+      .orderBy("user_id")
+  }
+
   /** Weekly retention cohorts: users bucketed by the week of their
     * first signup, counted distinct in every week they were active —
     * the standard cohort-retention matrix, built from one keyed
@@ -265,6 +297,7 @@ object Streaming {
     "recon_leg_match" -> reconLegMatch,
     "recon_value_tolerance" -> reconValueTolerance,
     "stream_gap_detect" -> streamGapDetect,
+    "events_sessionize_stats" -> eventsSessionizeStats,
     "events_retention_cohort" -> eventsRetentionCohort,
   )
 }

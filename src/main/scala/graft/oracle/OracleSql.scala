@@ -635,6 +635,32 @@ object OracleSql {
     CAST(sum(CASE WHEN red <> props THEN 1 ELSE 0 END) AS BIGINT) n_redacted,
     CAST(sum(length(red)) AS BIGINT) red_len
   FROM r GROUP BY 1 ORDER BY 1""",
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id p_id, user_id, ts p_ts FROM events WHERE event_type='purchase'),
+  s AS (SELECT event_id s_id, user_id, ts s_ts FROM events WHERE event_type='signup'),
+  j AS (SELECT p_id, s_id, s_ts,
+    abs(CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(s_ts)) AS BIGINT)) diff_s
+    FROM p JOIN s USING (user_id)
+    WHERE s_ts >= p_ts - INTERVAL 24 HOUR AND s_ts <= p_ts + INTERVAL 24 HOUR),
+  r AS (SELECT p_id, s_id, diff_s,
+    row_number() OVER (PARTITION BY p_id ORDER BY diff_s, s_ts, s_id) rn FROM j)
+  SELECT p_id purchase_id, s_id nearest_signup_id, CAST(diff_s AS BIGINT) diff_s
+  FROM r WHERE rn = 1 ORDER BY 1 LIMIT 2000""",
+    "events_sessionize_stats" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+    CAST(floor(epoch(ts)) AS BIGINT) -
+    CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) gap_s
+    FROM events),
+  m AS (SELECT user_id, event_id, ts,
+    CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END new_sess FROM o),
+  sids AS (SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sid FROM m),
+  per AS (SELECT user_id, sid, count(*) n_ev,
+    CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) dur_s
+    FROM sids GROUP BY 1, 2)
+  SELECT user_id, CAST(count(*) AS BIGINT) n_sessions, CAST(sum(n_ev) AS BIGINT) n_events,
+    CAST(sum(dur_s) AS BIGINT) dwell_s
+  FROM per GROUP BY 1 ORDER BY 1""",
     "recon_value_tolerance" ->
       """WITH a AS (SELECT user_id a_user, ts a_ts, CAST(round(value*100) AS BIGINT) a_cents
     FROM events WHERE event_type='signup'),
