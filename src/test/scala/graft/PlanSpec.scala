@@ -25,6 +25,12 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("q5 joins are all broadcast at this scale (no sort-merge)") {
+    // materialize the Tables cache first: the hint-free library default
+    // relies on the planner seeing sizes, and only a MATERIALIZED cache
+    // carries exact (tiny) sizes — un-executed plans fall back to
+    // static estimates that the semi join defeats. Order-independent
+    // this way (the full suite used to materialize it incidentally).
+    q("q5_local_supplier").count()
     val p = plan("q5_local_supplier")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"), p.take(600))
@@ -115,6 +121,12 @@ class PlanSpec extends SparkSpecBase {
     val p = SparkEntry.queries("pack_token_shards")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
+  test("corpus_shuffle_shards never single-partitions (md5-bucketed globalRank)") {
+    val p = plan("corpus_shuffle_shards")
+    assert(!p.contains("Exchange SinglePartition"), p.take(1200))
+    assert(p.contains("windowspecdefinition(__cb"), p.take(800))
   }
 
   test("similarity kernel (VecDot) sits in the join hot path") {

@@ -108,6 +108,20 @@ class StreamingSpec extends SparkSpecBase {
       == Set((1L, 100L)))
   }
 
+  test("stream-static enrichment join (KStream x KTable/GlobalKTable analogue)") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:00:00", user = 1),
+          evt(2, "2024-01-01 10:01:00", user = 2),
+          evt(3, "2024-01-01 10:02:00", user = 7)), // no dim row → dropped
+      Seq(evt(4, "2024-01-01 10:03:00", user = 1))),
+      "append")(df => df.join(dim, Seq("user_id")).select("event_id", "tier"))
+    val got = out.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    assert(got == Map(1L -> "gold", 2L -> "silver", 4L -> "gold"))
+  }
+
   test("running count in update mode accumulates across batches") {
     val out = run(Seq(
       Seq(evt(1, "2024-01-01 10:00:00", user = 1), evt(2, "2024-01-01 10:01:00", user = 2)),
