@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsOf, LlmOps, Pipeline, Relational, Streaming, Udfs, Windows}
+import graft.ops.{Analytics, AsOf, LlmOps, Pipeline, Relational, Streaming, Udfs, Windows}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Streaming.queries ++
-      LlmOps.queries ++ Udfs.queries ++ Pipeline.queries ++ AsOf.queries
+      LlmOps.queries ++ Udfs.queries ++ Pipeline.queries ++ AsOf.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -667,6 +667,104 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** Deterministic mixture resampling — the data-mixing pass that hits
+    * target proportions per source family before training: sources
+    * src0-9 = "web" (target 100 docs), src10-14 = "books" (60),
+    * src15-19 = "code" (40). Membership is md5-order per family (the
+    * same RNG-free idiom as [[sampleStratified]] — reproducible on any
+    * engine, each family samples independently in parallel). Output:
+    * per-family kept-doc count and id checksum.
+    */
+  val corpusMixResample: Q = (s, d) => {
+    val idx = substring(col("source"), 4, 2).cast("int")
+    val fam = when(idx < 10, "web").when(idx < 15, "books").otherwise("code")
+    val target = when(col("fam") === "web", 100)
+      .when(col("fam") === "books", 60).otherwise(40)
+    val w = Window.partitionBy("fam")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(fam.as("fam"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= target)
+      .groupBy("fam")
+      .agg(cnt.as("n_docs"), sum("doc_id").cast("long").as("id_sum"))
+      .orderBy("fam")
+  }
+
+  /** Rule-battery quality filter (the Gopher-rules shape): per
+    * document, integer-only pass/fail for token count ∈ [10, 1000],
+    * mean token length ∈ [2, 10] (cross-multiplied — `2000·n ≤
+    * 1000·Σlen ≤ 10000·n` — so no division ever happens), repetition
+    * (distinct ≥ half of total), and max token length ≤ 20. Every
+    * rule is an integer comparison, so the pass sets are bit-identical
+    * on any engine. Output: per-language rule pass counts + all-pass.
+    */
+  val textGopherFilters: Q = (s, d) => {
+    val nTok = size(toks)
+    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val maxLen = array_max(transform(toks, t => length(t)))
+    val nDis = size(array_distinct(toks))
+    val rLen = nTok >= 10 && nTok <= 1000
+    val rMean = sumLen * 1000 >= nTok * 2000 && sumLen * 1000 <= nTok * 10000
+    val rRep = nDis * 2 >= nTok
+    val rMax = maxLen <= 20
+    def passes(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L)).cast("long")
+    documents(s, d)
+      .select(col("lang"), rLen.as("r_len"), rMean.as("r_mean"),
+              rRep.as("r_rep"), rMax.as("r_max"))
+      .groupBy("lang")
+      .agg(cnt.as("n_docs"), passes(col("r_len")).as("p_len"),
+           passes(col("r_mean")).as("p_mean"), passes(col("r_rep")).as("p_rep"),
+           passes(col("r_max")).as("p_max"),
+           passes(col("r_len") && col("r_mean") && col("r_rep") && col("r_max"))
+             .as("p_all"))
+      .orderBy("lang")
+  }
+
+  /** Wide → long melt via the first-class `unpivot` (MELT) operator:
+    * per-language corpus metrics (docs, tokens, chars) rotated into
+    * (lang, metric, value) rows — the reshape every metrics exporter
+    * runs. Exercises `Dataset.unpivot` itself (Spark ≥ 3.4), not a
+    * stack() workaround.
+    */
+  val unpivotMetrics: Q = (s, d) =>
+    documents(s, d)
+      .groupBy("lang")
+      .agg(cnt.as("n_docs"),
+           sum(size(toks)).cast("long").as("n_tokens"),
+           sum(length(col("text"))).cast("long").as("n_chars"))
+      .unpivot(Array(col("lang")),
+               Array(col("n_docs"), col("n_tokens"), col("n_chars")),
+               "metric", "value")
+      .orderBy("lang", "metric")
+
+  /** Frame-sampling over the opaque media payload (the video
+    * keyframe-extraction contract shape): the payload chunks into
+    * 64-byte frames, every 4th frame is sampled, and each sampled
+    * frame contributes `index · first_byte` to an integer checksum.
+    * The payload is the UTF-8 text bytes (ASCII corpus → byte i =
+    * char i), so the oracle recomputes the identical arithmetic; a
+    * real deployment swaps the byte-peek for a decoder without
+    * touching the chunk/stride plumbing ([[multimodalDecode]]'s
+    * mapPartitions is the codec seam).
+    */
+  val multimodalFrameSample: Q = (s, d) => {
+    val nFrames = ceil(length(col("text")) / lit(64.0)).cast("long")
+    val sampled = sequence(lit(1L), col("n_frames"), lit(4L))
+    documents(s, d)
+      .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+              size(sampled).cast("long").as("n_sampled"),
+              aggregate(
+                transform(sampled,
+                  i => i * ascii(col("text").substr(((i - 1) * 64 + 1).cast("int"),
+                                                    lit(1)))),
+                lit(0L), (acc, x) => acc + x).as("checksum"))
+      .orderBy("doc_id")
+      .limit(500)
+  }
+
   // ---- multimodal binary columns -----------------------------------------
 
   /** Multimodal plumbing: text → opaque `binary` payload column (the
@@ -720,5 +818,9 @@ object Pipeline {
     "embedding_cluster_sizes" -> embeddingClusterSizes,
     "corpus_shuffle_shards" -> corpusShuffleShards,
     "text_pii_scrub" -> textPiiScrub,
+    "corpus_mix_resample" -> corpusMixResample,
+    "text_gopher_filters" -> textGopherFilters,
+    "unpivot_metrics" -> unpivotMetrics,
+    "multimodal_frame_sample" -> multimodalFrameSample,
   )
 }

@@ -691,5 +691,98 @@ object OracleSql {
   r AS (SELECT w, event_type, c,
     CAST(row_number() OVER (PARTITION BY w ORDER BY c DESC, event_type) AS BIGINT) rk FROM c)
   SELECT w, event_type, c, rk FROM r WHERE rk <= 2 ORDER BY w, rk""",
+    // ---- round-4 additions (SURVEY §2.9) ----
+    "scd2_user_state" ->
+      """WITH v AS (SELECT event_type,
+    lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) vt,
+    CAST(floor(epoch(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) -
+    CAST(floor(epoch(ts)) AS BIGINT) dwell
+    FROM events)
+  SELECT event_type, CAST(count(*) AS BIGINT) n_versions,
+    CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_open,
+    CAST(sum(dwell) AS BIGINT) dwell_s
+  FROM v GROUP BY 1 ORDER BY 1""",
+    "snapshot_diff" ->
+      """WITH a AS (SELECT o_custkey k, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) c
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+  b AS (SELECT o_custkey k, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) c
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+  j AS (SELECT CASE WHEN a.k IS NULL THEN 'added' WHEN b.k IS NULL THEN 'removed'
+               WHEN a.c = b.c THEN 'same' ELSE 'changed' END diff_class,
+    coalesce(b.c, 0) - coalesce(a.c, 0) delta
+    FROM a FULL JOIN b ON a.k = b.k)
+  SELECT diff_class, CAST(count(*) AS BIGINT) n_custs, CAST(sum(delta) AS BIGINT) delta_cents
+  FROM j GROUP BY 1 ORDER BY 1""",
+    "join_interval_overlap" ->
+      """WITH iv AS (SELECT o_custkey ck, o_orderkey ok,
+    CAST(floor(epoch(o_orderdate)) AS BIGINT) st,
+    CAST(floor(epoch(o_orderdate)) AS BIGINT) + 2592000 en FROM orders),
+  p AS (SELECT a.ck ck, a.ok a_ok, b.ok b_ok FROM iv a JOIN iv b
+    ON a.ck = b.ck AND a.ok < b.ok AND a.st <= b.en AND b.st <= a.en)
+  SELECT ck, CAST(count(*) AS BIGINT) n_pairs FROM p GROUP BY 1 ORDER BY 1 LIMIT 2000""",
+    "ts_resample_ffill" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+  grid AS (SELECT u.user_id, g.h FROM u CROSS JOIN generate_series(
+    TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-08 00:00:00', INTERVAL 1 HOUR) g(h))
+  SELECT grid.user_id, CAST(floor(epoch(grid.h)) AS BIGINT) h_epoch,
+    CAST(round(e.value*100) AS BIGINT) val_cents
+  FROM grid ASOF LEFT JOIN events e ON grid.user_id = e.user_id AND e.ts <= grid.h
+  ORDER BY 1, 2""",
+    "win_ewma" ->
+      """WITH c AS (SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) cents FROM events),
+  e AS (SELECT user_id, event_id,
+    coalesce(cents, 0)*128 + coalesce(lag(cents, 1) OVER w, 0)*64 +
+    coalesce(lag(cents, 2) OVER w, 0)*32 + coalesce(lag(cents, 3) OVER w, 0)*16 +
+    coalesce(lag(cents, 4) OVER w, 0)*8 + coalesce(lag(cents, 5) OVER w, 0)*4 +
+    coalesce(lag(cents, 6) OVER w, 0)*2 + coalesce(lag(cents, 7) OVER w, 0) ewma
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  SELECT user_id, event_id, CAST(ewma AS BIGINT) ewma_c128
+  FROM e ORDER BY user_id, event_id LIMIT 1000""",
+    "join_runtime_bloom" ->
+      """SELECT p_size, CAST(count(*) AS BIGINT) n_lines,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) qty_sum
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1' AND p_size < 10
+  GROUP BY 1 ORDER BY 1""",
+    "corpus_mix_resample" ->
+      """WITH f AS (SELECT doc_id,
+    CASE WHEN CAST(substr(source, 4, 2) AS INT) < 10 THEN 'web'
+         WHEN CAST(substr(source, 4, 2) AS INT) < 15 THEN 'books' ELSE 'code' END fam
+    FROM documents),
+  r AS (SELECT fam, doc_id, row_number() OVER (
+    PARTITION BY fam ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn FROM f)
+  SELECT fam, CAST(count(*) AS BIGINT) n_docs, CAST(sum(doc_id) AS BIGINT) id_sum
+  FROM r WHERE rn <= CASE fam WHEN 'web' THEN 100 WHEN 'books' THEN 60 ELSE 40 END
+  GROUP BY 1 ORDER BY 1""",
+    "text_gopher_filters" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') sp FROM documents),
+  m AS (SELECT lang, len(sp) n,
+    CAST(list_sum(list_transform(sp, x -> length(x))) AS BIGINT) sl,
+    CAST(list_max(list_transform(sp, x -> length(x))) AS BIGINT) ml,
+    len(list_distinct(sp)) nd FROM t),
+  r AS (SELECT lang,
+    CASE WHEN n BETWEEN 10 AND 1000 THEN 1 ELSE 0 END r_len,
+    CASE WHEN sl*1000 >= n*2000 AND sl*1000 <= n*10000 THEN 1 ELSE 0 END r_mean,
+    CASE WHEN nd*2 >= n THEN 1 ELSE 0 END r_rep,
+    CASE WHEN ml <= 20 THEN 1 ELSE 0 END r_max FROM m)
+  SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+    CAST(sum(r_len) AS BIGINT) p_len, CAST(sum(r_mean) AS BIGINT) p_mean,
+    CAST(sum(r_rep) AS BIGINT) p_rep, CAST(sum(r_max) AS BIGINT) p_max,
+    CAST(sum(r_len*r_mean*r_rep*r_max) AS BIGINT) p_all
+  FROM r GROUP BY 1 ORDER BY 1""",
+    "unpivot_metrics" ->
+      """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) n_tokens,
+    CAST(sum(length(text)) AS BIGINT) n_chars FROM documents GROUP BY 1)
+  SELECT lang, 'n_docs' metric, n_docs AS "value" FROM m
+  UNION ALL SELECT lang, 'n_tokens', n_tokens FROM m
+  UNION ALL SELECT lang, 'n_chars', n_chars FROM m
+  ORDER BY 1, 2""",
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, CAST(ceil(length(text)/64.0) AS BIGINT) n_frames,
+  CAST(len(range(1, CAST(ceil(length(text)/64.0) AS BIGINT)+1, 4)) AS BIGINT) n_sampled,
+  CAST(list_sum(list_transform(range(1, CAST(ceil(length(text)/64.0) AS BIGINT)+1, 4),
+       i -> i * ascii(substr(text, CAST((i-1)*64+1 AS BIGINT), 1)))) AS BIGINT) checksum
+  FROM documents ORDER BY doc_id LIMIT 500""",
   )
 }
