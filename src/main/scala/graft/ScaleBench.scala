@@ -122,6 +122,55 @@ object ScaleBench {
     val tw = (System.nanoTime() - tw0) / 1e9
     println(f"[scalebench] Window.orderBy 10M rows (single partition): max rn=$wMax in ${tw}%6.2f s" +
       f" -> globalRank speedup ${tw / tg}%.1f x")
+
+    // ---- round-4: bucketed interval join at 2M intervals -----------------
+    // 2000 keys x 1000 intervals each over 10 years: the naive same-key
+    // pairwise candidate phase is sum C(1000,2) x 2000 = 1e9 pairs —
+    // infeasible; 30-day bucketing cuts candidates to the ~8 intervals
+    // that share each (key, bucket), i.e. ~120x fewer, while the exact
+    // overlap predicate keeps the result identical by construction.
+    val W = 2592000L
+    val tenYears = 315360000L
+    val ivs = spark.range(2000000L).select(
+      (col("id") % 2000).as("ck"), col("id").as("ok"),
+      pmod(xxhash64(col("id")), lit(tenYears)).as("st"))
+      .withColumn("en", col("st") + W)
+    val bucketed = ivs.select(col("ck"), col("ok"), col("st"), col("en"),
+      explode(sequence(floor(col("st") / W), floor(col("en") / W))).as("bk"))
+    val bi0 = System.nanoTime()
+    val nOverlap = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.ck") === col("b.ck") && col("a.bk") === col("b.bk") &&
+        col("a.ok") < col("b.ok") &&
+        col("a.st") <= col("b.en") && col("b.st") <= col("a.en"))
+      .select(col("a.ck").as("ck"), col("a.ok").as("a_ok"), col("b.ok").as("b_ok"))
+      .dropDuplicates("ck", "a_ok", "b_ok")
+      .count()
+    val biSec = (System.nanoTime() - bi0) / 1e9
+    println(f"[scalebench] bucketed interval join 2M intervals/2k keys: " +
+      f"$nOverlap%d overlap pairs in ${biSec}%6.2f s (naive = 1e9 candidates)")
+
+    // ---- round-4: union-and-fill resample at 16.8M grid rows -------------
+    // 100k users x 168 hourly grid points forward-filled from 1M events:
+    // the fill is one keyed window over the merged timeline — linear, no
+    // band join whose width grows with history
+    val weekS = 604800L
+    val sevs = spark.range(1000000L).select(
+      (col("id") % 100000).as("u"), pmod(xxhash64(col("id")), lit(weekS)).as("t"),
+      lit(0).as("k"), pmod(xxhash64(col("id"), lit(1)), lit(100000)).as("v"))
+    val sgrid = spark.range(100000L).select(col("id").as("u"),
+        explode(sequence(lit(0L), lit(weekS - 3600), lit(3600L))).as("t"),
+        lit(1).as("k"), lit(null).cast("long").as("v"))
+    val rf0 = System.nanoTime()
+    val wfill = Window.partitionBy("u").orderBy("t", "k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nFilled = sevs.unionByName(sgrid)
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(wfill))
+      .filter(col("k") === 1 && col("fv").isNotNull)
+      .count()
+    val rfSec = (System.nanoTime() - rf0) / 1e9
+    println(f"[scalebench] resample-ffill 16.8M grid rows / 1M events / 100k users: " +
+      f"$nFilled%d filled in ${rfSec}%6.2f s")
     spark.stop()
   }
 }

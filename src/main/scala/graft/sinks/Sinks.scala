@@ -38,6 +38,42 @@ object Sinks {
     * for a transactional MERGE INTO (Delta/Iceberg) with the same
     * (key, ts) semantics.
     */
+  /** Streaming SCD2 sink — the dimension-HISTORY counterpart of
+    * [[upsertParquet]] (which keeps only the latest row per key): every
+    * incoming event opens a new version of its key and closes the
+    * previous one, so the table holds [valid_from, valid_to) intervals
+    * with exactly one open (valid_to = null) version per key — the
+    * batch `scd2_user_state` operator's table, maintained
+    * incrementally. valid_to is RECOMPUTED from the union per batch
+    * (lead over valid_from), which makes the sink idempotent under
+    * batch replay: re-merging the same events changes nothing
+    * (dedup on (key, valid_from)). Same bounded-scale
+    * read-union-rewrite caveat as [[upsertParquet]]; a production
+    * deployment swaps in a transactional MERGE keyed the same way.
+    */
+  def scd2Parquet(stream: DataFrame, path: String, checkpoint: String,
+                  keyCol: String, tsCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val incoming = batch.withColumnRenamed(tsCol, "valid_from")
+        val current =
+          if (fs.exists(new Path(path))) spark.read.parquet(path).drop("valid_to")
+          else incoming.limit(0)
+        val w = Window.partitionBy(keyCol).orderBy("valid_from")
+        val versions = current.unionByName(incoming)
+          .dropDuplicates(keyCol, "valid_from")
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        val stage = path + "__stage"
+        versions.write.mode(SaveMode.Overwrite).parquet(stage)
+        fs.delete(new Path(path), true)
+        fs.rename(new Path(stage), new Path(path))
+        ()
+      }
+      .start()
+
   def upsertParquet(stream: DataFrame, path: String, checkpoint: String,
                     keyCol: String, tsCol: String): StreamingQuery =
     stream.writeStream

@@ -227,6 +227,39 @@ class StreamingSpec extends SparkSpecBase {
       ("unmatched_b", None, Some(101L))))
   }
 
+  test("scd2 sink maintains versioned dimension history across batches, idempotently") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Evt]
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val q = graft.sinks.Sinks.scd2Parquet(
+      stream.toDF().select(col("user_id"), col("event_type"), col("ts")),
+      s"$dir/dim", s"$dir/ckpt", "user_id", "ts")
+    stream.addData(evt(1, "2024-01-01 10:00:00", user = 1, tpe = "signup"),
+                   evt(2, "2024-01-01 11:00:00", user = 1, tpe = "click"),
+                   evt(3, "2024-01-01 10:30:00", user = 2, tpe = "signup"))
+    q.processAllAvailable()
+    val h1 = spark.read.parquet(s"$dir/dim")
+    assert(h1.count() == 3)
+    assert(h1.filter(col("valid_to").isNull).count() == 2) // one open per key
+    // batch 2: user 1 changes state again; the click version REPLAYS
+    // (same key, same valid_from) and must not duplicate
+    stream.addData(evt(2, "2024-01-01 11:00:00", user = 1, tpe = "click"),
+                   evt(4, "2024-01-02 09:00:00", user = 1, tpe = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/dim").collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+       r.getAs[Timestamp]("valid_from").toString,
+       Option(r.getAs[Timestamp]("valid_to")).map(_.toString))
+    }.toSet
+    assert(rows == Set(
+      (1L, "signup", "2024-01-01 10:00:00.0", Some("2024-01-01 11:00:00.0")),
+      (1L, "click", "2024-01-01 11:00:00.0", Some("2024-01-02 09:00:00.0")),
+      (1L, "purchase", "2024-01-02 09:00:00.0", None),
+      (2L, "signup", "2024-01-01 10:30:00.0", None)))
+  }
+
   test("transformWithState keeps named value states across batches (RocksDB)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
