@@ -191,6 +191,89 @@ object Analytics {
       .orderBy("p_size")
   }
 
+  /** OHLC downsampling (the financial-tick / metrics compaction
+    * shape): per user per 6-hour bucket, open/high/low/close cents +
+    * tick count. Open/close are `min_by`/`max_by` on the event time —
+    * (user, ts) is unique in this corpus (FIXTURES.md), so the pick is
+    * deterministic; all four legs are integer cents (R2). One keyed
+    * aggregate — partial aggregation and AQE apply as with any groupBy.
+    */
+  val tsDownsampleOhlc: Q = (s, d) => {
+    val bucket = floor(epochS(col("ts")) / 21600).cast("long")
+    events(s, d).filter(col("user_id") < 50)
+      .select(col("user_id"), bucket.as("b"), col("ts"),
+              cents(col("value")).as("c"))
+      .groupBy("user_id", "b")
+      .agg(min_by(col("c"), col("ts")).as("open_c"),
+           max(col("c")).as("high_c"),
+           min(col("c")).as("low_c"),
+           max_by(col("c"), col("ts")).as("close_c"),
+           cnt.as("n"))
+      .orderBy("user_id", "b")
+      .limit(5000)
+  }
+
+  /** CDC apply (change-data-capture materialization): the event log is
+    * a change stream — `error` events delete the key, everything else
+    * upserts its cents value — and the operator materializes the final
+    * keyed state: last operation per key wins, deleted keys absent.
+    * This is the KTable-from-changelog / MERGE-apply shape; the plan
+    * is one keyed window (rank by recency) + filter, co-partitioned on
+    * the key.
+    */
+  val streamCdcApply: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              when(col("event_type") === "error", "delete")
+                .otherwise("upsert").as("op"),
+              cents(col("value")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .select(col("user_id"), col("c").as("val_cents"))
+      .orderBy("user_id")
+      .limit(2000)
+  }
+
+  /** Exact heavy hitters: event types whose share exceeds 5% of all
+    * events, with integer-permille shares (`div` truncation — both
+    * engines floor on positives, so no FP ratio ever materializes).
+    * Two-phase: per-type counts (partial-agg'd) + a 1-row total
+    * broadcast — the exact-counting base case the sketch variants
+    * (approx_count_distinct etc.) approximate at higher cardinality.
+    */
+  val aggHeavyHitters: Q = (s, d) => {
+    val counts = events(s, d).groupBy("event_type").agg(cnt.as("c"))
+    val total = events(s, d).agg(cnt.as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("c") * 20 > col("total"))
+      .select(col("event_type"), col("c"),
+              expr("div(c * 1000, total)").as("share_pm"))
+      .orderBy("event_type")
+  }
+
+  /** Table-integrity checksum (the cross-engine audit this repo's own
+    * oracle gate runs, packaged as an operator): per order-status, row
+    * count + XOR of a 60-bit md5 prefix over the canonicalized row
+    * (integer and string columns only — doubles go through cents, so
+    * the string form is bit-identical on any engine). XOR is
+    * order-independent, so the checksum needs no sort and
+    * parallelizes like any aggregate; equal checksums ⇒ equal row
+    * multisets with overwhelming probability.
+    */
+  val auditTableChecksum: Q = (s, d) => {
+    val rowStr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"), cents(col("o_totalprice")))
+    orders(s, d)
+      .select(col("o_orderstatus"),
+              conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("o_orderstatus")
+      .agg(cnt.as("n_rows"), expr("bit_xor(h)").as("checksum"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
     "scd2_user_state" -> scd2UserState,
     "snapshot_diff" -> snapshotDiff,
@@ -198,5 +281,9 @@ object Analytics {
     "ts_resample_ffill" -> tsResampleFfill,
     "win_ewma" -> winEwma,
     "join_runtime_bloom" -> joinRuntimeBloom,
+    "ts_downsample_ohlc" -> tsDownsampleOhlc,
+    "stream_cdc_apply" -> streamCdcApply,
+    "agg_heavy_hitters" -> aggHeavyHitters,
+    "audit_table_checksum" -> auditTableChecksum,
   )
 }

@@ -217,6 +217,33 @@ object Pipeline {
       .limit(2000)
   }
 
+  /** Character-level edit-distance near-dup (the OCR-noise / typo
+    * variant the token-set members of the dedup family can't see):
+    * same-block pairs within Levenshtein 20 of each other. The
+    * length-gap prefilter (| |a|−|b| | ≤ 20 — edit distance is at
+    * least the length difference) prunes candidates BEFORE any O(n·m)
+    * distance runs, and the Spark side computes the THRESHOLDED
+    * distance (early-abandon at 20, linear band instead of the full
+    * matrix; returns −1 past the bound) — the form that stays cheap
+    * when texts are long.
+    */
+  val dedupEditDistance: Q = (s, d) => {
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+                                      col("source"), col("text"))
+    val a = base.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                        col("text").as("a_text"))
+    val b = base.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                        col("source").as("b_source"), col("text").as("b_text"))
+    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+              col("a_id") < col("b_id") &&
+              abs(length(col("a_text")) - length(col("b_text"))) <= 20)
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), 20))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+      .orderBy("a_id", "b_id")
+      .limit(2000)
+  }
+
   // ---- similarity search: IVF + LSH --------------------------------------
 
   /** IVF ANN over a real (computed) index: centroids come from a
@@ -818,6 +845,7 @@ object Pipeline {
     "embedding_cluster_sizes" -> embeddingClusterSizes,
     "corpus_shuffle_shards" -> corpusShuffleShards,
     "text_pii_scrub" -> textPiiScrub,
+    "dedup_editdist" -> dedupEditDistance,
     "corpus_mix_resample" -> corpusMixResample,
     "text_gopher_filters" -> textGopherFilters,
     "unpivot_metrics" -> unpivotMetrics,

