@@ -21,7 +21,9 @@ import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, SortedOverla
   * a size-ratio prefilter conjunct) and
   * [[graft.plans.CosineBandRule]] (cosine-threshold inner joins gain a
   * projection-band equi-join key with ±1 probes — bucket-then-verify as
-  * a plan rewrite).
+  * a plan rewrite), and [[graft.plans.LevenshteinPrefilterRule]]
+  * (edit-distance-threshold predicates gain a length-gap prefilter
+  * conjunct).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -32,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
     ext.injectOptimizerRule(_ => graft.plans.CosineBandRule)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),

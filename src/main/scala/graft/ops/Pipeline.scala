@@ -694,6 +694,32 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** Unigram-surprisal document scoring — the LM-likelihood quality
+    * proxy, made integer-exact: the corpus's global token counts rank
+    * the vocabulary (1 = most frequent; ties break lexically), and a
+    * document's surprisal is the SUM OF RANKS of its token
+    * occurrences — rare-token-heavy docs score high exactly as they
+    * would under a unigram LM's −Σ log p, but with integers instead
+    * of logs so any engine reproduces it bit-for-bit. Two-phase and
+    * linear: vocab build is one aggregate, scoring is an equi-join of
+    * exploded tokens against the (small, broadcastable) vocab. The
+    * only global window runs over the VOCABULARY (tiny by Zipf's law),
+    * never the corpus.
+    */
+  val textUnigramSurprisal: Q = (s, d) => {
+    val grams = documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = grams.groupBy("tok").agg(cnt.as("c"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      .select("tok", "rank")
+    grams.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(cnt.as("n_tok"), sum("rank").cast("long").as("surprisal"))
+      .orderBy("doc_id")
+      .limit(2000)
+  }
+
   /** Deterministic mixture resampling — the data-mixing pass that hits
     * target proportions per source family before training: sources
     * src0-9 = "web" (target 100 docs), src10-14 = "books" (60),
@@ -846,6 +872,7 @@ object Pipeline {
     "corpus_shuffle_shards" -> corpusShuffleShards,
     "text_pii_scrub" -> textPiiScrub,
     "dedup_editdist" -> dedupEditDistance,
+    "text_unigram_surprisal" -> textUnigramSurprisal,
     "corpus_mix_resample" -> corpusMixResample,
     "text_gopher_filters" -> textGopherFilters,
     "unpivot_metrics" -> unpivotMetrics,

@@ -821,5 +821,12 @@ object OracleSql {
    AND abs(length(a.text) - length(b.text)) <= 20
   WHERE levenshtein(a.text, b.text) <= 20
   ORDER BY a_id, b_id LIMIT 2000""",
+    "text_unigram_surprisal" ->
+      """WITH g AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+  v AS (SELECT tok, CAST(count(*) AS BIGINT) c FROM g GROUP BY 1),
+  r AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) rank FROM v)
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) n_tok, CAST(sum(r.rank) AS BIGINT) surprisal
+  FROM g JOIN r ON g.tok = r.tok
+  GROUP BY 1 ORDER BY 1 LIMIT 2000""",
   )
 }

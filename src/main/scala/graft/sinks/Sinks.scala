@@ -74,6 +74,42 @@ object Sinks {
       }
       .start()
 
+  /** CDC-apply sink — [[upsertParquet]] with TOMBSTONES: each change
+    * row carries an `opCol` ('delete' = tombstone, anything else =
+    * upsert); per batch the latest change per key wins and keys whose
+    * latest change is a tombstone are dropped from the view. The
+    * tombstone itself is RETAINED in the view's lineage only within
+    * the batch merge (the stored table keeps live rows plus nothing) —
+    * a later upsert resurrects the key, exactly the KTable-changelog
+    * contract. Batch twin: the `stream_cdc_apply` operator. Same
+    * bounded-scale rewrite caveat as [[upsertParquet]].
+    */
+  def cdcApplyParquet(stream: DataFrame, path: String, checkpoint: String,
+                      keyCol: String, tsCol: String, opCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // stored live rows re-enter the merge as upserts at their
+        // original change time, so a NEWER tombstone in the batch
+        // deletes them and an OLDER one (late replay) does not
+        val current =
+          if (fs.exists(new Path(path))) spark.read.parquet(path)
+          else batch.limit(0)
+        val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(keyCol))
+        val merged = current.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col(opCol) =!= "delete")
+          .drop("__rn")
+        val stage = path + "__stage"
+        merged.write.mode(SaveMode.Overwrite).parquet(stage)
+        fs.delete(new Path(path), true)
+        fs.rename(new Path(stage), new Path(path))
+        ()
+      }
+      .start()
+
   def upsertParquet(stream: DataFrame, path: String, checkpoint: String,
                     keyCol: String, tsCol: String): StreamingQuery =
     stream.writeStream

@@ -205,4 +205,60 @@ class SourcesSpec extends SparkSpecBase {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("LevenshteinPrefilterRule injects a length-gap guard and preserves results") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions.{abs => cabs, _}
+      val base = extended.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val a = base.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                          col("text").as("a_text"))
+      val b = base.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                          col("source").as("b_source"), col("text").as("b_text"))
+      // NO manual length-gap prefilter: the rule must supply it, for
+      // BOTH predicate forms
+      val plainForm = a.join(b,
+          col("lang") === col("b_lang") && col("source") === col("b_source") &&
+          col("a_id") < col("b_id") &&
+          levenshtein(col("a_text"), col("b_text")) <= 20)
+        .select("a_id", "b_id")
+      val threshForm = a.join(b,
+          col("lang") === col("b_lang") && col("source") === col("b_source") &&
+          col("a_id") < col("b_id") &&
+          levenshtein(col("a_text"), col("b_text"), 20) >= 0)
+        .select("a_id", "b_id")
+      for ((df, form) <- Seq((plainForm, "plain"), (threshForm, "thresholded"))) {
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains("length("),
+          s"$form form: length-gap guard missing:\n${optimized.take(800)}")
+      }
+      // identical pair set to the guard-free join in the PLAIN session
+      // (the guard is a necessary condition, so results cannot change)
+      val viaRule = plainForm.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val aP = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                col("text").as("a_text"))
+      val bP = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                col("source").as("b_source"), col("text").as("b_text"))
+      val plain = aP.join(bP,
+          col("lang") === col("b_lang") && col("source") === col("b_source") &&
+          col("a_id") < col("b_id") &&
+          levenshtein(col("a_text"), col("b_text")) <= 20)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaRule == plain)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }

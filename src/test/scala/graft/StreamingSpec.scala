@@ -260,6 +260,64 @@ class StreamingSpec extends SparkSpecBase {
       (2L, "signup", "2024-01-01 10:30:00.0", None)))
   }
 
+  test("ohlc compaction runs incrementally: update-mode min_by/max_by per window") {
+    // the streaming twin of ts_downsample_ohlc: windowed
+    // open/high/low/close maintained incrementally — min_by/max_by are
+    // mergeable aggregates, so update mode re-emits a window's row as
+    // later ticks arrive
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:00:00", user = 1, v = 5.0),
+          evt(2, "2024-01-01 11:00:00", user = 1, v = 9.0)),
+      Seq(evt(3, "2024-01-01 12:30:00", user = 1, v = 1.0))), "update") { df =>
+      df.groupBy(window(col("ts"), "6 hours"), col("user_id"))
+        .agg(min_by(col("value"), col("ts")).as("open_v"),
+             max("value").as("high_v"),
+             min("value").as("low_v"),
+             max_by(col("value"), col("ts")).as("close_v"),
+             count(lit(1)).as("n"))
+    }
+    // last emission for the 06:00-12:00... window (UTC): all 3 ticks
+    // fall in [06:00,12:00) except 12:30 -> [12:00,18:00)
+    val last = out.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+                 r.getAs[Double]("open_v"), r.getAs[Double]("high_v"),
+                 r.getAs[Double]("low_v"), r.getAs[Double]("close_v")))
+    // final state of the first window: open=5 (10:00), high=9, low=5, close=9
+    assert(last.contains((1L, 2L, 5.0, 9.0, 5.0, 9.0)), last.mkString(","))
+    // second window opened by the 12:30 tick
+    assert(last.contains((1L, 1L, 1.0, 1.0, 1.0, 1.0)), last.mkString(","))
+  }
+
+  test("cdc sink applies tombstones: newest op wins, late tombstones lose, upserts resurrect") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Evt]
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val changes = stream.toDF().select(
+      col("user_id"), col("ts"), col("value"),
+      when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+    val q = graft.sinks.Sinks.cdcApplyParquet(
+      changes, s"$dir/view", s"$dir/ckpt", "user_id", "ts", "op")
+    def view(): Map[Long, Double] = spark.read.parquet(s"$dir/view")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    stream.addData(evt(1, "2024-01-01 10:00:00", user = 1, v = 1.0),
+                   evt(2, "2024-01-01 10:00:00", user = 2, v = 2.0))
+    q.processAllAvailable()
+    assert(view() == Map(1L -> 1.0, 2L -> 2.0))
+    // delete user 1 (newer), add user 3
+    stream.addData(evt(3, "2024-01-01 12:00:00", user = 1, tpe = "error"),
+                   evt(4, "2024-01-01 12:00:00", user = 3, v = 3.0))
+    q.processAllAvailable()
+    assert(view() == Map(2L -> 2.0, 3L -> 3.0))
+    // user 1 resurrects; a LATE tombstone for user 2 (older than its
+    // stored change) must lose
+    stream.addData(evt(5, "2024-01-02 09:00:00", user = 1, v = 9.0),
+                   evt(6, "2024-01-01 08:00:00", user = 2, tpe = "error"))
+    q.processAllAvailable()
+    q.stop()
+    assert(view() == Map(1L -> 9.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
   test("transformWithState keeps named value states across batches (RocksDB)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
