@@ -274,7 +274,45 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Semi-structured access through Spark 4's VARIANT type: the JSON
+    * payload parses once into the binary Variant encoding and typed
+    * paths extract WITHOUT re-tokenizing the JSON per field — the
+    * modern engine path for schema-on-read at scale (shredded columnar
+    * variants at rest; one parse, many extractions). Results are plain
+    * integers, so the SQL-JSON oracle pins the semantics.
+    */
+  val jsonVariantFuncs: Q = (s, d) => {
+    val k = variant_get(parse_json(col("props")), "$.k", "int")
+    events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(cnt.as("n"), sum("k").cast("long").as("k_sum"),
+           max("k").cast("long").as("k_max"))
+      .orderBy("event_type")
+  }
+
+  /** Mergeable-sketch rollup: per-day HLL sketches of the distinct
+    * user set, unioned into period estimates — the pre-aggregation
+    * pattern that makes 100 TB distinct-count dashboards O(days)
+    * instead of O(events): daily sketches persist as bytes, any date
+    * range is a cheap union of sketches, never a rescan. Estimates are
+    * DataSketches-specific → no SQL oracle (R7); AnalyticsSpec gates
+    * the estimate within 2% of exact and proves daily ∪ == global.
+    */
+  val aggHllUsers: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("w"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+           cnt.as("n_events"))
+    daily.select(col("w"),
+                 hll_sketch_estimate(col("sk")).as("est_users"),
+                 col("n_events"))
+      .orderBy("w")
+  }
+
   val queries: Map[String, Q] = Map(
+    "json_variant_funcs" -> jsonVariantFuncs,
+    "agg_hll_users" -> aggHllUsers,
     "scd2_user_state" -> scd2UserState,
     "snapshot_diff" -> snapshotDiff,
     "join_interval_overlap" -> joinIntervalOverlap,

@@ -828,5 +828,10 @@ object OracleSql {
   SELECT g.doc_id, CAST(count(*) AS BIGINT) n_tok, CAST(sum(r.rank) AS BIGINT) surprisal
   FROM g JOIN r ON g.tok = r.tok
   GROUP BY 1 ORDER BY 1 LIMIT 2000""",
+    "json_variant_funcs" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) n,
+  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) k_sum,
+  CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) k_max
+  FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -46,6 +46,13 @@ object Sources {
       .withColumn("decoded", from_json(col(colName), eventSchema))
       .select(col("decoded.*"))
 
+  /** ORC source — the second columnar format (predicate pushdown and
+    * column pruning apply exactly as with parquet; schema explicit, no
+    * inference scan).
+    */
+  def eventsFromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema).orc(path)
+
   /** Streaming file source — bounded stand-in for a topic: new files in
     * `path` are discovered per micro-batch, schema fixed up front.
     */

@@ -199,6 +199,27 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_hll_users: daily sketches within 2% of exact; union equals the global sketch") {
+    val e = graft.tables.Tables.t(spark, sf, "events")
+    val exactDaily = e.select(to_date(col("ts")).as("w"), col("user_id"))
+      .distinct().groupBy("w").agg(count(lit(1)).as("exact"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    q("agg_hll_users").collect().foreach { r =>
+      val (w, est) = (r.getDate(0).toString, r.getAs[Long]("est_users"))
+      val exact = exactDaily(w)
+      assert(math.abs(est - exact) <= 0.02 * exact + 1, s"$w: est=$est exact=$exact")
+    }
+    // the mergeable-rollup property: union of the daily sketches
+    // estimates the GLOBAL distinct set within tolerance — no rescan
+    val unioned = e.groupBy(to_date(col("ts")).as("w"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val globalExact = e.select("user_id").distinct().count()
+    assert(math.abs(unioned - globalExact) <= 0.02 * globalExact + 1,
+      s"union est=$unioned exact=$globalExact")
+  }
+
   test("join_runtime_bloom: runtime bloom filter prunes the fact side when shuffling") {
     // force the shuffle-join regime the runtime filter exists for
     // (broadcast off, fact-side scan threshold down to always-eligible)

@@ -17,7 +17,7 @@ class OperatorSpec extends SparkSpecBase {
     // hash-family sketches
     val unoracled = keys -- SparkEntry.oracleSql.keySet
     assert(unoracled == Set("dedup_simhash", "ann_lsh_topk",
-                            "agg_approx_percentiles"),
+                            "agg_approx_percentiles", "agg_hll_users"),
       s"unexpected oracle-less queries: $unoracled")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

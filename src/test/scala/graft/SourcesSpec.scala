@@ -37,6 +37,20 @@ class SourcesSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("ORC round trip preserves rows and pushes filters") {
+    val path = s"$tmp/events_orc"
+    events.coalesce(1).write.mode("overwrite").orc(path)
+    val back = Sources.eventsFromOrc(spark, path)
+    assert(back.schema == Sources.eventSchema)
+    assert(back.count() == events.count())
+    val filtered = back.filter(col("user_id") < 10).select("event_id", "user_id")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id"),
+      p.take(400))
+    assert(filtered.count() ==
+      events.filter(col("user_id") < 10).count())
+  }
+
   test("JSON payload serde decodes to canonical columns") {
     val payloads = events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
     val decoded = Sources.decodeJsonPayload(payloads, "value")
