@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -38,6 +38,71 @@ object Sinks {
     * for a transactional MERGE INTO (Delta/Iceberg) with the same
     * (key, ts) semantics.
     */
+  /** Small-file compaction — the table-maintenance job every
+    * streaming-ingested 100 TB table needs: micro-batches leave
+    * thousands of KB-scale files whose per-file open/footer overhead
+    * dominates scans; this rewrites the directory into `targetFiles`
+    * right-sized files (staging + atomic rename, same pattern as the
+    * upsert sinks). Rows are preserved exactly; only layout changes.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFiles: Int): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = path + "__compact"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(stage), new Path(path))
+  }
+
+  /** Morton (Z-order) interleave of two 32-bit keys — the
+    * multi-dimensional clustering key: sorting by it keeps rows close
+    * in BOTH dimensions, so per-file min/max ranges narrow on both
+    * columns and parquet row-group skipping prunes scans filtered on
+    * EITHER column (single-column sort helps only its own column).
+    * Pure Column arithmetic (5 spread-shift steps per key), stays in
+    * codegen.
+    */
+  def mortonKey(a: Column, b: Column): Column = {
+    // spread the low 32 bits of x to the even bit positions of a long
+    def spread(x: Column): Column = {
+      var v = x.bitwiseAND(lit(0xffffffffL))
+      v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000ffff0000ffffL))
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered parquet layout: range-partition + sort by the Morton
+    * key of two clustering columns, so every output file covers a
+    * compact rectangle of the (a, b) space — the data-skipping layout
+    * for tables filtered on more than one dimension.
+    *
+    * Both columns NORMALIZE to 16-bit [0, 65535] before interleaving
+    * (one 4-scalar min/max aggregate): interleaving raw values lets
+    * whichever column has more significant bits own every high bit of
+    * the key, silently degenerating to a single-column sort — the
+    * classic z-order pitfall.
+    */
+  def writeZordered(df: DataFrame, path: String, files: Int,
+                    a: Column, b: Column): Unit = {
+    val mm = df.agg(min(a).cast("double"), max(a).cast("double"),
+                    min(b).cast("double"), max(b).cast("double"))
+      .collect().head
+    def norm(c: Column, mn: Double, mx: Double): Column =
+      if (mx == mn) lit(0L)
+      else ((c.cast("double") - mn) / (mx - mn) * 65535.0).cast("long")
+    df.withColumn("__z", mortonKey(norm(a, mm.getDouble(0), mm.getDouble(1)),
+                                   norm(b, mm.getDouble(2), mm.getDouble(3))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Streaming SCD2 sink — the dimension-HISTORY counterpart of
     * [[upsertParquet]] (which keeps only the latest row per key): every
     * incoming event opens a new version of its key and closes the

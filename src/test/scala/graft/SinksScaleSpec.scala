@@ -66,6 +66,55 @@ class SinksScaleSpec extends SparkSpecBase {
     assert(rows == Map(1L -> 3L, 2L -> 2L), "latest event per user wins")
   }
 
+  test("compaction rewrites many small files into few, rows intact") {
+    val path = s"$tmp/events_small"
+    val events = graft.tables.Tables.t(spark, sf, "events")
+    events.repartition(50).write.mode("overwrite").parquet(path)
+    def dataFiles() = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles() == 50)
+    val before = spark.read.parquet(path)
+      .agg(sum("event_id"), count(lit(1))).collect().head
+    Sinks.compactParquet(spark, path, 4)
+    assert(dataFiles() == 4, s"expected 4 files, got ${dataFiles()}")
+    val after = spark.read.parquet(path)
+      .agg(sum("event_id"), count(lit(1))).collect().head
+    assert(before == after)
+  }
+
+  test("z-ordered layout narrows per-file ranges on BOTH clustering columns") {
+    val orders = graft.tables.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+              (unix_timestamp(col("o_orderdate")) / 86400).cast("long").as("d"))
+    val files = 16
+    // per-file average span of a column, as a fraction of its domain
+    def spans(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+      val domain = df.agg((max(col(c)) - min(col(c))).cast("double")).collect().head.getDouble(0)
+      val per = df.groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))).cast("double") / domain).as("frac"))
+        .agg(avg("frac")).collect().head.getDouble(0)
+      per
+    }
+    // baseline: single-column (date) sort — each file spans ~all custkeys
+    val datePath = s"$tmp/orders_datesorted"
+    orders.repartitionByRange(files, col("d")).sortWithinPartitions("d")
+      .write.mode("overwrite").parquet(datePath)
+    // z-order on (d, custkey)
+    val zPath = s"$tmp/orders_zorder"
+    Sinks.writeZordered(orders, zPath, files, col("d"), col("o_custkey"))
+    val (zd, zc) = (spans(zPath, "d"), spans(zPath, "o_custkey"))
+    val (bd, bc) = (spans(datePath, "d"), spans(datePath, "o_custkey"))
+    // the date-sorted layout leaves custkey unclustered (~full domain
+    // per file); z-order must narrow custkey substantially while
+    // keeping date spans bounded
+    assert(bc > 0.9, s"baseline custkey span should be ~1.0, got $bc")
+    assert(zc < 0.5 * bc, s"z-order custkey span $zc vs baseline $bc")
+    assert(zd < 0.5, s"z-order date span should stay bounded, got $zd")
+    // rows intact
+    assert(spark.read.parquet(zPath).count() == orders.count())
+  }
+
   test("salted join equals plain join on a skewed key") {
     val e = graft.tables.Tables.t(spark, sf, "events")
       .select("event_id", "user_id") // user_id skew stand-in

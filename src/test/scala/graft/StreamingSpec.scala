@@ -260,6 +260,30 @@ class StreamingSpec extends SparkSpecBase {
       (2L, "signup", "2024-01-01 10:30:00.0", None)))
   }
 
+  test("observe() exposes per-batch pipeline metrics without an extra pass") {
+    // the in-flight observability surface: named aggregates evaluated
+    // on the streaming batch itself and reported through query
+    // progress — row counts and money totals without a second scan or
+    // a side aggregation query
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Evt]
+    val sink = nextSink()
+    val q = stream.toDF()
+      .observe("ingest", count(lit(1)).as("rows"),
+               sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    stream.addData(evt(1, "2024-01-01 10:00:00", v = 1.25),
+                   evt(2, "2024-01-01 10:01:00", v = 2.50))
+    q.processAllAvailable()
+    val m = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("ingest")))
+      .lastOption.getOrElse(fail("no observed metrics reported"))
+    assert(m.getAs[Long]("rows") == 2L)
+    assert(m.getAs[Long]("cents") == 375L)
+    q.stop()
+  }
+
   test("ohlc compaction runs incrementally: update-mode min_by/max_by per window") {
     // the streaming twin of ts_downsample_ohlc: windowed
     // open/high/low/close maintained incrementally — min_by/max_by are
