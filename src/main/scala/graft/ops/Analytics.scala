@@ -310,7 +310,48 @@ object Analytics {
       .orderBy("w")
   }
 
+  /** Co-purchase importance over the part↔supplier bipartite graph —
+    * [[Scale.pagerankInt]] on the distinct lineitem (supplier, part)
+    * pairs, edges in both directions (node ids: part·2, supplier·2+1).
+    * Six fixed rounds, all-integer arithmetic; the oracle replays the
+    * identical rounds as chained (non-recursive) CTEs. Top 50 by
+    * (rank, node).
+    */
+  val graphPagerank: Q = (s, d) => {
+    val li = Tables.t(s, d, "lineitem")
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val fwd = li.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+    val bwd = li.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst"))
+    Scale.pagerankInt(fwd.unionByName(bwd), 6)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(50)
+  }
+
+  /** ANSI-safe error handling: `try_divide` / `try_cast` / `try_add`
+    * turn division-by-zero, unparseable casts and long overflow into
+    * NULLs instead of job-killing exceptions — the semantics a 100 TB
+    * batch needs (one malformed row must not fail a 6-hour job).
+    * Output counts the rescued NULLs per status plus the surviving
+    * cents sum (null rows drop from sums on both engines).
+    */
+  val exprTryFuncs: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderstatus"),
+              try_divide(col("o_totalprice"), (col("o_custkey") % 3).cast("double"))
+                .as("dv"),
+              expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pc"),
+              expr("try_add(9223372036854775807L, o_orderkey)").as("ov"))
+      .groupBy("o_orderstatus")
+      .agg(cnt.as("n"),
+           sum(when(col("dv").isNull, 1L).otherwise(0L)).cast("long").as("n_div_null"),
+           sumCents(col("dv")).as("div_cents"),
+           sum("pc").cast("long").as("prio_sum"),
+           sum(when(col("ov").isNull, 1L).otherwise(0L)).cast("long").as("n_overflow"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
+    "expr_try_funcs" -> exprTryFuncs,
+    "graph_pagerank" -> graphPagerank,
     "json_variant_funcs" -> jsonVariantFuncs,
     "agg_hll_users" -> aggHllUsers,
     "scd2_user_state" -> scd2UserState,

@@ -161,6 +161,44 @@ object Scale {
     labels
   }
 
+  /** Integer-exact PageRank over a directed edge list — the second
+    * iterative exemplar next to [[connectedComponents]], built to be
+    * bit-reproducible on ANY engine: ranks are integers (initial
+    * 1,000,000 per node) and each round computes
+    *
+    *   rank'(n) = 150000 + (85 · Σ_{m→n} (rank(m) div outdeg(m))) div 100
+    *
+    * — the α = 0.15 damped walk with every division an INTEGER floor
+    * division, so there is no FP accumulation order to disagree on
+    * and a plain-SQL oracle can chain the same fixed number of
+    * iterations. Fixed iteration count (not convergence detection)
+    * keeps the oracle expressible as non-recursive chained CTEs.
+    *
+    * Per-round plan: two equi-joins + one keyed aggregate, all
+    * co-partitioned on the node id; each generation is
+    * lineage-truncated via localCheckpoint (same 2^rounds-plan-nodes
+    * hazard [[connectedComponents]] documents).
+    */
+  def pagerankInt(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var rank = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outd, "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("in_sum"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+                expr("150000 + ((coalesce(in_sum, 0) * 85) div 100)")
+                  .cast("long").as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** Global ntile over the two-phase ranking above — same bucket
     * semantics as SQL `NTILE(k) OVER (ORDER BY ...)`: the first
     * `n mod k` tiles get `n div k + 1` rows, the rest `n div k`.

@@ -8,7 +8,31 @@ package graft.oracle
   */
 object OracleSql {
 
+  /** PageRank oracle: the same six integer-exact rounds
+    * [[graft.ops.Scale.pagerankInt]] runs, as chained non-recursive
+    * CTEs (fixed iteration count is what keeps this plain SQL —
+    * standard recursive CTEs forbid aggregation in the recursive
+    * term).
+    */
+  private val pagerankSql: String = {
+    val iters = (1 to 6).map { i =>
+      s"""c$i AS (SELECT e.dst node, sum(r.rank // o.outdeg) s
+    FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN outd o ON e.src = o.src
+    GROUP BY 1),
+  r$i AS (SELECT n.node, CAST(150000 + ((coalesce(c.s, 0) * 85) // 100) AS BIGINT) rank
+    FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+    }.mkString(",\n  ")
+    s"""WITH li AS (SELECT DISTINCT l_suppkey sk, l_partkey pk FROM lineitem),
+  edges AS (SELECT pk*2 src, sk*2+1 dst FROM li UNION ALL SELECT sk*2+1, pk*2 FROM li),
+  outd AS (SELECT src, CAST(count(*) AS BIGINT) outdeg FROM edges GROUP BY 1),
+  nodes AS (SELECT DISTINCT src node FROM edges),
+  r0 AS (SELECT node, CAST(1000000 AS BIGINT) rank FROM nodes),
+  $iters
+  SELECT node, rank FROM r6 ORDER BY rank DESC, node LIMIT 50"""
+  }
+
   val sql: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
     // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
     // queries extend the sort to the measured-unique 5-tuple so the cut
     // boundary is engine-independent (SURVEY §2.1-R1).
@@ -828,6 +852,20 @@ object OracleSql {
   SELECT g.doc_id, CAST(count(*) AS BIGINT) n_tok, CAST(sum(r.rank) AS BIGINT) surprisal
   FROM g JOIN r ON g.tok = r.tok
   GROUP BY 1 ORDER BY 1 LIMIT 2000""",
+    // try_add's overflow-to-NULL is mirrored structurally (DuckDB raises
+    // on overflow): max_long + k overflows exactly when k > 0.
+    "expr_try_funcs" ->
+      """WITH t AS (SELECT o_orderstatus,
+    o_totalprice / nullif(o_custkey % 3, 0) dv,
+    TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) pc,
+    CASE WHEN o_orderkey > 0 THEN NULL ELSE o_orderkey END ov
+    FROM orders)
+  SELECT o_orderstatus, CAST(count(*) AS BIGINT) n,
+    CAST(sum(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_div_null,
+    CAST(sum(CAST(round(dv*100) AS BIGINT)) AS BIGINT) div_cents,
+    CAST(sum(pc) AS BIGINT) prio_sum,
+    CAST(sum(CASE WHEN ov IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_overflow
+  FROM t GROUP BY 1 ORDER BY 1""",
     "json_variant_funcs" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) n,
   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) k_sum,

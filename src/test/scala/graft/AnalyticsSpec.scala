@@ -199,6 +199,20 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("graph_pagerank: integer ranks are deterministic, bounded below, and damped-mass sane") {
+    val a = q("graph_pagerank").collect()
+    val b = q("graph_pagerank").collect()
+    assert(a.toSeq == b.toSeq, "two invocations must be bit-identical")
+    assert(a.length == 50)
+    // every rank >= the damping floor; ranks sorted desc by construction
+    val ranks = a.map(_.getAs[Long]("rank"))
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks.sameElements(ranks.sorted(Ordering[Long].reverse)))
+    // suppliers (odd ids) aggregate many parts' mass on this corpus —
+    // the top node must be a supplier
+    assert(a.head.getAs[Long]("node") % 2 == 1, s"top node ${a.head}")
+  }
+
   test("agg_hll_users: daily sketches within 2% of exact; union equals the global sketch") {
     val e = graft.tables.Tables.t(spark, sf, "events")
     val exactDaily = e.select(to_date(col("ts")).as("w"), col("user_id"))
