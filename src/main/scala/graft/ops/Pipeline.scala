@@ -744,6 +744,29 @@ object Pipeline {
       .orderBy("fam")
   }
 
+  /** Weighted Bernoulli sampling without an RNG: each doc keeps with
+    * probability proportional to its weight (n_chars here — the
+    * quality-weighted sampling every data-mixing recipe uses), decided
+    * by comparing a 32-bit md5 prefix against the weight
+    * CROSS-MULTIPLIED (`hash · max_w < w · 2³²` — all integer, no FP
+    * ratio, no RNG state, no Long overflow at any plausible weight),
+    * so membership is a pure row function: stable across runs, engines
+    * and reshuffles, and exactly reproducible by the SQL oracle.
+    * max_w is corpus-wide (one tiny aggregate, broadcast).
+    */
+  val sampleWeighted: Q = (s, d) => {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val maxW = documents(s, d).agg(max("n_chars").as("max_w"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), h.as("h"))
+      .crossJoin(broadcast(maxW))
+      .filter(col("h") * col("max_w") < col("n_chars") * lit(1L << 32))
+      .groupBy("lang")
+      .agg(cnt.as("n_kept"), sum("n_chars").cast("long").as("w_kept"))
+      .orderBy("lang")
+  }
+
   /** Rule-battery quality filter (the Gopher-rules shape): per
     * document, integer-only pass/fail for token count ∈ [10, 1000],
     * mean token length ∈ [2, 10] (cross-multiplied — `2000·n ≤
@@ -873,6 +896,7 @@ object Pipeline {
     "text_pii_scrub" -> textPiiScrub,
     "dedup_editdist" -> dedupEditDistance,
     "text_unigram_surprisal" -> textUnigramSurprisal,
+    "sample_weighted" -> sampleWeighted,
     "corpus_mix_resample" -> corpusMixResample,
     "text_gopher_filters" -> textGopherFilters,
     "unpivot_metrics" -> unpivotMetrics,

@@ -866,6 +866,14 @@ object OracleSql {
     CAST(sum(pc) AS BIGINT) prio_sum,
     CAST(sum(CASE WHEN ov IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_overflow
   FROM t GROUP BY 1 ORDER BY 1""",
+    "sample_weighted" ->
+      """WITH m AS (SELECT max(n_chars) max_w FROM documents),
+  k AS (SELECT lang, doc_id, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) h
+    FROM documents)
+  SELECT lang, CAST(count(*) AS BIGINT) n_kept, CAST(sum(n_chars) AS BIGINT) w_kept
+  FROM k CROSS JOIN m WHERE h * max_w < n_chars * 4294967296
+  GROUP BY 1 ORDER BY 1""",
     "json_variant_funcs" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) n,
   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) k_sum,

@@ -248,6 +248,80 @@ object StreamOps {
                           TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming twin of the batch `ts_resample_ffill` operator, driven
+    * entirely by EVENT-TIME TIMERS: per user, one output row per hour
+    * boundary carrying the forward-filled value as of that boundary —
+    * rows produced by time passing, not by input records (the
+    * Punctuator-emits-grid shape). Events buffer in a ListState until
+    * the boundary timer fires; the timer folds events ≤ boundary into
+    * the carried value, emits (user, boundaryMs, cents), prunes the
+    * buffer and re-arms for the next hour. Late events (behind the
+    * watermark) are dropped by the engine before they reach the
+    * buffer, so the carried value at a fired boundary is final.
+    * The grid re-arms unconditionally; a production job adds an idle
+    * cutoff (stop re-arming N hours past lastSeen, the
+    * [[GapTimeoutProcessor]] condition).
+    */
+  class ResampleFfillProcessor(hourMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var pending: ListState[(Long, Long)] = _ // (tsMs, cents)
+    @transient private var carried: ValueState[Long] = _
+    @transient private var nextGrid: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[(Long, Long)]("pending",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      carried = getHandle.getValueState[Long]("carried", E.scalaLong, TTLConfig.NONE)
+      nextGrid = getHandle.getValueState[Long]("nextGrid", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var minTs = Long.MaxValue
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        pending.appendValue((t, math.round(e.value * 100)))
+        if (t < minTs) minTs = t
+      }
+      if (!nextGrid.exists() && minTs != Long.MaxValue) {
+        val g = (minTs / hourMs + 1) * hourMs // first boundary after first event
+        nextGrid.update(g)
+        getHandle.registerTimer(g)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val g = expired.getExpiryTimeInMs
+      val (upto, after) = pending.get().toArray.partition(_._1 <= g)
+      if (upto.nonEmpty) carried.update(upto.maxBy(_._1)._2)
+      pending.clear()
+      after.foreach(pending.appendValue)
+      nextGrid.update(g + hourMs)
+      getHandle.registerTimer(g + hourMs)
+      Iterator((user, g, carried.get()))
+    }
+  }
+
+  /** Hourly forward-filled grid per user, emitted by event-time timers
+    * as the watermark crosses each boundary. Requires the RocksDB
+    * state store provider.
+    */
+  def resampleFfillStream(events: Dataset[Evt],
+                          watermark: String = "1 minute"): Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new ResampleFfillProcessor(3600 * 1000L),
+                          TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Interactive queries (Kafka Streams IQ / store.all() analogue):
     * read a streaming operator's STATE STORE as a DataFrame, straight
     * from the query's checkpoint, via Spark's state data source. Works

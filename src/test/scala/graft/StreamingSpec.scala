@@ -260,6 +260,48 @@ class StreamingSpec extends SparkSpecBase {
       (2L, "signup", "2024-01-01 10:30:00.0", None)))
   }
 
+  test("timer-driven resample: hourly grid rows emitted by watermark, forward-filled") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.resampleFfillStream(stream.toDF().as[Evt])
+        .toDF("user_id", "grid_ms", "cents")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // user 1: two ticks inside the 10:00-11:00 hour
+      stream.addData(evt(1, "2024-01-01 10:10:00", user = 1, v = 1.0),
+                     evt(2, "2024-01-01 10:40:00", user = 1, v = 2.0))
+      q.processAllAvailable()
+      // drive the watermark past 11:00, then 12:00, then 13:00; user 1
+      // ticks again at 12:30 (v=5) so the 13:00 grid point must carry 500
+      stream.addData(evt(3, "2024-01-01 12:10:00", user = 99))
+      q.processAllAvailable()
+      stream.addData(evt(4, "2024-01-01 12:30:00", user = 1, v = 5.0),
+                     evt(5, "2024-01-01 13:10:00", user = 99))
+      q.processAllAvailable()
+      stream.addData(evt(6, "2024-01-01 14:10:00", user = 99))
+      q.processAllAvailable()
+      q.stop()
+      val grid = spark.table(sink).filter(col("user_id") === 1)
+        .collect().map(r => (r.getAs[Long]("grid_ms"), r.getAs[Long]("cents"))).toMap
+      def ms(s: String) = ts(s).getTime
+      // 11:00 and 12:00 carry the last pre-boundary tick (2.00); 13:00
+      // carries the 12:30 tick (5.00)
+      assert(grid.get(ms("2024-01-01 11:00:00")).contains(200L), s"got $grid")
+      assert(grid.get(ms("2024-01-01 12:00:00")).contains(200L), s"got $grid")
+      assert(grid.get(ms("2024-01-01 13:00:00")).contains(500L), s"got $grid")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("observe() exposes per-batch pipeline metrics without an extra pass") {
     // the in-flight observability surface: named aggregates evaluated
     // on the streaming batch itself and reported through query
