@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+import graft.tables.Tables
+import Util._
+
+/** Round-4 wave 9: the remaining function-family surface — MapType and
+  * struct manipulation, regexp extraction, bitwise aggregates,
+  * time-RANGE window frames — plus four pipeline/analytics operators
+  * (feature hashing, MAD outlier detection, daily funnels, shard
+  * packing) that compose them.
+  *
+  * Scale posture: everything here is either a single codegen scan
+  * (map/struct/regexp rows), a mergeable aggregate (bitwise, MAD
+  * counts), or a window partitioned by a real entity key (user, lang)
+  * — nothing single-partitions, nothing re-scans its input.
+  */
+object Funcs {
+
+  private def events(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** props parsed once into map<string,int> (the JSON column's natural
+    * typed form).
+    */
+  private def kmap = from_json(col("props"), MapType(StringType, IntegerType))
+
+  /** MapType surface: parse → concat → filter → element_at → sorted
+    * entry encoding. The map value itself never leaves the plan (the
+    * driver's differ can't hash maps) — it is exercised internally and
+    * emitted as deterministic scalars + a sorted entries string.
+    */
+  val mapTypedFuncs: Q = (s, d) =>
+    events(s, d)
+      .withColumn("m", map_concat(kmap, map(lit("u"), (col("user_id") % 10).cast("int"))))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "k").as("k_val"),
+        size(col("m")).cast("long").as("n_keys"),
+        size(map_filter(col("m"), (_, v) => v > 50)).cast("long").as("n_big"),
+        concat_ws(",", array_sort(transform(map_entries(col("m")),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("enc"))
+      .orderBy("event_id")
+
+  /** Struct surface: named_struct construction, lexicographic struct
+    * ordering inside array_sort, and nested field access — emitted as
+    * flat scalars for the differ.
+    */
+  val structFuncs: Q = (s, d) =>
+    events(s, d)
+      .withColumn("k", element_at(kmap, "k"))
+      .withColumn("a", struct((col("user_id") % 7).cast("long").as("x"),
+                              col("event_type").as("y")))
+      .withColumn("b", struct((col("k") % 7).cast("long").as("x"), lit("k").as("y")))
+      .withColumn("arr", array_sort(array(col("a"), col("b"))))
+      .select(
+        col("event_id"),
+        element_at(col("arr"), 1).getField("x").as("first_x"),
+        element_at(col("arr"), 1).getField("y").as("first_y"),
+        struct(struct(col("k").as("kk")).as("inner")).getField("inner").getField("kk").as("deep_k"))
+      .orderBy("event_id")
+
+  /** Regexp surface: count / extract-all + slice / global replace, one
+    * codegen scan over the corpus.
+    */
+  val regexpFuncs: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("m3", regexp_extract_all(col("text"), lit("\\b[a-z]{3}\\b"), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("m3")).cast("long").as("n3"),
+        concat_ws(",", slice(col("m3"), 1, 5)).as("first5"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("novowel_len"))
+      .orderBy("doc_id")
+
+  /** Bitwise aggregates over the JSON k-value: AND / OR / XOR fold plus
+    * popcount sum. All four are commutative + associative → partial
+    * aggregation applies on every partition (the mergeable-agg shape).
+    */
+  val aggBitwise: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_type"), element_at(kmap, "k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(expr("bit_and(k)").cast("long").as("b_and"),
+           expr("bit_or(k)").cast("long").as("b_or"),
+           expr("bit_xor(k)").cast("long").as("b_xor"),
+           sum(bit_count(col("k"))).cast("long").as("bits"))
+      .orderBy("event_type")
+
+  /** Time-RANGE window frame: per-user rolling 7-day revenue via
+    * `rangeBetween` over epoch seconds — the frame is value-based
+    * (peers by timestamp), not row-based, and the window partitions by
+    * user so nothing single-partitions.
+    */
+  val winTimeRange7d: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("es")
+      .rangeBetween(-604800L, Window.currentRow)
+    events(s, d)
+      .withColumn("es", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"),
+              sum(cents(col("value"))).over(w).cast("long").as("roll_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Feature hashing (the hashing trick) with an engine-portable hash:
+    * token → md5-prefix bucket (mod 32) → per-doc bucket counts →
+    * sorted sparse-vector encoding. Linear: explode + two keyed aggs,
+    * shuffle carries (doc_id, bucket) pairs only.
+    */
+  val mlFeatureHash: Q = (s, d) => {
+    val tok = docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    tok
+      .withColumn("bucket", conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long") % 32)
+      .groupBy("doc_id", "bucket")
+      .agg(cnt.as("c"))
+      .groupBy("doc_id")
+      .agg(concat_ws(",", array_sort(collect_list(
+        concat(lpad(col("bucket").cast("string"), 2, "0"), lit(":"), col("c")))))
+        .as("features"))
+      .orderBy("doc_id")
+  }
+
+  /** MAD outlier detection (median absolute deviation): per event type,
+    * median of integer cents, MAD, and the count beyond 5×MAD. Medians
+    * interpolate identically on both engines over exact integers (the
+    * only fraction is an exact .5 — `agg_percentiles` pins the
+    * mechanism); emitted doubled so the output stays integral. The
+    * 1-row-per-type median tables broadcast back onto the fact scan.
+    */
+  val anomalyMad: Q = (s, d) => {
+    val c = events(s, d).select(col("event_type"), cents(col("value")).as("cents"))
+    val m = c.groupBy("event_type").agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = c.join(broadcast(m), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val m2 = dev.groupBy("event_type").agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(m2), "event_type")
+      .groupBy("event_type")
+      .agg(round(min("med") * 2).cast("long").as("med2"),
+           round(min("mad") * 2).cast("long").as("mad2"),
+           sum(when(col("dev") > col("mad") * 5, 1L).otherwise(0L)).cast("long").as("n_out"))
+      .orderBy("event_type")
+  }
+
+  /** Strict within-day funnel view → click → purchase: each step's
+    * first instant must be strictly later than the previous step's.
+    * Three keyed aggregates + two equi-joins on (day, user) — the
+    * sequential-pattern query every product-analytics team runs, with
+    * no window wider than one user-day.
+    */
+  val seqFunnelDaily: Q = (s, d) => {
+    val e = events(s, d).select(
+      col("user_id"), col("event_type"),
+      to_date(col("ts")).as("dd"), unix_timestamp(col("ts")).as("es"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("dd", "user_id").agg(min("es").as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, Seq("dd", "user_id"))
+      .filter(col("es") > col("t1"))
+      .groupBy("dd", "user_id").agg(min("es").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("dd", "user_id"))
+      .filter(col("es") > col("t2"))
+      .groupBy("dd", "user_id").agg(min("es").as("t3"))
+    s1.join(s2, Seq("dd", "user_id"), "left")
+      .join(s3, Seq("dd", "user_id"), "left")
+      .groupBy("dd")
+      .agg(cnt.as("n_view"),
+           count(col("t2")).as("n_click"),
+           count(col("t3")).as("n_purchase"))
+      .orderBy("dd")
+  }
+
+  /** Token-budget shard packing: docs in md5 order per language, shard
+    * = running-chars-before `div` 20000 — the deterministic
+    * training-shard layout pass. The prefix sum partitions by lang
+    * (the global variant is `Scale.globalRank`'s range-partitioned
+    * two-pass — PLANS.md).
+    */
+  val corpusShardPack: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy("mk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"), md5(col("text")).as("mk"))
+      .withColumn("before_chars", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("shard", expr("div(before_chars, 20000)"))
+      .groupBy("lang", "shard")
+      .agg(cnt.as("n_docs"), sum("n_chars").cast("long").as("chars"))
+      .orderBy("lang", "shard")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "map_typed_funcs" -> mapTypedFuncs,
+    "struct_funcs" -> structFuncs,
+    "regexp_funcs" -> regexpFuncs,
+    "agg_bitwise" -> aggBitwise,
+    "win_time_range_7d" -> winTimeRange7d,
+    "ml_feature_hash" -> mlFeatureHash,
+    "anomaly_mad" -> anomalyMad,
+    "seq_funnel_daily" -> seqFunnelDaily,
+    "corpus_shard_pack" -> corpusShardPack,
+  )
+}

@@ -1,0 +1,297 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.oracle.OracleSql
+import graft.tables.Tables
+import Util._
+
+/** Round-4 wave 8: the decision-support subquery family — adapted
+  * TPC-H shapes (correlated scalar subqueries, EXISTS / NOT EXISTS,
+  * IN-subqueries, scalar-subquery thresholds, LATERAL) re-targeted at
+  * the columns this corpus actually has (no partsupp / commitdate /
+  * receiptdate / phone — FIXTURES.md), so every classic shape is
+  * exercised without inventing data.
+  *
+  * Two deliberate API registers:
+  *  - Genuinely correlated queries (`q2`, `q17`, `q21`, `q22`,
+  *    `join_lateral_topk`) run through `spark.sql` ON PURPOSE: the
+  *    DataFrame API cannot express a correlated scalar subquery, and
+  *    routing them through the parser exercises Catalyst's
+  *    decorrelation (RewriteCorrelatedScalarSubquery /
+  *    RewritePredicateSubquery / DecorrelateInnerQuery) — the rewrite
+  *    layer a 100 TB user hits the moment they hand us SQL. The text
+  *    is engine-portable and shared verbatim with the DuckDB oracle
+  *    (single source of truth in [[graft.oracle.OracleSql]]).
+  *  - Everything else is declarative DataFrame composition with
+  *    dimension broadcasts, so Catalyst sees the same plan space as
+  *    the rest of the library.
+  *
+  * Scale posture: every query here shuffles on its natural key
+  * (orderkey / custkey / suppkey) at most once per side; dimensions
+  * (nation, region, supplier at this ratio, the 1-row scalar
+  * aggregates) broadcast; the correlated predicates decorrelate to
+  * semi/anti/left-outer equi-joins — no nested-loop re-execution per
+  * outer row survives in any physical plan.
+  */
+object Subqueries {
+
+  private def tb(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Shared revenue-in-cents column (R2). */
+  private def revCents: Column = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  /** Correlated-min selection (TPC-H Q2 shape without partsupp):
+    * cheapest ECONOMY part per size bracket. Decorrelates to an
+    * aggregate + self-equi-join on p_size; the double equality is on
+    * stored (untouched) values, so it is exact on both engines.
+    */
+  val q2MinCostPart: Q = (s, d) =>
+    Tables.sql(s, d, OracleSql.sql("q2_min_cost_part"))
+
+  /** EXISTS shape (TPC-H Q4 adapted: late shipment = shipped > 60 days
+    * after order date). The semi join carries the non-equi residual on
+    * top of the orderkey equi-key — one shuffle per side, no
+    * re-execution per order.
+    */
+  val q4LateOrders: Q = (s, d) => {
+    val o = tb(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val l = tb(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+              l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+           "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(cnt.as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Inter-region trade volume (TPC-H Q7 adapted to regions so sf0.001
+    * stays non-empty): supplier-region ↔ customer-region pairs by ship
+    * year. Fact tables join on their keys; all four dim hops
+    * broadcast.
+    */
+  val q7VolumeShipping: Q = (s, d) => {
+    val l = tb(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    val o = tb(s, d, "orders").select("o_orderkey", "o_custkey")
+    val c = tb(s, d, "customer").select("c_custkey", "c_nationkey")
+    val sup = tb(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val sr = regionOf(s, d, "supp_region")
+    val cr = regionOf(s, d, "cust_region")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sr), col("s_nationkey") === col("supp_region_nk"))
+      .join(broadcast(cr), col("c_nationkey") === col("cust_region_nk"))
+      .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+              (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+      .groupBy(col("supp_region"), col("cust_region"),
+               year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revCents).cast("long").as("rev_cents"))
+      .orderBy("supp_region", "cust_region", "l_year")
+  }
+
+  /** nation⋈region collapsed to (<alias>_nk, <alias> region name) —
+    * key renamed per call site so the double dim hop (supplier side +
+    * customer side) never trips the ambiguous-self-join check.
+    */
+  private def regionOf(s: SparkSession, d: String, as: String): DataFrame =
+    tb(s, d, "nation")
+      .join(tb(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as(s"${as}_nk"), col("r_name").as(as))
+
+  /** Market share (TPC-H Q8 adapted): EUROPE-supplier share of all
+    * deliveries into ASIA customers, permille per order year. The
+    * ratio is integer permille over integer-cents sums (R2/R6-safe:
+    * `div` never touches FP).
+    */
+  val q8MarketShare: Q = (s, d) => {
+    val l = tb(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"), revCents.as("cents"))
+    val o = tb(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = tb(s, d, "customer").select("c_custkey", "c_nationkey")
+    val sup = tb(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val sr = regionOf(s, d, "supp_region")
+    val cr = regionOf(s, d, "cust_region")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cr), col("c_nationkey") === col("cust_region_nk"))
+      .filter(col("cust_region") === "ASIA")
+      .join(broadcast(sr), col("s_nationkey") === col("supp_region_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(when(col("supp_region") === "EUROPE", col("cents")).otherwise(0L)).as("eu"),
+           sum(col("cents")).cast("long").as("total_cents"))
+      .select(col("o_year"),
+              expr("div(eu * 1000, total_cents)").as("share_pm"),
+              col("total_cents"))
+      .orderBy("o_year")
+  }
+
+  /** Returned-item revenue ranking (TPC-H Q10): top 20 customers by
+    * refunded revenue in a quarter. Orders filter cuts the fact side
+    * before the customer join; the final TopK is
+    * `TakeOrderedAndProject`, never a global sort.
+    */
+  val q10ReturnedItems: Q = (s, d) => {
+    val o = tb(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+              col("o_orderdate") < ts("1996-10-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val l = tb(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    val c = tb(s, d, "customer").select("c_custkey", "c_name", "c_nationkey")
+    val n = tb(s, d, "nation").select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(revCents).cast("long").as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Customer order-count distribution (TPC-H Q13): LEFT join with the
+    * filter inside the join condition (customers with zero 'F' orders
+    * must survive), then a distribution over the counts.
+    */
+  val q13OrderDistribution: Q = (s, d) => {
+    val c = tb(s, d, "customer").select("c_custkey")
+    val o = tb(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(cnt.as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Promo revenue share (TPC-H Q14): permille of one month's revenue
+    * coming from PROMO parts. part broadcasts; one agg, zero sorts.
+    */
+  val q14PromoRevenue: Q = (s, d) => {
+    val l = tb(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1996-02-01 00:00:00"))
+    val p = tb(s, d, "part").select("p_partkey", "p_type")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type").startsWith("PROMO"), revCents).otherwise(0L)).as("promo"),
+           sum(revCents).cast("long").as("rev_cents"))
+      .select(expr("div(promo * 1000, rev_cents)").as("promo_pm"), col("rev_cents"))
+  }
+
+  /** Top supplier by quarterly revenue (TPC-H Q15): the scalar-subquery
+    * max — revenue per supplier, keep the max. The 1-row max aggregate
+    * broadcasts; equality is on integer cents, so ties are exact (and
+    * all tied suppliers surface, as the spec demands).
+    */
+  val q15TopSupplier: Q = (s, d) => {
+    val rev = tb(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy("l_suppkey")
+      .agg(sum(revCents).cast("long").as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("mx"))
+    val sup = tb(s, d, "supplier").select("s_suppkey", "s_name")
+    rev.join(broadcast(mx), col("total_rev") === col("mx"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Correlated-avg filter (TPC-H Q17 shape): Brand#1 lineitems below
+    * half their part's average quantity. Runs through the parser so
+    * Catalyst decorrelates the scalar subquery into an aggregate +
+    * equi-join (avg over integral-valued doubles is engine-exact, R6).
+    */
+  val q17SmallQtyRevenue: Q = (s, d) =>
+    Tables.sql(s, d, OracleSql.sql("q17_small_qty_revenue"))
+
+  /** IN-subquery with HAVING (TPC-H Q18): orders whose total quantity
+    * tops 150, rolled up per (customer, order). The IN becomes a
+    * left-semi join against the having-aggregate — both sides shuffle
+    * on orderkey once.
+    */
+  val q18LargeOrders: Q = (s, d) => {
+    val l = tb(s, d, "lineitem")
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 150)
+      .select(col("l_orderkey").as("big_ok"))
+    val o = tb(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
+    val c = tb(s, d, "customer").select("c_custkey")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l.select("l_orderkey", "l_quantity"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey", "o_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** Nested IN-subqueries (TPC-H Q20 shape): suppliers who moved > 90
+    * units of some PROMO part. Inner IN prunes lineitem against the
+    * part dim (broadcast semi), the HAVING aggregate groups on
+    * (suppkey, partkey), and the outer IN is a semi join — linear
+    * end to end.
+    */
+  val q20PromoSuppliers: Q = (s, d) => {
+    val promoParts = tb(s, d, "part")
+      .filter(col("p_type").startsWith("PROMO"))
+      .select("p_partkey")
+    val heavy = tb(s, d, "lineitem")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 90)
+      .select("l_suppkey")
+    tb(s, d, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** EXISTS + NOT EXISTS (TPC-H Q21 shape): in finished multi-supplier
+    * orders, the supplier whose shipment was strictly last. Parser
+    * path: both correlated predicates decorrelate to one semi and one
+    * anti equi-join on orderkey.
+    */
+  val q21LatestShipper: Q = (s, d) =>
+    Tables.sql(s, d, OracleSql.sql("q21_latest_shipper"))
+
+  /** Scalar-subquery threshold + NOT EXISTS (TPC-H Q22 shape):
+    * above-average-balance customers with no open orders. The mean
+    * compare is cross-multiplied onto integer cents — no FP division
+    * anywhere (R2/R6).
+    */
+  val q22IdleBalance: Q = (s, d) =>
+    Tables.sql(s, d, OracleSql.sql("q22_idle_balance"))
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT: top-2
+    * suppliers by balance per nation. Catalyst decorrelates the
+    * lateral limit into a per-key ranking — the per-group-top-k that a
+    * naive engine would re-execute per outer row.
+    */
+  val joinLateralTopk: Q = (s, d) =>
+    Tables.sql(s, d, OracleSql.sql("join_lateral_topk"))
+
+  val queries: Map[String, Q] = Map(
+    "q2_min_cost_part" -> q2MinCostPart,
+    "q4_late_orders" -> q4LateOrders,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q13_order_distribution" -> q13OrderDistribution,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
+    "q18_large_orders" -> q18LargeOrders,
+    "q20_promo_suppliers" -> q20PromoSuppliers,
+    "q21_latest_shipper" -> q21LatestShipper,
+    "q22_idle_balance" -> q22IdleBalance,
+    "join_lateral_topk" -> joinLateralTopk,
+  )
+}

@@ -31,7 +31,208 @@ object OracleSql {
   SELECT node, rank FROM r6 ORDER BY rank DESC, node LIMIT 50"""
   }
 
-  val sql: Map[String, String] = Map(
+  /** Round-4 waves 8–9 (SURVEY §2.9): the subquery family + the
+    * function-family surface. The correlated-subquery texts
+    * (`q2/q17/q21/q22/join_lateral_topk`) are engine-portable and run
+    * VERBATIM on both engines — [[graft.ops.Subqueries]] feeds them to
+    * `spark.sql` so Catalyst's decorrelation is exercised on exactly
+    * the SQL the oracle executes.
+    */
+  private val wave89: Map[String, String] = Map(
+    "q2_min_cost_part" ->
+      """SELECT p.p_partkey, p.p_name, p.p_size, CAST(round(p.p_retailprice*100) AS BIGINT) price_cents
+  FROM part p
+  WHERE p.p_type LIKE 'ECONOMY%'
+    AND p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_size = p.p_size AND p2.p_type LIKE 'ECONOMY%')
+  ORDER BY p.p_partkey""",
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) n_orders
+  FROM orders o
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+  GROUP BY 1 ORDER BY 1""",
+    "q7_volume_shipping" ->
+      """SELECT r1.r_name supp_region, r2.r_name cust_region, year(l.l_shipdate) l_year,
+    CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) rev_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+    JOIN customer c ON o.o_custkey=c.c_custkey
+    JOIN supplier s ON l.l_suppkey=s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey=n1.n_nationkey JOIN region r1 ON n1.n_regionkey=r1.r_regionkey
+    JOIN nation n2 ON c.c_nationkey=n2.n_nationkey JOIN region r2 ON n2.n_regionkey=r2.r_regionkey
+  WHERE ((r1.r_name='ASIA' AND r2.r_name='EUROPE') OR (r1.r_name='EUROPE' AND r2.r_name='ASIA'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1,2,3 ORDER BY 1,2,3""",
+    "q8_market_share" ->
+      """WITH vol AS (
+    SELECT year(o.o_orderdate) o_year,
+      CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) cents,
+      r1.r_name supp_region
+    FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+      JOIN customer c ON o.o_custkey=c.c_custkey
+      JOIN nation n2 ON c.c_nationkey=n2.n_nationkey JOIN region r2 ON n2.n_regionkey=r2.r_regionkey
+      JOIN supplier s ON l.l_suppkey=s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey=n1.n_nationkey JOIN region r1 ON n1.n_regionkey=r1.r_regionkey
+    WHERE r2.r_name='ASIA')
+  SELECT o_year,
+    CAST(sum(CASE WHEN supp_region='EUROPE' THEN cents ELSE 0 END)*1000 // sum(cents) AS BIGINT) share_pm,
+    CAST(sum(cents) AS BIGINT) total_cents
+  FROM vol GROUP BY 1 ORDER BY 1""",
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+    CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) rev_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+    JOIN customer c ON o.o_custkey=c.c_custkey
+    JOIN nation n ON c.c_nationkey=n.n_nationkey
+  WHERE l.l_returnflag='R'
+    AND o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  GROUP BY 1,2,3 ORDER BY rev_cents DESC, c_custkey LIMIT 20""",
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) custdist FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey=o.o_custkey AND o.o_orderstatus='F'
+    GROUP BY 1)
+  GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q14_promo_revenue" ->
+      """WITH j AS (
+    SELECT CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) cents, p.p_type
+    FROM lineitem l JOIN part p ON l.l_partkey=p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-02-01')
+  SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN cents ELSE 0 END)*1000 // sum(cents) AS BIGINT) promo_pm,
+    CAST(sum(cents) AS BIGINT) rev_cents
+  FROM j""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+    SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) total_rev
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1)
+  SELECT s.s_suppkey, s.s_name, r.total_rev
+  FROM supplier s JOIN rev r ON s.s_suppkey=r.l_suppkey
+  WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+  ORDER BY s.s_suppkey""",
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) rev_cents,
+    CAST(count(*) AS BIGINT) n_lines
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#1'
+    AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)""",
+    "q18_large_orders" ->
+      """SELECT c.c_custkey, o.o_orderkey, CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) total_qty
+  FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+    JOIN lineitem l ON o.o_orderkey=l.l_orderkey
+  WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1
+                         HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+  GROUP BY 1,2 ORDER BY total_qty DESC, o_orderkey LIMIT 50""",
+    "q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+  WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')
+    GROUP BY l_suppkey, l_partkey HAVING sum(CAST(l_quantity AS BIGINT)) > 90)
+  ORDER BY s_suppkey""",
+    "q21_latest_shipper" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) numwait
+  FROM supplier s JOIN lineitem l1 ON s.s_suppkey=l1.l_suppkey
+    JOIN orders o ON o.o_orderkey=l1.l_orderkey
+  WHERE o.o_orderstatus='F'
+    AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey=l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey=l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate)
+  GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""",
+    "q22_idle_balance" ->
+      """SELECT cgroup, CAST(count(*) AS BIGINT) n_custs, CAST(sum(cents) AS BIGINT) bal_cents FROM (
+    SELECT c.c_custkey % 7 AS cgroup, CAST(round(c.c_acctbal*100) AS BIGINT) cents
+    FROM customer c
+    WHERE c.c_acctbal > 0
+      AND CAST(round(c.c_acctbal*100) AS BIGINT) *
+          (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+          > (SELECT CAST(sum(CAST(round(c2.c_acctbal*100) AS BIGINT)) AS BIGINT)
+             FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O'))
+  GROUP BY 1 ORDER BY 1""",
+    "join_lateral_topk" ->
+      """SELECT n.n_name, t.s_suppkey, t.bal_cents FROM nation n,
+  LATERAL (SELECT s_suppkey, CAST(round(s_acctbal*100) AS BIGINT) bal_cents
+           FROM supplier s WHERE s.s_nationkey = n.n_nationkey
+           ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+  ORDER BY n.n_name, t.s_suppkey""",
+    // ---- wave 9: function families + composed analytics ----
+    // (`map_funcs` — the shallow JSON form — predates this wave; the
+    // MapType-exercising variant is `map_typed_funcs`.)
+    "map_typed_funcs" ->
+      """SELECT event_id, CAST(json_extract(props,'$.k') AS INTEGER) k_val,
+    CAST(2 AS BIGINT) n_keys,
+    CAST(CASE WHEN CAST(json_extract(props,'$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END AS BIGINT) n_big,
+    'k=' || CAST(json_extract(props,'$.k') AS VARCHAR) || ',u=' || CAST(user_id % 10 AS VARCHAR) enc
+  FROM events ORDER BY event_id""",
+    "struct_funcs" ->
+      """WITH t AS (SELECT event_id, event_type, user_id % 7 ux,
+    CAST(json_extract(props,'$.k') AS INTEGER) k FROM events)
+  SELECT event_id,
+    CAST(CASE WHEN ux < k % 7 OR (ux = k % 7 AND event_type <= 'k') THEN ux ELSE k % 7 END AS BIGINT) first_x,
+    CASE WHEN ux < k % 7 OR (ux = k % 7 AND event_type <= 'k') THEN event_type ELSE 'k' END first_y,
+    k deep_k
+  FROM t ORDER BY event_id""",
+    "regexp_funcs" ->
+      """SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\b[a-z]{3}\b')) AS BIGINT) n3,
+    coalesce(array_to_string(list_slice(regexp_extract_all(text, '\b[a-z]{3}\b'), 1, 5), ','), '') first5,
+    CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) novowel_len
+  FROM documents ORDER BY doc_id""",
+    "agg_bitwise" ->
+      """WITH t AS (SELECT event_type, CAST(json_extract(props,'$.k') AS BIGINT) k FROM events)
+  SELECT event_type, CAST(bit_and(k) AS BIGINT) b_and, CAST(bit_or(k) AS BIGINT) b_or,
+    CAST(bit_xor(k) AS BIGINT) b_xor, CAST(sum(bit_count(k)) AS BIGINT) bits
+  FROM t GROUP BY 1 ORDER BY 1""",
+    "win_time_range_7d" ->
+      """SELECT event_id, user_id,
+    CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
+      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) roll_cents
+  FROM events ORDER BY event_id""",
+    "ml_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) tk FROM documents),
+  b AS (SELECT doc_id, CAST(('0x' || substr(md5(tk),1,8))::UBIGINT % 32 AS BIGINT) bucket FROM tok),
+  c AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) c FROM b GROUP BY 1,2)
+  SELECT doc_id, string_agg(lpad(CAST(bucket AS VARCHAR),2,'0') || ':' || CAST(c AS VARCHAR),
+    ',' ORDER BY bucket) features
+  FROM c GROUP BY 1 ORDER BY doc_id""",
+    "anomaly_mad" ->
+      """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) cents FROM events),
+  m AS (SELECT event_type, quantile_cont(cents, 0.5) med FROM c GROUP BY 1),
+  d AS (SELECT c.event_type, c.cents, abs(c.cents - m.med) dev FROM c JOIN m USING (event_type)),
+  m2 AS (SELECT event_type, quantile_cont(dev, 0.5) mad FROM d GROUP BY 1)
+  SELECT d.event_type, CAST(round(min(m.med)*2) AS BIGINT) med2, CAST(round(min(m2.mad)*2) AS BIGINT) mad2,
+    CAST(sum(CASE WHEN d.dev > 5*m2.mad THEN 1 ELSE 0 END) AS BIGINT) n_out
+  FROM d JOIN m USING (event_type) JOIN m2 USING (event_type) GROUP BY 1 ORDER BY 1""",
+    "seq_funnel_daily" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) dd,
+    CAST(floor(epoch(ts)) AS BIGINT) es FROM events),
+  s1 AS (SELECT dd, user_id, min(es) t1 FROM e WHERE event_type='view' GROUP BY 1,2),
+  s2 AS (SELECT e.dd, e.user_id, min(e.es) t2 FROM e JOIN s1 ON e.dd=s1.dd AND e.user_id=s1.user_id
+         WHERE e.event_type='click' AND e.es > s1.t1 GROUP BY 1,2),
+  s3 AS (SELECT e.dd, e.user_id, min(e.es) t3 FROM e JOIN s2 ON e.dd=s2.dd AND e.user_id=s2.user_id
+         WHERE e.event_type='purchase' AND e.es > s2.t2 GROUP BY 1,2)
+  SELECT s1.dd, CAST(count(*) AS BIGINT) n_view, CAST(count(s2.t2) AS BIGINT) n_click,
+    CAST(count(s3.t3) AS BIGINT) n_purchase
+  FROM s1 LEFT JOIN s2 ON s1.dd=s2.dd AND s1.user_id=s2.user_id
+    LEFT JOIN s3 ON s1.dd=s3.dd AND s1.user_id=s3.user_id
+  GROUP BY 1 ORDER BY 1""",
+    "corpus_shard_pack" ->
+      """WITH o AS (SELECT lang, doc_id, n_chars, md5(text) mk FROM documents),
+  w AS (SELECT lang, doc_id, n_chars,
+    coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY mk, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) before_chars FROM o)
+  SELECT lang, CAST(before_chars // 20000 AS BIGINT) shard, CAST(count(*) AS BIGINT) n_docs,
+    CAST(sum(n_chars) AS BIGINT) chars
+  FROM w GROUP BY 1,2 ORDER BY 1,2""",
+  )
+
+  val sql: Map[String, String] = wave89 ++ Map(
     "graph_pagerank" -> pagerankSql,
     // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
     // queries extend the sort to the measured-unique 5-tuple so the cut

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+
+/** Wave-9 suite: function families (map/struct/regexp/bitwise/RANGE
+  * frames) and the composed analytics operators. Pinned values
+  * measured via DuckDB on sf0.001; plan guards keep the windows keyed
+  * and the median tables broadcast.
+  */
+class FuncsSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("map_typed_funcs: parse → concat → filter → sorted entry encoding") {
+    val rows = q("map_typed_funcs").collect()
+    assert(rows.length == 1000)
+    assert(rows.head == Row(0L, 87, 2L, 1L, "k=87,u=3"))
+    assert(rows(1) == Row(1L, 0, 2L, 0L, "k=0,u=2"))
+  }
+
+  test("struct_funcs: lexicographic struct ordering in array_sort") {
+    val rows = q("struct_funcs").collect()
+    assert(rows.head == Row(0L, 3L, "k", 87))
+    // first_(x,y) is always the lexicographic min of the two structs
+    rows.take(100).foreach { r =>
+      val (fx, fy) = (r.getLong(1), r.getString(2))
+      assert(fx >= 0 && fx < 7, s"$r")
+      assert(fy == "k" || Set("click", "error", "purchase", "signup", "view")(fy))
+    }
+  }
+
+  test("regexp_funcs: count / extract-slice / global replace") {
+    val rows = q("regexp_funcs").collect()
+    assert(rows.head == Row(0L, 3L, "the,key,dup", 96L))
+    // novowel_len is always <= original length
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach(r => assert(r.getLong(3) <= texts(r.getLong(0)).length))
+  }
+
+  test("agg_bitwise: mergeable fold with partial aggregation") {
+    val rows = q("agg_bitwise").collect()
+    assert(rows.head == Row("click", 0L, 127L, 15L, 668L))
+    // partial_bit_and in the plan = map-side combine applies
+    assert(plan("agg_bitwise").contains("partial_bit_and"))
+  }
+
+  test("win_time_range_7d: RANGE frame sums exactly the trailing week") {
+    val rows = q("win_time_range_7d").collect()
+    assert(rows.take(2).toSeq == Seq(Row(0L, 13L, 18522L), Row(1L, 12L, 10603L)))
+    // independent probe on one user: recompute the trailing-week sum
+    val evs = graft.tables.Tables.t(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 13L)
+      .select(org.apache.spark.sql.functions.unix_timestamp(
+                org.apache.spark.sql.functions.col("ts")).as("es"),
+              org.apache.spark.sql.functions.round(
+                org.apache.spark.sql.functions.col("value") * 100).cast("long").as("c"),
+              org.apache.spark.sql.functions.col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = rows.filter(_.getLong(1) == 13L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    evs.foreach { case (es, _, id) =>
+      val expect = evs.filter(e => e._1 <= es && e._1 >= es - 604800L).map(_._2).sum
+      assert(byId(id) == expect, s"event $id")
+    }
+    // the frame window partitions by user — never a single-partition sort
+    assert(!plan("win_time_range_7d").replaceAll("(?s)Sort \\[event_id.*", "")
+      .contains("Exchange SinglePartition"))
+  }
+
+  test("ml_feature_hash: portable md5 buckets, sorted sparse encoding") {
+    val rows = q("ml_feature_hash").collect()
+    assert(rows.length == 500)
+    assert(rows.head == Row(0L, "00:2,10:1,12:3,13:3,14:1,17:1,22:3,23:1,25:1,26:4,27:1,30:1,31:1"))
+    // bucket ids stay within [0, 32)
+    rows.take(50).foreach { r =>
+      r.getString(1).split(",").foreach { f =>
+        val b = f.split(":")(0).toInt
+        assert(b >= 0 && b < 32)
+      }
+    }
+  }
+
+  test("anomaly_mad: median/MAD outlier counts; median tables broadcast") {
+    val rows = q("anomaly_mad").collect()
+    assert(rows.head == Row("click", 6679L, 4573L, 12L))
+    assert(rows.length == 5)
+    assert(plan("anomaly_mad").contains("BroadcastHashJoin"))
+  }
+
+  test("seq_funnel_daily: strict-order funnel is monotone per day") {
+    val rows = q("seq_funnel_daily").collect()
+    assert(rows.head == Row(Date.valueOf("2024-01-01"), 5L, 1L, 0L))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3), s"$r")
+    }
+  }
+
+  test("corpus_shard_pack: shards respect the running-sum budget") {
+    val rows = q("corpus_shard_pack").collect()
+    assert(rows.take(2).toSeq == Seq(
+      Row("de", 0L, 64L, 20234L), Row("de", 1L, 7L, 1966L)))
+    // each shard's chars stay under budget + one max doc (greedy bound);
+    // and per lang, shard ids are dense from 0
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val ids = g.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toSeq)
+    }
+    // the packing window partitions by lang (parallel per language)
+    val p = graft.ops.Funcs.corpusShardPack(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(lang"), p.take(1000))
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Wave-8 suite: the decision-support subquery family. Pinned golden
+  * values were measured via DuckDB on sf0.001 (the same oracle SQL the
+  * driver runs); plan guards pin the decorrelated / broadcast shapes
+  * that keep these linear at scale.
+  */
+class SubqueriesSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("q4_late_orders: EXISTS decorrelates to a semi join; pinned counts") {
+    assert(q("q4_late_orders").collect().toSeq == Seq(
+      Row("1-URGENT", 34L), Row("2-HIGH", 54L), Row("3-MEDIUM", 53L),
+      Row("4-NOT SPECIFIED", 44L), Row("5-LOW", 33L)))
+    val p = plan("q4_late_orders")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q7_volume_shipping: region pair volume, dims broadcast") {
+    val rows = q("q7_volume_shipping").collect()
+    assert(rows.length == 4)
+    assert(rows.head == Row("ASIA", "EUROPE", 1996, 88118346L))
+    assert(plan("q7_volume_shipping").contains("BroadcastHashJoin"))
+  }
+
+  test("q8_market_share: integer permille share per year") {
+    val byYear = q("q8_market_share").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byYear(1995) == (343L, 732762759L))
+    assert(byYear(1996) == (503L, 582485645L))
+    // permille is sane: strictly inside (0, 1000) on this corpus
+    byYear.values.foreach { case (pm, _) => assert(pm > 0 && pm < 1000) }
+  }
+
+  test("q10_returned_items: top-20 refunded revenue is TakeOrdered, not global sort") {
+    val rows = q("q10_returned_items").collect()
+    assert(rows.length == 20)
+    assert(rows.head == Row(29L, "Customer#000000029", "NATION_11", 42748870L))
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
+  }
+
+  test("q13_order_distribution: zero-order customers survive the left join") {
+    val rows = q("q13_order_distribution").collect()
+    assert(rows.take(2).toSeq == Seq(Row(3L, 39L), Row(4L, 32L)))
+    // distribution covers all 150 sf0.001 customers
+    assert(rows.map(_.getLong(1)).sum == 150L)
+  }
+
+  test("q14_promo_revenue: single-row permille with broadcast part dim") {
+    assert(q("q14_promo_revenue").collect().toSeq == Seq(Row(197L, 407494477L)))
+    assert(plan("q14_promo_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q15_top_supplier: scalar-subquery max keeps all tied maxima") {
+    assert(q("q15_top_supplier").collect().toSeq ==
+      Seq(Row(9L, "Supplier#000000009", 141942064L)))
+  }
+
+  test("q17_small_qty_revenue: correlated avg decorrelates, no nested loop") {
+    assert(q("q17_small_qty_revenue").collect().toSeq == Seq(Row(337165957L, 61L)))
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q18_large_orders: IN + HAVING semi join; ordered top 50") {
+    val rows = q("q18_large_orders").collect()
+    assert(rows.length == 50)
+    assert(rows.head == Row(83L, 400L, 378L))
+    // descending by total_qty (R1 total order)
+    val qs = rows.map(_.getLong(2)).toSeq
+    assert(qs == qs.sortBy(-_))
+  }
+
+  test("q20_promo_suppliers: nested IN prunes to 10 suppliers at sf0.001") {
+    val rows = q("q20_promo_suppliers").collect()
+    assert(rows.length == 10)
+    assert(rows.head == Row(0L, "Supplier#000000000"))
+  }
+
+  test("q21_latest_shipper: EXISTS + NOT EXISTS both decorrelate to equi-joins") {
+    val rows = q("q21_latest_shipper").collect()
+    assert(rows.take(2).toSeq == Seq(
+      Row("Supplier#000000001", 61L), Row("Supplier#000000006", 55L)))
+    val p = plan("q21_latest_shipper")
+    assert(p.contains("LeftSemi"), p.take(1000))
+    assert(p.contains("LeftAnti"), p.take(1000))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
+  test("q22_idle_balance: cross-multiplied mean threshold + NOT EXISTS") {
+    assert(q("q22_idle_balance").collect().toSeq == Seq(Row(6L, 1L, 892862L)))
+  }
+
+  test("q2_min_cost_part: correlated min — one winner set per size bracket") {
+    val rows = q("q2_min_cost_part").collect()
+    assert(rows.length == 25)
+    assert(rows.head == Row(0L, "cold widget", 24, 90000L))
+    // every selected part is its size bracket's minimum (independent probe)
+    val all = spark.read.parquet(s"$sf/part.parquet")
+      .filter(org.apache.spark.sql.functions.col("p_type").startsWith("ECONOMY"))
+      .select("p_size", "p_retailprice").collect()
+      .groupBy(_.getInt(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).min }
+    rows.foreach { r =>
+      assert(r.getLong(3) == math.round(all(r.getInt(2)) * 100))
+    }
+  }
+
+  test("join_lateral_topk: per-nation top-2 via LATERAL, no re-execution") {
+    val rows = q("join_lateral_topk").collect()
+    assert(rows.length == 10) // 10 suppliers at sf0.001, <=2 per nation
+    assert(rows.head == Row("NATION_12", 7L, 155827L))
+    // no nation exceeds its LIMIT 2
+    rows.groupBy(_.getString(0)).values.foreach(g => assert(g.length <= 2))
+  }
+}
