@@ -283,7 +283,77 @@ object OracleSql {
      OR (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 20 AND 35 AND p.p_size BETWEEN 1 AND 30)""",
   )
 
-  val sql: Map[String, String] = wave89 ++ wave10 ++ Map(
+  /** Round-4 wave 11: the data-quality / profiling layer
+    * ([[graft.ops.Quality]]). Long-format outputs; all values integer
+    * or verbatim-string so the hash-compare is exact.
+    */
+  private val wave11: Map[String, String] = Map(
+    "profile_table_stats" ->
+      """WITH a AS (SELECT count(*) n_rows,
+      count(DISTINCT o_orderkey) d_orderkey, count(DISTINCT o_custkey) d_custkey,
+      count(DISTINCT o_orderstatus) d_orderstatus, count(DISTINCT o_totalprice) d_totalprice,
+      count(DISTINCT CAST(o_orderdate AS DATE)) d_orderdate,
+      count(DISTINCT o_orderpriority) d_orderpriority,
+      min(o_orderkey) min_ok, max(o_orderkey) max_ok,
+      min(CAST(round(o_totalprice*100) AS BIGINT)) min_pc,
+      max(CAST(round(o_totalprice*100) AS BIGINT)) max_pc,
+      CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) min_day,
+      CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) max_day
+    FROM orders)
+  SELECT col_name, metric, "value" FROM (
+    SELECT '*' col_name, 'n_rows' metric, CAST(n_rows AS VARCHAR) "value" FROM a
+    UNION ALL SELECT 'o_orderkey', 'n_distinct', CAST(d_orderkey AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_custkey', 'n_distinct', CAST(d_custkey AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_orderstatus', 'n_distinct', CAST(d_orderstatus AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_totalprice', 'n_distinct', CAST(d_totalprice AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_orderdate', 'n_distinct_days', CAST(d_orderdate AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_orderpriority', 'n_distinct', CAST(d_orderpriority AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_orderkey', 'min', CAST(min_ok AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_orderkey', 'max', CAST(max_ok AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_totalprice', 'min_cents', CAST(min_pc AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_totalprice', 'max_cents', CAST(max_pc AS VARCHAR) FROM a
+    UNION ALL SELECT 'o_orderdate', 'min_day', min_day FROM a
+    UNION ALL SELECT 'o_orderdate', 'max_day', max_day FROM a)
+  ORDER BY col_name, metric""",
+    "dq_referential_orphans" ->
+      """SELECT edge, n_orphans FROM (
+    SELECT 'lineitem.l_orderkey->orders' edge, CAST(count(*) AS BIGINT) n_orphans
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT)
+      FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT)
+      FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    UNION ALL SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT)
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL SELECT 'documents.doc_id->embeddings', CAST(count(*) AS BIGINT)
+      FROM documents WHERE doc_id NOT IN (SELECT vec_id FROM embeddings))
+  ORDER BY edge""",
+    "dq_duplicate_keys" ->
+      """SELECT "check", n_dup_keys, n_extra_rows FROM (
+    SELECT 'orders.o_orderkey' "check", CAST(count(*) AS BIGINT) n_dup_keys,
+        CAST(coalesce(sum(c - 1), 0) AS BIGINT) n_extra_rows
+      FROM (SELECT o_orderkey, count(*) c FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(count(*) AS BIGINT),
+        CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+      FROM (SELECT l_orderkey, l_linenumber, count(*) c FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
+    UNION ALL SELECT 'documents.text', CAST(count(*) AS BIGINT),
+        CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+      FROM (SELECT text, count(*) c FROM documents GROUP BY 1 HAVING count(*) > 1))
+  ORDER BY "check"""",
+    "dq_domain_violations" ->
+      """SELECT "rule", n_violations FROM (
+    SELECT 'lineitem.discount_range' "rule", CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.11 THEN 1 ELSE 0 END) AS BIGINT) n_violations FROM lineitem
+    UNION ALL SELECT 'lineitem.qty_integer', CAST(sum(CASE WHEN l_quantity <> CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL SELECT 'lineitem.price_positive', CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL SELECT 'orders.status_domain', CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL SELECT 'customer.acctbal_negative', CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+    UNION ALL SELECT 'events.type_domain', CAST(sum(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    UNION ALL SELECT 'lineitem.ship_before_order', CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+  ORDER BY "rule"""",
+  )
+
+  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ Map(
     "graph_pagerank" -> pagerankSql,
     // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
     // queries extend the sort to the measured-unique 5-tuple so the cut
