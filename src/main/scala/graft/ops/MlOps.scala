@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Round-4 wave 14: ML-evaluation / clustering primitives over the
+  * embeddings table, all integer-exact (SURVEY §2.1-R2/R6):
+  *
+  *  - `ml_kmeans_2iter` — iterative exemplar #3 (after connected
+  *    components and PageRank): two rounds of Lloyd's k-means on
+  *    OFFSET-quantized integer vectors. Components map to
+  *    `round(x·1000) + 1e6`: the +1e6 offset keeps every value — and
+  *    therefore every centroid-mean dividend — strictly positive, so
+  *    Spark's `div` (truncate toward zero) and DuckDB's `//` (floor)
+  *    agree; distances are shift-invariant so the offset never changes
+  *    an assignment.
+  *  - `ml_auc_rank` — EXACT ROC-AUC via the Mann-Whitney rank-sum
+  *    statistic: AUC = U/(n⁺·n⁻) with ties at the average rank.
+  *    Doubling every rank term keeps tie midpoints integral, so `u2`
+  *    (= 2U) is an exact integer and the final AUC is an integer
+  *    parts-per-million `div`.
+  *  - `ml_confusion_matrix` — label × deterministic-prediction counts.
+  *
+  * Scale posture: k-means fans each vector out k ways against a
+  * BROADCAST centroid table (k·dim values — bytes), so each iteration
+  * is one linear pass + one (cell, dim) aggregate; nothing re-reads
+  * history. The AUC rank accumulation runs over the DISTINCT-score
+  * table via [[Scale.globalPrefixSum]]'s bucket-parallel prefix sum —
+  * no single-partition window anywhere (plan-guarded in MlOpsSpec).
+  */
+object MlOps {
+
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  /** vec_id → positive integer vector (round(x·1000) + 1e6). */
+  private def qvecs(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint) + 1000000)")
+        .as("q"))
+
+  /** Nearest centroid per vector; ties break to the smallest cid
+    * (ADVICE round-3: quantized centroids can collide, so the
+    * tiebreak must be explicit on both engines).
+    */
+  private def assign(v: DataFrame, c: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    v.crossJoin(broadcast(c))
+      .withColumn("d2",
+        expr("aggregate(zip_with(q, c, (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rr", row_number().over(w))
+      .filter(col("rr") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** Integer centroid recompute: per (cell, dim), floor-mean of the
+    * (positive) member components, re-packed into a vector.
+    */
+  private def recompute(v: DataFrame, a: DataFrame): DataFrame =
+    v.join(a, "vec_id")
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy("cell", "pos")
+      .agg(expr("div(sum(qv), count(1))").as("cv"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
+      .select(col("cell").as("cid"), col("c"))
+
+  /** Two Lloyd iterations, k = 8, seeded by the first 8 vectors
+    * (deterministic — no RNG anywhere). Output: final cluster census +
+    * the centroid component-sum checksum (offset space).
+    */
+  val mlKmeans2iter: Q = (s, d) => {
+    val v = qvecs(s, d)
+    val c0 = v.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("q").as("c"))
+    val c1 = recompute(v, assign(v, c0))
+    val c2 = recompute(v, assign(v, c1))
+    val a3 = assign(v, c2)
+    val census = a3.groupBy("cell").agg(cnt.as("n_members"))
+    val sums = c2.select(col("cid").as("cell"),
+        expr("aggregate(c, 0L, (acc, x) -> acc + x)").as("centroid_sum"))
+    census.join(sums, "cell")
+      .select(col("cell").cast("long").as("cell"), col("n_members"), col("centroid_sum"))
+      .orderBy("cell")
+  }
+
+  /** Exact AUC of the integer score `sum(q)` against the binary label
+    * `label < 5`. Rank accumulation is a prefix sum over the DISTINCT
+    * score table (bucket-parallel, never single-partition): for a
+    * score group of size n starting after cumBefore rows, twice its
+    * average rank is `2·cumBefore + n + 1`.
+    */
+  val mlAucRank: Q = (s, d) => {
+    val scored = emb(s, d).select(
+      expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)), 0L, (acc, x) -> acc + x)")
+        .as("score"),
+      when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+    val g = scored.groupBy("score")
+      .agg(cnt.as("n"), sum("pos").cast("long").as("np"))
+    val ps = Scale.globalPrefixSum(g, floor(col("score") / lit(1000L)),
+        Seq(col("score")), col("n"))
+    val acc = ps
+      .select((col("np") * (lit(2L) * (col("__ps") - col("n")) + col("n") + 1L)).as("term"),
+              col("np"), col("n"))
+      .agg(sum("term").cast("long").as("sum_ranks2"),
+           sum("np").cast("long").as("n_pos"),
+           (sum("n") - sum("np")).cast("long").as("n_neg"))
+    acc.select(
+        col("n_pos"), col("n_neg"),
+        (col("sum_ranks2") - col("n_pos") * (col("n_pos") + 1L)).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+              expr("div(u2 * 500000, n_pos * n_neg)").as("auc_ppm"))
+  }
+
+  /** Confusion matrix of the stored label against a deterministic
+    * integer prediction (|component|-sum mod 10) — the evaluation-step
+    * census every training pipeline emits. One scan + one keyed agg.
+    */
+  val mlConfusionMatrix: Q = (s, d) => {
+    emb(s, d).select(
+        col("label").cast("long").as("label"),
+        expr("aggregate(transform(embedding, x -> abs(cast(round(cast(x as double) * 1000) as bigint))), 0L, (acc, x) -> acc + x) % 10")
+          .as("pred"))
+      .groupBy("label", "pred")
+      .agg(cnt.as("c"))
+      .orderBy("label", "pred")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ml_kmeans_2iter" -> mlKmeans2iter,
+    "ml_auc_rank" -> mlAucRank,
+    "ml_confusion_matrix" -> mlConfusionMatrix,
+  )
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Round-4 wave 13: corpus relevance / indexing primitives — the
+  * search-adjacent layer of a training-data pipeline: tf-idf-style
+  * term weighting, adjacent-bigram co-occurrence, and the inverted-
+  * index posting census.
+  *
+  * All scores are exact integers (SURVEY §2.1-R2/R6): the idf factor
+  * is the integer surrogate `1e6 div df` — inverse document frequency
+  * without the engine-dependent `ln` (libm ulp differences would break
+  * the oracle hash; the ordering the score induces per fixed df is the
+  * same as tf·idf's tf ordering, and df-rare terms still dominate).
+  *
+  * Scale posture: every operator explodes tokens once — shuffle volume
+  * is linear in total token count, the same inverted-index shape as
+  * `decontaminate_ngram` (PLANS.md round-3). The df / vocabulary side
+  * is vocab-sized (Zipf), so its joins broadcast under AQE at any
+  * corpus size; the only windows are per-doc (top-k terms) and
+  * per-lang over the top-bigram table — never over the corpus.
+  */
+object Relevance {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** Per-(doc, token) term frequency — one explode + one keyed agg. */
+  private def termFreq(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(cnt.as("tf"))
+
+  /** Top-3 terms per document by tf × (1e6 div df). The df table is
+    * vocab-sized; the rank window partitions by doc_id.
+    */
+  val textTfidfTopk: Q = (s, d) => {
+    val tf = termFreq(s, d)
+    val df = tf.groupBy("tok").agg(cnt.as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score", col("tf") * expr("div(1000000, df)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "tok", "tf", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Top-10 adjacent-token bigrams per language. The bigram explode is
+    * linear (one bigram per adjacent pair); the only window runs over
+    * the per-(lang, bigram) COUNT table, never the corpus.
+    */
+  val textBigramCooccur: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("bigram"))
+    docs(s, d)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("lang"),
+              explode(when(size(col("tk")) >= 2,
+                  expr("transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"))
+                .otherwise(expr("array()"))).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(cnt.as("c"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("lang", "bigram", "c", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  /** Inverted-index posting census per (lang, token): document
+    * frequency, total term frequency, and the posting span
+    * (min/max doc id) — the statistics a posting-list builder emits.
+    * Top-100 by df with a full deterministic tiebreak.
+    */
+  val textInvertedPostings: Q = (s, d) => {
+    docs(s, d)
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok", "doc_id")
+      .agg(cnt.as("tf"))
+      .groupBy("lang", "tok")
+      .agg(cnt.as("df"), sum("tf").cast("long").as("tf_total"),
+           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy(col("df").desc, col("lang"), col("tok"))
+      .limit(100)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_tfidf_topk" -> textTfidfTopk,
+    "text_bigram_cooccur" -> textBigramCooccur,
+    "text_inverted_postings" -> textInvertedPostings,
+  )
+}

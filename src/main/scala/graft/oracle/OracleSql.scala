@@ -353,7 +353,83 @@ object OracleSql {
   ORDER BY "rule"""",
   )
 
-  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ Map(
+  /** Round-4 waves 13–14: relevance/indexing ([[graft.ops.Relevance]])
+    * and integer-exact ML evaluation ([[graft.ops.MlOps]]). The k-means
+    * oracle replays the identical two Lloyd iterations as chained CTEs
+    * (same structure as `ann_ivf_topk` / `graph_pagerank`); vectors are
+    * offset-quantized (`round(x·1000) + 1e6` — strictly positive so
+    * DuckDB's floor `//` equals Spark's truncating `div`).
+    */
+  private val wave1314: Map[String, String] = Map(
+    "text_tfidf_topk" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1, 2),
+  df AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+  sc AS (SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) tf,
+      CAST(tf.tf * (1000000 // df.df) AS BIGINT) score FROM tf JOIN df USING (tok)),
+  r AS (SELECT doc_id, tok, tf, score,
+      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) rk FROM sc)
+  SELECT doc_id, tok, tf, score, rk FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "text_bigram_cooccur" ->
+      """WITH b AS (SELECT lang,
+      unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) bigram
+    FROM (SELECT lang, string_split(text, ' ') t FROM documents)),
+  g AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) c FROM b GROUP BY 1, 2),
+  r AS (SELECT lang, bigram, c,
+      CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, bigram) AS BIGINT) rk FROM g)
+  SELECT lang, bigram, c, rk FROM r WHERE rk <= 10 ORDER BY lang, rk""",
+    "text_inverted_postings" ->
+      """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+  per AS (SELECT lang, tok, doc_id, count(*) tf FROM t GROUP BY 1, 2, 3),
+  g AS (SELECT lang, tok, CAST(count(*) AS BIGINT) df, CAST(sum(tf) AS BIGINT) tf_total,
+      min(doc_id) min_doc, max(doc_id) max_doc FROM per GROUP BY 1, 2)
+  SELECT lang, tok, df, tf_total, min_doc, max_doc FROM g
+  ORDER BY df DESC, lang, tok LIMIT 100""",
+    "ml_kmeans_2iter" ->
+      """WITH v AS (SELECT vec_id,
+      list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT) + 1000000) q FROM embeddings),
+  c0 AS (SELECT vec_id cid, q c FROM v WHERE vec_id < 8),
+  d1 AS (SELECT v.vec_id, c.cid, sum((v.q[r.i]-c.c[r.i])*(v.q[r.i]-c.c[r.i])) d2
+    FROM v CROSS JOIN c0 c, range(1,65) r(i) GROUP BY 1, 2),
+  a1 AS (SELECT vec_id, cid cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rr FROM d1) WHERE rr = 1),
+  m1 AS (SELECT a1.cell, r.i pos, sum(v.q[r.i]) // count(*) cv
+    FROM a1 JOIN v USING (vec_id), range(1,65) r(i) GROUP BY 1, 2),
+  c1 AS (SELECT cell cid, list(cv ORDER BY pos) c FROM m1 GROUP BY cell),
+  d2t AS (SELECT v.vec_id, c.cid, sum((v.q[r.i]-c.c[r.i])*(v.q[r.i]-c.c[r.i])) d2
+    FROM v CROSS JOIN c1 c, range(1,65) r(i) GROUP BY 1, 2),
+  a2 AS (SELECT vec_id, cid cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rr FROM d2t) WHERE rr = 1),
+  m2 AS (SELECT a2.cell, r.i pos, sum(v.q[r.i]) // count(*) cv
+    FROM a2 JOIN v USING (vec_id), range(1,65) r(i) GROUP BY 1, 2),
+  c2 AS (SELECT cell cid, list(cv ORDER BY pos) c FROM m2 GROUP BY cell),
+  d3 AS (SELECT v.vec_id, c.cid, sum((v.q[r.i]-c.c[r.i])*(v.q[r.i]-c.c[r.i])) d2
+    FROM v CROSS JOIN c2 c, range(1,65) r(i) GROUP BY 1, 2),
+  a3 AS (SELECT vec_id, cid cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rr FROM d3) WHERE rr = 1),
+  census AS (SELECT cell, CAST(count(*) AS BIGINT) n_members FROM a3 GROUP BY 1),
+  sums AS (SELECT cid cell, CAST(list_sum(c) AS BIGINT) centroid_sum FROM c2)
+  SELECT CAST(census.cell AS BIGINT) cell, n_members, centroid_sum
+  FROM census JOIN sums USING (cell) ORDER BY cell""",
+    "ml_auc_rank" ->
+      """WITH s AS (SELECT
+      list_sum(list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT))) score,
+      CASE WHEN label < 5 THEN 1 ELSE 0 END pos FROM embeddings),
+  g AS (SELECT score, count(*) n, sum(pos) np FROM s GROUP BY 1),
+  w AS (SELECT score, n, np, sum(n) OVER (ORDER BY score) cum FROM g),
+  acc AS (SELECT sum(np * (2*(cum - n) + n + 1)) sr2, sum(np) n_pos, sum(n) - sum(np) n_neg FROM w)
+  SELECT CAST(n_pos AS BIGINT) n_pos, CAST(n_neg AS BIGINT) n_neg,
+    CAST(sr2 - n_pos*(n_pos+1) AS BIGINT) u2,
+    CAST((sr2 - n_pos*(n_pos+1)) * 500000 // (n_pos * n_neg) AS BIGINT) auc_ppm
+  FROM acc""",
+    "ml_confusion_matrix" ->
+      """SELECT CAST(label AS BIGINT) "label",
+    CAST(list_sum(list_transform(embedding::DOUBLE[], x -> abs(CAST(round(x*1000) AS BIGINT)))) % 10 AS BIGINT) pred,
+    CAST(count(*) AS BIGINT) c
+  FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+
+  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ wave1314 ++ Map(
     "graph_pagerank" -> pagerankSql,
     // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
     // queries extend the sort to the measured-unique 5-tuple so the cut
