@@ -349,9 +349,26 @@ object Analytics {
            sum(when(col("ov").isNull, 1L).otherwise(0L)).cast("long").as("n_overflow"))
       .orderBy("o_orderstatus")
 
+  /** Exact triangle census — [[Scale.triangleCount]] over a
+    * deterministic Erdős–Rényi-style graph derived from the order
+    * keys: 512 nodes, one edge per order via two independent md5
+    * digests (a LINEAR hash pair puts every edge on one line in Z² and
+    * yields zero triangles — measured; md5 gives the generic random
+    * graph). Degree orientation keeps the wedge join O(m^1.5) no
+    * matter how skewed the degrees get; the oracle replays the
+    * identical orientation as CTEs.
+    */
+  val graphTriangleCount: Q = (s, d) => {
+    def node(salt: String) =
+      conv(substring(md5(concat(col("o_orderkey").cast("string"), lit(salt))), 1, 8), 16, 10)
+        .cast("long") % 512
+    Scale.triangleCount(orders(s, d).select(node("s").as("src"), node("t").as("dst")))
+  }
+
   val queries: Map[String, Q] = Map(
     "expr_try_funcs" -> exprTryFuncs,
     "graph_pagerank" -> graphPagerank,
+    "graph_triangle_count" -> graphTriangleCount,
     "json_variant_funcs" -> jsonVariantFuncs,
     "agg_hll_users" -> aggHllUsers,
     "scd2_user_state" -> scd2UserState,

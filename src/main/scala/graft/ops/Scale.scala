@@ -214,4 +214,57 @@ object Scale {
       .otherwise(r + floor((col("__rn") - 1 - big) / q).cast("long") + 1)
     ranked.withColumn("__tile", tile).drop("__rn", "__n")
   }
+
+  /** Degree-oriented exact triangle count — the third graph exemplar.
+    *
+    * The naive formulation (join the edge list with itself twice)
+    * enumerates every length-2 path: Σ C(deg, 2) over UNDIRECTED
+    * degrees, which a single celebrity node turns quadratic. Orienting
+    * every edge from its (degree, id)-smaller endpoint to the larger
+    * one — the standard trick from Suri & Vassilvitskii's MapReduce
+    * triangle paper — bounds every out-degree by O(√m), so the wedge
+    * join generates O(m^1.5) candidates worst-case regardless of skew,
+    * each verified by one equi-join probe against the oriented edge
+    * list. All three joins shuffle on a node id; nothing is ever
+    * collected or single-partitioned.
+    *
+    * Input: any (src, dst) DataFrame (directed/multi edges fine —
+    * canonicalized + deduped here, self-loops dropped). Output: one
+    * row (n_triangles, n_edges, n_nodes).
+    */
+  def triangleCount(rawEdges: DataFrame): DataFrame = {
+    val und = rawEdges
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val fwd = // (degree, id)-order comparison; a < b already, so ties orient a→b
+      col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+              when(fwd, col("b")).otherwise(col("a")).as("v"),
+              when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2, "u")
+      .filter(col("dv1") < col("dv2") ||
+              (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      .select("v1", "v2")
+    // inner join, NOT semi: (v1, v2) repeats across apexes and each
+    // occurrence is a distinct triangle (the apex is the triangle's
+    // (deg, id)-minimum vertex, so each triangle closes exactly once)
+    val closures = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    closures
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_triangles").cast("long"), col("n_edges").cast("long"),
+              col("n_nodes").cast("long"))
+  }
 }

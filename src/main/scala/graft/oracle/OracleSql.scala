@@ -429,7 +429,31 @@ object OracleSql {
   FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
-  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ wave1314 ++ Map(
+  /** Wave 15: degree-oriented triangle counting — the oracle replays
+    * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
+    */
+  private val wave15: Map[String, String] = Map(
+    "graph_triangle_count" ->
+      """WITH raw AS (SELECT
+      CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 's'), 1, 8)) AS BIGINT) % 512 src,
+      CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 't'), 1, 8)) AS BIGINT) % 512 dst
+    FROM orders),
+  und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b FROM raw WHERE src <> dst),
+  deg AS (SELECT n, count(*) deg FROM (SELECT a n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+  o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) THEN u.a ELSE u.b END u,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) THEN u.b ELSE u.a END v
+        FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+  o2 AS (SELECT o.u, o.v, d.deg dv FROM o JOIN deg d ON o.v = d.n),
+  w AS (SELECT e1.v v1, e2.v v2 FROM o2 e1 JOIN o2 e2 ON e1.u = e2.u
+        WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+  t AS (SELECT count(*) n_triangles FROM w JOIN o ON w.v1 = o.u AND w.v2 = o.v)
+  SELECT CAST(t.n_triangles AS BIGINT) n_triangles,
+    (SELECT CAST(count(*) AS BIGINT) FROM und) n_edges,
+    (SELECT CAST(count(*) AS BIGINT) FROM deg) n_nodes
+  FROM t""",
+  )
+
+  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ wave1314 ++ wave15 ++ Map(
     "graph_pagerank" -> pagerankSql,
     // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
     // queries extend the sort to the measured-unique 5-tuple so the cut

@@ -259,4 +259,22 @@ class AnalyticsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("triangleCount: known answers on hand-built graphs") {
+    import spark.implicits._
+    // K4 has C(4,3) = 4 triangles; duplicate/reversed/self edges must not count
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+                 (2L, 1L), (3L, 3L), (1L, 2L)).toDF("src", "dst")
+    assert(graft.ops.Scale.triangleCount(k4).collect().head ==
+      org.apache.spark.sql.Row(4L, 6L, 4L))
+    // a 4-cycle has wedges but no triangle
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(graft.ops.Scale.triangleCount(c4).collect().head ==
+      org.apache.spark.sql.Row(0L, 4L, 4L))
+  }
+
+  test("graph_triangle_count: md5 random graph census, pinned at sf0.001") {
+    assert(q("graph_triangle_count").collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(26L, 1489L, 512L)))
+  }
 }
