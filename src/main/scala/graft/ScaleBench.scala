@@ -171,6 +171,23 @@ object ScaleBench {
     val rfSec = (System.nanoTime() - rf0) / 1e9
     println(f"[scalebench] resample-ffill 16.8M grid rows / 1M events / 100k users: " +
       f"$nFilled%d filled in ${rfSec}%6.2f s")
+
+    // ---- round-4: degree-oriented triangles under a celebrity hub --------
+    // 2M random edges over 100k nodes PLUS 50k edges all touching node 0.
+    // Naive wedge enumeration pays C(50k, 2) = 1.25e9 wedges at the hub
+    // alone; orientation gives the hub the HIGHEST (deg, id) order, so
+    // every hub edge points INTO it and it generates zero wedges.
+    val rnd = spark.range(2000000L).select(
+      pmod(xxhash64(col("id")), lit(100000L)).as("src"),
+      pmod(xxhash64(col("id"), lit(1)), lit(100000L)).as("dst"))
+    val hub = spark.range(50000L).select(
+      lit(0L).as("src"), (pmod(xxhash64(col("id"), lit(2)), lit(99999L)) + 1).as("dst"))
+    val tc0 = System.nanoTime()
+    val triRow = graft.ops.Scale.triangleCount(rnd.unionByName(hub)).collect().head
+    val tcSec = (System.nanoTime() - tc0) / 1e9
+    println(f"[scalebench] triangles 2M random edges + 50k-degree hub: " +
+      f"${triRow.getLong(0)}%d triangles / ${triRow.getLong(1)}%d edges in ${tcSec}%6.2f s" +
+      " (naive hub wedges alone = 1.25e9)")
     spark.stop()
   }
 }

@@ -284,7 +284,25 @@ object Streaming {
       .orderBy("w", "rk")
   }
 
+  /** Batch twin of [[graft.streaming.StreamOps.chainedHourlyDaily]]:
+    * window-on-window re-aggregation — hourly per-type counts fold
+    * into daily totals carrying how many distinct hourly partials fed
+    * each day. Same `window(window(...))` chaining Spark executes as
+    * two stateful operators in streaming; here Catalyst collapses it
+    * to two keyed aggregates (one shuffle each, partials map-side).
+    */
+  val chainedWindows: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(cnt.as("c_hour"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum("c_hour").cast("long").as("c_day"), cnt.as("n_hours"))
+      .select(to_date(col("window.start")).cast("string").as("w"),
+              col("event_type"), col("c_day"), col("n_hours"))
+      .orderBy("w", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "agg_chained_windows" -> chainedWindows,
     "event_funnel" -> eventFunnel,
     "stream_topk_per_day" -> topkPerDay,
     "agg_pivot" -> aggPivot,

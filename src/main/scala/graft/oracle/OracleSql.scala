@@ -433,6 +433,12 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "agg_chained_windows" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) hw, event_type, count(*) c_hour
+    FROM events GROUP BY 1, 2)
+  SELECT CAST(CAST(date_trunc('day', hw) AS DATE) AS VARCHAR) w, event_type,
+    CAST(sum(c_hour) AS BIGINT) c_day, CAST(count(*) AS BIGINT) n_hours
+  FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
     "graph_triangle_count" ->
       """WITH raw AS (SELECT
       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 's'), 1, 8)) AS BIGINT) % 512 src,

@@ -32,6 +32,24 @@ object StreamOps {
       .agg(count(lit(1)).as("c"),
            sum(round(col("value") * 100).cast("long")).cast("long").as("val_cents"))
 
+  /** CHAINED windowed aggregations — two stateful operators in one
+    * streaming query (Spark ≥ 3.5 native support: `window(window_col,
+    * ...)` re-windows the first aggregation's output by its window's
+    * end): hourly per-type counts roll up into daily totals without an
+    * intermediate sink. Each level holds only its own open windows in
+    * state; the hourly partials emit (append, watermark-closed) and
+    * immediately feed the daily fold — the two-tier rollup a metrics
+    * pipeline otherwise builds as two jobs plus a topic between them.
+    */
+  def chainedHourlyDaily(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c_hour"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum("c_hour").cast("long").as("c_day"),
+           count(lit(1)).as("n_hours"))
+
   /** Hopping window: 60-minute windows sliding every 30 minutes. */
   def sliding1h30m(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

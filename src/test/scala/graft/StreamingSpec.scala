@@ -53,6 +53,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(jan1.head.getAs[Long]("c") == 2, "late event must NOT be counted")
   }
 
+  test("chained windowed aggregations: hourly partials roll into daily totals in ONE query") {
+    // 3 events across 2 hours of Jan 1 + a Jan 3 event to close both
+    // levels' watermarks: the daily row must fold BOTH hourly partials.
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:05:00"), evt(2, "2024-01-01 10:40:00"),
+          evt(3, "2024-01-01 11:20:00")),
+      Seq(evt(9, "2024-01-03 00:00:00"))), // advance watermark past Jan 1
+      "append")(df => StreamOps.chainedHourlyDaily(df))
+    val jan1 = out.filter(col("window.start") === ts("2024-01-01 00:00:00")).collect()
+    assert(jan1.length == 1, out.collect().mkString("\n"))
+    assert(jan1.head.getAs[Long]("c_day") == 3)
+    assert(jan1.head.getAs[Long]("n_hours") == 2) // two distinct hourly partials
+  }
+
   test("hopping windows assign events to both overlapping windows") {
     // one event at 10:15 in 60m/30m hopping windows -> windows starting
     // 09:30 and 10:00 each count it once (after watermark closes them)
