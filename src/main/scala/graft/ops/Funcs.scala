@@ -192,7 +192,69 @@ object Funcs {
       .orderBy("lang", "shard")
   }
 
+  /** Calendar/interval arithmetic battery: month shift (with month-end
+    * clamping — both engines clamp), month truncation, day deltas from
+    * an epoch date, quarter, ISO day-of-week, month end. All outputs
+    * integers or DATE strings (R2/R4-safe). One codegen scan.
+    */
+  val exprIntervalArith: Q = (s, d) =>
+    Tables.t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).cast("string").as("plus3m"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("mstart"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        (((dayofweek(col("o_orderdate")) + 5) % 7) + 1).cast("long").as("isodow"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+
+  /** Skew-defended equi-join as a first-class query:
+    * [[Scale.saltedJoin]] splits each hot key (5 event types over 100k
+    * rows — maximal skew) across 8 reducers by salting the fact side
+    * and replicating the 5-row dim ×8. The oracle is the PLAIN join —
+    * salting must be invisible in the result, and the driver's
+    * hash-compare proves it on every run.
+    */
+  val joinSkewSalted: Q = (s, d) => {
+    val ev = events(s, d).select("event_type", "event_id", "value")
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("long"))
+    Scale.saltedJoin(ev, dim, "event_type", 8)
+      .groupBy("event_type")
+      .agg(cnt.as("n"), max("weight").as("weight"), sumCents(col("value")).as("val_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Typed-Dataset escape hatch exercised as a query: `groupByKey` +
+    * `mapGroups` computing per-customer order stats. This is the API a
+    * user reaches for when per-group logic outgrows SQL — and its cost
+    * is real: no partial aggregation, every row shuffles (the
+    * declarative twin `agg_stats_multi` map-side combines). The oracle
+    * pins that the typed path computes exactly what SQL would.
+    */
+  val typedGroupStats: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    Tables.t(s, d, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        var n = 0L; var sm = 0L; var mx = Long.MinValue
+        it.foreach { case (_, c) => n += 1; sm += c; if (c > mx) mx = c }
+        (k, n, sm, mx)
+      }
+      .toDF("o_custkey", "n_orders", "sum_cents", "max_cents")
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "expr_interval_arith" -> exprIntervalArith,
+    "join_skew_salted" -> joinSkewSalted,
+    "typed_group_stats" -> typedGroupStats,
     "map_typed_funcs" -> mapTypedFuncs,
     "struct_funcs" -> structFuncs,
     "regexp_funcs" -> regexpFuncs,

@@ -150,7 +150,23 @@ object Windows {
       .limit(1000)
   }
 
+  /** nth_value over the full partition frame: the 2nd order key and
+    * 3rd order's cents per customer on every row — the "compare me to
+    * the customer's nth event" shape. One keyed shuffle, one sort.
+    */
+  val winNthValue: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              nth_value(col("o_orderkey"), 2).over(w).as("second_ok"),
+              nth_value(cents(col("o_totalprice")), 3).over(w).as("third_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_nth_value" -> winNthValue,
     "win_moving_avg" -> winMovingAvg,
     "win_pct_rank_global" -> winPctRankGlobal,
     "win_topk_per_group" -> winTopkPerGroup,

@@ -433,6 +433,34 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "win_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+    nth_value(o_orderkey, 2) OVER w second_ok,
+    nth_value(CAST(round(o_totalprice*100) AS BIGINT), 3) OVER w third_cents
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    "expr_interval_arith" ->
+      """SELECT o_orderkey,
+    CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) plus3m,
+    CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) mstart,
+    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) days_since,
+    CAST(quarter(o_orderdate) AS BIGINT) qtr,
+    CAST(isodow(o_orderdate) AS BIGINT) isodow,
+    CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) month_end
+  FROM orders ORDER BY o_orderkey LIMIT 1000""",
+    "join_skew_salted" ->
+      """WITH dim AS (SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) weight FROM events)
+  SELECT e.event_type, CAST(count(*) AS BIGINT) n, max(d.weight) weight,
+    CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) val_cents
+  FROM events e JOIN dim d ON e.event_type = d.event_type
+  GROUP BY 1 ORDER BY 1""",
+    "typed_group_stats" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) n_orders,
+    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) sum_cents,
+    CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) max_cents
+  FROM orders GROUP BY 1 ORDER BY 1""",
     "agg_chained_windows" ->
       """WITH h AS (SELECT date_trunc('hour', ts) hw, event_type, count(*) c_hour
     FROM events GROUP BY 1, 2)

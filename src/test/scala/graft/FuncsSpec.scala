@@ -114,4 +114,46 @@ class FuncsSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("windowspecdefinition(lang"), p.take(1000))
   }
+
+  test("join_skew_salted: salting is invisible — equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("value"))
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           max(length(col("event_type")).cast("long")).as("weight"),
+           sum(round(col("value") * 100).cast("long")).cast("long").as("val_cents"))
+      .orderBy("event_type").collect().toSeq
+    assert(q("join_skew_salted").collect().toSeq == plain)
+  }
+
+  test("typed_group_stats: mapGroups computes exactly what the declarative agg does") {
+    import org.apache.spark.sql.functions._
+    val decl = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("sum_cents"),
+           max(round(col("o_totalprice") * 100).cast("long")).as("max_cents"))
+      .orderBy("o_custkey").collect().toSeq
+    assert(q("typed_group_stats").collect().toSeq == decl)
+  }
+
+  test("win_nth_value: full-frame nth values match a per-group probe") {
+    val rows = q("win_nth_value").collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1)) // o_orderkey asc within cust (orderdate ties broken by key upstream)
+      val second = g.head.get(2)
+      assert(g.forall(_.get(2) == second)) // constant across the partition
+    }
+  }
+
+  test("expr_interval_arith: calendar battery sanity on row 0") {
+    val r = q("expr_interval_arith").collect().head
+    assert(r.getLong(0) == 0L)
+    // days_since consistent with mstart/plus3m string forms
+    assert(r.getString(1) >= r.getString(2)) // plus3m >= month start
+    assert(r.getLong(4) >= 1L && r.getLong(4) <= 4L)
+    assert(r.getLong(5) >= 1L && r.getLong(5) <= 7L)
+  }
 }
