@@ -310,6 +310,21 @@ object Analytics {
       .orderBy("w")
   }
 
+  /** Sketch-based top-k: `approx_top_k` (Spark 4.1 native DataSketches
+    * frequent-items) per event type value domain — the heavy-hitter
+    * sketch whose state merges across partitions/days exactly like the
+    * HLL path above. Sketch internals are engine-specific → no SQL
+    * oracle (R7); AnalyticsSpec gates it against the EXACT top-k
+    * (`agg_heavy_hitters` family) — with 5 distinct values the sketch
+    * must be exact, and the test proves it is.
+    */
+  val aggApproxTopk: Q = (s, d) =>
+    events(s, d)
+      .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").cast("long").as("c"))
+      .orderBy(col("c").desc, col("event_type"))
+
   /** Co-purchase importance over the part↔supplier bipartite graph —
     * [[Scale.pagerankInt]] on the distinct lineitem (supplier, part)
     * pairs, edges in both directions (node ids: part·2, supplier·2+1).
@@ -371,6 +386,7 @@ object Analytics {
     "graph_triangle_count" -> graphTriangleCount,
     "json_variant_funcs" -> jsonVariantFuncs,
     "agg_hll_users" -> aggHllUsers,
+    "agg_approx_topk" -> aggApproxTopk,
     "scd2_user_state" -> scd2UserState,
     "snapshot_diff" -> snapshotDiff,
     "join_interval_overlap" -> joinIntervalOverlap,

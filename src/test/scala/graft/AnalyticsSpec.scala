@@ -273,6 +273,17 @@ class AnalyticsSpec extends SparkSpecBase {
       org.apache.spark.sql.Row(0L, 4L, 4L))
   }
 
+  test("agg_approx_topk: sketch equals EXACT top-3 on a 5-value domain (R7 gate)") {
+    import org.apache.spark.sql.functions._
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("event_type")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = q("agg_approx_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact, s"sketch=$got exact=$exact")
+  }
+
   test("graph_triangle_count: md5 random graph census, pinned at sf0.001") {
     assert(q("graph_triangle_count").collect().toSeq ==
       Seq(org.apache.spark.sql.Row(26L, 1489L, 512L)))

@@ -17,7 +17,8 @@ class OperatorSpec extends SparkSpecBase {
     // hash-family sketches
     val unoracled = keys -- SparkEntry.oracleSql.keySet
     assert(unoracled == Set("dedup_simhash", "ann_lsh_topk",
-                            "agg_approx_percentiles", "agg_hll_users"),
+                            "agg_approx_percentiles", "agg_hll_users",
+                            "agg_approx_topk"),
       s"unexpected oracle-less queries: $unoracled")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
