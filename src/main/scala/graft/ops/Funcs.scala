@@ -251,7 +251,48 @@ object Funcs {
       .orderBy("o_custkey")
   }
 
+  /** ROLLUP with `grouping()` indicators — the machine-readable way to
+    * tell subtotal rows from data rows that happen to hold the
+    * sentinel value. Coalesced labels + both grouping flags emitted.
+    */
+  val aggGroupingId: Q = (s, d) =>
+    Tables.t(s, d, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(cnt.as("n"),
+           grouping(col("o_orderstatus")).cast("long").as("g_status"),
+           grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+              col("n"), col("g_status"), col("g_prio"))
+      .orderBy("g_status", "g_prio", "status", "prio")
+
+  /** Explicit NULL placement in sort order (DESC NULLS LAST) — nulls
+    * manufactured via nullif (the corpus has none), full deterministic
+    * tiebreak so the LIMIT cut is engine-independent (R1).
+    */
+  val sortNullsLast: Q = (s, d) =>
+    Tables.t(s, d, "customer")
+      .select(col("c_custkey"),
+              expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+              cents(col("c_acctbal")).as("bal_cents"))
+      .orderBy(col("seg").desc_nulls_last, col("bal_cents"), col("c_custkey"))
+      .limit(500)
+
+  /** Pivot with MULTIPLE aggregates per pivot value (count + cents sum
+    * per order status) — Spark names the output `{value}_{aggAlias}`;
+    * the oracle mirrors with conditional aggregation.
+    */
+  val pivotMultiAgg: Q = (s, d) =>
+    Tables.t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(cnt.as("n"), sumCents(col("o_totalprice")).as("cents"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, Q] = Map(
+    "agg_grouping_id" -> aggGroupingId,
+    "sort_nulls_last" -> sortNullsLast,
+    "pivot_multi_agg" -> pivotMultiAgg,
     "expr_interval_arith" -> exprIntervalArith,
     "join_skew_salted" -> joinSkewSalted,
     "typed_group_stats" -> typedGroupStats,

@@ -386,7 +386,18 @@ object Subqueries {
       .agg(sum(revCents).cast("long").as("rev_cents"), cnt.as("n_items"))
   }
 
+  /** Recursive CTE (Spark 4 native `WITH RECURSIVE`): transitive
+    * closure of the deterministic tripling chain `k → 3k+1` from ten
+    * seed customers — depth grows with log₃(|customer|), so the
+    * iteration count scales with the LOG of the data. x→3x+1 is
+    * injective, so chains never merge and the working set stays ≤ 10
+    * rows per level. Text shared verbatim with the DuckDB oracle.
+    */
+  val sqlRecursiveCte: Q = (s, d) =>
+    Tables.sql(s, d, OracleSql.sql("sql_recursive_cte"))
+
   val queries: Map[String, Q] = Map(
+    "sql_recursive_cte" -> sqlRecursiveCte,
     "q9_product_profit" -> q9ProductProfit,
     "q11_important_stock" -> q11ImportantStock,
     "q12_priority_split" -> q12PrioritySplit,

@@ -165,7 +165,25 @@ object Windows {
       .limit(1000)
   }
 
+  /** IGNORE NULLS navigation: previous finished-order cents (lag
+    * skipping non-F orders, which project to NULL) and the running
+    * last non-null — the carry-forward idiom `ts_resample_ffill`
+    * builds on, exercised as a declared query.
+    */
+  val winIgnoreNulls: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("v", when(col("o_orderstatus") === "F", cents(col("o_totalprice"))))
+      .select(col("o_custkey"), col("o_orderkey"),
+              lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_f_cents"),
+              last(col("v"), ignoreNulls = true).over(wf).as("run_last_f_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_ignore_nulls" -> winIgnoreNulls,
     "win_nth_value" -> winNthValue,
     "win_moving_avg" -> winMovingAvg,
     "win_pct_rank_global" -> winPctRankGlobal,

@@ -433,6 +433,45 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE r(k, depth) AS (
+    SELECT c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey < 10
+    UNION ALL
+    SELECT c.c_custkey, r.depth + 1
+    FROM r JOIN customer c ON c.c_custkey = r.k * 3 + 1
+    WHERE r.depth < 20)
+  SELECT depth, CAST(count(*) AS BIGINT) n, CAST(sum(k) AS BIGINT) sum_k
+  FROM r GROUP BY depth ORDER BY depth""",
+    "win_ignore_nulls" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+      CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice*100) AS BIGINT) END v
+    FROM orders)
+  SELECT o_custkey, o_orderkey,
+    lag(v, 1 IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) prev_f_cents,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run_last_f_cents
+  FROM o ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    "agg_grouping_id" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') status, coalesce(o_orderpriority, 'ALL') prio,
+    CAST(count(*) AS BIGINT) n,
+    CAST(GROUPING(o_orderstatus) AS BIGINT) g_status,
+    CAST(GROUPING(o_orderpriority) AS BIGINT) g_prio
+  FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+  ORDER BY g_status, g_prio, status, prio""",
+    "sort_nulls_last" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') seg,
+    CAST(round(c_acctbal*100) AS BIGINT) bal_cents
+  FROM customer
+  ORDER BY seg DESC NULLS LAST, bal_cents, c_custkey LIMIT 500""",
+    "pivot_multi_agg" ->
+      """SELECT o_orderpriority,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) "F_n",
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN round(o_totalprice*100) ELSE 0 END) AS BIGINT) "F_cents",
+    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) "O_n",
+    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN round(o_totalprice*100) ELSE 0 END) AS BIGINT) "O_cents",
+    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) "P_n",
+    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN round(o_totalprice*100) ELSE 0 END) AS BIGINT) "P_cents"
+  FROM orders GROUP BY 1 ORDER BY 1""",
     "win_nth_value" ->
       """SELECT o_custkey, o_orderkey,
     nth_value(o_orderkey, 2) OVER w second_ok,

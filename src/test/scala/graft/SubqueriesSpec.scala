@@ -119,6 +119,12 @@ class SubqueriesSpec extends SparkSpecBase {
     rows.groupBy(_.getString(0)).values.foreach(g => assert(g.length <= 2))
   }
 
+  test("sql_recursive_cte: tripling-chain closure, depth scales with log of the data") {
+    assert(q("sql_recursive_cte").collect().toSeq == Seq(
+      Row(0L, 10L, 45L), Row(1L, 10L, 145L), Row(2L, 10L, 445L),
+      Row(3L, 6L, 483L), Row(4L, 2L, 161L), Row(5L, 1L, 121L)))
+  }
+
   test("q9_product_profit: nation x year profit, dims broadcast, one fact shuffle") {
     val rows = q("q9_product_profit").collect()
     assert(rows.length == 70)
