@@ -129,7 +129,42 @@ object MlOps {
       .orderBy("label", "pred")
   }
 
+  /** Principal-direction power iteration (iterative exemplar #4):
+    * two integer-exact multiplies of the 64×64 Gram matrix
+    * G = Σ q·qᵀ against the all-ones start vector. The only
+    * data-sized work is the outer-product aggregate (n·64² partial-
+    * agg'd rows, shuffling on 4096 (i, j) keys — the standard
+    * distributed covariance build); the iteration itself runs on the
+    * 64-row vector. Between multiplies the vector rescales by
+    * `div 2¹²` — truncation toward zero, matched in the oracle by
+    * `trunc(x / 2^12.0)` (exact: dividing by a power of two is exact
+    * in double below 2^53, and Gram/vector magnitudes stay < 2^46;
+    * 2^24 underflowed every component to zero at these Gram
+    * magnitudes — measured).
+    * Output: the 64 raw components of G·(G·1 div 2¹²) — the dominant
+    * eigendirection up to scale, bit-identical across engines.
+    */
+  val embeddingPcaPower: Q = (s, d) => {
+    val qd = emb(s, d).select(col("vec_id"),
+      posexplode(expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+        .as(Seq("i", "qi")))
+    val g = qd.join(qd.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")), "vec_id")
+      .groupBy("i", "j")
+      .agg(sum(col("qi") * col("qj")).as("g"))
+    val b1 = g.groupBy("i")
+      .agg(expr("div(sum(g), 4096)").as("b")) // b0 = ones; rescale 2^12
+      .select(col("i").as("j"), col("b"))
+    g.join(b1, "j")
+      .groupBy("i")
+      .agg(sum(col("g") * col("b")).cast("long").as("b2"))
+      // posexplode is 0-based, the oracle's range(1,65) list index is
+      // 1-based — emit 1-based dims to match
+      .select((col("i") + 1).cast("long").as("dim"), col("b2"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_pca_power" -> embeddingPcaPower,
     "ml_kmeans_2iter" -> mlKmeans2iter,
     "ml_auc_rank" -> mlAucRank,
     "ml_confusion_matrix" -> mlConfusionMatrix,

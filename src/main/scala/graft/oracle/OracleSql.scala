@@ -433,6 +433,14 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "embedding_pca_power" ->
+      """WITH q AS (SELECT vec_id, r.i, CAST(round(e.embedding[r.i]::DOUBLE * 1000) AS BIGINT) qi
+    FROM embeddings e, range(1, 65) r(i)),
+  g AS (SELECT a.i, b.i j, sum(a.qi * b.qi) g
+    FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+  b1 AS (SELECT i j, CAST(trunc(sum(g) / 4096.0) AS BIGINT) b FROM g GROUP BY 1)
+  SELECT CAST(g.i AS BIGINT) dim, CAST(sum(g.g * b1.b) AS BIGINT) b2
+  FROM g JOIN b1 ON g.j = b1.j GROUP BY 1 ORDER BY 1""",
     "sql_recursive_cte" ->
       """WITH RECURSIVE r(k, depth) AS (
     SELECT c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey < 10

@@ -40,6 +40,16 @@ class MlOpsSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(2)).sum == 500L)
   }
 
+  test("embedding_pca_power: 64 exact components; Gram build partial-aggregates") {
+    val rows = q("embedding_pca_power").collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 64L))
+    // the dominant direction is not degenerate: components differ
+    assert(rows.map(_.getLong(1)).distinct.length > 32)
+    val p = q("embedding_pca_power").queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), p.take(800)) // map-side combine on (i, j)
+  }
+
   test("text_tfidf_topk: exactly 3 ranked terms per document") {
     val rows = q("text_tfidf_topk").collect()
     assert(rows.length == 1500) // 500 docs x 3
