@@ -145,12 +145,18 @@ object MlOps {
     * eigendirection up to scale, bit-identical across engines.
     */
   val embeddingPcaPower: Q = (s, d) => {
-    val qd = emb(s, d).select(col("vec_id"),
-      posexplode(expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
-        .as(Seq("i", "qi")))
-    val g = qd.join(qd.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")), "vec_id")
-      .groupBy("i", "j")
-      .agg(sum(col("qi") * col("qj")).as("g"))
+    // per-row outer product via nested transform — NO self-join on
+    // vec_id (which would shuffle n·64 rows per side before the
+    // multiply); cells flow straight into the map-side partial agg
+    val cells = emb(s, d).select(explode(expr(
+      """flatten(transform(
+        |  transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)),
+        |  (a, i) -> transform(
+        |    transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)),
+        |    (b, j) -> named_struct('i', i, 'j', j, 'p', a * b))))""".stripMargin)).as("c"))
+    val g = cells
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p")).as("g"))
     val b1 = g.groupBy("i")
       .agg(expr("div(sum(g), 4096)").as("b")) // b0 = ones; rescale 2^12
       .select(col("i").as("j"), col("b"))
