@@ -188,6 +188,26 @@ object ScaleBench {
     println(f"[scalebench] triangles 2M random edges + 50k-degree hub: " +
       f"${triRow.getLong(0)}%d triangles / ${triRow.getLong(1)}%d edges in ${tcSec}%6.2f s" +
       " (naive hub wedges alone = 1.25e9)")
+
+    // ---- round-4: k-means + PCA at 100k vectors --------------------------
+    // the same operators the sf corpora oracle-pin, at 50x the vectors:
+    // k-means is a k-way broadcast fan-out per iteration, PCA's Gram
+    // build is a shuffle-free nested-transform outer product
+    val embDir = s"$dir/ml"
+    corpus.select(col("vec_id"),
+        expr("transform(ve, x -> cast(x as float))").as("embedding"),
+        pmod(col("vec_id"), lit(10)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$embDir/embeddings.parquet")
+    val km0 = System.nanoTime()
+    val kmRows = SparkEntry.queries("ml_kmeans_2iter")(spark, embDir).collect()
+    val kmSec = (System.nanoTime() - km0) / 1e9
+    println(f"[scalebench] kmeans 2 iters @ 100k vectors: " +
+      f"${kmRows.map(_.getLong(1)).sum}%d assigned to ${kmRows.length}%d cells in ${kmSec}%6.2f s")
+    val pc0 = System.nanoTime()
+    val pcRows = SparkEntry.queries("embedding_pca_power")(spark, embDir).count()
+    val pcSec = (System.nanoTime() - pc0) / 1e9
+    println(f"[scalebench] pca power @ 100k vectors (409.6M gram cells): " +
+      f"$pcRows%d dims in ${pcSec}%6.2f s")
     spark.stop()
   }
 }

@@ -95,6 +95,30 @@ object StreamOps {
       .select("click_id", "purch_id")
   }
 
+  /** LEFT OUTER stream-stream band join: every click emits — matched
+    * rows as matches arrive, UNMATCHED clicks with a NULL purchase
+    * once the watermark proves no match can still come. The
+    * click-side state eviction is exactly the unmatched-emission
+    * trigger (between [[bandJoin1h]]'s inner join and
+    * [[reconStream]]'s full-outer).
+    */
+  def bandJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                        watermark: String = "10 minutes"): DataFrame = {
+    val a = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("a_user"),
+              col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = purchases
+      .select(col("event_id").as("purch_id"), col("user_id").as("b_user"),
+              col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("a_user") === col("b_user") &&
+              col("b_ts") >= col("a_ts") &&
+              col("b_ts") < col("a_ts") + expr("INTERVAL 60 MINUTES"),
+           "left_outer")
+      .select("click_id", "purch_id")
+  }
+
   /** Streaming two-leg reconciliation — the flagship topology
     * (SURVEY.md §1.1): full-outer stream-stream join of leg A (signups)
     * and leg B (purchases) on key + 24h band, with watermarks on both

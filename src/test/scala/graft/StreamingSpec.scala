@@ -122,6 +122,32 @@ class StreamingSpec extends SparkSpecBase {
       == Set((1L, 100L)))
   }
 
+  test("stream-stream LEFT OUTER band join: unmatched clicks emit NULL after the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val sink = nextSink()
+    val q = StreamOps.bandJoinLeftOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    clicks.addData(
+      evt(1, "2024-01-01 10:00:00", user = 7, tpe = "click"),   // will match
+      evt(2, "2024-01-01 10:00:00", user = 8, tpe = "click"))   // never matches
+    purchases.addData(evt(100, "2024-01-01 10:30:00", user = 7, tpe = "purchase"))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the band so click 2 is provably dead
+    clicks.addData(evt(3, "2024-01-02 00:00:00", user = 9, tpe = "click"))
+    purchases.addData(evt(101, "2024-01-02 00:00:00", user = 9, tpe = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getAs[Long]("click_id"),
+                 Option(r.getAs[java.lang.Long]("purch_id")).map(_.toLong)))
+      .toSet
+    assert(got.contains((1L, Some(100L))), got.toString)   // matched pair
+    assert(got.contains((2L, None)), got.toString)          // null-extended after eviction
+  }
+
   test("stream-static enrichment join (KStream x KTable/GlobalKTable analogue)") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
