@@ -30,6 +30,31 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** foreachBatch fan-out: ONE streaming query feeding two sinks — the
+    * raw event log (append) and a per-type running aggregate rollup —
+    * without running (and state-keeping) the pipeline twice. The
+    * batch is persisted for the duration of the fan-out so the two
+    * writes share one computation, and each write lands under a
+    * batch-id directory: re-delivered batches (restart replay)
+    * overwrite their own output instead of duplicating — the
+    * at-least-once → effectively-once upgrade foreachBatch exists for.
+    */
+  def fanoutParquet(stream: DataFrame, rawPath: String, aggPath: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode(SaveMode.Overwrite).parquet(s"$rawPath/batch=$id")
+          batch.groupBy("event_type")
+            .agg(org.apache.spark.sql.functions.count(
+                   org.apache.spark.sql.functions.lit(1)).as("c"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$aggPath/batch=$id")
+        } finally batch.unpersist()
+      }
+      .start()
+
   /** Streaming upsert sink (`KTable` materialization): per micro-batch,
     * merge the batch into a keyed parquet view keeping the latest row
     * per key by `tsCol`. The merge here is read-union-dedup-rewrite via
