@@ -148,12 +148,13 @@ object MlOps {
     // per-row outer product via nested transform — NO self-join on
     // vec_id (which would shuffle n·64 rows per side before the
     // multiply); cells flow straight into the map-side partial agg
-    val cells = emb(s, d).select(explode(expr(
-      """flatten(transform(
-        |  transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)),
-        |  (a, i) -> transform(
-        |    transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)),
-        |    (b, j) -> named_struct('i', i, 'j', j, 'p', a * b))))""".stripMargin)).as("c"))
+    val cells = emb(s, d)
+      // quantize ONCE per row — inlining the transform into the nested
+      // lambda re-evaluates it per outer element (64× redundant work)
+      .select(expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("q"))
+      .select(explode(expr(
+        """flatten(transform(q, (a, i) ->
+          |  transform(q, (b, j) -> named_struct('i', i, 'j', j, 'p', a * b))))""".stripMargin)).as("c"))
     val g = cells
       .groupBy(col("c.i").as("i"), col("c.j").as("j"))
       .agg(sum(col("c.p")).as("g"))
