@@ -289,7 +289,36 @@ object Funcs {
       .agg(cnt.as("n"), sumCents(col("o_totalprice")).as("cents"))
       .orderBy("o_orderpriority")
 
+  /** Typed two-input cogroup — `KeyValueGroupedDataset.cogroup` is the
+    * API for per-key merge logic that joins can't express (here it CAN
+    * be, which is what makes it oracle-checkable: a LEFT JOIN +
+    * aggregate pins the semantics). Same caveat as `typed_group_stats`:
+    * both inputs shuffle in full, no partial aggregation — the
+    * escape hatch, not the default.
+    */
+  val typedCogroupStats: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val custs = Tables.t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+      .groupByKey(_._1)
+    val ords = Tables.t(s, d, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c")).as[(Long, Long)]
+      .groupByKey(_._1)
+    custs.cogroup(ords) { (k, cs, os) =>
+      val cl = cs.toSeq
+      if (cl.isEmpty) Iterator.empty // orders without a customer row: none by FK audit
+      else {
+        var n = 0L; var sm = 0L
+        os.foreach { case (_, v) => n += 1; sm += v }
+        Iterator((k, math.round(cl.head._2 * 100), n, sm))
+      }
+    }.toDF("c_custkey", "bal_cents", "n_orders", "sum_cents")
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "typed_cogroup_stats" -> typedCogroupStats,
     "agg_grouping_id" -> aggGroupingId,
     "sort_nulls_last" -> sortNullsLast,
     "pivot_multi_agg" -> pivotMultiAgg,

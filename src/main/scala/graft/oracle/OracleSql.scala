@@ -503,6 +503,12 @@ object OracleSql {
     CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) val_cents
   FROM events e JOIN dim d ON e.event_type = d.event_type
   GROUP BY 1 ORDER BY 1""",
+    "typed_cogroup_stats" ->
+      """SELECT c.c_custkey, CAST(round(c.c_acctbal*100) AS BIGINT) bal_cents,
+    CAST(count(o.o_orderkey) AS BIGINT) n_orders,
+    CAST(coalesce(sum(CAST(round(o.o_totalprice*100) AS BIGINT)), 0) AS BIGINT) sum_cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2 ORDER BY 1""",
     "typed_group_stats" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) n_orders,
     CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) sum_cents,
