@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 demonstration source: a deterministic synthetic event
+  * generator (`spark.read.format(classOf[SeqDataSource].getName)`),
+  * showing the THIRD Catalyst extension surface this library uses
+  * (next to native expressions and optimizer rules): a `TableProvider`
+  * whose ScanBuilder implements BOTH pushdown traits —
+  *
+  *  - `SupportsPushDownRequiredColumns`: readers materialize ONLY the
+  *    projected fields (a `select(user_id)` never formats the
+  *    event_type string or builds the timestamp);
+  *  - `SupportsPushDownFilters`: range predicates on `id` narrow the
+  *    generated [lo, hi) interval BEFORE partition planning, so a
+  *    `WHERE id >= N` plans only the partitions that can contain
+  *    matching rows — the generator analogue of parquet row-group
+  *    pruning.
+  *
+  * Rows are a pure function of `id` (no RNG): ts = 2024-01-01 + id s,
+  * user_id = id mod users, event_type = 5-way mod pick,
+  * value = (id mod 10000)/100 — so results are reproducible across
+  * partitionings and assertable row-by-row in SourcesSpec.
+  *
+  * Options: `rows` (default 1000), `users` (default 100),
+  * `slices` (max partitions, default 8).
+  */
+class SeqDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeqTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SeqTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("users", "100").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object SeqTable {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** 2024-01-01 00:00:00 UTC in epoch micros. */
+  val baseMicros: Long = 1704067200L * 1000000L
+
+  val eventTypes: Array[UTF8String] =
+    Array("click", "error", "purchase", "signup", "view").map(UTF8String.fromString)
+}
+
+class SeqTable(rows: Long, users: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_seq(rows=$rows)"
+  override def schema(): StructType = SeqTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(rows, users, slices)
+}
+
+class SeqScanBuilder(rows: Long, users: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = SeqTable.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("id", v: Long)           => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case IsNotNull("id")                   => true // nothing is null here
+      case _                                 => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SeqScan(required, lo, math.max(lo, hi), users, slices)
+}
+
+class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SeqScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) return Array.empty
+    val parts = math.max(1, math.min(slices.toLong, n)).toInt
+    val step = (n + parts - 1) / parts
+    (0 until parts).iterator
+      .map(i => SeqInputPartition(lo + i * step, math.min(hi, lo + (i + 1) * step)))
+      .filter(p => p.end > p.start)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required, users)
+}
+
+case class SeqInputPartition(start: Long, end: Long) extends InputPartition
+
+class SeqReaderFactory(required: StructType, users: Long)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqInputPartition]
+    // one generator lambda per projected column — the pruned schema
+    // decides what gets computed at all
+    val gens: Array[Long => Any] = required.fieldNames.map {
+      case "id"         => (id: Long) => id
+      case "ts"         => (id: Long) => SeqTable.baseMicros + id * 1000000L
+      case "user_id"    => (id: Long) => id % users
+      case "event_type" => (id: Long) => SeqTable.eventTypes((id % 5).toInt)
+      case "value"      => (id: Long) => (id % 10000L) / 100.0
+    }
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(gens.map(g => g(cur)).toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

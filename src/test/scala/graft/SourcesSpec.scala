@@ -275,4 +275,43 @@ class SourcesSpec extends SparkSpecBase {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  private def seqDf(opts: (String, String)*) = {
+    val r = spark.read.format(classOf[graft.sources.SeqDataSource].getName)
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("DSv2 SeqSource: deterministic rows, id-range filter pushdown narrows the scan") {
+    import org.apache.spark.sql.functions._
+    val df = seqDf("rows" -> "10000", "users" -> "50")
+    assert(df.count() == 10000)
+    val filtered = df.filter(col("id") >= 9990L && col("id") < 9995L)
+    assert(filtered.count() == 5)
+    // the range reached the Scan (generator analogue of row-group pruning)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("SeqScan[lo=9990, hi=9995"), p.take(1200))
+    // and row content is the documented pure function of id
+    val r = filtered.orderBy("id").collect().head
+    assert(r.getAs[Long]("id") == 9990L)
+    assert(r.getAs[Long]("user_id") == 9990L % 50)
+    assert(r.getAs[String]("event_type") == "click") // 9990 % 5 == 0
+    assert(r.getAs[Double]("value") == 9990 % 10000 / 100.0)
+  }
+
+  test("DSv2 SeqSource: column pruning reaches the reader") {
+    import org.apache.spark.sql.functions._
+    val df = seqDf("rows" -> "1000").select("user_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cols=user_id]"), p.take(1200)) // only the projected field generates
+    assert(df.distinct().count() == 100)
+  }
+
+  test("DSv2 SeqSource: partition planning splits the narrowed range only") {
+    import org.apache.spark.sql.functions._
+    val df = seqDf("rows" -> "1000000", "slices" -> "8")
+      .filter(col("id") < 100L)
+    // 100 rows / 8 slices -> every partition tiny; full plan would be 1M rows
+    assert(df.count() == 100)
+    assert(df.rdd.getNumPartitions <= 8)
+  }
 }
