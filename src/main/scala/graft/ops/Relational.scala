@@ -378,6 +378,26 @@ object Relational {
     statusKeys(s, d, "F").except(statusKeys(s, d, "P"))
       .orderBy("k").limit(500)
 
+  /** MULTISET difference — each F-status occurrence of a priority
+    * cancels one O-status occurrence (`EXCEPT ALL`: bag semantics the
+    * distinct variants above can't express). No LIMIT, so duplicate
+    * surviving rows need no tiebreak (the driver's compare sorts).
+    */
+  val setExceptAll: Q = (s, d) =>
+    orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderpriority")
+      .exceptAll(
+        orders(s, d).filter(col("o_orderstatus") === "O").select("o_orderpriority"))
+      .orderBy("o_orderpriority")
+
+  /** MULTISET intersection (`INTERSECT ALL`): per priority, min(#F, #P)
+    * occurrences survive.
+    */
+  val setIntersectAll: Q = (s, d) =>
+    orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderpriority")
+      .intersectAll(
+        orders(s, d).filter(col("o_orderstatus") === "P").select("o_orderpriority"))
+      .orderBy("o_orderpriority")
+
   // ---- scalar function families -----------------------------------------
 
   val strFuncs: Q = (s, d) =>
@@ -679,6 +699,8 @@ object Relational {
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll,
+    "set_intersect_all" -> setIntersectAll,
     "str_funcs" -> strFuncs,
     "date_funcs" -> dateFuncs,
     "date_trunc_funcs" -> dateTruncFuncs,

@@ -60,9 +60,22 @@ object Udfs {
       .orderBy("lang", "tok")
   }
 
+  /** OUTER generator semantics: `posexplode_outer` keeps parent rows
+    * whose generated list is EMPTY (null-extended) — the LATERAL VIEW
+    * OUTER contract an inner explode silently violates by dropping
+    * them. Rare-marker filter empties most documents on purpose.
+    */
+  val udtfExplodeOuter: Q = (s, d) =>
+    Tables.t(s, d, "documents")
+      .withColumn("l", expr("filter(split(text, ' '), x -> x IN ('vector', 'variant'))"))
+      .select(col("doc_id"), posexplode_outer(col("l")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+      .orderBy("doc_id", "pos")
+
   val queries: Map[String, Q] = Map(
     "udf_scalar_bucket" -> udfScalarBucket,
     "udaf_geomean" -> udafGeomean,
     "udtf_explode_chars" -> udtfExplodeChars,
+    "udtf_explode_outer" -> udtfExplodeOuter,
   )
 }

@@ -433,6 +433,24 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "udtf_explode_outer" ->
+      """WITH d AS (SELECT doc_id,
+      list_filter(string_split(text, ' '), x -> x IN ('vector', 'variant')) l
+    FROM documents)
+  SELECT d.doc_id, t.pos, t.tok
+  FROM d LEFT JOIN LATERAL (
+    SELECT unnest(d.l) tok, CAST(generate_subscripts(d.l, 1) - 1 AS BIGINT) pos) t ON true
+  ORDER BY doc_id, pos""",
+    "set_except_all" ->
+      """SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+  ORDER BY o_orderpriority""",
+    "set_intersect_all" ->
+      """SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+  ORDER BY o_orderpriority""",
     "embedding_pca_power" ->
       """WITH q AS (SELECT vec_id, r.i, CAST(round(e.embedding[r.i]::DOUBLE * 1000) AS BIGINT) qi
     FROM embeddings e, range(1, 65) r(i)),
