@@ -44,7 +44,8 @@ class SeqDataSource extends TableProvider {
     new SeqTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("users", "100").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("rowsPerBatch", "100").toLong)
 }
 
 object SeqTable {
@@ -62,16 +63,17 @@ object SeqTable {
     Array("click", "error", "purchase", "signup", "view").map(UTF8String.fromString)
 }
 
-class SeqTable(rows: Long, users: Long, slices: Int) extends Table with SupportsRead {
+class SeqTable(rows: Long, users: Long, slices: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_seq(rows=$rows)"
   override def schema(): StructType = SeqTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, users, slices)
+    new SeqScanBuilder(rows, users, slices, rowsPerBatch)
 }
 
-class SeqScanBuilder(rows: Long, users: Long, slices: Int)
+class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = SeqTable.schema
@@ -98,13 +100,24 @@ class SeqScanBuilder(rows: Long, users: Long, slices: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SeqScan(required, lo, math.max(lo, hi), users, slices)
+  override def build(): Scan =
+    new SeqScan(required, lo, math.max(lo, hi), users, slices, rowsPerBatch)
 }
 
-class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int)
+class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int,
+              rowsPerBatch: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming face of the same generator: offsets are plain row
+    * counts, each micro-batch serves the next `rowsPerBatch` ids until
+    * `rows` is exhausted — a rate source with DETERMINISTIC content
+    * (replayable: batch N is the same rows on every run/restart, which
+    * is what makes the exactly-once file-sink test meaningful).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new SeqMicroBatchStream(required, lo, hi, users, rowsPerBatch)
   override def description(): String =
     s"SeqScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
 
@@ -124,6 +137,32 @@ class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int
 }
 
 case class SeqInputPartition(start: Long, end: Long) extends InputPartition
+
+case class SeqOffset(n: Long) extends streaming.Offset {
+  override def json(): String = n.toString
+}
+
+class SeqMicroBatchStream(required: StructType, lo: Long, hi: Long,
+                          users: Long, rowsPerBatch: Long)
+    extends streaming.MicroBatchStream {
+  private var last: Long = lo
+  override def initialOffset(): streaming.Offset = SeqOffset(lo)
+  override def latestOffset(): streaming.Offset = {
+    last = math.min(hi, last + rowsPerBatch)
+    SeqOffset(last)
+  }
+  override def deserializeOffset(json: String): streaming.Offset =
+    SeqOffset(json.toLong)
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[SeqOffset].n, end.asInstanceOf[SeqOffset].n)
+    if (e > s) Array(SeqInputPartition(s, e)) else Array.empty
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required, users)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class SeqReaderFactory(required: StructType, users: Long)
     extends PartitionReaderFactory {

@@ -306,6 +306,24 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.distinct().count() == 100)
   }
 
+  test("DSv2 SeqSource streams: micro-batches drain the range deterministically") {
+    import org.apache.spark.sql.functions._
+    val sink = s"seq_stream_${System.nanoTime()}"
+    val q = spark.readStream.format(classOf[graft.sources.SeqDataSource].getName)
+      .option("rows", "250").option("rowsPerBatch", "100")
+      .load()
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    // 3 micro-batches (100 + 100 + 50), then latestOffset stays parked
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink)
+    assert(got.count() == 250)
+    // content identical to the batch read of the same range
+    val batch = spark.read.format(classOf[graft.sources.SeqDataSource].getName)
+      .option("rows", "250").load()
+    assert(got.orderBy("id").collect().toSeq == batch.orderBy("id").collect().toSeq)
+  }
+
   test("DSv2 SeqSource: partition planning splits the narrowed range only") {
     import org.apache.spark.sql.functions._
     val df = seqDf("rows" -> "1000000", "slices" -> "8")
