@@ -310,6 +310,30 @@ object Analytics {
       .orderBy("w")
   }
 
+  /** Point-in-time (temporal) join against the SCD2 dimension — the
+    * feature-store lookup: each purchase joins the state version that
+    * was valid AT ITS TIMESTAMP ([valid_from, valid_to) half-open, one
+    * open version per user). Equi-key on user + interval residual:
+    * co-partitioned on user_id, candidates bounded by versions-per-user.
+    * At extreme history depth the same semantics become a sort-merge
+    * as-of probe (AsOf.scala family); the join shape here is the
+    * declarative form AQE can reason about.
+    */
+  val joinScd2PointInTime: Q = (s, d) => {
+    val e = events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val v = e.select(col("user_id"), col("event_type").as("state"),
+                     col("ts").as("valid_from"),
+                     lead(col("ts"), 1).over(w).as("valid_to"))
+    val f = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("f_user"), col("ts").as("f_ts"))
+    f.join(v, col("f_user") === col("user_id") &&
+              col("f_ts") >= col("valid_from") &&
+              (col("valid_to").isNull || col("f_ts") < col("valid_to")))
+      .select(col("event_id"), col("state"), unix_micros(col("valid_from")).as("vf_us"))
+      .orderBy("event_id")
+  }
+
   /** Sketch-based top-k: `approx_top_k` (Spark 4.1 native DataSketches
     * frequent-items) per event type value domain — the heavy-hitter
     * sketch whose state merges across partitions/days exactly like the
@@ -387,6 +411,7 @@ object Analytics {
     "json_variant_funcs" -> jsonVariantFuncs,
     "agg_hll_users" -> aggHllUsers,
     "agg_approx_topk" -> aggApproxTopk,
+    "join_scd2_pointintime" -> joinScd2PointInTime,
     "scd2_user_state" -> scd2UserState,
     "snapshot_diff" -> snapshotDiff,
     "join_interval_overlap" -> joinIntervalOverlap,

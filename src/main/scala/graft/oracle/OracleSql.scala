@@ -433,6 +433,15 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "join_scd2_pointintime" ->
+      """WITH v AS (SELECT user_id, event_type state, ts valid_from,
+      lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) valid_to
+    FROM events),
+  f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+  SELECT f.event_id, v.state, CAST(epoch_us(v.valid_from) AS BIGINT) vf_us
+  FROM f JOIN v ON f.user_id = v.user_id AND f.ts >= v.valid_from
+    AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+  ORDER BY f.event_id""",
     "udtf_explode_outer" ->
       """WITH d AS (SELECT doc_id,
       list_filter(string_split(text, ' '), x -> x IN ('vector', 'variant')) l

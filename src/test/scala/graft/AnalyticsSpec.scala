@@ -273,6 +273,16 @@ class AnalyticsSpec extends SparkSpecBase {
       org.apache.spark.sql.Row(0L, 4L, 4L))
   }
 
+  test("join_scd2_pointintime: every purchase matches exactly its own version") {
+    import org.apache.spark.sql.functions._
+    val rows = q("join_scd2_pointintime").collect()
+    val purchases = graft.tables.Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+    assert(rows.length.toLong == purchases.count())
+    // a purchase's valid version at its own timestamp IS the purchase event
+    assert(rows.forall(_.getString(1) == "purchase"))
+  }
+
   test("agg_approx_topk: sketch equals EXACT top-3 on a 5-value domain (R7 gate)") {
     import org.apache.spark.sql.functions._
     val exact = spark.read.parquet(s"$sf/events.parquet")

@@ -111,4 +111,26 @@ class PropertySpec extends SparkSpecBase {
         s"width $w: $stats")
     }
   }
+
+  test("triangleCount equals brute-force enumeration on generated random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.choose(0L, 19L)
+      b <- Gen.choose(0L, 19L)
+    } yield (a, b)
+    val graphs = samples(Gen.listOfN(60, edgeGen).map(_.toSeq), 5)
+    graphs.zipWithIndex.foreach { case (es, trial) =>
+      val adj = es.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = adj.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val brute = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.length; k <- (j + 1) until nodes.length
+        if adj((nodes(i), nodes(j))) && adj((nodes(j), nodes(k))) && adj((nodes(i), nodes(k)))
+      } yield 1).size.toLong
+      val got = graft.ops.Scale
+        .triangleCount(es.toDF("src", "dst"))
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      assert(got == brute, s"trial $trial: oriented=$got brute=$brute adj=$adj")
+    }
+  }
 }
