@@ -96,7 +96,32 @@ object AsOf {
       .limit(2000)
   }
 
+  /** FORWARD as-of: for each purchase, the FIRST subsequent error
+    * event of the same user (strictly after; ties impossible at µs
+    * grain, id tiebreak anyway) — the "next failure after action"
+    * direction [[asofLastPrior]] doesn't cover. min-struct over the
+    * future side rides the user-key shuffle; inner semantics.
+    */
+  val joinAsofNext: Q = (s, d) => {
+    val e = Tables.t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+    val er = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+              col("ts").as("e_ts"))
+    p.join(er, col("p_user") === col("e_user") && col("e_ts") > col("p_ts"))
+      .groupBy("p_id")
+      .agg(min(struct(col("e_ts"), col("e_id"))).as("nxt"))
+      .select(col("p_id").as("purchase_id"),
+              col("nxt.e_id").as("next_error_id"),
+              unix_micros(col("nxt.e_ts")).as("next_us"))
+      .orderBy("purchase_id")
+      .limit(2000)
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_next" -> joinAsofNext,
     "join_asof_cogroup" -> joinAsofCogroup,
     "join_asof_nearest" -> joinAsofNearest,
   )

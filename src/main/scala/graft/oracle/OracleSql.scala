@@ -433,6 +433,14 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "join_asof_next" ->
+      """WITH p AS (SELECT event_id p_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+  e AS (SELECT event_id e_id, user_id, ts e_ts FROM events WHERE event_type = 'error'),
+  j AS (SELECT p.p_id, e.e_id, e.e_ts,
+      row_number() OVER (PARTITION BY p.p_id ORDER BY e.e_ts, e.e_id) rn
+    FROM p JOIN e ON p.user_id = e.user_id AND e.e_ts > p.ts)
+  SELECT p_id purchase_id, e_id next_error_id, CAST(epoch_us(e_ts) AS BIGINT) next_us
+  FROM j WHERE rn = 1 ORDER BY purchase_id LIMIT 2000""",
     "join_scd2_pointintime" ->
       """WITH v AS (SELECT user_id, event_type state, ts valid_from,
       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) valid_to

@@ -38,6 +38,24 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
 
+  /** CSV with malformed-row capture: PERMISSIVE mode parks unparseable
+    * lines in `_corrupt_record` instead of failing the job — on a
+    * 100 TB ingest, one mangled line must neither kill the run
+    * (FAILFAST) nor vanish silently (DROPMALFORMED); it lands in a
+    * quarantine column the DQ layer (`dq_*` audits) counts and routes.
+    */
+  def eventsFromCsvQuarantined(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withQuarantine = StructType(
+      eventSchema.fields :+ StructField("_corrupt_record", StringType, nullable = true))
+    spark.read.schema(withQuarantine)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
   /** Serde for a payload column: JSON string → typed struct → columns.
     * This is the decode step a Kafka value column goes through.
     */

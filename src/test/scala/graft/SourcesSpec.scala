@@ -276,6 +276,27 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("malformed CSV rows quarantine in _corrupt_record, never kill or silently vanish") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    val f = dir.resolve("events.csv")
+    java.nio.file.Files.writeString(f,
+      """event_id,ts,user_id,event_type,value,props
+        |1,2024-01-01 10:00:00.000000,7,click,1.50,{}
+        |not-a-long,garbage-timestamp,x,?,NaNaN,{{{
+        |3,2024-01-02 11:30:00.000000,8,view,2.25,{}
+        |""".stripMargin)
+    val df = graft.sources.Sources.eventsFromCsvQuarantined(spark, f.toString).cache()
+    assert(df.count() == 3) // nothing dropped, nothing failed
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.collect().head.getAs[String]("_corrupt_record").startsWith("not-a-long"))
+    // clean rows parse fully typed
+    val good = df.filter(col("_corrupt_record").isNull)
+    assert(good.agg(sum(round(col("value") * 100).cast("long"))).collect().head.getLong(0) == 375L)
+    df.unpersist()
+  }
+
   private def seqDf(opts: (String, String)*) = {
     val r = spark.read.format(classOf[graft.sources.SeqDataSource].getName)
     opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
