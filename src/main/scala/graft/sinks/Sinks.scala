@@ -128,6 +128,45 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Per-file min/max manifest — the data-skipping index layer that
+    * sits ABOVE parquet's own row-group stats: after any clustered
+    * write ([[writeZordered]], range-partitioned, or sorted), one scan
+    * with `input_file_name()` records each file's span per skip
+    * column into `<path>/_manifest`. [[readSkipping]] consults it to
+    * open only files whose span intersects the predicate — at 100 TB
+    * this is the difference between listing 100k footers and reading a
+    * 100-row manifest (the mechanism behind Delta/Iceberg file
+    * statistics, expressed on plain parquet).
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    cols: String*): Unit = {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val aggs = cols.flatMap(c => Seq(
+      fmin(col(c)).cast("double").as(s"min_$c"), fmax(col(c)).cast("double").as(s"max_$c")))
+    spark.read.parquet(path)
+      .withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
+  }
+
+  /** Manifest-pruned read: keep only files whose [min, max] span of
+    * `c` intersects [lo, hi], then read exactly those. Returns the
+    * pruned DataFrame and how many files were opened (for tests /
+    * observability). The residual filter still applies — the manifest
+    * only prunes, never decides membership.
+    */
+  def readSkipping(spark: org.apache.spark.sql.SparkSession, path: String,
+                   c: String, lo: Double, hi: Double): (DataFrame, Int) = {
+    val files = spark.read.parquet(s"$path/_manifest")
+      .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select("__file").collect().map(_.getString(0))
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    (df.filter(col(c) >= lo && col(c) <= hi), files.length)
+  }
+
   /** Streaming SCD2 sink — the dimension-HISTORY counterpart of
     * [[upsertParquet]] (which keeps only the latest row per key): every
     * incoming event opens a new version of its key and closes the

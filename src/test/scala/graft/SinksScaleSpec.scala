@@ -115,6 +115,28 @@ class SinksScaleSpec extends SparkSpecBase {
     assert(spark.read.parquet(zPath).count() == orders.count())
   }
 
+  test("manifest file-skipping opens a fraction of the files, result identical") {
+    val orders = graft.tables.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+              (unix_timestamp(col("o_orderdate")) / 86400).cast("long").as("d"))
+    val path = s"$tmp/orders_manifest"
+    val files = 16
+    orders.repartitionByRange(files, col("d")).sortWithinPartitions("d")
+      .write.mode("overwrite").parquet(path)
+    Sinks.writeManifest(spark, path, "d")
+    // a narrow date band should hit ~1-2 of the 16 range-partitioned files
+    val dLo = orders.agg(min("d")).collect().head.getLong(0).toDouble
+    val (pruned, opened) = Sinks.readSkipping(spark, path, "d", dLo, dLo + 30)
+    assert(opened < files / 2, s"opened $opened of $files files")
+    val full = spark.read.parquet(path)
+      .filter(col("d") >= dLo && col("d") <= dLo + 30)
+    assert(pruned.agg(count(lit(1)), sum("o_orderkey")).collect().head ==
+           full.agg(count(lit(1)), sum("o_orderkey")).collect().head)
+    // empty band prunes everything without failing
+    val (none, zero) = Sinks.readSkipping(spark, path, "d", -10000, -9999)
+    assert(zero == 0 && none.count() == 0)
+  }
+
   test("salted join equals plain join on a skewed key") {
     val e = graft.tables.Tables.t(spark, sf, "events")
       .select("event_id", "user_id") // user_id skew stand-in
