@@ -260,6 +260,23 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("stat sketches: countMinSketch estimates exact on a 5-value domain; freqItems finds all") {
+    import org.apache.spark.sql.functions._
+    val e = graft.tables.Tables.t(spark, sf, "events")
+    val exact = e.groupBy("event_type").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // eps/confidence sized so 5 heavy values cannot collide meaningfully
+    val cms = e.stat.countMinSketch(col("event_type"), 0.001, 0.999, 42)
+    exact.foreach { case (k, v) =>
+      val est = cms.estimateCount(k)
+      assert(est >= v && est <= v + (0.001 * exact.values.sum).toLong + 1,
+        s"$k exact=$v est=$est")
+    }
+    val freq = e.stat.freqItems(Array("event_type"), 0.1)
+      .collect().head.getSeq[String](0).toSet
+    assert(exact.keySet.subsetOf(freq), s"freqItems missed: ${exact.keySet -- freq}")
+  }
+
   test("triangleCount: known answers on hand-built graphs") {
     import spark.implicits._
     // K4 has C(4,3) = 4 triangles; duplicate/reversed/self edges must not count
