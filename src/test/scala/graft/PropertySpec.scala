@@ -112,6 +112,26 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents equals GraphX on generated random graphs (both label min node id)") {
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.choose(0L, 29L)
+      b <- Gen.choose(0L, 29L)
+      if a != b
+    } yield (a, b)
+    val graphs = samples(Gen.listOfN(40, edgeGen).map(_.toSeq), 3)
+    graphs.foreach { es =>
+      val ours = graft.ops.Scale
+        .connectedComponents(es.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gx = org.apache.spark.graphx.Graph
+        .fromEdgeTuples(spark.sparkContext.parallelize(es), defaultValue = 0)
+        .connectedComponents().vertices.collect().toMap
+      assert(ours == gx.map { case (k, v) => (k, v) },
+        s"ours=$ours graphx=$gx")
+    }
+  }
+
   test("triangleCount equals brute-force enumeration on generated random graphs") {
     import spark.implicits._
     val edgeGen = for {
