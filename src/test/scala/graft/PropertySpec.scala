@@ -151,6 +151,12 @@ class PropertySpec extends SparkSpecBase {
         .triangleCount(es.toDF("src", "dst"))
         .collect().headOption.map(_.getLong(0)).getOrElse(0L)
       assert(got == brute, s"trial $trial: oriented=$got brute=$brute adj=$adj")
+      // third implementation: GraphX counts per-vertex memberships (3 per triangle)
+      val gx = org.apache.spark.graphx.Graph
+        .fromEdgeTuples(spark.sparkContext.parallelize(adj.toSeq), 0)
+        .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+        .triangleCount().vertices.map(_._2.toLong).sum().toLong
+      assert(gx == 3 * brute, s"trial $trial: graphx=$gx brute=$brute")
     }
   }
 }
