@@ -36,7 +36,12 @@ object PlanAudit {
                      "subq_exists_correlated",
                      // round-3 pipeline operators
                      "decontaminate_ngram", "corpus_shuffle_shards",
-                     "embedding_quantize", "stream_topk_per_day"))
+                     "embedding_quantize", "stream_topk_per_day",
+                     // round-4 waves 10-19 flagships
+                     "q9_product_profit", "profile_table_stats",
+                     "text_tfidf_topk", "ml_kmeans_2iter", "ml_auc_rank",
+                     "graph_triangle_count", "embedding_pca_power",
+                     "join_scd2_pointintime", "join_skew_salted"))
       section(name)(SparkEntry.queries(name)(spark, d))
 
     spark.stop()
