@@ -182,7 +182,28 @@ object Windows {
       .limit(1000)
   }
 
+  /** Per-group top-k WITHOUT the window sort: the mergeable
+    * bounded-heap aggregate [[graft.functions.BottomK]] reduces each
+    * (map partition, customer) to ≤ 3 rows BEFORE the shuffle —
+    * `row_number().over(...)` must shuffle and sort every order first.
+    * Identical output to `win_topk_per_group` (same oracle shape), so
+    * the driver hash-proves the rewrite on every run; WindowsSpec pins
+    * the ObjectHashAggregate + partial_bottom_k plan.
+    */
+  val winTopkAgg: Q = (s, d) => {
+    val sortKey = struct((-col("o_totalprice")).as("negp"), col("o_orderkey").as("ok"))
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKFunctions.bottom_k(sortKey, 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.ok").as("o_orderkey"),
+              (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_topk_agg" -> winTopkAgg,
     "win_ignore_nulls" -> winIgnoreNulls,
     "win_nth_value" -> winNthValue,
     "win_moving_avg" -> winMovingAvg,

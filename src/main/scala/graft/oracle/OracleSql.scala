@@ -433,6 +433,10 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "win_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 1000""",
     "join_asof_next" ->
       """WITH p AS (SELECT event_id p_id, user_id, ts FROM events WHERE event_type = 'purchase'),
   e AS (SELECT event_id e_id, user_id, ts e_ts FROM events WHERE event_type = 'error'),

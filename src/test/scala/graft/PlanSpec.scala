@@ -137,4 +137,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("vecdot"), "VecDot missing from physical plan:\n" + p.take(600))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
+
+  test("win_topk_agg: bounded-heap aggregate partial-aggregates, no WindowExec") {
+    val df = q("win_topk_agg")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(1000))
+    assert(p.contains("partial_bottom_k"), p.take(1000)) // map-side heap BEFORE the shuffle
+    assert(!p.contains("Window"), "the whole point is no window sort:\n" + p.take(1000))
+    // and it computes exactly what the window formulation does
+    assert(df.collect().toSeq == q("win_topk_per_group").collect().toSeq)
+  }
 }
