@@ -208,6 +208,29 @@ object ScaleBench {
     val pcSec = (System.nanoTime() - pc0) / 1e9
     println(f"[scalebench] pca power @ 100k vectors (409.6M gram cells): " +
       f"$pcRows%d dims in ${pcSec}%6.2f s")
+
+    // ---- round-4: bounded-heap top-k vs window sort at 10M rows ----------
+    // top-3 per key over 10M rows / 1k keys: the window formulation
+    // shuffles and sorts all 10M; bottom_k's map-side heaps cut the
+    // shuffle to <= 3 rows x keys x partitions
+    val tk = spark.range(10000000L).select(
+      (col("id") % 1000).as("key"), col("id").as("ok"),
+      xxhash64(col("id")).cast("double").as("v")).cache()
+    tk.count()
+    val th0 = System.nanoTime()
+    val heapN = tk.groupBy("key")
+      .agg(graft.functions.TopKFunctions.bottom_k(
+        struct((-col("v")).as("nv"), col("ok")), 3).as("top"))
+      .select(col("key"), explode(col("top")))
+      .count()
+    val thSec = (System.nanoTime() - th0) / 1e9
+    val tw0b = System.nanoTime()
+    val winN = tk.withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("v").desc, col("ok"))))
+      .filter(col("rn") <= 3).count()
+    val twSecB = (System.nanoTime() - tw0b) / 1e9
+    println(f"[scalebench] top-3/key @ 10M rows, 1k keys: bottom_k ${thSec}%5.2f s " +
+      f"($heapN rows) vs window ${twSecB}%5.2f s ($winN rows) -> ${twSecB / thSec}%.1f x")
     spark.stop()
   }
 }

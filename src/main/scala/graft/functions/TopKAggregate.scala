@@ -55,7 +55,15 @@ case class BottomK(child: Expression, k: Int,
   override def update(buf: mutable.PriorityQueue[UnsafeRow],
                       input: InternalRow): mutable.PriorityQueue[UnsafeRow] = {
     val v = child.eval(input)
-    if (v != null) offer(buf, toUnsafe(v.asInstanceOf[InternalRow]).copy())
+    if (v != null) {
+      // compare on the projection's REUSED buffer; copy only rows that
+      // actually enter the heap (in steady state almost none do)
+      val projected = toUnsafe(v.asInstanceOf[InternalRow])
+      if (buf.size < k) buf.enqueue(projected.copy())
+      else if (rowOrd.compare(projected, buf.head) < 0) {
+        buf.dequeue(); buf.enqueue(projected.copy())
+      }
+    }
     buf
   }
 
