@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSignature, SimHash64, SortedJaccard, SortedOverlap, VecDot, VecSum}
+import graft.functions.{BottomK, MinHashSignature, SimHash64, SortedJaccard, SortedOverlap, VecDot, VecSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works next to
@@ -71,5 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash"),
       info("simhash", "simhash(tokens) - 64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k"),
+      info("bottom_k", "bottom_k(sort_struct, k) - aggregate: the k smallest structs " +
+        "(field-by-field ascending), as an ascending array; mergeable bounded heap " +
+        "(map-side partials carry <= k rows per group)"),
+      (es: Seq[Expression]) => BottomK(es(0),
+        es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
   }
 }

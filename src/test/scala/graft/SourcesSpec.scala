@@ -94,6 +94,12 @@ class SourcesSpec extends SparkSpecBase {
       assert(extended.sql(
         "SELECT sorted_jaccard(array('a','b'), array('a','c')) j").collect()
         .head.getAs[Double]("j") > 0.3)
+      // bottom_k registered as a SQL aggregate: 2 smallest of 5 structs
+      val bk = extended.sql(
+        """SELECT bottom_k(named_struct('v', vec_id), 2) b
+          |FROM emb5""".stripMargin).collect().head
+        .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+      assert(bk == Seq(0L, 1L), bk.toString)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
