@@ -137,6 +137,40 @@ class SinksScaleSpec extends SparkSpecBase {
     assert(zero == 0 && none.count() == 0)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true in the plan)") {
+    import spark.implicits._
+    // 200k rows on ONE hot key + 100 rows spread over 100 keys, joined
+    // to a 101-key dim: without AQE the hot key lands on one reducer
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200100L).select(
+        when(col("id") < 200000L, 0L).otherwise(col("id") % 100 + 1).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(101L).select(col("id").as("k"), (col("id") * 7).as("w"))
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS DataFrame's adaptive plan (count()
+      // would run a different one and leave this isFinalPlan=false)
+      assert(joined.collect().length == 200100)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE skew split missing from final plan:\n" + p.take(1500))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("salted join equals plain join on a skewed key") {
     val e = graft.tables.Tables.t(spark, sf, "events")
       .select("event_id", "user_id") // user_id skew stand-in
