@@ -301,7 +301,38 @@ object Streaming {
               col("event_type"), col("c_day"), col("n_hours"))
       .orderBy("w", "event_type")
 
+  /** Unmatched-leg aging report — the operational view a
+    * reconciliation system publishes: signups with NO purchase from
+    * the same user within 24h, bucketed by how long they have been
+    * outstanding (relative to the corpus max timestamp = "now").
+    * The anti band join is the complement of `recon_leg_match`'s
+    * matched set; ages in whole seconds (R4). One user-key shuffle +
+    * a 1-row broadcast "now".
+    */
+  val reconAgingBuckets: Q = (s, d) => {
+    val e = events(s, d)
+    val sg = typed(s, d, "signup", "s")
+    val p = typed(s, d, "purchase", "p")
+    val unmatched = sg.join(p,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") < col("s_ts") + expr("INTERVAL 24 HOURS"),
+      "left_anti")
+    val now = e.agg(max(col("ts")).as("now_ts"))
+    unmatched.crossJoin(broadcast(now))
+      .withColumn("age_s", unix_timestamp(col("now_ts")) - unix_timestamp(col("s_ts")))
+      .withColumn("bucket",
+        when(col("age_s") < 7L * 86400, "lt7d")
+          .when(col("age_s") < 21L * 86400, "lt21d")
+          .otherwise("21d_plus"))
+      .groupBy("bucket")
+      .agg(cnt.as("n"), min("age_s").cast("long").as("min_age_s"),
+           max("age_s").cast("long").as("max_age_s"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "recon_aging_buckets" -> reconAgingBuckets,
     "agg_chained_windows" -> chainedWindows,
     "event_funnel" -> eventFunnel,
     "stream_topk_per_day" -> topkPerDay,

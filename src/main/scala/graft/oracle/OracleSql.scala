@@ -433,6 +433,20 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "recon_aging_buckets" ->
+      """WITH sg AS (SELECT event_id s_id, user_id s_user, ts s_ts FROM events WHERE event_type = 'signup'),
+  p AS (SELECT user_id p_user, ts p_ts FROM events WHERE event_type = 'purchase'),
+  um AS (SELECT * FROM sg WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.p_user = sg.s_user
+      AND p.p_ts >= sg.s_ts AND p.p_ts < sg.s_ts + INTERVAL 24 HOUR)),
+  m AS (SELECT max(ts) now_ts FROM events),
+  aged AS (SELECT CAST(floor(epoch(m.now_ts)) - floor(epoch(um.s_ts)) AS BIGINT) age_s
+    FROM um CROSS JOIN m)
+  SELECT CASE WHEN age_s < 7*86400 THEN 'lt7d'
+              WHEN age_s < 21*86400 THEN 'lt21d' ELSE '21d_plus' END bucket,
+    CAST(count(*) AS BIGINT) n, CAST(min(age_s) AS BIGINT) min_age_s,
+    CAST(max(age_s) AS BIGINT) max_age_s
+  FROM aged GROUP BY 1 ORDER BY 1""",
     "win_topk_agg" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
   SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
