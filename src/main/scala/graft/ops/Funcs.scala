@@ -317,7 +317,25 @@ object Funcs {
       .orderBy("c_custkey")
   }
 
+  /** Exact DECIMAL arithmetic — the money type the rest of the library
+    * sidesteps via integer cents (R2). Both engines round the 2-decimal
+    * double to DECIMAL(18,2) identically (the stored values ARE
+    * 2-decimal money, so nearest-cent is unambiguous), and decimal
+    * sums are exact — so this pins that the DECIMAL path, not just the
+    * cents path, is engine-stable end to end.
+    */
+  val exprDecimalExact: Q = (s, d) =>
+    Tables.t(s, d, "orders")
+      .select(col("o_orderstatus"),
+              col("o_totalprice").cast("decimal(18,2)").as("price_dec"))
+      .groupBy("o_orderstatus")
+      .agg(sum("price_dec").as("sum_dec"),
+           max("price_dec").as("max_dec"),
+           cnt.as("c"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
+    "expr_decimal_exact" -> exprDecimalExact,
     "typed_cogroup_stats" -> typedCogroupStats,
     "agg_grouping_id" -> aggGroupingId,
     "sort_nulls_last" -> sortNullsLast,

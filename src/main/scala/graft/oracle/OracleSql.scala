@@ -433,6 +433,10 @@ object OracleSql {
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
   private val wave15: Map[String, String] = Map(
+    "expr_decimal_exact" ->
+      """SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(18,2))) sum_dec,
+    max(CAST(o_totalprice AS DECIMAL(18,2))) max_dec, CAST(count(*) AS BIGINT) c
+  FROM orders GROUP BY 1 ORDER BY 1""",
     "recon_aging_buckets" ->
       """WITH sg AS (SELECT event_id s_id, user_id s_user, ts s_ts FROM events WHERE event_type = 'signup'),
   p AS (SELECT user_id p_user, ts p_ts FROM events WHERE event_type = 'purchase'),
