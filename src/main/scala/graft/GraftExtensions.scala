@@ -64,8 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash", "minhash(tokens[, k]) - k-long MinHash signature of a token array (default k=128)"),
       (es: Seq[Expression]) => es match {
         case Seq(t) => MinHashSignature(t, 128)
-        case Seq(t, k) => MinHashSignature(t,
-          k.eval().asInstanceOf[Number].intValue())
+        case Seq(t, k) => MinHashSignature(t, literalInt(k, "minhash", "k"))
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash"),
@@ -77,6 +76,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "(field-by-field ascending), as an ascending array; mergeable bounded heap " +
         "(map-side partials carry <= k rows per group)"),
       (es: Seq[Expression]) => BottomK(es(0),
-        es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+        literalInt(es(1), "bottom_k", "k")).toAggregateExpression()))
+  }
+
+  /** Fold a function argument that must be a literal integer, with a
+    * clear analysis-time error instead of the opaque CCE/NPE a
+    * non-foldable or non-integral expression would otherwise surface.
+    */
+  private def literalInt(e: Expression, fn: String, arg: String): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val ok = e.foldable && integral
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${e.sql}")
+    e.eval().asInstanceOf[Number].intValue()
   }
 }

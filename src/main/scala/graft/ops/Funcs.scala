@@ -287,6 +287,10 @@ object Funcs {
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(cnt.as("n"), sumCents(col("o_totalprice")).as("cents"))
+      // a (priority, status) combo absent from the data pivots to NULL,
+      // while the oracle's conditional aggregation emits 0 — fill so
+      // both engines agree when a combo is empty
+      .na.fill(0)
       .orderBy("o_orderpriority")
 
   /** Typed two-input cogroup — `KeyValueGroupedDataset.cogroup` is the
@@ -322,14 +326,17 @@ object Funcs {
     * double to DECIMAL(18,2) identically (the stored values ARE
     * 2-decimal money, so nearest-cent is unambiguous), and decimal
     * sums are exact — so this pins that the DECIMAL path, not just the
-    * cents path, is engine-stable end to end.
+    * cents path, is engine-stable end to end. The sum is pinned to
+    * DECIMAL(38,2) explicitly because the engines widen differently
+    * (Spark: sum(18,2)→(28,2); DuckDB: →(38,2)) and the driver hashes
+    * the declared type, not just the value.
     */
   val exprDecimalExact: Q = (s, d) =>
     Tables.t(s, d, "orders")
       .select(col("o_orderstatus"),
               col("o_totalprice").cast("decimal(18,2)").as("price_dec"))
       .groupBy("o_orderstatus")
-      .agg(sum("price_dec").as("sum_dec"),
+      .agg(sum("price_dec").cast("decimal(38,2)").as("sum_dec"),
            max("price_dec").as("max_dec"),
            cnt.as("c"))
       .orderBy("o_orderstatus")

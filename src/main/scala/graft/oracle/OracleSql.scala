@@ -434,7 +434,7 @@ object OracleSql {
     */
   private val wave15: Map[String, String] = Map(
     "expr_decimal_exact" ->
-      """SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(18,2))) sum_dec,
+      """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) sum_dec,
     max(CAST(o_totalprice AS DECIMAL(18,2))) max_dec, CAST(count(*) AS BIGINT) c
   FROM orders GROUP BY 1 ORDER BY 1""",
     "recon_aging_buckets" ->

@@ -141,8 +141,12 @@ object Sinks {
   def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
                     cols: String*): Unit = {
     import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    // min/max are stored in the column's NATIVE type: a cast to double
+    // would round a >2^53 BIGINT max downward and let readSkipping
+    // wrongly prune a file that contains matching rows (silent loss,
+    // not a missed optimization)
     val aggs = cols.flatMap(c => Seq(
-      fmin(col(c)).cast("double").as(s"min_$c"), fmax(col(c)).cast("double").as(s"max_$c")))
+      fmin(col(c)).as(s"min_$c"), fmax(col(c)).as(s"max_$c")))
     spark.read.parquet(path)
       .withColumn("__file", input_file_name())
       .groupBy("__file")
@@ -158,8 +162,20 @@ object Sinks {
     */
   def readSkipping(spark: org.apache.spark.sql.SparkSession, path: String,
                    c: String, lo: Double, hi: Double): (DataFrame, Int) = {
-    val files = spark.read.parquet(s"$path/_manifest")
-      .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+    import org.apache.spark.sql.functions.{ceil, floor}
+    val manifest = spark.read.parquet(s"$path/_manifest")
+    // the manifest stores native-typed spans; for integral columns
+    // compare against floor(lo)/ceil(hi) so the bound literals never
+    // tighten the interval when coerced (over-approximate = safe:
+    // the residual filter below still decides membership)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val (loB, hiB) = manifest.schema(s"max_$c").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (floor(lit(lo)), ceil(lit(hi)))
+      case _ => (lit(lo), lit(hi))
+    }
+    val files = manifest
+      .filter(col(s"max_$c") >= loB && col(s"min_$c") <= hiB)
       .select("__file").collect().map(_.getString(0))
     val df =
       if (files.isEmpty) spark.read.parquet(path).filter(lit(false))

@@ -144,13 +144,29 @@ case class SeqOffset(n: Long) extends streaming.Offset {
 
 class SeqMicroBatchStream(required: StructType, lo: Long, hi: Long,
                           users: Long, rowsPerBatch: Long)
-    extends streaming.MicroBatchStream {
-  private var last: Long = lo
+    extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
   override def initialOffset(): streaming.Offset = SeqOffset(lo)
-  override def latestOffset(): streaming.Offset = {
-    last = math.min(hi, last + rowsPerBatch)
-    SeqOffset(last)
+  /** Restart-safe admission control: the next batch end derives from
+    * the RESTORED start offset the engine hands us, never from
+    * driver-local state — after a checkpoint restart the first batch
+    * is [committed, committed + limit), not [lo, lo + limit). A
+    * driver-local cursor here would regress below the committed
+    * offset on restart and serve empty/backward batches.
+    */
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val s = start.asInstanceOf[SeqOffset].n
+    val cap = limit match {
+      case r: streaming.ReadMaxRows => r.maxRows()
+      case _                        => rowsPerBatch
+    }
+    SeqOffset(math.min(hi, s + cap))
   }
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "SeqMicroBatchStream uses SupportsAdmissionControl.latestOffset(start, limit)")
   override def deserializeOffset(json: String): streaming.Offset =
     SeqOffset(json.toLong)
   override def planInputPartitions(start: streaming.Offset,
