@@ -1,8 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
-object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared bench harness: one session profile + one timing protocol so
+  * the core battery ([[Bench]]) and the extended battery ([[Bench2]])
+  * produce comparable numbers measured the same way their DuckDB
+  * baselines were (warm, best-of-N).
+  */
+object BenchHarness {
+  def session(): SparkSession = {
     // Measured at sf0.1 (best-of-5 ×3 runs): 16 threads beat 32
     // (7.6-8.5s vs 9.1-10.4s) — the battery's tasks are too small to
     // amortize 32-way scheduling. SPARK_GRAFT_CPUS overrides.
@@ -26,53 +31,37 @@ object Bench {
       .config("spark.graft.benchHints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The timed battery is pinned to the 58 queries BASELINE.md was
-    // measured on — operators added beyond the SURVEY §2.3 contract
-    // (pipeline sketches, extra window/scalar families) are
-    // correctness-gated by Verify but not baseline-comparable, so
-    // timing them would skew the total vs BASELINE.
-    val baselineKeys = Set(
-      "scan_project", "scan_filter", "filter_compound", "expr_arithmetic",
-      "expr_case_when", "expr_null_handling", "join_inner",
-      "join_broadcast_dim", "join_left_outer", "join_full_outer",
-      "join_semi", "join_anti", "join_theta_band", "join_cross_small",
-      "join_asof_last_signup", "q1_pricing_summary", "q3_shipping_priority",
-      "q5_local_supplier", "q6_forecast_revenue", "agg_stats_multi",
-      "agg_count_distinct", "agg_having", "agg_rollup", "agg_cube",
-      "agg_grouping_sets", "win_topk_per_group", "win_rank_dense",
-      "win_lag_lead", "win_running_sum", "win_ntile", "sort_multi_key",
-      "topk_global", "set_union_all", "set_union_distinct", "set_intersect",
-      "set_except", "str_funcs", "date_funcs", "math_funcs", "json_funcs",
-      "array_funcs", "stream_tumbling_daily", "stream_sliding_1h30m",
-      "stream_session_30m", "stream_dedup_keys", "stream_stream_join_1h",
-      "stream_running_count", "recon_leg_match", "dedup_exact_hash",
-      "dedup_near_jaccard", "sim_pairs_threshold", "sim_knn_per_query",
-      "text_token_counts", "text_lang_stats", "multimodal_join",
-      "udf_scalar_bucket", "udaf_geomean", "udtf_explode_chars")
-    val timed = SparkEntry.queries.view.filterKeys(baselineKeys).toMap
-    // Warm pass (untimed) materializes the Tables cache and JITs the
-    // codegen'd stages; then best-of-3 timed runs per query — the same
-    // protocol BASELINE.md's DuckDB numbers were measured with (warm,
-    // best-of-3).
+    spark
+  }
+
+  /** Warm pass (untimed) materializes the Tables cache and JITs the
+    * codegen'd stages; then best-of-`passes` per query, taken across
+    * INTERLEAVED full passes rather than back-to-back runs: host-VM
+    * interference comes in multi-second bursts, and back-to-back
+    * sampling puts all of a query's runs inside one burst (observed as
+    * a 2 s min on a 0.2 s query). Interleaving spreads each query's
+    * samples minutes apart, so a burst can inflate at most one pass of
+    * each query.
+    */
+  def measure(spark: SparkSession, sfDir: String,
+              timed: Map[String, (SparkSession, String) => DataFrame],
+              passes: Int): Map[String, Double] = {
     timed.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Best-of-5 per query, taken across 5 INTERLEAVED full passes
-    // rather than 5 back-to-back runs: host-VM interference comes in
-    // multi-second bursts, and back-to-back sampling puts all 5 of a
-    // query's runs inside one burst (observed as a 2 s min on a 0.2 s
-    // query). Interleaving spreads each query's samples minutes apart,
-    // so a burst can inflate at most one pass of each query.
     val names = timed.keys.toVector
     val best = scala.collection.mutable.Map.empty[String, Double]
       .withDefaultValue(Double.MaxValue)
-    for (_ <- 1 to 5; name <- names) {
+    for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()
       try { timed(name)(spark, sfDir).count() } catch { case _: Throwable => () }
       val t = (System.nanoTime() - t0) / 1e9
       if (t < best(name)) best(name) = t
     }
-    val results = names.map(n => n -> best(n)).toMap
+    names.map(n => n -> best(n)).toMap
+  }
+
+  def emit(results: Map[String, Double], sfDir: String, defaultOut: String): Unit = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -81,10 +70,66 @@ object Bench {
     // Also write the metric line to a file: sbt prefixes stdout with
     // [info], which breaks naive log scraping — a clean file is the
     // robust channel (SPARK_GRAFT_BENCH_OUT overrides the path).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
+object Bench {
+  // The core battery is pinned to the 58 queries BASELINE.md was
+  // measured on — operators added beyond the SURVEY §2.3 contract
+  // (pipeline sketches, extra window/scalar families) are
+  // correctness-gated by Verify and timed by the extended battery
+  // ([[Bench2]] vs BASELINE2.md), so timing them here would skew the
+  // total vs BASELINE.
+  val core58: Set[String] = Set(
+    "scan_project", "scan_filter", "filter_compound", "expr_arithmetic",
+    "expr_case_when", "expr_null_handling", "join_inner",
+    "join_broadcast_dim", "join_left_outer", "join_full_outer",
+    "join_semi", "join_anti", "join_theta_band", "join_cross_small",
+    "join_asof_last_signup", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "agg_stats_multi",
+    "agg_count_distinct", "agg_having", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "win_topk_per_group", "win_rank_dense",
+    "win_lag_lead", "win_running_sum", "win_ntile", "sort_multi_key",
+    "topk_global", "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "str_funcs", "date_funcs", "math_funcs", "json_funcs",
+    "array_funcs", "stream_tumbling_daily", "stream_sliding_1h30m",
+    "stream_session_30m", "stream_dedup_keys", "stream_stream_join_1h",
+    "stream_running_count", "recon_leg_match", "dedup_exact_hash",
+    "dedup_near_jaccard", "sim_pairs_threshold", "sim_knn_per_query",
+    "text_token_counts", "text_lang_stats", "multimodal_join",
+    "udf_scalar_bucket", "udaf_geomean", "udtf_explode_chars")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = BenchHarness.session()
+    val timed = SparkEntry.queries.view.filterKeys(core58).toMap
+    val results = BenchHarness.measure(spark, sfDir, timed, passes = 5)
+    BenchHarness.emit(results, sfDir, "bench.json")
+    spark.stop()
+  }
+}
+
+/** Extended battery: every ORACLED query that is not in the core-58
+  * set — the pipeline / analytics / subquery / window blocks that carry
+  * the 100 TB story. Compared against BASELINE2.md (DuckDB, same
+  * best-of-3 warm protocol, measured by tools/bench2_baseline.py).
+  * The five no-oracle sketch queries are excluded: with no DuckDB
+  * equivalent there is nothing to compare their time against.
+  */
+object Bench2 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = BenchHarness.session()
+    val keys = SparkEntry.oracleSql.keySet -- Bench.core58
+    val timed = SparkEntry.queries.view.filterKeys(keys).toMap
+    // best-of-3 (not 5): 129 queries × 4 passes already runs ~6 min;
+    // the baseline script uses the same pass count.
+    val results = BenchHarness.measure(spark, sfDir, timed, passes = 3)
+    BenchHarness.emit(results, sfDir, "bench2.json")
     spark.stop()
   }
 }
