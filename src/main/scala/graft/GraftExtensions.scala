@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
     ext.injectOptimizerRule(_ => graft.plans.CosineBandRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),

@@ -51,6 +51,14 @@ object ScaleBench {
     println(f"[scalebench] speedup exact/lsh = ${tExact / tLsh}%.1f x; " +
       s"equal results = ${rowsExact == rowsLsh}")
 
+    // ---- round-5: shingle dedup, exact O(n²) blocks vs MinHash bands -----
+    // same corpus, same J>=0.8 contract; the banded twin's candidate
+    // phase shuffles (id, block, band, bucket) only — linear in docs
+    val (rowsNgExact, tNgExact) = time("dedup_ngram_jaccard")
+    val (rowsNgBand, tNgBand) = time("dedup_ngram_banded")
+    println(f"[scalebench] speedup ngram exact/banded = ${tNgExact / tNgBand}%.1f x; " +
+      s"equal results = ${rowsNgExact == rowsNgBand}")
+
     // ---- sign-LSH ANN recall + crossover at 100k clustered vectors ------
     // (the regime real embedding corpora live in; the sf corpora are
     // near-random and too small for 16-bit buckets to mean anything)

@@ -162,23 +162,68 @@ object Pipeline {
       .orderBy("a_id", "b_id")
   }
 
-  /** 3-gram shingle Jaccard ≥ 0.8 within (lang, source) blocks —
-    * order-sensitive near-dup (token-set Jaccard misses reorderings;
-    * shingles don't).
+  /** 3-gram shingle sets, the shared input of the exact
+    * ([[dedupNgramJaccard]]) and banded ([[dedupNgramBanded]]) forms.
     */
-  val dedupNgramJaccard: Q = (s, d) => {
-    val sh = documents(s, d).select(
+  private def shingleDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
       col("doc_id"), col("lang"), col("source"),
       array_sort(array_distinct(
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
                          element_at(toks, i + 2))))).as("sh"))
+
+  /** 3-gram shingle Jaccard ≥ 0.8 within (lang, source) blocks —
+    * order-sensitive near-dup (token-set Jaccard misses reorderings;
+    * shingles don't).
+    */
+  val dedupNgramJaccard: Q = (s, d) => {
+    val sh = shingleDocs(s, d)
     val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"),
                       col("sh").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
                       col("source").as("b_source"), col("sh").as("b_sh"))
     a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
               col("a_id") < col("b_id"))
+      .filter(sorted_jaccard(col("a_sh"), col("b_sh")) >= 0.8)
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+      .limit(2000)
+  }
+
+  /** Banded twin of [[dedupNgramJaccard]] — the linear-candidate scale
+    * path for shingle dedup: the same MinHash machinery as
+    * [[dedupMinhashLsh]] runs over the 3-gram shingle SETS instead of
+    * the token sets (signatures → 32×4 bands → bucket equi-join →
+    * `sorted_jaccard` verify). At the J ≥ 0.8 threshold the miss
+    * probability per true pair is (1 − 0.8⁴)³² ≈ 5·10⁻⁸, so its output
+    * equals the exact quadratic join's (asserted by PipelineSpec) and
+    * it shares the exact op's oracle. Candidate volume is linear in
+    * corpus size: the shuffle carries only (id, block, band, bucket)
+    * — shingle arrays rejoin only for the in-bucket verify.
+    */
+  val dedupNgramBanded: Q = (s, d) => {
+    val sh = shingleDocs(s, d)
+    val banded = sh
+      .withColumn("sig", minhash(col("sh"), NumHashes))
+      .select(col("doc_id"), col("lang"), col("source"),
+              posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+                b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
+                .as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+                          col("band_idx"), col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+                          col("source").as("b_source"), col("band_idx").as("b_bi"),
+                          col("band_key").as("b_bk"))
+    val candidates = a
+      .join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+               col("band_idx") === col("b_bi") && col("band_key") === col("b_bk") &&
+               col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .filter(sorted_jaccard(col("a_sh"), col("b_sh")) >= 0.8)
       .select("a_id", "b_id")
       .orderBy("a_id", "b_id")
@@ -876,6 +921,7 @@ object Pipeline {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_ngram_banded" -> dedupNgramBanded,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_lsh_topk" -> annLshTopk,

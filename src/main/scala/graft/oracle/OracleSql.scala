@@ -975,6 +975,17 @@ object OracleSql {
   ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.s,b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
   ORDER BY 1,2 LIMIT 2000""",
+    // banded twin pins the SAME result as the exact shingle join
+    // (recall ~1 at 32x4 bands for J>=0.8), so it shares its oracle
+    "dedup_ngram_banded" ->
+      """WITH tk AS (SELECT doc_id, lang, source, string_split(text,' ') t FROM documents),
+  sh AS (SELECT doc_id, lang, source,
+    list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+    FROM tk)
+  SELECT a.doc_id a_id, b.doc_id b_id FROM sh a JOIN sh b
+  ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s,b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+  ORDER BY 1,2 LIMIT 2000""",
     "dedup_embedding_cosine" ->
       """WITH v AS (SELECT e.vec_id doc_id, d.lang, e.embedding::DOUBLE[] ve
     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)

@@ -20,6 +20,12 @@ class PipelineSpec extends SparkSpecBase {
     assert(pairs("dedup_simhash") == pairs("dedup_near_jaccard"))
   }
 
+  test("banded ngram pairs == exact shingle-Jaccard pairs, with no BNLJ in the plan") {
+    assert(pairs("dedup_ngram_banded") == pairs("dedup_ngram_jaccard"))
+    val p = q("dedup_ngram_banded").queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("ngram jaccard pairs are a subset of token-set jaccard candidates' blocks") {
     val ng = pairs("dedup_ngram_jaccard")
     assert(ng.nonEmpty)

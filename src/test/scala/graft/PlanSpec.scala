@@ -53,6 +53,41 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.benchHints")
   }
 
+  test("topkRewrite flag: row_number<=k becomes bottom_k aggregate, identical rows") {
+    import org.apache.spark.sql.SparkSession
+    val off = q("win_topk_per_group").collect().map(_.toSeq).toSeq
+    val offPlan = plan("win_topk_per_group")
+    assert(offPlan.contains("Window") && !offPlan.contains("bottom_k"),
+      "default (off) must keep the window plan:\n" + offPlan.take(400))
+    // the rule ships via GraftExtensions (like the similarity rules),
+    // so the on-direction needs an extended session — same pattern as
+    // SourcesSpec; the shared SparkContext is reused
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // flag still off in the extended session: plan must keep Window
+      val dfExtOff = SparkEntry.queries("win_topk_per_group")(extended, sf)
+      val extOffPlan = dfExtOff.queryExecution.executedPlan.toString
+      assert(extOffPlan.contains("Window") && !extOffPlan.contains("bottom_k"),
+        "rule registered but flag off must keep the window plan:\n" + extOffPlan.take(600))
+      extended.conf.set("spark.graft.topkRewrite", "true")
+      val dfOn = SparkEntry.queries("win_topk_per_group")(extended, sf)
+      val onPlan = dfOn.queryExecution.executedPlan.toString
+      assert(onPlan.contains("bottom_k") && !onPlan.contains("Window"),
+        "flag on must replace the window with the heap aggregate:\n" + onPlan.take(600))
+      assert(dfOn.collect().map(_.toSeq).toSeq == off)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("recon_leg_match is a single full-outer join (no anti-join recompute)") {
     val p = plan("recon_leg_match")
     assert(p.contains("FullOuter"), p.take(600))
