@@ -106,6 +106,29 @@ object ScaleBench {
     println(f"[scalebench] connected-components 1M nodes/900k edges: " +
       f"$nComponents%d components in ${ccSec}%6.2f s (expect 100000)")
 
+    // ---- round-5: star contraction vs propagation round counts -----------
+    // same short-chain graph (diameter 10): star should need FEWER
+    // rounds than the ~10 propagation pays; then a single 100k-node
+    // path (diameter 1e5) where propagation is infeasible (1e5 rounds)
+    // and star converges in O(log n)
+    val st0 = System.nanoTime()
+    val (starLabels, starRounds) =
+      graft.ops.Scale.connectedComponentsStar(chains, "src", "dst")
+    val starComponents = starLabels.select("label").distinct().count()
+    val stSec = (System.nanoTime() - st0) / 1e9
+    println(f"[scalebench] star-contraction same graph: $starComponents%d components " +
+      f"in $starRounds%d rounds / ${stSec}%6.2f s (propagation pays ~10 rounds)")
+    val longChain = spark.range(99999L)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val lc0 = System.nanoTime()
+    val (lcLabels, lcRounds) =
+      graft.ops.Scale.connectedComponentsStar(longChain, "src", "dst")
+    val lcOk = lcLabels.agg(max("label")).collect().head.getLong(0)
+    val lcSec = (System.nanoTime() - lc0) / 1e9
+    println(f"[scalebench] star-contraction 100k-node path (diameter 1e5): " +
+      f"1 component (max label=$lcOk%d) in $lcRounds%d rounds / ${lcSec}%6.2f s" +
+      " (propagation would need ~1e5 rounds)")
+
     // ---- round-3: pipeline ops on the 100k-doc corpus --------------------
     // decontamination is inverted-index shaped (linear gram volume); the
     // shard export rides globalRank — both should scale like a keyed agg

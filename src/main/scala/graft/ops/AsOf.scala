@@ -27,6 +27,14 @@ object AsOf {
     * `ts <= left.ts` (ties on ts broken by greatest id). Inner
     * semantics: left rows with no qualifying right row are dropped.
     * Rows: (id, key, tsMicros).
+    *
+    * Hot-key memory bound: both legs of ONE key are buffered as arrays
+    * for the sort+sweep, ~24 B/row — a 100k-event key costs ~2.4 MB
+    * (OperatorSpec proves this completes and stays exact), a 10M-event
+    * key ~240 MB and is where this form stops being safe. Past that,
+    * either the composed band-join ([[Relational.joinAsofLastSignup]],
+    * no per-key buffering, pairs pruned by the range predicate) or
+    * sub-bucketing the key by coarse time window bounds the buffer.
     */
   def asofLastPrior(left: DataFrame, right: DataFrame): DataFrame = {
     val spark = left.sparkSession

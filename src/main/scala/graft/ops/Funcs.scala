@@ -46,6 +46,47 @@ object Funcs {
           e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("enc"))
       .orderBy("event_id")
 
+  /** Map higher-order functions, part 1: `transform_keys` +
+    * `transform_values` over a constructed map. DuckDB has no map HOFs,
+    * so the oracle is HAND-BUILT: both map keys are known at plan time
+    * ("k" and "uu"), so the sorted-entry string the Spark side emits
+    * ("K_<k%2>=<2k+3>,UU_<u%2>=<2u+4>") is re-derivable in plain SQL —
+    * the sorted-entries-string encoding is what makes a HOF result
+    * hashable by an engine without the HOF.
+    */
+  val mapTransformFuncs: Q = (s, d) =>
+    events(s, d)
+      .withColumn("m", map_concat(kmap,
+        map(lit("uu"), (col("user_id") % 10).cast("int"))))
+      // key rewrite must keep keys unique: upper() + parity suffix does
+      .withColumn("tk", transform_keys(col("m"),
+        (k, v) => concat(upper(k), lit("_"), (v % 2).cast("string"))))
+      .withColumn("tv", transform_values(col("tk"),
+        (k, v) => v * 2 + length(k)))
+      .select(
+        col("event_id"),
+        concat_ws(",", array_sort(transform(map_entries(col("tv")),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("enc"))
+      .orderBy("event_id")
+
+  /** Map higher-order functions, part 2: `map_zip_with` merging two
+    * maps with overlapping key sets (outer-join semantics over keys:
+    * absent side is NULL, coalesced to 0 here). Same hand-built-oracle
+    * technique as [[mapTransformFuncs]].
+    */
+  val mapZipFuncs: Q = (s, d) =>
+    events(s, d)
+      .withColumn("u", (col("user_id") % 10).cast("int"))
+      .withColumn("m1", map_concat(kmap, map(lit("u"), col("u"))))
+      .withColumn("m2", map(lit("k"), col("u"), lit("z"), lit(5)))
+      .withColumn("z", map_zip_with(col("m1"), col("m2"),
+        (k, v1, v2) => coalesce(v1, lit(0)) + coalesce(v2, lit(0))))
+      .select(
+        col("event_id"),
+        concat_ws(",", array_sort(transform(map_entries(col("z")),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))))).as("enc"))
+      .orderBy("event_id")
+
   /** Struct surface: named_struct construction, lexicographic struct
     * ordering inside array_sort, and nested field access — emitted as
     * flat scalars for the differ.
@@ -351,6 +392,8 @@ object Funcs {
     "join_skew_salted" -> joinSkewSalted,
     "typed_group_stats" -> typedGroupStats,
     "map_typed_funcs" -> mapTypedFuncs,
+    "map_transform_funcs" -> mapTransformFuncs,
+    "map_zip_funcs" -> mapZipFuncs,
     "struct_funcs" -> structFuncs,
     "regexp_funcs" -> regexpFuncs,
     "agg_bitwise" -> aggBitwise,

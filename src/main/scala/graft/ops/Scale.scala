@@ -157,8 +157,76 @@ object Scale {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — component diameter exceeds " +
-          "maxIter; raise it or pre-contract with large-star/small-star")
+          "maxIter; raise it or use connectedComponentsStar")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the extreme-diameter variant of
+    * [[connectedComponents]]: label propagation needs O(diameter)
+    * rounds, star contraction O(log n), because each round rewires
+    * whole neighbourhoods onto their minimum instead of moving labels
+    * one hop.
+    *
+    * Per round, both phases are the same shuffle shapes as the
+    * propagation loop (keyed min-aggregate + equi-join on the node
+    * id); `localCheckpoint` truncates lineage per generation for the
+    * identical 2^rounds-plan reason. Convergence = the canonical edge
+    * set reaches a fixpoint, at which point every edge joins a
+    * component's minimum node to one member (a star), and labels read
+    * off the edges directly.
+    *
+    * large-star(u): connect every neighbour v > u to
+    * m = min(Γ(u) ∪ u); preserves connectivity, never increases the
+    * minimum, and strictly shrinks long tails. small-star(u): connect
+    * every neighbour v ≤ u (and u itself) to their minimum —
+    * flattens the 2-paths large-star leaves behind.
+    *
+    * Returns (labels, rounds): (node, label=component min) for every
+    * node in an edge, and the number of LS+SS rounds to fixpoint —
+    * ScaleBench records the round-count drop vs propagation.
+    */
+  def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
+                              maxIter: Int = 30): (DataFrame, Int) = {
+    val nodes = edges.select(col(src).as("node"))
+      .union(edges.select(col(dst).as("node")))
+      .distinct().localCheckpoint()
+    var e = edges.select(least(col(src), col(dst)).as("a"),
+                         greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // large-star over the full undirected adjacency
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = und.join(mins, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+                greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      // small-star: orient edges large→small, group by the large end;
+      // every member of Γ⁻(u) ∪ {u} rewires to the group minimum
+      val sm = ls.select(col("b").as("u"), col("a").as("v"))
+      val smins = sm.groupBy("u").agg(min("v").as("m"))
+      val ss = sm.join(smins, "u")
+        .select(explode(array(col("u"), col("v"))).as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .select(col("m").as("a"), col("x").as("b"))
+        .distinct().localCheckpoint()
+      done = ss.except(e).isEmpty && e.except(ss).isEmpty
+      e = ss
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not reach an edge fixpoint in $maxIter rounds")
+    val labels = nodes
+      .join(e.select(col("b").as("node"), col("a").as("lab")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lab"), col("node")).as("label"))
+    (labels, iter)
   }
 
   /** Integer-exact PageRank over a directed edge list — the second

@@ -169,6 +169,20 @@ object OracleSql {
     CAST(CASE WHEN CAST(json_extract(props,'$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END AS BIGINT) n_big,
     'k=' || CAST(json_extract(props,'$.k') AS VARCHAR) || ',u=' || CAST(user_id % 10 AS VARCHAR) enc
   FROM events ORDER BY event_id""",
+    // DuckDB has no map HOFs: both oracles re-derive the Spark side's
+    // sorted-entry string by hand from the known key set (R5 map-HOF
+    // technique; keys sort 'K_'<'UU_' and 'k'<'u'<'z' for all inputs)
+    "map_transform_funcs" ->
+      """SELECT event_id,
+    'K_' || CAST(k % 2 AS VARCHAR) || '=' || CAST(k*2+3 AS VARCHAR) ||
+    ',UU_' || CAST(u % 2 AS VARCHAR) || '=' || CAST(u*2+4 AS VARCHAR) enc
+  FROM (SELECT event_id, CAST(json_extract(props,'$.k') AS INTEGER) k,
+    user_id % 10 u FROM events) t ORDER BY event_id""",
+    "map_zip_funcs" ->
+      """SELECT event_id,
+    'k=' || CAST(k+u AS VARCHAR) || ',u=' || CAST(u AS VARCHAR) || ',z=5' enc
+  FROM (SELECT event_id, CAST(json_extract(props,'$.k') AS INTEGER) k,
+    user_id % 10 u FROM events) t ORDER BY event_id""",
     "struct_funcs" ->
       """WITH t AS (SELECT event_id, event_type, user_id % 7 ux,
     CAST(json_extract(props,'$.k') AS INTEGER) k FROM events)

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -76,6 +78,43 @@ object Sources {
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(path)
+
+  /** Rate-limited REPLAY of a driver events table as a stream: the
+    * table is sliced into `files` time-range files (range-partitioned
+    * and sorted on `ts`, so the file sequence replays in event-time
+    * order), then read back through Spark's file streaming source with
+    * `maxFilesPerTrigger=1` — the engine's own admission control turns
+    * each slice into one micro-batch. This is how every streaming twin
+    * becomes drivable at full scale-factor volume without Kafka: same
+    * watermark/state semantics, bounded per-trigger input, and the
+    * replay is deterministic (same slices → same batches).
+    *
+    * Returns the streaming DataFrame; `prepDir` holds the slices and
+    * can be reused across queries (prep once per (table, files)).
+    */
+  def eventsReplay(spark: SparkSession, eventsDf: DataFrame, prepDir: String,
+                   files: Int = 20, maxFilesPerTrigger: Int = 1): DataFrame = {
+    eventsDf.repartitionByRange(files, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(prepDir)
+    // FileStreamSource admits files in (modificationTime, path) order,
+    // and parallel write tasks finish in arbitrary order — pin mtimes
+    // to the part-file index (range partition i = time range i) so the
+    // replay sequence actually follows event time
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(prepDir))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val base = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base.toMillis + i * 1000L))
+    }
+    spark.readStream
+      .schema(spark.read.parquet(prepDir).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(prepDir)
+  }
 
   /** Production Kafka wiring (NOT executable here: spark-sql-kafka jar
     * absent). Value bytes → JSON serde → canonical schema; event-time

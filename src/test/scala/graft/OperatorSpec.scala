@@ -119,6 +119,41 @@ class OperatorSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("cogroup as-of completes and stays exact under a 100k-event hot key") {
+    import org.apache.spark.sql.functions._
+    // one pathological key holding BOTH legs' full 100k events: the
+    // per-key buffer is ~2.4 MB — completion + exactness here pins the
+    // hot-key bound the asofLastPrior scaladoc documents
+    val n = 100000L
+    val left = spark.range(n)
+      .select(col("id"), lit(7L).as("key"), (col("id") * 2 + 1).as("ts"))
+    val right = spark.range(n)
+      .select((col("id") + 1000000L).as("id"), lit(7L).as("key"),
+              (col("id") * 2).as("ts"))
+    val res = graft.ops.AsOf.asofLastPrior(left, right).cache()
+    // analytic oracle: left ts=2i+1 → greatest right ts<=2i+1 is 2i →
+    // right id 1000000+i (equivalent to the band-join result, which is
+    // infeasible to materialize at 1e10 candidate pairs)
+    assert(res.count() == n)
+    assert(res.filter(col("last_signup_id") =!= col("purchase_id") + 1000000L)
+      .count() == 0L)
+    res.unpersist()
+    // and band-join equality on a slice of the same hot key, so the
+    // analytic check above is itself cross-validated against the
+    // composed form's semantics
+    val sl = left.filter(col("id") < 2000)
+    val sr = right.filter(col("id") < 1002000L)
+    val band = sl.as("l")
+      .join(sr.as("r"), col("l.key") === col("r.key") && col("r.ts") <= col("l.ts"))
+      .groupBy(col("l.id").as("purchase_id"))
+      .agg(max(struct(col("r.ts").as("ts"), col("r.id").as("id"))).as("m"))
+      .select(col("purchase_id"), col("m.id").as("last_signup_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val swept = graft.ops.AsOf.asofLastPrior(sl, sr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(swept == band)
+  }
+
   test("vec_dot matches interpreted higher-order fold bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vec_dot

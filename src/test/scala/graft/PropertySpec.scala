@@ -132,6 +132,34 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponentsStar: same labels as propagation, O(log n) rounds on a path") {
+    import spark.implicits._
+    // random graphs: label-for-label equality with the propagation loop
+    val edgeGen = for {
+      a <- Gen.choose(0L, 29L)
+      b <- Gen.choose(0L, 29L)
+      if a != b
+    } yield (a, b)
+    samples(Gen.listOfN(40, edgeGen).map(_.toSeq), 3).foreach { es =>
+      val prop = graft.ops.Scale
+        .connectedComponents(es.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (starDf, _) = graft.ops.Scale
+        .connectedComponentsStar(es.toDF("src", "dst"), "src", "dst")
+      val star = starDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"star=$star prop=$prop")
+    }
+    // a 30-node path has diameter 29: propagation needs ~30 rounds
+    // (past its default maxIter=25); star contraction collapses it in
+    // O(log n)
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val (labels, rounds) = graft.ops.Scale
+      .connectedComponentsStar(chain.toDF("src", "dst"), "src", "dst")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 30 && m.values.forall(_ == 0L), m.toString)
+    assert(rounds <= 8, s"expected O(log n) rounds, got $rounds")
+  }
+
   test("triangleCount equals brute-force enumeration on generated random graphs") {
     import spark.implicits._
     val edgeGen = for {

@@ -587,6 +587,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(total == 200, s"backlog fully processed, got $total")
   }
 
+  test("sf0.1 replay: rate-limited file-stream twins equal batch (windowed agg + band join)") {
+    // the full 100k-event sf0.1 table replayed as 20 time-ordered
+    // micro-batches through Sources.eventsReplay — the volume proof
+    // that the streaming twins' state/watermark behavior is not a
+    // toy-batch artifact
+    val events01 = graft.tables.Tables.t(spark, "/root/testdata/sf0.1", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    // --- windowed-agg twin (complete mode: final table == batch) ---
+    val sinkA = nextSink()
+    val replayA = graft.sources.Sources.eventsReplay(spark, events01, s"$dir/a")
+    val qa = StreamOps.tumblingDaily(replayA)
+      .writeStream.format("memory").queryName(sinkA).outputMode("complete").start()
+    qa.processAllAvailable(); qa.stop()
+    val streamedAgg = spark.table(sinkA)
+    val batchAgg = StreamOps.tumblingDaily(events01)
+    assert(streamedAgg.agg(sum("c")).collect().head.getLong(0) == 100000L,
+      "every sf0.1 event must be processed")
+    assert(streamedAgg.exceptAll(batchAgg).isEmpty &&
+           batchAgg.exceptAll(streamedAgg).isEmpty)
+    // --- stream-stream band-join twin (self-join of one replay) ---
+    val sinkB = nextSink()
+    val replayB = graft.sources.Sources.eventsReplay(spark, events01, s"$dir/b")
+    val qb = StreamOps.bandJoin1h(
+        replayB.filter(col("event_type") === "click"),
+        replayB.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName(sinkB).outputMode("append").start()
+    qb.processAllAvailable(); qb.stop()
+    val streamedJoin = spark.table(sinkB)
+    val batchJoin = StreamOps.bandJoin1h(
+      events01.filter(col("event_type") === "click"),
+      events01.filter(col("event_type") === "purchase"))
+    val nStream = streamedJoin.count()
+    assert(nStream == batchJoin.count() && nStream > 0)
+    assert(streamedJoin.exceptAll(batchJoin).isEmpty &&
+           batchJoin.exceptAll(streamedJoin).isEmpty)
+  }
+
   test("approx_count_distinct within 2% of exact (HLL capability, R7)") {
     val o = graft.tables.Tables.t(spark, sf, "orders")
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
