@@ -351,6 +351,35 @@ class SourcesSpec extends SparkSpecBase {
     assert(got.orderBy("id").collect().toSeq == batch.orderBy("id").collect().toSeq)
   }
 
+  test("DSv2 SeqSource: checkpoint restart resumes from the committed offset, exactly once") {
+    import org.apache.spark.sql.functions._
+    // phase 1 drains rows [0, 300) and checkpoints; phase 2 reuses the
+    // SAME checkpoint with the range widened to 1000. A restart-safe
+    // source resumes at the committed offset (300) and emits exactly
+    // the 700 missing rows; the old driver-local cursor would regress
+    // below the committed offset and replay/stall. Distinct-id count
+    // catches both duplication and loss.
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq_restart").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    def run(rows: Int): Unit = {
+      val q = spark.readStream.format(classOf[graft.sources.SeqDataSource].getName)
+        .option("rows", rows.toString).option("rowsPerBatch", "100")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run(300)
+    assert(spark.read.parquet(out).count() == 300)
+    run(1000)
+    val ids = spark.read.parquet(out).select("id")
+    assert(ids.count() == 1000, "resume must emit exactly the missing 700 rows")
+    assert(ids.distinct().count() == 1000, "no row may be replayed across the restart")
+    assert(ids.agg(min("id"), max("id")).collect().head.toSeq == Seq(0L, 999L))
+  }
+
   test("DSv2 SeqSource: partition planning splits the narrowed range only") {
     import org.apache.spark.sql.functions._
     val df = seqDf("rows" -> "1000000", "slices" -> "8")

@@ -625,6 +625,40 @@ class StreamingSpec extends SparkSpecBase {
            batchJoin.exceptAll(streamedJoin).isEmpty)
   }
 
+  test("sf0.1 replay: full-outer reconciliation twin equals batch once the watermark closes") {
+    import spark.implicits._
+    // the reference's core workload at volume: 100k sf0.1 events
+    // replayed in 20 time-ordered micro-batches through the full-outer
+    // reconciliation join. Two far-future sentinel rows (one per leg,
+    // non-joining user) push the final watermark past every real join
+    // window so all unmatched state evicts and emits; the streamed
+    // outcome stream then equals the batch full-outer join row-for-row.
+    val events01 = graft.tables.Tables.t(spark, "/root/testdata/sf0.1", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = events01.agg(max("ts")).collect().head.getTimestamp(0)
+    val farFuture = new Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+    val sentinels = Seq(
+      Evt(-1L, farFuture, -999L, "signup", 0.0, "{}"),
+      Evt(-2L, farFuture, -999L, "purchase", 0.0, "{}")).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_recon").toString
+    val replay = graft.sources.Sources.eventsReplay(
+      spark, events01.unionByName(sentinels), s"$dir/slices")
+    val sink = nextSink()
+    val q = StreamOps.reconStream(
+        replay.filter(col("event_type") === "signup"),
+        replay.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(sink)
+      .filter(coalesce(col("a_id"), lit(0L)) =!= -1L &&
+              coalesce(col("b_id"), lit(0L)) =!= -2L)
+    val batch = StreamOps.reconStream(
+      events01.filter(col("event_type") === "signup"),
+      events01.filter(col("event_type") === "purchase"))
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("approx_count_distinct within 2% of exact (HLL capability, R7)") {
     val o = graft.tables.Tables.t(spark, sf, "orders")
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
