@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Round-5 wave 2 operator additions: boolean aggregates, deterministic
+  * per-group reservoir sampling, tolerance-bounded as-of, array-zip
+  * covariance, and a map-shaped histogram — the remaining function
+  * families a reference user reaches for that had no declared row yet.
+  *
+  * Scale posture: every query here is a single scan + one keyed
+  * aggregate or one entity-partitioned window; the as-of tolerance
+  * join prunes its candidate pairs with the 7-day band BEFORE the
+  * per-key argmax, so candidate volume is bounded by events-per-week
+  * per user, not history length.
+  */
+object Funcs2 {
+
+  private def orders(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def docs(s: SparkSession, d: String)   = Tables.t(s, d, "documents")
+  private def events(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def emb(s: SparkSession, d: String)    = Tables.t(s, d, "embeddings")
+
+  /** Boolean aggregate family: `bool_and` / `bool_or` / `count_if` —
+    * mergeable single-bit state, the cheapest data-quality assertions
+    * at 100 TB (each is a map-side-combinable aggregate).
+    */
+  val aggBoolFuncs: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+           expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+           expr("count_if(o_orderstatus = 'F')").cast("long").as("n_finished"),
+           cnt.as("c"))
+      .orderBy("o_orderpriority")
+
+  /** Deterministic per-group "reservoir" sample: k=5 docs per language,
+    * selected by md5(doc_id) rank — hash-rank sampling is the
+    * RNG-free, reshuffle-stable form of reservoir sampling (same
+    * statistical uniformity over the hash, but replayable and
+    * engine-agnostic, per the R-series determinism rules the split /
+    * stratified samplers already follow). The window partitions by a
+    * bounded key (languages), never globally.
+    */
+  val sampleReservoirGroup: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, d)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  /** As-of join with a STALENESS TOLERANCE: each purchase matches the
+    * latest signup at most 7 days older; staler signups are no match
+    * at all (inner semantics drop the row). The band predicate bounds
+    * the candidate pairs to one week per user BEFORE the argmax —
+    * unbounded last-prior (`join_asof_last_signup`) scans the whole
+    * history per key, the tolerance form is what keeps as-of joins
+    * linear when keys live for years.
+    */
+  val joinAsofTolerance: Q = (s, d) => {
+    val e = events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u"),
+              col("ts").as("p_ts"))
+    val g = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+              col("ts").as("s_ts"))
+    p.join(g, col("u") === col("su") &&
+              col("s_ts") <= col("p_ts") &&
+              col("s_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy("purchase_id")
+      .agg(max(struct(col("s_ts"), col("signup_id"))).getField("signup_id")
+        .as("last_signup_id"))
+      .orderBy("purchase_id")
+      .limit(1000)
+  }
+
+  /** Array-zip covariance: Σ q(e[i])·q(e[i+1]) over the first 8
+    * neighbour pairs of each embedding — the `zip_with` + `aggregate`
+    * higher-order chain as a declared row (the library's codegen
+    * `vec_dot` covers the same-index product; this is the
+    * LAGGED-index form only the HOF surface expresses). Quantization
+    * uses the exact `floor(x·1000 + 0.5)` (not `round`) so both
+    * engines bit-agree on dyadic-rational floats.
+    */
+  val arrayZipCovar: Q = (s, d) => {
+    def q(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
+    emb(s, d)
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(q(slice(col("embedding"), 1, 8)),
+                   q(slice(col("embedding"), 2, 8)),
+                   (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("zcov"))
+      .orderBy("vec_id")
+      .limit(2000)
+  }
+
+  /** Map-shaped histogram: per-language source→count distribution,
+    * emitted as a sorted-entry string (same encoding contract as the
+    * map-HOF rows). Two keyed aggregates, both map-side combinable;
+    * the collect_list is bounded by the source-domain cardinality,
+    * never the row count.
+    */
+  val aggHistogramMap: Q = (s, d) =>
+    docs(s, d)
+      .groupBy("lang", "source")
+      .agg(cnt.as("c"))
+      .groupBy("lang")
+      .agg(array_join(array_sort(collect_list(
+        concat(col("source"), lit("="), col("c")))), ",").as("hist"))
+      .orderBy("lang")
+
+  val queries: Map[String, Q] = Map(
+    "agg_bool_funcs" -> aggBoolFuncs,
+    "sample_reservoir_group" -> sampleReservoirGroup,
+    "join_asof_tolerance" -> joinAsofTolerance,
+    "array_zip_covar" -> arrayZipCovar,
+    "agg_histogram_map" -> aggHistogramMap,
+  )
+}

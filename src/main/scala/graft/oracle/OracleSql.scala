@@ -1470,5 +1470,41 @@ object OracleSql {
   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) k_sum,
   CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) k_max
   FROM events GROUP BY 1 ORDER BY 1""",
+    // ---- round-5 wave 2 ----
+    "agg_bool_funcs" ->
+      """SELECT o_orderpriority, bool_and(o_totalprice > 1000) all_over_1k,
+  bool_or(o_totalprice > 400000) any_over_400k,
+  CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) n_finished,
+  CAST(count(*) AS BIGINT) c
+  FROM orders GROUP BY 1 ORDER BY 1""",
+    // hash-rank sampling: md5 hex of the id string is engine-agnostic
+    "sample_reservoir_group" ->
+      """SELECT lang, doc_id, rn FROM (
+    SELECT lang, doc_id, CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) rn
+    FROM documents) t WHERE rn <= 5 ORDER BY lang, rn""",
+    "join_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+  s AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup')
+  SELECT p.event_id purchase_id, max(s.event_id) last_signup_id
+  FROM p JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts AND s.ts > p.ts - INTERVAL 7 DAY
+  WHERE s.ts = (SELECT max(s2.ts) FROM s s2 WHERE s2.user_id = p.user_id
+    AND s2.ts <= p.ts AND s2.ts > p.ts - INTERVAL 7 DAY)
+  GROUP BY 1 ORDER BY 1 LIMIT 1000""",
+    // exact floor(x*1000+0.5) quantization on both sides (no round():
+    // half-mode differs between engines on dyadic-rational floats)
+    "array_zip_covar" ->
+      """SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 8),
+    i -> CAST(floor(e[i]*1000 + 0.5) AS BIGINT) * CAST(floor(e[i+1]*1000 + 0.5) AS BIGINT))) AS BIGINT) zcov
+  FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) t
+  ORDER BY vec_id LIMIT 2000""",
+    // ORDER BY the full entry string, not the source: Spark's
+    // array_sort compares whole entries, and 'src10=...' < 'src1=...'
+    // ('0' < '=') while 'src1' < 'src10' as bare keys
+    "agg_histogram_map" ->
+      """SELECT lang, string_agg(e, ',' ORDER BY e) hist
+  FROM (SELECT lang, source || '=' || CAST(count(*) AS VARCHAR) e
+    FROM documents GROUP BY lang, source) t
+  GROUP BY 1 ORDER BY 1""",
   )
 }
