@@ -119,11 +119,78 @@ object Funcs2 {
         concat(col("source"), lit("="), col("c")))), ",").as("hist"))
       .orderBy("lang")
 
+  /** Calendar-extraction family not yet declared by `date_funcs`:
+    * ISO day-of-week (Spark `weekday`+1 == DuckDB `isodow`), day/week
+    * of year (both ISO), quarter, end-of-month. Pure per-row codegen.
+    */
+  val dateExtractFuncs: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"),
+        (expr("weekday(o_orderdate)") + 1).cast("long").as("isodow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("woy"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        last_day(col("o_orderdate")).as("eom"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+
+  /** Hourly resample with LINEAR INTERPOLATION between the surrounding
+    * events — the numeric sibling of `ts_resample_ffill` (sensor /
+    * metric alignment wants the interpolated value, not the stale
+    * one). Same union-and-fill shape: grid rows merge into the event
+    * timeline, one window looking back (prev event ts+value) and one
+    * looking forward (next), then
+    * `v = vp + (vn−vp)·(t−tp)/(tn−tp)` evaluated in an IDENTICAL
+    * double-expression tree on both engines (IEEE ops are
+    * deterministic; only round()'s half-mode isn't, so the cents
+    * emission uses floor(x·100+0.5)). Grid tail (no next) falls back
+    * to ffill; head (no prev) is NULL. Linear in events+grid — no
+    * band join whose width grows with history.
+    */
+  val tsResampleInterp: Q = (s, d) => {
+    val ev = events(s, d).filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"), col("value").as("v"),
+              lit(0).as("is_grid"))
+    val grid = ev.select("user_id").distinct()
+      .select(col("user_id"),
+        explode(sequence(
+          to_timestamp(lit("2024-01-01 01:00:00")),
+          to_timestamp(lit("2024-01-08 00:00:00")),
+          expr("INTERVAL 1 HOUR"))).as("ts"))
+      .withColumn("v", lit(null).cast("double"))
+      .withColumn("is_grid", lit(1))
+    // events sort BEFORE a grid point at the same ts, so an exact-hit
+    // event is "prev" (ratio 0 → its own value), matching ASOF `<=`
+    val wPrev = Window.partitionBy("user_id").orderBy(col("ts"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy(col("ts"), col("is_grid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val evTs = when(col("is_grid") === 0, col("ts"))
+    ev.unionByName(grid)
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(evTs, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(evTs, ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"),
+        unix_seconds(col("ts")).as("h_epoch"),
+        when(col("pt").isNull, lit(null).cast("long"))
+          .when(col("nt").isNull, floor(col("pv") * 100 + 0.5).cast("long"))
+          .otherwise(floor((col("pv") + (col("nv") - col("pv")) *
+            ((unix_micros(col("ts")) - unix_micros(col("pt"))).cast("double") /
+             (unix_micros(col("nt")) - unix_micros(col("pt"))).cast("double")))
+            * 100 + 0.5).cast("long"))
+          .as("val_cents"))
+      .orderBy("user_id", "h_epoch")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
     "join_asof_tolerance" -> joinAsofTolerance,
     "array_zip_covar" -> arrayZipCovar,
     "agg_histogram_map" -> aggHistogramMap,
+    "date_extract_funcs" -> dateExtractFuncs,
+    "ts_resample_interp" -> tsResampleInterp,
   )
 }

@@ -152,6 +152,28 @@ object LlmOps {
       .select(col("node").as("doc_id"), col("label").as("canonical_id"))
       .orderBy("doc_id")
 
+  /** Keep-policy variant of [[dedupClusterCanonical]]: instead of the
+    * minimum doc_id, each cluster keeps its HIGHEST-QUALITY member
+    * (max n_chars, doc_id tiebreak) — the policy real corpus dedup
+    * actually wants (drop the shorter/truncated duplicates). Same
+    * component labels; one extra broadcast-sized argmax join. The
+    * (n_chars, doc_id) lexicographic argmax is encoded as a single
+    * integer key (n_chars·10⁶ + doc_id, exact while doc_id < 10⁶) so
+    * the DuckDB oracle's max_by matches bit-for-bit.
+    */
+  val dedupClusterKeepBest: Q = (s, d) => {
+    val labels = Scale.connectedComponents(dedupNearJaccard(s, d), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("label"))
+    val quality = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val withQ = labels.join(quality, "doc_id")
+    val best = withQ.groupBy("label")
+      .agg(max(col("n_chars") * 1000000L + col("doc_id")).as("bk"))
+      .select(col("label"), pmod(col("bk"), lit(1000000L)).as("keep_id"))
+    withQ.join(best, "label")
+      .select(col("doc_id"), col("keep_id"))
+      .orderBy("doc_id")
+  }
+
   val multimodalJoin: Q = (s, d) =>
     documents(s, d)
       .join(embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -169,6 +191,7 @@ object LlmOps {
     "text_lang_stats" -> textLangStats,
     "text_containment" -> textContainment,
     "dedup_cluster_canonical" -> dedupClusterCanonical,
+    "dedup_cluster_keep_best" -> dedupClusterKeepBest,
     "multimodal_join" -> multimodalJoin,
   )
 }

@@ -921,6 +921,23 @@ object OracleSql {
     UNION
     SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
   SELECT u doc_id, least(u, min(v)) canonical_id FROM reach GROUP BY u ORDER BY u""",
+    "dedup_cluster_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) tk FROM documents),
+  pairs AS (
+    SELECT a.doc_id a_id, b.doc_id b_id FROM toks a JOIN toks b
+    ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
+    ORDER BY 1,2 LIMIT 2000),
+  edges AS (SELECT a_id u, b_id v FROM pairs UNION SELECT b_id u, a_id v FROM pairs),
+  reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+  labels AS (SELECT u doc_id, least(u, min(v)) lab FROM reach GROUP BY u),
+  best AS (SELECT l.lab, max(d.n_chars * 1000000 + d.doc_id) bk
+    FROM labels l JOIN documents d ON l.doc_id = d.doc_id GROUP BY 1)
+  SELECT l.doc_id, CAST(b.bk % 1000000 AS BIGINT) keep_id
+  FROM labels l JOIN best b ON l.lab = b.lab ORDER BY l.doc_id""",
     "sim_pairs_threshold" ->
       """SELECT e1.vec_id a, e2.vec_id b,
   CAST(round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])*100) AS BIGINT) sim_pct
@@ -1498,6 +1515,32 @@ object OracleSql {
     i -> CAST(floor(e[i]*1000 + 0.5) AS BIGINT) * CAST(floor(e[i+1]*1000 + 0.5) AS BIGINT))) AS BIGINT) zcov
   FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) t
   ORDER BY vec_id LIMIT 2000""",
+    "date_extract_funcs" ->
+      """SELECT o_orderkey, CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) isodow,
+  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) doy,
+  CAST(week(CAST(o_orderdate AS DATE)) AS BIGINT) woy,
+  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) q,
+  last_day(CAST(o_orderdate AS DATE)) eom
+  FROM orders ORDER BY o_orderkey LIMIT 1000""",
+    // the interpolation expression tree is written IDENTICALLY on both
+    // sides (IEEE double ops are deterministic; only round()'s half
+    // mode is not, hence floor(x*100+0.5))
+    "ts_resample_interp" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+  grid AS (SELECT u.user_id, g.h FROM u CROSS JOIN generate_series(
+    TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-08 00:00:00', INTERVAL 1 HOUR) g(h)),
+  prevj AS (SELECT grid.user_id, grid.h, e.ts pt, e.value pv
+    FROM grid ASOF LEFT JOIN events e ON grid.user_id = e.user_id AND e.ts <= grid.h),
+  nextj AS (SELECT grid.user_id, grid.h, e.ts nt, e.value nv
+    FROM grid ASOF LEFT JOIN events e ON grid.user_id = e.user_id AND grid.h < e.ts)
+  SELECT p.user_id, CAST(floor(epoch(p.h)) AS BIGINT) h_epoch,
+    CASE WHEN p.pt IS NULL THEN NULL
+         WHEN n.nt IS NULL THEN CAST(floor(p.pv*100 + 0.5) AS BIGINT)
+         ELSE CAST(floor((p.pv + (n.nv - p.pv) *
+           ((epoch_us(p.h) - epoch_us(p.pt))::DOUBLE / (epoch_us(n.nt) - epoch_us(p.pt))::DOUBLE))
+           * 100 + 0.5) AS BIGINT) END val_cents
+  FROM prevj p JOIN nextj n ON p.user_id = n.user_id AND p.h = n.h
+  ORDER BY 1, 2""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
