@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BottomK, MinHashSignature, SimHash64, SortedJaccard, SortedOverlap, VecDot, VecSum}
+import graft.functions.{BottomK, JaroWinkler, MinHashSignature, SimHash64, SortedJaccard, SortedOverlap, VecDot, VecSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works next to
@@ -71,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash"),
       info("simhash", "simhash(tokens) - 64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] " +
+        "(standard parameters: window max/2-1, prefix boost 0.1 up to 4 chars, " +
+        "boost only above jaro 0.7)"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("bottom_k"),
       info("bottom_k", "bottom_k(sort_struct, k) - aggregate: the k smallest structs " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,8 @@ import Util._
 object Funcs2 {
 
   private def orders(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def lineitem(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def nation(s: SparkSession, d: String) = Tables.t(s, d, "nation")
   private def docs(s: SparkSession, d: String)   = Tables.t(s, d, "documents")
   private def events(s: SparkSession, d: String) = Tables.t(s, d, "events")
   private def emb(s: SparkSession, d: String)    = Tables.t(s, d, "embeddings")
@@ -184,6 +186,72 @@ object Funcs2 {
       .orderBy("user_id", "h_epoch")
   }
 
+  /** The SQL-standard linear-regression aggregate family (`regr_*`):
+    * slope / intercept / R² / count of extendedprice on quantity per
+    * return flag. All six are one-pass mergeable co-moment aggregates
+    * (map-side combine, no extra shuffle beyond the groupBy) — the
+    * 100 TB-native way to fit per-segment trend lines. Both engines
+    * implement them as covariance/variance ratios over identical
+    * inputs, so micro/milli quantization is oracle-stable.
+    */
+  val aggRegression: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(floor(expr("regr_slope(l_extendedprice, l_quantity)") * 1000 + 0.5)
+             .cast("long").as("slope_milli"),
+           floor(expr("regr_intercept(l_extendedprice, l_quantity)") * 1000 + 0.5)
+             .cast("long").as("icept_milli"),
+           floor(expr("regr_r2(l_extendedprice, l_quantity)") * 1e6 + 0.5)
+             .cast("long").as("r2_micro"),
+           expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n"),
+           floor(expr("regr_avgx(l_extendedprice, l_quantity)") * 1e6 + 0.5)
+             .cast("long").as("avgx_micro"),
+           floor(expr("regr_avgy(l_extendedprice, l_quantity)") * 100 + 0.5)
+             .cast("long").as("avgy_cents"))
+      .orderBy("l_returnflag")
+
+  /** Third/fourth standardized central moments per group. Spark's
+    * `skewness`/`kurtosis` are the POPULATION forms (g1 = m3/m2^1.5,
+    * excess g2 = m4/m2² − 3); DuckDB's builtins are the
+    * sample-corrected forms, so the oracle replicates the population
+    * formula explicitly from power sums — same rational inputs, same
+    * tree shape, micro-quantized.
+    */
+  val aggSkewKurt: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(floor(skewness(col("o_totalprice")) * 1e6 + 0.5)
+             .cast("long").as("skew_micro"),
+           floor(kurtosis(col("o_totalprice")) * 1e6 + 0.5)
+             .cast("long").as("kurt_micro"),
+           cnt.as("c"))
+      .orderBy("o_orderpriority")
+
+  /** String-similarity battery over nation-name pairs: the
+    * [[graft.functions.JaroWinkler]] codegen expression (oracled
+    * against DuckDB's native `jaro_winkler_similarity` — same standard
+    * parameterization) plus a fixed-width Hamming distance composed
+    * from per-position compares (stays in whole-stage codegen; no
+    * UDF). The quadratic pair space is the declared-small dimension
+    * table (n² = 625) — entity-resolution blocking at scale keys
+    * pairs by a blocking hash first, exactly as the dedup family does.
+    */
+  val textSimFuncs: Q = (s, d) => {
+    val a = nation(s, d).select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"))
+    val b = nation(s, d).select(col("n_nationkey").as("b_key"), col("n_name").as("b_name"))
+    val pad = (c: Column) => rpad(substring(c, 1, 8), 8, "#")
+    val ham = (1 to 8).map(i =>
+      when(substring(pad(col("a_name")), i, 1) =!=
+           substring(pad(col("b_name")), i, 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("a_key") < col("b_key"))
+      .select(col("a_name"), col("b_name"),
+        floor(graft.functions.StringSimilarity.jaroWinkler(
+          col("a_name"), col("b_name")) * 1e6 + 0.5).cast("long").as("jw_micro"),
+        ham.as("ham8"))
+      .orderBy("a_name", "b_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -192,5 +260,8 @@ object Funcs2 {
     "agg_histogram_map" -> aggHistogramMap,
     "date_extract_funcs" -> dateExtractFuncs,
     "ts_resample_interp" -> tsResampleInterp,
+    "agg_regression" -> aggRegression,
+    "agg_skew_kurt" -> aggSkewKurt,
+    "text_sim_funcs" -> textSimFuncs,
   )
 }

@@ -1541,6 +1541,38 @@ object OracleSql {
            * 100 + 0.5) AS BIGINT) END val_cents
   FROM prevj p JOIN nextj n ON p.user_id = n.user_id AND p.h = n.h
   ORDER BY 1, 2""",
+    "agg_regression" ->
+      """SELECT l_returnflag,
+  CAST(floor(regr_slope(l_extendedprice, l_quantity) * 1000 + 0.5) AS BIGINT) slope_milli,
+  CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 1000 + 0.5) AS BIGINT) icept_milli,
+  CAST(floor(regr_r2(l_extendedprice, l_quantity) * 1e6 + 0.5) AS BIGINT) r2_micro,
+  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) n,
+  CAST(floor(regr_avgx(l_extendedprice, l_quantity) * 1e6 + 0.5) AS BIGINT) avgx_micro,
+  CAST(floor(regr_avgy(l_extendedprice, l_quantity) * 100 + 0.5) AS BIGINT) avgy_cents
+  FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // Spark's skewness/kurtosis are the POPULATION g1 / excess-g2
+    // forms; DuckDB's builtins are sample-corrected, so the oracle
+    // replicates the population formula from two-pass central moments
+    "agg_skew_kurt" ->
+      """WITH mu AS (SELECT o_orderpriority p, avg(o_totalprice) m FROM orders GROUP BY 1),
+  mom AS (SELECT o.o_orderpriority p,
+    avg(pow(o.o_totalprice - mu.m, 2)) m2,
+    avg(pow(o.o_totalprice - mu.m, 3)) m3,
+    avg(pow(o.o_totalprice - mu.m, 4)) m4,
+    count(*) c
+    FROM orders o JOIN mu ON o.o_orderpriority = mu.p GROUP BY 1)
+  SELECT p o_orderpriority,
+    CAST(floor(m3 / pow(m2, 1.5) * 1e6 + 0.5) AS BIGINT) skew_micro,
+    CAST(floor((m4 / (m2 * m2) - 3) * 1e6 + 0.5) AS BIGINT) kurt_micro,
+    c
+  FROM mom ORDER BY 1""",
+    "text_sim_funcs" ->
+      """SELECT a.n_name a_name, b.n_name b_name,
+  CAST(floor(jaro_winkler_similarity(a.n_name, b.n_name) * 1e6 + 0.5) AS BIGINT) jw_micro,
+  CAST(hamming(rpad(substr(a.n_name, 1, 8), 8, '#'),
+               rpad(substr(b.n_name, 1, 8), 8, '#')) AS BIGINT) ham8
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+  ORDER BY 1, 2""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys

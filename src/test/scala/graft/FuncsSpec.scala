@@ -156,4 +156,33 @@ class FuncsSpec extends SparkSpecBase {
     assert(r.getLong(4) >= 1L && r.getLong(4) <= 4L)
     assert(r.getLong(5) >= 1L && r.getLong(5) <= 7L)
   }
+
+  test("jaro_winkler: textbook values, edges, and SQL registration") {
+    import graft.functions.StrSim
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = StrSim.jaroWinkler(u(a), u(b))
+    // textbook pairs (values cross-checked against DuckDB's
+    // jaro_winkler_similarity in the text_sim_funcs oracle)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111) < 1e-9)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-9)
+    // boost gated on jaro > 0.7: common prefix but low jaro → no boost
+    assert(math.abs(jw("abcdef", "abxyzw") - 0.5555555556) < 1e-9)
+    // prefix boost capped at 4 chars
+    assert(math.abs(jw("abcdxx", "abcdyy") - 0.8666666667) < 1e-9)
+    // edges: empty strings and no matches → 0; identity → 1
+    assert(jw("", "") == 0.0 && jw("abc", "") == 0.0)
+    assert(jw("ab", "xy") == 0.0 && jw("same", "same") == 1.0)
+    // (SQL-surface registration is covered in SourcesSpec's
+    // GraftExtensions test alongside the other injected functions)
+    // codegen path == interpreted kernel on real data
+    import org.apache.spark.sql.functions._
+    val n = spark.read.parquet(s"$sf/nation.parquet").select("n_name").limit(25)
+    val pairs = n.as("a").crossJoin(n.as("b"))
+      .select(col("a.n_name").as("x"), col("b.n_name").as("y"),
+        graft.functions.StringSimilarity.jaroWinkler(col("a.n_name"), col("b.n_name")).as("s"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(2) == jw(r.getString(0), r.getString(1)))
+    }
+  }
 }

@@ -100,6 +100,12 @@ class SourcesSpec extends SparkSpecBase {
           |FROM emb5""".stripMargin).collect().head
         .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
       assert(bk == Seq(0L, 1L), bk.toString)
+      // jaro_winkler registered and agrees with the static kernel
+      val jwSql = extended.sql(
+        "SELECT jaro_winkler('MARTHA', 'MARHTA') j").collect().head.getDouble(0)
+      assert(jwSql == graft.functions.StrSim.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString("MARTHA"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("MARHTA")))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
