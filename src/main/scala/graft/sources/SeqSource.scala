@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,7 +35,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * partitionings and assertable row-by-row in SourcesSpec.
   *
   * Options: `rows` (default 1000), `users` (default 100),
-  * `slices` (max partitions, default 8).
+  * `slices` (max partitions, default 8), `partitionByUser` (default
+  * false — see below).
+  *
+  * With `partitionByUser=true` the source additionally implements the
+  * FOURTH V2 read trait, `SupportsReportPartitioning`: partitions are
+  * planned one-per-user (each carrying its `HasPartitionKey` row) and
+  * the scan reports `KeyGroupedPartitioning(identity(user_id))`. Under
+  * `spark.sql.sources.v2.bucketing.enabled`, Catalyst then satisfies a
+  * `ClusteredDistribution(user_id)` straight from the scan — a
+  * `groupBy(user_id)` aggregates with NO shuffle, and two such scans
+  * join storage-partitioned with NO shuffle on either side. This is
+  * the generator analogue of the bucketed-table / Iceberg
+  * partition-transform contract that makes 100 TB keyed pipelines
+  * shuffle-free (SourcesSpec plan-guards both shapes).
   */
 class SeqDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -45,7 +59,8 @@ class SeqDataSource extends TableProvider {
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("users", "100").toLong,
       properties.getOrDefault("slices", "8").toInt,
-      properties.getOrDefault("rowsPerBatch", "100").toLong)
+      properties.getOrDefault("rowsPerBatch", "100").toLong,
+      properties.getOrDefault("partitionByUser", "false").toBoolean)
 }
 
 object SeqTable {
@@ -63,17 +78,19 @@ object SeqTable {
     Array("click", "error", "purchase", "signup", "view").map(UTF8String.fromString)
 }
 
-class SeqTable(rows: Long, users: Long, slices: Int, rowsPerBatch: Long)
+class SeqTable(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
+               partitionByUser: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_seq(rows=$rows)"
   override def schema(): StructType = SeqTable.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, users, slices, rowsPerBatch)
+    new SeqScanBuilder(rows, users, slices, rowsPerBatch, partitionByUser)
 }
 
-class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long)
+class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
+                     partitionByUser: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = SeqTable.schema
@@ -101,14 +118,26 @@ class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SeqScan(required, lo, math.max(lo, hi), users, slices, rowsPerBatch)
+    new SeqScan(required, lo, math.max(lo, hi), users, slices, rowsPerBatch,
+      partitionByUser)
 }
 
 class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int,
-              rowsPerBatch: Long)
-    extends Scan with Batch {
+              rowsPerBatch: Long, partitionByUser: Boolean = false)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Key-grouped by `user_id` when the table opted in (one partition
+    * per user, each tagged with its `HasPartitionKey` row below) —
+    * otherwise honestly unknown. The reported partition count MUST
+    * equal `planInputPartitions().length` or Catalyst rejects it.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (partitionByUser)
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("user_id")), users.toInt)
+    else new UnknownPartitioning(planInputPartitions().length)
 
   /** Streaming face of the same generator: offsets are plain row
     * counts, each micro-batch serves the next `rowsPerBatch` ids until
@@ -122,6 +151,12 @@ class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int
     s"SeqScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (partitionByUser)
+      // one key-group per user: partition u generates exactly the ids
+      // with id % users == u inside [lo, hi) — possibly zero rows, but
+      // the partition still exists so the reported count stays honest
+      return (0L until users).map(u =>
+        SeqUserPartition(u, lo, hi, users): InputPartition).toArray
     val n = hi - lo
     if (n <= 0) return Array.empty
     val parts = math.max(1, math.min(slices.toLong, n)).toInt
@@ -137,6 +172,14 @@ class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int
 }
 
 case class SeqInputPartition(start: Long, end: Long) extends InputPartition
+
+/** One user's slice of the id space: ids ≡ user (mod users) in
+  * [lo, hi). Carries its partition-key row so Catalyst can key-group.
+  */
+case class SeqUserPartition(user: Long, lo: Long, hi: Long, users: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(user)
+}
 
 case class SeqOffset(n: Long) extends streaming.Offset {
   override def json(): String = n.toString
@@ -183,7 +226,6 @@ class SeqMicroBatchStream(required: StructType, lo: Long, hi: Long,
 class SeqReaderFactory(required: StructType, users: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SeqInputPartition]
     // one generator lambda per projected column — the pruned schema
     // decides what gets computed at all
     val gens: Array[Long => Any] = required.fieldNames.map {
@@ -193,12 +235,26 @@ class SeqReaderFactory(required: StructType, users: Long)
       case "event_type" => (id: Long) => SeqTable.eventTypes((id % 5).toInt)
       case "value"      => (id: Long) => (id % 10000L) / 100.0
     }
-    new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(gens.map(g => g(cur)).toIndexedSeq)
-      override def close(): Unit = ()
+    partition match {
+      case p: SeqInputPartition =>
+        new PartitionReader[InternalRow] {
+          private var cur = p.start - 1
+          override def next(): Boolean = { cur += 1; cur < p.end }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(gens.map(g => g(cur)).toIndexedSeq)
+          override def close(): Unit = ()
+        }
+      case p: SeqUserPartition =>
+        // ids ≡ p.user (mod users), stepping by users from the first
+        // such id ≥ lo
+        val first = p.lo + (((p.user - p.lo % p.users) % p.users + p.users) % p.users)
+        new PartitionReader[InternalRow] {
+          private var cur = first - p.users
+          override def next(): Boolean = { cur += p.users; cur < p.hi }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(gens.map(g => g(cur)).toIndexedSeq)
+          override def close(): Unit = ()
+        }
     }
   }
 }

@@ -339,6 +339,47 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.distinct().count() == 100)
   }
 
+  test("DSv2 SeqSource: reported key-grouped partitioning makes keyed agg and join shuffle-free") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.sources.v2.bucketing.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "false")
+        .getOrCreate()
+      def pdf = s.read.format(classOf[graft.sources.SeqDataSource].getName)
+        .option("rows", "10000").option("users", "20")
+        .option("partitionByUser", "true").load()
+      // keyed aggregation: ClusteredDistribution(user_id) satisfied by
+      // the scan's KeyGroupedPartitioning — NO exchange anywhere
+      val agg = pdf.groupBy("user_id").agg(count(lit(1)).as("c"), sum("value").as("v"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), aggPlan.take(1500))
+      val rows = agg.collect()
+      assert(rows.length == 20 && rows.forall(_.getAs[Long]("c") == 500L))
+      // storage-partitioned join: both sides report the same key
+      // grouping, so the equi-join is co-located — NO shuffle either
+      val joined = pdf.as("a").join(pdf.as("b"), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val jPlan = joined.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"), jPlan.take(1500))
+      assert(joined.collect().forall(_.getAs[Long]("n") == 500L * 500L))
+      // content identical to the range-partitioned form of the source
+      val plain = seqDf("rows" -> "10000", "users" -> "20")
+        .agg(sum("id"), sum(round(col("value") * 100).cast("long"))).collect().head
+      val keyed = pdf
+        .agg(sum("id"), sum(round(col("value") * 100).cast("long"))).collect().head
+      assert(plain == keyed)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("DSv2 SeqSource streams: micro-batches drain the range deterministically") {
     import org.apache.spark.sql.functions._
     val sink = s"seq_stream_${System.nanoTime()}"
