@@ -252,6 +252,78 @@ object Funcs2 {
       .orderBy("a_name", "b_name")
   }
 
+  /** Gaps-and-islands interval MERGE: each order opens a 30-day
+    * activity interval; overlapping/touching intervals per customer
+    * coalesce into islands (min start, max end, order count). The
+    * classic warehouse coalesce: one cumulative-max window flags
+    * island starts, one running sum numbers them — both
+    * entity-partitioned (never global), linear in orders.
+    */
+  val tsMergeIntervals: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("o_orderdate"))
+      .withColumn("iv_end", date_add(col("o_orderdate"), 30))
+      .withColumn("prev_end",
+        max(col("iv_end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("o_orderdate") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("o_custkey", "island")
+      .agg(min(col("o_orderdate")).as("start_date"),
+           max(col("iv_end")).as("end_date"),
+           cnt.as("n_orders"))
+      .select(col("o_custkey"), col("island"), col("start_date"),
+              col("end_date"), col("n_orders"))
+      .orderBy("o_custkey", "island")
+  }
+
+  /** First-order transition census over the event log (the Markov-chain
+    * view of user behavior): `lag(event_type)` per user in time order,
+    * then a global (prev, cur) count. One entity-partitioned window +
+    * one bounded-domain aggregate (5×5 output) — linear, mergeable.
+    */
+  val eventsTransitionCounts: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(cnt.as("n"))
+      .select(col("prev_type"), col("event_type").as("cur_type"), col("n"))
+      .orderBy("prev_type", "cur_type")
+  }
+
+  /** 2-D Pareto frontier (skyline) of documents maximizing
+    * (n_chars, token count): a doc survives iff nothing dominates it
+    * (≥ on both axes, > on one). Scale shape: the corpus reduces to
+    * the per-x-value max FIRST (groupBy n_chars — bounded domain), so
+    * the one ordered window runs over the x-DOMAIN table, never the
+    * corpus (the same vocab-table rule every text op here follows);
+    * frontier membership then joins back as an equi-join.
+    */
+  val skylinePareto: Q = (s, d) => {
+    val pts = docs(s, d).select(col("doc_id"),
+      col("n_chars").cast("long").as("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val gx = pts.groupBy("n_chars").agg(max(col("n_toks")).as("ymax"))
+    val wx = Window.orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = gx
+      .withColumn("ycut", max(col("ymax")).over(wx))
+      .filter(col("ycut").isNull || col("ymax") > col("ycut"))
+      .select(col("n_chars").as("fx"), col("ymax").as("fy"))
+    pts.join(frontier,
+        col("n_chars") === col("fx") && col("n_toks") === col("fy"))
+      .select(col("doc_id"), col("n_chars"), col("n_toks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -263,5 +335,8 @@ object Funcs2 {
     "agg_regression" -> aggRegression,
     "agg_skew_kurt" -> aggSkewKurt,
     "text_sim_funcs" -> textSimFuncs,
+    "ts_merge_intervals" -> tsMergeIntervals,
+    "events_transition_counts" -> eventsTransitionCounts,
+    "skyline_pareto" -> skylinePareto,
   )
 }

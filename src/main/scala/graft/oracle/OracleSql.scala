@@ -1573,6 +1573,36 @@ object OracleSql {
                rpad(substr(b.n_name, 1, 8), 8, '#')) AS BIGINT) ham8
   FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
   ORDER BY 1, 2""",
+    "ts_merge_intervals" ->
+      """WITH iv AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) d,
+    CAST(o_orderdate AS DATE) + 30 iv_end FROM orders),
+  flagged AS (SELECT o_custkey, o_orderkey, d, iv_end,
+    max(iv_end) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_end
+    FROM iv),
+  numbered AS (SELECT o_custkey, d, iv_end,
+    sum(CASE WHEN prev_end IS NULL OR d > prev_end THEN 1 ELSE 0 END)
+      OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) island
+    FROM flagged)
+  SELECT o_custkey, CAST(island AS BIGINT) island, min(d) start_date,
+    max(iv_end) end_date, count(*) n_orders
+  FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_transition_counts" ->
+      """WITH t AS (SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_type
+  FROM events)
+  SELECT prev_type, event_type cur_type, count(*) n FROM t
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
+    "skyline_pareto" ->
+      """WITH pts AS (SELECT doc_id, CAST(n_chars AS BIGINT) n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) n_toks FROM documents),
+  gx AS (SELECT n_chars, max(n_toks) ymax FROM pts GROUP BY 1),
+  fr AS (SELECT n_chars, ymax, max(ymax) OVER (ORDER BY n_chars DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) ycut FROM gx)
+  SELECT p.doc_id, p.n_chars, p.n_toks
+  FROM pts p JOIN fr f ON p.n_chars = f.n_chars AND p.n_toks = f.ymax
+  WHERE f.ycut IS NULL OR f.ymax > f.ycut ORDER BY 1""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
