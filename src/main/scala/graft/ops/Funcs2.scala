@@ -324,6 +324,59 @@ object Funcs2 {
       .orderBy("doc_id")
   }
 
+  /** RFM customer segmentation — recency/frequency/monetary quintiles
+    * composed into the classic 3-digit segment code. Each quintile is
+    * [[Scale.globalNtile]] (bucket-parallel global ranking — NO
+    * single-partition sort at any of the three rankings), so the whole
+    * pipeline is: one keyed aggregate + three linear rank passes over
+    * the per-customer table. The oracle pins the scores to DuckDB's
+    * native `ntile(5)` — globalNtile's closed-form bucket math IS the
+    * SQL ntile definition.
+    */
+  val customerRfm: Q = (s, d) => {
+    val base = orders(s, d).groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_date"),
+           cnt.as("f"),
+           sumCents(col("o_totalprice")).as("m"))
+    val r1 = Scale.globalNtile(base, 5,
+        year(col("last_date")) * 12 + month(col("last_date")),
+        Seq(col("last_date"), col("o_custkey")))
+      .withColumnRenamed("__tile", "r_score")
+    val r2 = Scale.globalNtile(r1, 5,
+        least(col("f"), lit(40L)),
+        Seq(col("f"), col("o_custkey")))
+      .withColumnRenamed("__tile", "f_score")
+    val r3 = Scale.globalNtile(r2, 5,
+        floor(col("m") / 5000000L),
+        Seq(col("m"), col("o_custkey")))
+      .withColumnRenamed("__tile", "m_score")
+    r3.select(col("o_custkey"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast("long").as("rfm"))
+      .orderBy("o_custkey")
+  }
+
+  /** URL component extraction via Spark's native `parse_url`
+    * (PROTOCOL / HOST / PATH / QUERY / one query parameter) over URLs
+    * assembled from document metadata. The oracle replicates each
+    * component with anchored regexes — exact on well-formed URLs,
+    * which these are by construction. Pure per-row codegen scan.
+    */
+  val strUrlFuncs: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+               col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+               lit("?q="), col("lang"), lit("&id="),
+               col("doc_id").cast("string")).as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -338,5 +391,7 @@ object Funcs2 {
     "ts_merge_intervals" -> tsMergeIntervals,
     "events_transition_counts" -> eventsTransitionCounts,
     "skyline_pareto" -> skylinePareto,
+    "customer_rfm" -> customerRfm,
+    "str_url_funcs" -> strUrlFuncs,
   )
 }

@@ -1603,6 +1603,30 @@ object OracleSql {
   SELECT p.doc_id, p.n_chars, p.n_toks
   FROM pts p JOIN fr f ON p.n_chars = f.n_chars AND p.n_toks = f.ymax
   WHERE f.ycut IS NULL OR f.ymax > f.ycut ORDER BY 1""",
+    "customer_rfm" ->
+      """WITH base AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) last_date,
+    count(*) f, sum(CAST(round(o_totalprice * 100) AS BIGINT)) m
+    FROM orders GROUP BY 1),
+  scored AS (SELECT o_custkey,
+    CAST(ntile(5) OVER (ORDER BY last_date, o_custkey) AS BIGINT) r_score,
+    CAST(ntile(5) OVER (ORDER BY f, o_custkey) AS BIGINT) f_score,
+    CAST(ntile(5) OVER (ORDER BY m, o_custkey) AS BIGINT) m_score
+    FROM base)
+  SELECT o_custkey, r_score, f_score, m_score,
+    r_score * 100 + f_score * 10 + m_score rfm
+  FROM scored ORDER BY o_custkey""",
+    "str_url_funcs" ->
+      """WITH u AS (SELECT doc_id,
+    'https://' || source || '.example.com/' || lang || '/doc/' ||
+    CAST(doc_id AS VARCHAR) || '?q=' || lang || '&id=' ||
+    CAST(doc_id AS VARCHAR) url FROM documents)
+  SELECT doc_id,
+    regexp_extract(url, '^([a-z]+)://', 1) proto,
+    regexp_extract(url, '^[a-z]+://([^/]+)/', 1) host,
+    regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) path,
+    regexp_extract(url, '\?(.*)$', 1) query,
+    regexp_extract(url, '[?&]id=([^&]*)', 1) qid
+  FROM u ORDER BY doc_id""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
