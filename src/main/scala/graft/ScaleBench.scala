@@ -262,6 +262,30 @@ object ScaleBench {
     val twSecB = (System.nanoTime() - tw0b) / 1e9
     println(f"[scalebench] top-3/key @ 10M rows, 1k keys: bottom_k ${thSec}%5.2f s " +
       f"($heapN rows) vs window ${twSecB}%5.2f s ($winN rows) -> ${twSecB / thSec}%.1f x")
+
+    // ---- round-5: key-grouped scan vs shuffle agg @ 10M rows -------------
+    // the SupportsReportPartitioning path: the keyed scan satisfies
+    // ClusteredDistribution straight from the source, so the aggregate
+    // plans ZERO exchanges; the range-partitioned form of the SAME
+    // generator pays the full shuffle. Both verified row-identical.
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def seqAgg(byUser: Boolean) = spark.read
+      .format(classOf[graft.sources.SeqDataSource].getName)
+      .option("rows", "10000000").option("users", "64")
+      .option("slices", "64")
+      .option("partitionByUser", byUser.toString).load()
+      .groupBy("user_id").agg(count(lit(1)).as("c"), sum("value").as("v"))
+    val kg0 = System.nanoTime()
+    val kgRows = seqAgg(byUser = true).collect()
+    val kgSec = (System.nanoTime() - kg0) / 1e9
+    val kgPlan = seqAgg(byUser = true).queryExecution.executedPlan.toString
+    assert(!kgPlan.contains("Exchange"), "key-grouped agg must plan no exchange")
+    val sh0 = System.nanoTime()
+    val shRows = seqAgg(byUser = false).collect()
+    val shSec = (System.nanoTime() - sh0) / 1e9
+    assert(kgRows.map(_.getLong(1)).sum == shRows.map(_.getLong(1)).sum)
+    println(f"[scalebench] keyed agg @ 10M rows, 64 users: key-grouped scan " +
+      f"${kgSec}%5.2f s (0 exchanges) vs shuffle ${shSec}%5.2f s -> ${shSec / kgSec}%.1f x")
     spark.stop()
   }
 }

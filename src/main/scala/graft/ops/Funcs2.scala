@@ -377,6 +377,25 @@ object Funcs2 {
         parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"))
       .orderBy("doc_id")
 
+  /** Longest consecutive-day order streak per customer — the
+    * date-minus-row_number islands trick (consecutive dates share
+    * `d − rn`): one entity-partitioned window + two keyed aggregates,
+    * all linear and mergeable.
+    */
+  val winStreakLongest: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+      .distinct()
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy("o_custkey", "grp")
+      .agg(cnt.as("streak"))
+      .groupBy("o_custkey")
+      .agg(max(col("streak")).as("max_streak"),
+           sum(col("streak")).cast("long").as("active_days"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -393,5 +412,6 @@ object Funcs2 {
     "skyline_pareto" -> skylinePareto,
     "customer_rfm" -> customerRfm,
     "str_url_funcs" -> strUrlFuncs,
+    "win_streak_longest" -> winStreakLongest,
   )
 }

@@ -1627,6 +1627,14 @@ object OracleSql {
     regexp_extract(url, '\?(.*)$', 1) query,
     regexp_extract(url, '[?&]id=([^&]*)', 1) qid
   FROM u ORDER BY doc_id""",
+    "win_streak_longest" ->
+      """WITH dd AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) d FROM orders),
+  g AS (SELECT o_custkey, d, d - CAST(row_number() OVER
+    (PARTITION BY o_custkey ORDER BY d) AS INTEGER) grp FROM dd),
+  s AS (SELECT o_custkey, grp, count(*) streak FROM g GROUP BY 1, 2)
+  SELECT o_custkey, max(streak) max_streak,
+    CAST(sum(streak) AS BIGINT) active_days
+  FROM s GROUP BY 1 ORDER BY 1""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
