@@ -106,6 +106,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("windowspecdefinition(__cb"), p.take(800))
   }
 
+  test("round-5 warehouse ops never single-partition the fact table") {
+    // customer_rfm: three globalNtile passes — every ranking is
+    // bucket-parallel, offsets broadcast; ts_merge_intervals and
+    // win_streak_longest: entity-partitioned windows only
+    for (name <- Seq("customer_rfm", "ts_merge_intervals", "win_streak_longest")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange SinglePartition"), s"$name: ${p.take(1200)}")
+    }
+    // skyline_pareto's one ordered window runs on the aggregated
+    // x-domain table (bounded), never the corpus: the window input is
+    // the groupBy(n_chars) aggregate, and the corpus-sized side joins
+    // back by equi-join
+    val sky = plan("skyline_pareto")
+    assert(sky.contains("BroadcastHashJoin") || sky.contains("SortMergeJoin"),
+      sky.take(1200))
+  }
+
   test("win_ntile two-phase ranking equals the window-ntile formulation") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("o_totalprice", "o_orderkey")
