@@ -396,6 +396,67 @@ object Funcs2 {
       .orderBy("o_custkey")
   }
 
+  /** Cumulative DISTINCT count over time — the first-occurrence-flag
+    * trick (row_number within (entity, value) == 1, then a running sum
+    * in time order), since neither engine supports DISTINCT window
+    * aggregates directly. Two entity-partitioned windows, linear.
+    */
+  val winCumDistinct: Q = (s, d) => {
+    val wFirst = Window.partitionBy("o_custkey", "o_orderpriority")
+      .orderBy(col("od"), col("o_orderkey"))
+    val wRun = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("od"), col("o_orderpriority"))
+      .withColumn("fst",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_prio_seen", sum(col("fst")).over(wRun))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_prio_seen"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
+  /** Shannon entropy of each language's source distribution — the
+    * corpus-balance diagnostic a data-mixing pipeline monitors. The
+    * oracle writes the IDENTICAL explicit tree (counts → ratios →
+    * −Σ p·log2 p); per-term log2 ulp skew is ~1e-16 against a 5e-4
+    * quantization band. Two keyed aggregates over a bounded
+    * (lang, source) domain — mergeable, linear.
+    */
+  val aggEntropySources: Q = (s, d) =>
+    docs(s, d)
+      .groupBy("lang", "source").agg(cnt.as("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("lang")))
+      .withColumn("p", col("c") / col("tot"))
+      .groupBy("lang")
+      .agg(floor(-sum(col("p") * log2(col("p"))) * 1000 + 0.5)
+             .cast("long").as("h_milli"),
+           sum(col("c")).cast("long").as("n"))
+      .orderBy("lang")
+
+  /** Per-row array statistics over the embedding vectors: min / max /
+    * lower-median element and L2 norm (via the [[graft.functions.VecDot]]
+    * codegen kernel). Pure per-row codegen scan; the sort is over a
+    * 64-element array, not rows.
+    */
+  val arrayStatsFuncs: Q = (s, d) => {
+    val e = transform(col("embedding"), _.cast("double"))
+    val sorted = array_sort(e)
+    emb(s, d)
+      .select(col("vec_id"),
+        floor(element_at(sorted, 1) * 1000 + 0.5).cast("long").as("emin_milli"),
+        floor(element_at(sorted, size(sorted)) * 1000 + 0.5).cast("long").as("emax_milli"),
+        floor(element_at(sorted, ((size(sorted) + 1) / 2).cast("int")) * 1000 + 0.5)
+          .cast("long").as("emed_milli"),
+        floor(sqrt(graft.functions.VectorFunctions.vec_dot(
+            col("embedding"), col("embedding"))) * 1000 + 0.5)
+          .cast("long").as("l2_milli"))
+      .orderBy("vec_id")
+      .limit(2000)
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -413,5 +474,8 @@ object Funcs2 {
     "customer_rfm" -> customerRfm,
     "str_url_funcs" -> strUrlFuncs,
     "win_streak_longest" -> winStreakLongest,
+    "win_cum_distinct" -> winCumDistinct,
+    "agg_entropy_sources" -> aggEntropySources,
+    "array_stats_funcs" -> arrayStatsFuncs,
   )
 }

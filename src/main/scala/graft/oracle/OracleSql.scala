@@ -1635,6 +1635,33 @@ object OracleSql {
   SELECT o_custkey, max(streak) max_streak,
     CAST(sum(streak) AS BIGINT) active_days
   FROM s GROUP BY 1 ORDER BY 1""",
+    "win_cum_distinct" ->
+      """WITH f AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) od,
+    CASE WHEN row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) = 1 THEN 1 ELSE 0 END fst
+    FROM orders)
+  SELECT o_custkey, o_orderkey,
+    CAST(sum(fst) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) n_prio_seen
+  FROM f ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    // IDENTICAL explicit tree on both engines (counts -> ratios ->
+    // -sum p*log2 p); per-term log2 ulp skew ~1e-16 vs the 5e-4 band
+    "agg_entropy_sources" ->
+      """WITH c AS (SELECT lang, source, count(*) c FROM documents GROUP BY 1, 2),
+  p AS (SELECT lang, c, c / (sum(c) OVER (PARTITION BY lang)) p FROM c)
+  SELECT lang,
+    CAST(floor(-sum(p * log2(p)) * 1000 + 0.5) AS BIGINT) h_milli,
+    CAST(sum(c) AS BIGINT) n
+  FROM p GROUP BY 1 ORDER BY 1""",
+    "array_stats_funcs" ->
+      """WITH e AS (SELECT vec_id, list_sort(embedding::DOUBLE[]) se,
+    embedding::DOUBLE[] ed FROM embeddings)
+  SELECT vec_id,
+    CAST(floor(se[1] * 1000 + 0.5) AS BIGINT) emin_milli,
+    CAST(floor(se[len(se)] * 1000 + 0.5) AS BIGINT) emax_milli,
+    CAST(floor(se[(len(se) + 1) // 2] * 1000 + 0.5) AS BIGINT) emed_milli,
+    CAST(floor(sqrt(list_dot_product(ed, ed)) * 1000 + 0.5) AS BIGINT) l2_milli
+  FROM e ORDER BY vec_id LIMIT 2000""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
