@@ -237,6 +237,52 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming twin of the batch `events_transition_counts` query: a
+    * per-user `transformWithState` processor keeping the LAST event
+    * ((ts, event_id, type)) as named state and emitting one
+    * (prev_type, cur_type) pair per consecutive event — the Markov
+    * transition stream. Within a batch, rows sort by (ts, event_id)
+    * before pairing (the per-key buffer is batch-sized, same hot-key
+    * bound as the as-of cogroup); across batches the stored last event
+    * stitches the sequence, so on an in-order replay the aggregated
+    * pair counts equal the batch operator exactly (StreamingSpec).
+    */
+  class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, String)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var last: ValueState[(Long, Long, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long, String)]("last",
+        E.tuple(E.scalaLong, E.scalaLong, E.STRING), TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(String, String)] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Array.newBuilder[(String, String)]
+      var prev: Option[String] = if (last.exists()) Some(last.get()._3) else None
+      sorted.foreach { e =>
+        prev.foreach(p => out += ((p, e.event_type)))
+        prev = Some(e.event_type)
+      }
+      val lastEv = sorted.last
+      last.update((lastEv.ts.getTime, lastEv.event_id, lastEv.event_type))
+      out.result().iterator
+    }
+  }
+
+  /** Transition pairs per user via `transformWithState`. */
+  def transitionsTws(events: Dataset[Evt]): Dataset[(String, String)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** EVENT-TIME TIMERS — the Processor-API `punctuate` analogue, and
     * the true-streaming twin of the batch `stream_gap_detect` query:
     * every input row re-arms a per-user timer at lastSeen + gap; when
