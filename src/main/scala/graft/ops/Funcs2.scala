@@ -457,6 +457,41 @@ object Funcs2 {
       .limit(2000)
   }
 
+  /** EXACT distinct counting via bitmap aggregation — Spark's
+    * `bitmap_bucket_number` / `bitmap_bit_position` /
+    * `bitmap_construct_agg` / `bitmap_count` family: keys bucket into
+    * 32k-bit bitmaps, partial bitmaps OR-merge map-side, and the
+    * distinct count is the bit-count sum. This is the shuffle-light
+    * exact-distinct pattern for 100 TB (state per group = #buckets ×
+    * 4 KB, independent of row count) — the exact complement of the
+    * HLL sketch op. Oracle: plain COUNT(DISTINCT).
+    */
+  val aggBitmapDistinct: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"),
+               expr("bitmap_bucket_number(o_custkey)").as("b"))
+      .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey)))")
+             .as("c"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("c")).cast("long").as("n_cust"))
+      .orderBy("o_orderpriority")
+
+  /** Remaining scalar string family with native twins on both engines:
+    * `split_part`, `translate`, `repeat`, `reverse`, `left`/`right`.
+    * Pure per-row codegen.
+    */
+  val strFuncs3: Q = (s, d) =>
+    Tables.t(s, d, "part")
+      .select(col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+        translate(col("p_brand"), "Brand#", "brnd-").as("brand_tx"),
+        repeat(col("p_type"), 2).as("type2"),
+        reverse(col("p_name")).as("rev_name"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 4)").as("r4"))
+      .orderBy("p_partkey")
+      .limit(1000)
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -477,5 +512,7 @@ object Funcs2 {
     "win_cum_distinct" -> winCumDistinct,
     "agg_entropy_sources" -> aggEntropySources,
     "array_stats_funcs" -> arrayStatsFuncs,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "str_funcs3" -> strFuncs3,
   )
 }

@@ -1662,6 +1662,18 @@ object OracleSql {
     CAST(floor(se[(len(se) + 1) // 2] * 1000 + 0.5) AS BIGINT) emed_milli,
     CAST(floor(sqrt(list_dot_product(ed, ed)) * 1000 + 0.5) AS BIGINT) l2_milli
   FROM e ORDER BY vec_id LIMIT 2000""",
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) n_cust
+  FROM orders GROUP BY 1 ORDER BY 1""",
+    "str_funcs3" ->
+      """SELECT p_partkey,
+    split_part(p_name, ' ', 2) second_word,
+    translate(p_brand, 'Brand#', 'brnd-') brand_tx,
+    repeat(p_type, 2) type2,
+    reverse(p_name) rev_name,
+    left(p_name, 4) l4,
+    right(p_name, 4) r4
+  FROM part ORDER BY p_partkey LIMIT 1000""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
