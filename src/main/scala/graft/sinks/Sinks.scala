@@ -20,6 +20,25 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** DYNAMIC partition overwrite: replace ONLY the partitions present
+    * in `df`, leaving every other partition directory untouched — the
+    * idempotent-daily-rerun semantics a 100 TB ingest pipeline needs
+    * (re-running one day must not truncate the table, which is exactly
+    * what static overwrite mode would do). Session conf is restored
+    * after the write.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String, cols: String*): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed catalog table: rows are hash-bucketed on `key` at write
     * time, so joins/aggregations between tables bucketed on the same
     * key with the same bucket count need NO shuffle at read time — the

@@ -26,6 +26,26 @@ class SinksScaleSpec extends SparkSpecBase {
       orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("dynamic partition overwrite replaces only the touched partition") {
+    val orders = graft.tables.Tables.t(spark, sf, "orders")
+    val path = s"$tmp/orders_dynpart"
+    Sinks.writePartitioned(orders, path, "o_orderstatus")
+    val before = spark.read.parquet(path)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // re-run "one day": only the F partition, halved — a static
+    // overwrite would truncate O and P; dynamic must keep them
+    val rerun = orders.filter(col("o_orderstatus") === "F")
+      .filter(col("o_orderkey") % 2 === 0)
+    Sinks.overwritePartitionsDynamic(rerun, path, "o_orderstatus")
+    val after = spark.read.parquet(path)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("F") == rerun.count())
+    assert(after.view.filterKeys(_ != "F").toMap ==
+           before.view.filterKeys(_ != "F").toMap)
+  }
+
   test("bucketed tables join without a shuffle") {
     // warehouse dir is a static conf, set in SparkSpecBase
     val c = graft.tables.Tables.t(spark, sf, "customer")
