@@ -492,6 +492,57 @@ object Funcs2 {
       .orderBy("p_partkey")
       .limit(1000)
 
+  /** `ratio_to_report` — each order's share of its customer's lifetime
+    * spend. Integer-cents numerator and an exact long window sum make
+    * the one division deterministic; entity-partitioned, no frame
+    * (whole-partition sum), linear.
+    */
+  val winRatioToReport: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+      .withColumn("share_micro",
+        floor(col("c") * 1e6 / sum(col("c")).over(w) + 0.5).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("share_micro"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
+  /** Percent change between consecutive orders per customer —
+    * `(c − lag(c)) / lag(c)`, integer-cents inputs so both engines
+    * evaluate the identical division; first order per customer is
+    * NULL (no prior).
+    */
+  val winPctChange: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("od"),
+              cents(col("o_totalprice")).as("c"))
+      .withColumn("prev", lag(col("c"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        when(col("prev").isNull, lit(null).cast("long"))
+          .otherwise(floor((col("c") - col("prev")) * lit(1e4) / col("prev") + 0.5)
+            .cast("long")).as("chg_bp"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
+  /** Top-k WITH TIES (`rank() ≤ k`, the `WITH TIES` semantics) — the
+    * tie-inclusive sibling of the row_number top-k: every order tying
+    * the k-th spend per priority survives. Ranking key is exact cents.
+    */
+  val winTopkWithTies: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("c").desc)
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("c"), col("rk"))
+      .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -514,5 +565,8 @@ object Funcs2 {
     "array_stats_funcs" -> arrayStatsFuncs,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "str_funcs3" -> strFuncs3,
+    "win_ratio_to_report" -> winRatioToReport,
+    "win_pct_change" -> winPctChange,
+    "win_topk_with_ties" -> winTopkWithTies,
   )
 }

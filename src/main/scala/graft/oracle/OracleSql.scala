@@ -1674,6 +1674,28 @@ object OracleSql {
     left(p_name, 4) l4,
     right(p_name, 4) r4
   FROM part ORDER BY p_partkey LIMIT 1000""",
+    "win_ratio_to_report" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey,
+    CAST(round(o_totalprice * 100) AS BIGINT) c FROM orders)
+  SELECT o_custkey, o_orderkey,
+    CAST(floor(c * 1e6 / (sum(c) OVER (PARTITION BY o_custkey)) + 0.5) AS BIGINT) share_micro
+  FROM c ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    "win_pct_change" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) od,
+    CAST(round(o_totalprice * 100) AS BIGINT) c FROM orders),
+  l AS (SELECT o_custkey, o_orderkey, c,
+    lag(c) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) prev FROM c)
+  SELECT o_custkey, o_orderkey,
+    CASE WHEN prev IS NULL THEN NULL
+         ELSE CAST(floor((c - prev) * 1e4 / prev + 0.5) AS BIGINT) END chg_bp
+  FROM l ORDER BY o_custkey, o_orderkey LIMIT 1000""",
+    "win_topk_with_ties" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderkey,
+    CAST(round(o_totalprice * 100) AS BIGINT) c FROM orders),
+  r AS (SELECT o_orderpriority, o_orderkey, c,
+    CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY c DESC) AS BIGINT) rk FROM c)
+  SELECT o_orderpriority, o_orderkey, c, rk FROM r WHERE rk <= 3
+  ORDER BY o_orderpriority, rk, o_orderkey""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
