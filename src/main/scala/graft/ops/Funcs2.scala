@@ -543,6 +543,39 @@ object Funcs2 {
       .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
   }
 
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * MATCH each other instead of dropping — the semantics dimension
+    * the plain equi-join family can't express. Catalyst still plans a
+    * hash join (the null-safe key compiles to a coalesce-wrapped
+    * equality), so this is broadcast/shuffle-joinable at scale.
+    */
+  val joinNullSafe: Q = (s, d) => {
+    val o = orders(s, d)
+      .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'P')").as("k"))
+    val dim = o.select(col("k")).distinct()
+      .select(col("k").as("dk"), coalesce(col("k"), lit("PENDING")).as("k_label"))
+    o.join(dim, col("k") <=> col("dk"))
+      .groupBy("k_label").agg(cnt.as("n"))
+      .orderBy("k_label")
+  }
+
+  /** Exact DECIMAL multiplication chain — revenue as
+    * `DECIMAL(18,2) × (1 − DECIMAL(18,2))` summed per flag. Decimal
+    * arithmetic is exact in both engines; only the WIDENING rules
+    * differ (the round-4 lesson from `expr_decimal_exact`), so both
+    * the product and the sum pin their declared type explicitly.
+    */
+  val exprDecimalMul: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+         (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)").as("rev"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("rev")).cast("decimal(38,4)").as("revenue"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -568,5 +601,7 @@ object Funcs2 {
     "win_ratio_to_report" -> winRatioToReport,
     "win_pct_change" -> winPctChange,
     "win_topk_with_ties" -> winTopkWithTies,
+    "join_null_safe" -> joinNullSafe,
+    "expr_decimal_mul" -> exprDecimalMul,
   )
 }

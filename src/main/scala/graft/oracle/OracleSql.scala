@@ -1696,6 +1696,17 @@ object OracleSql {
     CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY c DESC) AS BIGINT) rk FROM c)
   SELECT o_orderpriority, o_orderkey, c, rk FROM r WHERE rk <= 3
   ORDER BY o_orderpriority, rk, o_orderkey""",
+    "join_null_safe" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') k FROM orders),
+  d AS (SELECT DISTINCT k, coalesce(k, 'PENDING') k_label FROM o)
+  SELECT d.k_label, count(*) n FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+  GROUP BY 1 ORDER BY 1""",
+    "expr_decimal_mul" ->
+      """SELECT l_returnflag,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+    AS DECIMAL(28,4))) AS DECIMAL(38,4)) revenue
+  FROM lineitem GROUP BY 1 ORDER BY 1""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
