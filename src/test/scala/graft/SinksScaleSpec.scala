@@ -46,6 +46,26 @@ class SinksScaleSpec extends SparkSpecBase {
            before.view.filterKeys(_ != "F").toMap)
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val orders = graft.tables.Tables.t(spark, sf, "orders")
+    val path = s"$tmp/orders_dpp"
+    Sinks.writePartitioned(orders, path, "o_orderstatus")
+    val fact = spark.read.parquet(path)
+    // dim carries the filterable attribute; the fact-side partition
+    // filter can only be known at RUNTIME (after the dim scan), which
+    // is exactly what DPP inserts. The dim must be a real source scan
+    // (a LocalRelation is constant-foldable, so no DPP is needed)
+    Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+      .toDF("st", "phase").write.mode("overwrite").parquet(s"$tmp/dpp_dim")
+    val dim = spark.read.parquet(s"$tmp/dpp_dim")
+    val j = fact.join(dim, col("o_orderstatus") === col("st"))
+      .where(col("phase") === "closed")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
+    assert(j.count() == orders.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("bucketed tables join without a shuffle") {
     // warehouse dir is a static conf, set in SparkSpecBase
     val c = graft.tables.Tables.t(spark, sf, "customer")
