@@ -7,16 +7,24 @@ import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import Util._
 
-/** Round-5 wave 2 operator additions: boolean aggregates, deterministic
-  * per-group reservoir sampling, tolerance-bounded as-of, array-zip
-  * covariance, and a map-shaped histogram — the remaining function
-  * families a reference user reaches for that had no declared row yet.
+/** Round-5 operator additions (SURVEY §2.11) — the remaining function
+  * families a reference user reaches for that had no declared row yet:
+  * boolean/bitmap/regression/moment/entropy aggregates, hash-rank
+  * sampling, tolerance-bounded as-of, calendar extraction, linear
+  * interpolation resample, gaps-and-islands (interval merge, streaks),
+  * RFM segmentation, Markov transition census, Pareto skyline,
+  * string-similarity/URL/scalar batteries, ratio-to-report /
+  * pct-change / with-ties windows, null-safe join, and pinned-width
+  * decimal arithmetic.
   *
-  * Scale posture: every query here is a single scan + one keyed
-  * aggregate or one entity-partitioned window; the as-of tolerance
-  * join prunes its candidate pairs with the 7-day band BEFORE the
-  * per-key argmax, so candidate volume is bounded by events-per-week
-  * per user, not history length.
+  * Scale posture: every query here is a single scan + keyed aggregates
+  * or ENTITY-partitioned windows (never a data-sized global sort —
+  * the global rankings go through [[Scale.globalNtile]]'s
+  * bucket-parallel two-phase); the as-of tolerance join prunes its
+  * candidate pairs with the 7-day band BEFORE the per-key argmax, so
+  * candidate volume is bounded by events-per-week per user, not
+  * history length; the one quadratic pair space (`text_sim_funcs`) is
+  * a declared-small dimension table.
   */
 object Funcs2 {
 
