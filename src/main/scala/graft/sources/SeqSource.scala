@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -124,7 +124,7 @@ class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
 
 class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int,
               rowsPerBatch: Long, partitionByUser: Boolean = false)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -138,6 +138,23 @@ class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int
       new KeyGroupedPartitioning(
         Array(Expressions.identity("user_id")), users.toInt)
     else new UnknownPartitioning(planInputPartitions().length)
+
+  /** In the key-grouped layout each partition holds ONE user and
+    * generates ids ascending, so rows are sorted by (user_id, id)
+    * within every partition — reporting it lets Catalyst drop the
+    * Sort under a sort-merge join entirely (scan → SMJ, no exchange,
+    * no sort: the fully co-located fact⋈fact shape). Range partitions
+    * are sorted by id but NOT by user_id, so they honestly report
+    * nothing.
+    */
+  override def outputOrdering(): Array[SortOrder] =
+    if (partitionByUser)
+      // only the prefix of (user_id, id) that survives column pruning
+      // can be reported — an ordering on a pruned column won't resolve
+      Array("user_id", "id").takeWhile(required.fieldNames.contains(_))
+        .map(c => Expressions.sort(
+          Expressions.column(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    else Array.empty
 
   /** Streaming face of the same generator: offsets are plain row
     * counts, each micro-batch serves the next `rowsPerBatch` ids until

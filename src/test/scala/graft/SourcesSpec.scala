@@ -374,6 +374,18 @@ class SourcesSpec extends SparkSpecBase {
       val keyed = pdf
         .agg(sum("id"), sum(round(col("value") * 100).cast("long"))).collect().head
       assert(plain == keyed)
+      // SupportsReportOrdering: with broadcast off, the equi-join
+      // becomes a sort-merge join with NO Sort node — the scan's
+      // reported (user_id, id) ordering feeds SMJ directly
+      // (scan → SMJ: no exchange, no sort)
+      val smj = pdf.as("a").hint("merge")
+        .join(pdf.as("b").hint("merge"), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val smjPlan = smj.queryExecution.executedPlan.toString
+      assert(smjPlan.contains("SortMergeJoin"), smjPlan.take(1500))
+      assert(!smjPlan.contains("+- Sort "), smjPlan.take(1500))
+      assert(!smjPlan.contains("Exchange"), smjPlan.take(1500))
+      assert(smj.collect().forall(_.getAs[Long]("n") == 500L * 500L))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
