@@ -60,7 +60,8 @@ class SeqDataSource extends TableProvider {
       properties.getOrDefault("users", "100").toLong,
       properties.getOrDefault("slices", "8").toInt,
       properties.getOrDefault("rowsPerBatch", "100").toLong,
-      properties.getOrDefault("partitionByUser", "false").toBoolean)
+      properties.getOrDefault("partitionByUser", "false").toBoolean,
+      properties.getOrDefault("columnar", "false").toBoolean)
 }
 
 object SeqTable {
@@ -79,18 +80,18 @@ object SeqTable {
 }
 
 class SeqTable(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
-               partitionByUser: Boolean = false)
+               partitionByUser: Boolean = false, columnar: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_seq(rows=$rows)"
   override def schema(): StructType = SeqTable.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, users, slices, rowsPerBatch, partitionByUser)
+    new SeqScanBuilder(rows, users, slices, rowsPerBatch, partitionByUser, columnar)
 }
 
 class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
-                     partitionByUser: Boolean = false)
+                     partitionByUser: Boolean = false, columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = SeqTable.schema
@@ -119,11 +120,12 @@ class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
 
   override def build(): Scan =
     new SeqScan(required, lo, math.max(lo, hi), users, slices, rowsPerBatch,
-      partitionByUser)
+      partitionByUser, columnar)
 }
 
 class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int,
-              rowsPerBatch: Long, partitionByUser: Boolean = false)
+              rowsPerBatch: Long, partitionByUser: Boolean = false,
+              columnar: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -185,7 +187,7 @@ class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required, users)
+    new SeqReaderFactory(required, users, columnar)
 }
 
 case class SeqInputPartition(start: Long, end: Long) extends InputPartition
@@ -240,8 +242,60 @@ class SeqMicroBatchStream(required: StructType, lo: Long, hi: Long,
   override def stop(): Unit = ()
 }
 
-class SeqReaderFactory(required: StructType, users: Long)
+class SeqReaderFactory(required: StructType, users: Long,
+                       columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** Vectorized face: when the table opted in (`columnar=true`), range
+    * partitions decode straight into `OnHeapColumnVector` batches of
+    * 4096 — the same whole-batch shape the parquet reader hands
+    * Tungsten, so the scan feeds `ColumnarToRow` / columnar-aware
+    * operators without per-row boxing. Key-grouped partitions stay
+    * row-based (their consumers join/aggregate, not scan-bound).
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.isInstanceOf[SeqInputPartition]
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val p = partition.asInstanceOf[SeqInputPartition]
+    val batchCap = 4096
+    new PartitionReader[ColumnarBatch] {
+      private var cur = p.start
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (cur >= p.end) return false
+        val n = math.min(batchCap.toLong, p.end - cur).toInt
+        val vecs = required.fields.map(f => new OnHeapColumnVector(n, f.dataType))
+        var i = 0
+        while (i < n) {
+          val id = cur + i
+          var c = 0
+          while (c < required.fields.length) {
+            required.fields(c).name match {
+              case "id"      => vecs(c).putLong(i, id)
+              case "ts"      => vecs(c).putLong(i, SeqTable.baseMicros + id * 1000000L)
+              case "user_id" => vecs(c).putLong(i, id % users)
+              case "event_type" =>
+                val s = SeqTable.eventTypes((id % 5).toInt)
+                vecs(c).putByteArray(i, s.getBytes)
+              case "value"   => vecs(c).putDouble(i, (id % 10000L) / 100.0)
+            }
+            c += 1
+          }
+          i += 1
+        }
+        cur += n
+        batch = new ColumnarBatch(vecs.toArray, n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) { batch.close(); batch = null }
+    }
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // one generator lambda per projected column — the pruned schema
     // decides what gets computed at all

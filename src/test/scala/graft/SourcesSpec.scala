@@ -339,6 +339,26 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.distinct().count() == 100)
   }
 
+  test("DSv2 SeqSource: columnar read path feeds ColumnarToRow, content identical to row path") {
+    import org.apache.spark.sql.functions._
+    val colDf = seqDf("rows" -> "10000", "users" -> "50", "columnar" -> "true")
+    val plan = colDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan.take(1200))
+    val rowDf = seqDf("rows" -> "10000", "users" -> "50")
+    val agg = (df: org.apache.spark.sql.DataFrame) => df.agg(
+      sum("id"), sum(round(col("value") * 100).cast("long")),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      count(lit(1))).collect().head
+    assert(agg(colDf) == agg(rowDf))
+    // string + pruned-schema decode paths agree too
+    val byType = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType(colDf) == byType(rowDf))
+    // pushdown composes with the columnar face
+    assert(colDf.filter(col("id") >= 9995L).count() == 5)
+  }
+
   test("DSv2 SeqSource: reported key-grouped partitioning makes keyed agg and join shuffle-free") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions._
