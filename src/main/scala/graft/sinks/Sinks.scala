@@ -213,7 +213,9 @@ object Sinks {
     * batch replay: re-merging the same events changes nothing
     * (dedup on (key, valid_from)). Same bounded-scale
     * read-union-rewrite caveat as [[upsertParquet]]; a production
-    * deployment swaps in a transactional MERGE keyed the same way.
+    * deployment swaps in a transactional MERGE keyed the same way —
+    * the commit protocol and copy-on-write pruning that upgrade
+    * requires are expressed in-repo by [[CowTable]].
     */
   def scd2Parquet(stream: DataFrame, path: String, checkpoint: String,
                   keyCol: String, tsCol: String): StreamingQuery =
