@@ -584,6 +584,44 @@ object Funcs2 {
       .agg(sum(col("rev")).cast("decimal(38,4)").as("revenue"))
       .orderBy("l_returnflag")
 
+  /** Quantity-weighted average price per flag — both the numerator
+    * (Σ cents·qty) and denominator (Σ qty) are exact integer sums, so
+    * the single closing division is the only float op (engine-
+    * identical). The mergeable-integer-sums shape is the 100 TB way
+    * to weight: never average averages.
+    */
+  val aggWeightedAvg: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("c"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(floor(sum(col("c") * col("q")).cast("double") /
+                 sum(col("q")).cast("double") + 0.5).cast("long").as("wavg_cents"),
+           sum(col("q")).cast("long").as("total_qty"))
+      .orderBy("l_returnflag")
+
+  /** LEFT-OUTER as-of: every purchase row survives; those with no
+    * prior signup carry NULL — the gap-tolerant enrichment semantics
+    * (the inner form drops them). Same band + struct-argmax shape as
+    * `join_asof_last_signup`, left-outer join preserving unmatched.
+    */
+  val joinAsofLeft: Q = (s, d) => {
+    val e = events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u"),
+              col("ts").as("p_ts"))
+    val g = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+              col("ts").as("s_ts"))
+    p.join(g, col("u") === col("su") && col("s_ts") <= col("p_ts"), "left_outer")
+      .groupBy("purchase_id")
+      .agg(max(struct(col("s_ts"), col("signup_id"))).getField("signup_id")
+        .as("last_signup_id"))
+      .orderBy("purchase_id")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -611,5 +649,7 @@ object Funcs2 {
     "win_topk_with_ties" -> winTopkWithTies,
     "join_null_safe" -> joinNullSafe,
     "expr_decimal_mul" -> exprDecimalMul,
+    "agg_weighted_avg" -> aggWeightedAvg,
+    "join_asof_left" -> joinAsofLeft,
   )
 }

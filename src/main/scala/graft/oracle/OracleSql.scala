@@ -1707,6 +1707,22 @@ object OracleSql {
     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
     AS DECIMAL(28,4))) AS DECIMAL(38,4)) revenue
   FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_weighted_avg" ->
+      """WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) c,
+    CAST(l_quantity AS BIGINT) q FROM lineitem)
+  SELECT l_returnflag,
+    CAST(floor(CAST(sum(c * q) AS DOUBLE) / CAST(sum(q) AS DOUBLE) + 0.5) AS BIGINT) wavg_cents,
+    CAST(sum(q) AS BIGINT) total_qty
+  FROM t GROUP BY 1 ORDER BY 1""",
+    "join_asof_left" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+  s AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup'),
+  m AS (SELECT p.event_id pid, max(s.event_id) sid
+    FROM p JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+    WHERE s.ts = (SELECT max(s2.ts) FROM s s2 WHERE s2.user_id = p.user_id AND s2.ts <= p.ts)
+    GROUP BY 1)
+  SELECT p.event_id purchase_id, m.sid last_signup_id
+  FROM p LEFT JOIN m ON p.event_id = m.pid ORDER BY 1 LIMIT 1000""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
