@@ -110,7 +110,10 @@ class PlanSpec extends SparkSpecBase {
     // customer_rfm: three globalNtile passes — every ranking is
     // bucket-parallel, offsets broadcast; ts_merge_intervals and
     // win_streak_longest: entity-partitioned windows only
-    for (name <- Seq("customer_rfm", "ts_merge_intervals", "win_streak_longest")) {
+    for (name <- Seq("customer_rfm", "ts_merge_intervals", "win_streak_longest",
+                     "win_ratio_to_report", "win_pct_change", "win_cum_distinct",
+                     "join_asof_left", "agg_bitmap_distinct", "agg_weighted_avg",
+                     "events_transition_counts")) {
       val p = plan(name)
       assert(!p.contains("Exchange SinglePartition"), s"$name: ${p.take(1200)}")
     }
