@@ -61,6 +61,27 @@ class CowTableSpec extends SparkSpecBase {
     assert(CowTable.read(spark, path).count() == 102)
   }
 
+  test("single-key merge against a 64-file table rewrites exactly one file") {
+    import spark.implicits._
+    val path = tmp
+    // range-partitioned by id → each file holds a disjoint id range,
+    // so one key lives in exactly one file
+    CowTable.create((0L until 6400L).map(i => (i, i * 3)).toDF("id", "v")
+      .repartitionByRange(64, col("id")), path)
+    val f1 = CowTable.snapshotFiles(path, Some(1)).toSet
+    assert(f1.size == 64)
+    CowTable.merge(spark, path, Seq((1234L, -1L)).toDF("id", "v"), "id")
+    val f2 = CowTable.snapshotFiles(path, Some(2)).toSet
+    assert((f1 & f2).size == 63, s"expected 63 files carried over, got ${(f1 & f2).size}")
+    // the one touched file rewrites; union partitioning may split the
+    // tiny rewrite across a couple of output files — the claim is that
+    // 63/64 of the table was NOT rewritten
+    assert((f2 -- f1).size <= 2, s"expected <=2 rewritten files, got ${(f2 -- f1).size}")
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 6400)
+    assert(now.filter(col("id") === 1234L).select("v").as[Long].head() == -1L)
+  }
+
   test("delete rewrites only touched files; other rows intact") {
     import spark.implicits._
     val path = tmp
