@@ -107,8 +107,28 @@ object CowTable {
       else writeData(
         spark.read.parquet(toRewrite: _*)
           .join(broadcast(keys), Seq(key), "left_anti") // survivors
-          .unionByName(updates), path)
+          .unionByName(updates, allowMissingColumns = true), path)
     commit(path, untouched ++ rewritten)
+  }
+
+  /** SCHEMA EVOLUTION: `merge` accepts updates with ADDED columns —
+    * survivors and carried-over files keep their narrower schema on
+    * disk and readers widen (`mergeSchema`), so old files are never
+    * rewritten just to add a column. [[read]] always merges schemas
+    * across the snapshot's files (nulls for pre-evolution rows).
+    */
+  def readEvolved(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(snapshotFiles(path, asOf): _*)
+
+  /** COMPACT the current snapshot into `files` bin-packed data files —
+    * a metadata-only change from the reader's view (same rows, new
+    * manifest); old snapshots keep referencing the small files, so
+    * time travel survives compaction. The maintenance half of the
+    * format: merge keeps writes small, compact keeps reads fast.
+    */
+  def compact(spark: SparkSession, path: String, files: Int): Int = {
+    val rows = read(spark, path).coalesce(files)
+    commit(path, writeData(rows, path))
   }
 
   /** DELETE rows matching `predicate`: rewrite only files containing

@@ -82,6 +82,38 @@ class CowTableSpec extends SparkSpecBase {
     assert(now.filter(col("id") === 1234L).select("v").as[Long].head() == -1L)
   }
 
+  test("schema evolution: merge with an added column widens readers, never rewrites old files") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, i * 2)).toDF("id", "v").repartition(4), path)
+    val f1 = CowTable.snapshotFiles(path, Some(1)).toSet
+    // updates carry a NEW column `tag`
+    CowTable.merge(spark, path,
+      Seq((1L, -1L, "hot"), (200L, 1L, "new")).toDF("id", "v", "tag"), "id")
+    val f2 = CowTable.snapshotFiles(path, Some(2)).toSet
+    assert((f1 & f2).size == 3, "untouched narrow-schema files must carry over unchanged")
+    val now = CowTable.readEvolved(spark, path)
+    assert(now.columns.toSet == Set("id", "v", "tag"))
+    assert(now.count() == 101)
+    assert(now.filter(col("id") === 1L).select("tag").as[String].head() == "hot")
+    // pre-evolution rows read as null tag
+    assert(now.filter(col("tag").isNull).count() == 99)
+  }
+
+  test("compaction bin-packs files, preserves rows AND time travel") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 1000L).map(i => (i, i % 7)).toDF("id", "m").repartition(16), path)
+    val v2 = CowTable.compact(spark, path, files = 2)
+    assert(CowTable.snapshotFiles(path, Some(v2)).size <= 2)
+    assert(CowTable.read(spark, path).count() == 1000)
+    val sums = (v: Int) => CowTable.read(spark, path, Some(v))
+      .agg(sum("id"), sum("m")).collect().head
+    assert(sums(1) == sums(v2))
+    // the pre-compaction snapshot still reads its 16 small files
+    assert(CowTable.snapshotFiles(path, Some(1)).size == 16)
+  }
+
   test("delete rewrites only touched files; other rows intact") {
     import spark.implicits._
     val path = tmp
