@@ -622,6 +622,36 @@ object Funcs2 {
       .limit(1000)
   }
 
+  /** Arbitrary-width time bucketing (15-minute) — the `time_bucket`
+    * shape `date_trunc` can't express. Bucket = integer floor-division
+    * of epoch seconds (exact in long on both engines); one keyed
+    * mergeable aggregate over a bounded (bucket × type) domain.
+    */
+  val tsBucket15m: Q = (s, d) =>
+    events(s, d)
+      .select(expr("unix_micros(ts) div 1000000 div 900 * 900").as("bucket_epoch"),
+              col("event_type"), cents(col("value")).as("c"))
+      .groupBy("bucket_epoch", "event_type")
+      .agg(cnt.as("n"), sum(col("c")).cast("long").as("cents"))
+      .orderBy("bucket_epoch", "event_type")
+      .limit(2000)
+
+  /** The `inline` GENERATOR (array-of-structs → rows+columns): each
+    * order fans out into a base row and a derived tax row — the
+    * row-multiplying normalization only a table generator expresses
+    * (explode covers scalars; inline covers struct columns). The
+    * oracle states the same semantics relationally (UNION ALL).
+    */
+  val genInlineStructs: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+      .selectExpr("o_orderkey",
+        """inline(array(
+             named_struct('kind', 'base', 'amt', c),
+             named_struct('kind', 'tax',  'amt', c div 10)))""")
+      .orderBy("o_orderkey", "kind")
+      .limit(2000)
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -651,5 +681,7 @@ object Funcs2 {
     "expr_decimal_mul" -> exprDecimalMul,
     "agg_weighted_avg" -> aggWeightedAvg,
     "join_asof_left" -> joinAsofLeft,
+    "ts_bucket_15m" -> tsBucket15m,
+    "gen_inline_structs" -> genInlineStructs,
   )
 }

@@ -1723,6 +1723,19 @@ object OracleSql {
     GROUP BY 1)
   SELECT p.event_id purchase_id, m.sid last_signup_id
   FROM p LEFT JOIN m ON p.event_id = m.pid ORDER BY 1 LIMIT 1000""",
+    "ts_bucket_15m" ->
+      """SELECT epoch_us(ts) // 1000000 // 900 * 900 bucket_epoch, event_type,
+    count(*) n, CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) cents
+  FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 2000""",
+    // Spark runs the actual `inline` generator; the oracle states the
+    // identical fan-out relationally
+    "gen_inline_structs" ->
+      """WITH t AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) c FROM orders)
+  SELECT * FROM (
+    SELECT o_orderkey, 'base' kind, c amt FROM t
+    UNION ALL
+    SELECT o_orderkey, 'tax' kind, c // 10 amt FROM t)
+  ORDER BY o_orderkey, kind LIMIT 2000""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
