@@ -652,6 +652,27 @@ object Funcs2 {
       .orderBy("o_orderkey", "kind")
       .limit(2000)
 
+  /** ROLLING MEDIAN (lower median of the last 5 orders per customer) —
+    * the robust-trend window no rank/avg frame expresses: collect the
+    * ≤5-element frame, sort it, index the middle. Exact integer cents,
+    * bounded frame → bounded per-row work; entity-partitioned.
+    */
+  val winRollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("od"),
+              cents(col("o_totalprice")).as("c"))
+      .withColumn("frame", sort_array(collect_list(col("c")).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        element_at(col("frame"), ((size(col("frame")) + 1) / 2).cast("int"))
+          .as("med_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_bool_funcs" -> aggBoolFuncs,
     "sample_reservoir_group" -> sampleReservoirGroup,
@@ -683,5 +704,6 @@ object Funcs2 {
     "join_asof_left" -> joinAsofLeft,
     "ts_bucket_15m" -> tsBucket15m,
     "gen_inline_structs" -> genInlineStructs,
+    "win_rolling_median" -> winRollingMedian,
   )
 }

@@ -1736,6 +1736,14 @@ object OracleSql {
     UNION ALL
     SELECT o_orderkey, 'tax' kind, c // 10 amt FROM t)
   ORDER BY o_orderkey, kind LIMIT 2000""",
+    "win_rolling_median" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) od,
+    CAST(round(o_totalprice * 100) AS BIGINT) c FROM orders),
+  f AS (SELECT o_custkey, o_orderkey,
+    list_sort(list(c) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) frame FROM t)
+  SELECT o_custkey, o_orderkey, frame[(len(frame) + 1) // 2] med_cents
+  FROM f ORDER BY o_custkey, o_orderkey LIMIT 1000""",
     // ORDER BY the full entry string, not the source: Spark's
     // array_sort compares whole entries, and 'src10=...' < 'src1=...'
     // ('0' < '=') while 'src1' < 'src10' as bare keys
