@@ -367,10 +367,13 @@ object Funcs {
     * double to DECIMAL(18,2) identically (the stored values ARE
     * 2-decimal money, so nearest-cent is unambiguous), and decimal
     * sums are exact — so this pins that the DECIMAL path, not just the
-    * cents path, is engine-stable end to end. The sum is pinned to
-    * DECIMAL(38,2) explicitly because the engines widen differently
-    * (Spark: sum(18,2)→(28,2); DuckDB: →(38,2)) and the driver hashes
-    * the declared type, not just the value.
+    * cents path, is engine-stable end to end. The aggregation runs
+    * through DECIMAL, but the OUTPUT is exact BIGINT cents
+    * (scale-2 × 100 is integral by construction): two rounds of driver
+    * hash mismatches proved the engines' DECIMAL *physical
+    * representations* hash differently even when the values and the
+    * declared type agree, so no DECIMAL column may appear in an output
+    * schema (enforced by Verify's schema lint).
     */
   val exprDecimalExact: Q = (s, d) =>
     Tables.t(s, d, "orders")
@@ -380,6 +383,10 @@ object Funcs {
       .agg(sum("price_dec").cast("decimal(38,2)").as("sum_dec"),
            max("price_dec").as("max_dec"),
            cnt.as("c"))
+      .select(col("o_orderstatus"),
+              (col("sum_dec") * lit(100)).cast("long").as("sum_cents"),
+              (col("max_dec") * lit(100)).cast("long").as("max_cents"),
+              col("c"))
       .orderBy("o_orderstatus")
 
   val queries: Map[String, Q] = Map(

@@ -571,7 +571,11 @@ object Funcs2 {
     * `DECIMAL(18,2) × (1 − DECIMAL(18,2))` summed per flag. Decimal
     * arithmetic is exact in both engines; only the WIDENING rules
     * differ (the round-4 lesson from `expr_decimal_exact`), so both
-    * the product and the sum pin their declared type explicitly.
+    * the product and the sum pin their declared type explicitly. The
+    * OUTPUT is exact BIGINT (scale-4 × 10000 is integral by
+    * construction): DECIMAL columns are banned from output schemas
+    * because the engines' physical decimal representations hash
+    * differently at the driver even when values agree.
     */
   val exprDecimalMul: Q = (s, d) =>
     lineitem(s, d)
@@ -582,6 +586,8 @@ object Funcs2 {
           .cast("decimal(28,4)").as("rev"))
       .groupBy("l_returnflag")
       .agg(sum(col("rev")).cast("decimal(38,4)").as("revenue"))
+      .select(col("l_returnflag"),
+              (col("revenue") * lit(10000)).cast("long").as("revenue_x10k"))
       .orderBy("l_returnflag")
 
   /** Quantity-weighted average price per flag — both the numerator

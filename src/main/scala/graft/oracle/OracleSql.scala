@@ -448,8 +448,10 @@ object OracleSql {
     */
   private val wave15: Map[String, String] = Map(
     "expr_decimal_exact" ->
-      """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) sum_dec,
-    max(CAST(o_totalprice AS DECIMAL(18,2))) max_dec, CAST(count(*) AS BIGINT) c
+      """SELECT o_orderstatus,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) sum_cents,
+    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) max_cents,
+    CAST(count(*) AS BIGINT) c
   FROM orders GROUP BY 1 ORDER BY 1""",
     "recon_aging_buckets" ->
       """WITH sg AS (SELECT event_id s_id, user_id s_user, ts s_ts FROM events WHERE event_type = 'signup'),
@@ -1705,7 +1707,7 @@ object OracleSql {
       """SELECT l_returnflag,
   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-    AS DECIMAL(28,4))) AS DECIMAL(38,4)) revenue
+    AS DECIMAL(28,4))) * 10000 AS BIGINT) revenue_x10k
   FROM lineitem GROUP BY 1 ORDER BY 1""",
     "agg_weighted_avg" ->
       """WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) c,

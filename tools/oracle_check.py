@@ -14,6 +14,7 @@ dependency on this.
 import sys, os, json, glob, hashlib
 import duckdb
 import pyarrow.parquet as pq
+import pyarrow.types as pat
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -40,6 +41,16 @@ for name in sorted(oracle):
         fails.append((name, "NO_SPARK_OUTPUT", "", ""))
         continue
     tbl = pq.read_table(files[0])
+    # Schema lint (round-6): DECIMAL output columns hash differently at
+    # the driver than locally (physical representation, not value — the
+    # expr_decimal_* r4/r5 lesson), and float32/timestamp outputs violate
+    # R2/R4. Local green must predict driver green, so ban them here.
+    banned = [f"{f.name}:{f.type}" for f in tbl.schema
+              if pat.is_decimal(f.type) or pat.is_float32(f.type)
+              or pat.is_timestamp(f.type)]
+    if banned:
+        fails.append((name, f"BANNED_OUTPUT_TYPE {banned}", "", ""))
+        continue
     s_cols = sorted(tbl.column_names)
     s_rows = [tuple(row[c] for c in tbl.column_names) for row in tbl.to_pylist()]
     s_rows = [tuple(r) for r in s_rows]
