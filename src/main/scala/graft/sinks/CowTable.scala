@@ -1,7 +1,7 @@
 package graft.sinks
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object CowTable {
 
+  /** An optimistic commit lost the race: the table advanced past the
+    * snapshot this writer's rewrite was based on. The writer's data
+    * files are orphans (cleaned by [[expireSnapshots]]); nothing the
+    * loser wrote is visible to readers.
+    */
+  final class ConcurrentCommitException(path: String, attempted: Int)
+    extends RuntimeException(
+      s"concurrent commit: version $attempted already exists under $path " +
+        "(table advanced past this writer's base snapshot)")
+
   private def snapDir(path: String): Path = Paths.get(path, "_snapshots")
 
   private def listVersions(path: String): Seq[Int] = {
@@ -58,13 +68,26 @@ object CowTable {
 
   def currentVersion(path: String): Int = listVersions(path).max
 
-  private def commit(path: String, files: Seq[String]): Int = {
+  /** OPTIMISTIC-CONCURRENCY commit: the manifest for version
+    * `base + 1` is published via an exclusive hard link — link(2) is
+    * atomic and fails with EEXIST if any other writer committed that
+    * version first. A writer whose rewrite was computed against
+    * snapshot `base` therefore either installs `base + 1` or fails
+    * cleanly with [[ConcurrentCommitException]]; it can never clobber
+    * a concurrent commit (the old ATOMIC_MOVE rename silently replaced
+    * an existing target). Readers still only ever see fully-written
+    * manifests: content lands in the tmp file before the link exists.
+    */
+  private def commit(path: String, files: Seq[String], base: Int): Int = {
     val d = snapDir(path)
     Files.createDirectories(d)
-    val v = (listVersions(path) :+ 0).max + 1
-    val tmp = d.resolve(s".v$v.json.tmp")
+    val v = base + 1
+    val tmp = d.resolve(s".v$v.${System.nanoTime()}.tmp")
     Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, d.resolve(s"v$v.json"), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(d.resolve(s"v$v.json"), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new ConcurrentCommitException(path, v)
+    } finally Files.deleteIfExists(tmp)
     v
   }
 
@@ -79,11 +102,15 @@ object CowTable {
 
   /** Create the table: data files + manifest v1. */
   def create(df: DataFrame, path: String): Int =
-    commit(path, writeData(df, path))
+    commit(path, writeData(df, path), base = (listVersions(path) :+ 0).max)
 
-  /** Read a snapshot (latest, or `asOf` for time travel). */
+  /** Read a snapshot (latest, or `asOf` for time travel). Schemas are
+    * merged across the snapshot's files so a snapshot mixing pre- and
+    * post-evolution files never silently narrows to whichever file the
+    * reader sampled first.
+    */
   def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
-    spark.read.parquet(snapshotFiles(path, asOf): _*)
+    spark.read.option("mergeSchema", "true").parquet(snapshotFiles(path, asOf): _*)
 
   /** MERGE (upsert): rows in `updates` replace current rows with the
     * same `key`; unmatched update rows insert. Only data files whose
@@ -91,11 +118,12 @@ object CowTable {
     * every other file carries over by reference.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame, key: String): Int = {
-    val current = snapshotFiles(path)
+    val base = currentVersion(path)
+    val current = snapshotFiles(path, Some(base))
     // one key-column scan finds the files that contain matched keys —
     // the column-pruned generator analogue of footer-stat pruning
     val keys = updates.select(col(key)).distinct()
-    val touched = spark.read.parquet(current: _*)
+    val touched = spark.read.option("mergeSchema", "true").parquet(current: _*)
       .select(input_file_name().as("f"), col(key))
       .join(broadcast(keys), key).select("f").distinct()
       .collect().map(_.getString(0)).toSet
@@ -105,10 +133,12 @@ object CowTable {
     val rewritten =
       if (toRewrite.isEmpty) writeData(updates, path) // pure insert
       else writeData(
-        spark.read.parquet(toRewrite: _*)
+        // mergeSchema: a touched set mixing pre- and post-evolution
+        // files must not drop the added column from survivor rows
+        spark.read.option("mergeSchema", "true").parquet(toRewrite: _*)
           .join(broadcast(keys), Seq(key), "left_anti") // survivors
           .unionByName(updates, allowMissingColumns = true), path)
-    commit(path, untouched ++ rewritten)
+    commit(path, untouched ++ rewritten, base)
   }
 
   /** SCHEMA EVOLUTION: `merge` accepts updates with ADDED columns —
@@ -118,7 +148,7 @@ object CowTable {
     * across the snapshot's files (nulls for pre-evolution rows).
     */
   def readEvolved(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(snapshotFiles(path, asOf): _*)
+    read(spark, path, asOf)
 
   /** COMPACT the current snapshot into `files` bin-packed data files —
     * a metadata-only change from the reader's view (same rows, new
@@ -127,17 +157,25 @@ object CowTable {
     * format: merge keeps writes small, compact keeps reads fast.
     */
   def compact(spark: SparkSession, path: String, files: Int): Int = {
-    val rows = read(spark, path).coalesce(files)
-    commit(path, writeData(rows, path))
+    val base = currentVersion(path)
+    val rows = read(spark, path, Some(base)).coalesce(files)
+    commit(path, writeData(rows, path), base)
   }
 
   /** DELETE rows matching `predicate`: rewrite only files containing
-    * matches; the rest carry over.
+    * matches; the rest carry over. SQL DELETE semantics: a row is
+    * deleted only where the predicate is TRUE — rows where it
+    * evaluates NULL are KEPT, on both the touched-file scan and the
+    * survivor rewrite (the same three-valued coalesce on both sides,
+    * so the result is independent of which file a row happens to
+    * live in).
     */
   def delete(spark: SparkSession, path: String, predicate: String): Int = {
-    val current = snapshotFiles(path)
-    val touched = spark.read.parquet(current: _*)
-      .filter(expr(predicate))
+    val base = currentVersion(path)
+    val current = snapshotFiles(path, Some(base))
+    val deleteCond = coalesce(expr(predicate), lit(false))
+    val touched = spark.read.option("mergeSchema", "true").parquet(current: _*)
+      .filter(deleteCond)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     val untouched = current.filterNot(f => touched.exists(t => samePath(f, t)))
@@ -145,10 +183,37 @@ object CowTable {
     val files =
       if (toRewrite.isEmpty) untouched
       else {
-        val kept = spark.read.parquet(toRewrite: _*).filter(!expr(predicate))
+        val kept = spark.read.option("mergeSchema", "true").parquet(toRewrite: _*)
+          .filter(not(deleteCond))
         untouched ++ writeData(kept, path)
       }
-    commit(path, files)
+    commit(path, files, base)
+  }
+
+  /** MAINTENANCE: expire all but the newest `keepLast` snapshots.
+    * Each manifest is self-contained (a full file list), so log
+    * compaction here is retention: drop the old manifest files, then
+    * vacuum data files referenced by NO surviving snapshot (including
+    * orphans from losers of concurrent commits). Time travel remains
+    * exact within the retained window. Returns
+    * (expired manifests, vacuumed data files).
+    */
+  def expireSnapshots(path: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val vs = listVersions(path)
+    val (old, kept) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val live = kept.flatMap(v => snapshotFiles(path, Some(v))).toSet
+    old.foreach(v => Files.deleteIfExists(snapDir(path).resolve(s"v$v.json")))
+    val dataRoot = Paths.get(path, "data")
+    var vacuumed = 0
+    if (Files.exists(dataRoot)) {
+      Files.walk(dataRoot).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+          !live.contains(p.toString))
+        .toList // materialize before deleting out from under the walk
+        .foreach { p => Files.delete(p); vacuumed += 1 }
+    }
+    (old.size, vacuumed)
   }
 
   // input_file_name() returns a file URI; manifests store plain paths

@@ -114,6 +114,127 @@ class CowTableSpec extends SparkSpecBase {
     assert(CowTable.snapshotFiles(path, Some(1)).size == 16)
   }
 
+  test("delete keeps rows where the predicate is NULL, regardless of file layout") {
+    import spark.implicits._
+    val path = tmp
+    // score is NULL for ids 10..19; co-locate nulls with true-matches in
+    // some files and with non-matches in others so a layout-dependent
+    // bug (rewrite path vs carry-over path disagreeing on NULL) shows up
+    val rows = (0L until 40L).map { i =>
+      (i, if (i >= 10 && i < 20) None else Some(i))
+    }.toDF("id", "score").repartitionByRange(4, col("id"))
+    CowTable.create(rows, path)
+    // predicate is NULL on the null-score rows; TRUE only for score < 5
+    CowTable.delete(spark, path, "score < 5")
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 35, "only the 5 TRUE rows delete; 10 NULL rows are kept")
+    assert(now.filter(col("score").isNull).count() == 10,
+      "rows with a NULL predicate must survive DELETE (SQL three-valued semantics)")
+    assert(now.filter(col("score") < 5).count() == 0)
+  }
+
+  test("post-evolution merge and compact preserve the added column across mixed-schema files") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, i * 2)).toDF("id", "v").repartition(4), path)
+    // evolve: add `tag` via a merge
+    CowTable.merge(spark, path,
+      Seq((1L, -1L, "hot"), (200L, 1L, "new")).toDF("id", "v", "tag"), "id")
+    // second merge touches keys spread over BOTH old-schema and
+    // new-schema files; survivor read must widen, not sample one file
+    CowTable.merge(spark, path,
+      Seq((1L, -7L, "hot2"), (50L, -8L, "warm")).toDF("id", "v", "tag"), "id")
+    val now = CowTable.read(spark, path)
+    assert(now.columns.toSet == Set("id", "v", "tag"))
+    assert(now.count() == 101)
+    assert(now.filter(col("id") === 1L).select("tag").as[String].head() == "hot2")
+    assert(now.filter(col("id") === 200L).select("tag").as[String].head() == "new",
+      "survivor row from the evolved file must keep its tag through the rewrite")
+    // compact the mixed-schema snapshot — the evolved column survives
+    val vc = CowTable.compact(spark, path, files = 2)
+    val compacted = CowTable.read(spark, path, Some(vc))
+    assert(compacted.columns.toSet == Set("id", "v", "tag"))
+    assert(compacted.filter(col("tag").isNotNull).count() == 3)
+  }
+
+  test("concurrent commits from the same base: exactly one wins, the other fails cleanly") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmp
+    CowTable.create((0L until 1000L).map(i => (i, i)).toDF("id", "v").repartition(8), path)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def racer(k: Long): Future[Either[Throwable, Int]] = Future {
+      val updates = Seq((k, -k)).toDF("id", "v")
+      gate.await() // both writers plan against base v1, then race the commit
+      try Right(CowTable.merge(spark, path, updates, "id"))
+      catch { case e: CowTable.ConcurrentCommitException => Left(e) }
+    }
+    val results = Await.result(Future.sequence(Seq(racer(3L), racer(700L))), 120.seconds)
+    assert(results.count(_.isRight) == 1, s"exactly one commit must win: $results")
+    assert(results.count(_.isLeft) == 1, s"the loser must fail with ConcurrentCommitException: $results")
+    assert(CowTable.currentVersion(path) == 2, "the losing writer must not publish a version")
+    // the table reflects exactly the winner's merge
+    assert(CowTable.read(spark, path).filter(col("v") < 0).count() == 1)
+  }
+
+  test("snapshot isolation: readers during a concurrent merge see only full versions") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmp
+    CowTable.create((0L until 500L).map(i => (i, 0L)).toDF("id", "gen").repartition(8), path)
+    // writer: 5 sequential merges, each stamping gen=version on 50 keys
+    val writer = Future {
+      (1 to 5).foreach { g =>
+        CowTable.merge(spark, path,
+          (0L until 50L).map(i => (i * 10, g.toLong)).toDF("id", "gen"), "id")
+      }
+    }
+    // reader: every observed snapshot must be internally consistent —
+    // 500 rows, and the stamped count is a multiple of 50 matching one
+    // committed generation (never a partial merge)
+    var checks = 0
+    while (!writer.isCompleted && checks < 20) {
+      val v = CowTable.currentVersion(path)
+      val snap = CowTable.read(spark, path, Some(v))
+      val n = snap.count()
+      val stamped = snap.filter(col("gen") > 0).count()
+      assert(n == 500, s"snapshot v$v saw $n rows")
+      assert(stamped % 50 == 0 || stamped == 0, s"snapshot v$v saw partial merge: $stamped")
+      checks += 1
+    }
+    Await.result(writer, 120.seconds)
+    assert(CowTable.read(spark, path).filter(col("gen") === 5L).count() == 50)
+  }
+
+  test("expireSnapshots drops old manifests and vacuums unreferenced data files") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 200L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(4, col("id")), path)
+    CowTable.merge(spark, path, Seq((10L, -1L)).toDF("id", "v"), "id")
+    CowTable.merge(spark, path, Seq((110L, -2L)).toDF("id", "v"), "id")
+    val beforeRows = CowTable.read(spark, path).collect().toSet
+    val dataFiles = (root: String) => {
+      val p = java.nio.file.Paths.get(root, "data")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala
+        .count(f => f.toString.endsWith(".parquet"))
+    }
+    val before = dataFiles(path)
+    val (manifests, vacuumed) = CowTable.expireSnapshots(path, keepLast = 1)
+    assert(manifests == 2, "v1 and v2 expire; v3 is retained")
+    assert(vacuumed > 0, "files referenced only by expired snapshots must be vacuumed")
+    assert(dataFiles(path) == before - vacuumed)
+    // current snapshot unaffected
+    assert(CowTable.read(spark, path).collect().toSet == beforeRows)
+    // expired versions are gone
+    intercept[IllegalArgumentException](CowTable.read(spark, path, Some(1)).count())
+  }
+
   test("delete rewrites only touched files; other rows intact") {
     import spark.implicits._
     val path = tmp
