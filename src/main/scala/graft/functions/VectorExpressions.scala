@@ -264,6 +264,96 @@ case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmin-centroid for integer-quantized k-means: given a query vector
+  * `array<bigint>` and a broadcast centroid list
+  * `array<struct<cid:bigint, c:array<bigint>>>`, returns the cid of the
+  * squared-L2-nearest centroid, ties to the SMALLEST cid (the (d2, cid)
+  * lexicographic comparison is explicit in the loop, so the result is
+  * independent of centroid array order).
+  *
+  * This is the fused, codegen'd form of
+  * `array_min(transform(cents, ct -> struct(aggregate(zip_with(...)), cid))).cid`
+  * — the interpreted higher-order chain evaluates k·dim lambda calls
+  * per row and dominated the k-means profile; this is one flat nested
+  * loop inside whole-stage codegen.
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _),
+          ArrayType(StructType(Array(f0, f1)), _))
+        if f0.dataType == LongType &&
+          f1.dataType.isInstanceOf[ArrayType] &&
+          f1.dataType.asInstanceOf[ArrayType].elementType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires (array<bigint>, array<struct<bigint, array<bigint>>>), " +
+        s"got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    var bestD = Long.MaxValue
+    var bestC = -1L
+    var j = 0
+    while (j < cents.numElements()) {
+      val st = cents.getStruct(j, 2)
+      val cid = st.getLong(0)
+      val cv = st.getArray(1)
+      val n = math.min(q.numElements(), cv.numElements())
+      var d = 0L
+      var i = 0
+      while (i < n) {
+        val t = q.getLong(i) - cv.getLong(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      j += 1
+    }
+    bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val st = ctx.freshName("st")
+      val cid = ctx.freshName("cid")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |long $bestD = Long.MAX_VALUE;
+         |long $bestC = -1L;
+         |for (int $j = 0; $j < $b.numElements(); $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $st = $b.getStruct($j, 2);
+         |  long $cid = $st.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $st.getArray(1);
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $t = $a.getLong($i) - $cv.getLong($i);
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $bestD || ($d == $bestD && $cid < $bestC)) { $bestD = $d; $bestC = $cid; }
+         |}
+         |${ev.value} = $bestC;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level entry point: dot product in double precision. */
   def vec_dot(a: Column, b: Column): Column =
@@ -283,4 +373,8 @@ object VectorFunctions {
   /** |A∩B| over sorted-distinct string arrays (see [[SortedOverlap]]). */
   def sorted_overlap(a: Column, b: Column): Column =
     ColumnShim.column(SortedOverlap(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Squared-L2 argmin centroid id (see [[NearestCentroid]]). */
+  def nearest_centroid(q: Column, cents: Column): Column =
+    ColumnShim.column(NearestCentroid(ColumnShim.expression(q), ColumnShim.expression(cents)))
 }

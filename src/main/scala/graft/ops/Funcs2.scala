@@ -333,32 +333,29 @@ object Funcs2 {
   }
 
   /** RFM customer segmentation — recency/frequency/monetary quintiles
-    * composed into the classic 3-digit segment code. Each quintile is
-    * [[Scale.globalNtile]] (bucket-parallel global ranking — NO
-    * single-partition sort at any of the three rankings), so the whole
-    * pipeline is: one keyed aggregate + three linear rank passes over
-    * the per-customer table. The oracle pins the scores to DuckDB's
-    * native `ntile(5)` — globalNtile's closed-form bucket math IS the
-    * SQL ntile definition.
+    * composed into the classic 3-digit segment code. All three quintiles
+    * come from ONE [[Scale.globalNtileFused]] pass (bucket-parallel
+    * global ranking — NO single-partition sort in any of the three
+    * rankings, and no per-dimension re-shuffle: the per-customer
+    * aggregate is exploded once into (dim, bucket, sortValue) records,
+    * ranked under a single composite-keyed window, and pivoted back).
+    * The recency sort key is days-since-epoch — order-isomorphic to the
+    * date itself. The oracle pins the scores to DuckDB's native
+    * `ntile(5)` — the closed-form bucket math IS the SQL ntile
+    * definition.
     */
   val customerRfm: Q = (s, d) => {
     val base = orders(s, d).groupBy("o_custkey")
       .agg(max(col("o_orderdate").cast("date")).as("last_date"),
            cnt.as("f"),
            sumCents(col("o_totalprice")).as("m"))
-    val r1 = Scale.globalNtile(base, 5,
-        year(col("last_date")) * 12 + month(col("last_date")),
-        Seq(col("last_date"), col("o_custkey")))
-      .withColumnRenamed("__tile", "r_score")
-    val r2 = Scale.globalNtile(r1, 5,
-        least(col("f"), lit(40L)),
-        Seq(col("f"), col("o_custkey")))
-      .withColumnRenamed("__tile", "f_score")
-    val r3 = Scale.globalNtile(r2, 5,
-        floor(col("m") / 5000000L),
-        Seq(col("m"), col("o_custkey")))
-      .withColumnRenamed("__tile", "m_score")
-    r3.select(col("o_custkey"), col("r_score"), col("f_score"), col("m_score"),
+    Scale.globalNtileFused(base, 5, col("o_custkey"), Seq(
+        ("r_score", year(col("last_date")) * 12 + month(col("last_date")),
+         datediff(col("last_date"), lit("1970-01-01").cast("date"))),
+        ("f_score", least(col("f"), lit(40L)), col("f")),
+        ("m_score", floor(col("m") / 5000000L), col("m"))))
+      .select(col("__key").as("o_custkey"),
+        col("r_score"), col("f_score"), col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
           .cast("long").as("rfm"))
       .orderBy("o_custkey")

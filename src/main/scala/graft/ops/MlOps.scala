@@ -25,9 +25,11 @@ import Util._
   *    parts-per-million `div`.
   *  - `ml_confusion_matrix` — label × deterministic-prediction counts.
   *
-  * Scale posture: k-means fans each vector out k ways against a
-  * BROADCAST centroid table (k·dim values — bytes), so each iteration
-  * is one linear pass + one (cell, dim) aggregate; nothing re-reads
+  * Scale posture: k-means evaluates all k centroid distances in ONE
+  * codegen projection per vector (the centroid table — k·dim values,
+  * bytes — is broadcast as a single array row), so each iteration is
+  * one linear pass + one partially-aggregated (cell, dim) aggregate;
+  * no k-way row fan-out, no per-vector window, nothing re-reads
   * history. The AUC rank accumulation runs over the DISTINCT-score
   * table via [[Scale.globalPrefixSum]]'s bucket-parallel prefix sum —
   * no single-partition window anywhere (plan-guarded in MlOpsSpec).
@@ -46,28 +48,50 @@ object MlOps {
   /** Nearest centroid per vector; ties break to the smallest cid
     * (ADVICE round-3: quantized centroids can collide, so the
     * tiebreak must be explicit on both engines).
+    *
+    * One codegen projection per vector — the k centroids arrive as a
+    * single broadcast 1-row array, every distance is computed inline
+    * with `transform`/`zip_with`, and the argmin is `array_min` over
+    * (d2, cid) structs (lexicographic struct ordering IS the explicit
+    * smallest-cid tiebreak). No k-way row fan-out, no per-vector
+    * window shuffle; `q` rides along so the centroid recompute needs
+    * no join back to the vector table.
     */
-  private def assign(v: DataFrame, c: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    v.crossJoin(broadcast(c))
-      .withColumn("d2",
-        expr("aggregate(zip_with(q, c, (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"))
-      .withColumn("rr", row_number().over(w))
-      .filter(col("rr") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-  }
+  /** `c` must be a 1-row frame with a `cents` column of
+    * array<struct<cid, c>> — see [[centsOf]] / [[recompute]].
+    */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"),
+        graft.functions.VectorFunctions
+          .nearest_centroid(col("q"), col("cents")).as("cell"))
+
+  /** (cid, c) rows → the 1-row broadcastable centroid array. */
+  private def centsOf(c: DataFrame): DataFrame =
+    c.agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
 
   /** Integer centroid recompute: per (cell, dim), floor-mean of the
-    * (positive) member components, re-packed into a vector.
+    * (positive) member components, re-packed DIRECTLY into the 1-row
+    * broadcastable centroid array for the next [[assign]]. The
+    * (cell, pos) aggregate partial-combines map-side (the shuffle
+    * carries ~k·dim rows per map partition regardless of n), and the
+    * per-cell collapse happens INSIDE the final 1-row collect — one
+    * shuffle barrier per iteration instead of two, which matters
+    * because this query's cost is pure sequential-stage floor, not
+    * data (the k·dim flat array is 512 elements).
     */
-  private def recompute(v: DataFrame, a: DataFrame): DataFrame =
-    v.join(a, "vec_id")
-      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
+  private def recompute(a: DataFrame): DataFrame =
+    a.select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
       .groupBy("cell", "pos")
       .agg(expr("div(sum(qv), count(1))").as("cv"))
-      .groupBy("cell")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
-      .select(col("cell").as("cid"), col("c"))
+      .agg(collect_list(struct(col("cell"), col("pos"), col("cv"))).as("flat"))
+      .select(expr(
+        """transform(
+          |  array_sort(array_distinct(transform(flat, x -> x.cell))),
+          |  cl -> named_struct(
+          |    'cid', cl,
+          |    'c', transform(filter(array_sort(flat), x -> x.cell = cl),
+          |                   x -> x.cv)))""".stripMargin).as("cents"))
 
   /** Two Lloyd iterations, k = 8, seeded by the first 8 vectors
     * (deterministic — no RNG anywhere). Output: final cluster census +
@@ -75,16 +99,21 @@ object MlOps {
     */
   val mlKmeans2iter: Q = (s, d) => {
     val v = qvecs(s, d)
-    val c0 = v.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("q").as("c"))
-    val c1 = recompute(v, assign(v, c0))
-    val c2 = recompute(v, assign(v, c1))
+    val c0 = centsOf(
+      v.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("q").as("c")))
+    val c1 = recompute(assign(v, c0))
+    val c2 = recompute(assign(v, c1))
     val a3 = assign(v, c2)
     val census = a3.groupBy("cell").agg(cnt.as("n_members"))
-    val sums = c2.select(col("cid").as("cell"),
-        expr("aggregate(c, 0L, (acc, x) -> acc + x)").as("centroid_sum"))
-    census.join(sums, "cell")
+    val sums = c2.select(explode(col("cents")).as("ct"))
+      .select(col("ct.cid").as("cell"),
+        expr("aggregate(ct.c, 0L, (acc, x) -> acc + x)").as("centroid_sum"))
+    census.join(broadcast(sums), "cell")
       .select(col("cell").cast("long").as("cell"), col("n_members"), col("centroid_sum"))
-      .orderBy("cell")
+      // k rows: a single-partition sort replaces orderBy's
+      // range-boundary sampling job + range exchange (two of the ~10
+      // sequential barriers this query's cost consists of)
+      .coalesce(1).sortWithinPartitions("cell")
   }
 
   /** Exact AUC of the integer score `sum(q)` against the binary label

@@ -283,6 +283,67 @@ object Scale {
     ranked.withColumn("__tile", tile).drop("__rn", "__n")
   }
 
+  /** Fused multi-dimension [[globalNtile]]: computes `NTILE(k)` over
+    * SEVERAL independent global orderings of the same keyed table in a
+    * single pipeline, instead of one sequential two-phase pass per
+    * dimension (which re-shuffles the input once per dimension and pays
+    * one job chain each — the dominant cost when the keyed table is
+    * itself an aggregate).
+    *
+    * Shape: explode each row into one (dim, bucket, sortValue) record
+    * per dimension (narrow, ×D), then ONE histogram aggregate over
+    * (dim, bucket), ONE broadcast offsets table, ONE window partitioned
+    * by (dim, bucket), and ONE key-grouped pivot back to a row per key
+    * with a `<dim>` tile column each. Every stage is hash-partitioned on
+    * composite keys — nothing single-partitions at any scale, exactly
+    * like [[globalRank]], but D dimensions now cost one shuffle of D·n
+    * tiny records instead of D shuffles of full rows.
+    *
+    * `dims`: (name, coarseBucket, sortValue). `coarseBucket` must be
+    * monotone non-decreasing in the dimension's sort order and
+    * long-castable with bounded cardinality; `sortValue` must be a
+    * long-castable total sort key within a bucket (ties broken by
+    * `key`). Output: one row per key: (key, dim tiles...).
+    */
+  def globalNtileFused(df: DataFrame, k: Int, key: Column,
+                       dims: Seq[(String, Column, Column)]): DataFrame = {
+    val dimStructs = array(dims.map { case (n, coarse, sortv) =>
+      struct(lit(n).as("__dim"),
+             coalesce(coarse.cast("long"), lit(Long.MinValue)).as("__cb"),
+             sortv.cast("long").as("__sv"))
+    }: _*)
+    val exploded = df.select(key.as("__key"), explode(dimStructs).as("__d"))
+      .select(col("__key"), col("__d.__dim").as("__dim"),
+              col("__d.__cb").as("__cb"), col("__d.__sv").as("__sv"))
+    val counts = exploded.groupBy("__dim", "__cb").agg(count(lit(1)).as("__bn"))
+    // Same tiny bucket×bucket cumulative join as globalRank, segmented
+    // by dimension — D·B² rows for B buckets, bounded by construction.
+    val offsets = counts
+      .join(broadcast(counts.select(col("__dim").as("__dim2"),
+              col("__cb").as("__cb2"), col("__bn").as("__bn2"))),
+            col("__dim") === col("__dim2"))
+      .groupBy("__dim", "__cb")
+      .agg(coalesce(sum(when(col("__cb2") < col("__cb"), col("__bn2"))), lit(0L))
+             .as("__off"),
+           sum("__bn2").as("__n"))
+    val w = Window.partitionBy("__dim", "__cb").orderBy(col("__sv"), col("__key"))
+    val q = floor(col("__n") / k).cast("long")
+    val r = col("__n") % k
+    val big = (q + 1) * r
+    val tile = when(col("__rn") <= big,
+        floor((col("__rn") - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(r + floor((col("__rn") - 1 - big) / q).cast("long") + 1)
+    val tiled = exploded.join(broadcast(offsets), Seq("__dim", "__cb"))
+      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+      .withColumn("__tile", tile)
+    tiled.groupBy("__key")
+      .agg(dims.map { case (n, _, _) =>
+        max(when(col("__dim") === n, col("__tile"))).as(n)
+      }.head, dims.tail.map { case (n, _, _) =>
+        max(when(col("__dim") === n, col("__tile"))).as(n)
+      }: _*)
+  }
+
   /** Degree-oriented exact triangle count — the third graph exemplar.
     *
     * The naive formulation (join the edge list with itself twice)

@@ -51,14 +51,22 @@ object Tables {
       (System.identityHashCode(spark), sfDir, name), {
         val df =
           if (name == "events") {
-            // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
-            // rejects outright; `nanosAsLong` (set at session build by
-            // graft.Sessions) reads it as raw nanos, truncated to µs
-            // with integer division — `DIV` keeps the arithmetic in
-            // long space (ns values exceed double's 2^53 exact-integer
-            // range, so `/ 1000` would corrupt them).
-            spark.read.parquet(s"$sfDir/$name.parquet")
-              .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+            // events.ts arrives in whatever precision the driver's
+            // generator used that round — TIMESTAMP(NANOS) in rounds
+            // 1-6 (which Spark only reads via the `nanosAsLong` legacy
+            // conf, as a raw-nanos BIGINT that we truncate to µs in
+            // long space: ns values exceed double's 2^53 exact range,
+            // so `DIV`, never `/`), TIMESTAMP(MICROS) from round 7
+            // (read natively as TIMESTAMP_NTZ; the cast to session-UTC
+            // TimestampType is an identity on the stored value). Branch
+            // on the READ schema, not an assumption about the file.
+            val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+            raw.schema("ts").dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+              case _ =>
+                raw.withColumn("ts", expr("cast(ts as timestamp)"))
+            }
           } else spark.read.parquet(s"$sfDir/$name.parquet")
         val partitioned =
           if (factTables(name)) df.repartition(factParts(spark))
