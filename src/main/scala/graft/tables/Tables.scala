@@ -47,9 +47,25 @@ object Tables {
   private val viewsFor = TrieMap.empty[Int, String]
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate(
+    // `spark.graft.tableCache=false` bypasses the registry entirely:
+    // plain per-query parquet scans, no persist, no repartition — the
+    // production path, where filters/projection must reach the reader
+    // (plan-guarded in PlanSpec's pushdown battery). Default stays
+    // cached: the bench/verify batteries re-read every table hundreds
+    // of times.
+    if (!spark.conf.get("spark.graft.tableCache", "true").toBoolean)
+      loadRaw(spark, sfDir, name)
+    else cache.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir, name), {
-        val df =
+        val df = loadRaw(spark, sfDir, name)
+        val partitioned =
+          if (factTables(name)) df.repartition(factParts(spark))
+          else df
+        partitioned.persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
+  private def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df =
           if (name == "events") {
             // events.ts arrives in whatever precision the driver's
             // generator used that round — TIMESTAMP(NANOS) in rounds
@@ -68,11 +84,8 @@ object Tables {
                 raw.withColumn("ts", expr("cast(ts as timestamp)"))
             }
           } else spark.read.parquet(s"$sfDir/$name.parquet")
-        val partitioned =
-          if (factTables(name)) df.repartition(factParts(spark))
-          else df
-        partitioned.persist(StorageLevel.MEMORY_AND_DISK)
-      })
+    df
+  }
 
   /** Run SQL with all tables registered as temp views over `sfDir`.
     * Needed where the DataFrame API has no equivalent (GROUPING SETS).

@@ -202,4 +202,125 @@ class PlanSpec extends SparkSpecBase {
     // and it computes exactly what the window formulation does
     assert(df.collect().toSeq == q("win_topk_per_group").collect().toSeq)
   }
+
+  // ---- battery-wide invariants -------------------------------------------
+  //
+  // Every query in SparkEntry.queries is plan-checked against the three
+  // scale anti-patterns. New operators are covered automatically; adding
+  // a query that regresses an invariant fails here with its name, and
+  // the ONLY way to ship it is to add it to the allowlist below with a
+  // justification — which is exactly the review conversation we want.
+
+  /** Queries permitted to plan a BroadcastNestedLoopJoin, and why.
+    * Three legitimate classes:
+    *  - contract-quadratic: the oracle pins all-pairs semantics; each
+    *    has a linear banded/bucketed twin (PLANS.md) for real scale;
+    *  - 1-row scalar: a broadcast cross join against a single-row
+    *    aggregate (Spark plans broadcast-1-row as BNLJ) — bytes moved;
+    *  - bounded-bucket: globalRank/globalNtile's B×B bucket-count
+    *    cross join — cardinality fixed by construction, never data.
+    */
+  private val bnljAllowed: Map[String, String] = Map(
+    "sim_pairs_threshold" -> "contract-quadratic (linear twin: dedup_minhash_lsh)",
+    "sim_knn_per_query" -> "contract-quadratic (linear twin: ann_ivf_topk)",
+    "join_theta_band" -> "contract: non-equi band theta join",
+    "join_cross_small" -> "contract: declared cross join, dims only",
+    "text_sim_funcs" -> "contract-quadratic jaro-winkler pairs (blocked)",
+    "dedup_near_jaccard" -> "contract-quadratic (linear twin: dedup_minhash_lsh)",
+    "dedup_ngram_jaccard" -> "contract-quadratic (linear twin: dedup_ngram_banded)",
+    "dedup_editdist" -> "contract-quadratic, length-gap prefiltered",
+    "dedup_embedding_cosine" -> "banded by CosineBandRule; residual in-band verify",
+    "event_funnel" -> "1-row scalar: funnel-total broadcast",
+    "ml_auc_rank" -> "1-row scalar: grand-total broadcast",
+    "ml_kmeans_2iter" -> "1-row scalar: broadcast centroid array",
+    "agg_heavy_hitters" -> "1-row scalar: total-count broadcast",
+    "sample_weighted" -> "1-row scalar: weight-sum broadcast",
+    "recon_aging_buckets" -> "1-row scalar: as-of timestamp broadcast",
+    "q11_important_stock" -> "1-row scalar: threshold subquery broadcast",
+    "ann_ivf_topk" -> "1-row scalar: broadcast IVF centroid array",
+    "embedding_cluster_sizes" -> "1-row scalar: broadcast centroid array",
+    "graph_triangle_count" -> "bounded: degree-table broadcast",
+    "win_ntile" -> "bounded-bucket: B×B offsets cross join",
+    "win_pct_rank_global" -> "bounded-bucket: B×B offsets cross join",
+    "pack_token_shards" -> "bounded-bucket: B×B prefix-sum offsets",
+    "corpus_shuffle_shards" -> "bounded-bucket: B×B offsets cross join",
+    "customer_rfm" -> "bounded-bucket: D·B×B fused-ntile offsets")
+
+  /** Queries permitted an Exchange SinglePartition, and why. The only
+    * legitimate class: a FINAL aggregate/limit whose input is already
+    * reduced to one row per upstream partition (1-row global aggs,
+    * scalar subqueries) or a bounded domain table — never fact data.
+    */
+  private val singleAllowed: Map[String, String] = Map(
+    "agg_count_distinct" -> "1-row global aggregate",
+    "agg_approx_topk" -> "1-row global sketch merge",
+    "agg_heavy_hitters" -> "1-row total-count scalar",
+    "dedup_exact_hash" -> "1-row census aggregate",
+    "dq_domain_violations" -> "1-row violation census",
+    "dq_duplicate_keys" -> "1-row census aggregate",
+    "dq_referential_orphans" -> "1-row orphan census",
+    "profile_table_stats" -> "per-table 1-row profile union",
+    "q6_forecast_revenue" -> "1-row revenue scalar",
+    "q14_promo_revenue" -> "1-row ratio scalar",
+    "q15_top_supplier" -> "scalar max-revenue subquery",
+    "q17_small_qty_revenue" -> "1-row revenue scalar",
+    "q19_disjunctive_revenue" -> "1-row revenue scalar",
+    "q22_idle_balance" -> "scalar avg-balance subquery",
+    "q11_important_stock" -> "scalar threshold subquery",
+    "subq_scalar" -> "scalar subquery by definition",
+    "skyline_pareto" -> "bounded x-domain aggregate window",
+    "text_unigram_surprisal" -> "1-row corpus-total scalar",
+    "ml_auc_rank" -> "1-row grand-total scalar",
+    "ml_kmeans_2iter" -> "1-row broadcast centroid collect",
+    "event_funnel" -> "1-row funnel-total scalar",
+    "recon_aging_buckets" -> "1-row as-of timestamp scalar",
+    "sample_weighted" -> "1-row weight-sum scalar",
+    "graph_triangle_count" -> "1-row triangle-count total",
+    "corpus_mix_resample" -> "bounded per-source mix table",
+    "audit_table_checksum" -> "per-table 1-row checksum union")
+
+  test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct (never acceptable — use broadcast or banding)"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+        offenders += s"$name: BroadcastNestedLoopJoin outside the declared quadratic/scalar set"
+      if (p.contains("Exchange SinglePartition") && !singleAllowed.contains(name))
+        offenders += s"$name: Exchange SinglePartition outside the 1-row-final set"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("battery-wide: production path pushes filters into the parquet scan") {
+    // Direct (uncached) reads — the 100 TB path. Each probe filters a
+    // scan column; its plan must show a non-empty PushedFilters list.
+    // Registry bypass alone is not enough: CacheManager SUBSTITUTES any
+    // fresh identical read with a registered cached relation, so drop
+    // the cache registry too (later suites re-materialize on demand —
+    // the registry's persist marks survive).
+    spark.catalog.clearCache()
+    spark.conf.set("spark.graft.tableCache", "false")
+    try {
+      val pushed = "PushedFilters: \\[[A-Z]".r
+      for (name <- Seq("scan_filter", "filter_compound", "q1_pricing_summary",
+                       "q6_forecast_revenue", "join_broadcast_dim",
+                       "q3_shipping_priority", "q5_local_supplier")) {
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(pushed.findFirstIn(p).isDefined,
+          s"$name: no non-empty PushedFilters on the uncached path\n${p.take(1000)}")
+      }
+      // Filterless scans must still PRUNE: a full-width documents read
+      // for a 1-2 column aggregate would be the wrong plan at 100 TB.
+      for ((name, schema) <- Seq(
+             "dedup_exact_hash" -> "ReadSchema: struct<text:string>",
+             "text_quality_score" -> "ReadSchema: struct<text:string,lang:string>")) {
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(p.contains(schema), s"$name: scan not pruned\n${p.take(1000)}")
+      }
+    } finally spark.conf.set("spark.graft.tableCache", "true")
+  }
 }
