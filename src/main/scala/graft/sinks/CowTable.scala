@@ -56,6 +56,9 @@ object CowTable {
       .toSeq.sorted
   }
 
+  /** True once [[create]] has committed snapshot v1. */
+  def exists(path: String): Boolean = listVersions(path).nonEmpty
+
   /** Files constituting `asOf` (default: latest snapshot). */
   def snapshotFiles(path: String, asOf: Option[Int] = None): Seq[String] = {
     val vs = listVersions(path)

@@ -74,6 +74,37 @@ object Sinks {
       }
       .start()
 
+  /** End-to-end reconciliation pipeline sink — the reference's flagship
+    * shape run as ONE multi-stage streaming job: a replayed event
+    * stream feeds the full-outer [[graft.streaming.StreamOps.reconStream]]
+    * state (matched rows emit on arrival, unmatched on watermark
+    * eviction), and every outcome micro-batch CDC-upserts into a
+    * [[CowTable]]. Each outcome row carries a deterministic key built
+    * from its leg ids, so a re-delivered batch (restart replay,
+    * at-least-once source) merges onto the SAME keys instead of
+    * duplicating — the table is effectively-once without any sink-side
+    * dedup state. Serving reads (leg-match census, unmatched aging)
+    * run against the TABLE's snapshot, not the stream — the
+    * stream/table split Kafka Streams expresses as KStream→KTable.
+    */
+  def reconCdcPipeline(outcomes: DataFrame, tablePath: String,
+                       checkpoint: String): StreamingQuery =
+    outcomes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keyed = batch.withColumn("rk",
+            concat_ws("|",
+              coalesce(col("a_id").cast("string"), lit("_")),
+              coalesce(col("b_id").cast("string"), lit("_"))))
+          if (!CowTable.exists(tablePath)) CowTable.create(keyed, tablePath)
+          else CowTable.merge(batch.sparkSession, tablePath, keyed, "rk")
+        }
+        ()
+      }
+      .start()
+
   /** Streaming upsert sink (`KTable` materialization): per micro-batch,
     * merge the batch into a keyed parquet view keeping the latest row
     * per key by `tsCol`. The merge here is read-union-dedup-rewrite via

@@ -697,6 +697,79 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("sf0.1 end-to-end: replay -> recon state -> CowTable CDC sink equals the batch recon pair") {
+    import spark.implicits._
+    // The reference's flagship, wired as ONE pipeline: DSv2 replay of
+    // the full sf0.1 event log -> full-outer reconciliation state ->
+    // per-micro-batch CDC upsert into a copy-on-write table -> serving
+    // reads derive BOTH operational reports (leg-match census, aging
+    // buckets) from the TABLE and must equal the batch operators
+    // recon_leg_match / recon_aging_buckets row-for-row.
+    val d01 = "/root/testdata/sf0.1"
+    val events01 = graft.tables.Tables.t(spark, d01, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = events01.agg(max("ts")).collect().head.getTimestamp(0)
+    val farFuture = new Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+    val sentinels = Seq(
+      Evt(-1L, farFuture, -999L, "signup", 0.0, "{}"),
+      Evt(-2L, farFuture, -999L, "purchase", 0.0, "{}")).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_recon").toString
+    val replay = graft.sources.Sources.eventsReplay(
+      spark, events01.unionByName(sentinels), s"$dir/slices")
+    val table = s"$dir/recon_cow"
+    val q = graft.sinks.Sinks.reconCdcPipeline(
+      StreamOps.reconStream(
+        replay.filter(col("event_type") === "signup"),
+        replay.filter(col("event_type") === "purchase")),
+      table, s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+
+    val outcomes = graft.sinks.CowTable.read(spark, table)
+      .filter(coalesce(col("a_id"), lit(0L)) =!= -1L &&
+              coalesce(col("b_id"), lit(0L)) =!= -2L)
+      .persist()
+
+    // Report 1: leg-match census from the table == recon_leg_match.
+    val census = outcomes.groupBy("status")
+      .agg(count(lit(1)).as("c")).orderBy("status")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batchCensus = SparkEntry.queries("recon_leg_match")(spark, d01)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(census == batchCensus && census.nonEmpty, s"$census vs $batchCensus")
+
+    // Report 2: unmatched-signup aging from the table (outcome keys
+    // enriched back to event timestamps — the serving-side dimension
+    // lookup) == recon_aging_buckets.
+    val aged = outcomes.filter(col("status") === "unmatched_a")
+      .join(events01.select(col("event_id").as("a_id"), col("ts").as("s_ts")), "a_id")
+      .crossJoin(broadcast(events01.agg(max(col("ts")).as("now_ts"))))
+      .withColumn("age_s", unix_timestamp(col("now_ts")) - unix_timestamp(col("s_ts")))
+      .withColumn("bucket",
+        when(col("age_s") < 7L * 86400, "lt7d")
+          .when(col("age_s") < 21L * 86400, "lt21d")
+          .otherwise("21d_plus"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("age_s").cast("long").as("min_age_s"),
+           max("age_s").cast("long").as("max_age_s"))
+      .orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    val batchAged = SparkEntry.queries("recon_aging_buckets")(spark, d01)
+      .collect().map(_.toSeq).toSeq
+    assert(aged == batchAged && aged.nonEmpty, s"$aged vs $batchAged")
+
+    // Replay idempotence: re-applying outcomes (a re-delivered batch
+    // after restart) upserts the SAME keys — census must not change.
+    val redelivered = outcomes.filter(col("status") === "matched").limit(500)
+    graft.sinks.CowTable.merge(spark, table, redelivered, "rk")
+    val census2 = graft.sinks.CowTable.read(spark, table)
+      .filter(coalesce(col("a_id"), lit(0L)) =!= -1L &&
+              coalesce(col("b_id"), lit(0L)) =!= -2L)
+      .groupBy("status").agg(count(lit(1)).as("c")).orderBy("status")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(census2 == census, s"re-delivery duplicated rows: $census2 vs $census")
+    outcomes.unpersist()
+  }
+
   test("approx_count_distinct within 2% of exact (HLL capability, R7)") {
     val o = graft.tables.Tables.t(spark, sf, "orders")
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
