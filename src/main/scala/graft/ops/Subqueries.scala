@@ -393,8 +393,82 @@ object Subqueries {
     * injective, so chains never merge and the working set stays ≤ 10
     * rows per level. Text shared verbatim with the DuckDB oracle.
     */
-  val sqlRecursiveCte: Q = (s, d) =>
-    Tables.sql(s, d, OracleSql.sql("sql_recursive_cte"))
+  /** Recursive-CTE contract query (k → 3k+1 chains through the
+    * customer key space, depths 0..20). Spark's native `WITH
+    * RECURSIVE` executes this as ~21 sequential driver-side UnionLoop
+    * iterations, each paying a full job-scheduling floor (measured
+    * 1.3 s at sf0.1 for microseconds of data work). Because the
+    * recursion is a deterministic successor FUNCTION with a closed
+    * form (k_d = 3^d·a + (3^d−1)/2), the optimizer-ideal plan is
+    * direct: cross the 9 anchors with the 21 depths (one projection),
+    * validate every candidate against the customer key set with ONE
+    * inner join that BROADCASTS the 189 candidates and streams the
+    * customer scan (never the reverse — customer is the data-sized
+    * side at any scale), and keep each anchor's consecutive-depth
+    * prefix via a row_number window over ≤189 rows. Three plan
+    * barriers total, no iteration. [[sqlRecursiveCteDoubling]] keeps
+    * the general technique for successors with no closed form, and
+    * SubqueriesSpec proves closed-form == prefix-doubling == native
+    * WITH RECURSIVE (which is also the DuckDB oracle text).
+    */
+  val sqlRecursiveCte: Q = (s, d) => {
+    val cust = Tables.t(s, d, "customer")
+      .select(col("c_custkey").cast("long").as("k"))
+    val pow3: IndexedSeq[Long] = Iterator.iterate(1L)(_ * 3).take(21).toIndexedSeq
+    val depths = array((0 to 20).map { i =>
+      struct(lit(i.toLong).as("depth"), lit(pow3(i)).as("p3"),
+             lit((pow3(i) - 1) / 2).as("h3"))
+    }: _*)
+    val cand = cust.filter(col("k") < 10).select(col("k").as("a"))
+      .select(col("a"), explode(depths).as("dp"))
+      .select(col("a"), col("dp.depth").as("depth"),
+              (col("dp.p3") * col("a") + col("dp.h3")).as("k"))
+    val matched = broadcast(cand).join(cust, "k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy("depth")
+    matched
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("depth") === col("rn") - 1) // consecutive-from-0 prefix only
+      .groupBy("depth")
+      .agg(cnt.as("n"), sum("k").cast("long").as("sum_k"))
+      .orderBy("depth")
+  }
+
+  /** General fixed-depth recursion by PREFIX DOUBLING — the technique
+    * [[sqlRecursiveCte]]'s closed form specializes: f^(2c) = f^c ∘ f^c,
+    * so the covered depth doubles per round and depth-20 recursion
+    * costs 5 rounds of equi-joins (one lazily-planned job) instead of
+    * 21 sequential driver iterations. Kept as the library path for
+    * successor functions with no closed form; equality-tested against
+    * both other formulations in SubqueriesSpec.
+    */
+  val sqlRecursiveCteDoubling: Q = (s, d) => {
+    val cust = Tables.t(s, d, "customer")
+      .select(col("c_custkey").cast("long").as("k"))
+    // f^1: k -> 3k+1, kept only where the successor is a customer key
+    val step1 = cust.select(col("k").as("src"), (col("k") * 3 + 1).as("dst"))
+      .join(cust.select(col("k").as("dst")), "dst")
+      .select("src", "dst")
+    val maxDepth = 20L
+    var p = cust.filter(col("k") < 10).select(col("k"), lit(0L).as("depth"))
+    var f = step1
+    var cover = 1L // p holds every chain row with depth < cover
+    while (cover <= maxDepth) {
+      p = p.unionByName(
+        p.join(broadcast(f), p("k") === f("src"))
+          .select(f("dst").as("k"), (p("depth") + cover).as("depth")))
+      if (cover * 2 <= maxDepth) {
+        val g = f.select(col("src").as("s2"), col("dst").as("d2"))
+        f = f.join(broadcast(g), f("dst") === g("s2"))
+          .select(f("src").as("src"), g("d2").as("dst"))
+      }
+      cover *= 2
+    }
+    p.filter(col("depth") <= maxDepth)
+      .groupBy("depth")
+      .agg(cnt.as("n"), sum("k").cast("long").as("sum_k"))
+      .orderBy("depth")
+  }
 
   val queries: Map[String, Q] = Map(
     "sql_recursive_cte" -> sqlRecursiveCte,

@@ -162,4 +162,19 @@ class SubqueriesSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("recursive CTE: closed-form == prefix-doubling == native WITH RECURSIVE") {
+    // Three formulations of the same recursion: the shipped closed-form
+    // plan, the general prefix-doubling technique, and Spark's native
+    // UnionLoop execution of the oracle's own SQL text. All three must
+    // agree row-for-row (the oracle pins the semantics in DuckDB too).
+    val closed = q("sql_recursive_cte").collect().toSeq
+    val doubled = graft.ops.Subqueries.sqlRecursiveCteDoubling(spark, sf)
+      .collect().toSeq
+    val native = graft.tables.Tables
+      .sql(spark, sf, graft.oracle.OracleSql.sql("sql_recursive_cte"))
+      .collect().toSeq
+    assert(closed.nonEmpty && closed == doubled, s"$closed vs $doubled")
+    assert(closed == native, s"$closed vs $native")
+  }
 }
