@@ -73,7 +73,12 @@ object Windows {
   val winNtile: Q = (s, d) =>
     Scale.globalNtile(
         orders(s, d).select("o_totalprice", "o_orderkey"), 4,
-        floor(col("o_totalprice") / 5000),
+        // bucket width 20k ≈ 28 price buckets: measured best at bench
+        // scale (0.69 s → 0.44 s vs width 5k/110 buckets — fewer window
+        // tasks + a 100× smaller B² offsets join). Bucket count should
+        // track cluster parallelism at real scale; any width is
+        // semantically identical (the oracle pins the output).
+        floor(col("o_totalprice") / 20000),
         Seq(col("o_totalprice"), col("o_orderkey")))
       .select(col("o_totalprice"), col("__tile").as("b"))
       .groupBy("b")
@@ -126,7 +131,7 @@ object Windows {
   val winPctRankGlobal: Q = (s, d) =>
     Scale.globalRank(
         orders(s, d).select("o_orderkey", "o_totalprice"),
-        floor(col("o_totalprice") / 5000),
+        floor(col("o_totalprice") / 20000), // same width rationale as winNtile
         Seq(col("o_totalprice"), col("o_orderkey")))
       .select(col("o_orderkey"),
               round((col("__rn") - 1) * lit(1e6) / (col("__n") - 1))
