@@ -193,6 +193,72 @@ object CowTable {
     commit(path, files, base)
   }
 
+  /** CHANGE FEED (CDC-out): row-level changes between two snapshots —
+    * `_change_type` ∈ insert / update (postimage) / delete (preimage),
+    * plus `_commit_version = toV`. The copy-on-write layout makes this
+    * cheap by construction: a file carried over between manifests
+    * cannot contain a change, so only the manifest DIFFERENCE is read
+    * (removed files = candidate deletes/preimages, added files =
+    * candidate inserts/postimages), then one key-outer-join classifies
+    * rows and a null-safe struct compare drops survivor rows that were
+    * rewritten with identical content (merge rewrites whole touched
+    * files, so most rewritten rows are unchanged). At 100 TB the scan
+    * is proportional to the CHANGED partitions, never the table —
+    * the same property merge itself has.
+    *
+    * Requires `key`-unique snapshots (the same contract merge keeps).
+    * Works across schema evolution: both sides widen to the union
+    * column set (nulls for pre-evolution rows).
+    */
+  def changes(spark: SparkSession, path: String, key: String,
+              fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
+    val fromFiles = snapshotFiles(path, Some(fromV))
+    val toFiles = snapshotFiles(path, Some(toV))
+    val removed = fromFiles.filterNot(toFiles.contains)
+    val added = toFiles.filterNot(fromFiles.contains)
+    def rd(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(fs: _*))
+    val sides = (rd(removed), rd(added))
+    // union column set, key first, deterministic order
+    val cols: Seq[String] = {
+      val o = sides._1.map(_.columns.toSeq).getOrElse(Seq.empty)
+      val n = sides._2.map(_.columns.toSeq).getOrElse(Seq.empty)
+      (o ++ n.filterNot(o.contains)).distinct
+    }
+    def conform(df: DataFrame): DataFrame =
+      df.select(cols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    (sides: @unchecked) match {
+      case (None, None) =>
+        // identical manifests (e.g. compact-only window): no changes
+        read(spark, path, Some(toV))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(toV))
+          .limit(0)
+      case _ =>
+        val payload = cols.filterNot(_ == key)
+        val o = sides._1.map(conform).getOrElse(conform(sides._2.get).limit(0))
+          .select(col(key).as("__k"),
+                  struct(payload.map(col): _*).as("__old"))
+        val n = sides._2.map(conform).getOrElse(conform(sides._1.get).limit(0))
+          .select(col(key).as("__k"),
+                  struct(payload.map(col): _*).as("__new"))
+        o.join(n, Seq("__k"), "full_outer")
+          .withColumn("_change_type",
+            when(col("__new").isNull, "delete")
+              .when(col("__old").isNull, "insert")
+              .when(col("__old") <=> col("__new"), "none") // rewritten, identical
+              .otherwise("update"))
+          .filter(col("_change_type") =!= "none")
+          .select(Seq(col("__k").as(key)) ++ payload.map { c =>
+            when(col("_change_type") === "delete", col(s"__old.$c"))
+              .otherwise(col(s"__new.$c")).as(c)
+          } ++ Seq(col("_change_type"), lit(toV).as("_commit_version")): _*)
+    }
+  }
+
   /** MAINTENANCE: expire all but the newest `keepLast` snapshots.
     * Each manifest is self-contained (a full file list), so log
     * compaction here is retention: drop the old manifest files, then

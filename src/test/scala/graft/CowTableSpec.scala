@@ -251,4 +251,57 @@ class CowTableSpec extends SparkSpecBase {
     // time travel still sees the deleted rows
     assert(CowTable.read(spark, path, Some(1)).count() == 100)
   }
+
+  test("change feed: insert/update/delete between snapshots; survivor rewrites excluded") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create(
+      (0L until 100L).map(i => (i, s"name_$i", i * 10))
+        .toDF("id", "name", "score").repartitionByRange(5, col("id")),
+      path) // v1
+    CowTable.merge(spark, path, Seq(
+        (7L, "updated_7", -1L),          // update
+        (200L, "new_200", 1L),           // insert
+        (201L, "new_201", 2L)            // insert
+      ).toDF("id", "name", "score"), "id") // v2
+    CowTable.delete(spark, path, "id = 50 or id = 200") // v3
+
+    // v1 -> v2: exactly the 1 update + 2 inserts — NOT the ~19 other
+    // rows that shared rewritten files with id=7 and were carried with
+    // identical content.
+    val c12 = CowTable.changes(spark, path, "id", 1, 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(c12 == Set((7L, "update"), (200L, "insert"), (201L, "insert")), c12.toString)
+    assert(CowTable.changes(spark, path, "id", 1, 2)
+      .filter(col("id") === 7L).select("name").as[String].head() == "updated_7")
+
+    // v2 -> v3: the two deletes, carrying PREIMAGE values
+    val c23 = CowTable.changes(spark, path, "id", 2, 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"),
+                           r.getAs[String]("name"))).toSet
+    assert(c23 == Set((50L, "delete", "name_50"), (200L, "delete", "new_200")), c23.toString)
+
+    // v1 -> v3 composes: insert-then-delete of 200 nets out entirely;
+    // 50 (present in v1) surfaces as a delete; 7 stays an update.
+    val c13 = CowTable.changes(spark, path, "id", 1, 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(c13 == Set((7L, "update"), (201L, "insert"), (50L, "delete")), c13.toString)
+
+    // identical-manifest window (self-diff): empty, schema intact
+    val self = CowTable.changes(spark, path, "id", 3, 3)
+    assert(self.count() == 0)
+    assert(self.columns.contains("_change_type") && self.columns.contains("id"))
+
+    // CDC round-trip: applying the v1->v3 feed to the v1 snapshot
+    // reproduces the v3 snapshot exactly (the consumer contract).
+    val feed = CowTable.changes(spark, path, "id", 1, 3).persist()
+    val applied = CowTable.read(spark, path, Some(1))
+      .join(feed.filter(col("_change_type") === "delete").select("id"), Seq("id"), "left_anti")
+      .join(feed.filter(col("_change_type") === "update").select("id"), Seq("id"), "left_anti")
+      .unionByName(feed.filter(col("_change_type") =!= "delete")
+        .drop("_change_type", "_commit_version"))
+    val v3 = CowTable.read(spark, path, Some(3))
+    assert(applied.exceptAll(v3).isEmpty && v3.exceptAll(applied).isEmpty)
+    feed.unpersist()
+  }
 }
