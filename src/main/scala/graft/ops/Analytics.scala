@@ -404,7 +404,58 @@ object Analytics {
     Scale.triangleCount(orders(s, d).select(node("s").as("src"), node("t").as("dst")))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — the ORACLED
+    * mergeable sketch (unlike `agg_hll_users`, which is test-gated):
+    * the hash is engine-portable integer arithmetic (two LCG rounds
+    * mod 2³¹, every intermediate < 2⁶³), so DuckDB replays the exact
+    * estimate. Per l_returnflag: the k = 128 smallest distinct hash
+    * values of the (partkey, suppkey) composite via the mergeable
+    * bounded-heap [[graft.functions.BottomK]] aggregate (map-side
+    * partials carry ≤ k rows per group — the 100 TB shape), estimate
+    * `(k−1)·2³¹ div h₍k₎`, exact truth alongside. The ALL row is the
+    * sketch MERGE: k smallest of the deduped union of the per-group
+    * sketch arrays — provably equal to the k smallest global distinct
+    * hashes (each global minimum is in its own group's sketch), which
+    * is what the oracle computes directly.
+    *
+    * Working in distinct-hash space makes the k-th smallest value ≥
+    * k−1 > 0, so the estimator needs no division guard; the only edge
+    * is n < k, where KMV's rule is estimate = exact (the sketch holds
+    * the whole set).
+    */
+  val aggKmvDistinct: Q = (s, d) => {
+    import graft.functions.TopKFunctions.bottom_k
+    val k = 128
+    val dh = Tables.t(s, d, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        expr("""pmod(pmod(pmod(l_partkey * 1000000 + l_suppkey, 2147483648)
+               |          * 2654435761 + 1013904223, 2147483648)
+               |     * 1597334677 + 12345, 2147483648)""".stripMargin).as("h"))
+      .distinct()
+    val perGroup = dh.groupBy("grp")
+      .agg(bottom_k(struct(col("h")), k).as("sk"), cnt.as("n_exact"))
+      .withColumn("kth_h",
+        when(size(col("sk")) >= k, expr("element_at(sk, " + k + ").h")).otherwise(0L)
+          .cast("long"))
+    val merged = perGroup
+      .agg(expr("array_sort(array_distinct(flatten(collect_list(transform(sk, x -> x.h)))))")
+             .as("hs"))
+    val allExact = dh.select("h").distinct().agg(cnt.as("n_exact"))
+    val allRow = merged.crossJoin(allExact)
+      .withColumn("kth_h",
+        when(size(col("hs")) >= k, expr("element_at(hs, " + k + ")")).otherwise(0L)
+          .cast("long"))
+      .select(lit("ALL").as("grp"), col("n_exact"), col("kth_h"))
+    perGroup.select(col("grp"), col("n_exact"), col("kth_h"))
+      .unionByName(allRow)
+      .withColumn("est_distinct",
+        when(col("n_exact") < k, col("n_exact"))
+          .otherwise(expr(s"div(${k - 1}L * 2147483648L, kth_h)")).cast("long"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_kmv_distinct" -> aggKmvDistinct,
     "expr_try_funcs" -> exprTryFuncs,
     "graph_pagerank" -> graphPagerank,
     "graph_triangle_count" -> graphTriangleCount,

@@ -199,10 +199,67 @@ object MlOps {
       .orderBy("dim")
   }
 
+  /** Retrieval-evaluation metrics (MRR / hits@k) over the EXACT
+    * brute-force ranking — the eval-set contract is the true ranking,
+    * so this is deliberately all-pairs over the 10-query probe set
+    * (the serving-path twin is `ann_ivf_topk`). Scores are exact
+    * integer dot products of the `round(x·1000)` quantized vectors
+    * (components < 2¹⁰, 64 dims → |dot| < 2²⁶, exactly representable
+    * on both engines); relevance = label equality. Emits per query:
+    * rank of the first relevant neighbor (0 = none), its reciprocal
+    * as integer ppm (the MRR contribution), and hits@10.
+    */
+  val mlMrrHits: Q = (s, d) => {
+    val e = emb(s, d).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val cs = e.select(col("vec_id").as("n_id"), col("label").as("n_label"), col("v").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("n_id"))
+    qs.join(cs, col("q_id") =!= col("n_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rel", when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+      .groupBy("q_id")
+      .agg(coalesce(min(when(col("rel") === 1L, col("rn"))), lit(0)).cast("long")
+             .as("first_rel_rank"),
+           sum(when(col("rn") <= 10, col("rel")).otherwise(0L)).cast("long")
+             .as("hits_at_10"),
+           cnt.as("n_candidates"))
+      .withColumn("rr_ppm",
+        when(col("first_rel_rank") > 0, expr("div(1000000, first_rel_rank)"))
+          .otherwise(0L).cast("long"))
+      .select("q_id", "first_rel_rank", "rr_ppm", "hits_at_10", "n_candidates")
+      .orderBy("q_id")
+  }
+
+  /** Calibration table: the integer projection score (component sum of
+    * the quantized vector, offset to stay strictly positive so `div`
+    * truncation agrees across engines) bucketed into fixed-width bins,
+    * with the positive rate per bin as integer ppm — the
+    * reliability-diagram input every classifier eval emits. One scan +
+    * one keyed agg; bin count is bounded by the score range, never n.
+    */
+  val mlCalibrationBins: Q = (s, d) =>
+    emb(s, d)
+      .select(
+        (expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)), 0L, (acc, x) -> acc + x)")
+           + 100000L).as("score_off"),
+        when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", expr("div(score_off, 1000)"))
+      .groupBy("bin")
+      .agg(cnt.as("n"), sum("pos").cast("long").as("n_pos"))
+      .withColumn("pos_ppm", expr("div(n_pos * 1000000, n)"))
+      .orderBy("bin")
+
   val queries: Map[String, Q] = Map(
     "embedding_pca_power" -> embeddingPcaPower,
     "ml_kmeans_2iter" -> mlKmeans2iter,
     "ml_auc_rank" -> mlAucRank,
     "ml_confusion_matrix" -> mlConfusionMatrix,
+    "ml_mrr_hits" -> mlMrrHits,
+    "ml_calibration_bins" -> mlCalibrationBins,
   )
 }

@@ -89,7 +89,40 @@ object Relevance {
       .limit(100)
   }
 
+  /** Top-30 collocations by scaled pointwise mutual information:
+    * PMI = log p(x,y)/(p(x)p(y)) ordered by its exact integer argument
+    * `c_xy·N·10⁶ div (c_x·c_y)` instead of the engine-dependent log
+    * (log is monotone, so the ordering — and the emitted surrogate —
+    * is exact; DECIMAL(38) intermediates keep the triple product
+    * overflow-free at any corpus size). Marginals are bigram-table
+    * left/right sums: all three count tables are vocab-sized (Zipf),
+    * so their equi-joins broadcast under AQE; the min-support filter
+    * (c_xy ≥ 5) runs before any join.
+    */
+  val textPmiBigrams: Q = (s, d) => {
+    val bg = docs(s, d)
+      .withColumn("tk", split(col("text"), " "))
+      .select(explode(when(size(col("tk")) >= 2,
+          expr("transform(sequence(0, size(tk)-2), i -> struct(tk[i] as l, tk[i+1] as r))"))
+        .otherwise(expr("array()"))).as("b"))
+      .select(col("b.l").as("l"), col("b.r").as("r"))
+    val cxy = bg.groupBy("l", "r").agg(cnt.as("c_xy"))
+    val cx = bg.groupBy("l").agg(cnt.as("c_x"))
+    val cy = bg.groupBy("r").agg(cnt.as("c_y"))
+    val n = bg.agg(cnt.as("n_total"))
+    cxy.filter(col("c_xy") >= 5)
+      .join(cx, "l").join(cy, "r")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_scaled", expr(
+        """cast(div(cast(c_xy as decimal(38,0)) * n_total * 1000000,
+          |          cast(c_x as decimal(38,0)) * c_y) as bigint)""".stripMargin))
+      .orderBy(col("pmi_scaled").desc, col("l"), col("r"))
+      .limit(30)
+      .select("l", "r", "c_xy", "pmi_scaled")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_pmi_bigrams" -> textPmiBigrams,
     "text_tfidf_topk" -> textTfidfTopk,
     "text_bigram_cooccur" -> textBigramCooccur,
     "text_inverted_postings" -> textInvertedPostings,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -331,7 +332,50 @@ object Streaming {
       .orderBy("bucket")
   }
 
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent PRECEDING non-purchase event of the same user (the
+    * marketing-attribution census every event pipeline publishes).
+    * One user-keyed window carries the last non-purchase type forward
+    * (`last(..., ignoreNulls)` over an unbounded-to-1-preceding frame
+    * — never a self-join), then one keyed agg; revenue follows the R2
+    * integer-cents rule.
+    */
+  val eventsAttribution: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+             ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("attributed"))
+      .agg(cnt.as("n_purchases"), sumCents(col("value")).as("revenue_cents"))
+      .orderBy("attributed")
+  }
+
+  /** Top-20 daily user journeys: the first five event types of each
+    * (user, day), in (ts, event_id) order, joined into a path string —
+    * sequence mining's frequent-prefix census. The per-key collect is
+    * bounded by the day's events and the sort happens INSIDE each
+    * group's array (array_sort over structs), so the only shuffles are
+    * the (user, day) agg and the path census; top-20 plans as
+    * TakeOrderedAndProject, never a global sort.
+    */
+  val eventsPathTopk: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("dd"))
+      .agg(expr(
+        """array_join(
+          |  transform(slice(array_sort(collect_list(struct(ts, event_id, event_type))), 1, 5),
+          |            e -> e.event_type), '>')""".stripMargin).as("path"))
+      .groupBy("path")
+      .agg(cnt.as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
+    "events_attribution" -> eventsAttribution,
+    "events_path_topk" -> eventsPathTopk,
     "recon_aging_buckets" -> reconAgingBuckets,
     "agg_chained_windows" -> chainedWindows,
     "event_funnel" -> eventFunnel,

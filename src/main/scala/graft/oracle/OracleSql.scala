@@ -443,6 +443,88 @@ object OracleSql {
   FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
+  /** Round-7 wave 16: retrieval eval, calibration, attribution,
+    * journey mining, PMI collocations, and the oracled KMV sketch.
+    * Every score is exact integer arithmetic (SURVEY §2.1-R2/R6); the
+    * quantized dot products stay < 2²⁶ so DuckDB's DOUBLE
+    * `list_dot_product` is exact.
+    */
+  private val wave16: Map[String, String] = Map(
+    "ml_mrr_hits" ->
+      """WITH e AS (SELECT vec_id, label,
+      list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT)) v FROM embeddings),
+  p AS (SELECT a.vec_id q_id, a.label q_label, b.vec_id n_id, b.label n_label,
+      CAST(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) AS BIGINT) dot
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10),
+  r AS (SELECT q_id, q_label, n_label,
+      row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) rn FROM p),
+  m AS (SELECT q_id,
+      coalesce(min(CASE WHEN q_label = n_label THEN rn END), 0) frr,
+      sum(CASE WHEN rn <= 10 AND q_label = n_label THEN 1 ELSE 0 END) h10,
+      count(*) nc FROM r GROUP BY 1)
+  SELECT q_id, CAST(frr AS BIGINT) first_rel_rank,
+    CAST(CASE WHEN frr > 0 THEN 1000000 // frr ELSE 0 END AS BIGINT) rr_ppm,
+    CAST(h10 AS BIGINT) hits_at_10, CAST(nc AS BIGINT) n_candidates
+  FROM m ORDER BY q_id""",
+    "ml_calibration_bins" ->
+      """WITH s AS (SELECT
+      list_sum(list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT))) + 100000 score_off,
+      CASE WHEN label >= 5 THEN 1 ELSE 0 END pos FROM embeddings)
+  SELECT CAST(score_off // 1000 AS BIGINT) bin, CAST(count(*) AS BIGINT) n,
+    CAST(sum(pos) AS BIGINT) n_pos,
+    CAST(sum(pos) * 1000000 // count(*) AS BIGINT) pos_ppm
+  FROM s GROUP BY 1 ORDER BY 1""",
+    "events_attribution" ->
+      """WITH t AS (SELECT event_type, value,
+      last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) touch
+    FROM events)
+  SELECT coalesce(touch, 'none') attributed, CAST(count(*) AS BIGINT) n_purchases,
+    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) revenue_cents
+  FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""",
+    "events_path_topk" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS DATE) dd, event_type,
+      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) rn
+    FROM events),
+  p AS (SELECT user_id, dd, string_agg(event_type, '>' ORDER BY rn) path
+    FROM o WHERE rn <= 5 GROUP BY 1, 2)
+  SELECT path, CAST(count(*) AS BIGINT) n_sessions
+  FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""",
+    "text_pmi_bigrams" ->
+      """WITH b AS (SELECT split_part(bigram, ' ', 1) l, split_part(bigram, ' ', 2) r
+    FROM (SELECT unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) bigram
+          FROM (SELECT string_split(text, ' ') t FROM documents))),
+  cxy AS (SELECT l, r, CAST(count(*) AS BIGINT) c_xy FROM b GROUP BY 1, 2),
+  cx AS (SELECT l, CAST(count(*) AS BIGINT) c_x FROM b GROUP BY 1),
+  cy AS (SELECT r, CAST(count(*) AS BIGINT) c_y FROM b GROUP BY 1),
+  n AS (SELECT CAST(count(*) AS BIGINT) n_total FROM b)
+  SELECT l, r, c_xy,
+    CAST((c_xy::HUGEINT * n_total * 1000000) // (c_x::HUGEINT * c_y) AS BIGINT) pmi_scaled
+  FROM cxy JOIN cx USING (l) JOIN cy USING (r) CROSS JOIN n
+  WHERE c_xy >= 5
+  ORDER BY pmi_scaled DESC, l, r LIMIT 30""",
+    "agg_kmv_distinct" ->
+      """WITH dh AS (SELECT DISTINCT l_returnflag grp,
+      (((((l_partkey * 1000000 + l_suppkey) % 2147483648) * 2654435761 + 1013904223) % 2147483648)
+       * 1597334677 + 12345) % 2147483648 h
+    FROM lineitem),
+  g AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) rn,
+      count(*) OVER (PARTITION BY grp) n FROM dh),
+  pg AS (SELECT grp, CAST(max(n) AS BIGINT) n_exact,
+      CAST(coalesce(max(CASE WHEN rn = 128 THEN h END), 0) AS BIGINT) kth_h
+    FROM g GROUP BY 1),
+  ga AS (SELECT h, row_number() OVER (ORDER BY h) rn, count(*) OVER () n
+    FROM (SELECT DISTINCT h FROM dh)),
+  pa AS (SELECT 'ALL' grp, CAST(max(n) AS BIGINT) n_exact,
+      CAST(coalesce(max(CASE WHEN rn = 128 THEN h END), 0) AS BIGINT) kth_h FROM ga),
+  u AS (SELECT * FROM pg UNION ALL SELECT * FROM pa)
+  SELECT grp, n_exact, kth_h,
+    CAST(CASE WHEN n_exact < 128 THEN n_exact
+              ELSE (127 * 2147483648) // kth_h END AS BIGINT) est_distinct
+  FROM u ORDER BY grp""",
+  )
+
   /** Wave 15: degree-oriented triangle counting — the oracle replays
     * [[graft.ops.Scale.triangleCount]]'s orientation verbatim.
     */
@@ -613,7 +695,7 @@ object OracleSql {
   FROM t""",
   )
 
-  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ wave1314 ++ wave15 ++ Map(
+  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ wave1314 ++ wave15 ++ wave16 ++ Map(
     "graph_pagerank" -> pagerankSql,
     // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
     // queries extend the sort to the measured-unique 5-tuple so the cut

@@ -223,6 +223,9 @@ class PlanSpec extends SparkSpecBase {
   private val bnljAllowed: Map[String, String] = Map(
     "sim_pairs_threshold" -> "contract-quadratic (linear twin: dedup_minhash_lsh)",
     "sim_knn_per_query" -> "contract-quadratic (linear twin: ann_ivf_topk)",
+    "ml_mrr_hits" -> "contract-quadratic: exact-ranking eval contract (serving twin: ann_ivf_topk)",
+    "text_pmi_bigrams" -> "1-row scalar: corpus-total broadcast",
+    "agg_kmv_distinct" -> "1-row scalar: merged-sketch x global-truth 1-row join",
     "join_theta_band" -> "contract: non-equi band theta join",
     "join_cross_small" -> "contract: declared cross join, dims only",
     "text_sim_funcs" -> "contract-quadratic jaro-winkler pairs (blocked)",
@@ -254,6 +257,7 @@ class PlanSpec extends SparkSpecBase {
   private val singleAllowed: Map[String, String] = Map(
     "agg_count_distinct" -> "1-row global aggregate",
     "agg_approx_topk" -> "1-row global sketch merge",
+    "agg_kmv_distinct" -> "1-row global sketch merge",
     "agg_heavy_hitters" -> "1-row total-count scalar",
     "dedup_exact_hash" -> "1-row census aggregate",
     "dq_domain_violations" -> "1-row violation census",
@@ -270,6 +274,7 @@ class PlanSpec extends SparkSpecBase {
     "subq_scalar" -> "scalar subquery by definition",
     "skyline_pareto" -> "bounded x-domain aggregate window",
     "text_unigram_surprisal" -> "1-row corpus-total scalar",
+    "text_pmi_bigrams" -> "1-row corpus-total scalar",
     "ml_auc_rank" -> "1-row grand-total scalar",
     "ml_kmeans_2iter" -> "1-row broadcast centroid collect",
     "event_funnel" -> "1-row funnel-total scalar",
