@@ -16,8 +16,21 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.builder("local[16]", 16).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional single-section run: jaccard | ngram | het | ann | cc | ...
+    // `runMain graft.ScaleBench het` runs ONLY the round-7
+    // heterogeneous-corpus section; no args runs the full battery
+    val only = args.headOption
 
     val dir = "/tmp/graft_scalebench"
+    def time(name: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scalebench] $name%-22s rows=$c%6d  ${sec}%8.2f s")
+      (c, sec)
+    }
+
+    if (only.isEmpty) {
     val copies = 20
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val big = base
@@ -39,13 +52,6 @@ object ScaleBench {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     println(s"[scalebench] corpus: $n docs")
 
-    def time(name: String): (Long, Double) = {
-      val t0 = System.nanoTime()
-      val c = SparkEntry.queries(name)(spark, dir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scalebench] $name%-22s rows=$c%6d  ${sec}%8.2f s")
-      (c, sec)
-    }
     val (rowsExact, tExact) = time("dedup_near_jaccard")
     val (rowsLsh, tLsh) = time("dedup_minhash_lsh")
     println(f"[scalebench] speedup exact/lsh = ${tExact / tLsh}%.1f x; " +
@@ -58,7 +64,59 @@ object ScaleBench {
     val (rowsNgBand, tNgBand) = time("dedup_ngram_banded")
     println(f"[scalebench] speedup ngram exact/banded = ${tNgExact / tNgBand}%.1f x; " +
       s"equal results = ${rowsNgExact == rowsNgBand}")
+    } // end legacy corpus sections
 
+    if (only.forall(_ == "het")) {
+    // ---- round-7: heterogeneous-vocabulary corpus — the LSH win regime ---
+    // The replicated-sf0.1 corpus above is LSH's worst case (31-token
+    // vocabulary → every same-block pair is J ≈ 0.7–0.8, so banding
+    // tuned recall-1@0.9 floods candidates). This corpus is the regime
+    // real web-scale dedup lives in: 30 tokens drawn from a 50k
+    // vocabulary via md5 (random pairs share ~0 tokens), with one
+    // planted near-copy (J = 29/31 ≈ 0.935) per 50 docs. Same-block
+    // pairs are now overwhelmingly DISSIMILAR: the exact join still
+    // pays every in-block pair, banding's candidates collapse to
+    // ~the planted pairs — linear, the designed 100 TB behavior.
+    val hetDir = "/tmp/graft_scalebench_het"
+    val nBase = 100000L
+    val tokExpr = "transform(sequence(0, 29), j -> concat('w', cast(" +
+      "pmod(cast(conv(substring(md5(concat(bid, '_', j)), 1, 8), 16, 10) as bigint), 50000) as string)))"
+    val langArr = "array('en', 'de', 'fr', 'es', 'zh')"
+    val srcArr = "array('web', 'wiki', 'book', 'code')"
+    val hetBase = spark.range(nBase).select(col("id").as("bid"))
+      .withColumn("tk", expr(tokExpr))
+      .select(col("bid").as("doc_id"), array_join(col("tk"), " ").as("text"),
+        expr(s"element_at($langArr, cast(bid % 5 + 1 as int))").as("lang"),
+        expr(s"element_at($srcArr, cast(bid % 4 + 1 as int))").as("source"))
+    val hetDups = spark.range(nBase / 50)
+      .select((col("id") * 50).as("bid"), (col("id") + nBase).as("doc_id"))
+      .withColumn("tk", expr(tokExpr))
+      // drop the last token, append a unique one: |A∩B| = 29, |A∪B| = 31
+      .withColumn("tk2", expr("concat(slice(tk, 1, 29), array(concat('d', doc_id)))"))
+      .select(col("doc_id"), array_join(col("tk2"), " ").as("text"),
+        expr(s"element_at($langArr, cast(bid % 5 + 1 as int))").as("lang"),
+        expr(s"element_at($srcArr, cast(bid % 4 + 1 as int))").as("source"))
+    hetBase.unionByName(hetDups)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$hetDir/documents.parquet")
+    val nHet = spark.read.parquet(s"$hetDir/documents.parquet").count()
+    println(s"[scalebench] heterogeneous corpus: $nHet docs, vocab 50k, " +
+      s"${nBase / 50} planted near-dup pairs")
+    def timeHet(name: String): (Set[(Long, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, hetDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scalebench] het $name%-22s pairs=${rows.size}%6d  ${sec}%8.2f s")
+      (rows, sec)
+    }
+    val (pairsHetExact, tHetExact) = timeHet("dedup_near_jaccard")
+    val (pairsHetLsh, tHetLsh) = timeHet("dedup_minhash_lsh")
+    println(f"[scalebench] het speedup exact/lsh = ${tHetExact / tHetLsh}%.1f x; " +
+      s"equal results = ${pairsHetExact == pairsHetLsh}")
+    } // end het section
+
+    if (only.isEmpty) {
     // ---- sign-LSH ANN recall + crossover at 100k clustered vectors ------
     // (the regime real embedding corpora live in; the sf corpora are
     // near-random and too small for 16-bit buckets to mean anything)
@@ -286,6 +344,7 @@ object ScaleBench {
     assert(kgRows.map(_.getLong(1)).sum == shRows.map(_.getLong(1)).sum)
     println(f"[scalebench] keyed agg @ 10M rows, 64 users: key-grouped scan " +
       f"${kgSec}%5.2f s (0 exchanges) vs shuffle ${shSec}%5.2f s -> ${shSec / kgSec}%.1f x")
+    } // end post-het sections
     spark.stop()
   }
 }

@@ -171,7 +171,11 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
     val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      // binaryCompare, NOT compareTo: Spark 4.1's compareTo runs an
+      // isTesting() System.getenv probe per call (collation assert) —
+      // fatal at billions of merge steps. Inputs come from array_sort,
+      // whose default UTF8_BINARY ordering IS binaryCompare's.
+      val c = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -191,7 +195,7 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $inter = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $c = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
          |  if ($c == 0) { $inter++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}
@@ -233,7 +237,7 @@ case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpr
     val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0L
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val c = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -251,7 +255,7 @@ case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpr
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $inter = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $c = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
          |  if ($c == 0) { $inter++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

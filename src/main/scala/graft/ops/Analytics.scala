@@ -454,7 +454,53 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** CUSUM change-point scan over daily purchase revenue — the
+    * monitoring primitive that flags WHEN a metric's level shifted.
+    * Deviations are kept integer by scaling cents by n_days instead of
+    * subtracting the fractional mean (`dev = cents·n − total`), so the
+    * running sum — and the argmax |cusum| flag — are exact on both
+    * engines. The only unpartitioned window runs over the day-domain
+    * table (bounded by the calendar, never by event volume); the two
+    * scalars ride 1-row broadcasts.
+    */
+  val tsCusumChangepoint: Q = (s, d) => {
+    val daily = Tables.t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("cents"))
+    val tot = daily.agg(cnt.as("n_days"), sum("cents").cast("long").as("total_cents"))
+    val wcs = Window.orderBy("dd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = daily.crossJoin(broadcast(tot))
+      .withColumn("dev", (col("cents") * col("n_days") - col("total_cents")).cast("long"))
+      .withColumn("cusum", sum("dev").over(wcs).cast("long"))
+    val peak = cs.agg(max(abs(col("cusum"))).as("peak"))
+    cs.crossJoin(broadcast(peak))
+      .select(col("dd"), col("cents"), col("dev"), col("cusum"),
+              when(abs(col("cusum")) === col("peak"), 1L).otherwise(0L).as("is_peak"))
+      .orderBy("dd")
+  }
+
+  /** Degree distribution of the bipartite part↔supplier graph: per
+    * side, how many nodes have each distinct-partner count — the
+    * shape statistic every graph pipeline profiles before choosing an
+    * algorithm (skew here is why [[Scale.triangleCount]] orients by
+    * degree). Two keyed aggregates over the deduped edge list; output
+    * bounded by the distinct degree values.
+    */
+  val graphDegreeDistribution: Q = (s, d) => {
+    val e = Tables.t(s, d, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
+    e.select(col("p").as("node"), lit("part").as("side"))
+      .unionAll(e.select(col("sp").as("node"), lit("supplier").as("side")))
+      .groupBy("side", "node").agg(cnt.as("deg"))
+      .groupBy("side", "deg").agg(cnt.as("n_nodes"))
+      .orderBy("side", "deg")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_cusum_changepoint" -> tsCusumChangepoint,
+    "graph_degree_distribution" -> graphDegreeDistribution,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "expr_try_funcs" -> exprTryFuncs,
     "graph_pagerank" -> graphPagerank,

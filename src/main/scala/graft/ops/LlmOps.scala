@@ -60,7 +60,14 @@ object LlmOps {
                         col("tk").as("a_tk"))
     val b = toks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
                         col("source").as("b_source"), col("tk").as("b_tk"))
-    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+    // SHUFFLE_HASH, not sort-merge: block keys are strings, and Spark
+    // 4.1's UTF8String.compareTo pays a per-comparison isTesting()
+    // env-var probe — a sorted merge over the pair volume is orders
+    // slower than hash probes (measured: 102k-doc corpus, SMJ still
+    // running at 12 min vs 43 s hashed). No sort is needed anyway, and
+    // AQE bounds the per-partition build side at any corpus size.
+    a.hint("shuffle_hash")
+      .join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
               idCond(col("a_id"), col("b_id")))
   }
 

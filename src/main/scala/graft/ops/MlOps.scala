@@ -254,7 +254,42 @@ object MlOps {
       .withColumn("pos_ppm", expr("div(n_pos * 1000000, n)"))
       .orderBy("bin")
 
+  /** Decile lift/gain table — the campaign-targeting eval every scorer
+    * ships: rank by score desc (bucket-parallel [[Scale.globalRank]],
+    * never a single-partition window over the data), assign deciles by
+    * the exact integer formula `(rn−1)·10 div n + 1`, then per decile:
+    * size, positives, cumulative positives, gain (cum share of all
+    * positives, ppm) and lift (decile positive rate over the base
+    * rate, ppm). The only unpartitioned window runs over the 10-row
+    * decile table — bounded by construction.
+    */
+  val mlLiftGain: Q = (s, d) => {
+    val scored = emb(s, d).select(
+      col("vec_id"),
+      expr("aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)), 0L, (acc, x) -> acc + x)")
+        .as("score"),
+      when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+    val ranked = Scale.globalRank(
+      scored.withColumn("neg_score", -col("score")),
+      floor(col("neg_score") / lit(1000L)), Seq(col("neg_score"), col("vec_id")))
+    val dec = ranked
+      .withColumn("decile", expr("div((__rn - 1) * 10, __n) + 1"))
+      .groupBy("decile")
+      .agg(cnt.as("n"), sum("pos").cast("long").as("n_pos"))
+    val tot = dec.agg(sum("n").cast("long").as("total_n"),
+                      sum("n_pos").cast("long").as("total_pos"))
+    val wcum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum("n_pos").over(wcum).cast("long"))
+      .withColumn("gain_ppm", expr("div(cum_pos * 1000000, total_pos)"))
+      .withColumn("lift_ppm", expr("div(n_pos * total_n * 1000000, n * total_pos)"))
+      .select("decile", "n", "n_pos", "cum_pos", "gain_ppm", "lift_ppm")
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml_lift_gain" -> mlLiftGain,
     "embedding_pca_power" -> embeddingPcaPower,
     "ml_kmeans_2iter" -> mlKmeans2iter,
     "ml_auc_rank" -> mlAucRank,

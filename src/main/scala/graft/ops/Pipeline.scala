@@ -66,6 +66,9 @@ object Pipeline {
                           col("source").as("b_source"), col("band_idx").as("b_bi"),
                           col("band_key").as("b_bk"))
     val candidates = a
+      // shuffle_hash: string block keys make SMJ pay Spark 4.1's
+      // per-compareTo isTesting() probe (see LlmOps.blockedTokenPairs)
+      .hint("shuffle_hash")
       .join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
                col("band_idx") === col("b_bi") && col("band_key") === col("b_bk") &&
                col("a_id") < col("b_id"))
@@ -103,7 +106,8 @@ object Pipeline {
     val b = base.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
                         col("source").as("b_source"), col("tk").as("b_tk"),
                         col("sh").as("b_sh"))
-    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+    a.hint("shuffle_hash") // string block keys — see LlmOps.blockedTokenPairs
+      .join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
               col("a_id") < col("b_id"))
       .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 16)
       .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= 0.9)
@@ -147,6 +151,7 @@ object Pipeline {
     val b = banded.select(col("doc_id").as("b_id"), col("block").as("b_block"),
                           col("band_idx").as("b_bi"), col("band_key").as("b_bk"))
     val candidates = a
+      .hint("shuffle_hash") // string block keys — see LlmOps.blockedTokenPairs
       .join(b, col("block") === col("b_block") && col("band_idx") === col("b_bi") &&
                col("band_key") === col("b_bk") && col("a_id") < col("b_id"))
       .select("a_id", "b_id")
@@ -183,7 +188,8 @@ object Pipeline {
                       col("sh").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
                       col("source").as("b_source"), col("sh").as("b_sh"))
-    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+    a.hint("shuffle_hash") // string block keys — see LlmOps.blockedTokenPairs
+      .join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
               col("a_id") < col("b_id"))
       .filter(sorted_jaccard(col("a_sh"), col("b_sh")) >= 0.8)
       .select("a_id", "b_id")
@@ -216,6 +222,9 @@ object Pipeline {
                           col("source").as("b_source"), col("band_idx").as("b_bi"),
                           col("band_key").as("b_bk"))
     val candidates = a
+      // shuffle_hash: string block keys make SMJ pay Spark 4.1's
+      // per-compareTo isTesting() probe (see LlmOps.blockedTokenPairs)
+      .hint("shuffle_hash")
       .join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
                col("band_idx") === col("b_bi") && col("band_key") === col("b_bk") &&
                col("a_id") < col("b_id"))
@@ -279,7 +288,8 @@ object Pipeline {
                         col("text").as("a_text"))
     val b = base.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
                         col("source").as("b_source"), col("text").as("b_text"))
-    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
+    a.hint("shuffle_hash") // string block keys — see LlmOps.blockedTokenPairs
+      .join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
               col("a_id") < col("b_id") &&
               abs(length(col("a_text")) - length(col("b_text"))) <= 20)
       .withColumn("dist", levenshtein(col("a_text"), col("b_text"), 20))

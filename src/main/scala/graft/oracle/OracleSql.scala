@@ -504,6 +504,38 @@ object OracleSql {
   FROM cxy JOIN cx USING (l) JOIN cy USING (r) CROSS JOIN n
   WHERE c_xy >= 5
   ORDER BY pmi_scaled DESC, l, r LIMIT 30""",
+    "ml_lift_gain" ->
+      """WITH s AS (SELECT vec_id,
+      list_sum(list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT))) score,
+      CASE WHEN label >= 5 THEN 1 ELSE 0 END pos FROM embeddings),
+  r AS (SELECT pos, row_number() OVER (ORDER BY score DESC, vec_id) rn, count(*) OVER () n FROM s),
+  d AS (SELECT ((rn - 1) * 10) // n + 1 decile, CAST(count(*) AS BIGINT) n, CAST(sum(pos) AS BIGINT) n_pos
+    FROM r GROUP BY 1),
+  t AS (SELECT sum(n) total_n, sum(n_pos) total_pos FROM d),
+  c AS (SELECT decile, n, n_pos, CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) cum_pos,
+      total_n, total_pos FROM d CROSS JOIN t)
+  SELECT CAST(decile AS BIGINT) decile, n, n_pos, cum_pos,
+    CAST(cum_pos * 1000000 // total_pos AS BIGINT) gain_ppm,
+    CAST(n_pos * total_n * 1000000 // (n * total_pos) AS BIGINT) lift_ppm
+  FROM c ORDER BY decile""",
+    "ts_cusum_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd,
+      sum(CAST(round(value*100) AS BIGINT)) cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  tot AS (SELECT count(*) n_days, sum(cents) total_cents FROM daily),
+  cs AS (SELECT dd, cents, CAST(cents*n_days - total_cents AS BIGINT) dev,
+      CAST(sum(cents*n_days - total_cents) OVER (ORDER BY dd) AS BIGINT) cusum
+    FROM daily CROSS JOIN tot)
+  SELECT dd, CAST(cents AS BIGINT) cents, dev, cusum,
+    CAST(CASE WHEN abs(cusum) = (SELECT max(abs(cusum)) FROM cs) THEN 1 ELSE 0 END AS BIGINT) is_peak
+  FROM cs ORDER BY dd""",
+    "graph_degree_distribution" ->
+      """WITH e AS (SELECT DISTINCT l_partkey p, l_suppkey sp FROM lineitem),
+  deg AS (SELECT side, node, CAST(count(*) AS BIGINT) deg FROM (
+      SELECT 'part' side, p node FROM e UNION ALL SELECT 'supplier', sp FROM e)
+    GROUP BY 1, 2)
+  SELECT side, deg, CAST(count(*) AS BIGINT) n_nodes
+  FROM deg GROUP BY 1, 2 ORDER BY 1, 2""",
     "agg_kmv_distinct" ->
       """WITH dh AS (SELECT DISTINCT l_returnflag grp,
       (((((l_partkey * 1000000 + l_suppkey) % 2147483648) * 2654435761 + 1013904223) % 2147483648)

@@ -283,6 +283,49 @@ object StreamOps {
       .transformWithState(new TransitionProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Stateful last-touch attribution — the true-streaming twin of the
+    * batch `events_attribution` query: one ValueState per user carries
+    * the most recent non-purchase event type; each purchase emits
+    * (attributedType, cents) against the state AS OF its position in
+    * the per-user (ts, event_id) order. Rows inside a micro-batch are
+    * sorted per user before applying (the in-order-replay contract the
+    * parity test drives); state stitches sequences across batches.
+    */
+  class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var lastTouch: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTouch = getHandle.getValueState[String]("lastTouch", E.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(String, Long)] = {
+      val out = Seq.newBuilder[(String, Long)]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (e.event_type == "purchase")
+          out += ((if (lastTouch.exists()) lastTouch.get() else "none",
+                   math.round(e.value * 100)))
+        else lastTouch.update(e.event_type)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Per-purchase attribution stream: (attributed_type, cents) rows in
+    * append mode — aggregate downstream for the census the batch
+    * operator emits. Requires the RocksDB state store provider.
+    */
+  def attributionStream(events: Dataset[Evt]): Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** EVENT-TIME TIMERS — the Processor-API `punctuate` analogue, and
     * the true-streaming twin of the batch `stream_gap_detect` query:
     * every input row re-arms a per-user timer at lastSeen + gap; when

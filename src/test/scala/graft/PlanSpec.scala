@@ -226,6 +226,8 @@ class PlanSpec extends SparkSpecBase {
     "ml_mrr_hits" -> "contract-quadratic: exact-ranking eval contract (serving twin: ann_ivf_topk)",
     "text_pmi_bigrams" -> "1-row scalar: corpus-total broadcast",
     "agg_kmv_distinct" -> "1-row scalar: merged-sketch x global-truth 1-row join",
+    "ml_lift_gain" -> "1-row scalar: totals broadcast over the 10-row decile table",
+    "ts_cusum_changepoint" -> "1-row scalar: n-days/total + peak broadcasts",
     "join_theta_band" -> "contract: non-equi band theta join",
     "join_cross_small" -> "contract: declared cross join, dims only",
     "text_sim_funcs" -> "contract-quadratic jaro-winkler pairs (blocked)",
@@ -273,6 +275,8 @@ class PlanSpec extends SparkSpecBase {
     "q11_important_stock" -> "scalar threshold subquery",
     "subq_scalar" -> "scalar subquery by definition",
     "skyline_pareto" -> "bounded x-domain aggregate window",
+    "ml_lift_gain" -> "bounded 10-row decile-table window",
+    "ts_cusum_changepoint" -> "bounded day-domain aggregate window",
     "text_unigram_surprisal" -> "1-row corpus-total scalar",
     "text_pmi_bigrams" -> "1-row corpus-total scalar",
     "ml_auc_rank" -> "1-row grand-total scalar",

@@ -72,6 +72,38 @@ class Round7Spec extends SparkSpecBase {
     rows.foreach(r => assert(r.getString(0).split('>').length <= 5))
   }
 
+  test("ml_lift_gain: deciles partition the eval set, gain monotone, golden head") {
+    val rows = q("ml_lift_gain").collect()
+    assert(rows.length == 10)
+    assert(rows.head == Row(1L, 50L, 26L, 26L, 103174L, 1031746L))
+    assert(rows.map(_.getLong(1)).sum == 500L) // deciles cover every row once
+    val cum = rows.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }) // gain is cumulative
+    assert(cum.last == rows.map(_.getLong(2)).sum) // last decile reaches all positives
+    // no single-partition window over the data: the ranking is globalRank's
+    val p = q("ml_lift_gain").queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(__cb"), p.take(1200))
+  }
+
+  test("ts_cusum_changepoint: deviations sum to zero, exactly one peak day flagged") {
+    val rows = q("ts_cusum_changepoint").collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getLong(2)).sum == 0L) // Σ(cents·n − total) = 0 by construction
+    assert(rows.last.getLong(3) == 0L)       // cusum returns to zero
+    assert(rows.map(_.getLong(4)).sum >= 1L) // at least one argmax flagged
+    assert(rows.head.getDate(0).toString == "2024-01-01" && rows.head.getLong(1) == 5695L)
+  }
+
+  test("graph_degree_distribution: node census is conserved per side") {
+    val rows = q("graph_degree_distribution").collect()
+    assert(rows.toSeq.take(3) == Seq(Row("part", 8L, 19L), Row("part", 9L, 57L),
+      Row("part", 10L, 124L)))
+    // Σ deg·n_nodes must be identical on both sides (each edge counted once per side)
+    val bySide = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
+    assert(bySide("part") == bySide("supplier"))
+  }
+
   test("text_pmi_bigrams: min-support respected, ordering exact") {
     val rows = q("text_pmi_bigrams").collect()
     assert(rows.length == 30)

@@ -517,6 +517,45 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("last-touch attribution stream equals the batch operator on an in-order replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the REAL events table in two chronological halves — each user's
+      // lastTouch state must survive the batch boundary
+      val all = graft.tables.Tables.t(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("")).as[Evt]
+        .collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val mid = all(all.length / 2).ts.getTime
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.attributionStream(stream.toDF().as[Evt])
+        .toDF("attributed", "cents")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      stream.addData(all.filter(_.ts.getTime <= mid).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(all.filter(_.ts.getTime > mid).toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(sink)
+        .groupBy("attributed")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = SparkEntry.queries("events_attribution")(spark, sf)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers fire inactivity timeouts (punctuate analogue)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
