@@ -165,6 +165,56 @@ object CowTable {
     commit(path, writeData(rows, path), base)
   }
 
+  /** Z-ORDER CLUSTER the current snapshot: rewrite the data files so
+    * each covers a tight range in EVERY clustering column, not just a
+    * leading sort column — the layout that makes min/max footer
+    * pruning (Spark skips row groups whose stats exclude the
+    * predicate) effective for multi-dimensional filters. A linear sort
+    * prunes only its leading column; interleaving the rank-normalized
+    * bits of all clustering columns (the Z curve) gives every column
+    * ~√-fraction file spans, so a selective predicate on ANY of them
+    * skips most files.
+    *
+    * Like [[compact]] this is metadata-level from the reader's view:
+    * same rows, new manifest; old snapshots keep the old layout for
+    * time travel. Columns must be numeric (or numeric-castable);
+    * values rank-normalize via the 1-row min/max broadcast, so skewed
+    * domains still spread over the full bit range. The z-value is
+    * computed per row in one codegen projection and the only shuffle
+    * is the range partition into `files` output files.
+    */
+  def cluster(spark: SparkSession, path: String, files: Int,
+              zcols: Seq[String]): Int = {
+    require(zcols.nonEmpty && zcols.size <= 3, "1-3 clustering columns")
+    val base = currentVersion(path)
+    val df = read(spark, path, Some(base))
+    val n = zcols.size
+    val bits = math.min(20, 62 / n)
+    val scale = (1L << bits) - 1
+    val aggs = zcols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val normed = zcols.zipWithIndex.foldLeft(df.crossJoin(broadcast(mm))) {
+      case (acc, (c, k)) =>
+        acc.withColumn(s"__q$k",
+          when(col(s"__mx_$c") > col(s"__mn_$c"),
+            (col(c).cast("double") - col(s"__mn_$c")) /
+              (col(s"__mx_$c") - col(s"__mn_$c")) * scale)
+            .otherwise(lit(0.0)).cast("long"))
+    }
+    // interleave: bit i of column k lands at position i·n + k
+    val zParts = (0 until n).map(k =>
+      s"aggregate(sequence(0, ${bits - 1}), 0L, " +
+        s"(acc, i) -> acc | shiftleft(shiftright(__q$k, i) & 1, i * $n + $k))")
+    val clustered = normed
+      .withColumn("__z", expr(zParts.mkString("(", ") | (", ")")))
+      .repartitionByRange(files, col("__z"))
+      .drop(("__z" +: (0 until n).map(s"__q" + _)) ++
+        zcols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+    commit(path, writeData(clustered, path), base)
+  }
+
   /** DELETE rows matching `predicate`: rewrite only files containing
     * matches; the rest carry over. SQL DELETE semantics: a row is
     * deleted only where the predicate is TRUE — rows where it

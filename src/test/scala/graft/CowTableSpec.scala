@@ -304,4 +304,46 @@ class CowTableSpec extends SparkSpecBase {
     assert(applied.exceptAll(v3).isEmpty && v3.exceptAll(applied).isEmpty)
     feed.unpersist()
   }
+
+  test("z-order cluster: both dimensions prune files; linear sort prunes only one") {
+    import spark.implicits._
+    val path = tmp
+    // two INDEPENDENT uniform dimensions (the base-200 digits of id) —
+    // the case a single sort column cannot lay out well
+    val rows = (0L until 40000L).map(i => (i, i % 200, i / 200))
+      .toDF("id", "x", "y")
+    CowTable.create(rows.repartition(8), path)
+
+    // per-file [min, max] spans for a column, read file-by-file (what
+    // footer-stat pruning sees)
+    def spans(c: String): Seq[(String, Long, Long)] =
+      CowTable.snapshotFiles(path).map { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        (f, r.getLong(0), r.getLong(1))
+      }
+    def touched(c: String, lo: Long, hi: Long): Int =
+      spans(c).count { case (_, mn, mx) => mx >= lo && mn <= hi }
+
+    // linear layout: range-sorted by x via compact of an x-sorted rewrite
+    CowTable.create(rows.repartitionByRange(16, col("x")), path + "_lin")
+    def touchedLin(c: String, lo: Long, hi: Long): Int =
+      CowTable.snapshotFiles(path + "_lin").map { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        (r.getLong(0), r.getLong(1))
+      }.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    CowTable.cluster(spark, path, files = 16, zcols = Seq("x", "y"))
+    assert(CowTable.read(spark, path).count() == 40000) // same rows, new layout
+
+    val (zx, zy) = (touched("x", 0, 19), touched("y", 0, 19))
+    val (lx, ly) = (touchedLin("x", 0, 19), touchedLin("y", 0, 19))
+    // linear: leading column prunes hard, the other touches EVERY file
+    assert(lx <= 3, s"x-sorted layout should prune x-boxes, touched $lx/16")
+    assert(ly == 16, s"x-sorted layout cannot prune y, touched $ly/16")
+    // z-order: BOTH dimensions prune to a sqrt-ish fraction
+    assert(zx <= 8 && zy <= 8, s"z-order should prune both dims: x=$zx y=$zy of 16")
+
+    // clustering is snapshot-safe: v1 (pre-cluster) still readable
+    assert(CowTable.read(spark, path, asOf = Some(1)).count() == 40000)
+  }
 }

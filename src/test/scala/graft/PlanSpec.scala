@@ -302,6 +302,26 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("battery-wide: no SortMergeJoin keyed on a string column") {
+    // Spark 4.1's UTF8String.compareTo runs a System.getenv isTesting
+    // probe PER COMPARISON (PLANS.md round-7 session 2) — a
+    // string-keyed merge is orders slower than hash probes at high
+    // pair multiplicity. Blocked/banded joins carry shuffle_hash
+    // hints; this pins the property for every future operator.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.types.StringType
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val strKeyed = fn(spark, sf).queryExecution.executedPlan.collect {
+        case s: SortMergeJoinExec if s.leftKeys.exists(_.dataType == StringType) => s
+      }
+      if (strKeyed.nonEmpty)
+        offenders += s"$name: ${strKeyed.size} string-keyed SMJ — hint shuffle_hash " +
+          "or use a numeric key"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("battery-wide: production path pushes filters into the parquet scan") {
     // Direct (uncached) reads — the 100 TB path. Each probe filters a
     // scan column; its plan must show a non-empty PushedFilters list.
