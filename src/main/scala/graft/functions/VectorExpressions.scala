@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
@@ -358,10 +360,82 @@ case class NearestCentroid(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise sum of `array<long>` rows — the mergeable dense-vector
+  * accumulator (Gram/covariance builds): each partition partial-combines
+  * its rows into ONE array, so the shuffle carries one array per
+  * partition instead of n·len (cell, value) rows. All input arrays must
+  * share a length; state is the running array.
+  */
+case class VecSumLong(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sum_long requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.length == n) buf else {
+      require(buf.isEmpty, s"vec_sum_long: ragged input (${buf.length} vs $n)")
+      new Array[Long](n)
+    }
+    var i = 0
+    while (i < n) { acc(i) += arr.getLong(i); i += 1 }
+    acc
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.isEmpty) return buf
+    if (buf.isEmpty) return other
+    require(buf.length == other.length, "vec_sum_long: ragged partials")
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): VecSumLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumLong =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "vec_sum_long"
+}
+
 object VectorFunctions {
   /** Column-level entry point: dot product in double precision. */
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Element-wise array<long> sum aggregate (see [[VecSumLong]]). */
+  def vec_sum_long(v: Column): Column =
+    ColumnShim.column(
+      VecSumLong(ColumnShim.expression(v)).toAggregateExpression())
 
   /** Σx² — the squared L2 norm, via the same kernel. */
   def vec_sqnorm(v: Column): Column = vec_dot(v, v)

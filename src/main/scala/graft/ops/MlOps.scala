@@ -174,28 +174,39 @@ object MlOps {
     * eigendirection up to scale, bit-identical across engines.
     */
   val embeddingPcaPower: Q = (s, d) => {
-    // per-row outer product via nested transform — NO self-join on
-    // vec_id (which would shuffle n·64 rows per side before the
-    // multiply); cells flow straight into the map-side partial agg
-    val cells = emb(s, d)
+    // Gram build: ONE row-level outer-product array per vector, summed
+    // element-wise by the mergeable VecSumLong aggregate — each map
+    // partition partial-combines to a single 64²-long array, so the
+    // shuffle carries one array per partition instead of n·64² (i, j)
+    // cell rows, and the whole query is scan → 1-row merge → one
+    // projection (no joins, no per-cell shuffle). Round-7 rewrite of
+    // the explode/groupBy formulation: same integers, 0.83 s → ~0.25 s
+    // at sf0.1 (the cost was the 2M-row cell shuffle + 4 barriers).
+    val g1 = emb(s, d)
       // quantize ONCE per row — inlining the transform into the nested
       // lambda re-evaluates it per outer element (64× redundant work)
       .select(expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("q"))
-      .select(explode(expr(
-        """flatten(transform(q, (a, i) ->
-          |  transform(q, (b, j) -> named_struct('i', i, 'j', j, 'p', a * b))))""".stripMargin)).as("c"))
-    val g = cells
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(sum(col("c.p")).as("g"))
-    val b1 = g.groupBy("i")
-      .agg(expr("div(sum(g), 4096)").as("b")) // b0 = ones; rescale 2^12
-      .select(col("i").as("j"), col("b"))
-    g.join(b1, "j")
-      .groupBy("i")
-      .agg(sum(col("g") * col("b")).cast("long").as("b2"))
+      .select(expr("flatten(transform(q, a -> transform(q, b -> a * b)))").as("op"))
+      .agg(graft.functions.VectorFunctions.vec_sum_long(col("op")).as("g"))
+    // both matrix-vector multiplies run on the single 4096-long row:
+    // b1 = G·1 div 2¹² (b0 = ones), b2 = G·b1 — 64×64 inline loops.
+    // b1 binds as a LAMBDA VARIABLE (transform over a 1-element array),
+    // not a column: project collapse would otherwise inline the b1
+    // expression into all 64 b2 elements — a 64× re-evaluation blowup
+    // (measured 3.5 s; the same hoisted-lambda hazard as ml_kmeans).
+    g1.withColumn("b2", expr(
+        """element_at(transform(
+          |  array(transform(sequence(0, 63), i ->
+          |    aggregate(sequence(0, 63), 0L, (acc, j) -> acc + element_at(g, i * 64 + j + 1))
+          |      div 4096)),
+          |  b1 -> transform(sequence(0, 63), i ->
+          |    aggregate(sequence(0, 63), 0L,
+          |      (acc, j) -> acc + element_at(g, i * 64 + j + 1) * element_at(b1, j + 1)))),
+          |1)""".stripMargin))
+      .select(posexplode(col("b2")).as(Seq("i", "b2")))
       // posexplode is 0-based, the oracle's range(1,65) list index is
       // 1-based — emit 1-based dims to match
-      .select((col("i") + 1).cast("long").as("dim"), col("b2"))
+      .select((col("i") + 1).cast("long").as("dim"), col("b2").cast("long").as("b2"))
       .orderBy("dim")
   }
 

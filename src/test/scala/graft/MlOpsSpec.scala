@@ -47,7 +47,10 @@ class MlOpsSpec extends SparkSpecBase {
     // the dominant direction is not degenerate: components differ
     assert(rows.map(_.getLong(1)).distinct.length > 32)
     val p = q("embedding_pca_power").queryExecution.executedPlan.toString
-    assert(p.contains("partial_sum"), p.take(800)) // map-side combine on (i, j)
+    // round-7 shape: the Gram matrix partial-combines as ONE array per
+    // map partition (VecSumLong) — no per-cell (i, j) shuffle, no joins
+    assert(p.contains("partial_vec_sum_long"), p.take(800))
+    assert(!p.contains("partial_sum"), p.take(800))
   }
 
   test("text_tfidf_topk: exactly 3 ranked terms per document") {

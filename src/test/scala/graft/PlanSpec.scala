@@ -260,6 +260,7 @@ class PlanSpec extends SparkSpecBase {
     "agg_count_distinct" -> "1-row global aggregate",
     "agg_approx_topk" -> "1-row global sketch merge",
     "agg_kmv_distinct" -> "1-row global sketch merge",
+    "embedding_pca_power" -> "1-row Gram-array merge (one array per partition)",
     "agg_heavy_hitters" -> "1-row total-count scalar",
     "dedup_exact_hash" -> "1-row census aggregate",
     "dq_domain_violations" -> "1-row violation census",
