@@ -326,6 +326,54 @@ object StreamOps {
       .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming KMV distinct-count sketch — the live distinct-value
+    * estimate per key maintained as BOUNDED state: the k smallest
+    * distinct hashes (the same engine-portable two-LCG-round hash as
+    * the batch `agg_kmv_distinct`), merged with each batch exactly the
+    * way the batch ALL-row merges per-group sketches (min-k of the
+    * union). State is O(k) per key no matter how many events arrive;
+    * the emitted estimate is monotone non-decreasing (the k-th
+    * smallest hash only falls), so the latest emission per key IS the
+    * current census.
+    */
+  class KmvDistinctProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var hs: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hs = getHandle.getListState[Long]("hs", E.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timers: TimerValues): Iterator[(String, Long, Long)] = {
+      val fresh = rows.map(r => StreamOps.kmvHash(r._2)).toArray
+      val merged = (hs.get().toArray ++ fresh).distinct.sorted.take(k)
+      hs.clear()
+      merged.foreach(hs.appendValue)
+      val est =
+        if (merged.length < k) merged.length.toLong
+        else (k - 1).toLong * 2147483648L / merged.last
+      Iterator((key, merged.length.toLong, est))
+    }
+  }
+
+  /** The `agg_kmv_distinct` hash, verbatim: two LCG rounds mod 2³¹. */
+  def kmvHash(v: Long): Long = {
+    val h1 = ((v % 2147483648L) * 2654435761L + 1013904223L) % 2147483648L
+    (h1 * 1597334677L + 12345L) % 2147483648L
+  }
+
+  /** (key, value) stream → (key, sketchSize, estimate) per micro-batch. */
+  def kmvDistinctStream(pairs: Dataset[(String, Long)],
+                        k: Int = 64): Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_._1)
+      .transformWithState(new KmvDistinctProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
   /** EVENT-TIME TIMERS — the Processor-API `punctuate` analogue, and
     * the true-streaming twin of the batch `stream_gap_detect` query:
     * every input row re-arms a per-user timer at lastSeen + gap; when

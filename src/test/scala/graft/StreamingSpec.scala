@@ -556,6 +556,52 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming KMV sketch converges to the batch estimate across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 64
+      val all = graft.tables.Tables.t(spark, sf, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+        .map(r => (r.getString(0), r.getLong(1)))
+      val stream = MemoryStream[(String, Long)]
+      val sink = nextSink()
+      val q = StreamOps.kmvDistinctStream(stream.toDS(), k)
+        .toDF("key", "n_sk", "est")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      stream.addData(all.take(all.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(all.drop(all.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      // the estimate is monotone, so max per key = the final census
+      val streamed = spark.table(sink)
+        .groupBy("key").agg(max("est").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch expectation: identical hash over distinct (type, user)
+      val expected = all.distinct.groupBy(_._1).map { case (t, vs) =>
+        val hs = vs.map(v => StreamOps.kmvHash(v._2)).distinct.sorted.take(k)
+        t -> (if (hs.length < k) hs.length.toLong
+              else (k - 1).toLong * 2147483648L / hs.last)
+      }
+      assert(streamed == expected)
+      // and the sketch really estimates: within 1/sqrt(k) of truth
+      val truth = all.distinct.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).distinct.length }
+      streamed.foreach { case (t, est) =>
+        assert(math.abs(est - truth(t)).toDouble / truth(t) < 0.15, s"$t: $est vs ${truth(t)}")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers fire inactivity timeouts (punctuate analogue)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
