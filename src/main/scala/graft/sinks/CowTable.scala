@@ -165,6 +165,40 @@ object CowTable {
     commit(path, writeData(rows, path), base)
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE: refresh a grouped-aggregate
+    * "materialized view" of this table from snapshot `fromV` (the
+    * version `mv` was computed at) to `toV`, re-aggregating ONLY the
+    * dirty groups. Dirty = any group appearing in a data file that the
+    * window removed or added — a superset of the truly-changed groups
+    * (rewrite survivors mark their group dirty too), which keeps the
+    * rule correct for group-MOVING updates and deletes without
+    * pre-image algebra, and correct for ANY aggregate (medians and
+    * count-distincts refresh the same way as sums). Untouched groups
+    * carry over from `mv` by reference; the recompute input is the
+    * current snapshot semi-joined to the dirty set — a pushed-down
+    * group filter that [[cluster]]-ed layouts turn into file pruning.
+    * Work scales with the delta, not the table.
+    *
+    * `aggOf` computes the view from any subset of the base table and
+    * must emit one row per `groupCol` value.
+    */
+  def incrementalAgg(spark: SparkSession, path: String, groupCol: String,
+                     mv: DataFrame, fromV: Int, toV: Int)
+                    (aggOf: DataFrame => DataFrame): DataFrame = {
+    require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
+    val fromFiles = snapshotFiles(path, Some(fromV))
+    val toFiles = snapshotFiles(path, Some(toV))
+    val delta = fromFiles.diff(toFiles) ++ toFiles.diff(fromFiles)
+    if (delta.isEmpty) return mv
+    val dirty = spark.read.option("mergeSchema", "true").parquet(delta: _*)
+      .select(col(groupCol)).distinct()
+    val fresh = aggOf(
+      read(spark, path, Some(toV))
+        .join(broadcast(dirty), Seq(groupCol), "left_semi"))
+    mv.join(broadcast(dirty), Seq(groupCol), "left_anti")
+      .unionByName(fresh)
+  }
+
   /** Z-ORDER CLUSTER the current snapshot: rewrite the data files so
     * each covers a tight range in EVERY clustering column, not just a
     * leading sort column — the layout that makes min/max footer

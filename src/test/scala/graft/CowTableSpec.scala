@@ -305,6 +305,39 @@ class CowTableSpec extends SparkSpecBase {
     feed.unpersist()
   }
 
+  test("incremental view maintenance: dirty-group refresh equals full recompute") {
+    import spark.implicits._
+    val path = tmp
+    val base = (0L until 10000L).map(i => (i, s"g${i % 50}", i))
+      .toDF("id", "grp", "v").repartition(16)
+    val v1 = CowTable.create(base, path)
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("grp").agg(count(lit(1)).as("n"), sum("v").cast("long").as("s"))
+    val mv1 = aggOf(CowTable.read(spark, path, Some(v1))).cache()
+    mv1.count()
+
+    // a merge that updates in-group, MOVES a row across groups, and
+    // inserts a brand-new group; then a delete
+    val updates = Seq(
+      (5L, "g5", 999999L),     // in-group value change
+      (7L, "g40", 7L),         // group move: g7 -> g40 (both dirty)
+      (99999L, "g_new", 1L))   // new group
+      .toDF("id", "grp", "v")
+    CowTable.merge(spark, path, updates, "id")
+    val v3 = CowTable.delete(spark, path, "grp = 'g13' AND v < 100")
+    assert(v3 == 3)
+
+    val incr = CowTable.incrementalAgg(spark, path, "grp", mv1, v1, v3)(aggOf)
+    val full = aggOf(CowTable.read(spark, path, Some(v3)))
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+    // the moved-from group really shrank and the new group exists
+    val m = incr.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("g7")._1 == 199 && m("g_new") == ((1L, 1L)))
+    // no-op window returns the mv untouched
+    assert(CowTable.incrementalAgg(spark, path, "grp", mv1, v1, v1)(aggOf) eq mv1)
+    mv1.unpersist()
+  }
+
   test("z-order cluster: both dimensions prune files; linear sort prunes only one") {
     import spark.implicits._
     val path = tmp
