@@ -481,6 +481,32 @@ object Analytics {
       .orderBy("dd")
   }
 
+  /** Day-of-week seasonality profile per event type — the weekly
+    * pattern census a metric pipeline publishes: per (type, ISO dow),
+    * volume, revenue cents, and the seasonal index (the dow's average
+    * revenue as ppm of the type's overall average) computed exactly as
+    * `(cents_dw·n_total·10⁶) div (n_dw·cents_total)` with DECIMAL(38)
+    * intermediates (no fractional means, overflow-free at any scale;
+    * all values positive so truncating and flooring division agree).
+    * Two keyed aggs; the per-type totals join is a 5-row broadcast.
+    */
+  val tsDowSeasonality: Q = (s, d) => {
+    val g = Tables.t(s, d, "events")
+      .select(col("event_type"),
+              (expr("weekday(to_date(ts))") + 1).cast("long").as("isodow"),
+              cents(col("value")).as("c"))
+      .groupBy("event_type", "isodow")
+      .agg(cnt.as("n"), sum("c").cast("long").as("cents"))
+    val t = g.groupBy("event_type")
+      .agg(sum("n").cast("long").as("n_total"), sum("cents").cast("long").as("cents_total"))
+    g.join(broadcast(t), "event_type")
+      .withColumn("idx_ppm", expr(
+        """cast(div(cast(cents as decimal(38,0)) * n_total * 1000000,
+          |          cast(n as decimal(38,0)) * cents_total) as bigint)""".stripMargin))
+      .select("event_type", "isodow", "n", "cents", "idx_ppm")
+      .orderBy("event_type", "isodow")
+  }
+
   /** Degree distribution of the bipartite part↔supplier graph: per
     * side, how many nodes have each distinct-partner count — the
     * shape statistic every graph pipeline profiles before choosing an
@@ -499,6 +525,7 @@ object Analytics {
   }
 
   val queries: Map[String, Q] = Map(
+    "ts_dow_seasonality" -> tsDowSeasonality,
     "ts_cusum_changepoint" -> tsCusumChangepoint,
     "graph_degree_distribution" -> graphDegreeDistribution,
     "agg_kmv_distinct" -> aggKmvDistinct,

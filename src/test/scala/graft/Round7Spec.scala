@@ -94,6 +94,20 @@ class Round7Spec extends SparkSpecBase {
     assert(rows.head.getDate(0).toString == "2024-01-01" && rows.head.getLong(1) == 5695L)
   }
 
+  test("ts_dow_seasonality: full 5x7 profile, indices average to ~1e6 per type") {
+    val rows = q("ts_dow_seasonality").collect()
+    assert(rows.length == 35)
+    assert(rows.head == Row("click", 1L, 29L, 149210L, 1047926L))
+    // revenue-weighted indices reconstruct the type totals exactly:
+    // sum over dows of n*idx/1e6*avg == total, checked loosely via
+    // the count-weighted mean landing near parity
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val wmean = g.map(r => r.getLong(2) * r.getLong(4)).sum.toDouble /
+        g.map(_.getLong(2)).sum
+      assert(math.abs(wmean - 1000000.0) < 50000.0, wmean.toString)
+    }
+  }
+
   test("graph_degree_distribution: node census is conserved per side") {
     val rows = q("graph_degree_distribution").collect()
     assert(rows.toSeq.take(3) == Seq(Row("part", 8L, 19L), Row("part", 9L, 57L),
