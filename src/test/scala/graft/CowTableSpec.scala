@@ -338,6 +338,29 @@ class CowTableSpec extends SparkSpecBase {
     mv1.unpersist()
   }
 
+  test("incremental refresh chains across versions without drift") {
+    import spark.implicits._
+    val path = tmp
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("grp").agg(count(lit(1)).as("n"), sum("v").cast("long").as("s"))
+    var v = CowTable.create(
+      (0L until 5000L).map(i => (i, s"g${i % 20}", i)).toDF("id", "grp", "v")
+        .repartition(8), path)
+    var mv = aggOf(CowTable.read(spark, path, Some(v)))
+    // four CDC-style windows: the MV refreshes from its own previous
+    // state each time — any systematic error would compound
+    for (step <- 1 to 4) {
+      val ups = (0L until 50L)
+        .map(i => (i * 97 % 5300, s"g${(i + step) % 22}", i * step))
+        .toDF("id", "grp", "v")
+      val next = CowTable.merge(spark, path, ups, "id")
+      mv = CowTable.incrementalAgg(spark, path, "grp", mv, v, next)(aggOf)
+      val full = aggOf(CowTable.read(spark, path, Some(next)))
+      assert(mv.exceptAll(full).isEmpty && full.exceptAll(mv).isEmpty, s"step $step")
+      v = next
+    }
+  }
+
   test("z-order cluster: both dimensions prune files; linear sort prunes only one") {
     import spark.implicits._
     val path = tmp
