@@ -481,6 +481,39 @@ object Analytics {
       .orderBy("dd")
   }
 
+  /** Session co-occurrence lift between event types — the
+    * market-basket association census: for every unordered type pair,
+    * how much more often they share a (user, day) session than
+    * independence predicts, as the exact integer lift argument
+    * `n_both·n_sessions·10⁶ div (n_a·n_b)` (DECIMAL(38) intermediates).
+    * The pair join keys on (user_id, day) — numeric/date, never a
+    * string merge — and each session contributes ≤ C(5,2) pairs, so
+    * candidate volume is linear in sessions; the marginals are a
+    * 5-row broadcast and the session total a 1-row scalar.
+    */
+  val eventsCooccurLift: Q = (s, d) => {
+    val sess = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("dd"), col("event_type"))
+      .distinct()
+    val a = sess.select(col("user_id"), col("dd"), col("event_type").as("a_type"))
+    val b = sess.select(col("user_id").as("b_uid"), col("dd").as("b_dd"),
+                        col("event_type").as("b_type"))
+    val pairs = a.join(b, col("user_id") === col("b_uid") && col("dd") === col("b_dd") &&
+                          col("a_type") < col("b_type"))
+      .groupBy("a_type", "b_type").agg(cnt.as("n_both"))
+    val cx = sess.groupBy("event_type").agg(cnt.as("c"))
+    val n = sess.select("user_id", "dd").distinct().agg(cnt.as("ns"))
+    pairs
+      .join(broadcast(cx.select(col("event_type").as("a_type"), col("c").as("c_a"))), "a_type")
+      .join(broadcast(cx.select(col("event_type").as("b_type"), col("c").as("c_b"))), "b_type")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr(
+        """cast(div(cast(n_both as decimal(38,0)) * ns * 1000000,
+          |          cast(c_a as decimal(38,0)) * c_b) as bigint)""".stripMargin))
+      .select("a_type", "b_type", "n_both", "lift_ppm")
+      .orderBy("a_type", "b_type")
+  }
+
   /** Day-of-week seasonality profile per event type — the weekly
     * pattern census a metric pipeline publishes: per (type, ISO dow),
     * volume, revenue cents, and the seasonal index (the dow's average
@@ -526,6 +559,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "ts_dow_seasonality" -> tsDowSeasonality,
+    "events_cooccur_lift" -> eventsCooccurLift,
     "ts_cusum_changepoint" -> tsCusumChangepoint,
     "graph_degree_distribution" -> graphDegreeDistribution,
     "agg_kmv_distinct" -> aggKmvDistinct,

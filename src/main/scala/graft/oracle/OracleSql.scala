@@ -518,6 +518,18 @@ object OracleSql {
     CAST(cum_pos * 1000000 // total_pos AS BIGINT) gain_ppm,
     CAST(n_pos * total_n * 1000000 // (n * total_pos) AS BIGINT) lift_ppm
   FROM c ORDER BY decile""",
+    "events_cooccur_lift" ->
+      """WITH sess AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dd, event_type FROM events),
+  n AS (SELECT CAST(count(*) AS BIGINT) ns FROM (SELECT DISTINCT user_id, dd FROM sess)),
+  cx AS (SELECT event_type, CAST(count(*) AS BIGINT) c FROM sess GROUP BY 1),
+  p AS (SELECT a.event_type a_type, b.event_type b_type, CAST(count(*) AS BIGINT) n_both
+    FROM sess a JOIN sess b ON a.user_id = b.user_id AND a.dd = b.dd
+      AND a.event_type < b.event_type
+    GROUP BY 1, 2)
+  SELECT a_type, b_type, n_both,
+    CAST((n_both::HUGEINT * ns * 1000000) // (ca.c::HUGEINT * cb.c) AS BIGINT) lift_ppm
+  FROM p JOIN cx ca ON p.a_type = ca.event_type JOIN cx cb ON p.b_type = cb.event_type
+  CROSS JOIN n ORDER BY 1, 2""",
     "ts_dow_seasonality" ->
       """WITH e AS (SELECT event_type, isodow(CAST(ts AS DATE)) dw,
       CAST(round(value*100) AS BIGINT) c FROM events),

@@ -228,6 +228,7 @@ class PlanSpec extends SparkSpecBase {
     "agg_kmv_distinct" -> "1-row scalar: merged-sketch x global-truth 1-row join",
     "ml_lift_gain" -> "1-row scalar: totals broadcast over the 10-row decile table",
     "ts_cusum_changepoint" -> "1-row scalar: n-days/total + peak broadcasts",
+    "events_cooccur_lift" -> "1-row scalar: session-total broadcast",
     "join_theta_band" -> "contract: non-equi band theta join",
     "join_cross_small" -> "contract: declared cross join, dims only",
     "text_sim_funcs" -> "contract-quadratic jaro-winkler pairs (blocked)",
@@ -280,6 +281,7 @@ class PlanSpec extends SparkSpecBase {
     "ts_cusum_changepoint" -> "bounded day-domain aggregate window",
     "text_unigram_surprisal" -> "1-row corpus-total scalar",
     "text_pmi_bigrams" -> "1-row corpus-total scalar",
+    "events_cooccur_lift" -> "1-row session-total scalar",
     "ml_auc_rank" -> "1-row grand-total scalar",
     "ml_kmeans_2iter" -> "1-row broadcast centroid collect",
     "event_funnel" -> "1-row funnel-total scalar",

@@ -108,6 +108,13 @@ class Round7Spec extends SparkSpecBase {
     }
   }
 
+  test("events_cooccur_lift: all 10 unordered type pairs, golden head") {
+    val rows = q("events_cooccur_lift").collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    assert(rows.head == Row("click", "error", 64L, 968477L))
+    rows.foreach(r => assert(r.getString(0) < r.getString(1))) // unordered, canonical
+  }
+
   test("graph_degree_distribution: node census is conserved per side") {
     val rows = q("graph_degree_distribution").collect()
     assert(rows.toSeq.take(3) == Seq(Row("part", 8L, 19L), Row("part", 9L, 57L),
