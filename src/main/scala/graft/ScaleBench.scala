@@ -20,6 +20,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
+    require(only.forall(_ == "het"),
+      s"unknown section '${only.getOrElse("")}' — supported: het (no arg = full run)")
 
     val dir = "/tmp/graft_scalebench"
     def time(name: String): (Long, Double) = {

@@ -389,7 +389,13 @@ case class VecSumLong(child: Expression,
       new Array[Long](n)
     }
     var i = 0
-    while (i < n) { acc(i) += arr.getLong(i); i += 1 }
+    while (i < n) {
+      // explicit: UnsafeArrayData would silently read 0 for a null
+      // element (corrupt sums); fail the way the ragged check does
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(s"vec_sum_long: null element at $i")
+      acc(i) += arr.getLong(i); i += 1
+    }
     acc
   }
 

@@ -432,6 +432,11 @@ object Analytics {
                |          * 2654435761 + 1013904223, 2147483648)
                |     * 1597334677 + 12345, 2147483648)""".stripMargin).as("h"))
       .distinct()
+      // dh feeds the per-group sketch AND the global truth count, and
+      // Spark does not reuse identical non-exchange subtrees across
+      // join branches (verified: no ReusedExchange in the plan) —
+      // materialize once instead of re-scanning + re-distincting
+      .localCheckpoint()
     val perGroup = dh.groupBy("grp")
       .agg(bottom_k(struct(col("h")), k).as("sk"), cnt.as("n_exact"))
       .withColumn("kth_h",
@@ -495,6 +500,9 @@ object Analytics {
     val sess = events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("dd"), col("event_type"))
       .distinct()
+      // sess feeds both self-join sides, the marginals, and the session
+      // total — four subtrees Spark would otherwise recompute
+      .localCheckpoint()
     val a = sess.select(col("user_id"), col("dd"), col("event_type").as("a_type"))
     val b = sess.select(col("user_id").as("b_uid"), col("dd").as("b_dd"),
                         col("event_type").as("b_type"))

@@ -267,8 +267,11 @@ object Scale {
       // materialize is plan growth — linear here (rank is used once per
       // round), not the 2^rounds doubling of the self-referencing
       // loops. Checkpoint every 3rd round to bound analysis cost and
-      // let the rest run as one fused multi-round job: 6 materialization
-      // barriers → 2 (measured 2.0 s → ~1.2 s at sf0.1).
+      // let the rest run as one fused multi-round job (measured
+      // 2.0 s → 1.9 s at sf0.1). Note the RETURNED frame is lazy for
+      // the final ≤ 2 rounds — a caller running several actions on it
+      // re-executes those rounds; the library's single-action callers
+      // (Verify dump, bench timings) never do.
       if (i % 3 == 0 && i < iterations) rank = rank.localCheckpoint()
     }
     rank

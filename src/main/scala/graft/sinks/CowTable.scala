@@ -181,6 +181,14 @@ object CowTable {
     *
     * `aggOf` computes the view from any subset of the base table and
     * must emit one row per `groupCol` value.
+    *
+    * Caveats: a layout-only rewrite ([[compact]]/[[cluster]]) inside
+    * the window replaces every file, so EVERY group goes dirty and the
+    * refresh degrades to a full recompute — schedule maintenance
+    * immediately after an MV refresh, not between refreshes. The dirty
+    * set's size follows the delta (no broadcast is forced here; AQE
+    * picks the join strategy), and group joins are null-safe so a
+    * NULL-keyed group refreshes like any other.
     */
   def incrementalAgg(spark: SparkSession, path: String, groupCol: String,
                      mv: DataFrame, fromV: Int, toV: Int)
@@ -191,11 +199,11 @@ object CowTable {
     val delta = fromFiles.diff(toFiles) ++ toFiles.diff(fromFiles)
     if (delta.isEmpty) return mv
     val dirty = spark.read.option("mergeSchema", "true").parquet(delta: _*)
-      .select(col(groupCol)).distinct()
+      .select(col(groupCol).as("__dirty_g")).distinct()
     val fresh = aggOf(
       read(spark, path, Some(toV))
-        .join(broadcast(dirty), Seq(groupCol), "left_semi"))
-    mv.join(broadcast(dirty), Seq(groupCol), "left_anti")
+        .join(dirty, col(groupCol) <=> col("__dirty_g"), "left_semi"))
+    mv.join(dirty, col(groupCol) <=> col("__dirty_g"), "left_anti")
       .unionByName(fresh)
   }
 
@@ -212,8 +220,11 @@ object CowTable {
     * Like [[compact]] this is metadata-level from the reader's view:
     * same rows, new manifest; old snapshots keep the old layout for
     * time travel. Columns must be numeric (or numeric-castable);
-    * values rank-normalize via the 1-row min/max broadcast, so skewed
-    * domains still spread over the full bit range. The z-value is
+    * values MIN/MAX-normalize via the 1-row broadcast — a single
+    * extreme outlier therefore compresses the rest of that column's
+    * domain into few distinct quantiles and weakens its pruning
+    * (clip or bucket such columns first; true rank normalization
+    * would need a per-column quantile pass). The z-value is
     * computed per row in one codegen projection and the only shuffle
     * is the range partition into `files` output files.
     */

@@ -359,10 +359,16 @@ object StreamOps {
     }
   }
 
-  /** The `agg_kmv_distinct` hash, verbatim: two LCG rounds mod 2³¹. */
+  /** The `agg_kmv_distinct` hash: two LCG rounds mod 2³¹. The input
+    * reduction floors like SQL `pmod` (scala % is sign-preserving, so
+    * a negative key would otherwise produce a negative hash and a
+    * divergent sketch); identical to the batch hash for any input.
+    */
   def kmvHash(v: Long): Long = {
-    val h1 = ((v % 2147483648L) * 2654435761L + 1013904223L) % 2147483648L
-    (h1 * 1597334677L + 12345L) % 2147483648L
+    val m = 2147483648L
+    val vm = ((v % m) + m) % m
+    val h1 = (vm * 2654435761L + 1013904223L) % m
+    (h1 * 1597334677L + 12345L) % m
   }
 
   /** (key, value) stream → (key, sketchSize, estimate) per micro-batch. */

@@ -338,6 +338,27 @@ class CowTableSpec extends SparkSpecBase {
     mv1.unpersist()
   }
 
+  test("incremental refresh covers NULL-keyed groups (null-safe dirty join)") {
+    import spark.implicits._
+    val path = tmp
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("grp").agg(count(lit(1)).as("n"), sum("v").cast("long").as("s"))
+    val base = (0L until 1000L)
+      .map(i => (i, if (i % 10 == 0) null else s"g${i % 7}", i))
+      .toDF("id", "grp", "v").repartition(8)
+    val v1 = CowTable.create(base, path)
+    val mv1 = aggOf(CowTable.read(spark, path, Some(v1)))
+    // update a NULL-group row: the NULL group itself must go dirty
+    val v2 = CowTable.merge(spark, path,
+      Seq((20L, null.asInstanceOf[String], 999999L)).toDF("id", "grp", "v"), "id")
+    val incr = CowTable.incrementalAgg(spark, path, "grp", mv1, v1, v2)(aggOf)
+    val full = aggOf(CowTable.read(spark, path, Some(v2)))
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+    // the refreshed NULL-group row really carries the new value
+    val nullRow = incr.filter(col("grp").isNull).collect().head
+    assert(nullRow.getLong(2) == full.filter(col("grp").isNull).collect().head.getLong(2))
+  }
+
   test("incremental refresh chains across versions without drift") {
     import spark.implicits._
     val path = tmp
