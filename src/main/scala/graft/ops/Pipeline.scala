@@ -927,7 +927,38 @@ object Pipeline {
       .limit(500)
   }
 
+  /** Batched "model inference" over the opaque payload — the
+    * fixed-size-batch seam a GPU embedding/caption step needs:
+    * per partition, payloads group into batches of 32
+    * (`Iterator.grouped` — the JVM analogue of `mapInPandas` batch
+    * frames) and the whole batch hands to the "model" at once. The
+    * model here is a clearly-marked DETERMINISTIC FAKE (no ML libs in
+    * this environment) emitting per-doc integer features independent
+    * of batch boundaries, so the output — and the oracle — are
+    * partitioning-invariant; a real deployment swaps `fakeEmbed` for
+    * the accelerator call and keeps every line of the plumbing.
+    */
+  val multimodalEmbedBatch: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    // STUB model: batch-in, batch-out; features from byte stats only.
+    def fakeEmbed(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Long, Long)] =
+      batch.map { case (id, b) =>
+        val n = b.length.toLong
+        (id, n % 251, (n * 7 + id) % 251,
+         if (b.nonEmpty) b(0).toLong & 0xffL else 0L, (id * 13) % 251)
+      }
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(32).flatMap(batch => fakeEmbed(batch.toSeq)))
+      .toDF("doc_id", "e0", "e1", "e2", "e3")
+      .orderBy("doc_id")
+      .limit(500)
+  }
+
   val queries: Map[String, Q] = Map(
+    "multimodal_embed_batch" -> multimodalEmbedBatch,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

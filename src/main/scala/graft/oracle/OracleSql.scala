@@ -518,6 +518,13 @@ object OracleSql {
     CAST(cum_pos * 1000000 // total_pos AS BIGINT) gain_ppm,
     CAST(n_pos * total_n * 1000000 // (n * total_pos) AS BIGINT) lift_ppm
   FROM c ORDER BY decile""",
+    "multimodal_embed_batch" ->
+      """SELECT doc_id,
+    CAST(octet_length(encode(text)) % 251 AS BIGINT) e0,
+    CAST((octet_length(encode(text)) * 7 + doc_id) % 251 AS BIGINT) e1,
+    CAST(CASE WHEN octet_length(encode(text)) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS BIGINT) e2,
+    CAST((doc_id * 13) % 251 AS BIGINT) e3
+  FROM documents ORDER BY doc_id LIMIT 500""",
     "events_cooccur_lift" ->
       """WITH sess AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dd, event_type FROM events),
   n AS (SELECT CAST(count(*) AS BIGINT) ns FROM (SELECT DISTINCT user_id, dd FROM sess)),
