@@ -16,7 +16,6 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.builder("local[16]", 16).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional single-section run: jaccard | ngram | het | ann | cc | ...
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption

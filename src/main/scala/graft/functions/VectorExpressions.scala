@@ -384,6 +384,9 @@ case class VecSumLong(child: Expression,
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // an empty row would silently no-op through the (0 == 0) fresh-buffer
+    // path while the contract promises ragged inputs fail loudly
+    require(n > 0, "vec_sum_long: empty input array")
     val acc = if (buf.length == n) buf else {
       require(buf.isEmpty, s"vec_sum_long: ragged input (${buf.length} vs $n)")
       new Array[Long](n)

@@ -261,7 +261,8 @@ object Pipeline {
                      col("ve").as("va"), col("nv").as("na"))
     val b = v.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
                      col("ve").as("vb"), col("nv").as("nb"))
-    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id") &&
+    a.hint("shuffle_hash") // string block key — see LlmOps.blockedTokenPairs
+      .join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id") &&
               size(col("va")) === size(col("vb")))
       .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") > 0.42)
@@ -945,8 +946,11 @@ object Pipeline {
     def fakeEmbed(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Long, Long)] =
       batch.map { case (id, b) =>
         val n = b.length.toLong
-        (id, n % 251, (n * 7 + id) % 251,
-         if (b.nonEmpty) b(0).toLong & 0xffL else 0L, (id * 13) % 251)
+        // first-CODEPOINT, not first-byte: the oracle's ascii() is the
+        // Unicode codepoint, and the two only coincide on ASCII text
+        val cp = if (b.isEmpty) 0L
+                 else new String(b, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0).toLong
+        (id, n % 251, (n * 7 + id) % 251, cp, (id * 13) % 251)
       }
     documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

@@ -111,7 +111,9 @@ object Relevance {
     val cy = bg.groupBy("r").agg(cnt.as("c_y"))
     val n = bg.agg(cnt.as("n_total"))
     cxy.filter(col("c_xy") >= 5)
-      .join(cx, "l").join(cy, "r")
+      // shuffle_hash: the marginals join on string tokens — never let
+      // AQE fall back to a string-keyed SMJ (LlmOps.blockedTokenPairs)
+      .join(cx.hint("shuffle_hash"), "l").join(cy.hint("shuffle_hash"), "r")
       .crossJoin(broadcast(n))
       .withColumn("pmi_scaled", expr(
         """cast(div(cast(c_xy as decimal(38,0)) * n_total * 1000000,

@@ -269,7 +269,7 @@ object Scale {
       // loops. Checkpoint every 3rd round to bound analysis cost and
       // let the rest run as one fused multi-round job (measured
       // 2.0 s → 1.9 s at sf0.1). Note the RETURNED frame is lazy for
-      // the final ≤ 2 rounds — a caller running several actions on it
+      // the final 1–3 rounds (iterations mod 3, or 3 when it divides) — a caller running several actions on it
       // re-executes those rounds; the library's single-action callers
       // (Verify dump, bench timings) never do.
       if (i % 3 == 0 && i < iterations) rank = rank.localCheckpoint()

@@ -311,13 +311,40 @@ class PlanSpec extends SparkSpecBase {
     // string-keyed merge is orders slower than hash probes at high
     // pair multiplicity. Blocked/banded joins carry shuffle_hash
     // hints; this pins the property for every future operator.
+    //
+    // Traversal MUST unwrap adaptive nodes: AdaptiveSparkPlanExec and
+    // QueryStageExec are LeafExecNodes, so a plain plan.collect never
+    // reaches the real operators under AQE (a plain-collect version of
+    // this guard was VACUOUS — caught by review, self-checked below).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import org.apache.spark.sql.types.StringType
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val strKeyed = fn(spark, sf).queryExecution.executedPlan.collect {
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ nested).flatMap(allNodes)
+    }
+    def stringKeyedSmjs(df: org.apache.spark.sql.DataFrame): Seq[SortMergeJoinExec] =
+      allNodes(df.queryExecution.executedPlan).collect {
         case s: SortMergeJoinExec if s.leftKeys.exists(_.dataType == StringType) => s
       }
+    // positive control: the detector must SEE a forced string-keyed SMJ
+    // through the adaptive wrapper, or the battery sweep proves nothing
+    val canary = {
+      import spark.implicits._
+      val l = Seq(("a", 1L), ("b", 2L)).toDF("k", "v").hint("merge")
+      val r = Seq(("a", 3L)).toDF("k", "w").hint("merge")
+      l.join(r, "k")
+    }
+    assert(stringKeyedSmjs(canary).nonEmpty,
+      "detector lost the plan under AQE:\n" + canary.queryExecution.executedPlan)
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val strKeyed = stringKeyedSmjs(fn(spark, sf))
       if (strKeyed.nonEmpty)
         offenders += s"$name: ${strKeyed.size} string-keyed SMJ — hint shuffle_hash " +
           "or use a numeric key"

@@ -85,7 +85,7 @@ class Round7Spec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(__cb"), p.take(1200))
   }
 
-  test("ts_cusum_changepoint: deviations sum to zero, exactly one peak day flagged") {
+  test("ts_cusum_changepoint: deviations sum to zero, peak day(s) flagged") {
     val rows = q("ts_cusum_changepoint").collect()
     assert(rows.length == 30)
     assert(rows.map(_.getLong(2)).sum == 0L) // Σ(cents·n − total) = 0 by construction
