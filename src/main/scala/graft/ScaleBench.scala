@@ -19,8 +19,58 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(_ == "het"),
-      s"unknown section '${only.getOrElse("")}' — supported: het (no arg = full run)")
+    require(only.forall(Set("het", "ivm").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm (no arg = full run)")
+
+    if (only.forall(_ == "ivm")) {
+    // ---- round-7: incremental view maintenance at 50M rows ---------------
+    // The claim under test: refresh reads follow the DELTA, not the
+    // table. 50M-row CowTable (5k groups, 32 grp-clustered files), a
+    // 1k-row append window touching 32 groups; refresh the census
+    // incrementally vs recompute it from the full snapshot. Honest
+    // local finding (PLANS.md): BOTH paths sit on the ~0.2 s/job local
+    // floor here (incremental = 4 sequential jobs ≈ 1.0 s, full = one
+    // 0.67 s scan); the structural win — literal-IN dirty recompute +
+    // clustered layout prunes untouched files, so incremental reads
+    // stay flat while the full scan grows with the table — is what
+    // transfers to cluster scale.
+    import graft.sinks.CowTable
+    val ivmDir = "/tmp/graft_scalebench_ivm"
+    val root = java.nio.file.Paths.get(ivmDir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("grp").agg(count(lit(1)).as("n"),
+                            sum("v").cast("long").as("s"))
+    CowTable.create(
+      spark.range(50000000L).select(col("id"), (col("id") % 5000).as("grp"),
+                                    pmod(xxhash64(col("id")), lit(1000000L)).as("v"))
+        .repartition(32), ivmDir)
+    // layout matters: grp-clustered files give the literal-IN dirty
+    // recompute real footer pruning (untouched files skip entirely)
+    val v1 = CowTable.cluster(spark, ivmDir, files = 32, zcols = Seq("grp"))
+    val mv = aggOf(CowTable.read(spark, ivmDir, Some(v1))).cache()
+    mv.count()
+    // append-shaped window (the streaming-ingest norm): 1k NEW rows in
+    // 32 groups — merge carries every existing file by reference, so
+    // the delta is one small file and 32 groups go dirty
+    val ups = spark.range(1000L)
+      .select((col("id") + 100000000L).as("id"), (col("id") % 32).as("grp"),
+              lit(0L).as("v"))
+    val v2 = CowTable.merge(spark, ivmDir, ups, "id")
+    val tI0 = System.nanoTime()
+    val nIncr = CowTable.incrementalAgg(spark, ivmDir, "grp", mv, v1, v2)(aggOf).count()
+    val tIncr = (System.nanoTime() - tI0) / 1e9
+    val tF0 = System.nanoTime()
+    val nFull = aggOf(CowTable.read(spark, ivmDir, Some(v2))).count()
+    val tFull = (System.nanoTime() - tF0) / 1e9
+    println(f"[scalebench] ivm @ 50M rows/5k groups, 1k-row append window: " +
+      f"incremental ${tIncr}%5.2f s vs full recompute ${tFull}%5.2f s " +
+      f"-> ${tFull / tIncr}%.1f x (rows: $nIncr vs $nFull)")
+    } // end ivm section
 
     val dir = "/tmp/graft_scalebench"
     def time(name: String): (Long, Double) = {
@@ -197,7 +247,7 @@ object ScaleBench {
     // ---- globalRank vs the single-partition window at 10M rows -----------
     // the concrete cost of the plan Scale.globalRank exists to avoid
     val big10 = spark.range(10000000L)
-      .select(col("id"), xxhash64(col("id")).as("v")).cache()
+      .select(col("id"), pmod(xxhash64(col("id")), lit(1000000L)).as("v")).cache()
     big10.count()
     val tg0 = System.nanoTime()
     val rankedMax = graft.ops.Scale

@@ -191,7 +191,8 @@ object CowTable {
     * NULL-keyed group refreshes like any other.
     */
   def incrementalAgg(spark: SparkSession, path: String, groupCol: String,
-                     mv: DataFrame, fromV: Int, toV: Int)
+                     mv: DataFrame, fromV: Int, toV: Int,
+                     dirtyLiteralMax: Int = 1024)
                     (aggOf: DataFrame => DataFrame): DataFrame = {
     require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
     val fromFiles = snapshotFiles(path, Some(fromV))
@@ -200,11 +201,26 @@ object CowTable {
     if (delta.isEmpty) return mv
     val dirty = spark.read.option("mergeSchema", "true").parquet(delta: _*)
       .select(col(groupCol).as("__dirty_g")).distinct()
-    val fresh = aggOf(
-      read(spark, path, Some(toV))
-        .join(dirty, col(groupCol) <=> col("__dirty_g"), "left_semi"))
-    mv.join(dirty, col(groupCol) <=> col("__dirty_g"), "left_anti")
-      .unionByName(fresh)
+    // Small dirty sets become a LITERAL In predicate instead of a
+    // semi-join: a literal reaches the parquet footers, so on a layout
+    // clustered/sorted by the group column the recompute SKIPS the
+    // untouched files entirely (ScaleBench `ivm` measures the
+    // difference) — a semi-join can never file-prune. Null keys fall
+    // back to the null-safe join path.
+    val keys = dirty.limit(dirtyLiteralMax + 1).collect().map(_.get(0))
+    if (keys.length <= dirtyLiteralMax && !keys.contains(null)) {
+      val lits = keys.toIndexedSeq
+      val fresh = aggOf(
+        read(spark, path, Some(toV)).filter(col(groupCol).isin(lits: _*)))
+      mv.filter(col(groupCol).isNull || !col(groupCol).isin(lits: _*))
+        .unionByName(fresh)
+    } else {
+      val fresh = aggOf(
+        read(spark, path, Some(toV))
+          .join(dirty, col(groupCol) <=> col("__dirty_g"), "left_semi"))
+      mv.join(dirty, col(groupCol) <=> col("__dirty_g"), "left_anti")
+        .unionByName(fresh)
+    }
   }
 
   /** Z-ORDER CLUSTER the current snapshot: rewrite the data files so
