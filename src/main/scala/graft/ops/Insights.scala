@@ -1,0 +1,307 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Round-7 wave 18: the insight/diagnostics layer — time-series
+  * diagnostics (autocorrelation, forecast error), bounded-round graph
+  * clustering, retrieval/classifier evaluation, distribution drift,
+  * corpus curation, and product-analytics rollups.
+  *
+  * Exactness posture (SURVEY §2.1): every ratio is an integer ppm
+  * surrogate via `div`; negative numerators are sign-split so both
+  * engines' integral-divide (truncation toward zero on positives)
+  * agree; products that could cross 2^63 run in DECIMAL(38)/HUGEINT.
+  * Float inputs are quantized `round(x·1000)` per R5 before any
+  * arithmetic.
+  *
+  * Scale posture: no corpus-sized windows; per-key windows only.
+  * 1-row scalar broadcasts (totals, max-day) are the only cross
+  * joins; the one all-pairs query (`ml_precision_recall_k`) is the
+  * eval contract twin of `ml_mrr_hits` with the same 10-probe bound.
+  */
+object Insights {
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+
+  /** Autocorrelation of daily purchase revenue at lags 1..7, as exact
+    * integer ppm. Deviations are scaled by n (`cents·n − total`) so the
+    * mean never becomes a fraction; lag pairing is an equi-join on the
+    * shifted day (30-row domain), never a window over the fact table.
+    * Products run in DECIMAL(38); the ppm is sign-split around `div`.
+    */
+  val tsAcfLags: Q = (s, d) => {
+    val daily = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("c"))
+    val tot = daily.agg(cnt.as("n"), sum("c").cast("long").as("tot"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("dd"), (col("c") * col("n") - col("tot")).as("dev"))
+    val den = dev.agg(sum(expr("cast(dev as decimal(38,0)) * dev")).as("den"))
+    val shifted = dev
+      .select(col("dd"), col("dev").as("dev_lag"),
+              explode(expr("sequence(1, 7)")).as("k"))
+      .select(expr("date_add(dd, cast(k as int))").as("dd"), col("k"),
+              col("dev_lag"))
+    dev.join(shifted, Seq("dd"))
+      .groupBy("k")
+      .agg(cnt.as("n_pairs"),
+           sum(expr("cast(dev as decimal(38,0)) * dev_lag")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k").cast("long").as("k"), col("n_pairs"),
+        when(col("num") < 0,
+             -expr("div(cast(-num as decimal(38,0)) * 1000000, den)"))
+          .otherwise(expr("div(cast(num as decimal(38,0)) * 1000000, den)"))
+          .cast("long").as("acf_ppm"))
+      .orderBy("k")
+  }
+
+  /** Seasonal-naive forecast evaluation: forecast(day) = actual(day−7)
+    * per event type, scored by WAPE ppm = Σ|a−f|·10⁶ div Σa — the
+    * standard "would a trivial model beat yours" baseline. The lag is
+    * an equi-join on the shifted day; all arithmetic is int64 cents.
+    */
+  val tsForecastWape: Q = (s, d) => {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("c"))
+    val f = daily.select(col("event_type"),
+      expr("date_add(dd, 7)").as("dd"), col("c").as("fc"))
+    daily.join(f, Seq("event_type", "dd"))
+      .groupBy("event_type")
+      .agg(cnt.as("n_days"),
+           sum(abs(col("c") - col("fc"))).cast("long").as("abs_err_cents"),
+           sum("c").cast("long").as("actual_cents"))
+      .withColumn("wape_ppm", expr("div(abs_err_cents * 1000000, actual_cents)"))
+      .orderBy("event_type")
+  }
+
+  /** Connected components by 6-round min-label propagation over the
+    * part↔supplier bipartite graph (distinct lineitem edges; parts are
+    * even node ids, suppliers odd). The declared semantics is the
+    * label census AFTER EXACTLY 6 ROUNDS — both engines run the same
+    * bounded rounds, so the result is well-defined whether or not the
+    * graph has converged (at this corpus's diameter it has). The
+    * whole-graph iterative twin with convergence detection is
+    * `Scale.connectedComponents(Star)` (ops/Scale.scala), used by the
+    * dedup_cluster_* family; this query is the oracled fixed-round
+    * exemplar in the same family as `graph_pagerank`.
+    */
+  val graphCcMinlabel: Q = (s, d) => {
+    val e = li(s, d)
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var lbl = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (i <- 1 to 6) {
+      val nb = und.join(lbl, und("b") === lbl("node"))
+        .select(und("a").as("node"), lbl("lbl"))
+      lbl = lbl.union(nb).groupBy("node").agg(min("lbl").as("lbl"))
+      // truncate lineage mid-loop like graph_pagerank — the 6-round
+      // plan otherwise nests joins 6 deep
+      if (i % 3 == 0) lbl = lbl.localCheckpoint()
+    }
+    lbl.groupBy("lbl").agg(cnt.as("sz"))
+      .orderBy(col("sz").desc, col("lbl"))
+      .limit(100)
+  }
+
+  /** Link-prediction similarity: top-20 supplier pairs by Jaccard of
+    * their part neighborhoods. Co-degree via the wedge equi-join on
+    * the shared part (volume Σ deg(part)², the same bound as
+    * graph_triangle_count's wedge phase), degrees joined from the
+    * supplier-sized table — never an all-pairs supplier join.
+    */
+  val graphJaccardNeighbors: Q = (s, d) => {
+    val e = li(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val deg = e.groupBy("s").agg(cnt.as("deg"))
+    val pairs = e.as("x")
+      .join(e.as("y"), col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+      .agg(cnt.as("c"))
+    pairs
+      .join(deg.select(col("s").as("s1"), col("deg").as("d1")), "s1")
+      .join(deg.select(col("s").as("s2"), col("deg").as("d2")), "s2")
+      .withColumn("jac_ppm", expr("div(c * 1000000, d1 + d2 - c)"))
+      .orderBy(col("jac_ppm").desc, col("s1"), col("s2"))
+      .limit(20)
+      .select("s1", "s2", "c", "d1", "d2", "jac_ppm")
+  }
+
+  /** Precision/recall/F1 @ 10 over the exact brute-force ranking for
+    * the 10-query probe set — the eval-contract sibling of
+    * `ml_mrr_hits` (identical probe set, quantized dot products, and
+    * deliberate all-pairs shape; serving twin: `ann_ivf_topk`).
+    */
+  val mlPrecisionRecallK: Q = (s, d) => {
+    val e = emb(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val cs = e.select(col("vec_id").as("n_id"), col("label").as("n_label"), col("v").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("n_id"))
+    qs.join(cs, col("q_id") =!= col("n_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rel", when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+      .groupBy("q_id")
+      .agg(sum("rel").cast("long").as("n_rel"),
+           sum(when(col("rn") <= 10, col("rel")).otherwise(0L)).cast("long")
+             .as("rel_at_10"))
+      .withColumn("p10_ppm", expr("div(rel_at_10 * 1000000, 10)"))
+      .withColumn("r10_ppm",
+        when(col("n_rel") > 0, expr("div(rel_at_10 * 1000000, n_rel)"))
+          .otherwise(0L).cast("long"))
+      .withColumn("f1_ppm",
+        when(col("p10_ppm") + col("r10_ppm") > 0,
+             expr("div(2 * p10_ppm * r10_ppm, p10_ppm + r10_ppm)"))
+          .otherwise(0L).cast("long"))
+      .select("q_id", "n_rel", "rel_at_10", "p10_ppm", "r10_ppm", "f1_ppm")
+      .orderBy("q_id")
+  }
+
+  /** Distribution drift between the first and second half-month of
+    * event values, per event type: fixed-width $20 histogram bins,
+    * per-bin frequency as ppm, L1 distance Σ|ppmA−ppmB| — the
+    * training-vs-serving drift monitor. Bin count is bounded by the
+    * value range; the totals join is 5 rows.
+    */
+  val mlHistDrift: Q = (s, d) => {
+    val b = ev(s, d).select(col("event_type"),
+      when(to_date(col("ts")) <= lit("2024-01-15").cast("date"), lit("a"))
+        .otherwise(lit("b")).as("period"),
+      expr("div(cast(round(value * 100) as bigint), 2000)").as("bin"))
+    val counts = b.groupBy("event_type", "bin")
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).cast("long").as("ca"),
+           sum(when(col("period") === "b", 1L).otherwise(0L)).cast("long").as("cb"))
+    val totals = b.groupBy("event_type")
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).cast("long").as("na"),
+           sum(when(col("period") === "b", 1L).otherwise(0L)).cast("long").as("nb"))
+    counts.join(totals, "event_type")
+      .withColumn("pa", expr("div(ca * 1000000, na)"))
+      .withColumn("pb", expr("div(cb * 1000000, nb)"))
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"), cnt.as("n_bins"),
+           sum(abs(col("pa") - col("pb"))).cast("long").as("l1_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Gini impurity per branch of a multiway split on the quantized
+    * first embedding component (offset to stay positive so `div`
+    * truncation agrees across engines, bucket width 0.1) — the split
+    * diagnostic a decision-tree builder evaluates. Branch count is
+    * bounded by the feature range; per-(branch,label) counts are the
+    * only shuffle.
+    */
+  val mlGiniSplit: Q = (s, d) => {
+    val f = emb(s, d).select(
+      (expr("cast(round(cast(element_at(embedding, 1) as double) * 1000) as bigint)")
+         + 100000L).as("f_off"),
+      col("label"))
+    f.withColumn("b", expr("div(f_off, 100)"))
+      .groupBy("b", "label").agg(cnt.as("c"))
+      .groupBy("b")
+      .agg(cnt.as("n_labels"), sum("c").cast("long").as("n_b"),
+           sum(expr("c * c")).cast("long").as("sumsq"))
+      .withColumn("gini_ppm",
+        (lit(1000000L) - expr("div(sumsq * 1000000, n_b * n_b)")).cast("long"))
+      .select("b", "n_b", "n_labels", "gini_ppm")
+      .orderBy("b")
+  }
+
+  /** The BPE vocabulary-induction primitive: census of adjacent
+    * CHARACTER pairs within tokens (the unit a BPE merge step counts —
+    * distinct from token-level bigrams in `text_bigram_cooccur`).
+    * Linear in total characters; top-20 with a full tiebreak.
+    */
+  val textBpePairCensus: Q = (s, d) =>
+    docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(cnt.as("c"))
+      .orderBy(col("c").desc, col("pair"))
+      .limit(20)
+
+  /** Corpus curation: cap each (lang, source) domain at its 5 longest
+    * documents (n_chars desc, doc_id tiebreak) — the anti-domination
+    * step every web-scale corpus applies so no single domain swamps
+    * the mix. Per-domain window only; emits the kept rows with rank.
+    */
+  val corpusDomainCap: Q = (s, d) => {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("lang", "source", "rk")
+  }
+
+  /** Rolling engagement: daily active users, trailing-7-day active
+    * users, and the DAU/WAU stickiness ratio ppm. The trailing window
+    * is an explode over 7 day-offsets + keyed distinct-count — an
+    * equi-shaped plan (no range join, no BNLJ against the fact
+    * table); the max-day bound is a 1-row broadcast.
+    */
+  val eventsDauWau: Q = (s, d) => {
+    val du = ev(s, d).select(to_date(col("ts")).as("dd"), col("user_id")).distinct()
+    val maxd = du.agg(max("dd").as("maxd"))
+    val dau = du.groupBy("dd").agg(cnt.as("n_dau"))
+    val wau = du
+      .select(col("dd"), col("user_id"), explode(expr("sequence(0, 6)")).as("k"))
+      .select(expr("date_add(dd, cast(k as int))").as("dd"), col("user_id"))
+      .crossJoin(broadcast(maxd))
+      .filter(col("dd") <= col("maxd"))
+      .groupBy("dd").agg(countDistinct("user_id").cast("long").as("n_wau"))
+    dau.join(wau, "dd")
+      .withColumn("stickiness_ppm", expr("div(n_dau * 1000000, n_wau)"))
+      .orderBy("dd")
+  }
+
+  /** Funnel step latency: per user, whole seconds from first signup to
+    * the first purchase at-or-after it (micros-exact integer epoch
+    * arithmetic). Two keyed aggregates + one keyed join — no window.
+    */
+  val eventsStepLatency: Q = (s, d) => {
+    val sg = ev(s, d).filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("st"))
+    val pu = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    sg.join(pu, Seq("user_id"))
+      .filter(col("ts") >= col("st"))
+      .groupBy("user_id")
+      .agg(min("ts").as("pt"), max("st").as("st0"))
+      .select(col("user_id"),
+        expr("div(unix_micros(pt) - unix_micros(st0), 1000000)").cast("long")
+          .as("latency_s"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ts_acf_lags" -> tsAcfLags,
+    "ts_forecast_wape" -> tsForecastWape,
+    "graph_cc_minlabel" -> graphCcMinlabel,
+    "graph_jaccard_neighbors" -> graphJaccardNeighbors,
+    "ml_precision_recall_k" -> mlPrecisionRecallK,
+    "ml_hist_drift" -> mlHistDrift,
+    "ml_gini_split" -> mlGiniSplit,
+    "text_bpe_pair_census" -> textBpePairCensus,
+    "corpus_domain_cap" -> corpusDomainCap,
+    "events_dau_wau" -> eventsDauWau,
+    "events_step_latency" -> eventsStepLatency,
+  )
+}

@@ -1,0 +1,145 @@
+package graft.oracle
+
+/** Wave-18 oracle SQL (graft.ops.Insights) — validated DuckDB
+  * equivalents per SURVEY §2.4. Negative-numerator ratios are
+  * sign-split around `//` exactly as the Spark side sign-splits `div`;
+  * >2^63 products run in HUGEINT mirroring Spark's DECIMAL(38).
+  */
+object OracleW18 {
+
+  val sql: Map[String, String] = Map(
+    "ts_acf_lags" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) c
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  t AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) tot FROM daily),
+  dev AS (SELECT dd, c * n - tot dev FROM daily CROSS JOIN t),
+  den AS (SELECT sum(dev::HUGEINT * dev) den FROM dev),
+  ks AS (SELECT unnest(generate_series(1, 7)) k),
+  num AS (SELECT k, CAST(count(*) AS BIGINT) n_pairs, sum(a.dev::HUGEINT * b.dev) num
+    FROM ks, dev a JOIN dev b ON b.dd = a.dd - CAST(k AS INTEGER) GROUP BY 1)
+  SELECT CAST(k AS BIGINT) k, n_pairs,
+    CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+              ELSE num * 1000000 // den END AS BIGINT) acf_ppm
+  FROM num CROSS JOIN den ORDER BY k""",
+    "ts_forecast_wape" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) c
+    FROM events GROUP BY 1, 2),
+  j AS (SELECT a.event_type, a.c, b.c fc FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.dd = a.dd - 7)
+  SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+    CAST(sum(abs(c - fc)) AS BIGINT) abs_err_cents,
+    CAST(sum(c) AS BIGINT) actual_cents,
+    CAST(sum(abs(c - fc)) * 1000000 // sum(c) AS BIGINT) wape_ppm
+  FROM j GROUP BY 1 ORDER BY 1""",
+    "graph_cc_minlabel" ->
+      """WITH e AS (SELECT DISTINCT l_partkey * 2 a, l_suppkey * 2 + 1 b FROM lineitem),
+  u AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+  l0 AS (SELECT DISTINCT a node, a lbl FROM u),
+  l1 AS (SELECT node, min(lbl) lbl FROM (SELECT node, lbl FROM l0
+    UNION ALL SELECT u.a, l0.lbl FROM u JOIN l0 ON u.b = l0.node) GROUP BY 1),
+  l2 AS (SELECT node, min(lbl) lbl FROM (SELECT node, lbl FROM l1
+    UNION ALL SELECT u.a, l1.lbl FROM u JOIN l1 ON u.b = l1.node) GROUP BY 1),
+  l3 AS (SELECT node, min(lbl) lbl FROM (SELECT node, lbl FROM l2
+    UNION ALL SELECT u.a, l2.lbl FROM u JOIN l2 ON u.b = l2.node) GROUP BY 1),
+  l4 AS (SELECT node, min(lbl) lbl FROM (SELECT node, lbl FROM l3
+    UNION ALL SELECT u.a, l3.lbl FROM u JOIN l3 ON u.b = l3.node) GROUP BY 1),
+  l5 AS (SELECT node, min(lbl) lbl FROM (SELECT node, lbl FROM l4
+    UNION ALL SELECT u.a, l4.lbl FROM u JOIN l4 ON u.b = l4.node) GROUP BY 1),
+  l6 AS (SELECT node, min(lbl) lbl FROM (SELECT node, lbl FROM l5
+    UNION ALL SELECT u.a, l5.lbl FROM u JOIN l5 ON u.b = l5.node) GROUP BY 1)
+  SELECT CAST(lbl AS BIGINT) lbl, CAST(count(*) AS BIGINT) sz
+  FROM l6 GROUP BY 1 ORDER BY sz DESC, lbl LIMIT 100""",
+    "graph_jaccard_neighbors" ->
+      """WITH e AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+  deg AS (SELECT s, CAST(count(*) AS BIGINT) deg FROM e GROUP BY 1),
+  pr AS (SELECT x.s s1, y.s s2, CAST(count(*) AS BIGINT) c
+    FROM e x JOIN e y ON x.p = y.p AND x.s < y.s GROUP BY 1, 2)
+  SELECT s1, s2, c, da.deg d1, db.deg d2,
+    CAST(c * 1000000 // (da.deg + db.deg - c) AS BIGINT) jac_ppm
+  FROM pr JOIN deg da ON pr.s1 = da.s JOIN deg db ON pr.s2 = db.s
+  ORDER BY jac_ppm DESC, s1, s2 LIMIT 20""",
+    "ml_precision_recall_k" ->
+      """WITH e AS (SELECT vec_id, label,
+      list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) v
+    FROM embeddings),
+  p AS (SELECT a.vec_id q_id, a.label q_label, b.vec_id n_id, b.label n_label,
+      CAST(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) AS BIGINT) dot
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10),
+  r AS (SELECT q_id, q_label, n_label,
+      row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) rn FROM p),
+  m AS (SELECT q_id,
+      CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) n_rel,
+      CAST(sum(CASE WHEN rn <= 10 AND q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) rel_at_10
+    FROM r GROUP BY 1),
+  s AS (SELECT q_id, n_rel, rel_at_10,
+      CAST(rel_at_10 * 1000000 // 10 AS BIGINT) p10_ppm,
+      CAST(CASE WHEN n_rel > 0 THEN rel_at_10 * 1000000 // n_rel ELSE 0 END AS BIGINT) r10_ppm
+    FROM m)
+  SELECT q_id, n_rel, rel_at_10, p10_ppm, r10_ppm,
+    CAST(CASE WHEN p10_ppm + r10_ppm > 0
+              THEN 2 * p10_ppm * r10_ppm // (p10_ppm + r10_ppm)
+              ELSE 0 END AS BIGINT) f1_ppm
+  FROM s ORDER BY q_id""",
+    "ml_hist_drift" ->
+      """WITH b AS (SELECT event_type,
+      CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 'a' ELSE 'b' END period,
+      CAST(round(value * 100) AS BIGINT) // 2000 bin FROM events),
+  counts AS (SELECT event_type, bin,
+      CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) ca,
+      CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) cb
+    FROM b GROUP BY 1, 2),
+  totals AS (SELECT event_type,
+      CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) na,
+      CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) nb
+    FROM b GROUP BY 1),
+  j AS (SELECT counts.event_type, ca * 1000000 // na pa, cb * 1000000 // nb pb,
+      na, nb FROM counts JOIN totals USING (event_type))
+  SELECT event_type, CAST(max(na) AS BIGINT) n_a, CAST(max(nb) AS BIGINT) n_b,
+    CAST(count(*) AS BIGINT) n_bins, CAST(sum(abs(pa - pb)) AS BIGINT) l1_ppm
+  FROM j GROUP BY 1 ORDER BY 1""",
+    "ml_gini_split" ->
+      """WITH f AS (SELECT
+      CAST(round(embedding[1]::DOUBLE * 1000) AS BIGINT) + 100000 f_off, label
+    FROM embeddings),
+  cl AS (SELECT f_off // 100 b, label, CAST(count(*) AS BIGINT) c FROM f GROUP BY 1, 2)
+  SELECT CAST(b AS BIGINT) b, CAST(sum(c) AS BIGINT) n_b,
+    CAST(count(*) AS BIGINT) n_labels,
+    CAST(1000000 - sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT) gini_ppm
+  FROM cl GROUP BY 1 ORDER BY 1""",
+    "text_bpe_pair_census" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+  pr AS (SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+      i -> substr(tok, CAST(i AS INTEGER), 2))) pair
+    FROM tk WHERE length(tok) >= 2)
+  SELECT pair, CAST(count(*) AS BIGINT) c
+  FROM pr GROUP BY 1 ORDER BY c DESC, pair LIMIT 20""",
+    "corpus_domain_cap" ->
+      """WITH r AS (SELECT doc_id, lang, source, n_chars,
+      row_number() OVER (PARTITION BY lang, source
+                         ORDER BY n_chars DESC, doc_id) rk
+    FROM documents)
+  SELECT doc_id, lang, source, n_chars, CAST(rk AS BIGINT) rk
+  FROM r WHERE rk <= 5 ORDER BY lang, source, rk""",
+    "events_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) dd, user_id FROM events),
+  mx AS (SELECT max(dd) maxd FROM du),
+  dau AS (SELECT dd, CAST(count(*) AS BIGINT) n_dau FROM du GROUP BY 1),
+  sh AS (SELECT du.dd + CAST(k AS INTEGER) dd, du.user_id
+    FROM du, (SELECT unnest(generate_series(0, 6)) k) ks),
+  wau AS (SELECT dd, CAST(count(DISTINCT user_id) AS BIGINT) n_wau
+    FROM sh CROSS JOIN mx WHERE dd <= maxd GROUP BY 1)
+  SELECT dau.dd, n_dau, n_wau,
+    CAST(n_dau * 1000000 // n_wau AS BIGINT) stickiness_ppm
+  FROM dau JOIN wau USING (dd) ORDER BY dd""",
+    "events_step_latency" ->
+      """WITH sg AS (SELECT user_id, min(ts) st FROM events
+    WHERE event_type = 'signup' GROUP BY 1),
+  m AS (SELECT e.user_id, min(e.ts) pt, max(sg.st) st
+    FROM events e JOIN sg ON e.user_id = sg.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= sg.st GROUP BY 1)
+  SELECT user_id, CAST((epoch_us(pt) - epoch_us(st)) // 1000000 AS BIGINT) latency_s
+  FROM m ORDER BY user_id""",
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Wave-18 (ops/Insights.scala) semantic cross-checks — each test pins
+  * a property the DuckDB oracle can't see (cross-operator consistency,
+  * mathematical bounds), complementing the hash gate.
+  */
+class InsightsSpec extends SparkSpecBase {
+
+  test("graph_cc_minlabel: 6 bounded rounds have converged to the true components") {
+    // The fixed-round census must equal the convergence-detected
+    // iterative operator on the same graph — i.e. at this corpus's
+    // diameter, 6 rounds IS connected components, not an approximation.
+    import graft.ops.Scale
+    val e = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val cc = Scale.connectedComponents(e, "a", "b")
+      .groupBy("label").agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("label")).limit(100)
+      .select(col("label").as("lbl"), col("sz"))
+    val fixed = q("graph_cc_minlabel")
+    assert(fixed.exceptAll(cc).isEmpty && cc.exceptAll(fixed).isEmpty)
+  }
+
+  test("ml_precision_recall_k: rel_at_10 agrees with ml_mrr_hits' hits_at_10") {
+    // Same probe set, same ranking, same relevance definition — the two
+    // eval operators must count the same top-10 relevant neighbors.
+    val pr = q("ml_precision_recall_k").select(col("q_id"), col("rel_at_10"))
+    val mrr = q("ml_mrr_hits").select(col("q_id"), col("hits_at_10").as("rel_at_10"))
+    assert(pr.exceptAll(mrr).isEmpty && mrr.exceptAll(pr).isEmpty)
+  }
+
+  test("events_dau_wau: wau bounds dau and stickiness is a valid ratio") {
+    val bad = q("events_dau_wau")
+      .filter(col("n_wau") < col("n_dau") ||
+              col("stickiness_ppm") < 0 || col("stickiness_ppm") > 1000000)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("ts_acf_lags: Cauchy-Schwarz bound |acf| <= 1") {
+    val bad = q("ts_acf_lags")
+      .filter(abs(col("acf_ppm")) > 1000000).count()
+    assert(bad == 0L)
+  }
+
+  test("graph_jaccard_neighbors: co-degree bounded by both degrees, ppm in range") {
+    val bad = q("graph_jaccard_neighbors")
+      .filter(col("c") > least(col("d1"), col("d2")) ||
+              col("jac_ppm") < 0 || col("jac_ppm") > 1000000)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("ml_gini_split: impurity within [0, 1 - 1/k] for 10 labels") {
+    val bad = q("ml_gini_split")
+      .filter(col("gini_ppm") < 0 || col("gini_ppm") > 900000).count()
+    assert(bad == 0L)
+  }
+
+  test("ml_hist_drift: L1 ppm distance bounded by 2, halves partition the month") {
+    val r = q("ml_hist_drift")
+    assert(r.filter(col("l1_ppm") < 0 || col("l1_ppm") > 2000000).count() == 0L)
+    val byType = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val halves = r.select(col("event_type"), (col("n_a") + col("n_b")).as("n"))
+    assert(halves.exceptAll(byType).isEmpty && byType.exceptAll(halves).isEmpty)
+  }
+
+  test("corpus_domain_cap: at most 5 docs kept per (lang, source)") {
+    val over = q("corpus_domain_cap")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 5).count()
+    assert(over == 0L)
+  }
+
+  test("ts_forecast_wape: a perfect 7-day-periodic series scores zero") {
+    // Sanity on the metric itself: WAPE of the seasonal-naive forecast
+    // over a series that repeats with period 7 must be exactly 0.
+    import spark.implicits._
+    val daily = (0 until 28).map(i => (java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i)), (i % 7 + 1) * 100L))
+      .toDF("dd", "c")
+    val f = daily.select(expr("date_add(dd, 7)").as("dd"), col("c").as("fc"))
+    val absErr = daily.join(f, Seq("dd"))
+      .agg(sum(abs(col("c") - col("fc"))).as("w"))
+      .head.getLong(0)
+    assert(absErr == 0L)
+  }
+
+  test("events_step_latency: latencies are non-negative and only for signup users") {
+    val r = q("events_step_latency")
+    assert(r.filter(col("latency_s") < 0).count() == 0L)
+    val signups = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "signup").select("user_id").distinct()
+    assert(r.join(signups, Seq("user_id"), "left_anti").count() == 0L)
+  }
+}

@@ -250,7 +250,10 @@ class PlanSpec extends SparkSpecBase {
     "win_pct_rank_global" -> "bounded-bucket: B×B offsets cross join",
     "pack_token_shards" -> "bounded-bucket: B×B prefix-sum offsets",
     "corpus_shuffle_shards" -> "bounded-bucket: B×B offsets cross join",
-    "customer_rfm" -> "bounded-bucket: D·B×B fused-ntile offsets")
+    "customer_rfm" -> "bounded-bucket: D·B×B fused-ntile offsets",
+    "ts_acf_lags" -> "1-row scalar: n/total + denominator broadcasts",
+    "ml_precision_recall_k" -> "contract-quadratic: exact-ranking eval contract (serving twin: ann_ivf_topk)",
+    "events_dau_wau" -> "1-row scalar: max-day bound broadcast")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -289,7 +292,9 @@ class PlanSpec extends SparkSpecBase {
     "sample_weighted" -> "1-row weight-sum scalar",
     "graph_triangle_count" -> "1-row triangle-count total",
     "corpus_mix_resample" -> "bounded per-source mix table",
-    "audit_table_checksum" -> "per-table 1-row checksum union")
+    "audit_table_checksum" -> "per-table 1-row checksum union",
+    "ts_acf_lags" -> "1-row n/total + denominator aggregates",
+    "events_dau_wau" -> "1-row max-day aggregate")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
