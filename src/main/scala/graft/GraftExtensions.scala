@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.CosineBandRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    // Whole-operator tier: plans the custom AsOfMergeJoin logical node
+    // to its merge exec (SURVEY §4.3 preference (c)).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),

@@ -128,9 +128,55 @@ object AsOf {
       .limit(2000)
   }
 
+  /** Last-prior as-of via the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfMergeJoin]] → AsOfMergeExec, planned by the
+    * injected [[graft.plans.AsOfMergeStrategy]]): both sides
+    * hash-clustered on the key and sorted (key, ts[, id]) by
+    * EnsureRequirements, then one O(1)-state forward sweep per
+    * partition — no per-key arrays (cogroup form), no candidate pairs
+    * (band-join form). Output: left columns + right columns minus the
+    * right key. Keys/timestamps must be BIGINT (ids + epoch-micros).
+    */
+  def asofMergePlan(left: DataFrame, right: DataFrame,
+                    leftKey: String, leftTs: String,
+                    rightKey: String, rightTs: String,
+                    leftOuter: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    // Self-register the planner strategy for sessions built without
+    // GraftExtensions (Verify/Bench use the plain Sessions.builder);
+    // extraStrategies is session-mutable and this is idempotent.
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfMergeStrategy))
+      spark.experimental.extraStrategies =
+        graft.plans.AsOfMergeStrategy +: spark.experimental.extraStrategies
+    org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark,
+      graft.plans.AsOfMergeJoin(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        leftKey, leftTs, rightKey, rightTs, leftOuter))
+  }
+
+  /** The oracle shape on the events table through the custom operator
+    * — same semantics as [[joinAsofCogroup]]/`join_asof_last_signup`,
+    * hash-compared against the same-family DuckDB SQL; OperatorSpec
+    * additionally asserts all three as-of forms agree row-for-row.
+    */
+  val joinAsofMergeExec: Q = (s, d) => {
+    val e = Tables.t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("key"),
+              unix_micros(col("ts")).as("p_ts"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_key"),
+              unix_micros(col("ts")).as("s_ts"))
+    asofMergePlan(p, sg, "key", "p_ts", "s_key", "s_ts")
+      .select(col("purchase_id"), col("signup_id").as("last_signup_id"))
+      .orderBy("purchase_id")
+      .limit(1200)
+  }
+
   val queries: Map[String, Q] = Map(
     "join_asof_next" -> joinAsofNext,
     "join_asof_cogroup" -> joinAsofCogroup,
     "join_asof_nearest" -> joinAsofNearest,
+    "join_asof_merge" -> joinAsofMergeExec,
   )
 }

@@ -122,8 +122,11 @@ object Insights {
     * supplier-sized table — never an all-pairs supplier join.
     */
   val graphJaccardNeighbors: Q = (s, d) => {
+    // materialize the distinct edge set once — it feeds the wedge
+    // join's BOTH sides and the degree table (3 consumers; without
+    // truncation each replans the scan+distinct)
     val e = li(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
+      .distinct().localCheckpoint()
     val deg = e.groupBy("s").agg(cnt.as("deg"))
     val pairs = e.as("x")
       .join(e.as("y"), col("x.p") === col("y.p") && col("x.s") < col("y.s"))

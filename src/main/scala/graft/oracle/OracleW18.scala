@@ -8,6 +8,13 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "join_asof_merge" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+  s AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup')
+  SELECT p.event_id purchase_id, max(s.event_id) last_signup_id
+  FROM p JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+  WHERE s.ts = (SELECT max(s2.ts) FROM s s2 WHERE s2.user_id = p.user_id AND s2.ts <= p.ts)
+  GROUP BY 1 ORDER BY 1 LIMIT 1200""",
     "ts_acf_lags" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) dd,
       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) c

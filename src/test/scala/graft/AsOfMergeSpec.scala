@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOf
+
+/** The custom physical as-of operator (plans/AsOfMerge.scala):
+  * semantics vs the cogroup form, outer semantics, plan shape, and the
+  * O(1)-state hot-key property that motivates the operator.
+  */
+class AsOfMergeSpec extends SparkSpecBase {
+
+  private def legs() = {
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("key"),
+              unix_micros(col("ts")).as("p_ts"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_key"),
+              unix_micros(col("ts")).as("s_ts"))
+    (p, sg)
+  }
+
+  test("merge exec == cogroup form on the full corpus (no limit)") {
+    val (p, sg) = legs()
+    val merged = AsOf.asofMergePlan(p, sg, "key", "p_ts", "s_key", "s_ts")
+      .select(col("purchase_id"), col("signup_id"))
+    val cogrouped = AsOf.asofLastPrior(
+      p.select(col("purchase_id").as("id"), col("key"), col("p_ts").as("ts")),
+      sg.select(col("signup_id").as("id"), col("s_key").as("key"), col("s_ts").as("ts")))
+      .select(col("purchase_id"), col("last_signup_id").as("signup_id"))
+    assert(merged.exceptAll(cogrouped).isEmpty && cogrouped.exceptAll(merged).isEmpty)
+  }
+
+  test("left outer keeps unmatched lefts with null right columns") {
+    val (p, sg) = legs()
+    val outer = AsOf.asofMergePlan(p, sg, "key", "p_ts", "s_key", "s_ts",
+      leftOuter = true)
+    // every purchase survives
+    assert(outer.count() == p.count())
+    // unmatched = purchases whose user has no signup at-or-before; they
+    // carry null signup_id, and inner drops exactly them
+    val inner = AsOf.asofMergePlan(p, sg, "key", "p_ts", "s_key", "s_ts")
+    assert(outer.filter(col("signup_id").isNull).count() ==
+      p.count() - inner.count())
+  }
+
+  test("plan: AsOfMergeExec with exactly two exchanges and two sorts") {
+    val (p, sg) = legs()
+    val df = AsOf.asofMergePlan(p, sg, "key", "p_ts", "s_key", "s_ts")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMerge"), plan.take(800))
+    // EnsureRequirements satisfies the SMJ-style contract: one hash
+    // exchange + one sort per side, nothing else (no window, no
+    // band-join candidate explosion)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges\n${plan.take(1200)}")
+    assert(sorts == 2, s"expected 2 sorts, got $sorts\n${plan.take(1200)}")
+  }
+
+  test("hot key: 200k left rows on ONE key sweep in O(1) state and stay exact") {
+    import spark.implicits._
+    val n = 200000
+    // left: one key, ts = 2i; right: same key, ts = 4j (j < n/2) —
+    // expected match for left i: greatest 4j <= 2i -> j = i/2
+    val l = spark.range(n).select(col("id").as("lid"), lit(7L).as("key"),
+      (col("id") * 2).as("lts"))
+    val r = spark.range(n / 2).select(col("id").as("rid"), lit(7L).as("rkey"),
+      (col("id") * 4).as("rts"))
+    val out = AsOf.asofMergePlan(l, r, "key", "lts", "rkey", "rts")
+      .select(col("lid"), col("rid"))
+    val wrong = out.filter(col("rid") =!= expr("div(lid, 2)")).count()
+    assert(wrong == 0L && out.count() == n)
+  }
+}
