@@ -294,7 +294,66 @@ object Insights {
       .orderBy("user_id")
   }
 
+  /** Three rounds of ACTUAL BPE training — each round counts adjacent
+    * character pairs within tokens, picks the most frequent
+    * (count desc, pair asc — a total order), and merges every
+    * occurrence corpus-wide before the next census. The merge is
+    * `replace(tok, pair, placeholder)`: left-to-right non-overlapping,
+    * exactly BPE's greedy application, with identical semantics on
+    * both engines. Iterative exemplar #4 (pagerank / k-means /
+    * recursive-CTE are #1-3); the selected pair rides a 1-row
+    * broadcast into the merge projection — nothing is collected.
+    * Emits (merge_round, pair, count-at-selection).
+    */
+  val textBpeTrainMerges: Q = (s, d) => {
+    val placeholders = Seq("¡", "¢", "£")
+    var toks = docs(s, d).select(explode(split(col("text"), " ")).as("tok"))
+    val rounds = (1 to 3).map { r =>
+      val census = toks.filter(length(col("tok")) >= 2)
+        .select(explode(
+          expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(cnt.as("c"))
+      val top = census.orderBy(col("c").desc, col("pair")).limit(1)
+      toks = toks.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        .select(expr(s"replace(tok, mp, '${placeholders(r - 1)}')").as("tok"))
+      top.select(lit(r.toLong).as("merge_round"), col("pair"), col("c"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("merge_round")
+  }
+
+  /** The ORACLED mergeable QUANTILE sketch — sibling of
+    * `agg_kmv_distinct` (same LCG hash family, same bounded-heap
+    * `BottomK` aggregate): a deterministic hash-rank sample of 256
+    * rows per group (bottom-k by (h, v) — totally ordered, so both
+    * engines keep the identical multiset), quantiles read off the
+    * sorted sample at `m·q div 100 + 1`. Map-side partials carry ≤ k
+    * rows/group — mergeable, skew-proof, no per-group sort of the
+    * fact table. Round7Spec gates the estimates against the exact
+    * quantiles.
+    */
+  val aggBottomkQuantiles: Q = (s, d) => {
+    import graft.functions.TopKFunctions.bottom_k
+    val k = 256
+    val idx = (q: Int) =>
+      expr(s"element_at(vs, cast(least(m, div(m * $q, 100) + 1) as int))")
+    li(s, d)
+      .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("v"),
+        expr("""pmod(pmod((l_orderkey * 100 + l_linenumber) * 2654435761
+               |          + 1013904223, 2147483648)
+               |     * 1597334677 + 12345, 2147483648)""".stripMargin).as("h"))
+      .groupBy("grp")
+      .agg(bottom_k(struct(col("h"), col("v")), k).as("sk"), cnt.as("n_exact"))
+      .withColumn("vs", expr("array_sort(transform(sk, x -> x.v))"))
+      .withColumn("m", size(col("vs")).cast("long"))
+      .select(col("grp"), col("n_exact"), col("m"),
+        idx(50).as("est_p50"), idx(90).as("est_p90"), idx(99).as("est_p99"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_train_merges" -> textBpeTrainMerges,
+    "agg_bottomk_quantiles" -> aggBottomkQuantiles,
     "ts_acf_lags" -> tsAcfLags,
     "ts_forecast_wape" -> tsForecastWape,
     "graph_cc_minlabel" -> graphCcMinlabel,

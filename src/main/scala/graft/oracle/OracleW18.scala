@@ -8,6 +8,43 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "text_bpe_train_merges" ->
+      """WITH tk0 AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+  p1 AS (SELECT pair, CAST(count(*) AS BIGINT) c FROM (
+      SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+        i -> substr(tok, CAST(i AS INTEGER), 2))) pair FROM tk0 WHERE length(tok) >= 2)
+    GROUP BY 1),
+  b1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+  tk1 AS (SELECT replace(tok, (SELECT pair FROM b1), '¡') tok FROM tk0),
+  p2 AS (SELECT pair, CAST(count(*) AS BIGINT) c FROM (
+      SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+        i -> substr(tok, CAST(i AS INTEGER), 2))) pair FROM tk1 WHERE length(tok) >= 2)
+    GROUP BY 1),
+  b2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+  tk2 AS (SELECT replace(tok, (SELECT pair FROM b2), '¢') tok FROM tk1),
+  p3 AS (SELECT pair, CAST(count(*) AS BIGINT) c FROM (
+      SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+        i -> substr(tok, CAST(i AS INTEGER), 2))) pair FROM tk2 WHERE length(tok) >= 2)
+    GROUP BY 1),
+  b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)
+  SELECT CAST(1 AS BIGINT) merge_round, pair, c FROM b1
+  UNION ALL SELECT 2, pair, c FROM b2
+  UNION ALL SELECT 3, pair, c FROM b3
+  ORDER BY merge_round""",
+    "agg_bottomk_quantiles" ->
+      """WITH t AS (SELECT l_returnflag grp, CAST(round(l_extendedprice * 100) AS BIGINT) v,
+      ((((l_orderkey * 100 + l_linenumber) * 2654435761 + 1013904223) % 2147483648)
+       * 1597334677 + 12345) % 2147483648 h
+    FROM lineitem),
+  g AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY h, v) rn,
+      count(*) OVER (PARTITION BY grp) n FROM t),
+  s AS (SELECT grp, CAST(max(n) AS BIGINT) n_exact,
+      list_sort(list(v) FILTER (WHERE rn <= 256)) vs FROM g GROUP BY 1)
+  SELECT grp, n_exact, CAST(len(vs) AS BIGINT) m,
+    CAST(vs[least(len(vs), len(vs) * 50 // 100 + 1)] AS BIGINT) est_p50,
+    CAST(vs[least(len(vs), len(vs) * 90 // 100 + 1)] AS BIGINT) est_p90,
+    CAST(vs[least(len(vs), len(vs) * 99 // 100 + 1)] AS BIGINT) est_p99
+  FROM s ORDER BY grp""",
     "join_asof_merge" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
   s AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup')

@@ -382,7 +382,15 @@ object CowTable {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = listVersions(path)
     val (old, kept) = vs.splitAt(math.max(0, vs.size - keepLast))
-    val live = kept.flatMap(v => snapshotFiles(path, Some(v))).toSet
+    // Live = files referenced by kept MAIN snapshots plus EVERY branch
+    // snapshot: branches share the parent's data files by manifest
+    // reference, so vacuuming only against main would delete data out
+    // from under an unpublished branch.
+    val live = (kept.flatMap(v => snapshotFiles(path, Some(v))) ++
+      listBranches(path).flatMap { b =>
+        val bp = branchPath(path, b)
+        listVersions(bp).flatMap(v => snapshotFiles(bp, Some(v)))
+      }).toSet
     old.foreach(v => Files.deleteIfExists(snapDir(path).resolve(s"v$v.json")))
     val dataRoot = Paths.get(path, "data")
     var vacuumed = 0
@@ -394,6 +402,75 @@ object CowTable {
         .foreach { p => Files.delete(p); vacuumed += 1 }
     }
     (old.size, vacuumed)
+  }
+
+  // ---------------------------------------------------------------
+  // Branches — the WRITE-AUDIT-PUBLISH workflow (Iceberg's branch/WAP
+  // pattern, expressed in this manifest model). A branch IS a CowTable
+  // whose meta lives under `<path>/_branches/<name>` and whose v1
+  // manifest references the PARENT's data files (manifests hold
+  // absolute paths — forking is a metadata copy, zero data movement).
+  // Every existing operator (read / merge / delete / changes /
+  // compact / incremental agg) therefore works on a branch unchanged:
+  // pass `branchPath(path, name)` wherever a table path goes. Branch
+  // rewrites land new data files under the BRANCH's own data dir;
+  // parent files are never mutated (copy-on-write all the way down).
+  // ---------------------------------------------------------------
+
+  def branchPath(path: String, name: String): String =
+    Paths.get(path, "_branches", name).toString
+
+  def listBranches(path: String): Seq[String] = {
+    val d = Paths.get(path, "_branches")
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Fork a branch at the parent's CURRENT snapshot. Records the fork
+    * version so [[publishBranch]] can enforce fast-forward-only.
+    */
+  def createBranch(path: String, name: String): Int = {
+    val bp = branchPath(path, name)
+    require(!exists(bp), s"branch $name already exists under $path")
+    Files.createDirectories(Paths.get(bp))
+    Files.write(Paths.get(bp, "_fork"),
+      currentVersion(path).toString.getBytes(StandardCharsets.UTF_8))
+    commit(bp, snapshotFiles(path), 0)
+  }
+
+  /** The fork point recorded at [[createBranch]]. */
+  def branchForkVersion(path: String, name: String): Int =
+    new String(Files.readAllBytes(Paths.get(branchPath(path, name), "_fork")),
+      StandardCharsets.UTF_8).trim.toInt
+
+  /** PUBLISH: atomically fast-forward the parent to the branch's
+    * current snapshot — the "P" of write-audit-publish, run after the
+    * audit queries pass on the branch. Fast-forward-only: if the
+    * parent advanced past the fork point, publishing would silently
+    * drop those commits, so it fails and the caller re-branches or
+    * rebases. The final hard-link commit keeps the no-clobber
+    * guarantee even against a racing parent writer.
+    */
+  def publishBranch(path: String, name: String): Int = {
+    val bp = branchPath(path, name)
+    val fork = branchForkVersion(path, name)
+    val cur = currentVersion(path)
+    if (cur != fork)
+      throw new IllegalStateException(
+        s"publish conflict: $path advanced v$fork -> v$cur since branch " +
+          s"'$name' forked; re-branch and replay the branch's changes")
+    commit(path, snapshotFiles(bp), cur)
+  }
+
+  /** Drop a branch's metadata (its manifests and fork marker). Data
+    * files the branch wrote become unreferenced and are reclaimed by
+    * the next [[expireSnapshots]]; parent files are untouched.
+    */
+  def dropBranch(path: String, name: String): Unit = {
+    val bp = Paths.get(branchPath(path, name))
+    if (Files.exists(bp))
+      Files.walk(bp).iterator().asScala.toList.reverse.foreach(Files.delete)
   }
 
   // input_file_name() returns a file URI; manifests store plain paths

@@ -423,4 +423,71 @@ class CowTableSpec extends SparkSpecBase {
     // clustering is snapshot-safe: v1 (pre-cluster) still readable
     assert(CowTable.read(spark, path, asOf = Some(1)).count() == 40000)
   }
+
+  test("branch: fork is zero-copy, writes stay invisible to main until publish") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 500L).map(i => (i, i * 10)).toDF("id", "score")
+      .repartition(4), path)
+    CowTable.createBranch(path, "audit")
+    val bp = CowTable.branchPath(path, "audit")
+    // forking copied no data: branch v1 references the parent's files
+    assert(CowTable.snapshotFiles(bp).toSet == CowTable.snapshotFiles(path).toSet)
+
+    // write on the branch through the NORMAL merge operator
+    val upd = Seq((1L, -1L), (9000L, 1L)).toDF("id", "score")
+    CowTable.merge(spark, bp, upd, "id")
+    // audit reads see the branch state; main readers see none of it
+    assert(CowTable.read(spark, bp).count() == 501)
+    assert(CowTable.read(spark, bp).filter(col("id") === 1L)
+      .select("score").as[Long].head() == -1L)
+    assert(CowTable.read(spark, path).count() == 500)
+    assert(CowTable.read(spark, path).filter(col("id") === 1L)
+      .select("score").as[Long].head() == 10L)
+
+    // publish fast-forwards main atomically
+    val v = CowTable.publishBranch(path, "audit")
+    assert(v == CowTable.currentVersion(path))
+    assert(CowTable.read(spark, path).count() == 501)
+    assert(CowTable.read(spark, path).filter(col("id") === 1L)
+      .select("score").as[Long].head() == -1L)
+    // pre-publish main still time-travelable
+    assert(CowTable.read(spark, path, asOf = Some(1)).count() == 500)
+  }
+
+  test("branch: publish refuses when main advanced past the fork point") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, i)).toDF("id", "v"), path)
+    CowTable.createBranch(path, "wap")
+    CowTable.merge(spark, CowTable.branchPath(path, "wap"),
+      Seq((1L, -1L)).toDF("id", "v"), "id")
+    // main advances independently -> fast-forward is impossible
+    CowTable.merge(spark, path, Seq((2L, -2L)).toDF("id", "v"), "id")
+    intercept[IllegalStateException] { CowTable.publishBranch(path, "wap") }
+    // main unaffected by the failed publish
+    assert(CowTable.read(spark, path).filter(col("id") === 1L)
+      .select("v").as[Long].head() == 1L)
+  }
+
+  test("branch: expireSnapshots never vacuums files a live branch references") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 200L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4), path)
+    CowTable.createBranch(path, "keepme")
+    // rewrite EVERY main file so v1's files are unreferenced by main's
+    // kept snapshot — only the branch still points at them
+    CowTable.merge(spark, path,
+      (0L until 200L).map(i => (i, -i)).toDF("id", "v"), "id")
+    val (dropped, vacuumed) = CowTable.expireSnapshots(path, keepLast = 1)
+    assert(dropped == 1 && vacuumed == 0) // branch holds every v1 file live
+    assert(CowTable.read(spark, CowTable.branchPath(path, "keepme")).count() == 200)
+
+    // dropping the branch releases them
+    CowTable.dropBranch(path, "keepme")
+    val (_, vacuumed2) = CowTable.expireSnapshots(path, keepLast = 1)
+    assert(vacuumed2 > 0)
+    assert(CowTable.read(spark, path).count() == 200) // main intact
+  }
 }

@@ -90,6 +90,36 @@ class InsightsSpec extends SparkSpecBase {
     assert(absErr == 0L)
   }
 
+  test("agg_bottomk_quantiles: 256-sample estimates land near the exact quantiles") {
+    // Rank accuracy: the true rank of each estimate must sit within a
+    // few standard errors (sqrt(q(1-q)/k) ~ 3%) of the target quantile.
+    val est = q("agg_bottomk_quantiles")
+    val vals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("grp"),
+              (round(col("l_extendedprice") * 100)).cast("long").as("v"))
+    val checks = est.join(vals, "grp")
+      .groupBy("grp", "n_exact", "est_p50", "est_p90")
+      .agg(sum(when(col("v") <= col("est_p50"), 1L).otherwise(0L)).as("r50"),
+           sum(when(col("v") <= col("est_p90"), 1L).otherwise(0L)).as("r90"))
+      .withColumn("q50", col("r50") * 1000 / col("n_exact"))
+      .withColumn("q90", col("r90") * 1000 / col("n_exact"))
+    val bad = checks.filter(
+      col("q50") < 350 || col("q50") > 650 ||
+      col("q90") < 780 || col("q90") > 980).count()
+    assert(bad == 0L, checks.collect().mkString("\n"))
+  }
+
+  test("text_bpe_train_merges: greedy merge counts are non-increasing and round 1 is the census top") {
+    val merges = q("text_bpe_train_merges").orderBy("merge_round").collect()
+    assert(merges.length == 3)
+    val counts = merges.map(_.getAs[Long]("c"))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2), counts.mkString(","))
+    // round-1 selection == the standalone pair census's top row
+    val top = q("text_bpe_pair_census").orderBy(col("c").desc, col("pair")).collect().head
+    assert(merges(0).getAs[String]("pair") == top.getAs[String]("pair") &&
+           counts(0) == top.getAs[Long]("c"))
+  }
+
   test("events_step_latency: latencies are non-negative and only for signup users") {
     val r = q("events_step_latency")
     assert(r.filter(col("latency_s") < 0).count() == 0L)

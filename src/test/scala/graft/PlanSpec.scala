@@ -253,7 +253,8 @@ class PlanSpec extends SparkSpecBase {
     "customer_rfm" -> "bounded-bucket: D·B×B fused-ntile offsets",
     "ts_acf_lags" -> "1-row scalar: n/total + denominator broadcasts",
     "ml_precision_recall_k" -> "contract-quadratic: exact-ranking eval contract (serving twin: ann_ivf_topk)",
-    "events_dau_wau" -> "1-row scalar: max-day bound broadcast")
+    "events_dau_wau" -> "1-row scalar: max-day bound broadcast",
+    "text_bpe_train_merges" -> "1-row scalar: selected merge pair broadcast per round")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
