@@ -351,7 +351,159 @@ object Insights {
       .orderBy("grp")
   }
 
+  /** The SQL PIVOT clause (Spark's grammar, distinct from the
+    * DataFrame `pivot` exercised by `agg_pivot`): per-day event-type
+    * count matrix. The oracle states the identical relational content
+    * as CASE-WHEN sums (DuckDB's PIVOT grammar differs — semantics,
+    * not syntax, is the contract).
+    */
+  val sqlPivotSyntax: Q = (s, d) =>
+    Tables.sql(s, d,
+      """SELECT dd, coalesce(n_click, 0) n_click, coalesce(n_purchase, 0) n_purchase,
+        |  coalesce(n_signup, 0) n_signup, coalesce(n_view, 0) n_view,
+        |  coalesce(n_error, 0) n_error
+        |FROM (SELECT CAST(ts AS DATE) dd, event_type FROM events)
+        |PIVOT (count(1) FOR event_type IN
+        |  ('click' n_click, 'purchase' n_purchase, 'signup' n_signup,
+        |   'view' n_view, 'error' n_error))
+        |ORDER BY dd""".stripMargin)
+
+  /** The SQL UNPIVOT clause (wide→long in the grammar; the DataFrame
+    * `unpivot` twin is `unpivot_metrics`): per-language corpus metrics
+    * melted to (lang, metric, value) rows.
+    */
+  val sqlUnpivotSyntax: Q = (s, d) =>
+    Tables.sql(s, d,
+      """SELECT lang, metric, value FROM (
+        |  SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) total_chars,
+        |    CAST(max(n_chars) AS BIGINT) max_meta_chars
+        |  FROM documents GROUP BY lang)
+        |UNPIVOT (value FOR metric IN (n_docs, total_chars, max_meta_chars))
+        |ORDER BY lang, metric""".stripMargin)
+
+  /** Spark 4 collation surface: distinct-counting under UTF8_LCASE vs
+    * binary. Case variance is synthesized deterministically (even ids
+    * UPPER, odd ids lower over the nation name), so the case-sensitive
+    * distinct count is 2× the case-insensitive one — the property a
+    * collation-aware engine must get right. The emitted names are
+    * explicitly lowercased (a collation GROUP BY's representative case
+    * is undefined; never hash-compare it).
+    */
+  val strCollationDistinct: Q = (s, d) => {
+    val n = Tables.t(s, d, "nation").join(Tables.t(s, d, "customer"),
+      col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, upper(col("n_name")))
+          .otherwise(lower(col("n_name"))).as("name_cased"))
+    n.agg(
+      countDistinct(col("name_cased")).cast("long").as("n_case_sensitive"),
+      countDistinct(expr("collate(name_cased, 'UTF8_LCASE')")).cast("long")
+        .as("n_case_insensitive"),
+      cnt.as("n_rows"))
+  }
+
+  /** Stationary distribution of the event-type Markov chain: 4 exact
+    * power-iteration rounds over the 25-cell transition matrix
+    * (census from per-user `lag`), starting uniform at 200000 ppm.
+    * Per-term truncation `div(v_i·c_ij, r_i)` is applied identically
+    * on both engines — the drift from 10⁶ is deterministic. Iterative
+    * exemplar #5; every round is a join over ≤25 rows.
+    */
+  val eventsMarkovStationary: Q = (s, d) => {
+    val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = ev(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("j"))
+      .withColumn("i", lag(col("j"), 1).over(wo))
+      .filter(col("i").isNotNull)
+      .groupBy("i", "j").agg(cnt.as("c"))
+    val rowSum = trans.groupBy("i").agg(sum("c").cast("long").as("r"))
+    val tm = trans.join(rowSum, "i").localCheckpoint()
+    var v = tm.select(col("i").as("t")).union(tm.select(col("j").as("t")))
+      .distinct().withColumn("v", lit(200000L))
+    for (_ <- 1 to 4) {
+      v = tm.join(v, tm("i") === v("t"))
+        .select(col("j"), expr("div(v * c, r)").as("m"))
+        .groupBy(col("j").as("t")).agg(sum("m").cast("long").as("v"))
+    }
+    v.select(col("t").as("event_type"), col("v").as("v_ppm")).orderBy("event_type")
+  }
+
+  /** Higher-order array-function battery over each order's quantity
+    * list: exists / filter / aggregate (reduce) / element access on
+    * the sorted array — one collect_list per order, lambdas evaluated
+    * per row, no second shuffle.
+    */
+  val arrayHofFuncs: Q = (s, d) =>
+    li(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_orderkey")
+      .agg(expr("array_sort(collect_list(q))").as("arr"))
+      .select(col("l_orderkey"),
+        size(col("arr")).cast("long").as("n_items"),
+        expr("cast(exists(arr, x -> x > 40) as long)").as("has_gt40"),
+        expr("cast(size(filter(arr, x -> x >= 25)) as long)").as("n_ge25"),
+        expr("aggregate(arr, 0L, (acc, x) -> acc + x)").as("total_qty"),
+        expr("element_at(arr, 1)").as("min_qty"),
+        expr("element_at(arr, -1)").as("max_qty"))
+      .orderBy("l_orderkey")
+      .limit(2000)
+
+  /** Product-analytics bounce rate: 30-minute-gap sessions (same
+    * sessionization as `events_sessionize_stats`), a session "bounces"
+    * if it contains one event; per session-start day emit session /
+    * bounce counts and the bounce ratio ppm.
+    */
+  val eventsBounceRate: Q = (s, d) => {
+    val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wo)))
+      .withColumn("new_sess",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_sess").over(wrun))
+      .groupBy("user_id", "sid")
+      .agg(cnt.as("n_ev"), to_date(min("ts")).as("dd"))
+      .groupBy("dd")
+      .agg(cnt.as("n_sessions"),
+           sum(when(col("n_ev") === 1L, 1L).otherwise(0L)).cast("long").as("n_bounce"))
+      .withColumn("bounce_ppm", expr("div(n_bounce * 1000000, n_sessions)"))
+      .orderBy("dd")
+  }
+
+  /** IQR-fence outlier census over each event type's daily revenue:
+    * quartiles read off the SORTED 30-day domain list (never a
+    * fact-table window), Tukey fences kept integer by working in
+    * half-cents (`2·q1 − 3·iqr`, `2·q3 + 3·iqr`).
+    */
+  val tsOutlierIqr: Q = (s, d) => {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("c"))
+    daily.groupBy("event_type")
+      .agg(expr("array_sort(collect_list(c))").as("cs"))
+      .withColumn("m", size(col("cs")).cast("long"))
+      .withColumn("q1", expr("element_at(cs, cast(least(m, div(m * 25, 100) + 1) as int))"))
+      .withColumn("q3", expr("element_at(cs, cast(least(m, div(m * 75, 100) + 1) as int))"))
+      .withColumn("lo2", col("q1") * 2 - (col("q3") - col("q1")) * 3)
+      .withColumn("hi2", col("q3") * 2 + (col("q3") - col("q1")) * 3)
+      .withColumn("n_outliers",
+        expr("cast(size(filter(cs, x -> x * 2 < lo2 OR x * 2 > hi2)) as long)"))
+      .select("event_type", "m", "q1", "q3", "n_outliers")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_pivot_syntax" -> sqlPivotSyntax,
+    "sql_unpivot_syntax" -> sqlUnpivotSyntax,
+    "str_collation_distinct" -> strCollationDistinct,
+    "events_markov_stationary" -> eventsMarkovStationary,
+    "array_hof_funcs" -> arrayHofFuncs,
+    "events_bounce_rate" -> eventsBounceRate,
+    "ts_outlier_iqr" -> tsOutlierIqr,
     "text_bpe_train_merges" -> textBpeTrainMerges,
     "agg_bottomk_quantiles" -> aggBottomkQuantiles,
     "ts_acf_lags" -> tsAcfLags,

@@ -8,6 +8,81 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "sql_pivot_syntax" ->
+      """SELECT CAST(ts AS DATE) dd,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) n_click,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) n_purchase,
+    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) n_view,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) n_error
+  FROM events GROUP BY 1 ORDER BY 1""",
+    "sql_unpivot_syntax" ->
+      """WITH t AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+      CAST(sum(length(text)) AS BIGINT) total_chars,
+      CAST(max(n_chars) AS BIGINT) max_meta_chars
+    FROM documents GROUP BY 1)
+  SELECT lang, 'n_docs' metric, n_docs AS "value" FROM t
+  UNION ALL SELECT lang, 'total_chars', total_chars FROM t
+  UNION ALL SELECT lang, 'max_meta_chars', max_meta_chars FROM t
+  ORDER BY lang, metric""",
+    "str_collation_distinct" ->
+      """WITH n AS (SELECT c_custkey,
+      CASE WHEN c_custkey % 2 = 0 THEN upper(n_name) ELSE lower(n_name) END name_cased
+    FROM nation JOIN customer ON n_nationkey = c_nationkey)
+  SELECT CAST(count(DISTINCT name_cased) AS BIGINT) n_case_sensitive,
+    CAST(count(DISTINCT lower(name_cased)) AS BIGINT) n_case_insensitive,
+    CAST(count(*) AS BIGINT) n_rows
+  FROM n""",
+    "events_markov_stationary" ->
+      """WITH tr AS (SELECT i, j, CAST(count(*) AS BIGINT) c FROM (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) i,
+        event_type j FROM events)
+    WHERE i IS NOT NULL GROUP BY 1, 2),
+  rs AS (SELECT i, CAST(sum(c) AS BIGINT) r FROM tr GROUP BY 1),
+  tm AS (SELECT tr.i, tr.j, c, r FROM tr JOIN rs USING (i)),
+  nodes AS (SELECT DISTINCT i t FROM tm UNION SELECT DISTINCT j FROM tm),
+  v0 AS (SELECT t, CAST(200000 AS BIGINT) v FROM nodes),
+  v1 AS (SELECT j t, CAST(sum(v * c // r) AS BIGINT) v FROM tm JOIN v0 ON tm.i = v0.t GROUP BY 1),
+  v2 AS (SELECT j t, CAST(sum(v * c // r) AS BIGINT) v FROM tm JOIN v1 ON tm.i = v1.t GROUP BY 1),
+  v3 AS (SELECT j t, CAST(sum(v * c // r) AS BIGINT) v FROM tm JOIN v2 ON tm.i = v2.t GROUP BY 1),
+  v4 AS (SELECT j t, CAST(sum(v * c // r) AS BIGINT) v FROM tm JOIN v3 ON tm.i = v3.t GROUP BY 1)
+  SELECT t event_type, v v_ppm FROM v4 ORDER BY 1""",
+    "array_hof_funcs" ->
+      """WITH a AS (SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) arr
+    FROM lineitem GROUP BY 1)
+  SELECT l_orderkey, CAST(len(arr) AS BIGINT) n_items,
+    CAST(CASE WHEN len(list_filter(arr, x -> x > 40)) > 0 THEN 1 ELSE 0 END AS BIGINT) has_gt40,
+    CAST(len(list_filter(arr, x -> x >= 25)) AS BIGINT) n_ge25,
+    CAST(list_sum(arr) AS BIGINT) total_qty,
+    arr[1] min_qty, arr[-1] max_qty
+  FROM a ORDER BY l_orderkey LIMIT 2000""",
+    "events_bounce_rate" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+      CAST(floor(epoch(ts)) AS BIGINT) -
+      CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) gap_s
+    FROM events),
+  m AS (SELECT user_id, event_id, ts,
+      CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END new_sess FROM o),
+  sids AS (SELECT user_id, ts,
+      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sid FROM m),
+  per AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) n_ev, CAST(min(ts) AS DATE) dd
+    FROM sids GROUP BY 1, 2)
+  SELECT dd, CAST(count(*) AS BIGINT) n_sessions,
+    CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) n_bounce,
+    CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) bounce_ppm
+  FROM per GROUP BY 1 ORDER BY 1""",
+    "ts_outlier_iqr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) c
+    FROM events GROUP BY 1, 2),
+  g AS (SELECT event_type, list_sort(list(c)) cs FROM daily GROUP BY 1),
+  q AS (SELECT event_type, cs, CAST(len(cs) AS BIGINT) m,
+      cs[least(len(cs), len(cs) * 25 // 100 + 1)] q1,
+      cs[least(len(cs), len(cs) * 75 // 100 + 1)] q3 FROM g)
+  SELECT event_type, m, CAST(q1 AS BIGINT) q1, CAST(q3 AS BIGINT) q3,
+    CAST(len(list_filter(cs, x -> x * 2 < q1 * 2 - (q3 - q1) * 3
+                              OR x * 2 > q3 * 2 + (q3 - q1) * 3)) AS BIGINT) n_outliers
+  FROM q ORDER BY 1""",
     "text_bpe_train_merges" ->
       """WITH tk0 AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
   p1 AS (SELECT pair, CAST(count(*) AS BIGINT) c FROM (

@@ -120,6 +120,42 @@ class InsightsSpec extends SparkSpecBase {
            counts(0) == top.getAs[Long]("c"))
   }
 
+  test("events_markov_stationary: mass stays within truncation loss of 1e6") {
+    val v = q("events_markov_stationary").collect()
+    val total = v.map(_.getAs[Long]("v_ppm")).sum
+    // each of 4 rounds truncates <=1 ppm per (i,j) term (<=25 terms)
+    assert(total <= 1000000L && total >= 1000000L - 4 * 25, s"total=$total")
+    assert(v.forall(_.getAs[Long]("v_ppm") >= 0L))
+  }
+
+  test("ts_outlier_iqr: quartiles ordered, outliers bounded by the domain") {
+    val bad = q("ts_outlier_iqr")
+      .filter(col("q1") > col("q3") || col("n_outliers") > col("m")).count()
+    assert(bad == 0L)
+  }
+
+  test("events_bounce_rate: bounces bounded by sessions, ppm valid") {
+    val bad = q("events_bounce_rate")
+      .filter(col("n_bounce") > col("n_sessions") ||
+              col("bounce_ppm") < 0 || col("bounce_ppm") > 1000000).count()
+    assert(bad == 0L)
+  }
+
+  test("array_hof_funcs: lambda results consistent with the array extremes") {
+    val bad = q("array_hof_funcs").filter(
+      (col("has_gt40") === 1L) =!= (col("max_qty") > 40L) ||
+      col("min_qty") > col("max_qty") || col("n_ge25") > col("n_items")).count()
+    assert(bad == 0L)
+  }
+
+  test("str_collation_distinct: UTF8_LCASE collapses the synthesized case variants") {
+    val r = q("str_collation_distinct").head
+    assert(r.getAs[Long]("n_case_insensitive") <= r.getAs[Long]("n_case_sensitive"))
+    // both parities exist among 150+ customers over 25 nations, so the
+    // cased distinct count must strictly exceed the collated one
+    assert(r.getAs[Long]("n_case_sensitive") > r.getAs[Long]("n_case_insensitive"))
+  }
+
   test("events_step_latency: latencies are non-negative and only for signup users") {
     val r = q("events_step_latency")
     assert(r.filter(col("latency_s") < 0).count() == 0L)

@@ -295,7 +295,8 @@ class PlanSpec extends SparkSpecBase {
     "corpus_mix_resample" -> "bounded per-source mix table",
     "audit_table_checksum" -> "per-table 1-row checksum union",
     "ts_acf_lags" -> "1-row n/total + denominator aggregates",
-    "events_dau_wau" -> "1-row max-day aggregate")
+    "events_dau_wau" -> "1-row max-day aggregate",
+    "str_collation_distinct" -> "1-row global distinct-count aggregate")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
