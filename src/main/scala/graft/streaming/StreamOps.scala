@@ -380,6 +380,54 @@ object StreamOps {
       .transformWithState(new KmvDistinctProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
+  /** The QUANTILE sketch as bounded streaming state — the
+    * `agg_bottomk_quantiles` twin, as [[KmvDistinctProcessor]] is to
+    * `agg_kmv_distinct`: ListState holds the k lexicographically
+    * smallest (kmvHash(rowId), value) pairs per key (a MULTISET, like
+    * the batch `bottom_k` — no distinct), each batch merges
+    * state ++ fresh and re-truncates (the same min-k union the batch
+    * map-side partials perform), and quantiles read off the sorted
+    * sample exactly as the batch query indexes its array
+    * (`min(m, m·q div 100 + 1)`, 1-based). O(k) state per key;
+    * StreamingSpec proves batch parity on the real event log across a
+    * micro-batch boundary.
+    */
+  class BottomkQuantilesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), (String, Long, Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var sk: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getListState[(Long, Long)]("sk",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+                                 timers: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val fresh = rows.map(r => (StreamOps.kmvHash(r._2), r._3)).toArray
+      val merged = (sk.get().toArray ++ fresh).sorted.take(k)
+      sk.clear()
+      merged.foreach(sk.appendValue)
+      val vs = merged.map(_._2).sorted
+      val m = vs.length
+      def q(p: Int): Long = vs(math.min(m - 1, m * p / 100))
+      Iterator((key, m.toLong, q(50), q(90)))
+    }
+  }
+
+  /** (key, rowId, value) stream → (key, sampleSize, p50, p90) per
+    * micro-batch; estimates converge as the sample fills.
+    */
+  def bottomkQuantilesStream(rows: Dataset[(String, Long, Long)],
+                             k: Int = 256): Dataset[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new BottomkQuantilesProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
   /** EVENT-TIME TIMERS — the Processor-API `punctuate` analogue, and
     * the true-streaming twin of the batch `stream_gap_detect` query:
     * every input row re-arms a per-user timer at lastSeen + gap; when

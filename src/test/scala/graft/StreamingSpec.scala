@@ -556,6 +556,66 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming bottom-k quantile sketch matches the batch sample across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 64
+      val all = graft.tables.Tables.t(spark, sf, "events")
+        .select(col("event_type"), col("event_id"),
+                round(col("value") * 100).cast("long"))
+        .collect().sortBy(_.getLong(1))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val stream = MemoryStream[(String, Long, Long)]
+      val sink = nextSink()
+      val q = StreamOps.bottomkQuantilesStream(stream.toDS(), k)
+        .toDF("key", "m", "p50", "p90")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // first batch stays under k rows per key (1000/5 = 200 events,
+      // 1/5 of that = ~40/type < 64) so the sample is still filling —
+      // the final batch is then uniquely identifiable as max-m
+      stream.addData(all.take(all.length / 5).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(all.drop(all.length / 5).toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      // the final (max-m) emission per key must equal the batch
+      // formula over the full delivery
+      val streamed = spark.table(sink)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")
+            .orderBy(col("m").desc, col("p50"), col("p90"))))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val expected = all.groupBy(_._1).map { case (t, rows) =>
+        val vs = rows.map(r => (StreamOps.kmvHash(r._2), r._3))
+          .sorted.take(k).map(_._2).sorted
+        val m = vs.length
+        def qq(p: Int) = vs(math.min(m - 1, m * p / 100))
+        t -> ((qq(50), qq(90)))
+      }
+      assert(streamed == expected)
+      // and the sample really estimates: streamed p50 sits between the
+      // exact p35 and p65 of each key's full value set
+      val truth = all.groupBy(_._1).map { case (t, rows) =>
+        t -> rows.map(_._3).sorted
+      }
+      streamed.foreach { case (t, (p50, _)) =>
+        val vs = truth(t)
+        assert(p50 >= vs((vs.length * 35) / 100) && p50 <= vs((vs.length * 65) / 100),
+          s"$t: p50=$p50 outside [p35, p65]")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming KMV sketch converges to the batch estimate across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
