@@ -496,7 +496,108 @@ object Insights {
       .orderBy("event_type")
   }
 
+  /** Cohort lifetime value: users cohorted by first-signup week,
+    * purchase revenue laid out by whole-week offset since the cohort
+    * week, with the running (cumulative) LTV per cohort. The only
+    * window runs over the cohort×offset table (bounded by the
+    * calendar, ≤ 5×5 here), never the fact stream.
+    */
+  val ltvCohortRevenue: Q = (s, d) => {
+    val f = ev(s, d).filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(to_date(date_trunc("week", min("ts"))).as("cohort_w"))
+    val w = Window.partitionBy("cohort_w").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d).filter(col("event_type") === "purchase")
+      .join(f, "user_id")
+      .filter(to_date(col("ts")) >= col("cohort_w"))
+      .withColumn("week_offset",
+        expr("div(datediff(to_date(date_trunc('week', ts)), cohort_w), 7)"))
+      .groupBy("cohort_w", "week_offset")
+      .agg(cnt.as("n_purchases"), sumCents(col("value")).as("cents"))
+      .withColumn("cum_cents", sum("cents").over(w).cast("long"))
+      .orderBy("cohort_w", "week_offset")
+  }
+
+  /** Market-basket association rules over order baskets: part pairs
+    * co-purchased in one order, with support, both rule directions'
+    * confidence, and lift (independence ratio). The pair join is an
+    * equi-join on the order key (baskets are ≤ 7 items — candidate
+    * volume is linear in orders); item supports broadcast. Top-20 by
+    * lift among pairs with support ≥ 3.
+    */
+  val basketAprioriPairs: Q = (s, d) => {
+    val b = li(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint()
+    val cx = b.groupBy("p").agg(cnt.as("cp"))
+    val n = b.select("o").distinct().agg(cnt.as("n_baskets"))
+    b.as("x").join(b.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      .agg(cnt.as("c_xy"))
+      .filter(col("c_xy") >= 3)
+      .join(cx.select(col("p").as("p1"), col("cp").as("c1")), "p1")
+      .join(cx.select(col("p").as("p2"), col("cp").as("c2")), "p2")
+      .crossJoin(broadcast(n))
+      .withColumn("conf12_ppm", expr("div(c_xy * 1000000, c1)"))
+      .withColumn("conf21_ppm", expr("div(c_xy * 1000000, c2)"))
+      .withColumn("lift_ppm", expr(
+        "cast(div(cast(c_xy as decimal(38,0)) * n_baskets * 1000000, cast(c1 as decimal(38,0)) * c2) as bigint)"))
+      .orderBy(col("lift_ppm").desc, col("p1"), col("p2"))
+      .limit(20)
+      .select("p1", "p2", "c_xy", "conf12_ppm", "conf21_ppm", "lift_ppm")
+  }
+
+  /** ABC inventory/revenue classification: suppliers ranked by revenue
+    * share, class A = the head covering 80% of cumulative revenue,
+    * B to 95%, C the tail. The ranking window runs over the
+    * supplier-sized DIMENSION table (never fact data); shares are
+    * exact integer ppm of the 1-row total.
+    */
+  val supplierAbcClass: Q = (s, d) => {
+    val rev = li(s, d).groupBy(col("l_suppkey").as("s"))
+      .agg(sumCents(col("l_extendedprice")).as("cents"))
+    val tot = rev.agg(sum("cents").cast("long").as("total"))
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum_ppm", expr(
+        """div(cast(sum(cents) over (order by cents desc, s rows unbounded preceding)
+          |        as decimal(38,0)) * 1000000, total)""".stripMargin))
+      .withColumn("cls",
+        when(col("cum_ppm") <= 800000L, "A")
+          .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
+      .groupBy("cls")
+      .agg(cnt.as("n_suppliers"), sum("cents").cast("long").as("cents"))
+      .orderBy("cls")
+  }
+
+  /** Inter-purchase cadence per customer: order-date gaps in days via
+    * a per-customer lag, median/max off the customer's sorted gap list
+    * (bounded by the customer's own order count). Customers with ≥ 2
+    * orders, first 1000 by key.
+    */
+  val customerOrderGaps: Q = (s, d) => {
+    val wo = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    Tables.t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("od"))
+      .withColumn("gap_d",
+        datediff(col("od"), lag(col("od"), 1).over(wo)).cast("long"))
+      .filter(col("gap_d").isNotNull)
+      .groupBy("o_custkey")
+      .agg(expr("array_sort(collect_list(gap_d))").as("gs"))
+      .withColumn("n_gaps", size(col("gs")).cast("long"))
+      .withColumn("median_gap_d",
+        expr("element_at(gs, cast(least(n_gaps, div(n_gaps * 50, 100) + 1) as int))"))
+      .withColumn("max_gap_d", expr("element_at(gs, -1)"))
+      .select("o_custkey", "n_gaps", "median_gap_d", "max_gap_d")
+      .orderBy("o_custkey")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ltv_cohort_revenue" -> ltvCohortRevenue,
+    "basket_apriori_pairs" -> basketAprioriPairs,
+    "supplier_abc_class" -> supplierAbcClass,
+    "customer_order_gaps" -> customerOrderGaps,
     "sql_pivot_syntax" -> sqlPivotSyntax,
     "sql_unpivot_syntax" -> sqlUnpivotSyntax,
     "str_collation_distinct" -> strCollationDistinct,

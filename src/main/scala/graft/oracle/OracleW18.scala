@@ -8,6 +8,58 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "ltv_cohort_revenue" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) cohort_w
+    FROM events WHERE event_type = 'signup' GROUP BY 1),
+  p AS (SELECT f.cohort_w,
+      date_diff('day', f.cohort_w, CAST(date_trunc('week', e.ts) AS DATE)) // 7 week_offset,
+      e.value
+    FROM events e JOIN f USING (user_id)
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= f.cohort_w),
+  g AS (SELECT cohort_w, week_offset, CAST(count(*) AS BIGINT) n_purchases,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) cents
+    FROM p GROUP BY 1, 2)
+  SELECT cohort_w, CAST(week_offset AS BIGINT) week_offset, n_purchases, cents,
+    CAST(sum(cents) OVER (PARTITION BY cohort_w ORDER BY week_offset
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_cents
+  FROM g ORDER BY 1, 2""",
+    "basket_apriori_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+  cx AS (SELECT p, CAST(count(*) AS BIGINT) cp FROM b GROUP BY 1),
+  n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) n_baskets FROM b),
+  pr AS (SELECT x.p p1, y.p p2, CAST(count(*) AS BIGINT) c_xy
+    FROM b x JOIN b y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2)
+  SELECT p1, p2, c_xy,
+    CAST(c_xy * 1000000 // c1.cp AS BIGINT) conf12_ppm,
+    CAST(c_xy * 1000000 // c2.cp AS BIGINT) conf21_ppm,
+    CAST((c_xy::HUGEINT * n_baskets * 1000000) // (c1.cp::HUGEINT * c2.cp) AS BIGINT) lift_ppm
+  FROM pr JOIN cx c1 ON pr.p1 = c1.p JOIN cx c2 ON pr.p2 = c2.p CROSS JOIN n
+  WHERE c_xy >= 3
+  ORDER BY lift_ppm DESC, p1, p2 LIMIT 20""",
+    "supplier_abc_class" ->
+      """WITH rev AS (SELECT l_suppkey s,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) cents
+    FROM lineitem GROUP BY 1),
+  t AS (SELECT CAST(sum(cents) AS BIGINT) total FROM rev),
+  r AS (SELECT s, cents,
+      (sum(cents) OVER (ORDER BY cents DESC, s ROWS UNBOUNDED PRECEDING))::HUGEINT
+        * 1000000 // total cum_ppm
+    FROM rev CROSS JOIN t)
+  SELECT CASE WHEN cum_ppm <= 800000 THEN 'A'
+              WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END cls,
+    CAST(count(*) AS BIGINT) n_suppliers, CAST(sum(cents) AS BIGINT) cents
+  FROM r GROUP BY 1 ORDER BY 1""",
+    "customer_order_gaps" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) od FROM orders),
+  g AS (SELECT o_custkey,
+      date_diff('day', lag(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey), od) gap_d
+    FROM o),
+  a AS (SELECT o_custkey, list_sort(list(CAST(gap_d AS BIGINT))) gs
+    FROM g WHERE gap_d IS NOT NULL GROUP BY 1)
+  SELECT o_custkey, CAST(len(gs) AS BIGINT) n_gaps,
+    CAST(gs[least(len(gs), len(gs) * 50 // 100 + 1)] AS BIGINT) median_gap_d,
+    CAST(gs[-1] AS BIGINT) max_gap_d
+  FROM a ORDER BY o_custkey LIMIT 1000""",
     "sql_pivot_syntax" ->
       """SELECT CAST(ts AS DATE) dd,
     CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) n_click,

@@ -156,6 +156,43 @@ class InsightsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_case_sensitive") > r.getAs[Long]("n_case_insensitive"))
   }
 
+  test("supplier_abc_class: classes partition all suppliers and all revenue") {
+    val r = q("supplier_abc_class")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val nSup = li.select("l_suppkey").distinct().count()
+    val total = li.agg(sum(round(col("l_extendedprice") * 100).cast("long")))
+      .head.getLong(0)
+    assert(r.agg(sum("n_suppliers")).head.getLong(0) == nSup)
+    assert(r.agg(sum("cents")).head.getLong(0) == total)
+    val classes = r.select("cls").collect().map(_.getString(0)).toSet
+    assert(classes.subsetOf(Set("A", "B", "C")))
+  }
+
+  test("basket_apriori_pairs: confidences valid, lift positive, support floor holds") {
+    val bad = q("basket_apriori_pairs").filter(
+      col("conf12_ppm") > 1000000 || col("conf21_ppm") > 1000000 ||
+      col("conf12_ppm") <= 0 || col("conf21_ppm") <= 0 ||
+      col("lift_ppm") <= 0 || col("c_xy") < 3).count()
+    assert(bad == 0L)
+  }
+
+  test("ltv_cohort_revenue: cumulative LTV is monotone within each cohort") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_w").orderBy("week_offset")
+    val bad = q("ltv_cohort_revenue")
+      .withColumn("prev_cum", lag(col("cum_cents"), 1).over(w))
+      .filter(col("prev_cum").isNotNull &&
+        (col("cum_cents") < col("prev_cum") ||
+         col("cum_cents") =!= col("prev_cum") + col("cents"))).count()
+    assert(bad == 0L)
+  }
+
+  test("customer_order_gaps: median bounded by max, gaps non-negative") {
+    val bad = q("customer_order_gaps").filter(
+      col("median_gap_d") > col("max_gap_d") || col("median_gap_d") < 0).count()
+    assert(bad == 0L)
+  }
+
   test("events_step_latency: latencies are non-negative and only for signup users") {
     val r = q("events_step_latency")
     assert(r.filter(col("latency_s") < 0).count() == 0L)

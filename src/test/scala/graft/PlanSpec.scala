@@ -254,7 +254,9 @@ class PlanSpec extends SparkSpecBase {
     "ts_acf_lags" -> "1-row scalar: n/total + denominator broadcasts",
     "ml_precision_recall_k" -> "contract-quadratic: exact-ranking eval contract (serving twin: ann_ivf_topk)",
     "events_dau_wau" -> "1-row scalar: max-day bound broadcast",
-    "text_bpe_train_merges" -> "1-row scalar: selected merge pair broadcast per round")
+    "text_bpe_train_merges" -> "1-row scalar: selected merge pair broadcast per round",
+    "basket_apriori_pairs" -> "1-row scalar: basket-total broadcast",
+    "supplier_abc_class" -> "1-row scalar: revenue-total broadcast")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -296,7 +298,9 @@ class PlanSpec extends SparkSpecBase {
     "audit_table_checksum" -> "per-table 1-row checksum union",
     "ts_acf_lags" -> "1-row n/total + denominator aggregates",
     "events_dau_wau" -> "1-row max-day aggregate",
-    "str_collation_distinct" -> "1-row global distinct-count aggregate")
+    "str_collation_distinct" -> "1-row global distinct-count aggregate",
+    "supplier_abc_class" -> "bounded supplier-domain ranking window + 1-row total",
+    "basket_apriori_pairs" -> "1-row basket-total aggregate")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
