@@ -19,8 +19,58 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm (no arg = full run)")
+    require(only.forall(Set("het", "ivm", "asof").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof (no arg = full run)")
+
+    if (only.contains("asof")) {
+    // ---- round-7 session 3: as-of merge exec vs cogroup at a hot key ----
+    // The claim under test: AsOfMergeExec's per-partition sweep holds
+    // O(1) state, so a pathological key costs only its sort; the
+    // cogroup form buffers BOTH legs of the key as in-memory arrays.
+    // 4M left / 2M right rows with 80% of both legs on ONE key.
+    import graft.ops.AsOf
+    def legL = spark.range(4000000L).select(
+      col("id").as("lid"),
+      when(pmod(col("id"), lit(5)) < 4, 7L)
+        .otherwise(pmod(xxhash64(col("id")), lit(10000L))).as("key"),
+      (pmod(xxhash64(col("id") + 1), lit(1000000000L)) * 4).as("lts"))
+    def legR = spark.range(2000000L).select(
+      col("id").as("rid"),
+      when(pmod(col("id"), lit(5)) < 4, 7L)
+        .otherwise(pmod(xxhash64(col("id") + 2), lit(10000L))).as("rkey"),
+      (pmod(xxhash64(col("id") + 3), lit(1000000000L)) * 4 + 2).as("rts"))
+    val lPath = "/tmp/graft_scalebench_asof_l"
+    val rPath = "/tmp/graft_scalebench_asof_r"
+    legL.write.mode("overwrite").parquet(lPath)
+    legR.write.mode("overwrite").parquet(rPath)
+    val l = spark.read.parquet(lPath)
+    val r = spark.read.parquet(rPath)
+    def time(name: String)(f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scalebench] asof $name%-18s rows=$n%9d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      n
+    }
+    val nExec = time("merge-exec") {
+      AsOf.asofMergePlan(l, r, "key", "lts", "rkey", "rts").count()
+    }
+    val nCogroup = time("cogroup") {
+      AsOf.asofLastPrior(
+        l.select(col("lid").as("id"), col("key"), col("lts").as("ts")),
+        r.select(col("rid").as("id"), col("rkey").as("key"), col("rts").as("ts"))).count()
+    }
+    require(nExec == nCogroup, s"asof forms disagree: $nExec vs $nCogroup")
+    // spot equality on content, not just count: checksum the matched ids
+    val x1 = AsOf.asofMergePlan(l, r, "key", "lts", "rkey", "rts")
+      .agg(sum(expr("lid * 31 + rid")).cast("long")).head.getLong(0)
+    val x2 = AsOf.asofLastPrior(
+        l.select(col("lid").as("id"), col("key"), col("lts").as("ts")),
+        r.select(col("rid").as("id"), col("rkey").as("key"), col("rts").as("ts")))
+      .agg(sum(expr("purchase_id * 31 + last_signup_id")).cast("long")).head.getLong(0)
+    require(x1 == x2, s"asof checksums disagree: $x1 vs $x2")
+    println("[scalebench] asof content checksums equal")
+    spark.stop(); return
+    }
 
     if (only.forall(_ == "ivm")) {
     // ---- round-7: incremental view maintenance at 50M rows ---------------

@@ -173,10 +173,30 @@ object AsOf {
       .limit(1200)
   }
 
+  /** LEFT-OUTER through the custom exec: every purchase survives,
+    * signup-less ones with NULL — the null-extension path of
+    * AsOfMergeExec under the driver's hash gate.
+    */
+  val joinAsofMergeOuter: Q = (s, d) => {
+    val e = Tables.t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("key"),
+              unix_micros(col("ts")).as("p_ts"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_key"),
+              unix_micros(col("ts")).as("s_ts"))
+    asofMergePlan(p, sg, "key", "p_ts", "s_key", "s_ts", leftOuter = true)
+      .select(col("purchase_id"), col("signup_id").as("last_signup_id"),
+              when(col("signup_id").isNull, 0L).otherwise(1L).as("matched"))
+      .orderBy("purchase_id")
+      .limit(1500)
+  }
+
   val queries: Map[String, Q] = Map(
     "join_asof_next" -> joinAsofNext,
     "join_asof_cogroup" -> joinAsofCogroup,
     "join_asof_nearest" -> joinAsofNearest,
     "join_asof_merge" -> joinAsofMergeExec,
+    "join_asof_merge_outer" -> joinAsofMergeOuter,
   )
 }

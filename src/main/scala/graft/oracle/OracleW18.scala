@@ -172,6 +172,16 @@ object OracleW18 {
     CAST(vs[least(len(vs), len(vs) * 90 // 100 + 1)] AS BIGINT) est_p90,
     CAST(vs[least(len(vs), len(vs) * 99 // 100 + 1)] AS BIGINT) est_p99
   FROM s ORDER BY grp""",
+    "join_asof_merge_outer" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+  s AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup'),
+  m AS (SELECT p.event_id pid, max(s.event_id) sid
+    FROM p JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+    WHERE s.ts = (SELECT max(s2.ts) FROM s s2 WHERE s2.user_id = p.user_id AND s2.ts <= p.ts)
+    GROUP BY 1)
+  SELECT p.event_id purchase_id, m.sid last_signup_id,
+    CAST(CASE WHEN m.sid IS NULL THEN 0 ELSE 1 END AS BIGINT) matched
+  FROM p LEFT JOIN m ON p.event_id = m.pid ORDER BY 1 LIMIT 1500""",
     "join_asof_merge" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
   s AS (SELECT event_id, user_id, ts FROM events WHERE event_type='signup')
