@@ -593,7 +593,88 @@ object Insights {
       .limit(1000)
   }
 
+  /** The SQL FILTER clause on aggregates (conditional aggregation in
+    * the grammar, shared VERBATIM-equivalent with the oracle): plain,
+    * money, and DISTINCT variants per priority.
+    */
+  val aggFilterClause: Q = (s, d) =>
+    Tables.sql(s, d,
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) n_f,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) n_big,
+        |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) cents_open,
+        |  CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) n_cust_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** EXACT mergeable distinct-union: per-priority customer bitmaps
+    * OR-merged into a global ALL row — the exact-arithmetic sibling of
+    * `agg_kmv_distinct`'s sketch merge (`bitmap_or_agg` partials are
+    * mergeable and bounded by the key-space bitmap, not the row
+    * count). Per-priority counts and the merged ALL row emit from ONE
+    * bitmap table.
+    */
+  val aggBitmapUnionAll: Q = (s, d) => {
+    val bm = Tables.t(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("grp"),
+               expr("bitmap_bucket_number(o_custkey)").as("b"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+    val per = bm.groupBy("grp")
+      .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_cust"))
+    val all = bm.groupBy("b")
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+      .agg(sum("c").cast("long").as("n_cust"))
+      .select(lit("ALL").as("grp"), col("n_cust"))
+    per.unionByName(all).orderBy("grp")
+  }
+
+  /** Date-construction battery with native twins on both engines:
+    * make_date, last_day, day-of-year / ISO week / quarter, and the
+    * integer month-offset surrogate (`months_between` returns a
+    * DOUBLE — banned output type; `y·12 + m` deltas are exact).
+    */
+  val dateMakeFuncs: Q = (s, d) =>
+    Tables.t(s, d, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .select(col("o_orderkey"),
+        expr("make_date(year(od), month(od), 1)").as("month_start"),
+        last_day(col("od")).as("month_end"),
+        dayofyear(col("od")).cast("long").as("doy"),
+        weekofyear(col("od")).cast("long").as("iso_week"),
+        quarter(col("od")).cast("long").as("qtr"),
+        ((year(col("od")) - 1995) * 12 + month(col("od")) - 1).cast("long")
+          .as("months_since_1995"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+
+  /** Cross-engine deterministic content hashing: md5 and sha-256 over
+    * the document text — the fingerprints a dedup/audit pipeline
+    * stores. Both engines emit lowercase hex.
+    */
+  val exprHashFuncs: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), md5(col("text")).as("md5_hex"),
+              sha2(col("text"), 256).as("sha256_hex"))
+      .orderBy("doc_id")
+      .limit(500)
+
+  /** Generator with ordinality: token positions via posexplode (the
+    * WITH ORDINALITY shape) — position is part of the contract, unlike
+    * the bag-semantics explode queries.
+    */
+  val genPosexplode: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("doc_id", "pos")
+      .limit(2000)
+
   val queries: Map[String, Q] = Map(
+    "agg_filter_clause" -> aggFilterClause,
+    "agg_bitmap_union_all" -> aggBitmapUnionAll,
+    "date_make_funcs" -> dateMakeFuncs,
+    "expr_hash_funcs" -> exprHashFuncs,
+    "gen_posexplode" -> genPosexplode,
     "ltv_cohort_revenue" -> ltvCohortRevenue,
     "basket_apriori_pairs" -> basketAprioriPairs,
     "supplier_abc_class" -> supplierAbcClass,

@@ -8,6 +8,40 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "agg_filter_clause" ->
+      """SELECT o_orderpriority,
+    CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) n_f,
+    CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) n_big,
+    CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) cents_open,
+    CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) n_cust_f
+  FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_bitmap_union_all" ->
+      """SELECT o_orderpriority grp, CAST(count(DISTINCT o_custkey) AS BIGINT) n_cust
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+  ORDER BY grp""",
+    "date_make_funcs" ->
+      """SELECT o_orderkey,
+    make_date(CAST(year(od) AS INTEGER), CAST(month(od) AS INTEGER), 1) month_start,
+    last_day(od) month_end,
+    CAST(dayofyear(od) AS BIGINT) doy,
+    CAST(weekofyear(od) AS BIGINT) iso_week,
+    CAST(quarter(od) AS BIGINT) qtr,
+    CAST((year(od) - 1995) * 12 + month(od) - 1 AS BIGINT) months_since_1995
+  FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) od FROM orders)
+  ORDER BY o_orderkey LIMIT 1000""",
+    "expr_hash_funcs" ->
+      """SELECT doc_id, md5(text) md5_hex, sha256(text) sha256_hex
+  FROM documents ORDER BY doc_id LIMIT 500""",
+    "gen_posexplode" ->
+      """SELECT doc_id, CAST(u.pos AS BIGINT) pos, u.tok
+  FROM (SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(t)),
+        i -> struct_pack(pos := i - 1, tok := t[CAST(i AS INTEGER)]))) u
+    FROM (SELECT doc_id, string_split(text, ' ') t FROM documents))
+  ORDER BY doc_id, pos LIMIT 2000""",
     "ltv_cohort_revenue" ->
       """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) cohort_w
     FROM events WHERE event_type = 'signup' GROUP BY 1),

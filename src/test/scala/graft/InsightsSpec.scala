@@ -193,6 +193,25 @@ class InsightsSpec extends SparkSpecBase {
     assert(bad == 0L)
   }
 
+  test("agg_bitmap_union_all: the OR-merged ALL row equals the exact global distinct") {
+    val r = q("agg_bitmap_union_all")
+    val exact = spark.read.parquet(s"$sf/orders.parquet")
+      .select(countDistinct("o_custkey")).head.getLong(0)
+    val allRow = r.filter(col("grp") === "ALL").head.getAs[Long]("n_cust")
+    assert(allRow == exact)
+    // per-group counts each bounded by the ALL row
+    assert(r.filter(col("grp") =!= "ALL" && col("n_cust") > allRow).count() == 0L)
+  }
+
+  test("date_make_funcs: constructed dates bracket the source date") {
+    val bad = q("date_make_funcs").filter(
+      col("month_start") > col("month_end") ||
+      col("doy") < 1 || col("doy") > 366 ||
+      col("iso_week") < 1 || col("iso_week") > 53 ||
+      col("qtr") < 1 || col("qtr") > 4).count()
+    assert(bad == 0L)
+  }
+
   test("events_step_latency: latencies are non-negative and only for signup users") {
     val r = q("events_step_latency")
     assert(r.filter(col("latency_s") < 0).count() == 0L)

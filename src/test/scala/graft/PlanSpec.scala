@@ -300,7 +300,8 @@ class PlanSpec extends SparkSpecBase {
     "events_dau_wau" -> "1-row max-day aggregate",
     "str_collation_distinct" -> "1-row global distinct-count aggregate",
     "supplier_abc_class" -> "bounded supplier-domain ranking window + 1-row total",
-    "basket_apriori_pairs" -> "1-row basket-total aggregate")
+    "basket_apriori_pairs" -> "1-row basket-total aggregate",
+    "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
