@@ -669,7 +669,83 @@ object Insights {
       .orderBy("doc_id", "pos")
       .limit(2000)
 
+  /** Logistics: histogram of order→ship lag in whole days, per ship
+    * mode — one dim-keyed join + fixed-width bucketing; bucket count
+    * bounded by the lag domain.
+    */
+  val shipLagHistogram: Q = (s, d) =>
+    li(s, d)
+      .join(Tables.t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lag_d"))
+      // ~5% of rows ship BEFORE the order date in this corpus (the
+      // dq_domain_violations rule); offset keeps the bucketing strictly
+      // non-negative so truncating division can't fold -7 and +7
+      // into one bucket
+      .withColumn("bucket", expr("div(lag_d + 150, 15)"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(cnt.as("n"), min("lag_d").as("min_lag"), max("lag_d").as("max_lag"))
+      .orderBy("l_returnflag", "bucket")
+
+  /** Heaps'-law vocabulary growth: distinct-token count at 100-doc
+    * corpus milestones, WITHOUT a distinct-per-prefix blowup — each
+    * token contributes its FIRST containing doc (one keyed min), then
+    * the milestone curve is a census of first-doc buckets with a
+    * cumulative window over the bounded milestone table.
+    */
+  val textVocabGrowth: Q = (s, d) => {
+    val firstDoc = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val w = Window.orderBy("milestone")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDoc
+      .withColumn("milestone", expr("(div(first_doc, 100) + 1) * 100"))
+      .groupBy("milestone").agg(cnt.as("new_types"))
+      .withColumn("vocab_size", sum("new_types").over(w).cast("long"))
+      .orderBy("milestone")
+  }
+
+  /** Embedding hygiene stats per label: quantized squared-norm
+    * extremes and total — the degenerate-vector / scale-drift check a
+    * vector pipeline runs before indexing. One scan, one keyed agg.
+    */
+  val embeddingNormStats: Q = (s, d) =>
+    emb(s, d)
+      .select(col("label").cast("long").as("label"),
+        expr("""aggregate(transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)),
+               |          0L, (acc, x) -> acc + x * x)""".stripMargin).as("sq_norm"))
+      .groupBy("label")
+      .agg(cnt.as("n"), min("sq_norm").as("min_sq"), max("sq_norm").as("max_sq"),
+           sum("sq_norm").cast("long").as("total_sq"))
+      .orderBy("label")
+
+  /** SRE error budget: daily error ppm against a 1% objective and the
+    * month-to-date cumulative burn — windows only over the bounded day
+    * domain.
+    */
+  val eventsErrorBudget: Q = (s, d) => {
+    val daily = ev(s, d)
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(cnt.as("n_events"),
+           sum(when(col("event_type") === "error", 1L).otherwise(0L)).cast("long")
+             .as("n_errors"))
+    daily
+      .withColumn("err_ppm", expr("div(n_errors * 1000000, n_events)"))
+      .withColumn("over_budget", when(col("err_ppm") > 10000L, 1L).otherwise(0L))
+      .withColumn("cum_err_ppm",
+        expr("div(sum(n_errors) over (order by dd rows unbounded preceding) * 1000000, " +
+             "sum(n_events) over (order by dd rows unbounded preceding))"))
+      .select("dd", "n_events", "n_errors", "err_ppm", "over_budget", "cum_err_ppm")
+      .orderBy("dd")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ship_lag_histogram" -> shipLagHistogram,
+    "text_vocab_growth" -> textVocabGrowth,
+    "embedding_norm_stats" -> embeddingNormStats,
+    "events_error_budget" -> eventsErrorBudget,
     "agg_filter_clause" -> aggFilterClause,
     "agg_bitmap_union_all" -> aggBitmapUnionAll,
     "date_make_funcs" -> dateMakeFuncs,

@@ -8,6 +8,40 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "ship_lag_histogram" ->
+      """WITH t AS (SELECT l_returnflag,
+      date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) lag_d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+  SELECT l_returnflag, CAST((lag_d + 150) // 15 AS BIGINT) bucket,
+    CAST(count(*) AS BIGINT) n,
+    CAST(min(lag_d) AS BIGINT) min_lag, CAST(max(lag_d) AS BIGINT) max_lag
+  FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_vocab_growth" ->
+      """WITH fd AS (SELECT tok, min(doc_id) first_doc FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1),
+  g AS (SELECT (first_doc // 100 + 1) * 100 milestone, CAST(count(*) AS BIGINT) new_types
+    FROM fd GROUP BY 1)
+  SELECT CAST(milestone AS BIGINT) milestone, new_types,
+    CAST(sum(new_types) OVER (ORDER BY milestone ROWS UNBOUNDED PRECEDING) AS BIGINT) vocab_size
+  FROM g ORDER BY 1""",
+    "embedding_norm_stats" ->
+      """WITH s AS (SELECT CAST("label" AS BIGINT) AS "label",
+      list_sum(list_transform(embedding::DOUBLE[],
+        x -> CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))) sq_norm
+    FROM embeddings)
+  SELECT "label", CAST(count(*) AS BIGINT) n, CAST(min(sq_norm) AS BIGINT) min_sq,
+    CAST(max(sq_norm) AS BIGINT) max_sq, CAST(sum(sq_norm) AS BIGINT) total_sq
+  FROM s GROUP BY 1 ORDER BY 1""",
+    "events_error_budget" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd, CAST(count(*) AS BIGINT) n_events,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) n_errors
+    FROM events GROUP BY 1)
+  SELECT dd, n_events, n_errors,
+    CAST(n_errors * 1000000 // n_events AS BIGINT) err_ppm,
+    CAST(CASE WHEN n_errors * 1000000 // n_events > 10000 THEN 1 ELSE 0 END AS BIGINT) over_budget,
+    CAST(sum(n_errors) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING) * 1000000
+         // sum(n_events) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_err_ppm
+  FROM daily ORDER BY dd""",
     "agg_filter_clause" ->
       """SELECT o_orderpriority,
     CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) n_f,

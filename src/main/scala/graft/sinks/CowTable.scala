@@ -417,6 +417,14 @@ object CowTable {
   // parent files are never mutated (copy-on-write all the way down).
   // ---------------------------------------------------------------
 
+  /** ROLL BACK as a new commit: re-publish an old snapshot's file list
+    * as the current version (the Iceberg `rollback`/Delta `RESTORE`
+    * shape). History is preserved — the bad intermediate versions stay
+    * time-travelable until [[expireSnapshots]]; nothing is rewritten.
+    */
+  def restore(path: String, toVersion: Int): Int =
+    commit(path, snapshotFiles(path, Some(toVersion)), currentVersion(path))
+
   def branchPath(path: String, name: String): String =
     Paths.get(path, "_branches", name).toString
 

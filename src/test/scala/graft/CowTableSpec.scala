@@ -455,6 +455,21 @@ class CowTableSpec extends SparkSpecBase {
     assert(CowTable.read(spark, path, asOf = Some(1)).count() == 500)
   }
 
+  test("restore re-publishes an old snapshot as a new commit, history intact") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, i)).toDF("id", "v"), path)
+    CowTable.merge(spark, path, Seq((1L, -1L), (500L, 5L)).toDF("id", "v"), "id")
+    assert(CowTable.read(spark, path).count() == 101)
+    val v3 = CowTable.restore(path, toVersion = 1)
+    assert(v3 == 3 && CowTable.currentVersion(path) == 3)
+    // current == v1 content; the "bad" v2 stays time-travelable
+    assert(CowTable.read(spark, path).count() == 100)
+    assert(CowTable.read(spark, path).filter(col("id") === 1L)
+      .select("v").as[Long].head() == 1L)
+    assert(CowTable.read(spark, path, asOf = Some(2)).count() == 101)
+  }
+
   test("branch: publish refuses when main advanced past the fork point") {
     import spark.implicits._
     val path = tmp

@@ -301,7 +301,9 @@ class PlanSpec extends SparkSpecBase {
     "str_collation_distinct" -> "1-row global distinct-count aggregate",
     "supplier_abc_class" -> "bounded supplier-domain ranking window + 1-row total",
     "basket_apriori_pairs" -> "1-row basket-total aggregate",
-    "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps")
+    "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
+    "text_vocab_growth" -> "bounded milestone-domain cumulative window",
+    "events_error_budget" -> "bounded day-domain cumulative window")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
