@@ -741,7 +741,29 @@ object Insights {
       .orderBy("dd")
   }
 
+  /** Recency-weighted engagement: per-user revenue decayed by
+    * half-life-one-day — EXACT integer arithmetic via power-of-two
+    * weights (`cents · 2^(29 − age_days)`, ages ≤ 29 by the corpus
+    * calendar; the as-of day is a 1-row broadcast). The decayed-window
+    * sibling of `win_ewma`, per user over the whole log. Top-100.
+    */
+  val eventsDecayedScore: Q = (s, d) => {
+    val asof = ev(s, d).agg(max(to_date(col("ts"))).as("asof"))
+    ev(s, d).filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(asof))
+      .select(col("user_id"),
+        cents(col("value")).as("c"),
+        datediff(col("asof"), to_date(col("ts"))).cast("int").as("age_d"))
+      .withColumn("w_score",
+        expr("c * shiftleft(cast(1 as bigint), 29 - age_d)"))
+      .groupBy("user_id")
+      .agg(cnt.as("n_purchases"), sum("w_score").cast("long").as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col("user_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_decayed_score" -> eventsDecayedScore,
     "ship_lag_histogram" -> shipLagHistogram,
     "text_vocab_growth" -> textVocabGrowth,
     "embedding_norm_stats" -> embeddingNormStats,

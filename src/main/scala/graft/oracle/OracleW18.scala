@@ -8,6 +8,14 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "events_decayed_score" ->
+      """WITH a AS (SELECT max(CAST(ts AS DATE)) asof_d FROM events),
+  p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) c,
+      date_diff('day', CAST(ts AS DATE), asof_d) age_d
+    FROM events CROSS JOIN a WHERE event_type = 'purchase')
+  SELECT user_id, CAST(count(*) AS BIGINT) n_purchases,
+    CAST(sum(c * (1::BIGINT << (29 - age_d))) AS BIGINT) decayed_score
+  FROM p GROUP BY 1 ORDER BY decayed_score DESC, user_id LIMIT 100""",
     "ship_lag_histogram" ->
       """WITH t AS (SELECT l_returnflag,
       date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) lag_d

@@ -256,7 +256,8 @@ class PlanSpec extends SparkSpecBase {
     "events_dau_wau" -> "1-row scalar: max-day bound broadcast",
     "text_bpe_train_merges" -> "1-row scalar: selected merge pair broadcast per round",
     "basket_apriori_pairs" -> "1-row scalar: basket-total broadcast",
-    "supplier_abc_class" -> "1-row scalar: revenue-total broadcast")
+    "supplier_abc_class" -> "1-row scalar: revenue-total broadcast",
+    "events_decayed_score" -> "1-row scalar: as-of day broadcast")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -303,7 +304,8 @@ class PlanSpec extends SparkSpecBase {
     "basket_apriori_pairs" -> "1-row basket-total aggregate",
     "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
     "text_vocab_growth" -> "bounded milestone-domain cumulative window",
-    "events_error_budget" -> "bounded day-domain cumulative window")
+    "events_error_budget" -> "bounded day-domain cumulative window",
+    "events_decayed_score" -> "1-row as-of-day aggregate")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
