@@ -39,6 +39,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator tier: plans the custom AsOfMergeJoin logical node
     // to its merge exec (SURVEY §4.3 preference (c)).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
+    // Table-valued SQL face for the CowTable format: time travel from
+    // plain SQL — `SELECT * FROM cow_snapshot('/path'[, version])`.
+    // Args must be literals (the plan is built at analysis time).
+    ext.injectTableFunction((
+      FunctionIdentifier("cow_snapshot"),
+      info("cow_snapshot",
+        "cow_snapshot(path[, version]) - read a graft CowTable snapshot (time travel)"),
+      (es: Seq[Expression]) => {
+        def litOf(e: Expression): Any = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              "cow_snapshot arguments must be literals")
+          e.eval()
+        }
+        val path = litOf(es.head).toString
+        val asOf = es.drop(1).headOption.map(e => litOf(e).toString.toInt)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sinks.CowTable.read(spark, path, asOf).queryExecution.analyzed
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),

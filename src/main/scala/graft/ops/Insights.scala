@@ -128,8 +128,13 @@ object Insights {
     val e = li(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct().localCheckpoint()
     val deg = e.groupBy("s").agg(cnt.as("deg"))
+    // shuffle_hash: the wedge join emits ~Σ deg² candidate rows; keep
+    // it a hash probe per house policy for high-multiplicity pair
+    // joins (local A/B is noise-level here — bigint keys merge fine —
+    // but hash is the shape that holds when part-degree skew grows)
     val pairs = e.as("x")
-      .join(e.as("y"), col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .join(e.as("y").hint("shuffle_hash"),
+            col("x.p") === col("y.p") && col("x.s") < col("y.s"))
       .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
       .agg(cnt.as("c"))
     pairs

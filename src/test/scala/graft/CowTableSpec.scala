@@ -455,6 +455,34 @@ class CowTableSpec extends SparkSpecBase {
     assert(CowTable.read(spark, path, asOf = Some(1)).count() == 500)
   }
 
+  test("cow_snapshot TVF: SQL time travel over the table format") {
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    val path = tmp
+    CowTable.create((0L until 50L).map(i => (i, i)).toDF("id", "v"), path)
+    CowTable.merge(spark, path, Seq((100L, 1L), (101L, 2L)).toDF("id", "v"), "id")
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      assert(ext.sql(s"SELECT count(*) FROM cow_snapshot('$path')")
+        .head.getLong(0) == 52L)
+      assert(ext.sql(s"SELECT count(*) FROM cow_snapshot('$path', 1)")
+        .head.getLong(0) == 50L)
+      // composes like any relation: joinable, filterable
+      assert(ext.sql(
+        s"""SELECT count(*) FROM cow_snapshot('$path') a
+           |JOIN cow_snapshot('$path', 1) b ON a.id = b.id""".stripMargin)
+        .head.getLong(0) == 50L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("restore re-publishes an old snapshot as a new commit, history intact") {
     import spark.implicits._
     val path = tmp
