@@ -326,6 +326,62 @@ object StreamOps {
       .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming LAST-PRIOR AS-OF enrichment — the transformWithState
+    * twin of the as-of family (band join / cogroup / AsOfMergeExec):
+    * per user, ValueState holds the latest (ts, id)-max signup seen;
+    * each purchase emits (purchase_id, last_signup_id). State is O(1)
+    * per key — the streaming analogue of the merge exec's one buffered
+    * row. CAVEAT (documented, inherent to true streaming): rows are
+    * processed in per-batch event order, so a signup arriving in a
+    * LATER batch than a purchase it precedes in event time cannot
+    * retro-enrich it — exactly Kafka Streams' stream-table join
+    * semantics. StreamingSpec proves parity with the batch as-of on
+    * the in-order replay.
+    */
+  class AsofEnrichProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var lastSignup: ValueState[(Long, Long)] = _ // (tsMicros, id)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSignup = getHandle.getValueState[(Long, Long)]("lastSignup",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+
+    // full micros, not getTime's millis: the batch as-of orders by
+    // unix_micros and sub-millisecond ties must break identically
+    private def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val out = Seq.newBuilder[(Long, Long)]
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        if (e.event_type == "signup") {
+          val cand = (micros(e.ts), e.event_id)
+          if (!lastSignup.exists() ||
+              Ordering[(Long, Long)].gt(cand, lastSignup.get()))
+            lastSignup.update(cand)
+        } else if (e.event_type == "purchase" && lastSignup.exists()) {
+          out += ((e.event_id, lastSignup.get()._2))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Purchases enriched with the user's latest prior signup id, as a
+    * stream. Requires the RocksDB state store provider.
+    */
+  def asofEnrichStream(events: Dataset[Evt]): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofEnrichProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming KMV distinct-count sketch — the live distinct-value
     * estimate per key maintained as BOUNDED state: the k smallest
     * distinct hashes (the same engine-portable two-LCG-round hash as

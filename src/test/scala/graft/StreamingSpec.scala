@@ -517,6 +517,48 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("as-of enrichment stream equals the batch as-of on an in-order replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = graft.tables.Tables.t(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("")).as[Evt]
+        .collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val mid = all(all.length / 2).ts.getTime
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.asofEnrichStream(stream.toDF().as[Evt])
+        .toDF("purchase_id", "last_signup_id")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // per-user signup state must survive the batch boundary
+      stream.addData(all.filter(_.ts.getTime <= mid).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(all.filter(_.ts.getTime > mid).toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(sink)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch truth: the cogroup as-of over the same legs (inner —
+      // signup-less purchases emit nothing in both forms)
+      val e = graft.tables.Tables.t(spark, sf, "events")
+      def leg(tpe: String) = e.filter(col("event_type") === tpe)
+        .select(col("event_id").as("id"), col("user_id").as("key"),
+                unix_micros(col("ts")).as("ts"))
+      val batch = graft.ops.AsOf.asofLastPrior(leg("purchase"), leg("signup"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("last-touch attribution stream equals the batch operator on an in-order replay") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
