@@ -107,8 +107,10 @@ object Insights {
         .select(und("a").as("node"), lbl("lbl"))
       lbl = lbl.union(nb).groupBy("node").agg(min("lbl").as("lbl"))
       // truncate lineage mid-loop like graph_pagerank — the 6-round
-      // plan otherwise nests joins 6 deep
-      if (i % 3 == 0) lbl = lbl.localCheckpoint()
+      // plan otherwise nests joins 6 deep; no checkpoint after the
+      // LAST round (the census consumes lbl exactly once — a final
+      // materialization would be a pure extra pass)
+      if (i == 3) lbl = lbl.localCheckpoint()
     }
     lbl.groupBy("lbl").agg(cnt.as("sz"))
       .orderBy(col("sz").desc, col("lbl"))
