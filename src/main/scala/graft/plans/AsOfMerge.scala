@@ -136,9 +136,16 @@ case class AsOfMergeExec(
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       // One projection from the joined (left ++ right) row to the
       // declared output order (key once, left-rest, right-rest).
+      // Under left-outer the right side MUST bind nullable: a
+      // non-nullable input attribute (e.g. from spark.range) would
+      // make the BoundReference skip the null check and read the
+      // all-null padding row as garbage zeros (caught by the
+      // PropertySpec generated-legs test — parquet-sourced columns
+      // are nullable, which masked it in the oracled queries).
+      val rBind = if (leftIsOuter) rOut.map(_.withNullability(true)) else rOut
       val joiner = UnsafeProjection.create(
-        lOut ++ rOut.filter(_.name != rightKeyCol),
-        lOut ++ rOut)
+        lOut ++ rBind.filter(_.name != rightKeyCol),
+        lOut ++ rBind)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rWidth)
       var pending: InternalRow = if (ri.hasNext) ri.next() else null

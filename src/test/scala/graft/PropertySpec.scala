@@ -221,4 +221,38 @@ class PropertySpec extends SparkSpecBase {
               else (k - 1).toLong * 2147483648L / whole.last
     assert(est > 0)
   }
+
+  test("AsOfMergeExec equals the cogroup as-of on generated skewed legs (inner AND outer)") {
+    import spark.implicits._
+    import graft.ops.AsOf
+    // few keys (forced collisions + hot keys), coarse timestamps
+    // (forced exact ts ties — the (ts, id)-max tiebreak must matter)
+    val genRow = for {
+      key <- Gen.oneOf(1L, 2L, 2L, 2L, 3L, 7L) // key 2 hot
+      ts <- Gen.choose(0L, 40L)
+    } yield (key, ts)
+    for (trial <- 0 until 4) {
+      val lRows = samples(genRow, 300 + trial * 137).zipWithIndex
+        .map { case ((kk, t), i) => (i.toLong, kk, t) }
+      val rRows = samples(genRow, 200 + trial * 91).zipWithIndex
+        .map { case ((kk, t), i) => (10000L + i, kk, t) }
+      val l = lRows.toDF("lid", "key", "lts")
+      val r = rRows.toDF("rid", "rkey", "rts")
+      // scala truth: greatest (ts, id) right row at-or-before each left
+      val truth = lRows.flatMap { case (lid, kk, lts) =>
+        val cands = rRows.filter(rr => rr._2 == kk && rr._3 <= lts)
+        if (cands.isEmpty) None
+        else Some(lid -> cands.map(rr => (rr._3, rr._1)).max._2)
+      }.toMap
+      val exec = AsOf.asofMergePlan(l, r, "key", "lts", "rkey", "rts")
+        .select("lid", "rid").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(exec == truth, s"trial $trial inner")
+      val outer = AsOf.asofMergePlan(l, r, "key", "lts", "rkey", "rts",
+        leftOuter = true)
+      assert(outer.count() == lRows.length, s"trial $trial outer count")
+      val outerMatched = outer.filter(col("rid").isNotNull)
+        .select("lid", "rid").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(outerMatched == truth, s"trial $trial outer matches")
+    }
+  }
 }
