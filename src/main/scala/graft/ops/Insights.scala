@@ -769,7 +769,51 @@ object Insights {
       .limit(100)
   }
 
+  /** RAG-ingest chunking: fixed 32-token windows with 8-token stride
+    * overlap per document — emits (doc, chunk index, token span, chunk
+    * text, token count). Chunk count is ⌈(n−overlap)/stride⌉-bounded
+    * per doc; the explode is linear in total chunks. The
+    * embedding/indexing consumer is `multimodal_embed_batch` /
+    * `ann_ivf_topk`.
+    */
+  val textChunkSliding: Q = (s, d) => {
+    val width = 32
+    val stride = 24 // 8-token overlap
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(
+          s"sequence(0, greatest(0, div(size(tk) - $width + ${stride - 1}, $stride)))"))
+          .as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        (col("ci") * stride + 1).cast("long").as("tok_from"),
+        least(col("ci") * stride + width, size(col("tk"))).cast("long").as("tok_to"),
+        expr(s"array_join(slice(tk, ci * $stride + 1, $width), ' ')").as("chunk"))
+      .withColumn("n_toks", (col("tok_to") - col("tok_from") + 1))
+      .filter(col("tok_from") <= col("tok_to"))
+      .orderBy("doc_id", "chunk_idx")
+      .limit(3000)
+  }
+
+  /** Normalization-then-hash exact dedup — the standard FIRST dedup
+    * pass of a web corpus (case-fold, collapse whitespace, strip
+    * punctuation-like chars, THEN hash): groups that raw
+    * `dedup_exact_hash` misses because of trivial variance collapse
+    * here. Emits the census of normalized-duplicate groups.
+    */
+  val textDedupNormalized: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+      .groupBy("h")
+      .agg(cnt.as("n_docs"), min("doc_id").as("canonical_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("canonical_doc"))
+      .limit(500)
+
   val queries: Map[String, Q] = Map(
+    "text_chunk_sliding" -> textChunkSliding,
+    "text_dedup_normalized" -> textDedupNormalized,
     "events_decayed_score" -> eventsDecayedScore,
     "ship_lag_histogram" -> shipLagHistogram,
     "text_vocab_growth" -> textVocabGrowth,

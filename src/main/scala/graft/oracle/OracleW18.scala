@@ -8,6 +8,23 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "text_chunk_sliding" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+  c AS (SELECT doc_id, tk,
+      unnest(generate_series(0, greatest(0, (len(tk) - 32 + 23) // 24))) ci FROM t)
+  SELECT doc_id, CAST(ci AS BIGINT) chunk_idx,
+    CAST(ci * 24 + 1 AS BIGINT) tok_from,
+    CAST(least(ci * 24 + 32, len(tk)) AS BIGINT) tok_to,
+    array_to_string(tk[(CAST(ci * 24 + 1 AS INTEGER)):(CAST(least(ci * 24 + 32, len(tk)) AS INTEGER))], ' ') chunk,
+    CAST(least(ci * 24 + 32, len(tk)) - (ci * 24 + 1) + 1 AS BIGINT) n_toks
+  FROM c WHERE ci * 24 + 1 <= len(tk)
+  ORDER BY doc_id, chunk_idx LIMIT 3000""",
+    "text_dedup_normalized" ->
+      """WITH h AS (SELECT doc_id,
+      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) h FROM documents)
+  SELECT h, CAST(count(*) AS BIGINT) n_docs, CAST(min(doc_id) AS BIGINT) canonical_doc
+  FROM h GROUP BY 1 HAVING count(*) >= 2
+  ORDER BY n_docs DESC, canonical_doc LIMIT 500""",
     "events_decayed_score" ->
       """WITH a AS (SELECT max(CAST(ts AS DATE)) asof_d FROM events),
   p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) c,
