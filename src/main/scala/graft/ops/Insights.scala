@@ -811,7 +811,26 @@ object Insights {
       .orderBy(col("n_docs").desc, col("canonical_doc"))
       .limit(500)
 
+  /** The NATIVE batch `session_window` operator (Spark's dynamic-gap
+    * session windows in a plain aggregation — the same operator the
+    * streaming `stream_session_30m` twin runs incrementally). Session
+    * semantics are half-open `[start, last + gap)`: a gap of EXACTLY
+    * 30 minutes starts a NEW session — the oracle replicates that
+    * boundary in micros (`gap_us >= 1800e6`), where the lag-chained
+    * `events_sessionize_stats` uses `> 1800` seconds; the two queries
+    * pin both boundary conventions.
+    */
+  val aggSessionWindowNative: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(col("user_id"),
+               expr("session_window(ts, '30 minutes')").as("sw"))
+      .agg(cnt.as("n_ev"))
+      .groupBy("user_id")
+      .agg(cnt.as("n_sessions"), sum("n_ev").cast("long").as("n_events"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "agg_session_window_native" -> aggSessionWindowNative,
     "text_chunk_sliding" -> textChunkSliding,
     "text_dedup_normalized" -> textDedupNormalized,
     "events_decayed_score" -> eventsDecayedScore,

@@ -8,6 +8,19 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "agg_session_window_native" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+      epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) gap_us
+    FROM events),
+  m AS (SELECT user_id,
+      CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END new_sess,
+      ts, event_id FROM o),
+  sids AS (SELECT user_id,
+      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sid
+    FROM m),
+  per AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) n_ev FROM sids GROUP BY 1, 2)
+  SELECT user_id, CAST(count(*) AS BIGINT) n_sessions, CAST(sum(n_ev) AS BIGINT) n_events
+  FROM per GROUP BY 1 ORDER BY 1""",
     "text_chunk_sliding" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
   c AS (SELECT doc_id, tk,
