@@ -212,6 +212,39 @@ class InsightsSpec extends SparkSpecBase {
     assert(bad == 0L)
   }
 
+  test("text_chunk_sliding: chunks cover every token with exact 8-token overlap") {
+    val c = q("text_chunk_sliding")
+    // spans tile the doc: first starts at 1, consecutive starts differ
+    // by the stride (24), and the last chunk reaches the final token
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_idx")
+    val chunks = c.withColumn("prev_to", lag(col("tok_to"), 1).over(w))
+      .withColumn("prev_from", lag(col("tok_from"), 1).over(w))
+    assert(chunks.filter(col("chunk_idx") === 0 && col("tok_from") =!= 1).count() == 0L)
+    assert(chunks.filter(col("prev_from").isNotNull &&
+      col("tok_from") - col("prev_from") =!= 24).count() == 0L)
+    // no gap between consecutive chunks (overlap >= 0 ⇔ coverage)
+    assert(chunks.filter(col("prev_to").isNotNull &&
+      col("tok_from") > col("prev_to") + 1).count() == 0L)
+    // chunk text really is the token span
+    val bad = c.filter(col("n_toks") =!=
+      (size(split(col("chunk"), " "))).cast("long")).count()
+    assert(bad == 0L)
+  }
+
+  test("text_dedup_normalized: groups are invariant to case and whitespace noise") {
+    import spark.implicits._
+    // synthetic: same content with case/space variants must collapse
+    val docs = Seq(
+      (1L, "select from where"), (2L, "  SELECT   FROM   WHERE "),
+      (3L, "select  From\tWhere"), (4L, "totally different text")).toDF("doc_id", "text")
+    val groups = docs.select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"), min("doc_id").as("c"))
+    val collapsed = groups.filter(col("n") === 3).collect()
+    assert(collapsed.length == 1 && collapsed.head.getAs[Long]("c") == 1L)
+  }
+
   test("events_step_latency: latencies are non-negative and only for signup users") {
     val r = q("events_step_latency")
     assert(r.filter(col("latency_s") < 0).count() == 0L)
