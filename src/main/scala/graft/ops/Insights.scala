@@ -795,16 +795,19 @@ object Insights {
       .limit(3000)
   }
 
-  /** Normalization-then-hash exact dedup — the standard FIRST dedup
-    * pass of a web corpus (case-fold, collapse whitespace, strip
-    * punctuation-like chars, THEN hash): groups that raw
-    * `dedup_exact_hash` misses because of trivial variance collapse
-    * here. Emits the census of normalized-duplicate groups.
+  /** Normalization-then-hash dedup — the standard FIRST dedup pass of
+    * a web corpus, with the SORTED-TOKEN-SET fingerprint (case-fold,
+    * whitespace-collapse, distinct tokens, sort, hash): catches the
+    * reordered/repeated-token near-dups that raw `dedup_exact_hash`
+    * misses (this corpus's Jaccard-1.0 pairs collide exactly here),
+    * one hash per doc — no pair join. Emits the duplicate-group
+    * census with the canonical (min-id) doc per group.
     */
   val textDedupNormalized: Q = (s, d) =>
     docs(s, d)
       .select(col("doc_id"),
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+        md5(expr("""array_join(array_sort(array_distinct(
+                   |  split(trim(lower(text)), '\\s+'))), ' ')""".stripMargin)).as("h"))
       .groupBy("h")
       .agg(cnt.as("n_docs"), min("doc_id").as("canonical_doc"))
       .filter(col("n_docs") >= 2)

@@ -34,7 +34,8 @@ object OracleW18 {
   ORDER BY doc_id, chunk_idx LIMIT 3000""",
     "text_dedup_normalized" ->
       """WITH h AS (SELECT doc_id,
-      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) h FROM documents)
+      md5(array_to_string(list_sort(list_distinct(
+        string_split_regex(trim(lower(text)), '\s+'))), ' ')) h FROM documents)
   SELECT h, CAST(count(*) AS BIGINT) n_docs, CAST(min(doc_id) AS BIGINT) canonical_doc
   FROM h GROUP BY 1 HAVING count(*) >= 2
   ORDER BY n_docs DESC, canonical_doc LIMIT 500""",

@@ -232,17 +232,21 @@ class InsightsSpec extends SparkSpecBase {
     assert(bad == 0L)
   }
 
-  test("text_dedup_normalized: groups are invariant to case and whitespace noise") {
+  test("text_dedup_normalized: fingerprint invariant to case, whitespace, order, repeats") {
     import spark.implicits._
-    // synthetic: same content with case/space variants must collapse
+    val fp = md5(expr(
+      """array_join(array_sort(array_distinct(
+        |  split(trim(lower(text)), '\\s+'))), ' ')""".stripMargin))
     val docs = Seq(
-      (1L, "select from where"), (2L, "  SELECT   FROM   WHERE "),
-      (3L, "select  From\tWhere"), (4L, "totally different text")).toDF("doc_id", "text")
-    val groups = docs.select(col("doc_id"),
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+      (1L, "select from where"), (2L, "  WHERE   SELECT   FROM "),
+      (3L, "from select  From\twhere where"), (4L, "totally different text"))
+      .toDF("doc_id", "text")
+    val groups = docs.select(col("doc_id"), fp.as("h"))
       .groupBy("h").agg(count(lit(1)).as("n"), min("doc_id").as("c"))
     val collapsed = groups.filter(col("n") === 3).collect()
     assert(collapsed.length == 1 && collapsed.head.getAs[Long]("c") == 1L)
+    // and the real query finds this corpus's J=1.0 near-dups
+    assert(q("text_dedup_normalized").count() > 0)
   }
 
   test("events_step_latency: latencies are non-negative and only for signup users") {
