@@ -832,7 +832,22 @@ object Insights {
       .agg(cnt.as("n_sessions"), sum("n_ev").cast("long").as("n_events"))
       .orderBy("user_id")
 
+  /** Activity heatmap: day-of-week × hour-of-day event matrix with
+    * volume and revenue cents — the ops-dashboard grid (the hourly
+    * refinement of `ts_dow_seasonality`). One scan, one keyed agg over
+    * a ≤168-cell domain. Weekday is pinned ISO (Mon=1) on both
+    * engines.
+    */
+  val eventsHeatmapDowHour: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(
+        expr("weekday(ts) + 1").cast("long").as("iso_dow"),
+        hour(col("ts")).cast("long").as("hh"))
+      .agg(cnt.as("n"), sumCents(col("value")).as("cents"))
+      .orderBy("iso_dow", "hh")
+
   val queries: Map[String, Q] = Map(
+    "events_heatmap_dow_hour" -> eventsHeatmapDowHour,
     "agg_session_window_native" -> aggSessionWindowNative,
     "text_chunk_sliding" -> textChunkSliding,
     "text_dedup_normalized" -> textDedupNormalized,

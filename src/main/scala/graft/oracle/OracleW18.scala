@@ -8,6 +8,11 @@ package graft.oracle
 object OracleW18 {
 
   val sql: Map[String, String] = Map(
+    "events_heatmap_dow_hour" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) iso_dow, CAST(hour(ts) AS BIGINT) hh,
+    CAST(count(*) AS BIGINT) n,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) cents
+  FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "agg_session_window_native" ->
       """WITH o AS (SELECT user_id, event_id, ts,
       epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) gap_us
