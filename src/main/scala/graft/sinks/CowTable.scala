@@ -46,6 +46,34 @@ object CowTable {
 
   private def snapDir(path: String): Path = Paths.get(path, "_snapshots")
 
+  /** Best-effort O(1) open hint (the `_last_checkpoint` idea): commit
+    * rewrites `_snapshots/_latest` with the new version AFTER the
+    * manifest link lands, so the hint is possibly STALE-LOW but never
+    * points past a committed manifest. Readers probe forward from it
+    * (`v+1`, `v+2`, …) until the next manifest is missing — O(1)
+    * manifest reads + O(staleness) existence checks at open, instead
+    * of listing a directory that grows with every commit. Manifests
+    * are each self-contained (a full file list — checkpoint-per-commit
+    * by construction), so no log replay exists to compact; retention
+    * of the manifest LOG itself is [[expireSnapshots]].
+    */
+  private def latestHint(path: String): Option[Int] = {
+    val f = snapDir(path).resolve("_latest")
+    if (!Files.exists(f)) None
+    else
+      try Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toInt)
+      catch { case _: NumberFormatException => None }
+  }
+
+  private def writeLatestHint(path: String, v: Int): Unit = {
+    val d = snapDir(path)
+    val tmp = d.resolve(s"._latest.${System.nanoTime()}.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, d.resolve("_latest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def listVersions(path: String): Seq[Int] = {
     val d = snapDir(path)
     if (!Files.exists(d)) return Seq.empty
@@ -59,17 +87,34 @@ object CowTable {
   /** True once [[create]] has committed snapshot v1. */
   def exists(path: String): Boolean = listVersions(path).nonEmpty
 
-  /** Files constituting `asOf` (default: latest snapshot). */
+  /** Files constituting `asOf` (default: latest snapshot). Reads the
+    * requested manifest directly — never lists the snapshot directory,
+    * so open cost is independent of the table's commit count.
+    */
   def snapshotFiles(path: String, asOf: Option[Int] = None): Seq[String] = {
-    val vs = listVersions(path)
-    require(vs.nonEmpty, s"no snapshots under $path")
-    val v = asOf.getOrElse(vs.max)
-    require(vs.contains(v), s"version $v not in $vs")
-    new String(Files.readAllBytes(snapDir(path).resolve(s"v$v.json")),
-      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    val v = asOf.getOrElse(currentVersion(path))
+    val mf = snapDir(path).resolve(s"v$v.json")
+    require(Files.exists(mf),
+      s"version $v has no manifest under $path (never committed, or expired)")
+    new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
   }
 
-  def currentVersion(path: String): Int = listVersions(path).max
+  /** Current version via the [[latestHint]] + forward probe — O(1) in
+    * the commit count. Falls back to a directory listing only for
+    * pre-hint tables (or a corrupt hint).
+    */
+  def currentVersion(path: String): Int =
+    latestHint(path) match {
+      case Some(h) if Files.exists(snapDir(path).resolve(s"v$h.json")) =>
+        var v = h
+        while (Files.exists(snapDir(path).resolve(s"v${v + 1}.json"))) v += 1
+        v
+      case _ =>
+        val vs = listVersions(path)
+        require(vs.nonEmpty, s"no snapshots under $path")
+        vs.max
+    }
 
   /** OPTIMISTIC-CONCURRENCY commit: the manifest for version
     * `base + 1` is published via an exclusive hard link — link(2) is
@@ -91,6 +136,10 @@ object CowTable {
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new ConcurrentCommitException(path, v)
     } finally Files.deleteIfExists(tmp)
+    // After the link: a crash here leaves the hint stale-low, which the
+    // forward probe absorbs; a slow writer overwriting a newer hint is
+    // absorbed the same way.
+    writeLatestHint(path, v)
     v
   }
 
@@ -459,6 +508,15 @@ object CowTable {
     * drop those commits, so it fails and the caller re-branches or
     * rebases. The final hard-link commit keeps the no-clobber
     * guarantee even against a racing parent writer.
+    *
+    * Data files the BRANCH wrote (anything outside the parent's own
+    * `data/` tree) are hard-linked into `data/` and the published
+    * manifest references the relocated paths — so the parent never
+    * depends on the branch directory, [[dropBranch]] after publish is
+    * always safe, and parent-side vacuum ([[expireSnapshots]] walks
+    * only `data/`) manages the published files like any others.
+    * Hard links keep the branch's own manifests valid too (same
+    * inode, two names) until the branch is dropped.
     */
   def publishBranch(path: String, name: String): Int = {
     val bp = branchPath(path, name)
@@ -468,12 +526,27 @@ object CowTable {
       throw new IllegalStateException(
         s"publish conflict: $path advanced v$fork -> v$cur since branch " +
           s"'$name' forked; re-branch and replay the branch's changes")
-    commit(path, snapshotFiles(bp), cur)
+    val parentData = Paths.get(path, "data").toString + "/"
+    val relocDir = Paths.get(path, "data", s"publish-$name-${System.nanoTime()}")
+    val relocated = snapshotFiles(bp).map { f =>
+      if (f.startsWith(parentData)) f
+      else {
+        Files.createDirectories(relocDir)
+        val p = Paths.get(f)
+        // stamp-dir prefix keeps names unique across branch write batches
+        val target = relocDir.resolve(s"${p.getParent.getFileName}-${p.getFileName}")
+        if (!Files.exists(target)) Files.createLink(target, p)
+        target.toString
+      }
+    }
+    commit(path, relocated, cur)
   }
 
-  /** Drop a branch's metadata (its manifests and fork marker). Data
-    * files the branch wrote become unreferenced and are reclaimed by
-    * the next [[expireSnapshots]]; parent files are untouched.
+  /** Drop a branch's metadata and directory (manifests, fork marker,
+    * branch-written data files). Safe after [[publishBranch]]: publish
+    * relocates every branch-written file the parent references into
+    * the parent's `data/` tree, so nothing under `_branches/<name>`
+    * is ever reachable from a parent manifest.
     */
   def dropBranch(path: String, name: String): Unit = {
     val bp = Paths.get(branchPath(path, name))

@@ -533,4 +533,70 @@ class CowTableSpec extends SparkSpecBase {
     assert(vacuumed2 > 0)
     assert(CowTable.read(spark, path).count() == 200) // main intact
   }
+
+  test("branch: publish then drop never corrupts main (WAP full lifecycle)") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 300L).map(i => (i, i * 10)).toDF("id", "score")
+      .repartition(4), path)
+    CowTable.createBranch(path, "wap")
+    val bp = CowTable.branchPath(path, "wap")
+    // branch writes: an update (rewrites a file into the BRANCH's data
+    // dir) and inserts
+    CowTable.merge(spark, bp,
+      Seq((5L, -5L), (900L, 1L), (901L, 2L)).toDF("id", "score"), "id")
+    CowTable.publishBranch(path, "wap")
+    // published manifest must reference NOTHING under _branches/
+    val branchPrefix = java.nio.file.Paths.get(path, "_branches").toString
+    assert(CowTable.snapshotFiles(path).forall(!_.startsWith(branchPrefix)),
+      "published manifest still references branch-dir files")
+    // the natural end of the WAP lifecycle: drop the branch, then read
+    CowTable.dropBranch(path, "wap")
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 302)
+    assert(now.filter(col("id") === 5L).select("score").as[Long].head() == -5L)
+    assert(now.filter(col("id") === 7L).select("score").as[Long].head() == 70L)
+    // vacuum can manage the published files like any others: rewrite
+    // everything, expire, and the relocated publish files get reclaimed
+    CowTable.merge(spark, path,
+      (0L until 300L).map(i => (i, -i)).toDF("id", "score"), "id")
+    val (_, vac) = CowTable.expireSnapshots(path, keepLast = 1)
+    assert(vac > 0, "expired publish-relocated files should vacuum")
+    assert(CowTable.read(spark, path).count() == 302)
+  }
+
+  test("open cost is O(1) in commit count: _latest hint + direct manifest read") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 20L).map(i => (i, i)).toDF("id", "v"), path)
+    // 99 further commits via restore (metadata-only, fast)
+    (1 to 99).foreach(_ => CowTable.restore(path, 1))
+    assert(CowTable.currentVersion(path) == 100)
+    val hint = java.nio.file.Paths.get(path, "_snapshots", "_latest")
+    assert(java.nio.file.Files.exists(hint))
+    assert(new String(java.nio.file.Files.readAllBytes(hint)).trim == "100")
+    // a STALE-LOW hint (crash between link and hint write) probes forward
+    java.nio.file.Files.write(hint, "96".getBytes)
+    assert(CowTable.currentVersion(path) == 100)
+    // a corrupt hint falls back to the listing
+    java.nio.file.Files.write(hint, "garbage".getBytes)
+    assert(CowTable.currentVersion(path) == 100)
+    assert(CowTable.read(spark, path).count() == 20)
+    // time travel reads ONE manifest directly, no listing required
+    assert(CowTable.snapshotFiles(path, Some(57)).nonEmpty)
+  }
+
+  test("schema evolution time-travels across the add-column boundary") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 50L).map(i => (i, i)).toDF("id", "v"), path)
+    CowTable.merge(spark, path,
+      Seq((1L, -1L, "tagged")).toDF("id", "v", "tag"), "id")
+    // post-boundary: widened schema, pre-evolution rows null-filled
+    assert(CowTable.read(spark, path).columns.toSet == Set("id", "v", "tag"))
+    // pre-boundary snapshot keeps its ORIGINAL narrow schema
+    val old = CowTable.read(spark, path, asOf = Some(1))
+    assert(old.columns.toSet == Set("id", "v"))
+    assert(old.count() == 50)
+  }
 }
