@@ -34,6 +34,18 @@ object BenchHarness {
     spark
   }
 
+  /** One battery run: per-query timing samples (all passes, so callers
+    * can compute spreads/noise bands, not just the minimum) plus any
+    * per-query errors. A query that threw on every pass has an empty
+    * sample vector and an entry in `errors` — it must surface as an
+    * error row in the emitted JSON, never as a silent near-0 time.
+    */
+  case class BenchRun(samples: Map[String, Vector[Double]],
+                      errors: Map[String, String]) {
+    def best: Map[String, Double] =
+      samples.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+  }
+
   /** Warm pass (untimed) materializes the Tables cache and JITs the
     * codegen'd stages; then best-of-`passes` per query, taken across
     * INTERLEAVED full passes rather than back-to-back runs: host-VM
@@ -42,30 +54,48 @@ object BenchHarness {
     * a 2 s min on a 0.2 s query). Interleaving spreads each query's
     * samples minutes apart, so a burst can inflate at most one pass of
     * each query.
+    *
+    * A pass that throws records the error (first message wins) and
+    * contributes NO sample — errors are reported, not benchmarked.
     */
   def measure(spark: SparkSession, sfDir: String,
               timed: Map[String, (SparkSession, String) => DataFrame],
-              passes: Int): Map[String, Double] = {
-    timed.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+              passes: Int): BenchRun = {
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def run(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        timed(name)(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          None
+      }
     }
     val names = timed.keys.toVector
-    val best = scala.collection.mutable.Map.empty[String, Double]
-      .withDefaultValue(Double.MaxValue)
-    for (_ <- 1 to passes; name <- names) {
-      val t0 = System.nanoTime()
-      try { timed(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t = (System.nanoTime() - t0) / 1e9
-      if (t < best(name)) best(name) = t
-    }
-    names.map(n => n -> best(n)).toMap
+    names.foreach(run) // warm
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to passes; name <- names)
+      run(name).foreach(t => samples(name) = samples(name) :+ t)
+    BenchRun(names.map(n => n -> samples(n)).toMap, errors.toMap)
   }
 
-  def emit(results: Map[String, Double], sfDir: String, defaultOut: String): Unit = {
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+
+  def emit(run: BenchRun, sfDir: String, defaultOut: String): Unit = {
+    val results = run.best
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = run.errors.map { case (k, v) => s"\"" + k + "\":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errField = if (run.errors.nonEmpty) s""","errors":$errs""" else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
     println(line)
     // Also write the metric line to a file: sbt prefixes stdout with
     // [info], which breaks naive log scraping — a clean file is the
@@ -107,8 +137,42 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = BenchHarness.session()
     val timed = SparkEntry.queries.view.filterKeys(core58).toMap
-    val results = BenchHarness.measure(spark, sfDir, timed, passes = 5)
-    BenchHarness.emit(results, sfDir, "bench.json")
+    val run = BenchHarness.measure(spark, sfDir, timed, passes = 5)
+    BenchHarness.emit(run, sfDir, "bench.json")
+    spark.stop()
+    if (run.errors.nonEmpty) sys.exit(1)
+  }
+}
+
+/** Noise-band protocol (VERDICT r7/r8 task 1): run the SAME core
+  * battery measure() protocol `reps` times back-to-back in one JVM —
+  * identical code, identical data, minutes apart — so any best-of-5
+  * spread across reps is host-VM interference by construction, not a
+  * plan change. Prints a per-query markdown band table (min/max best
+  * across reps, spread %) for PLANS.md plus the battery totals.
+  */
+object BenchNoise {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    val spark = BenchHarness.session()
+    val timed = SparkEntry.queries.view.filterKeys(Bench.core58).toMap
+    val runs = (1 to reps).map { i =>
+      val r = BenchHarness.measure(spark, sfDir, timed, passes = 5)
+      println(f"[noise] rep $i total=${r.best.values.sum}%.3f s errors=${r.errors.size}")
+      r
+    }
+    val names = runs.head.best.keys.toVector.sorted
+    println("| query | " + (1 to reps).map(i => s"rep$i s").mkString(" | ") + " | spread |")
+    println("|---|" + "---|" * (reps + 1))
+    names.foreach { n =>
+      val bests = runs.map(_.best(n))
+      val spread = (bests.max - bests.min) / bests.min * 100
+      println(f"| `$n` | " + bests.map(b => f"$b%.3f").mkString(" | ") + f" | ${spread}%.0f%% |")
+    }
+    val totals = runs.map(_.best.values.sum)
+    println(f"[noise] totals: ${totals.map(t => f"$t%.3f").mkString(" / ")} s " +
+      f"(spread ${(totals.max - totals.min) / totals.min * 100}%.1f%%)")
     spark.stop()
   }
 }
@@ -128,8 +192,9 @@ object Bench2 {
     val timed = SparkEntry.queries.view.filterKeys(keys).toMap
     // best-of-3 (not 5): 129 queries × 4 passes already runs ~6 min;
     // the baseline script uses the same pass count.
-    val results = BenchHarness.measure(spark, sfDir, timed, passes = 3)
-    BenchHarness.emit(results, sfDir, "bench2.json")
+    val run = BenchHarness.measure(spark, sfDir, timed, passes = 3)
+    BenchHarness.emit(run, sfDir, "bench2.json")
     spark.stop()
+    if (run.errors.nonEmpty) sys.exit(1)
   }
 }

@@ -61,8 +61,12 @@ object CowTable {
     val f = snapDir(path).resolve("_latest")
     if (!Files.exists(f)) None
     else
+      // The hint is purely advisory: ANY failure to read it (corrupt
+      // content, deleted/unreadable between the exists check and the
+      // read) must fall back to the directory listing, never break
+      // table reads.
       try Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toInt)
-      catch { case _: NumberFormatException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def writeLatestHint(path: String, v: Int): Unit = {
@@ -138,8 +142,12 @@ object CowTable {
     } finally Files.deleteIfExists(tmp)
     // After the link: a crash here leaves the hint stale-low, which the
     // forward probe absorbs; a slow writer overwriting a newer hint is
-    // absorbed the same way.
-    writeLatestHint(path, v)
+    // absorbed the same way. Best-effort — an IO failure writing the
+    // hint must NOT fail a commit whose manifest already landed (the
+    // caller would retry and hit ConcurrentCommitException against its
+    // own version).
+    try writeLatestHint(path, v)
+    catch { case scala.util.control.NonFatal(_) => () }
     v
   }
 
@@ -533,9 +541,13 @@ object CowTable {
       else {
         Files.createDirectories(relocDir)
         val p = Paths.get(f)
-        // stamp-dir prefix keeps names unique across branch write batches
+        // stamp-dir prefix keeps names unique across branch write
+        // batches; relocDir is freshly stamped per publish, so a name
+        // collision is always a bug — let createLink throw
+        // FileAlreadyExistsException loudly rather than silently
+        // pointing the manifest at the first file's content.
         val target = relocDir.resolve(s"${p.getParent.getFileName}-${p.getFileName}")
-        if (!Files.exists(target)) Files.createLink(target, p)
+        Files.createLink(target, p)
         target.toString
       }
     }

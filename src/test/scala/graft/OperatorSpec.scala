@@ -34,6 +34,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(benchKeys.size == 58, s"expected 58 baseline keys, got ${benchKeys.size}")
   }
 
+  test("bench harness surfaces a throwing query as an error row, never a silent time") {
+    val timed = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "ok_query" -> ((s, dir) => s.read.parquet(s"$dir/region.parquet")),
+      "boom_query" -> ((_, _) => throw new IllegalStateException("deliberate bench failure")))
+    val run = BenchHarness.measure(spark, sf, timed, passes = 2)
+    assert(run.best.contains("ok_query") && run.best("ok_query") > 0)
+    assert(!run.best.contains("boom_query"),
+      "a throwing query must not produce a timing row")
+    assert(run.errors.keySet == Set("boom_query"))
+    assert(run.errors("boom_query").contains("deliberate bench failure"))
+    // and the emitted JSON line carries the errors map
+    val out = java.nio.file.Files.createTempFile("bench_err", ".json")
+    val prev = System.out
+    try BenchHarness.emit(run, sf, out.toString) finally System.setOut(prev)
+    val line = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    assert(line.contains("\"errors\":{\"boom_query\":"), s"no errors field in: $line")
+    assert(line.contains("\"ok_query\":"))
+  }
+
   test("query keys are valid directory names (R8)") {
     SparkEntry.queries.keys.foreach { k =>
       assert(k.matches("[a-z0-9_]+"), s"bad key: $k")
