@@ -152,17 +152,33 @@ case class AsOfMergeExec(
       var best: InternalRow = null
       var bestKey = 0L
       li.flatMap { l =>
-        val lk = l.getLong(lKeyIdx)
-        val lts = l.getLong(lTsIdx)
-        var continue = true
-        while (pending != null && continue) {
-          val rk = pending.getLong(rKeyIdx)
-          if (rk < lk || (rk == lk && pending.getLong(rTsIdx) <= lts)) {
-            if (rk == lk) { best = pending.copy(); bestKey = rk }
-            pending = if (ri.hasNext) ri.next() else null
-          } else continue = false
+        // SQL join-null semantics: a null key or ts can never satisfy
+        // the equality/range predicates, so a null-field left row is
+        // unmatched (padded under outer, dropped under inner) and a
+        // null-field right row is never a candidate. The inner-join
+        // rewrite path never sees nulls (the optimizer pushes
+        // isnotnull), but LeftOuter keeps null left rows — and with
+        // NULLS FIRST sort order they arrive at the head, before any
+        // comparable data.
+        val lNull = l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx)
+        var hit = false
+        if (!lNull) {
+          val lk = l.getLong(lKeyIdx)
+          val lts = l.getLong(lTsIdx)
+          var continue = true
+          while (pending != null && continue) {
+            if (pending.isNullAt(rKeyIdx) || pending.isNullAt(rTsIdx)) {
+              pending = if (ri.hasNext) ri.next() else null
+            } else {
+              val rk = pending.getLong(rKeyIdx)
+              if (rk < lk || (rk == lk && pending.getLong(rTsIdx) <= lts)) {
+                if (rk == lk) { best = pending.copy(); bestKey = rk }
+                pending = if (ri.hasNext) ri.next() else null
+              } else continue = false
+            }
+          }
+          hit = best != null && bestKey == lk
         }
-        val hit = best != null && bestKey == lk
         if (hit || leftIsOuter) {
           numOutputRows += 1
           Iterator.single(joiner(joined(l, if (hit) best else nullRight)))

@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+/** Optimizer rule: the declared as-of shape — an equi+range join
+  * followed by a per-left-row `max(struct(r_ts, r_id))` argmax
+  * aggregation — is rewritten onto the custom [[AsOfMergeJoin]]
+  * operator (planned to AsOfMergeExec by the injected strategy).
+  *
+  * The natural 2-step formulation materializes every
+  * (left, earlier-right) candidate pair before the struct-max —
+  * quadratic per key, and the OOM shape at 100 TB when keys live for
+  * years. The merge exec is the O(1)-state linear sweep (one shuffle +
+  * sort per side, the SortMergeJoin contract). This rule routes users
+  * who write the natural shape onto it automatically.
+  *
+  * CONFIG-GATED, default OFF (`spark.graft.asofRewrite=true` enables),
+  * per the measured cost honesty of [[TopKRewriteRule]]: at bench
+  * scale the hash-agg band join and the double-sort merge are both
+  * scheduling-floor-bound (0.13 s vs 0.15 s at sf0.1) — the merge's
+  * win is the avoided candidate blowup, a property of per-key history
+  * length the local optimizer cannot observe. The user opts in.
+  *
+  * Fires only on the exact shape whose semantics the exec reproduces:
+  *
+  *  - `Aggregate(G, A, [Project_attrs-only] Join(Inner|LeftOuter,
+  *    lKey = rKey AND rTs <= lTs [AND rTs >/(>=) f(left) ...]))`;
+  *  - every grouping expression a LEFT-side attribute; every
+  *    aggregate output either a grouping attribute or
+  *    `max(struct(rTs, rId)).field` (plain max — no DISTINCT/FILTER),
+  *    where rTs is THE range-predicate timestamp;
+  *  - the right side carries exactly (rKey, rTs, rId) — the argmax
+  *    payload IS the residual column, so the exec's
+  *    (key, ts, residual)-ascending sort makes its kept row the
+  *    struct-max row, tie-break included;
+  *  - key/ts types physically long (BIGINT / timestamp);
+  *  - extra conjuncts only as LOWER bounds on rTs from left-side
+  *    expressions (the tolerance band). Sound because they select a
+  *    SUFFIX of each left row's candidate prefix: if the last-prior
+  *    row fails the bound, every earlier candidate fails it too — so
+  *    a post-join Filter on the exec's single winner is equivalent.
+  *    Inner only: under LeftOuter a post-filter would drop the
+  *    padded rows the outer contract keeps.
+  *
+  * Equivalence of keeping the Aggregate on top (rather than assuming
+  * the grouping key unique per left row): for a group of left rows,
+  * max over the UNION of their candidate prefixes equals max of the
+  * per-row prefix-maxes the exec emits — so the rewrite is exact even
+  * with duplicate grouping keys, and the surviving Aggregate costs one
+  * row per left row.
+  */
+object AsOfRewriteRule extends Rule[LogicalPlan] {
+
+  private def longPhysical(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** The (lKey, rKey, lTs, rTs, lowerBounds) decomposition of a join
+    * condition, if it has exactly the as-of shape.
+    */
+  private def decompose(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[(Attribute, Attribute, Attribute, Attribute, Seq[Expression])] = {
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => split(a) ++ split(b)
+        case x         => Seq(x)
+      }
+      split(cond)
+    }
+    def side(a: Attribute): Int =
+      if (left.outputSet.contains(a)) 0 else if (right.outputSet.contains(a)) 1 else -1
+
+    var eq: Option[(Attribute, Attribute)] = None      // (lKey, rKey)
+    var range: Option[(Attribute, Attribute)] = None   // (lTs, rTs)
+    val rest = Seq.newBuilder[Expression]
+    var ok = true
+    conjuncts.foreach {
+      case EqualTo(a: Attribute, b: Attribute) if eq.isEmpty &&
+          ((side(a), side(b)) == (0, 1) || (side(a), side(b)) == (1, 0)) =>
+        eq = Some(if (side(a) == 0) (a, b) else (b, a))
+      case LessThanOrEqual(r: Attribute, l: Attribute)
+          if range.isEmpty && side(r) == 1 && side(l) == 0 =>
+        range = Some((l, r))
+      case GreaterThanOrEqual(l: Attribute, r: Attribute)
+          if range.isEmpty && side(l) == 0 && side(r) == 1 =>
+        range = Some((l, r))
+      case other => rest += other
+    }
+    val bounds = rest.result()
+    // every leftover conjunct must be a lower bound on the SAME right
+    // timestamp whose other side is computed from left columns only
+    def isLowerBound(e: Expression, rTs: Attribute): Boolean = e match {
+      case GreaterThan(a: Attribute, b) =>
+        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      case GreaterThanOrEqual(a: Attribute, b) =>
+        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      case LessThan(b, a: Attribute) =>
+        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      case LessThanOrEqual(b, a: Attribute) =>
+        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      case _ => false
+    }
+    ok = eq.isDefined && range.isDefined &&
+      bounds.forall(e => isLowerBound(e, range.get._2))
+    if (!ok) None
+    else {
+      val (lKey, rKey) = eq.get
+      val (lTs, rTs) = range.get
+      if (longPhysical(lKey.dataType) && lKey.dataType == rKey.dataType &&
+          longPhysical(lTs.dataType) && longPhysical(rTs.dataType) &&
+          rTs.exprId != rKey.exprId)
+        Some((lKey, rKey, lTs, rTs, bounds))
+      else None
+    }
+  }
+
+  /** True iff `e` is `max(struct(rTs, rId)).field` (possibly aliased)
+    * with plain max semantics.
+    */
+  private def isArgmaxOf(e: Expression, rTs: Attribute, rId: Attribute): Boolean = e match {
+    case Alias(child, _) => isArgmaxOf(child, rTs, rId)
+    case GetStructField(ae: AggregateExpression, ord, _)
+        if !ae.isDistinct && ae.filter.isEmpty && (ord == 0 || ord == 1) =>
+      ae.aggregateFunction match {
+        case Max(cns: CreateNamedStruct) =>
+          cns.valExprs match {
+            case Seq(f0: Attribute, f1: Attribute) =>
+              f0.exprId == rTs.exprId && f1.exprId == rId.exprId
+            case _ => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.asofRewrite", "false").toBoolean) return plan
+    plan.transformUp {
+      case agg @ Aggregate(grouping, aggExprs, child, _) =>
+        val joinOpt = child match {
+          case j: Join => Some(j)
+          case Project(pl, j: Join) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+            Some(j)
+          case _ => None
+        }
+        val rewritten = joinOpt
+          .filter(j => (j.joinType == Inner || j.joinType == LeftOuter) && j.condition.isDefined)
+          .flatMap { j =>
+            decompose(j.condition.get, j.left, j.right).flatMap {
+              case (lKey, rKey, lTs, rTs, bounds) =>
+                val residual = j.right.output
+                  .filterNot(a => a.exprId == rKey.exprId || a.exprId == rTs.exprId)
+                val groupingOk = grouping.forall {
+                  case a: Attribute => j.left.outputSet.contains(a)
+                  case _            => false
+                }
+                val namesOk =
+                  j.left.output.map(_.name).distinct.size == j.left.output.size &&
+                  j.right.output.map(_.name).distinct.size == j.right.output.size
+                val shapeOk = groupingOk && namesOk &&
+                  residual.sizeIs == 1 &&
+                  (j.joinType == Inner || bounds.isEmpty) &&
+                  aggExprs.forall {
+                    case a: Attribute => grouping.exists {
+                      case g: Attribute => g.exprId == a.exprId
+                      case _            => false
+                    }
+                    case e => isArgmaxOf(e, rTs, residual.head)
+                  }
+                if (!shapeOk) None
+                else {
+                  val asof = AsOfMergeJoin(j.left, j.right,
+                    lKey.name, lTs.name, rKey.name, rTs.name,
+                    leftOuter = j.joinType == LeftOuter)
+                  val input: LogicalPlan =
+                    if (bounds.isEmpty) asof else Filter(bounds.reduce(And), asof)
+                  Some(Aggregate(grouping, aggExprs, input))
+                }
+            }
+          }
+        rewritten.getOrElse(agg)
+    }
+  }
+}

@@ -46,6 +46,33 @@ class AsOfMergeSpec extends SparkSpecBase {
       p.count() - inner.count())
   }
 
+  test("null keys/timestamps follow SQL join semantics on both sides") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("t", LongType)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // left: null key, null ts, and a key-0 row (a null key hashing near
+    // 0 must NOT match real key 0); right: null key/ts rows plus real
+    // candidates for keys 0 and 1
+    val left = df(Seq(Row(1L, null, 50L), Row(2L, 7L, null), Row(3L, 0L, 50L),
+                      Row(4L, 1L, 50L)))
+    val right = df(Seq(Row(10L, null, 10L), Row(11L, 0L, null), Row(12L, 0L, 20L),
+                       Row(13L, 1L, 20L), Row(14L, 1L, 40L), Row(15L, 1L, 60L)))
+      .toDF("rid", "rk", "rt")
+    val outer = graft.ops.AsOf.asofMergePlan(left, right, "k", "t", "rk", "rt",
+        leftOuter = true)
+      .select("id", "rid").collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // null-field left rows survive unmatched; null-field right rows are
+    // never candidates; real matches pick the last prior
+    assert(outer == Map(1L -> None, 2L -> None, 3L -> Some(12L), 4L -> Some(14L)))
+    val inner = graft.ops.AsOf.asofMergePlan(left, right, "k", "t", "rk", "rt")
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inner == Map(3L -> 12L, 4L -> 14L))
+  }
+
   test("plan: AsOfMergeExec with exactly two exchanges and two sorts") {
     val (p, sg) = legs()
     val df = AsOf.asofMergePlan(p, sg, "key", "p_ts", "s_key", "s_ts")

@@ -88,6 +88,49 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("asofRewrite flag: declared as-of shapes route onto AsOfMergeExec, identical rows") {
+    import org.apache.spark.sql.SparkSession
+    val names = Seq("join_asof_last_signup", "join_asof_left", "join_asof_tolerance")
+    val off = names.map(n => n -> q(n).collect().map(_.toSeq).toSeq).toMap
+    // default (no rule): none of the plans contains the custom exec
+    names.foreach { n =>
+      assert(!plan(n).contains("AsOfMerge"), s"$n rewritten without opt-in")
+    }
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // rule registered but flag off: plans unchanged
+      names.foreach { n =>
+        val p = SparkEntry.queries(n)(extended, sf).queryExecution.executedPlan.toString
+        assert(!p.contains("AsOfMerge"), s"$n rewritten with flag off:\n${p.take(600)}")
+      }
+      extended.conf.set("spark.graft.asofRewrite", "true")
+      names.foreach { n =>
+        val df = SparkEntry.queries(n)(extended, sf)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("AsOfMerge"),
+          s"$n must plan through AsOfMergeExec with the flag on:\n${p.take(900)}")
+        // the candidate-pair band join is gone: the argmax aggregate's
+        // input is the merge exec (one row per left row), not a join
+        assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+          s"$n still contains the original join:\n${p.take(900)}")
+        val on = df.collect().map(_.toSeq).toSeq
+        // row equality both directions
+        assert(on.diff(off(n)).isEmpty && off(n).diff(on).isEmpty,
+          s"$n rows differ under the rewrite")
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("recon_leg_match is a single full-outer join (no anti-join recompute)") {
     val p = plan("recon_leg_match")
     assert(p.contains("FullOuter"), p.take(600))
