@@ -1,0 +1,186 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.minhash
+import graft.functions.VectorFunctions.sorted_jaccard
+import graft.sinks.CowTable
+
+/** INCREMENTAL (new-batch × index) near-dup detection at ingest — the
+  * shape a daily 100 TB pipeline actually runs. The full-recompute
+  * form ([[Pipeline.dedupMinhashLsh]]) re-signatures and re-pairs the
+  * whole corpus on every run; this component keeps a persistent
+  * MinHash BAND INDEX (a [[CowTable]]: one row per doc, the 32 banded
+  * signature keys) beside the corpus table, and on each ingest:
+  *
+  *  1. pulls ONLY the changed rows via [[CowTable.changes]] (the CDC
+  *     feed reads just the manifest-diff files — cost ∝ the batch,
+  *     never the corpus);
+  *  2. signatures the batch and MERGEs it into the index (updates
+  *     replace the doc's band row; the index table's copy-on-write
+  *     merge rewrites only key-intersecting files);
+  *  3. generates candidates by joining the batch's exploded band keys
+  *     against the index — candidate volume ∝ pairs involving the
+  *     batch, not corpus²; the batch side is broadcast, so the index
+  *     is scanned in place with NO index-side shuffle;
+  *  4. verifies candidates with exact Jaccard on token sets fetched
+  *     from the CURRENT corpus snapshot (a semi-join touching only
+  *     candidate ids) — which also makes stale index entries for
+  *     deleted docs correctness-neutral: their ids no longer join.
+  *
+  * Same 128-hash / 32×4-band / J ≥ 0.9 parameters as the full
+  * recompute, so the ingest result equals the full recompute's pair
+  * set restricted to pairs involving the batch (PipelineSpec proves
+  * the equality; the `dedup_incremental_ingest` oracle pins it
+  * against DuckDB's exact-Jaccard SQL).
+  */
+object IncrementalDedup {
+
+  private val NumHashes = 128
+  private val Bands = 32
+  private val RowsPerBand = 4
+  private val JaccardThreshold = 0.9
+  /** Pure-delete index cleanup is a literal IN-list delete, bounded
+    * like CowTable's IVM dirty-key list; beyond the bound stale rows
+    * are left in place (correctness-neutral, see class doc) for the
+    * next full [[buildIndex]]/compaction to clear.
+    */
+  private val DeleteLiteralMax = 1000
+
+  private def blockOf(blockCols: Seq[String]): Column =
+    concat_ws("", blockCols.map(col): _*)
+
+  /** One index row per doc: (doc_id, block, bands) where `bands` is
+    * the 32-long array of banded MinHash keys. Input: (doc_id, block,
+    * text).
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("block"),
+        array_sort(array_distinct(split(col("text"), " "))).as("tk"))
+      .withColumn("sig", minhash(col("tk"), NumHashes))
+      .select(col("doc_id"), col("block"),
+        transform(sequence(lit(0), lit(Bands - 1)),
+          b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
+          .as("bands"))
+
+  private def explodeBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("block"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+
+  private def markerPath(indexPath: String) =
+    Paths.get(indexPath, "_corpus_version")
+
+  private def writeIndexedVersion(indexPath: String, v: Int): Unit = {
+    Files.createDirectories(Paths.get(indexPath))
+    val tmp = Paths.get(indexPath, s"._corpus_version.${System.nanoTime()}.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, markerPath(indexPath),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The corpus snapshot version the index currently reflects. */
+  def indexedVersion(indexPath: String): Int =
+    new String(Files.readAllBytes(markerPath(indexPath)),
+      StandardCharsets.UTF_8).trim.toInt
+
+  /** Full build: signature every doc of the corpus's CURRENT snapshot
+    * into a fresh index table and record the indexed version. Run once
+    * at bootstrap (or as the periodic compaction that clears stale
+    * delete entries); every subsequent batch goes through [[ingest]].
+    */
+  def buildIndex(spark: SparkSession, corpusPath: String, indexPath: String,
+                 blockCols: Seq[String]): Int = {
+    val v = CowTable.currentVersion(corpusPath)
+    val docs = CowTable.read(spark, corpusPath, Some(v))
+      .select(col("doc_id"), blockOf(blockCols).as("block"), col("text"))
+    val ver = CowTable.create(signatures(docs), indexPath)
+    writeIndexedVersion(indexPath, v)
+    ver
+  }
+
+  /** Process everything that changed in the corpus since the index
+    * was last advanced: update the index and return the verified
+    * near-dup pairs (a_id < b_id) INVOLVING the changed docs —
+    * new×index and new×new, exactly the increment of the full
+    * recompute's pair set. No changes → empty result, no work.
+    */
+  def ingest(spark: SparkSession, corpusPath: String, indexPath: String,
+             blockCols: Seq[String]): DataFrame = {
+    val fromV = indexedVersion(indexPath)
+    val toV = CowTable.currentVersion(corpusPath)
+    val corpusNow = CowTable.read(spark, corpusPath, Some(toV))
+    def empty = corpusNow.select(col("doc_id").as("a_id"),
+      col("doc_id").as("b_id")).limit(0)
+    if (toV == fromV) return empty
+
+    val feed = CowTable.changes(spark, corpusPath, "doc_id", fromV, toV)
+    val upserts = feed.filter(col("_change_type").isin("insert", "update"))
+      .select(col("doc_id"), blockOf(blockCols).as("block"), col("text"))
+    val newSigs = signatures(upserts)
+    // updates replace their doc's band row wholesale; inserts append.
+    // Skipped for delete-only batches: no new docs means no new pairs,
+    // so the index is never even scanned.
+    val hasUpserts = !upserts.isEmpty
+    if (hasUpserts) CowTable.merge(spark, indexPath, newSigs, "doc_id")
+    // bounded cleanup of pure deletes (stale rows beyond the bound are
+    // harmless — the verify join drops them — just index bloat)
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select("doc_id").limit(DeleteLiteralMax + 1).collect().map(_.getLong(0))
+    if (deleted.nonEmpty && deleted.length <= DeleteLiteralMax)
+      CowTable.delete(spark, indexPath,
+        s"doc_id IN (${deleted.mkString(",")})")
+    writeIndexedVersion(indexPath, toV)
+    if (!hasUpserts) return empty
+
+    // candidates: the batch's band keys probe the updated index. The
+    // batch rides a broadcast — the index never shuffles; ingest
+    // batches are small relative to the corpus by contract (a
+    // corpus-sized "batch" is what buildIndex is for).
+    val haystack = explodeBands(CowTable.read(spark, indexPath))
+    val probe = explodeBands(newSigs).select(
+      col("doc_id").as("b_id"), col("block").as("b_block"),
+      col("band_idx").as("b_bi"), col("band_key").as("b_bk"))
+    val candidates = haystack
+      .join(broadcast(probe),
+        col("block") === col("b_block") && col("band_idx") === col("b_bi") &&
+          col("band_key") === col("b_bk") && col("doc_id") =!= col("b_id"))
+      .select(least(col("doc_id"), col("b_id")).as("a_id"),
+              greatest(col("doc_id"), col("b_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // exact verify on CURRENT tokens — candidate-id semi-joins into
+    // the corpus, so cost ∝ candidates (and deleted ids vanish here)
+    val tk = corpusNow.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("tk"))
+    candidates
+      .join(tk.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
+      .join(tk.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
+      .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= JaccardThreshold)
+      .select("a_id", "b_id")
+  }
+
+  /** The declared query: split the documents table into an initial
+    * corpus (doc_id % 5 != 0) and an ingest batch (doc_id % 5 == 0),
+    * bootstrap corpus + index as CowTables, merge the batch, and
+    * ingest — the flagged pairs are exactly the exact-Jaccard near-dup
+    * pairs involving a batch doc (the DuckDB oracle states that
+    * directly; recall 1 at 32×4 bands for J ≥ 0.9 as with
+    * `dedup_minhash_lsh`).
+    */
+  val dedupIncrementalIngest: (SparkSession, String) => DataFrame = (s, d) => {
+    val docs = graft.tables.Tables.t(s, d, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val dir = Files.createTempDirectory("graft_incdedup").toString
+    val corpus = s"$dir/corpus"
+    val index = s"$dir/index"
+    CowTable.create(docs.filter(col("doc_id") % 5 =!= 0), corpus)
+    buildIndex(s, corpus, index, Seq("lang", "source"))
+    CowTable.merge(s, corpus, docs.filter(col("doc_id") % 5 === 0), "doc_id")
+    ingest(s, corpus, index, Seq("lang", "source"))
+      .orderBy("a_id", "b_id")
+      .limit(2000)
+  }
+}

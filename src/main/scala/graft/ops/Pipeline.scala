@@ -992,5 +992,6 @@ object Pipeline {
     "text_gopher_filters" -> textGopherFilters,
     "unpivot_metrics" -> unpivotMetrics,
     "multimodal_frame_sample" -> multimodalFrameSample,
+    "dedup_incremental_ingest" -> IncrementalDedup.dedupIncrementalIngest,
   )
 }

@@ -434,5 +434,15 @@ object OracleW18 {
     WHERE e.event_type = 'purchase' AND e.ts >= sg.st GROUP BY 1)
   SELECT user_id, CAST((epoch_us(pt) - epoch_us(st)) // 1000000 AS BIGINT) latency_s
   FROM m ORDER BY user_id""",
+    // round 9: the incremental (new-batch x index) ingest flags exactly
+    // the exact-Jaccard near-dup pairs involving a batch doc (batch =
+    // doc_id % 5 == 0), stated directly over the full corpus
+    "dedup_incremental_ingest" ->
+      """WITH toks AS (SELECT doc_id, lang, source, list_distinct(string_split(text,' ')) tk FROM documents)
+  SELECT a.doc_id a_id, b.doc_id b_id FROM toks a JOIN toks b
+  ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
+    AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+  ORDER BY 1,2 LIMIT 2000""",
   )
 }

@@ -26,6 +26,56 @@ class PipelineSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("incremental ingest == full recompute's pairs involving the batch; CDC-bounded work") {
+    import graft.ops.IncrementalDedup
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_spec").toString
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    CowTable.create(docs.filter(col("doc_id") % 5 =!= 0), corpus)
+    IncrementalDedup.buildIndex(spark, corpus, index, Seq("lang", "source"))
+    val v1 = CowTable.currentVersion(corpus)
+    CowTable.merge(spark, corpus, batch, "doc_id")
+    val v2 = CowTable.currentVersion(corpus)
+    // the CDC feed the ingest consumes carries EXACTLY the batch rows —
+    // work is bounded by the changed files, never the corpus
+    assert(CowTable.changes(spark, corpus, "doc_id", v1, v2).count() == batch.count())
+    val flagged = IncrementalDedup.ingest(spark, corpus, index, Seq("lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // == the full recompute restricted to pairs involving a batch doc
+    // (dedup_near_jaccard is the exact blocked-Jaccard join, J >= 0.9)
+    val full = pairs("dedup_near_jaccard")
+    val expected = full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(flagged == expected, s"flagged ${flagged.size} vs expected ${expected.size}")
+    assert(flagged.nonEmpty, "batch should contain known near-dups on this corpus")
+    // idempotence: nothing changed since -> empty result, version stays
+    assert(IncrementalDedup.ingest(spark, corpus, index, Seq("lang", "source")).count() == 0)
+    // update path: rewrite one non-batch doc's text to duplicate another
+    // doc -> next ingest flags exactly that new pair; stale bands of the
+    // old text are replaced, so no pair from the OLD content appears
+    val pair = expected.head
+    val target = docs.filter(col("doc_id") % 5 =!= 0)
+      .filter(!col("doc_id").isin(pair._1, pair._2))
+      .orderBy("doc_id").limit(1).collect().head
+    val src = docs.filter(col("doc_id") === pair._1).collect().head
+    import spark.implicits._
+    val upd = Seq((target.getLong(0), src.getString(1), src.getString(2), src.getString(3)))
+      .toDF("doc_id", "lang", "source", "text")
+    CowTable.merge(spark, corpus, upd, "doc_id")
+    val flagged2 = IncrementalDedup.ingest(spark, corpus, index, Seq("lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tid = target.getLong(0)
+    assert(flagged2.nonEmpty && flagged2.forall { case (a, b) => a == tid || b == tid },
+      s"update ingest must flag only pairs involving the updated doc: $flagged2")
+    assert(flagged2.exists { case (a, b) => a == pair._1 || b == pair._1 },
+      "the updated doc must pair with its new duplicate source")
+    // delete path: removing the updated doc leaves no trace in output
+    CowTable.delete(spark, corpus, s"doc_id = $tid")
+    assert(IncrementalDedup.ingest(spark, corpus, index, Seq("lang", "source")).count() == 0)
+  }
+
   test("ngram jaccard pairs are a subset of token-set jaccard candidates' blocks") {
     val ng = pairs("dedup_ngram_jaccard")
     assert(ng.nonEmpty)
