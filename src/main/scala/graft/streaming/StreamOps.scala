@@ -611,6 +611,105 @@ object StreamOps {
                           TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** INCREMENTAL SESSION MERGE — the streaming twin of the batch
+    * `agg_session_window_native` operator, as an explicit stateful
+    * processor (the one §2.5 symmetry hole the built-in
+    * `session_window` groupBy ([[session30m]]) doesn't close: that
+    * form emits per-session COUNTS; this one owns the session list, so
+    * the merge across micro-batches is observable and the emitted
+    * rows carry the exact half-open [start, last + gap) boundaries the
+    * batch operator produces).
+    *
+    * State per user: the OPEN sessions as (startMs, lastMs, count),
+    * plus the armed close-timer instant. Each batch's events merge
+    * into the list under batch semantics (an event at exactly
+    * last + gap starts a NEW session); one event-time timer per user
+    * is armed at the earliest open-session close time, and when the
+    * watermark crosses it the processor emits every session whose
+    * close time the watermark passed — final, append-mode, state
+    * bounded by open sessions only.
+    */
+  class SessionMergeProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var open: ListState[(Long, Long, Long)] = _ // (startMs, lastMs, n)
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getListState[(Long, Long, Long)]("open",
+        E.tuple(E.scalaLong, E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", E.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Merge-coalesce: existing open sessions + the batch's events (as
+      * unit sessions), sorted by start, folded with the half-open
+      * overlap rule `next.start < cur.last + gap`.
+      */
+    private def merged(incoming: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val all = (open.get().toSeq ++ incoming.map(t => (t, t, 1L))).sortBy(s => (s._1, s._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      all.foreach { s =>
+        if (out.nonEmpty && s._1 < out.last._2 + gapMs) {
+          val c = out.remove(out.length - 1)
+          out += ((c._1, math.max(c._2, s._2), c._3 + s._3))
+        } else out += s
+      }
+      out.toSeq
+    }
+
+    private def rearm(sessions: Seq[(Long, Long, Long)]): Unit = {
+      val next = if (sessions.isEmpty) Long.MinValue
+                 else sessions.map(_._2 + gapMs).min
+      val prev = if (armed.exists()) armed.get() else Long.MinValue
+      if (next != prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+        if (next != Long.MinValue) { getHandle.registerTimer(next); armed.update(next) }
+        else armed.clear()
+      }
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val sessions = merged(rows.map(_.ts.getTime).toSeq)
+      open.clear()
+      sessions.foreach(open.appendValue)
+      rearm(sessions)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val (closed, stillOpen) = open.get().toSeq.partition(_._2 + gapMs <= wm)
+      open.clear()
+      stillOpen.foreach(open.appendValue)
+      armed.clear() // the fired timer was the armed one
+      rearm(stillOpen)
+      closed.sortBy(_._1).iterator
+        .map { case (start, last, n) => (user, start, last + gapMs, n) }
+    }
+  }
+
+  /** Final closed sessions per user as (user_id, startMs, endMs, n_ev)
+    * with the batch operator's exact half-open boundaries — roll up
+    * per user and it reproduces `agg_session_window_native`
+    * (StreamingSpec proves parity across a batch boundary that
+    * straddles a session merge). Requires the RocksDB state store
+    * provider.
+    */
+  def sessionStatsStream(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L,
+                         watermark: String = "1 minute"): Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionMergeProcessor(gapMs),
+                          TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Interactive queries (Kafka Streams IQ / store.all() analogue):
     * read a streaming operator's STATE STORE as a DataFrame, straight
     * from the query's checkpoint, via Spark's state data source. Works

@@ -324,6 +324,57 @@ class StreamingSpec extends SparkSpecBase {
       (2L, "signup", "2024-01-01 10:30:00.0", None)))
   }
 
+  test("stateful session merge: streaming closed sessions == batch session_window, boundary straddles a merge") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch 1 opens sessions; batch 2 events land INSIDE batch-1
+      // sessions (the cross-micro-batch merge) and open a second
+      // user-1 session; sentinels drive the watermark to close all
+      val b1 = Seq(evt(1, "2024-01-01 10:00:00", user = 1),
+                   evt(2, "2024-01-01 10:10:00", user = 1),
+                   evt(3, "2024-01-01 10:12:00", user = 2))
+      val b2 = Seq(evt(4, "2024-01-01 10:20:00", user = 1), // merges into 10:00 session
+                   evt(5, "2024-01-01 11:30:00", user = 1), // new session
+                   evt(6, "2024-01-01 10:30:00", user = 2)) // merges into 10:12 session
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.sessionStatsStream(stream.toDF().as[Evt])
+        .toDF("user_id", "start_ms", "end_ms", "n_ev")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      Seq(b1, b2,
+          Seq(evt(7, "2024-01-02 12:00:00", user = 99)),
+          Seq(evt(8, "2024-01-03 12:00:00", user = 99)))
+        .foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table(sink).filter(col("user_id") =!= 99)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch twin: the native session_window aggregation over the SAME
+      // events — identical (user, start, end, count) rows
+      val batch = (b1 ++ b2).toDS()
+        .groupBy(col("user_id"), expr("session_window(ts, '30 minutes')").as("sw"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_ev"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+                   r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      // and the straddling merge really happened: user 1's first session
+      // spans both batches — [10:00, 10:50), 3 events
+      assert(streamed.contains((1L, ts("2024-01-01 10:00:00").getTime,
+        ts("2024-01-01 10:50:00").getTime, 3L)), streamed.toString)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("timer-driven resample: hourly grid rows emitted by watermark, forward-filled") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
