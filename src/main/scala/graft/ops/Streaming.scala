@@ -110,7 +110,14 @@ object Streaming {
     */
   val reconLegMatch: Q = (s, d) => {
     val a = typed(s, d, "signup", "a")
-    val b = typed(s, d, "purchase", "b")
+    // shuffle_hash: full outer is hash-joinable since Spark 3.1 —
+    // the hint drops SortMergeJoin's two leg sorts (plan-verified:
+    // ShuffledHashJoin FullOuter, zero Sort nodes). Locally the win
+    // sits inside the host noise band (PLANS.md round 9); at scale
+    // two saved fact-leg sorts are real, and the band residual
+    // evaluates per probed key group either way. Build side = the
+    // purchase leg (the smaller leg on this corpus).
+    val b = typed(s, d, "purchase", "b").hint("shuffle_hash")
     a.join(b, col("a_user") === col("b_user") &&
               col("b_ts") >= col("a_ts") &&
               col("b_ts") < col("a_ts") + expr("INTERVAL 24 HOURS"),
