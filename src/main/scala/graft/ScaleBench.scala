@@ -19,8 +19,87 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "asof").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof (no arg = full run)")
+    require(only.forall(Set("het", "ivm", "asof", "inc").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc (no arg = full run)")
+
+    if (only.contains("inc")) {
+    // ---- round-9: incremental (new-batch × index) dedup vs recompute ----
+    // The claim under test: a daily batch costs signatures + candidate
+    // work proportional to the BATCH, while the full recompute pays
+    // the whole corpus again. Corpus: 100k docs, 30 tokens each from a
+    // 50k vocabulary (the het regime — random pairs share ~0 tokens).
+    // Batch: 1000 docs, 500 of them planted near-copies (J ≈ 0.935) of
+    // corpus docs in the same (lang, source) block — so the TRUE pair
+    // set is exactly the 500 planted cross-batch pairs, and the
+    // incremental result must equal the full recompute's.
+    import graft.ops.IncrementalDedup
+    import graft.sinks.CowTable
+    import graft.functions.VectorFunctions.sorted_jaccard
+    val root = s"/tmp/graft_scalebench_inc_${System.nanoTime()}"
+    val (corpusPath, indexPath) = (s"$root/corpus", s"$root/index")
+    val nBase = 100000L
+    val tokOf = (idCol: String) => "transform(sequence(0, 29), j -> concat('w', cast(" +
+      s"pmod(cast(conv(substring(md5(concat($idCol, '_', j)), 1, 8), 16, 10) as bigint), 50000) as string)))"
+    val langA = "array('en', 'de', 'fr', 'es', 'zh')"
+    val srcA = "array('web', 'wiki', 'book', 'code')"
+    def withBlock(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lang", expr(s"element_at($langA, cast(bid % 5 + 1 as int))"))
+      .withColumn("source", expr(s"element_at($srcA, cast(bid % 4 + 1 as int))"))
+    val baseDocs = withBlock(spark.range(nBase).select(col("id").as("bid")))
+      .select(col("bid").as("doc_id"), array_join(expr(tokOf("bid")), " ").as("text"),
+              col("lang"), col("source"))
+    // batch: ids 2n.., first 500 near-copy corpus doc bid=i*100 (29/31
+    // shared tokens, same block), rest fresh vocab draws
+    val batchDocs = withBlock(spark.range(1000L)
+        .select(col("id").as("i"), (col("id") * 100).as("bid"),
+                (col("id") + 2 * nBase).as("doc_id")))
+      .withColumn("text",
+        when(col("i") < 500,
+          array_join(expr(s"concat(slice(${tokOf("bid")}, 1, 29), array(concat('d', doc_id)))"), " "))
+        .otherwise(array_join(expr(tokOf("doc_id")), " ")))
+      .select("doc_id", "text", "lang", "source")
+    CowTable.create(baseDocs, corpusPath)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"[scalebench] inc $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); a
+    }
+    t("build-index(100k)") {
+      IncrementalDedup.buildIndex(spark, corpusPath, indexPath, Seq("lang", "source"))
+    }
+    CowTable.merge(spark, corpusPath, batchDocs, "doc_id")
+    val incPairs = t("ingest(1k batch)") {
+      IncrementalDedup.ingest(spark, corpusPath, indexPath, Seq("lang", "source"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // full recompute: signatures + band self-join + verify over the
+    // WHOLE 101k corpus — what a pipeline without the index pays daily
+    val fullPairs = t("full-recompute(101k)") {
+      val all = CowTable.read(spark, corpusPath)
+        .select(col("doc_id"),
+          concat_ws("", col("lang"), col("source")).as("block"), col("text"))
+      val sg = IncrementalDedup.signatures(all)
+      val bd = sg.select(col("doc_id"), col("block"),
+        posexplode(col("bands")).as(Seq("bi", "bk")))
+      val cand = bd.as("a").hint("shuffle_hash")
+        .join(bd.as("b"), col("a.block") === col("b.block") &&
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .dropDuplicates("a_id", "b_id")
+      val tk = all.select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("tk"))
+      cand
+        .join(tk.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
+        .join(tk.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
+        .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= 0.9)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    }
+    val crossBatch = fullPairs.filter { case (a, b) => a >= 2 * nBase || b >= 2 * nBase }
+    require(incPairs == crossBatch,
+      s"incremental ${incPairs.size} != full-restricted ${crossBatch.size}")
+    println(s"[scalebench] inc pairs=${incPairs.size} (planted 500) " +
+      s"equal-to-full-restricted=true")
+    } // end inc section
 
     if (only.contains("asof")) {
     // ---- round-7 session 3: as-of merge exec vs cogroup at a hot key ----

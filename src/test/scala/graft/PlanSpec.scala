@@ -131,6 +131,54 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("asofRewrite does NOT fire on near-miss shapes (strict <, DISTINCT, outer+band)") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      extended.conf.set("spark.graft.asofRewrite", "true")
+      val e = extended.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      def legs(): (DataFrame, DataFrame) = (
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("u"),
+                  col("ts").as("p_ts")),
+        e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+                  col("ts").as("s_ts")))
+      val argmax = max(struct(col("s_ts"), col("signup_id")))
+        .getField("signup_id").as("last_signup_id")
+      val (p, g) = legs()
+      // strictly-prior (<) is a DIFFERENT operator than the exec's <=
+      val strict = p.join(g, col("u") === col("su") && col("s_ts") < col("p_ts"))
+        .groupBy("purchase_id").agg(argmax)
+      // max DISTINCT has different merge semantics than plain max
+      val distinct = p.join(g, col("u") === col("su") && col("s_ts") <= col("p_ts"))
+        .groupBy("purchase_id")
+        .agg(max_by(col("signup_id"), struct(col("s_ts"), col("signup_id"))).as("x"))
+      // left-outer + band: a post-filter would drop the padded rows
+      val outerBand = p.join(g, col("u") === col("su") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"), "left_outer")
+        .groupBy("purchase_id").agg(argmax)
+      for ((df, what) <- Seq((strict, "strict <"), (distinct, "distinct/max_by"),
+                             (outerBand, "outer+band"))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("AsOfMerge"),
+          s"rule must not fire on $what:\n${plan.take(600)}")
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("recon_leg_match is a single full-outer join (no anti-join recompute)") {
     val p = plan("recon_leg_match")
     assert(p.contains("FullOuter"), p.take(600))
