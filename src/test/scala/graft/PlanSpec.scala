@@ -131,6 +131,79 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("asofRewrite equivalence on generated legs: hot keys, ts ties, dup grouping keys, nulls") {
+    import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+    import org.apache.spark.sql.types._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny domains force the hard cases: hot keys (5 users), exact-ts
+    // ties (10 instants), non-unique grouping keys (10 pids over 60
+    // left rows), and ~10% nulls on every join column
+    val legGen = for {
+      nL <- Gen.choose(40, 60); nR <- Gen.choose(40, 60)
+      ls <- Gen.listOfN(nL, for {
+        pid <- Gen.choose(0L, 9L)
+        u <- Gen.frequency(9 -> Gen.choose(0L, 4L).map(Option(_)), 1 -> Gen.const(None))
+        t <- Gen.frequency(9 -> Gen.choose(0L, 9L).map(Option(_)), 1 -> Gen.const(None))
+      } yield (pid, u, t))
+      rs <- Gen.listOfN(nR, for {
+        sid <- Gen.choose(0L, 999L)
+        u <- Gen.frequency(9 -> Gen.choose(0L, 4L).map(Option(_)), 1 -> Gen.const(None))
+        t <- Gen.frequency(9 -> Gen.choose(0L, 9L).map(Option(_)), 1 -> Gen.const(None))
+      } yield (sid, u, t))
+    } yield (ls, rs)
+    val cases = Iterator.from(0)
+      .map(i => legGen.apply(Gen.Parameters.default, Seed(1042L + i)))
+      .collect { case Some(a) => a }.take(4).toSeq
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      def df(rows: Seq[(Long, Option[Long], Option[Long])], names: Seq[String]): DataFrame =
+        extended.createDataFrame(
+          extended.sparkContext.parallelize(
+            rows.map(r => Row(r._1, r._2.orNull, r._3.orNull)), 2),
+          StructType(names.map(StructField(_, LongType))))
+      def shapes(l: DataFrame, r: DataFrame): Seq[(String, DataFrame)] = {
+        val argmax = max(struct(col("s_ts"), col("sid")))
+          .getField("sid").as("last_sid")
+        Seq(
+          "inner" -> l.join(r, col("u") === col("su") && col("s_ts") <= col("p_ts"))
+            .groupBy("pid").agg(argmax),
+          "left_outer" -> l.join(r, col("u") === col("su") && col("s_ts") <= col("p_ts"),
+              "left_outer").groupBy("pid").agg(argmax),
+          "tolerance" -> l.join(r, col("u") === col("su") &&
+              col("s_ts") <= col("p_ts") && col("s_ts") > col("p_ts") - 3)
+            .groupBy("pid").agg(argmax))
+      }
+      cases.foreach { case (ls, rs) =>
+        val l = df(ls, Seq("pid", "u", "p_ts"))
+        val r = df(rs, Seq("sid", "su", "s_ts"))
+        val names = shapes(l, r).map(_._1)
+        names.foreach { what =>
+          // a DataFrame caches its queryExecution, so the query must be
+          // REBUILT after each flag flip for the rule to (not) apply
+          extended.conf.set("spark.graft.asofRewrite", "false")
+          val off = shapes(l, r).toMap.apply(what)
+            .collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+          extended.conf.set("spark.graft.asofRewrite", "true")
+          val q = shapes(l, r).toMap.apply(what)
+          val plan = q.queryExecution.executedPlan.toString
+          assert(plan.contains("AsOfMerge"), s"$what did not rewrite:\n${plan.take(500)}")
+          val on = q.collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+          assert(on == off, s"$what differs under rewrite:\noff=$off\non=$on")
+        }
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+      spark.conf.unset("spark.graft.asofRewrite")
+    }
+  }
+
   test("asofRewrite does NOT fire on near-miss shapes (strict <, DISTINCT, outer+band)") {
     import org.apache.spark.sql.{DataFrame, SparkSession}
     SparkSession.clearDefaultSession()
