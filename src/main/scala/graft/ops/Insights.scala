@@ -846,7 +846,106 @@ object Insights {
       .agg(cnt.as("n"), sumCents(col("value")).as("cents"))
       .orderBy("iso_dow", "hh")
 
+  /** ROLLING per-key trend (round 9): 6-month OLS slope of each
+    * supplier's monthly revenue, in exact integer ppm — the windowed
+    * sibling of the global `agg_regression`. All five OLS sums ride
+    * ONE window frame (ROWS 5 PRECEDING); slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) with the numerator lifted to DECIMAL(38) before
+    * the ×10⁶ (it crosses 2⁶³) and sign-split around `div`. Full
+    * frames only (n = 6), so the denominator is always positive
+    * (distinct month indices).
+    */
+  val winRegrSlope: Q = (s, d) => {
+    val monthly = li(s, d)
+      .groupBy(col("l_suppkey").as("s"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("mi"))
+      .agg(sumCents(col("l_extendedprice")).as("c"))
+    val w = Window.partitionBy("s").orderBy("mi").rowsBetween(-5, 0)
+    monthly
+      .withColumn("n", cnt.over(w))
+      .withColumn("sx", sum("mi").over(w))
+      .withColumn("sy", sum("c").over(w))
+      .withColumn("sxy", sum(col("mi") * col("c")).over(w))
+      .withColumn("sxx", sum(col("mi") * col("mi")).over(w))
+      .filter(col("n") === 6)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_ppm",
+        when(col("num") < 0,
+          -expr("div(cast(-num as decimal(38,0)) * 1000000, den)"))
+        .otherwise(expr("div(cast(num as decimal(38,0)) * 1000000, den)"))
+        .cast("long"))
+      .select("s", "mi", "slope_ppm")
+      .orderBy("s", "mi")
+      .limit(1500)
+  }
+
+  /** ROLLING two-series correlation (round 9): 7-day Pearson between
+    * daily purchase revenue and daily click volume — "does engagement
+    * track spend this week". Exact integers: the window carries the
+    * five product sums; r² (not r — the square root is irrational) is
+    * emitted as ppm with the covariance SIGN as its own column, so
+    * both engines agree bit-for-bit. num² × 10⁶ runs in DECIMAL(38);
+    * degenerate (constant) weeks are dropped by the positive-variance
+    * guard.
+    */
+  val tsRollingCorr: Q = (s, d) => {
+    val daily = ev(s, d)
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sum(when(col("event_type") === "purchase", cents(col("value")))
+             .otherwise(0L)).cast("long").as("a"),
+           sum(when(col("event_type") === "click", 1L).otherwise(0L))
+             .cast("long").as("b"))
+    val w = Window.orderBy("dd").rowsBetween(-6, 0)
+    daily
+      .withColumn("n", cnt.over(w))
+      .withColumn("sa", sum("a").over(w))
+      .withColumn("sb", sum("b").over(w))
+      .withColumn("sab", sum(col("a") * col("b")).over(w))
+      .withColumn("saa", sum(col("a") * col("a")).over(w))
+      .withColumn("sbb", sum(col("b") * col("b")).over(w))
+      .filter(col("n") === 7)
+      .withColumn("num", col("n") * col("sab") - col("sa") * col("sb"))
+      .withColumn("denx", col("n") * col("saa") - col("sa") * col("sa"))
+      .withColumn("deny", col("n") * col("sbb") - col("sb") * col("sb"))
+      .filter(col("denx") > 0 && col("deny") > 0)
+      .withColumn("r2_ppm", expr(
+        "cast(div(cast(num as decimal(38,0)) * num * 1000000, " +
+          "cast(denx as decimal(38,0)) * deny) as bigint)"))
+      .withColumn("corr_sign",
+        when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L))
+      // date stringified for the driver hash (house rule for date outputs)
+      .select(col("dd").cast("string").as("dd"), col("r2_ppm"), col("corr_sign"))
+      .orderBy("dd")
+  }
+
+  /** Benford first-digit audit (round 9): the fraud/audit screen —
+    * the distribution of leading digits of order amounts against
+    * Benford's law. Expected shares are pinned as integer-ppm
+    * LITERALS (⌊log10(1+1/d)·10⁶⌋ — no float log at query time), so
+    * deviation = observed − expected is exact on both engines. The
+    * digit domain is 9 rows; the total rides a 1-row broadcast.
+    */
+  val dqBenfordFirstDigit: Q = (s, d) => {
+    val orders = Tables.t(s, d, "orders")
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val tot = orders.agg(cnt.as("total"))
+    val benford = "array(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)"
+    orders.groupBy("digit").agg(cnt.as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("div(n * 1000000, total)"))
+      .withColumn("benford_ppm", expr(s"element_at($benford, cast(digit as int))"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))
+      .select("digit", "n", "obs_ppm", "benford_ppm", "dev_ppm")
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_regr_slope" -> winRegrSlope,
+    "ts_rolling_corr" -> tsRollingCorr,
+    "dq_benford_first_digit" -> dqBenfordFirstDigit,
     "events_heatmap_dow_hour" -> eventsHeatmapDowHour,
     "agg_session_window_native" -> aggSessionWindowNative,
     "text_chunk_sliding" -> textChunkSliding,

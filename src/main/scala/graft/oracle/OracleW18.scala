@@ -444,5 +444,48 @@ object OracleW18 {
   WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
     AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
   ORDER BY 1,2 LIMIT 2000""",
+    // round 9: rolling 6-month OLS slope per supplier, exact integer ppm
+    "win_regr_slope" ->
+      """WITH m AS (SELECT l_suppkey s, CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT) mi,
+    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) c
+  FROM lineitem GROUP BY 1,2),
+  w AS (SELECT s, mi,
+    CAST(count(*) OVER f AS BIGINT) n,
+    CAST(sum(mi) OVER f AS BIGINT) sx, CAST(sum(c) OVER f AS BIGINT) sy,
+    CAST(sum(mi*c) OVER f AS BIGINT) sxy, CAST(sum(mi*mi) OVER f AS BIGINT) sxx
+  FROM m WINDOW f AS (PARTITION BY s ORDER BY mi ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+  t AS (SELECT s, mi, n*sxy - sx*sy num, n*sxx - sx*sx den FROM w WHERE n = 6)
+  SELECT s, mi, CAST(CASE WHEN num < 0 THEN -(((-num)::HUGEINT * 1000000) // den)
+    ELSE ((num::HUGEINT * 1000000) // den) END AS BIGINT) slope_ppm
+  FROM t ORDER BY s, mi LIMIT 1500""",
+    // round 9: rolling 7-day purchase-revenue vs click-volume Pearson,
+    // emitted as exact r^2 ppm + covariance sign (r itself is irrational)
+    "ts_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd,
+    CAST(sum(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) a,
+    CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) b
+  FROM events GROUP BY 1),
+  w AS (SELECT dd, CAST(count(*) OVER f AS BIGINT) n,
+    CAST(sum(a) OVER f AS BIGINT) sa, CAST(sum(b) OVER f AS BIGINT) sb,
+    CAST(sum(a*b) OVER f AS BIGINT) sab, CAST(sum(a*a) OVER f AS BIGINT) saa,
+    CAST(sum(b*b) OVER f AS BIGINT) sbb
+  FROM daily WINDOW f AS (ORDER BY dd ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+  t AS (SELECT dd, n*sab - sa*sb num, n*saa - sa*sa denx, n*sbb - sb*sb deny FROM w WHERE n = 7)
+  SELECT CAST(dd AS VARCHAR) dd,
+    CAST((num::HUGEINT * num * 1000000) // (denx::HUGEINT * deny) AS BIGINT) r2_ppm,
+    CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT) corr_sign
+  FROM t WHERE denx > 0 AND deny > 0 ORDER BY dd""",
+    // round 9: Benford first-digit audit; expected shares are pinned
+    // integer-ppm literals (floor(log10(1+1/d)*1e6)) on both engines
+    "dq_benford_first_digit" ->
+      """WITH o AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) digit FROM orders),
+  tot AS (SELECT CAST(count(*) AS BIGINT) total FROM o),
+  g AS (SELECT digit, CAST(count(*) AS BIGINT) n FROM o GROUP BY 1),
+  e AS (SELECT g.digit, g.n,
+      CAST((g.n * 1000000) // tot.total AS BIGINT) obs_ppm,
+      CAST(list_value(301029,176091,124938,96910,79181,66946,57991,51152,45757)[CAST(g.digit AS INT)] AS BIGINT) benford_ppm
+    FROM g, tot)
+  SELECT digit, n, obs_ppm, benford_ppm, obs_ppm - benford_ppm dev_ppm
+  FROM e ORDER BY digit""",
   )
 }

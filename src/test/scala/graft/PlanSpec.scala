@@ -421,7 +421,8 @@ class PlanSpec extends SparkSpecBase {
     "text_bpe_train_merges" -> "1-row scalar: selected merge pair broadcast per round",
     "basket_apriori_pairs" -> "1-row scalar: basket-total broadcast",
     "supplier_abc_class" -> "1-row scalar: revenue-total broadcast",
-    "events_decayed_score" -> "1-row scalar: as-of day broadcast")
+    "events_decayed_score" -> "1-row scalar: as-of day broadcast",
+    "dq_benford_first_digit" -> "1-row scalar: order-count total broadcast")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -465,6 +466,8 @@ class PlanSpec extends SparkSpecBase {
     "events_dau_wau" -> "1-row max-day aggregate",
     "str_collation_distinct" -> "1-row global distinct-count aggregate",
     "supplier_abc_class" -> "bounded supplier-domain ranking window + 1-row total",
+    "ts_rolling_corr" -> "bounded date-domain rolling window (days, never fact rows)",
+    "dq_benford_first_digit" -> "1-row order-count total + 9-digit domain",
     "basket_apriori_pairs" -> "1-row basket-total aggregate",
     "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
     "text_vocab_growth" -> "bounded milestone-domain cumulative window",
