@@ -380,7 +380,55 @@ object Streaming {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(20)
 
+  /** THREE-LEG chained reconciliation (round 9): each signup is
+    * enriched with its FIRST purchase within 24 h, and each matched
+    * purchase with the FIRST error within the following 24 h — the
+    * chained forward-as-of shape of a multi-hop settlement pipeline
+    * (order → shipment → confirmation). Each hop is the declared
+    * band-join + min-struct argmin; left-outer keeps the broken
+    * chains, and the census classifies no_purchase /
+    * purchase_no_error / full_chain with whole-second end-to-end
+    * latency for complete chains (R4: both engines floor epoch
+    * seconds identically).
+    */
+  val reconChainFollowup: Q = (s, d) => {
+    val e = events(s, d)
+    def leg(t: String, p: String) = e.filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+              col("ts").as(s"${p}_ts"))
+    val sg = leg("signup", "s")
+    val pu = leg("purchase", "p")
+    val er = leg("error", "e")
+    val firstP = sg
+      .join(pu, col("s_user") === col("p_user") &&
+                col("p_ts") > col("s_ts") &&
+                col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"),
+            "left_outer")
+      .groupBy("s_id", "s_user", "s_ts")
+      .agg(min(struct(col("p_ts"), col("p_id"))).as("fp"))
+      .select(col("s_id"), col("s_user"), col("s_ts"),
+              col("fp.p_id").as("p_id"), col("fp.p_ts").as("p_ts"))
+    firstP
+      .join(er, col("s_user") === col("e_user") &&
+                col("e_ts") > col("p_ts") &&
+                col("e_ts") <= col("p_ts") + expr("INTERVAL 24 HOURS"),
+            "left_outer")
+      .groupBy("s_id", "s_ts", "p_id", "p_ts")
+      .agg(min(struct(col("e_ts"), col("e_id"))).as("fe"))
+      .select(
+        when(col("p_id").isNull, "no_purchase")
+          .when(col("fe.e_id").isNull, "purchase_no_error")
+          .otherwise("full_chain").as("status"),
+        when(col("fe.e_id").isNotNull,
+          unix_timestamp(col("fe.e_ts")) - unix_timestamp(col("s_ts")))
+          .otherwise(0L).as("lat"))
+      .groupBy("status")
+      .agg(cnt.as("n"), sum("lat").cast("long").as("latency_s_sum"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "recon_chain_followup" -> reconChainFollowup,
     "events_attribution" -> eventsAttribution,
     "events_path_topk" -> eventsPathTopk,
     "recon_aging_buckets" -> reconAgingBuckets,

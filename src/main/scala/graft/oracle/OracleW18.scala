@@ -487,5 +487,28 @@ object OracleW18 {
     FROM g, tot)
   SELECT digit, n, obs_ppm, benford_ppm, obs_ppm - benford_ppm dev_ppm
   FROM e ORDER BY digit""",
+    // round 9: three-leg chained reconciliation — first purchase <= 24h
+    // after signup, first error <= 24h after that purchase; broken
+    // chains classified, end-to-end latency in floored whole seconds
+    "recon_chain_followup" ->
+      """WITH sg AS (SELECT event_id s_id, user_id u, ts s_ts FROM events WHERE event_type='signup'),
+  pu AS (SELECT event_id p_id, user_id u, ts p_ts FROM events WHERE event_type='purchase'),
+  er AS (SELECT event_id e_id, user_id u, ts e_ts FROM events WHERE event_type='error'),
+  fp0 AS (SELECT sg.s_id, sg.u, sg.s_ts, pu.p_id, pu.p_ts,
+      row_number() OVER (PARTITION BY sg.s_id ORDER BY pu.p_ts, pu.p_id) rn
+    FROM sg LEFT JOIN pu ON sg.u = pu.u AND pu.p_ts > sg.s_ts
+      AND pu.p_ts <= sg.s_ts + INTERVAL 24 HOURS),
+  fp AS (SELECT * FROM fp0 WHERE rn = 1),
+  fe0 AS (SELECT fp.s_id, fp.s_ts, fp.p_id, er.e_id, er.e_ts,
+      row_number() OVER (PARTITION BY fp.s_id ORDER BY er.e_ts, er.e_id) rn
+    FROM fp LEFT JOIN er ON fp.u = er.u AND er.e_ts > fp.p_ts
+      AND er.e_ts <= fp.p_ts + INTERVAL 24 HOURS),
+  fe AS (SELECT * FROM fe0 WHERE rn = 1),
+  cl AS (SELECT CASE WHEN p_id IS NULL THEN 'no_purchase'
+      WHEN e_id IS NULL THEN 'purchase_no_error' ELSE 'full_chain' END status,
+    CASE WHEN e_id IS NOT NULL THEN epoch_us(e_ts) // 1000000 - epoch_us(s_ts) // 1000000
+      ELSE 0 END lat FROM fe)
+  SELECT status, CAST(count(*) AS BIGINT) n, CAST(sum(lat) AS BIGINT) latency_s_sum
+  FROM cl GROUP BY 1 ORDER BY 1""",
   )
 }
