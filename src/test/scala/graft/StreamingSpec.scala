@@ -324,6 +324,40 @@ class StreamingSpec extends SparkSpecBase {
       (2L, "signup", "2024-01-01 10:30:00.0", None)))
   }
 
+  test("streaming ingest with online near-dup flagging: flags once, replay-safe") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.sinks.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("inc_stream").toString
+    val stream = MemoryStream[(Long, String, String, String)]
+    val q = Sinks.incrementalDedupPipeline(
+      stream.toDF().toDF("doc_id", "lang", "source", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/pairs",
+      Seq("lang", "source"), s"$dir/cp")
+    // batch 1 bootstraps corpus + index
+    stream.addData(
+      (1L, "en", "web", "a b c d e f g h i j"),
+      (2L, "en", "web", "k l m n o p q r s t"),
+      (3L, "de", "web", "u v w x y z t1 t2 t3 t4"))
+    q.processAllAvailable()
+    // batch 2: doc 10 duplicates doc 1 (same block); doc 11 is fresh
+    stream.addData(
+      (10L, "en", "web", "a b c d e f g h i j"),
+      (11L, "de", "web", "zz yy xx ww vv uu tt ss rr qq"))
+    q.processAllAvailable()
+    // batch 3: RE-DELIVERY of batch 2's exact content — the change feed
+    // drops identical-content rewrites, so no second flag may appear
+    stream.addData(
+      (10L, "en", "web", "a b c d e f g h i j"),
+      (11L, "de", "web", "zz yy xx ww vv uu tt ss rr qq"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(s"$dir/pairs")
+    assert(pairs.count() == 1, pairs.collect().mkString(","))
+    val row = pairs.collect().head
+    assert((row.getAs[Long]("a_id"), row.getAs[Long]("b_id")) == (1L, 10L))
+  }
+
   test("stateful session merge: streaming closed sessions == batch session_window, boundary straddles a merge") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
