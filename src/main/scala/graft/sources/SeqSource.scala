@@ -92,12 +92,26 @@ class SeqTable(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
 
 class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
                      partitionByUser: Boolean = false, columnar: Boolean = false)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var required: StructType = SeqTable.schema
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+
+  /** SIXTH V2 read trait (round 9), `SupportsPushDownLimit`: a LIMIT n
+    * caps the generated interval to [lo, lo + n) BEFORE partition
+    * planning — `spark.read...limit(7)` over a billion-row table
+    * generates 7 rows, not a billion then discards. Sound because a
+    * limit may return ANY n rows and the first n ids are as good as
+    * any; Spark still applies its own Limit above the scan, so a
+    * partial push could never over-return either.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

@@ -331,6 +331,21 @@ class SourcesSpec extends SparkSpecBase {
     assert(r.getAs[Double]("value") == 9990 % 10000 / 100.0)
   }
 
+  test("DSv2 SeqSource: limit pushdown caps generation before partition planning") {
+    import org.apache.spark.sql.functions._
+    // a billion-row table: limit(7) must generate 7 rows, not 1e9
+    val df = seqDf("rows" -> "1000000000").limit(7)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SeqScan[lo=0, hi=7"), p.take(1200))
+    assert(df.count() == 7)
+    // composes with filter pushdown: the limit caps the NARROWED range
+    val both = seqDf("rows" -> "1000000000")
+      .filter(col("id") >= 500L).limit(3)
+    val p2 = both.queryExecution.executedPlan.toString
+    assert(p2.contains("SeqScan[lo=500, hi=503"), p2.take(1200))
+    assert(both.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(500L, 501L, 502L))
+  }
+
   test("DSv2 SeqSource: column pruning reaches the reader") {
     import org.apache.spark.sql.functions._
     val df = seqDf("rows" -> "1000").select("user_id")
