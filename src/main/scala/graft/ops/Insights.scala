@@ -942,7 +942,35 @@ object Insights {
       .orderBy("digit")
   }
 
+  /** CEP-style sequence-pattern census (round 9): each (user, day)
+    * session's ORDERED event-type path is matched against declared
+    * regex patterns — the MATCH_RECOGNIZE / complex-event-processing
+    * shape expressed relationally (path string + anchored regex; both
+    * engines run the identical pattern on the identical string, so the
+    * census is exact). One keyed aggregation builds the paths
+    * (bounded by the user-day domain), one 1-row aggregate counts all
+    * patterns in a single pass, `stack` unpivots to (pattern, n).
+    */
+  val eventsPatternMatch: Q = (s, d) => {
+    val paths = ev(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("dd"))
+      .agg(expr(
+        """array_join(
+          |  transform(array_sort(collect_list(struct(ts, event_id, event_type))),
+          |            e -> e.event_type), '>')""".stripMargin).as("path"))
+    def hits(re: String) = sum(when(col("path").rlike(re), 1L).otherwise(0L))
+    paths.agg(
+        hits("signup(>click)*>purchase").as("direct_buy"),
+        hits("error>.*error").as("error_retry"),
+        hits("^(view|click)(>(view|click))*$").as("browse_only"))
+      .select(expr(
+        "stack(3, 'browse_only', browse_only, 'direct_buy', direct_buy, " +
+          "'error_retry', error_retry) as (pattern, n_sessions)"))
+      .orderBy("pattern")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_pattern_match" -> eventsPatternMatch,
     "win_regr_slope" -> winRegrSlope,
     "ts_rolling_corr" -> tsRollingCorr,
     "dq_benford_first_digit" -> dqBenfordFirstDigit,

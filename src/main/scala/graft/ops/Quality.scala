@@ -137,10 +137,44 @@ object Quality {
       .orderBy("rule")
   }
 
+  /** Rapid-repeat purchase audit (round 9): the double-submission /
+    * double-charge screen — all same-user purchase pairs within 60
+    * minutes, bucketed by gap (≤1 min / ≤10 min / ≤60 min) with the
+    * affected-user count and the summed absolute amount difference.
+    * The pair join is per-user banded (equi on user + time band) —
+    * linear in per-user purchase density, never cross-user. Gaps are
+    * whole floored seconds (R4) so the bucket boundaries are exact on
+    * both engines; amounts compare in integer cents (R2).
+    */
+  val dqRapidRepeatPurchase: Q = (s, d) => {
+    val p = tb(s, d, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), col("user_id").as("u"),
+              col("ts"), cents(col("value")).as("c"))
+    val a = p.select(col("id").as("a_id"), col("u"), col("ts").as("a_ts"),
+                     col("c").as("a_c"))
+    val b = p.select(col("id").as("b_id"), col("u").as("b_u"),
+                     col("ts").as("b_ts"), col("c").as("b_c"))
+    a.join(b, col("u") === col("b_u") &&
+              col("b_ts") > col("a_ts") &&
+              col("b_ts") <= col("a_ts") + expr("INTERVAL 60 MINUTES"))
+      .withColumn("gap_s",
+        unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts")))
+      .withColumn("gap_bucket",
+        when(col("gap_s") <= 60, "a_under_1min")
+          .when(col("gap_s") <= 600, "b_under_10min")
+          .otherwise("c_under_60min"))
+      .groupBy("gap_bucket")
+      .agg(cnt.as("n_pairs"),
+           countDistinct(col("u")).as("n_users"),
+           sum(abs(col("a_c") - col("b_c"))).cast("long").as("abs_diff_cents"))
+      .orderBy("gap_bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_table_stats" -> profileTableStats,
     "dq_referential_orphans" -> dqReferentialOrphans,
     "dq_duplicate_keys" -> dqDuplicateKeys,
     "dq_domain_violations" -> dqDomainViolations,
+    "dq_rapid_repeat_purchase" -> dqRapidRepeatPurchase,
   )
 }

@@ -510,5 +510,35 @@ object OracleW18 {
       ELSE 0 END lat FROM fe)
   SELECT status, CAST(count(*) AS BIGINT) n, CAST(sum(lat) AS BIGINT) latency_s_sum
   FROM cl GROUP BY 1 ORDER BY 1""",
+    // round 9: CEP/MATCH_RECOGNIZE-style path-pattern census; both
+    // engines regex the identical ordered path string
+    "events_pattern_match" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS DATE) dd, event_type,
+      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) rn
+    FROM events),
+  p AS (SELECT user_id, dd, string_agg(event_type, '>' ORDER BY rn) path FROM o GROUP BY 1, 2),
+  c AS (SELECT
+    CAST(sum(CASE WHEN regexp_matches(path, 'signup(>click)*>purchase') THEN 1 ELSE 0 END) AS BIGINT) direct_buy,
+    CAST(sum(CASE WHEN regexp_matches(path, 'error>.*error') THEN 1 ELSE 0 END) AS BIGINT) error_retry,
+    CAST(sum(CASE WHEN regexp_matches(path, '^(view|click)(>(view|click))*$') THEN 1 ELSE 0 END) AS BIGINT) browse_only
+  FROM p)
+  SELECT 'browse_only' pattern, browse_only n_sessions FROM c
+  UNION ALL SELECT 'direct_buy', direct_buy FROM c
+  UNION ALL SELECT 'error_retry', error_retry FROM c
+  ORDER BY 1""",
+    // round 9: rapid-repeat purchase audit — same-user purchase pairs
+    // within 60 min, gap-bucketed; whole floored seconds, integer cents
+    "dq_rapid_repeat_purchase" ->
+      """WITH p AS (SELECT event_id id, user_id u, ts, CAST(round(value*100) AS BIGINT) c
+    FROM events WHERE event_type = 'purchase'),
+  pr AS (SELECT a.u, epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 gap_s,
+      abs(a.c - b.c) dc
+    FROM p a JOIN p b ON a.u = b.u AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTES),
+  g AS (SELECT CASE WHEN gap_s <= 60 THEN 'a_under_1min'
+      WHEN gap_s <= 600 THEN 'b_under_10min' ELSE 'c_under_60min' END gap_bucket, u, dc FROM pr)
+  SELECT gap_bucket, CAST(count(*) AS BIGINT) n_pairs,
+    CAST(count(DISTINCT u) AS BIGINT) n_users,
+    CAST(sum(dc) AS BIGINT) abs_diff_cents
+  FROM g GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -467,6 +467,7 @@ class PlanSpec extends SparkSpecBase {
     "str_collation_distinct" -> "1-row global distinct-count aggregate",
     "supplier_abc_class" -> "bounded supplier-domain ranking window + 1-row total",
     "ts_rolling_corr" -> "bounded date-domain rolling window (days, never fact rows)",
+    "events_pattern_match" -> "1-row pattern-census final aggregate",
     "dq_benford_first_digit" -> "1-row order-count total + 9-digit domain",
     "basket_apriori_pairs" -> "1-row basket-total aggregate",
     "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
