@@ -692,6 +692,78 @@ object StreamOps {
     }
   }
 
+  /** STREAMING CEP — the true-streaming twin of the batch
+    * `events_pattern_match` census: per (user, day) the ordered
+    * event-type path is buffered in list state and, when the
+    * watermark passes the day boundary, matched against the declared
+    * regex patterns; one (user, day, pattern) row emits per match —
+    * FINAL (the day can no longer change), produced by time passing.
+    * Out-of-order arrivals WITHIN the day are absorbed by the sort at
+    * emission; state is bounded by one open day per active user-day
+    * key and cleared on fire.
+    */
+  class PatternCensusProcessor(patterns: Seq[(String, String)])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), Evt, (Long, String, String)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var buf: ListState[(Long, Long, String)] = _ // (tsMs, id, type)
+    @transient private var armed: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, String)]("buf",
+        E.tuple(E.scalaLong, E.scalaLong, E.STRING), TTLConfig.NONE)
+      armed = getHandle.getValueState[Boolean]("armed", E.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(Long, String, String)] = {
+      rows.foreach(e => buf.appendValue((e.ts.getTime, e.event_id, e.event_type)))
+      if (!armed.exists()) {
+        // fire when the watermark passes the END of this key's day
+        getHandle.registerTimer((key._2 + 1) * 86400000L)
+        armed.update(true)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Long, Long), timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, String, String)] = {
+      val path = buf.get().toSeq.sortBy(e => (e._1, e._2)).map(_._3).mkString(">")
+      buf.clear(); armed.clear()
+      val day = java.time.LocalDate.ofEpochDay(key._2).toString
+      patterns.iterator.collect {
+        case (name, re) if java.util.regex.Pattern.compile(re).matcher(path).find() =>
+          (key._1, day, name)
+      }
+    }
+  }
+
+  /** The declared pattern set of the batch census. `browse_only` is
+    * anchored (whole-path), the other two are contains-matches —
+    * `Pattern.find` with the same regexes Spark's `rlike` uses.
+    */
+  val censusPatterns: Seq[(String, String)] = Seq(
+    ("direct_buy", "signup(>click)*>purchase"),
+    ("error_retry", "error>.*error"),
+    ("browse_only", "^(view|click)(>(view|click))*$"))
+
+  /** One final (user_id, day, pattern) row per matched pattern per
+    * closed user-day — the CEP emission stream; aggregate it and you
+    * reproduce the batch `events_pattern_match` census. Requires the
+    * RocksDB state store provider.
+    */
+  def patternCensusStream(events: Dataset[Evt],
+                          watermark: String = "1 minute"): Dataset[(Long, String, String)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
+      .transformWithState(new PatternCensusProcessor(censusPatterns),
+                          TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Final closed sessions per user as (user_id, startMs, endMs, n_ev)
     * with the batch operator's exact half-open boundaries — roll up
     * per user and it reproduces `agg_session_window_native`

@@ -358,6 +358,57 @@ class StreamingSpec extends SparkSpecBase {
     assert((row.getAs[Long]("a_id"), row.getAs[Long]("b_id")) == (1L, 10L))
   }
 
+  test("streaming CEP: per-day pattern matches emit final on day close, absorbing in-day reorder") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.patternCensusStream(stream.toDF().as[Evt])
+        .toDF("user_id", "day", "pattern")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // day 1 opens across two micro-batches; batch 2 lands EARLIER
+      // in-day events for user 2 than batch 1 carried (reorder within
+      // the watermark) — the path must still assemble in ts order
+      stream.addData(
+        evt(1, "2024-01-01 10:00:00", user = 1, tpe = "signup"),
+        evt(2, "2024-01-01 10:05:00", user = 2, tpe = "error"),
+        evt(3, "2024-01-01 10:05:30", user = 3, tpe = "view"))
+      q.processAllAvailable()
+      stream.addData(
+        evt(4, "2024-01-01 10:30:00", user = 1, tpe = "click"),
+        evt(5, "2024-01-01 10:40:00", user = 1, tpe = "purchase"),
+        evt(6, "2024-01-01 10:04:45", user = 2, tpe = "view"), // in-day reorder
+        evt(7, "2024-01-01 11:30:00", user = 2, tpe = "error"),
+        evt(8, "2024-01-01 12:00:00", user = 3, tpe = "click"))
+      q.processAllAvailable()
+      // two sentinels: first advances the watermark past midnight, the
+      // next batch fires the day-1 timers
+      stream.addData(evt(90, "2024-01-02 00:10:00", user = 99, tpe = "view"))
+      q.processAllAvailable()
+      stream.addData(evt(91, "2024-01-03 00:10:00", user = 99, tpe = "view"))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table(sink).filter(col("user_id") < 90)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // user 2's path is view>error>error (the reordered view sorts
+      // FIRST) -> error_retry; had the reorder been lost the path
+      // would still match, so also pin the emitted day + uniqueness
+      assert(out == Set(
+        (1L, "2024-01-01", "direct_buy"),
+        (2L, "2024-01-01", "error_retry"),
+        (3L, "2024-01-01", "browse_only")), out.toString)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful session merge: streaming closed sessions == batch session_window, boundary straddles a merge") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
