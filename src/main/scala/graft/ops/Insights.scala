@@ -969,7 +969,31 @@ object Insights {
       .orderBy("pattern")
   }
 
+  /** Activity-concentration Gini (round 9): how unevenly event volume
+    * concentrates across users — the inequality KPI next to DAU/WAU.
+    * Exact integer rank formula G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * in ppm, with ranks ascending by (count, user_id) so the numerator
+    * is non-negative. Ranks come from `Scale.globalRank` — the
+    * bucket-parallel two-phase ranking, so the user-domain sort never
+    * single-partitions; Σ i·x runs in DECIMAL(38) (it crosses 2⁶³ at
+    * large user counts).
+    */
+  val eventsActivityGini: Q = (s, d) => {
+    val ux = ev(s, d).groupBy("user_id").agg(cnt.as("x"))
+    val ranked = graft.ops.Scale.globalRank(ux, col("x"),
+      Seq(col("x"), col("user_id")))
+    ranked.agg(
+        cnt.as("n_users"),
+        sum("x").cast("long").as("n_events"),
+        sum(expr("cast(__rn as decimal(38,0)) * x")).as("sixi"))
+      .select(col("n_users"), col("n_events"),
+        expr("cast(div((2 * sixi - (cast(n_users as decimal(38,0)) + 1) * n_events) " +
+          "* 1000000, cast(n_users as decimal(38,0)) * n_events) as bigint)")
+          .as("gini_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_activity_gini" -> eventsActivityGini,
     "events_pattern_match" -> eventsPatternMatch,
     "win_regr_slope" -> winRegrSlope,
     "ts_rolling_corr" -> tsRollingCorr,

@@ -776,6 +776,34 @@ object Pipeline {
       .limit(2000)
   }
 
+  /** Per-doc NOVELTY scoring (round 9): the share of a document's
+    * 3-gram shingles whose FIRST corpus occurrence (by ascending
+    * doc_id — the ingest order) is this document — the "how much new
+    * text does this doc add" curation signal (near-1 for fresh
+    * content, near-0 for recombinations of seen text; the corpus-level
+    * cousin of [[graft.ops.Insights]]' vocab-growth/Heaps query, but
+    * per-document and over shingles). First-owner attribution is one
+    * gram-keyed aggregate; the join back rides a shuffle-hash probe
+    * (string gram keys — the 4.1 SMJ hazard).
+    */
+  val textNoveltyRatio: Q = (s, d) => {
+    val sh = documents(s, d).select(col("doc_id"),
+      explode(array_distinct(
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                         element_at(toks, i + 2))))).as("g"))
+    val firstOwner = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+    sh.hint("shuffle_hash")
+      .join(firstOwner, "g")
+      .groupBy("doc_id")
+      .agg(cnt.as("n_grams"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .cast("long").as("n_novel"))
+      .withColumn("novelty_ppm", expr("div(n_novel * 1000000, n_grams)"))
+      .orderBy("doc_id")
+      .limit(2000)
+  }
+
   /** Deterministic mixture resampling — the data-mixing pass that hits
     * target proportions per source family before training: sources
     * src0-9 = "web" (target 100 docs), src10-14 = "books" (60),
@@ -993,5 +1021,6 @@ object Pipeline {
     "unpivot_metrics" -> unpivotMetrics,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "dedup_incremental_ingest" -> IncrementalDedup.dedupIncrementalIngest,
+    "text_novelty_ratio" -> textNoveltyRatio,
   )
 }

@@ -540,5 +540,27 @@ object OracleW18 {
     CAST(count(DISTINCT u) AS BIGINT) n_users,
     CAST(sum(dc) AS BIGINT) abs_diff_cents
   FROM g GROUP BY 1 ORDER BY 1""",
+    // round 9: per-doc novelty — share of 3-gram shingles first owned
+    // (min doc_id) by this doc
+    "text_novelty_ratio" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+  sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) g FROM tk),
+  f AS (SELECT g, CAST(min(doc_id) AS BIGINT) first_doc FROM sh GROUP BY 1),
+  p AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) n_grams,
+      CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) n_novel
+    FROM sh JOIN f ON sh.g = f.g GROUP BY 1)
+  SELECT doc_id, n_grams, n_novel,
+    CAST(n_novel * 1000000 // n_grams AS BIGINT) novelty_ppm
+  FROM p ORDER BY doc_id LIMIT 2000""",
+    // round 9: activity-concentration Gini in exact integer ppm
+    "events_activity_gini" ->
+      """WITH ux AS (SELECT user_id, CAST(count(*) AS BIGINT) x FROM events GROUP BY 1),
+  r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) i FROM ux),
+  t AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
+      sum(i::HUGEINT * x) sixi FROM r)
+  SELECT n n_users, sx n_events,
+    CAST(((2 * sixi - (n::HUGEINT + 1) * sx) * 1000000) // (n::HUGEINT * sx) AS BIGINT) gini_ppm
+  FROM t""",
   )
 }

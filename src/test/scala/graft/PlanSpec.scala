@@ -422,7 +422,8 @@ class PlanSpec extends SparkSpecBase {
     "basket_apriori_pairs" -> "1-row scalar: basket-total broadcast",
     "supplier_abc_class" -> "1-row scalar: revenue-total broadcast",
     "events_decayed_score" -> "1-row scalar: as-of day broadcast",
-    "dq_benford_first_digit" -> "1-row scalar: order-count total broadcast")
+    "dq_benford_first_digit" -> "1-row scalar: order-count total broadcast",
+    "events_activity_gini" -> "bounded-bucket: B×B globalRank offsets")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -468,6 +469,7 @@ class PlanSpec extends SparkSpecBase {
     "supplier_abc_class" -> "bounded supplier-domain ranking window + 1-row total",
     "ts_rolling_corr" -> "bounded date-domain rolling window (days, never fact rows)",
     "events_pattern_match" -> "1-row pattern-census final aggregate",
+    "events_activity_gini" -> "1-row gini final aggregate (ranks via bucket-parallel globalRank)",
     "dq_benford_first_digit" -> "1-row order-count total + 9-digit domain",
     "basket_apriori_pairs" -> "1-row basket-total aggregate",
     "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
