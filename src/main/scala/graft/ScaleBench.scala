@@ -14,13 +14,66 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.builder("local[16]", 16).getOrCreate()
+    // extensions installed so the `rule` section can toggle the
+    // config-gated rewrites; every rule defaults OFF, so the other
+    // sections see stock plans
+    val spark = Sessions.builder("local[16]", 16)
+      .withExtensions(new GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "asof", "inc").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc (no arg = full run)")
+    require(only.forall(Set("het", "ivm", "asof", "inc", "rule").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc | rule (no arg = full run)")
+
+    if (only.contains("rule")) {
+    // ---- round-9: AsOfRewriteRule's win condition, measured ------------
+    // The rule's class doc claims the merge exec's win is the avoided
+    // candidate blowup at long-lived keys — "a property the local
+    // optimizer cannot observe" at bench scale. This fixture makes it
+    // observable: 200k left / 100k right rows with 20% of BOTH legs on
+    // one hot key. The natural agg-join shape materializes
+    // ~40k × 20k / 2 candidate pairs INSIDE one key group (one task —
+    // skew concentrates the quadratic work); the rewritten plan sweeps
+    // the same key in O(rows). Same rows proven by checksum.
+    val lp = "/tmp/graft_scalebench_rule_l"
+    val rp = "/tmp/graft_scalebench_rule_r"
+    spark.range(200000L).select(
+        col("id").as("lid"),
+        when(pmod(col("id"), lit(5)) === 0, 7L)
+          .otherwise(pmod(xxhash64(col("id")), lit(2000L))).as("key"),
+        (pmod(xxhash64(col("id") + 1), lit(1000000000L)) * 4).as("lts"))
+      .write.mode("overwrite").parquet(lp)
+    spark.range(100000L).select(
+        col("id").as("rid"),
+        when(pmod(col("id"), lit(5)) === 0, 7L)
+          .otherwise(pmod(xxhash64(col("id") + 2), lit(2000L))).as("rkey"),
+        (pmod(xxhash64(col("id") + 3), lit(1000000000L)) * 4 + 2).as("rts"))
+      .write.mode("overwrite").parquet(rp)
+    def natural() = {
+      val l = spark.read.parquet(lp)
+      val r = spark.read.parquet(rp)
+      l.join(r, col("key") === col("rkey") && col("rts") <= col("lts"))
+        .groupBy("lid")
+        .agg(max(struct(col("rts"), col("rid"))).getField("rid").as("last_rid"))
+    }
+    def measure(name: String): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val chk = natural().agg(count(lit(1)), sum(expr("lid * 31 + last_rid")))
+        .collect().head
+      println(f"[scalebench] rule $name%-14s rows=${chk.getLong(0)}%8d  " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      (chk.getLong(0), chk.getLong(1))
+    }
+    spark.conf.set("spark.graft.asofRewrite", "false")
+    val off = measure("natural(OFF)")
+    spark.conf.set("spark.graft.asofRewrite", "true")
+    val plan = natural().queryExecution.executedPlan.toString
+    require(plan.contains("AsOfMerge"), "rule did not fire on the fixture shape")
+    val on = measure("rewritten(ON)")
+    require(off == on, s"rewrite changed the result: $off vs $on")
+    println("[scalebench] rule rewritten == natural (count + checksum)")
+    } // end rule section
 
     if (only.contains("inc")) {
     // ---- round-9: incremental (new-batch × index) dedup vs recompute ----

@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * scheduling-floor-bound (0.13 s vs 0.15 s at sf0.1) — the merge's
   * win is the avoided candidate blowup, a property of per-key history
   * length the local optimizer cannot observe. The user opts in.
+  * MEASURED win condition (`ScaleBench rule`, PLANS.md round 9): with
+  * 20% of a 200k/100k corpus on one hot key, the natural shape runs
+  * 30.6 s (~4·10⁸ candidate pairs concentrated on ONE task) vs 1.63 s
+  * rewritten — 18.8×, checksum-identical rows.
   *
   * Fires only on the exact shape whose semantics the exec reproduces:
   *
