@@ -992,7 +992,39 @@ object Insights {
           .as("gini_ppm"))
   }
 
+  /** SWEEP-LINE backlog curve (round 9): open-order count over time —
+    * each order contributes +1 at its order date and −1 at its
+    * completion (last lineitem ship date — this corpus carries no
+    * receipt date), the per-day deltas
+    * aggregate (fact-sized work collapses to the ~2.4k-day domain),
+    * and one cumulative window over the BOUNDED day domain yields the
+    * backlog level at every change point. The interval-stabbing-count
+    * cousin of `ts_merge_intervals` — operations-dashboard WIP curve.
+    */
+  val ordersBacklogSweep: Q = (s, d) => {
+    val o = Tables.t(s, d, "orders")
+      .select(col("o_orderkey").as("ok"), to_date(col("o_orderdate")).as("sd"))
+    val done = Tables.t(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(to_date(max(col("l_shipdate"))).as("ed"))
+    val deltas = o.join(done, "ok")
+      .select(explode(array(
+        struct(col("sd").as("dd"), lit(1L).as("delta")),
+        struct(col("ed").as("dd"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.dd").as("dd"), col("x.delta").as("delta"))
+      .groupBy("dd").agg(sum("delta").cast("long").as("delta"))
+    deltas
+      .withColumn("backlog", sum("delta")
+        .over(Window.orderBy("dd")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .select(col("dd").cast("string").as("dd"), col("delta"), col("backlog"))
+      .orderBy("dd")
+      .limit(2000)
+  }
+
   val queries: Map[String, Q] = Map(
+    "orders_backlog_sweep" -> ordersBacklogSweep,
     "events_activity_gini" -> eventsActivityGini,
     "events_pattern_match" -> eventsPatternMatch,
     "win_regr_slope" -> winRegrSlope,

@@ -562,5 +562,15 @@ object OracleW18 {
   SELECT n n_users, sx n_events,
     CAST(((2 * sixi - (n::HUGEINT + 1) * sx) * 1000000) // (n::HUGEINT * sx) AS BIGINT) gini_ppm
   FROM t""",
+    // round 9: sweep-line open-order backlog curve over the day domain
+    "orders_backlog_sweep" ->
+      """WITH done AS (SELECT l_orderkey ok, CAST(max(l_shipdate) AS DATE) ed FROM lineitem GROUP BY 1),
+  o AS (SELECT o_orderkey ok, CAST(o_orderdate AS DATE) sd FROM orders),
+  dl AS (SELECT o.sd dd, 1 delta FROM o JOIN done ON o.ok = done.ok
+    UNION ALL SELECT done.ed, -1 FROM o JOIN done ON o.ok = done.ok),
+  g AS (SELECT dd, CAST(sum(delta) AS BIGINT) delta FROM dl GROUP BY 1),
+  c AS (SELECT dd, delta,
+      CAST(sum(delta) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING) AS BIGINT) backlog FROM g)
+  SELECT CAST(dd AS VARCHAR) dd, delta, backlog FROM c ORDER BY dd LIMIT 2000""",
   )
 }

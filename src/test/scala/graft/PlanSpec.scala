@@ -470,6 +470,7 @@ class PlanSpec extends SparkSpecBase {
     "ts_rolling_corr" -> "bounded date-domain rolling window (days, never fact rows)",
     "events_pattern_match" -> "1-row pattern-census final aggregate",
     "events_activity_gini" -> "1-row gini final aggregate (ranks via bucket-parallel globalRank)",
+    "orders_backlog_sweep" -> "bounded day-domain cumulative window (fact collapses to ~2.4k days first)",
     "dq_benford_first_digit" -> "1-row order-count total + 9-digit domain",
     "basket_apriori_pairs" -> "1-row basket-total aggregate",
     "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
