@@ -1023,7 +1023,37 @@ object Insights {
       .limit(2000)
   }
 
+  /** Spearman rank correlation (round 9): does a part's total order
+    * QUANTITY track its total REVENUE — the monotone-association
+    * check that Pearson (agg_regression's r) misses under nonlinear
+    * scaling. Declared semantics: row_number ranks with the pinned
+    * (value, part) tiebreak (not tie-averaged ranks — both engines
+    * assign identical ranks), ρ_ppm = 10⁶ − 6Σd²·10⁶ / (n³−n) with
+    * Σd² and the cubic denominator in DECIMAL(38). Both rankings run
+    * through `Scale.globalRank` (bucket-parallel — the part domain
+    * never single-partitions).
+    */
+  val partQtyPriceSpearman: Q = (s, d) => {
+    val pp = li(s, d).groupBy(col("l_partkey").as("p"))
+      .agg(sumCents(col("l_extendedprice")).as("price_c"),
+           sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+    val rp = graft.ops.Scale.globalRank(pp,
+        floor(col("price_c") / lit(10000000L)), Seq(col("price_c"), col("p")))
+      .select(col("p"), col("__rn").as("rp"))
+    val rq = graft.ops.Scale.globalRank(pp,
+        floor(col("qty") / lit(100L)), Seq(col("qty"), col("p")))
+      .select(col("p"), col("__rn").as("rq"))
+    rp.join(rq, "p")
+      .agg(cnt.as("n_parts"),
+           sum(expr("cast(rp - rq as decimal(38,0)) * (rp - rq)")).as("sd2"))
+      .select(col("n_parts"),
+        expr("cast(1000000 - div(6 * sd2 * 1000000, " +
+          "cast(n_parts as decimal(38,0)) * n_parts * n_parts - n_parts) as bigint)")
+          .as("spearman_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "part_qty_price_spearman" -> partQtyPriceSpearman,
     "orders_backlog_sweep" -> ordersBacklogSweep,
     "events_activity_gini" -> eventsActivityGini,
     "events_pattern_match" -> eventsPatternMatch,

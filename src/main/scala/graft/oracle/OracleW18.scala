@@ -572,5 +572,18 @@ object OracleW18 {
   c AS (SELECT dd, delta,
       CAST(sum(delta) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING) AS BIGINT) backlog FROM g)
   SELECT CAST(dd AS VARCHAR) dd, delta, backlog FROM c ORDER BY dd LIMIT 2000""",
+    // round 9: Spearman rank correlation (row_number ranks, pinned
+    // tiebreak) between per-part revenue and quantity, exact ppm
+    "part_qty_price_spearman" ->
+      """WITH pp AS (SELECT l_partkey p,
+      CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) price_c,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) qty
+    FROM lineitem GROUP BY 1),
+  r AS (SELECT p, CAST(row_number() OVER (ORDER BY price_c, p) AS BIGINT) rp,
+      CAST(row_number() OVER (ORDER BY qty, p) AS BIGINT) rq FROM pp),
+  t AS (SELECT CAST(count(*) AS BIGINT) n, sum((rp - rq)::HUGEINT * (rp - rq)) sd2 FROM r)
+  SELECT n n_parts,
+    CAST(1000000 - (6 * sd2 * 1000000) // (n::HUGEINT * n * n - n) AS BIGINT) spearman_ppm
+  FROM t""",
   )
 }

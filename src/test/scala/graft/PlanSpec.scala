@@ -423,7 +423,8 @@ class PlanSpec extends SparkSpecBase {
     "supplier_abc_class" -> "1-row scalar: revenue-total broadcast",
     "events_decayed_score" -> "1-row scalar: as-of day broadcast",
     "dq_benford_first_digit" -> "1-row scalar: order-count total broadcast",
-    "events_activity_gini" -> "bounded-bucket: B×B globalRank offsets")
+    "events_activity_gini" -> "bounded-bucket: B×B globalRank offsets",
+    "part_qty_price_spearman" -> "bounded-bucket: B×B globalRank offsets (two rankings)")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -471,6 +472,7 @@ class PlanSpec extends SparkSpecBase {
     "events_pattern_match" -> "1-row pattern-census final aggregate",
     "events_activity_gini" -> "1-row gini final aggregate (ranks via bucket-parallel globalRank)",
     "orders_backlog_sweep" -> "bounded day-domain cumulative window (fact collapses to ~2.4k days first)",
+    "part_qty_price_spearman" -> "1-row spearman final aggregate (ranks via bucket-parallel globalRank)",
     "dq_benford_first_digit" -> "1-row order-count total + 9-digit domain",
     "basket_apriori_pairs" -> "1-row basket-total aggregate",
     "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
