@@ -804,6 +804,39 @@ object Pipeline {
       .limit(2000)
   }
 
+  /** Zipf-slope corpus-health check (round 9): OLS fit of
+    * floor(log₂ count) on floor(log₂ rank) over the corpus vocabulary
+    * — natural text sits near slope −1; a pipeline bug (boilerplate
+    * flood, truncation, dedup failure) bends it. Both axes are
+    * INTEGER log₂ buckets (no float log at query time), the five OLS
+    * sums are one aggregate over the vocabulary, and the slope is a
+    * sign-split DECIMAL(38) ppm — bit-equal on both engines. The
+    * ranking window runs over the VOCABULARY (sublinear in corpus
+    * size by Heaps' law), never the token stream.
+    */
+  val textZipfSlope: Q = (s, d) => {
+    val vocab = documents(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(cnt.as("c"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      // floor(log2) as bit length − 1: exact integers on both engines
+      // (a float log2 can land on 2.9999… at exact powers of two)
+      .select((length(bin(col("rank"))) - 1).cast("long").as("x"),
+              (length(bin(col("c"))) - 1).cast("long").as("y"))
+    vocab.agg(
+        cnt.as("n_vocab"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_vocab"),
+        expr("""cast(CASE
+          WHEN n_vocab * sxy - sx * sy < 0 THEN
+            -div(cast(sx * sy - n_vocab * sxy as decimal(38,0)) * 1000000,
+                 n_vocab * sxx - sx * sx)
+          ELSE div(cast(n_vocab * sxy - sx * sy as decimal(38,0)) * 1000000,
+                   n_vocab * sxx - sx * sx) END as bigint)""").as("slope_ppm"))
+  }
+
   /** Deterministic mixture resampling — the data-mixing pass that hits
     * target proportions per source family before training: sources
     * src0-9 = "web" (target 100 docs), src10-14 = "books" (60),
@@ -1022,5 +1055,6 @@ object Pipeline {
     "multimodal_frame_sample" -> multimodalFrameSample,
     "dedup_incremental_ingest" -> IncrementalDedup.dedupIncrementalIngest,
     "text_novelty_ratio" -> textNoveltyRatio,
+    "text_zipf_slope" -> textZipfSlope,
   )
 }

@@ -562,6 +562,20 @@ object OracleW18 {
   SELECT n n_users, sx n_events,
     CAST(((2 * sixi - (n::HUGEINT + 1) * sx) * 1000000) // (n::HUGEINT * sx) AS BIGINT) gini_ppm
   FROM t""",
+    // round 9: Zipf-slope corpus-health fit; floor(log2) as bit length-1
+    // (exact integers, no float log), sign-split slope ppm
+    "text_zipf_slope" ->
+      """WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) c
+    FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1),
+  r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) rank, c FROM v),
+  b AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) x, CAST(length(bin(c)) - 1 AS BIGINT) y FROM r),
+  t AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+      CAST(sum(x*y) AS BIGINT) sxy, CAST(sum(x*x) AS BIGINT) sxx FROM b)
+  SELECT n n_vocab,
+    CAST(CASE WHEN n * sxy - sx * sy < 0 THEN
+        -(((sx * sy - n * sxy)::HUGEINT * 1000000) // (n * sxx - sx * sx))
+      ELSE (((n * sxy - sx * sy)::HUGEINT * 1000000) // (n * sxx - sx * sx)) END AS BIGINT) slope_ppm
+  FROM t""",
     // round 9: sweep-line open-order backlog curve over the day domain
     "orders_backlog_sweep" ->
       """WITH done AS (SELECT l_orderkey ok, CAST(max(l_shipdate) AS DATE) ed FROM lineitem GROUP BY 1),
