@@ -162,13 +162,29 @@ object BenchNoise {
       println(f"[noise] rep $i total=${r.best.values.sum}%.3f s errors=${r.errors.size}")
       r
     }
-    val names = runs.head.best.keys.toVector.sorted
-    println("| query | " + (1 to reps).map(i => s"rep$i s").mkString(" | ") + " | spread |")
-    println("|---|" + "---|" * (reps + 1))
+    // Names come from the UNION of all reps' successful queries, and a
+    // rep that has no sample for a query gets a '-' cell rather than a
+    // Map.apply crash — a query erroring only in SOME reps must still
+    // appear in the table (with its error count), not vanish or kill
+    // the report.
+    val names = runs.flatMap(_.best.keys).distinct.sorted
+    println("| query | " + (1 to reps).map(i => s"rep$i s").mkString(" | ") + " | spread | errs |")
+    println("|---|" + "---|" * (reps + 2))
     names.foreach { n =>
-      val bests = runs.map(_.best(n))
-      val spread = (bests.max - bests.min) / bests.min * 100
-      println(f"| `$n` | " + bests.map(b => f"$b%.3f").mkString(" | ") + f" | ${spread}%.0f%% |")
+      val cells = runs.map(_.best.get(n))
+      val bests = cells.flatten
+      val spread =
+        if (bests.size >= 2 && bests.min > 0) f"${(bests.max - bests.min) / bests.min * 100}%.0f%%"
+        else "-"
+      val errCount = runs.count(_.errors.contains(n))
+      val errCell = if (errCount > 0) s"$errCount" else ""
+      println(s"| `$n` | " + cells.map {
+        case Some(b) => f"$b%.3f"
+        case None    => "-"
+      }.mkString(" | ") + s" | $spread | $errCell |")
+    }
+    runs.zipWithIndex.foreach { case (r, i) =>
+      r.errors.foreach { case (q, e) => println(s"[noise] rep ${i + 1} error $q: $e") }
     }
     val totals = runs.map(_.best.values.sum)
     println(f"[noise] totals: ${totals.map(t => f"$t%.3f").mkString(" / ")} s " +

@@ -1029,21 +1029,19 @@ object Insights {
     * scaling. Declared semantics: row_number ranks with the pinned
     * (value, part) tiebreak (not tie-averaged ranks — both engines
     * assign identical ranks), ρ_ppm = 10⁶ − 6Σd²·10⁶ / (n³−n) with
-    * Σd² and the cubic denominator in DECIMAL(38). Both rankings run
-    * through `Scale.globalRank` (bucket-parallel — the part domain
-    * never single-partitions).
+    * Σd² and the cubic denominator in DECIMAL(38). Both rankings come
+    * from ONE `Scale.globalRankFused` pass (bucket-parallel — the part
+    * domain never single-partitions, and the two orderings share a
+    * single shuffle of narrow (dim, bucket, value) records instead of
+    * two full two-phase passes plus a join back — VERDICT r9 task 6).
     */
   val partQtyPriceSpearman: Q = (s, d) => {
     val pp = li(s, d).groupBy(col("l_partkey").as("p"))
       .agg(sumCents(col("l_extendedprice")).as("price_c"),
            sum(col("l_quantity").cast("long")).cast("long").as("qty"))
-    val rp = graft.ops.Scale.globalRank(pp,
-        floor(col("price_c") / lit(10000000L)), Seq(col("price_c"), col("p")))
-      .select(col("p"), col("__rn").as("rp"))
-    val rq = graft.ops.Scale.globalRank(pp,
-        floor(col("qty") / lit(100L)), Seq(col("qty"), col("p")))
-      .select(col("p"), col("__rn").as("rq"))
-    rp.join(rq, "p")
+    graft.ops.Scale.globalRankFused(pp, col("p"), Seq(
+        ("rp", floor(col("price_c") / lit(10000000L)), col("price_c")),
+        ("rq", floor(col("qty") / lit(100L)), col("qty"))))
       .agg(cnt.as("n_parts"),
            sum(expr("cast(rp - rq as decimal(38,0)) * (rp - rq)")).as("sd2"))
       .select(col("n_parts"),

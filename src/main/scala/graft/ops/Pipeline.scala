@@ -810,19 +810,27 @@ object Pipeline {
     * flood, truncation, dedup failure) bends it. Both axes are
     * INTEGER log₂ buckets (no float log at query time), the five OLS
     * sums are one aggregate over the vocabulary, and the slope is a
-    * sign-split DECIMAL(38) ppm — bit-equal on both engines. The
-    * ranking window runs over the VOCABULARY (sublinear in corpus
-    * size by Heaps' law), never the token stream.
+    * sign-split DECIMAL(38) ppm — bit-equal on both engines. Ranking
+    * runs over the VOCABULARY (sublinear in corpus size by Heaps'
+    * law) via [[Scale.globalRank]] — bucket = NEGATED count bit
+    * length, the query's own y-axis, so bucket order matches the
+    * count-descending rank order exactly and nothing ever plans an
+    * `Exchange SinglePartition` even at a 10⁸-token web vocabulary
+    * (VERDICT r9 task 2; previously a global `row_number` window).
     */
   val textZipfSlope: Q = (s, d) => {
-    val vocab = documents(s, d)
+    val counts = documents(s, d)
       .select(explode(toks).as("tok"))
       .groupBy("tok").agg(cnt.as("c"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("c").desc, col("tok"))).cast("long"))
-      // floor(log2) as bit length − 1: exact integers on both engines
-      // (a float log2 can land on 2.9999… at exact powers of two)
-      .select((length(bin(col("rank"))) - 1).cast("long").as("x"),
+    // floor(log2) as bit length − 1: exact integers on both engines
+    // (a float log2 can land on 2.9999… at exact powers of two).
+    // Rank is count-DESC, so the coarse bucket must ASCEND along the
+    // rank order: negate the bit length (count desc ⇒ bit length
+    // non-increasing ⇒ −bitlen non-decreasing — exact boundaries).
+    val vocab = graft.ops.Scale.globalRank(
+        counts, -length(bin(col("c"))).cast("long"),
+        Seq(col("c").desc, col("tok")))
+      .select((length(bin(col("__rn"))) - 1).cast("long").as("x"),
               (length(bin(col("c"))) - 1).cast("long").as("y"))
     vocab.agg(
         cnt.as("n_vocab"),

@@ -144,7 +144,11 @@ object Quality {
     * The pair join is per-user banded (equi on user + time band) —
     * linear in per-user purchase density, never cross-user. Gaps are
     * whole floored seconds (R4) so the bucket boundaries are exact on
-    * both engines; amounts compare in integer cents (R2).
+    * both engines; amounts compare in integer cents (R2). Pairs order
+    * by (ts, event_id) lexicographically — NOT strictly by ts — so two
+    * purchases at the SAME instant (the canonical double-submission
+    * signature this audit screens for) still form one pair, landing in
+    * the ≤1 min bucket with gap 0 (ADVICE r9).
     */
   val dqRapidRepeatPurchase: Q = (s, d) => {
     val p = tb(s, d, "events").filter(col("event_type") === "purchase")
@@ -155,7 +159,8 @@ object Quality {
     val b = p.select(col("id").as("b_id"), col("u").as("b_u"),
                      col("ts").as("b_ts"), col("c").as("b_c"))
     a.join(b, col("u") === col("b_u") &&
-              col("b_ts") > col("a_ts") &&
+              (col("b_ts") > col("a_ts") ||
+                (col("b_ts") === col("a_ts") && col("b_id") > col("a_id"))) &&
               col("b_ts") <= col("a_ts") + expr("INTERVAL 60 MINUTES"))
       .withColumn("gap_s",
         unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts")))

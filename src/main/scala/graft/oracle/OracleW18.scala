@@ -533,7 +533,9 @@ object OracleW18 {
     FROM events WHERE event_type = 'purchase'),
   pr AS (SELECT a.u, epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 gap_s,
       abs(a.c - b.c) dc
-    FROM p a JOIN p b ON a.u = b.u AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTES),
+    FROM p a JOIN p b ON a.u = b.u
+      AND (b.ts > a.ts OR (b.ts = a.ts AND b.id > a.id))
+      AND b.ts <= a.ts + INTERVAL 60 MINUTES),
   g AS (SELECT CASE WHEN gap_s <= 60 THEN 'a_under_1min'
       WHEN gap_s <= 600 THEN 'b_under_10min' ELSE 'c_under_60min' END gap_bucket, u, dc FROM pr)
   SELECT gap_bucket, CAST(count(*) AS BIGINT) n_pairs,

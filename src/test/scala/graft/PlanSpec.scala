@@ -473,7 +473,7 @@ class PlanSpec extends SparkSpecBase {
     "events_activity_gini" -> "1-row gini final aggregate (ranks via bucket-parallel globalRank)",
     "orders_backlog_sweep" -> "bounded day-domain cumulative window (fact collapses to ~2.4k days first)",
     "part_qty_price_spearman" -> "1-row spearman final aggregate (ranks via bucket-parallel globalRank)",
-    "text_zipf_slope" -> "bounded vocabulary-domain ranking window (Heaps-sublinear) + 1-row fit",
+    "text_zipf_slope" -> "1-row OLS-fit final aggregate (ranks via bucket-parallel globalRank)",
     "dq_benford_first_digit" -> "1-row order-count total + 9-digit domain",
     "basket_apriori_pairs" -> "1-row basket-total aggregate",
     "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
