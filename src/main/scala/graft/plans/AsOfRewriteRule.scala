@@ -36,12 +36,20 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   *    lKey = rKey AND rTs <= lTs [AND rTs >/(>=) f(left) ...]))`;
   *  - every grouping expression a LEFT-side attribute; every
   *    aggregate output either a grouping attribute or
-  *    `max(struct(rTs, rId)).field` (plain max — no DISTINCT/FILTER),
-  *    where rTs is THE range-predicate timestamp;
-  *  - the right side carries exactly (rKey, rTs, rId) — the argmax
-  *    payload IS the residual column, so the exec's
-  *    (key, ts, residual)-ascending sort makes its kept row the
-  *    struct-max row, tie-break included;
+  *    `max(struct(rTs, p₁, …, pₖ)).field` (plain max — no
+  *    DISTINCT/FILTER), where rTs is THE range-predicate timestamp
+  *    and (p₁, …, pₖ) are ALL the right side's non-key non-ts columns
+  *    IN right-output order (k ≥ 1 — the multi-column enrichment
+  *    payload, round 10; previously k was pinned to 1);
+  *  - why that exact field sequence: the exec keeps, per left row,
+  *    the LAST candidate under its (key, ts, residuals-in-output-
+  *    order)-ascending right sort — i.e. the lexicographic
+  *    (ts, p₁, …, pₖ)-max of the candidate prefix. A struct whose
+  *    comparison order equals that sort order makes the kept row THE
+  *    struct-max row, timestamp ties included. A struct over a
+  *    SUBSET or permutation of the payload columns would diverge on
+  *    ties (the exec's winner need not maximize the user's struct),
+  *    so those shapes are deliberately not matched;
   *  - key/ts types physically long (BIGINT / timestamp);
   *  - extra conjuncts only as LOWER bounds on rTs from left-side
   *    expressions (the tolerance band). Sound because they select a
@@ -124,20 +132,24 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** True iff `e` is `max(struct(rTs, rId)).field` (possibly aliased)
-    * with plain max semantics.
+  /** True iff `e` is `max(struct(rTs, res₁, …, resₖ)).field` (possibly
+    * aliased) with plain max semantics, the struct fields being exactly
+    * the range timestamp followed by EVERY residual right column in
+    * right-output order (see class doc for why the full ordered
+    * sequence is the soundness condition).
     */
-  private def isArgmaxOf(e: Expression, rTs: Attribute, rId: Attribute): Boolean = e match {
-    case Alias(child, _) => isArgmaxOf(child, rTs, rId)
+  private def isArgmaxOf(e: Expression, rTs: Attribute,
+                         residual: Seq[Attribute]): Boolean = e match {
+    case Alias(child, _) => isArgmaxOf(child, rTs, residual)
     case GetStructField(ae: AggregateExpression, ord, _)
-        if !ae.isDistinct && ae.filter.isEmpty && (ord == 0 || ord == 1) =>
+        if !ae.isDistinct && ae.filter.isEmpty &&
+          ord >= 0 && ord <= residual.size =>
       ae.aggregateFunction match {
         case Max(cns: CreateNamedStruct) =>
-          cns.valExprs match {
-            case Seq(f0: Attribute, f1: Attribute) =>
-              f0.exprId == rTs.exprId && f1.exprId == rId.exprId
-            case _ => false
-          }
+          val vals = cns.valExprs
+          vals.sizeIs == residual.size + 1 && vals.forall(_.isInstanceOf[Attribute]) &&
+          vals.head.asInstanceOf[Attribute].exprId == rTs.exprId &&
+          vals.tail.asInstanceOf[Seq[Attribute]].map(_.exprId) == residual.map(_.exprId)
         case _ => false
       }
     case _ => false
@@ -168,14 +180,14 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
                   j.left.output.map(_.name).distinct.size == j.left.output.size &&
                   j.right.output.map(_.name).distinct.size == j.right.output.size
                 val shapeOk = groupingOk && namesOk &&
-                  residual.sizeIs == 1 &&
+                  residual.nonEmpty &&
                   (j.joinType == Inner || bounds.isEmpty) &&
                   aggExprs.forall {
                     case a: Attribute => grouping.exists {
                       case g: Attribute => g.exprId == a.exprId
                       case _            => false
                     }
-                    case e => isArgmaxOf(e, rTs, residual.head)
+                    case e => isArgmaxOf(e, rTs, residual)
                   }
                 if (!shapeOk) None
                 else {

@@ -204,6 +204,154 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("asofRewrite multi-column payload: enrichment shape routes onto AsOfMergeExec") {
+    // The round-10 generality fix (VERDICT r9 task 1): the natural
+    // enrichment query — "attach the last-prior signup's channel,
+    // campaign AND region" — selects SEVERAL right payload columns.
+    // The struct lists the range ts then every residual right column
+    // in output order, so the exec's sweep winner IS the struct max.
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val e = extended.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      def purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u"),
+                col("ts").as("p_ts"))
+      def signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("ts").as("s_ts"),
+                col("event_id").as("signup_id"),
+                // three derived enrichment attributes (one a string):
+                // the multi-column payload the old rule silently missed
+                concat(lit("ch"), pmod(col("event_id"), lit(5))).as("channel"),
+                pmod(col("event_id"), lit(97)).as("campaign"),
+                pmod(col("user_id"), lit(7)).as("region"))
+      val payload = Seq("signup_id", "channel", "campaign", "region")
+      def argmaxStruct = struct(col("s_ts") +: payload.map(col): _*)
+      def query(joinType: String): DataFrame =
+        purchases.join(signups,
+            col("u") === col("su") && col("s_ts") <= col("p_ts"), joinType)
+          .groupBy("purchase_id")
+          .agg(max(argmaxStruct).getField("signup_id").as("last_signup_id"),
+               max(argmaxStruct).getField("channel").as("last_channel"),
+               max(argmaxStruct).getField("campaign").as("last_campaign"),
+               max(argmaxStruct).getField("region").as("last_region"))
+      Seq("inner", "left_outer").foreach { jt =>
+        extended.conf.set("spark.graft.asofRewrite", "false")
+        val off = query(jt).collect().map(_.toSeq).toSeq
+        extended.conf.set("spark.graft.asofRewrite", "true")
+        val dfOn = query(jt)
+        val p = dfOn.queryExecution.executedPlan.toString
+        assert(p.contains("AsOfMerge"),
+          s"$jt 4-payload enrichment must rewrite:\n${p.take(900)}")
+        assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+          s"$jt still contains the candidate-pair join:\n${p.take(900)}")
+        val on = dfOn.collect().map(_.toSeq).toSeq
+        assert(on.diff(off).isEmpty && off.diff(on).isEmpty,
+          s"$jt enrichment rows differ under rewrite")
+      }
+      // A struct over a payload SUBSET is rescued by column pruning:
+      // Catalyst prunes the join's right side down to exactly the
+      // demanded columns BEFORE this rule runs, so the residual set
+      // equals the struct tail and the rewrite is sound (the exec's
+      // sweep order over the PRUNED output matches the struct order).
+      // Assert it fires and stays row-identical.
+      extended.conf.set("spark.graft.asofRewrite", "false")
+      def subset() = purchases.join(signups,
+          col("u") === col("su") && col("s_ts") <= col("p_ts"))
+        .groupBy("purchase_id")
+        .agg(max(struct(col("s_ts"), col("channel")))
+               .getField("channel").as("last_channel"))
+      val subOff = subset().collect().map(_.toSeq).toSeq
+      extended.conf.set("spark.graft.asofRewrite", "true")
+      val subOn = subset()
+      assert(subOn.queryExecution.executedPlan.toString.contains("AsOfMerge"),
+        "pruned-subset payload must rewrite (pruning makes it exact)")
+      val subRows = subOn.collect().map(_.toSeq).toSeq
+      assert(subRows.diff(subOff).isEmpty && subOff.diff(subRows).isEmpty,
+        "pruned-subset rows differ under rewrite")
+      // A PERMUTED payload struct (field order ≠ right-output order)
+      // diverges from the exec's sweep order on ts ties — must not fire.
+      val permuted = purchases.join(signups,
+          col("u") === col("su") && col("s_ts") <= col("p_ts"))
+        .groupBy("purchase_id")
+        .agg(max(struct(col("s_ts"), col("channel"), col("signup_id"),
+                        col("campaign"), col("region")))
+               .getField("channel").as("last_channel"))
+      val permPlan = permuted.queryExecution.executedPlan.toString
+      assert(!permPlan.contains("AsOfMerge"),
+        s"rule must not fire on payload permutation (tie divergence):\n${permPlan.take(600)}")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("asofRewrite payload-width property: generated widths, tie-heavy domains") {
+    // widths 1..3 over tiny domains: every column collides constantly,
+    // so the lexicographic tail of the struct decides winners — the
+    // exact surface where a sort-order/struct-order mismatch would show
+    import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+    import org.apache.spark.sql.types._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      w <- Gen.choose(1, 3)
+      nL <- Gen.choose(30, 50); nR <- Gen.choose(30, 50)
+      ls <- Gen.listOfN(nL, for {
+        pid <- Gen.choose(0L, 7L); u <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 5L)
+      } yield Seq(pid, u, t))
+      rs <- Gen.listOfN(nR, for {
+        u <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 5L)
+        ps <- Gen.listOfN(w, Gen.choose(0L, 2L))
+      } yield Seq(u, t) ++ ps)
+    } yield (w, ls, rs)
+    val cases = Iterator.from(0)
+      .map(i => caseGen.apply(Gen.Parameters.default, Seed(2042L + i)))
+      .collect { case Some(a) => a }.take(5).toSeq
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      def df(rows: Seq[Seq[Long]], names: Seq[String]): DataFrame =
+        extended.createDataFrame(
+          extended.sparkContext.parallelize(rows.map(Row.fromSeq), 2),
+          StructType(names.map(StructField(_, LongType))))
+      cases.foreach { case (w, ls, rs) =>
+        val pCols = (1 to w).map(i => s"c$i")
+        val l = df(ls, Seq("pid", "u", "p_ts"))
+        val r = df(rs, Seq("su", "s_ts") ++ pCols)
+        def query(): DataFrame = {
+          val st = struct(col("s_ts") +: pCols.map(col): _*)
+          l.join(r, col("u") === col("su") && col("s_ts") <= col("p_ts"))
+            .groupBy("pid")
+            .agg(pCols.map(c => max(st).getField(c).as(s"last_$c")).head,
+                 pCols.tail.map(c => max(st).getField(c).as(s"last_$c")): _*)
+        }
+        extended.conf.set("spark.graft.asofRewrite", "false")
+        val off = query().collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+        extended.conf.set("spark.graft.asofRewrite", "true")
+        val qOn = query()
+        val plan = qOn.queryExecution.executedPlan.toString
+        assert(plan.contains("AsOfMerge"), s"width $w did not rewrite:\n${plan.take(500)}")
+        val on = qOn.collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+        assert(on == off, s"width $w differs under rewrite:\noff=$off\non=$on")
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+      spark.conf.unset("spark.graft.asofRewrite")
+    }
+  }
+
   test("asofRewrite does NOT fire on near-miss shapes (strict <, DISTINCT, outer+band)") {
     import org.apache.spark.sql.{DataFrame, SparkSession}
     SparkSession.clearDefaultSession()
