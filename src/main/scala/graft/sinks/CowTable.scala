@@ -91,11 +91,22 @@ object CowTable {
   /** True once [[create]] has committed snapshot v1. */
   def exists(path: String): Boolean = listVersions(path).nonEmpty
 
-  /** Files constituting `asOf` (default: latest snapshot). Reads the
-    * requested manifest directly — never lists the snapshot directory,
-    * so open cost is independent of the table's commit count.
+  /** MERGE-ON-READ delete sidecars (round 10): a manifest line starting
+    * with this prefix names a parquet file of DELETED KEYS (one column,
+    * named after the table's merge key) rather than a data file. A
+    * [[deleteMor]] commit adds one sidecar and carries every data file
+    * over by reference — zero data-file writes, the property that makes
+    * a daily GDPR delete affordable at 100 TB where the copy-on-write
+    * [[delete]] would rewrite every key-intersecting file. Readers
+    * apply the union of a snapshot's sidecars as an anti-join;
+    * [[compact]]/[[cluster]] fold them into the data (their rewrite
+    * reads the LOGICAL rows); [[merge]] un-deletes keys its batch
+    * reinserts. Old manifests contain no such lines, so pre-round-10
+    * tables read unchanged.
     */
-  def snapshotFiles(path: String, asOf: Option[Int] = None): Seq[String] = {
+  private val DeletePrefix = "D "
+
+  private def manifestLines(path: String, asOf: Option[Int]): Seq[String] = {
     val v = asOf.getOrElse(currentVersion(path))
     val mf = snapDir(path).resolve(s"v$v.json")
     require(Files.exists(mf),
@@ -103,6 +114,19 @@ object CowTable {
     new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq
   }
+
+  /** DATA files constituting `asOf` (default: latest snapshot) —
+    * delete sidecars excluded. Reads the requested manifest directly —
+    * never lists the snapshot directory, so open cost is independent
+    * of the table's commit count.
+    */
+  def snapshotFiles(path: String, asOf: Option[Int] = None): Seq[String] =
+    manifestLines(path, asOf).filterNot(_.startsWith(DeletePrefix))
+
+  /** The snapshot's merge-on-read delete sidecar files (often empty). */
+  def snapshotDeletes(path: String, asOf: Option[Int] = None): Seq[String] =
+    manifestLines(path, asOf).filter(_.startsWith(DeletePrefix))
+      .map(_.stripPrefix(DeletePrefix))
 
   /** Current version via the [[latestHint]] + forward probe — O(1) in
     * the commit count. Falls back to a directory listing only for
@@ -167,10 +191,57 @@ object CowTable {
   /** Read a snapshot (latest, or `asOf` for time travel). Schemas are
     * merged across the snapshot's files so a snapshot mixing pre- and
     * post-evolution files never silently narrows to whichever file the
-    * reader sampled first.
+    * reader sampled first. Merge-on-read delete sidecars apply as an
+    * anti-join on the key column they carry; a sidecar-free snapshot
+    * (the overwhelmingly common case, and every pre-round-10 snapshot)
+    * keeps the plain pruned scan plan.
     */
-  def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(snapshotFiles(path, asOf): _*)
+  def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame = {
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(snapshotFiles(path, asOf): _*)
+    val dels = snapshotDeletes(path, asOf)
+    if (dels.isEmpty) data
+    else {
+      // no mergeSchema: every sidecar of a table carries the SAME
+      // single key column ([[deleteMor]] contract) — a mismatch should
+      // fail loudly, not widen
+      val dk = spark.read.parquet(dels: _*).distinct()
+      val k = dk.columns.head
+      // sidecars are key lists bounded by the compaction cadence —
+      // size-based estimation broadcasts them; not forced, so a
+      // pathological backlog degrades to a shuffle join, never an OOM
+      data.join(dk.withColumnRenamed(k, "__del_k"),
+        col(k) === col("__del_k"), "left_anti")
+    }
+  }
+
+  /** MERGE-ON-READ DELETE: commit the keys of rows matching
+    * `predicate` as a delete sidecar — ZERO data files are written or
+    * rewritten, the complement of the copy-on-write [[delete]] for the
+    * high-frequency small-delete regime (GDPR / right-to-be-forgotten
+    * sweeps). Rows vanish from [[read]]/[[changes]]/IVM immediately;
+    * the physical rows persist until [[compact]]/[[cluster]] folds the
+    * sidecars (which also keeps time travel exact — older snapshots
+    * don't reference the sidecar, so they still see the rows).
+    *
+    * `key` must be the table's merge key (unique, and the SAME column
+    * for every deleteMor on a table). Null-keyed rows are never
+    * MoR-deleted (a null never equi-joins) — use [[delete]] for those.
+    * Matching runs against the LOGICAL snapshot, so re-deleting an
+    * already-deleted key is a no-op. Returns the new version (or the
+    * current one unchanged when nothing matches).
+    */
+  def deleteMor(spark: SparkSession, path: String, predicate: String,
+                key: String): Int = {
+    val base = currentVersion(path)
+    val matched = read(spark, path, Some(base))
+      .filter(coalesce(expr(predicate), lit(false)))
+      .select(col(key)).filter(col(key).isNotNull).distinct()
+    if (matched.isEmpty) return base
+    val sidecar = writeData(matched.coalesce(1), path)
+    commit(path, manifestLines(path, Some(base)) ++
+      sidecar.map(DeletePrefix + _), base)
+  }
 
   /** MERGE (upsert): rows in `updates` replace current rows with the
     * same `key`; unmatched update rows insert. Only data files whose
@@ -198,7 +269,21 @@ object CowTable {
         spark.read.option("mergeSchema", "true").parquet(toRewrite: _*)
           .join(broadcast(keys), Seq(key), "left_anti") // survivors
           .unionByName(updates, allowMissingColumns = true), path)
-    commit(path, untouched ++ rewritten, base)
+    // Merge-on-read sidecars: an upserted key is LIVE again, so it must
+    // leave the delete set (the update's row would otherwise vanish at
+    // read). Surviving entries consolidate into one fresh sidecar —
+    // merge doubles as sidecar compaction, bounding sidecar count by
+    // the commits since the last merge/compact, not table age.
+    val sidecars = snapshotDeletes(path, Some(base))
+    val delLines =
+      if (sidecars.isEmpty) Seq.empty
+      else {
+        val remaining = spark.read.parquet(sidecars: _*).distinct()
+          .join(broadcast(keys), Seq(key), "left_anti")
+        if (remaining.isEmpty) Seq.empty
+        else writeData(remaining.coalesce(1), path).map(DeletePrefix + _)
+      }
+    commit(path, untouched ++ rewritten ++ delLines, base)
   }
 
   /** SCHEMA EVOLUTION: `merge` accepts updates with ADDED columns —
@@ -215,6 +300,11 @@ object CowTable {
     * manifest); old snapshots keep referencing the small files, so
     * time travel survives compaction. The maintenance half of the
     * format: merge keeps writes small, compact keeps reads fast.
+    * Also FOLDS merge-on-read delete sidecars: the rewrite reads the
+    * LOGICAL rows (sidecars applied) and the new manifest carries no
+    * sidecar lines — physically retiring the deleted rows. Older
+    * snapshots keep their sidecars, so time travel stays exact.
+    * [[cluster]] folds identically (same read path).
     */
   def compact(spark: SparkSession, path: String, files: Int): Int = {
     val base = currentVersion(path)
@@ -255,9 +345,29 @@ object CowTable {
     val fromFiles = snapshotFiles(path, Some(fromV))
     val toFiles = snapshotFiles(path, Some(toV))
     val delta = fromFiles.diff(toFiles) ++ toFiles.diff(fromFiles)
-    if (delta.isEmpty) return mv
-    val dirty = spark.read.option("mergeSchema", "true").parquet(delta: _*)
-      .select(col(groupCol).as("__dirty_g")).distinct()
+    // A merge-on-read delete commit moves NO data files — its dirty
+    // groups come from the sidecar diff instead: the groups of the
+    // fromV rows whose keys the window's new sidecars deleted. (A
+    // superset is fine, as with rewrite survivors: sidecar
+    // consolidation re-flags still-deleted keys whose rows no longer
+    // join — extra recompute, never staleness.)
+    val newSidecars = snapshotDeletes(path, Some(toV))
+      .diff(snapshotDeletes(path, Some(fromV)))
+    if (delta.isEmpty && newSidecars.isEmpty) return mv
+    val fileDirty = if (delta.isEmpty) None else Some(
+      spark.read.option("mergeSchema", "true").parquet(delta: _*)
+        .select(col(groupCol).as("__dirty_g")).distinct())
+    val delDirty = if (newSidecars.isEmpty) None else {
+      val dk = spark.read.parquet(newSidecars: _*).distinct()
+      val k = dk.columns.head
+      Some(read(spark, path, Some(fromV))
+        .join(dk.withColumnRenamed(k, "__del_k"), col(k) === col("__del_k"), "left_semi")
+        .select(col(groupCol).as("__dirty_g")).distinct())
+    }
+    val dirty = (fileDirty, delDirty) match {
+      case (Some(a), Some(b)) => a.unionByName(b).distinct()
+      case (a, b)             => a.orElse(b).get
+    }
     // Small dirty sets become a LITERAL In predicate instead of a
     // semi-join: a literal reaches the parquet footers, so on a layout
     // clustered/sorted by the group column the recompute SKIPS the
@@ -358,7 +468,10 @@ object CowTable {
           .filter(not(deleteCond))
         untouched ++ writeData(kept, path)
       }
-    commit(path, files, base)
+    // MoR sidecars carry over untouched: a sidecar-deleted row stays
+    // deleted whether or not its physical row also matched here
+    commit(path, files ++
+      snapshotDeletes(path, Some(base)).map(DeletePrefix + _), base)
   }
 
   /** CHANGE FEED (CDC-out): row-level changes between two snapshots —
@@ -385,46 +498,73 @@ object CowTable {
     val toFiles = snapshotFiles(path, Some(toV))
     val removed = fromFiles.filterNot(toFiles.contains)
     val added = toFiles.filterNot(fromFiles.contains)
+    val carried = fromFiles.filter(toFiles.contains)
     def rd(fs: Seq[String]): Option[DataFrame] =
       if (fs.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true").parquet(fs: _*))
-    val sides = (rd(removed), rd(added))
-    // union column set, key first, deterministic order
-    val cols: Seq[String] = {
-      val o = sides._1.map(_.columns.toSeq).getOrElse(Seq.empty)
-      val n = sides._2.map(_.columns.toSeq).getOrElse(Seq.empty)
-      (o ++ n.filterNot(o.contains)).distinct
+    // Merge-on-read sidecars: each side of the compare must see the
+    // LOGICAL rows of its version. The preimage side drops rows already
+    // deleted at fromV and ADDS the carried-file rows whose keys the
+    // window's sidecars newly deleted (their data files never moved —
+    // the whole point of deleteMor — so the file diff alone would miss
+    // them); the postimage side drops rows deleted at toV. A key
+    // reinserted after a MoR delete then classifies as `insert` (its
+    // preimage wasn't visible at fromV) — the semantically right call.
+    def delKeys(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*).distinct())
+    val fromDel = delKeys(snapshotDeletes(path, Some(fromV)))
+    val toDel = delKeys(snapshotDeletes(path, Some(toV)))
+    val newDel = (fromDel, toDel) match {
+      case (_, None)          => None
+      case (None, Some(t))    => Some(t)
+      case (Some(f), Some(t)) => Some(t.except(f))
     }
+    def applyDel(df: DataFrame, del: Option[DataFrame], anti: Boolean): DataFrame =
+      del match {
+        case None => df
+        case Some(dk) =>
+          val k = dk.columns.head
+          df.join(dk.withColumnRenamed(k, "__del_k"),
+            col(key) === col("__del_k"), if (anti) "left_anti" else "left_semi")
+      }
+    val carriedDeleted = newDel.flatMap(dk =>
+      rd(carried).map(c => applyDel(c, Some(dk), anti = false)))
+    val sides = (rd(removed).map(applyDel(_, fromDel, anti = true)),
+                 rd(added).map(applyDel(_, toDel, anti = true)))
+    val pieces = Seq(sides._1, sides._2, carriedDeleted).flatten
+    if (pieces.isEmpty || (sides._1.isEmpty && sides._2.isEmpty &&
+          carriedDeleted.forall(_.isEmpty)))
+      // identical manifests and no newly-deleted rows: no changes
+      return read(spark, path, Some(toV))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toV))
+        .limit(0)
+    // union column set, key first, deterministic order
+    val cols: Seq[String] =
+      pieces.flatMap(_.columns.toSeq).distinct
     def conform(df: DataFrame): DataFrame =
       df.select(cols.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-    (sides: @unchecked) match {
-      case (None, None) =>
-        // identical manifests (e.g. compact-only window): no changes
-        read(spark, path, Some(toV))
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(toV))
-          .limit(0)
-      case _ =>
-        val payload = cols.filterNot(_ == key)
-        val o = sides._1.map(conform).getOrElse(conform(sides._2.get).limit(0))
-          .select(col(key).as("__k"),
-                  struct(payload.map(col): _*).as("__old"))
-        val n = sides._2.map(conform).getOrElse(conform(sides._1.get).limit(0))
-          .select(col(key).as("__k"),
-                  struct(payload.map(col): _*).as("__new"))
-        o.join(n, Seq("__k"), "full_outer")
-          .withColumn("_change_type",
-            when(col("__new").isNull, "delete")
-              .when(col("__old").isNull, "insert")
-              .when(col("__old") <=> col("__new"), "none") // rewritten, identical
-              .otherwise("update"))
-          .filter(col("_change_type") =!= "none")
-          .select(Seq(col("__k").as(key)) ++ payload.map { c =>
-            when(col("_change_type") === "delete", col(s"__old.$c"))
-              .otherwise(col(s"__new.$c")).as(c)
-          } ++ Seq(col("_change_type"), lit(toV).as("_commit_version")): _*)
-    }
+    val payload = cols.filterNot(_ == key)
+    def toSide(df: DataFrame, name: String): DataFrame =
+      conform(df).select(col(key).as("__k"),
+        struct(payload.map(col): _*).as(name))
+    val oldPieces = (sides._1.toSeq ++ carriedDeleted.toSeq).map(toSide(_, "__old"))
+    val o = oldPieces.reduceOption(_ unionByName _)
+      .getOrElse(toSide(pieces.head, "__old").limit(0))
+    val n = sides._2.map(toSide(_, "__new"))
+      .getOrElse(toSide(pieces.head, "__new").limit(0))
+    o.join(n, Seq("__k"), "full_outer")
+      .withColumn("_change_type",
+        when(col("__new").isNull, "delete")
+          .when(col("__old").isNull, "insert")
+          .when(col("__old") <=> col("__new"), "none") // rewritten, identical
+          .otherwise("update"))
+      .filter(col("_change_type") =!= "none")
+      .select(Seq(col("__k").as(key)) ++ payload.map { c =>
+        when(col("_change_type") === "delete", col(s"__old.$c"))
+          .otherwise(col(s"__new.$c")).as(c)
+      } ++ Seq(col("_change_type"), lit(toV).as("_commit_version")): _*)
   }
 
   /** MAINTENANCE: expire all but the newest `keepLast` snapshots.
@@ -443,10 +583,14 @@ object CowTable {
     // snapshot: branches share the parent's data files by manifest
     // reference, so vacuuming only against main would delete data out
     // from under an unpublished branch.
-    val live = (kept.flatMap(v => snapshotFiles(path, Some(v))) ++
+    // full manifest lines: MoR delete sidecars are parquet files under
+    // data/ too — a live snapshot's sidecars must survive the vacuum
+    def liveOf(p: String, v: Int): Seq[String] =
+      snapshotFiles(p, Some(v)) ++ snapshotDeletes(p, Some(v))
+    val live = (kept.flatMap(v => liveOf(path, v)) ++
       listBranches(path).flatMap { b =>
         val bp = branchPath(path, b)
-        listVersions(bp).flatMap(v => snapshotFiles(bp, Some(v)))
+        listVersions(bp).flatMap(v => liveOf(bp, v))
       }).toSet
     old.foreach(v => Files.deleteIfExists(snapDir(path).resolve(s"v$v.json")))
     val dataRoot = Paths.get(path, "data")
@@ -480,7 +624,10 @@ object CowTable {
     * time-travelable until [[expireSnapshots]]; nothing is rewritten.
     */
   def restore(path: String, toVersion: Int): Int =
-    commit(path, snapshotFiles(path, Some(toVersion)), currentVersion(path))
+    // FULL manifest lines, not just data files: restoring past a MoR
+    // delete must re-publish the old sidecar set exactly (dropping the
+    // sidecar lines would resurrect rows deleted BEFORE toVersion)
+    commit(path, manifestLines(path, Some(toVersion)), currentVersion(path))
 
   def branchPath(path: String, name: String): String =
     Paths.get(path, "_branches", name).toString
@@ -501,7 +648,8 @@ object CowTable {
     Files.createDirectories(Paths.get(bp))
     Files.write(Paths.get(bp, "_fork"),
       currentVersion(path).toString.getBytes(StandardCharsets.UTF_8))
-    commit(bp, snapshotFiles(path), 0)
+    // full lines: the fork inherits the parent's MoR sidecars too
+    commit(bp, manifestLines(path, None), 0)
   }
 
   /** The fork point recorded at [[createBranch]]. */
@@ -536,20 +684,26 @@ object CowTable {
           s"'$name' forked; re-branch and replay the branch's changes")
     val parentData = Paths.get(path, "data").toString + "/"
     val relocDir = Paths.get(path, "data", s"publish-$name-${System.nanoTime()}")
-    val relocated = snapshotFiles(bp).map { f =>
-      if (f.startsWith(parentData)) f
-      else {
-        Files.createDirectories(relocDir)
-        val p = Paths.get(f)
-        // stamp-dir prefix keeps names unique across branch write
-        // batches; relocDir is freshly stamped per publish, so a name
-        // collision is always a bug — let createLink throw
-        // FileAlreadyExistsException loudly rather than silently
-        // pointing the manifest at the first file's content.
-        val target = relocDir.resolve(s"${p.getParent.getFileName}-${p.getFileName}")
-        Files.createLink(target, p)
-        target.toString
-      }
+    // relocate data files AND MoR delete sidecars the branch wrote —
+    // a sidecar line keeps its prefix around the relocated path
+    val relocated = manifestLines(bp, None).map { line =>
+      val isDel = line.startsWith(DeletePrefix)
+      val f = if (isDel) line.stripPrefix(DeletePrefix) else line
+      val out =
+        if (f.startsWith(parentData)) f
+        else {
+          Files.createDirectories(relocDir)
+          val p = Paths.get(f)
+          // stamp-dir prefix keeps names unique across branch write
+          // batches; relocDir is freshly stamped per publish, so a name
+          // collision is always a bug — let createLink throw
+          // FileAlreadyExistsException loudly rather than silently
+          // pointing the manifest at the first file's content.
+          val target = relocDir.resolve(s"${p.getParent.getFileName}-${p.getFileName}")
+          Files.createLink(target, p)
+          target.toString
+        }
+      if (isDel) DeletePrefix + out else out
     }
     commit(path, relocated, cur)
   }

@@ -599,4 +599,129 @@ class CowTableSpec extends SparkSpecBase {
     assert(old.columns.toSet == Set("id", "v"))
     assert(old.count() == 50)
   }
+
+  // ---- merge-on-read deletes (round 10) --------------------------------
+
+  test("deleteMor: zero data-file churn, reads apply, time travel exact") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 1000L).map(i => (i, s"n_$i", i % 10))
+      .toDF("id", "name", "g").repartitionByRange(8, col("id")), path)
+    val f1 = CowTable.snapshotFiles(path, Some(1))
+    val v2 = CowTable.deleteMor(spark, path, "id % 100 = 7", "id")
+    assert(v2 == 2)
+    // the whole point: the delete commit carries every data file over
+    // by reference and writes only a key-list sidecar
+    assert(CowTable.snapshotFiles(path, Some(2)) == f1,
+      "a MoR delete must not touch data files")
+    assert(CowTable.snapshotDeletes(path, Some(2)).size == 1)
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 990)
+    assert(now.filter(col("id") === 7L).isEmpty)
+    // time travel: the pre-delete snapshot has no sidecar to apply
+    assert(CowTable.read(spark, path, Some(1)).count() == 1000)
+    // matching runs on the LOGICAL snapshot: re-delete is a no-commit
+    assert(CowTable.deleteMor(spark, path, "id % 100 = 7", "id") == 2)
+    // a second, disjoint delete stacks a second sidecar
+    val v3 = CowTable.deleteMor(spark, path, "id % 100 = 8", "id")
+    assert(v3 == 3 && CowTable.snapshotDeletes(path, Some(3)).size == 2)
+    assert(CowTable.read(spark, path).count() == 980)
+  }
+
+  test("deleteMor: compact folds sidecars physically; old snapshots keep theirs") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 500L).map(i => (i, i * 2)).toDF("id", "v")
+      .repartition(4), path)
+    CowTable.deleteMor(spark, path, "id < 50", "id") // v2
+    val v3 = CowTable.compact(spark, path, 2)
+    assert(v3 == 3)
+    assert(CowTable.snapshotDeletes(path, Some(3)).isEmpty,
+      "compact must fold the sidecars into the data")
+    assert(CowTable.read(spark, path).count() == 450)
+    // physically gone: the raw data files of v3 no longer hold the rows
+    val raw = spark.read.parquet(CowTable.snapshotFiles(path, Some(3)): _*)
+    assert(raw.count() == 450)
+    // sidecar-era snapshot still applies its sidecar; v1 still full
+    assert(CowTable.read(spark, path, Some(2)).count() == 450)
+    assert(CowTable.read(spark, path, Some(1)).count() == 500)
+  }
+
+  test("deleteMor: change feed emits preimage deletes; fold-only window is silent") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .repartition(1), path)
+    CowTable.deleteMor(spark, path, "id <= 2", "id") // v2
+    val feed = CowTable.changes(spark, path, "id", 1, 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed == Set((1L, "a", "delete"), (2L, "b", "delete")),
+      s"expected preimage deletes, got $feed")
+    // compacting only RETIRES already-deleted rows: no logical change
+    CowTable.compact(spark, path, 1) // v3
+    assert(CowTable.changes(spark, path, "id", 2, 3).isEmpty)
+    // and the full window collapses to the same two deletes
+    val full = CowTable.changes(spark, path, "id", 1, 3)
+      .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(full == Set((1L, "delete"), (2L, "delete")))
+  }
+
+  test("deleteMor: merge reinserting a deleted key revives it (and the feed says insert)") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, s"n_$i")).toDF("id", "s")
+      .repartition(2), path)
+    CowTable.deleteMor(spark, path, "id = 5", "id") // v2
+    assert(CowTable.read(spark, path).filter(col("id") === 5L).isEmpty)
+    CowTable.merge(spark, path, Seq((5L, "reborn")).toDF("id", "s"), "id") // v3
+    val row5 = CowTable.read(spark, path).filter(col("id") === 5L)
+      .select("s").as[String].collect().toSeq
+    assert(row5 == Seq("reborn"), s"reinserted key must be live again: $row5")
+    // the upsert cleared the key from the delete set entirely
+    assert(CowTable.snapshotDeletes(path, Some(3)).isEmpty ||
+      spark.read.parquet(CowTable.snapshotDeletes(path, Some(3)): _*)
+        .filter(col("id") === 5L).isEmpty)
+    // CDC: invisible at fromV, visible at toV → insert
+    val feed = CowTable.changes(spark, path, "id", 2, 3)
+      .filter(col("id") === 5L)
+      .select("_change_type", "s").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(feed.toSeq == Seq(("insert", "reborn")), s"got ${feed.toSeq}")
+  }
+
+  test("deleteMor: incremental view maintenance refreshes the deleted rows' groups") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 400L).map(i => (i, i % 4, 1L)).toDF("id", "g", "x")
+      .repartitionByRange(4, col("id")), path)
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(sum("x").as("n"))
+    val mv1 = aggOf(CowTable.read(spark, path, Some(1)))
+    // a pure-sidecar commit: no data-file diff for the dirty scan
+    CowTable.deleteMor(spark, path, "g = 2 AND id < 100", "id") // v2
+    val refreshed = CowTable.incrementalAgg(spark, path, "g", mv1, 1, 2)(aggOf)
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("n"))).toMap
+    val full = aggOf(CowTable.read(spark, path, Some(2)))
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("n"))).toMap
+    assert(refreshed == full,
+      s"IVM missed the MoR-deleted groups: inc=$refreshed full=$full")
+  }
+
+  test("deleteMor: restore and vacuum preserve the sidecar set") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 200L).map(i => (i, i)).toDF("id", "v")
+      .repartition(2), path)
+    CowTable.deleteMor(spark, path, "id >= 150", "id") // v2: 150 rows
+    CowTable.merge(spark, path, Seq((0L, -1L)).toDF("id", "v"), "id") // v3
+    // restore to the MoR-delete snapshot: sidecar must come back too
+    val v4 = CowTable.restore(path, 2)
+    assert(v4 == 4)
+    assert(CowTable.snapshotDeletes(path, Some(4)).nonEmpty)
+    assert(CowTable.read(spark, path).count() == 150)
+    // vacuum down to the last two snapshots: their sidecars stay live
+    CowTable.expireSnapshots(path, keepLast = 2)
+    assert(CowTable.read(spark, path).count() == 150)
+    assert(CowTable.read(spark, path, Some(3)).count() == 150)
+  }
 }
