@@ -44,12 +44,6 @@ object IncrementalDedup {
   private val Bands = 32
   private val RowsPerBand = 4
   private val JaccardThreshold = 0.9
-  /** Pure-delete index cleanup is a literal IN-list delete, bounded
-    * like CowTable's IVM dirty-key list; beyond the bound stale rows
-    * are left in place (correctness-neutral, see class doc) for the
-    * next full [[buildIndex]]/compaction to clear.
-    */
-  private val DeleteLiteralMax = 1000
 
   private def blockOf(blockCols: Seq[String]): Column =
     concat_ws("", blockCols.map(col): _*)
@@ -102,20 +96,36 @@ object IncrementalDedup {
     ver
   }
 
+  /** Result of [[ingestStaged]]: the verified pairs, the corpus
+    * version they reflect, and the marker-advance commit. The caller
+    * materializes/persists `pairs` FIRST and calls `commit()` only
+    * after that write lands — so a crash in between leaves the marker
+    * at the old version and the retry re-derives the same pairs from
+    * the same CDC window instead of silently losing them (the index
+    * merge itself is an idempotent upsert, so re-running it is safe).
+    */
+  final case class StagedIngest(pairs: DataFrame, toVersion: Int,
+                                commit: () => Unit)
+
   /** Process everything that changed in the corpus since the index
     * was last advanced: update the index and return the verified
     * near-dup pairs (a_id < b_id) INVOLVING the changed docs —
     * new×index and new×new, exactly the increment of the full
     * recompute's pair set. No changes → empty result, no work.
+    * The index-version marker does NOT advance here — call the
+    * returned `commit()` after the pairs are durably written
+    * (exactly-once pair delivery; ADVICE r9).
     */
-  def ingest(spark: SparkSession, corpusPath: String, indexPath: String,
-             blockCols: Seq[String]): DataFrame = {
+  def ingestStaged(spark: SparkSession, corpusPath: String, indexPath: String,
+                   blockCols: Seq[String]): StagedIngest = {
     val fromV = indexedVersion(indexPath)
     val toV = CowTable.currentVersion(corpusPath)
     val corpusNow = CowTable.read(spark, corpusPath, Some(toV))
     def empty = corpusNow.select(col("doc_id").as("a_id"),
       col("doc_id").as("b_id")).limit(0)
-    if (toV == fromV) return empty
+    def staged(pairs: DataFrame) =
+      StagedIngest(pairs, toV, () => writeIndexedVersion(indexPath, toV))
+    if (toV == fromV) return StagedIngest(empty, toV, () => ())
 
     val feed = CowTable.changes(spark, corpusPath, "doc_id", fromV, toV)
     val upserts = feed.filter(col("_change_type").isin("insert", "update"))
@@ -126,15 +136,14 @@ object IncrementalDedup {
     // so the index is never even scanned.
     val hasUpserts = !upserts.isEmpty
     if (hasUpserts) CowTable.merge(spark, indexPath, newSigs, "doc_id")
-    // bounded cleanup of pure deletes (stale rows beyond the bound are
-    // harmless — the verify join drops them — just index bloat)
-    val deleted = feed.filter(col("_change_type") === "delete")
-      .select("doc_id").limit(DeleteLiteralMax + 1).collect().map(_.getLong(0))
-    if (deleted.nonEmpty && deleted.length <= DeleteLiteralMax)
-      CowTable.delete(spark, indexPath,
-        s"doc_id IN (${deleted.mkString(",")})")
-    writeIndexedVersion(indexPath, toV)
-    if (!hasUpserts) return empty
+    // Pure-delete cleanup rides the index table's MERGE-ON-READ delete:
+    // a key-list sidecar, zero index data files rewritten, no size
+    // bound (previously a 1,000-id literal-IN cap left stale rows for
+    // a full rebuild). Physical retirement is [[compactIndex]].
+    val deleted = feed.filter(col("_change_type") === "delete").select("doc_id")
+    if (!deleted.isEmpty)
+      CowTable.deleteMorKeys(spark, indexPath, deleted, "doc_id")
+    if (!hasUpserts) return staged(empty)
 
     // candidates: the batch's band keys probe the updated index. The
     // batch rides a broadcast — the index never shuffles; ingest
@@ -155,11 +164,71 @@ object IncrementalDedup {
     // the corpus, so cost ∝ candidates (and deleted ids vanish here)
     val tk = corpusNow.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("tk"))
+    staged(candidates
+      .join(tk.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
+      .join(tk.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
+      .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= JaccardThreshold)
+      .select("a_id", "b_id"))
+  }
+
+  /** [[ingestStaged]] with the marker advanced immediately — the
+    * batch-query convenience where the caller consumes the pairs in
+    * the same job and nothing external needs the exactly-once
+    * ordering. External pair delivery (a sink) should use
+    * [[ingestStaged]] and commit after its own write.
+    */
+  def ingest(spark: SparkSession, corpusPath: String, indexPath: String,
+             blockCols: Seq[String]): DataFrame = {
+    val st = ingestStaged(spark, corpusPath, indexPath, blockCols)
+    st.commit()
+    st.pairs
+  }
+
+  /** Verified near-dup pairs WITHIN one batch of docs — the new×new
+    * path of [[ingestStaged]] run standalone against no index (same
+    * band parameters, same exact-Jaccard verify). Used by the
+    * streaming sink's bootstrap batch so the pairs output is
+    * batch-boundary invariant: the first batch's within-batch pairs
+    * are flagged exactly as they would have been had those docs
+    * arrived in any later batch (ADVICE r9). Input: (doc_id, block,
+    * text); output (a_id < b_id).
+    */
+  def selfPairs(docs: DataFrame): DataFrame = {
+    val sigs = signatures(docs)
+    val e = explodeBands(sigs)
+    val b = e.select(col("doc_id").as("b_id"), col("block").as("b_block"),
+      col("band_idx").as("b_bi"), col("band_key").as("b_bk"))
+    val candidates = e
+      .join(b, col("block") === col("b_block") && col("band_idx") === col("b_bi") &&
+               col("band_key") === col("b_bk") && col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val tk = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("tk"))
     candidates
       .join(tk.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
       .join(tk.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")
       .filter(sorted_jaccard(col("a_tk"), col("b_tk")) >= JaccardThreshold)
       .select("a_id", "b_id")
+  }
+
+  /** Scheduled index maintenance (VERDICT r9 task 4): retire index
+    * rows for docs no longer in the corpus, then fold the index
+    * table's accumulated delete sidecars into right-sized data files.
+    * Stale rows are correctness-neutral for probes (the verify join
+    * drops their ids) — this bounds index BLOAT, keeping its row count
+    * tracking the corpus instead of its insert history. The stale scan
+    * is two key-column reads (index ids anti corpus ids); the rewrite
+    * is CowTable.compact — proportional to the index, run on a
+    * maintenance cadence, never inside ingest.
+    */
+  def compactIndex(spark: SparkSession, corpusPath: String, indexPath: String,
+                   files: Int = 8): Unit = {
+    val corpusIds = CowTable.read(spark, corpusPath).select("doc_id")
+    val stale = CowTable.read(spark, indexPath).select("doc_id")
+      .join(corpusIds, Seq("doc_id"), "left_anti")
+    CowTable.deleteMorKeys(spark, indexPath, stale, "doc_id")
+    CowTable.compact(spark, indexPath, files)
   }
 
   /** The declared query: split the documents table into an initial

@@ -237,6 +237,25 @@ object CowTable {
     val matched = read(spark, path, Some(base))
       .filter(coalesce(expr(predicate), lit(false)))
       .select(col(key)).filter(col(key).isNotNull).distinct()
+    commitDeleteKeys(path, matched, base)
+  }
+
+  /** [[deleteMor]] by an explicit key set instead of a predicate — the
+    * shape CDC-driven cleanup produces (a DataFrame of ids to retire).
+    * Keys not currently live are dropped (re-deleting is a no-op), so
+    * the sidecar only ever lists rows the snapshot actually shows.
+    */
+  def deleteMorKeys(spark: SparkSession, path: String, keys: DataFrame,
+                    key: String): Int = {
+    val base = currentVersion(path)
+    val matched = read(spark, path, Some(base)).select(col(key))
+      .join(keys.select(col(key)).filter(col(key).isNotNull).distinct(),
+        Seq(key), "left_semi")
+      .distinct()
+    commitDeleteKeys(path, matched, base)
+  }
+
+  private def commitDeleteKeys(path: String, matched: DataFrame, base: Int): Int = {
     if (matched.isEmpty) return base
     val sidecar = writeData(matched.coalesce(1), path)
     commit(path, manifestLines(path, Some(base)) ++

@@ -105,17 +105,26 @@ object Sinks {
       }
       .start()
 
-  /** STREAMING INGEST WITH ONLINE NEAR-DUP FLAGGING (round 9): the
-    * end-to-end shape of [[graft.ops.IncrementalDedup]] — each
-    * micro-batch of documents is MERGEd into the corpus CowTable, the
-    * persistent MinHash band index advances over the resulting CDC
-    * feed (work bounded by the batch, never the corpus), and the
-    * verified near-dup pairs involving the batch land in `pairsOut`
-    * stamped with the batch id. The first batch bootstraps corpus +
-    * index (no prior corpus to pair against). Effectively-once by
-    * construction: a re-delivered batch upserts identical rows, the
-    * change feed drops identical-content rewrites, and the ingest
-    * yields zero pairs — the pairs sink never double-flags.
+  /** STREAMING INGEST WITH ONLINE NEAR-DUP FLAGGING (round 9, hardened
+    * round 10): the end-to-end shape of [[graft.ops.IncrementalDedup]]
+    * — each micro-batch of documents is MERGEd into the corpus
+    * CowTable, the persistent MinHash band index advances over the
+    * resulting CDC feed (work bounded by the batch, never the corpus),
+    * and the verified near-dup pairs involving the batch land under
+    * `pairsOut/batch_id=<id>`. The first batch bootstraps corpus +
+    * index AND flags its own within-batch pairs
+    * ([[graft.ops.IncrementalDedup.selfPairs]]), so the pairs output
+    * is batch-boundary INVARIANT — which batch a doc pair arrived in
+    * never changes whether it is flagged (ADVICE r9).
+    *
+    * Exactly-once pair delivery (ADVICE r9): each batch's pairs write
+    * is an idempotent OVERWRITE of its own batch-id directory, and the
+    * index-version marker advances only AFTER that write commits
+    * ([[graft.ops.IncrementalDedup.ingestStaged]]). A crash at any
+    * point replays the batch: the corpus merge upserts identical rows,
+    * the un-advanced marker re-derives the same CDC window, and the
+    * overwrite replaces any partial pairs output instead of appending
+    * beside it.
     */
   def incrementalDedupPipeline(docs: DataFrame, corpusPath: String,
                                indexPath: String, pairsOut: String,
@@ -127,14 +136,21 @@ object Sinks {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          def writePairs(pairs: DataFrame): Unit =
+            pairs.write.mode(SaveMode.Overwrite)
+              .parquet(s"$pairsOut/batch_id=$id")
           if (!CowTable.exists(corpusPath)) {
             CowTable.create(batch, corpusPath)
             graft.ops.IncrementalDedup.buildIndex(spark, corpusPath, indexPath, blockCols)
+            val blocked = batch.select(col("doc_id"),
+              concat_ws("", blockCols.map(col): _*).as("block"), col("text"))
+            writePairs(graft.ops.IncrementalDedup.selfPairs(blocked))
           } else {
             CowTable.merge(spark, corpusPath, batch, "doc_id")
-            graft.ops.IncrementalDedup.ingest(spark, corpusPath, indexPath, blockCols)
-              .withColumn("batch_id", lit(id))
-              .write.mode(SaveMode.Append).parquet(pairsOut)
+            val staged = graft.ops.IncrementalDedup
+              .ingestStaged(spark, corpusPath, indexPath, blockCols)
+            writePairs(staged.pairs)
+            staged.commit()
           }
         }
         ()

@@ -76,6 +76,80 @@ class PipelineSpec extends SparkSpecBase {
     assert(IncrementalDedup.ingest(spark, corpus, index, Seq("lang", "source")).count() == 0)
   }
 
+  test("staged ingest: marker advances only on commit; pre-commit crash re-derives pairs") {
+    import graft.ops.IncrementalDedup
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("inc_staged_spec").toString
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "text")
+    CowTable.create(docs.filter(col("doc_id") % 5 =!= 0), corpus)
+    IncrementalDedup.buildIndex(spark, corpus, index, Seq("lang", "source"))
+    CowTable.merge(spark, corpus, docs.filter(col("doc_id") % 5 === 0), "doc_id")
+    val st1 = IncrementalDedup.ingestStaged(spark, corpus, index, Seq("lang", "source"))
+    val p1 = st1.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.nonEmpty)
+    // "crash" before commit: the marker never advanced, so a retry
+    // re-derives the SAME CDC window and the SAME pairs (the index
+    // re-merge is an idempotent upsert) — the ADVICE r9 lost-pairs
+    // window is gone
+    val st2 = IncrementalDedup.ingestStaged(spark, corpus, index, Seq("lang", "source"))
+    val p2 = st2.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == p1, s"retry must re-derive identical pairs: ${p2.size} vs ${p1.size}")
+    st2.commit()
+    // committed: the window is consumed
+    assert(IncrementalDedup.ingest(spark, corpus, index, Seq("lang", "source")).isEmpty)
+  }
+
+  test("selfPairs equals the exact blocked-Jaccard pairs of its batch") {
+    import graft.ops.IncrementalDedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), concat_ws("", col("lang"), col("source")).as("block"),
+              col("text"))
+    val sp = IncrementalDedup.selfPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp == pairs("dedup_near_jaccard"),
+      s"selfPairs ${sp.size} vs exact ${pairs("dedup_near_jaccard").size}")
+  }
+
+  test("index compaction: >1,000 deletes clear without a rebuild; probes stay exact") {
+    import graft.ops.IncrementalDedup
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("inc_compact_spec").toString
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"
+    // 2,500 docs over a 50k vocabulary (random pairs share ~0 tokens)
+    val tokExpr = "transform(sequence(0, 29), j -> concat('w', cast(" +
+      "pmod(cast(conv(substring(md5(concat(doc_id, '_', j)), 1, 8), 16, 10) as bigint), 50000) as string)))"
+    val base = spark.range(2500L).select(col("id").as("doc_id"),
+        lit("en").as("lang"), lit("web").as("source"))
+      .withColumn("text", array_join(expr(tokExpr), " "))
+    CowTable.create(base.repartition(4), corpus)
+    IncrementalDedup.buildIndex(spark, corpus, index, Seq("lang", "source"))
+    // delete 1,200 docs — beyond the retired 1,000-id literal bound
+    CowTable.delete(spark, corpus, "doc_id >= 1000 AND doc_id < 2200")
+    assert(IncrementalDedup.ingest(spark, corpus, index, Seq("lang", "source")).isEmpty)
+    // the LOGICAL index already tracks the corpus (MoR sidecar applied)
+    val corpusN = CowTable.read(spark, corpus).count()
+    assert(CowTable.read(spark, index).count() == corpusN,
+      "MoR delete must retire stale index rows logically, unbounded")
+    // compaction folds the sidecars: the PHYSICAL rows track too
+    IncrementalDedup.compactIndex(spark, corpus, index)
+    assert(spark.read.parquet(CowTable.snapshotFiles(index): _*).count() == corpusN,
+      "compactIndex must physically retire stale rows")
+    // probes stay exact: a new near-copy of a SURVIVING doc flags its
+    // pair; one of a DELETED doc flags nothing
+    val t7 = base.filter(col("doc_id") === 7L).select("text").collect().head.getString(0)
+    val t1500 = base.filter(col("doc_id") === 1500L).select("text").collect().head.getString(0)
+    import spark.implicits._
+    CowTable.merge(spark, corpus, Seq(
+      (5000L, "en", "web", t7), (5001L, "en", "web", t1500))
+      .toDF("doc_id", "lang", "source", "text"), "doc_id")
+    val flagged = IncrementalDedup.ingest(spark, corpus, index, Seq("lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((7L, 5000L)),
+      s"post-compaction probe must flag exactly the surviving pair: $flagged")
+  }
+
   test("ngram jaccard pairs are a subset of token-set jaccard candidates' blocks") {
     val ng = pairs("dedup_ngram_jaccard")
     assert(ng.nonEmpty)

@@ -358,6 +358,36 @@ class StreamingSpec extends SparkSpecBase {
     assert((row.getAs[Long]("a_id"), row.getAs[Long]("b_id")) == (1L, 10L))
   }
 
+  test("streaming ingest: bootstrap batch flags its own within-batch pairs (boundary invariance)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.sinks.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("inc_stream_boot").toString
+    val stream = MemoryStream[(Long, String, String, String)]
+    val q = Sinks.incrementalDedupPipeline(
+      stream.toDF().toDF("doc_id", "lang", "source", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/pairs",
+      Seq("lang", "source"), s"$dir/cp")
+    // batch 1 CONTAINS a near-dup pair (docs 1/2, same block): before
+    // round 10 these were silently never flagged because they arrived
+    // in the bootstrap batch — the output depended on batch boundaries
+    stream.addData(
+      (1L, "en", "web", "a b c d e f g h i j"),
+      (2L, "en", "web", "a b c d e f g h i j"),
+      (3L, "de", "web", "u v w x y z t1 t2 t3 t4"))
+    q.processAllAvailable()
+    val boot = spark.read.parquet(s"$dir/pairs")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boot == Set((1L, 2L)), s"bootstrap within-batch pair missing: $boot")
+    // batch 2 duplicates doc 3 — the ingest path flags it as before
+    stream.addData((10L, "de", "web", "u v w x y z t1 t2 t3 t4"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.read.parquet(s"$dir/pairs")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (3L, 10L)), s"got $all")
+  }
+
   test("streaming CEP: per-day pattern matches emit final on day close, absorbing in-day reorder") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
