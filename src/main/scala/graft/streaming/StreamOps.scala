@@ -782,6 +782,129 @@ object StreamOps {
                           TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** STREAMING THREE-LEG CHAIN RECONCILIATION (round 10) — the
+    * true-streaming twin of the batch `recon_chain_followup` shape
+    * (VERDICT r9 task 5): per user, each signup awaits its FIRST
+    * purchase within `windowMs`, each matched purchase awaits the
+    * FIRST error within `windowMs` after it, and every chain emits
+    * exactly one FINAL outcome row:
+    *
+    *   ("full_chain", s_id, latency_s)  — error arrived (on arrival);
+    *   ("purchase_no_error", s_id, 0)   — second window closed empty;
+    *   ("no_purchase", s_id, 0)         — first window closed empty.
+    *
+    * The two no-match outcomes are produced by TIME PASSING (event-time
+    * timers — the punctuator topology), not by any input row. State is
+    * two ListStates bounded by OPEN chains; a resolved chain leaves
+    * state immediately. One purchase can open several chains (it is
+    * the first purchase of every signup whose window covers it) and a
+    * later purchase never rematches a resolved signup — processing in
+    * (ts, id) order reproduces the batch min-struct argmin, ties
+    * included. Rows behind the watermark are dropped by the engine
+    * (the same caveat as every streaming as-of here); the census
+    * rolls up downstream (group by status), matching the batch query.
+    */
+  class ChainFollowupProcessor(windowMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var openSignups: ListState[(Long, Long)] = _ // (sId, sTsMicros)
+    @transient private var openChains: ListState[(Long, Long, Long, Long)] = _ // (sId, sTs, pId, pTs) micros
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      openSignups = getHandle.getListState[(Long, Long)]("openSignups",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      openChains = getHandle.getListState[(Long, Long, Long, Long)]("openChains",
+        E.tuple(E.scalaLong, E.scalaLong, E.scalaLong, E.scalaLong), TTLConfig.NONE)
+    }
+
+    private def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    private val windowMicros = windowMs * 1000L
+    // fire strictly AFTER the deadline: an event AT the deadline is a
+    // valid match and must be processable before the chain finalizes
+    private def deadlineMs(tsMicros: Long): Long =
+      math.floorDiv(tsMicros, 1000L) + windowMs + 1L
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val m = micros(e.ts)
+        e.event_type match {
+          case "signup" =>
+            openSignups.appendValue((e.event_id, m))
+            getHandle.registerTimer(deadlineMs(m))
+          case "purchase" =>
+            val (matched, waiting) = openSignups.get().toSeq
+              .partition { case (_, sTs) => m > sTs && m <= sTs + windowMicros }
+            if (matched.nonEmpty) {
+              openSignups.clear()
+              waiting.foreach(openSignups.appendValue)
+              matched.foreach { case (sId, sTs) =>
+                openChains.appendValue((sId, sTs, e.event_id, m))
+              }
+              getHandle.registerTimer(deadlineMs(m))
+            }
+          case "error" =>
+            val (matched, waiting) = openChains.get().toSeq
+              .partition { case (_, _, _, pTs) => m > pTs && m <= pTs + windowMicros }
+            if (matched.nonEmpty) {
+              openChains.clear()
+              waiting.foreach(openChains.appendValue)
+              matched.foreach { case (sId, sTs, _, _) =>
+                out += (("full_chain", sId,
+                  math.floorDiv(m, 1000000L) - math.floorDiv(sTs, 1000000L)))
+              }
+            }
+          case _ => ()
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(String, Long, Long)] = {
+      // sweep BOTH lists against the watermark: several deadlines may
+      // share one fired timer, and a stale timer (its chain resolved
+      // early) finds nothing expired and emits nothing
+      val wm = timers.getCurrentWatermarkInMs()
+      def due(tsMicros: Long): Boolean = deadlineMs(tsMicros) <= wm
+      val out = Seq.newBuilder[(String, Long, Long)]
+      val (deadS, liveS) = openSignups.get().toSeq.partition(s => due(s._2))
+      if (deadS.nonEmpty) {
+        openSignups.clear(); liveS.foreach(openSignups.appendValue)
+        deadS.sortBy(s => (s._2, s._1))
+          .foreach { case (sId, _) => out += (("no_purchase", sId, 0L)) }
+      }
+      val (deadC, liveC) = openChains.get().toSeq.partition(c => due(c._4))
+      if (deadC.nonEmpty) {
+        openChains.clear(); liveC.foreach(openChains.appendValue)
+        deadC.sortBy(c => (c._4, c._1))
+          .foreach { case (sId, _, _, _) => out += (("purchase_no_error", sId, 0L)) }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Per-chain final outcomes (status, signup_id, latency_s) for the
+    * signup→purchase→error chain; group by status downstream to
+    * reproduce the batch `recon_chain_followup` census. Requires the
+    * RocksDB state store provider.
+    */
+  def chainFollowupStream(events: Dataset[Evt],
+                          windowMs: Long = 24 * 3600 * 1000L,
+                          watermark: String = "1 minute"): Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new ChainFollowupProcessor(windowMs),
+                          TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Interactive queries (Kafka Streams IQ / store.all() analogue):
     * read a streaming operator's STATE STORE as a DataFrame, straight
     * from the query's checkpoint, via Spark's state data source. Works

@@ -490,6 +490,90 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming chain followup: per-chain outcomes == batch two-hop as-of, chains split across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // five users covering every outcome, with user 1's and user 4's
+      // chains SPLIT across micro-batch boundaries (signup in b1,
+      // purchase in b2, error in b3) and user 5 exercising
+      // first-purchase semantics (a second purchase must not re-open)
+      val b1 = Seq(
+        evt(1, "2024-01-01 10:00:00", user = 1, tpe = "signup"),
+        evt(2, "2024-01-01 10:00:00", user = 2, tpe = "signup"),
+        evt(3, "2024-01-01 10:00:00", user = 3, tpe = "signup"),
+        evt(4, "2024-01-01 10:00:00", user = 4, tpe = "signup"),
+        evt(5, "2024-01-01 10:00:00", user = 5, tpe = "signup"),
+        evt(6, "2024-01-01 11:00:00", user = 3, tpe = "purchase"),
+        evt(7, "2024-01-01 11:00:00", user = 5, tpe = "purchase"))
+      val b2 = Seq(
+        evt(8, "2024-01-01 12:00:00", user = 1, tpe = "purchase"),
+        evt(9, "2024-01-01 11:30:00", user = 5, tpe = "error"),
+        evt(10, "2024-01-01 12:00:00", user = 5, tpe = "purchase"),
+        evt(11, "2024-01-01 12:30:00", user = 4, tpe = "purchase"))
+      val b3 = Seq(
+        evt(12, "2024-01-01 13:00:00", user = 1, tpe = "error"),
+        evt(13, "2024-01-01 14:00:00", user = 4, tpe = "error"))
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.chainFollowupStream(stream.toDF().as[Evt])
+        .toDF("status", "s_id", "lat")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // sentinels (ignored clicks) drive the watermark past the 24 h
+      // deadlines so the timer-produced outcomes finalize
+      Seq(b1, b2, b3,
+          Seq(evt(98, "2024-01-03 00:00:00", user = 99)),
+          Seq(evt(99, "2024-01-04 00:00:00", user = 99)))
+        .foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table(sink).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // batch twin: the exact reconChainFollowup two-hop shape over the
+      // SAME events, emitted per chain instead of as the census
+      val e = (b1 ++ b2 ++ b3).toDS().toDF()
+      def leg(t: String, p: String) = e.filter(col("event_type") === t)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+                col("ts").as(s"${p}_ts"))
+      val firstP = leg("signup", "s")
+        .join(leg("purchase", "p"), col("s_user") === col("p_user") &&
+              col("p_ts") > col("s_ts") &&
+              col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"), "left_outer")
+        .groupBy("s_id", "s_user", "s_ts")
+        .agg(min(struct(col("p_ts"), col("p_id"))).as("fp"))
+        .select(col("s_id"), col("s_user"), col("s_ts"),
+                col("fp.p_id").as("p_id"), col("fp.p_ts").as("p_ts"))
+      val batch = firstP
+        .join(leg("error", "e"), col("s_user") === col("e_user") &&
+              col("e_ts") > col("p_ts") &&
+              col("e_ts") <= col("p_ts") + expr("INTERVAL 24 HOURS"), "left_outer")
+        .groupBy("s_id", "s_ts", "p_id", "p_ts")
+        .agg(min(struct(col("e_ts"), col("e_id"))).as("fe"))
+        .select(
+          when(col("p_id").isNull, "no_purchase")
+            .when(col("fe.e_id").isNull, "purchase_no_error")
+            .otherwise("full_chain").as("status"),
+          col("s_id"),
+          when(col("fe.e_id").isNotNull,
+            unix_timestamp(col("fe.e_ts")) - unix_timestamp(col("s_ts")))
+            .otherwise(0L).as("lat"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      // the split chains really completed, and first-purchase won
+      assert(streamed.contains(("full_chain", 1L, 10800L)), streamed.toString)
+      assert(streamed.contains(("full_chain", 5L, 5400L)), streamed.toString)
+      assert(streamed.contains(("no_purchase", 2L, 0L)), streamed.toString)
+      assert(streamed.contains(("purchase_no_error", 3L, 0L)), streamed.toString)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("timer-driven resample: hourly grid rows emitted by watermark, forward-filled") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
