@@ -1,0 +1,336 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Util._
+import graft.tables.Tables
+
+/** Round-10 wave: reconciliation audits, bilateral netting, bounded
+  * iterative graph analyses (k-core, BFS layers), robust trend and
+  * burstiness statistics, corpus vocabulary-richness and
+  * document-stitching detectors, survival analysis, and inter-rater
+  * agreement — each oracled per SURVEY §2.1 (integer cents, ppm via
+  * truncating div, bounded-domain windows only).
+  */
+object Audits {
+
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def customer(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def supplier(s: SparkSession, d: String) = Tables.t(s, d, "supplier")
+  private def nation(s: SparkSession, d: String) = Tables.t(s, d, "nation")
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** Order-total reconciliation audit — the invoice-vs-line-items
+    * check every settlement pipeline runs: each order's stored total
+    * vs the recomputed Σ extendedprice·(1−discount)·(1+tax) over its
+    * lines, bucketed exact / within-1% / over-1% / no-lines, with the
+    * summed absolute discrepancy in integer cents (R2: per-row double
+    * products are bit-identical across engines, sums are integer).
+    * The 1% boundary is integer arithmetic: |diff|·100 ≤ |stored|.
+    */
+  val dqOrderTotalRecon: Q = (s, d) => {
+    val calc = li(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+                     (lit(1.0) + col("l_tax")))).cast("long").as("calc_c"))
+    orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("stored_c"))
+      .join(calc, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .withColumn("diff", abs(col("stored_c") - col("calc_c")))
+      .withColumn("bucket",
+        when(col("calc_c").isNull, "d_no_lines")
+          .when(col("diff") === 0, "a_exact")
+          .when(col("diff") * 100 <= abs(col("stored_c")), "b_within_1pct")
+          .otherwise("c_over_1pct"))
+      .groupBy("bucket")
+      .agg(cnt.as("n_orders"),
+           sum(coalesce(col("diff"), lit(0L))).cast("long").as("abs_diff_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Bilateral trade netting — the settlement-netting census between
+    * counterparty NATIONS: revenue flowing seller-nation → buyer-nation
+    * per unordered pair, both gross directions plus the net position
+    * (the amount one wire transfer would settle). Flows are integer
+    * cents; dimension joins broadcast; top-20 pairs by gross.
+    */
+  val reconNationNetting: Q = (s, d) => {
+    val n1 = nation(s, d).select(col("n_nationkey").as("bk"), col("n_name").as("buyer"))
+    val n2 = nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("seller"))
+    val flows = li(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").as("bn"), col("s_nationkey").as("sn"),
+              cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("c"))
+    flows
+      .select(least(col("bn"), col("sn")).as("na"),
+              greatest(col("bn"), col("sn")).as("nb"),
+              when(col("sn") === least(col("bn"), col("sn")), col("c"))
+                .otherwise(lit(0L)).as("ab"),
+              when(col("sn") === greatest(col("bn"), col("sn")), col("c"))
+                .otherwise(lit(0L)).as("ba"))
+      .groupBy("na", "nb")
+      .agg(sum("ab").cast("long").as("a_to_b_cents"),
+           sum("ba").cast("long").as("b_to_a_cents"))
+      .withColumn("gross_cents", col("a_to_b_cents") + col("b_to_a_cents"))
+      .withColumn("net_a_cents", col("a_to_b_cents") - col("b_to_a_cents"))
+      .join(broadcast(n1.select(col("bk").as("na"), col("buyer").as("nation_a"))), "na")
+      .join(broadcast(n2.select(col("sk").as("nb"), col("seller").as("nation_b"))), "nb")
+      .select("nation_a", "nation_b", "a_to_b_cents", "b_to_a_cents",
+              "gross_cents", "net_a_cents")
+      .orderBy(col("gross_cents").desc, col("nation_a"), col("nation_b"))
+      .limit(20)
+  }
+
+  /** Bipartite part↔supplier edges (parts even node ids, suppliers
+    * odd) — the shared substrate of the graph exemplars. */
+  private def bipartite(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+
+  /** 2-core decomposition, 4 peel rounds (declared semantics: the
+    * census after EXACTLY 4 rounds, identical on both engines — the
+    * `graph_cc_minlabel` convention): each round recomputes degrees
+    * over the surviving edge set and drops every edge touching a
+    * degree-<2 node. The census reports surviving edges plus node
+    * counts by side. Each round is one degree aggregate + two
+    * equi-joins; lineage truncates mid-loop.
+    */
+  val graphKcore: Q = (s, d) => {
+    var e = bipartite(s, d).localCheckpoint()
+    for (i <- 1 to 4) {
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy("n").agg(cnt.as("deg")).filter(col("deg") >= 2)
+        .select("n")
+      e = e.join(deg.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(deg.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+      if (i == 2) e = e.localCheckpoint()
+    }
+    val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n"))).distinct()
+    e.agg(cnt.as("n_edges"))
+      .crossJoin(broadcast(nodes.agg(
+        cnt.as("n_nodes"),
+        sum(when(col("n") % 2 === 0, 1L).otherwise(0L)).cast("long").as("n_parts"),
+        sum(when(col("n") % 2 === 1, 1L).otherwise(0L)).cast("long").as("n_suppliers"))))
+      .select("n_edges", "n_nodes", "n_parts", "n_suppliers")
+  }
+
+  /** Multi-source BFS layers: distance (in hops, 4 rounds) from the
+    * suppliers of nation 0 across the bipartite graph; census of node
+    * counts per distance, unreached nodes at distance −1. Declared
+    * semantics: distance = first round reached within 4 rounds. Each
+    * round is one frontier equi-join + an anti-join against the
+    * settled set; lineage truncates per round.
+    */
+  val graphBfsLayers: Q = (s, d) => {
+    val e0 = bipartite(s, d)
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val allNodes = und.select(col("a").as("n")).distinct()
+    var settled = supplier(s, d).filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("n"))
+      .join(allNodes, Seq("n"), "left_semi") // seeds absent from the graph don't count
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (r <- 1 to 4) {
+      val frontier = settled.filter(col("dist") === (r - 1))
+      val next = und.join(frontier, und("a") === frontier("n"))
+        .select(und("b").as("n")).distinct()
+        .join(settled, Seq("n"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+      settled = settled.union(next).localCheckpoint()
+    }
+    allNodes
+      .join(settled, Seq("n"), "left_outer")
+      .select(coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy("dist").agg(cnt.as("n_nodes"))
+      .orderBy("dist")
+  }
+
+  /** Theil–Sen robust trend of daily purchase revenue: the median of
+    * all pairwise slopes — outlier days move the OLS slope
+    * (`win_regr_slope` family) but barely move this. Slopes are exact
+    * integer ppm (cents diff ·10⁶ div day gap); pairs come from an
+    * EQUI-join on day+offset over the bounded ~30-day domain (the
+    * `ts_acf_lags` idiom — never a BNLJ); the median reads off the
+    * sorted bounded slope list (lower median, the `ts_outlier_iqr`
+    * convention).
+    */
+  val tsTheilSenTrend: Q = (s, d) => {
+    val daily = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("c"))
+    val offsets = daily.select(col("dd"), col("c"),
+      explode(sequence(lit(1), lit(29))).as("k"))
+      .select(date_add(col("dd"), col("k")).as("d2"), col("dd").as("d1"),
+              col("c").as("c1"), col("k"))
+    val slopes = offsets
+      .join(daily.select(col("dd").as("d2"), col("c").as("c2")), "d2")
+      .select(expr("div(cast(c2 - c1 as bigint) * 1000000, k)").as("slope_ppm"))
+    slopes.agg(cnt.as("n_pairs"),
+               sort_array(collect_list(col("slope_ppm"))).as("sl"),
+               sum("slope_ppm").cast("long").as("ssum"))
+      .select(col("n_pairs"),
+        element_at(col("sl"), ((col("n_pairs") + 1) / 2).cast("int")).as("median_slope_ppm"),
+        expr("div(ssum, n_pairs)").cast("long").as("mean_slope_ppm"))
+  }
+
+  /** Vocabulary richness per (lang, source): token count, type count,
+    * hapax legomena (count-1 types), type-token ratio and hapax share
+    * in exact ppm — the lexical-diversity corpus-health battery
+    * (complements `text_zipf_slope` / `text_vocab_growth`). One token
+    * explode + two keyed aggregates, linear.
+    */
+  val textTtrHapax: Q = (s, d) =>
+    docs(s, d)
+      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "source", "tok").agg(cnt.as("c"))
+      .groupBy("lang", "source")
+      .agg(sum("c").cast("long").as("n_tokens"),
+           cnt.as("n_types"),
+           sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      .select(col("lang"), col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("div(n_types * 1000000, n_tokens)").cast("long").as("ttr_ppm"),
+        expr("div(n_hapax * 1000000, n_types)").cast("long").as("hapax_ppm"))
+      .orderBy("lang", "source")
+
+  /** Document-stitching detector: pairs where doc A's LAST 2 tokens
+    * equal doc B's FIRST 2 tokens within a (lang, source) block — the
+    * split-document signature a chunked crawl leaves behind (the
+    * complement of dedup: these pairs should be RE-JOINED, not
+    * dropped). A pure equi-join on the boundary shingle — linear in
+    * docs; shuffle-hash per the string-key house rule. (Boundary
+    * width 2: this corpus's vocabulary yields zero natural 3-gram
+    * boundary collisions at the smallest SF — a vacuous query would
+    * pass the hash gate without testing anything.)
+    */
+  val textBoundaryStitch: Q = (s, d) => {
+    val t = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+              split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 4)
+    val tails = t.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+      array_join(slice(col("tk"), -2, 2), " ").as("g"))
+    val heads = t.select(col("doc_id").as("b_id"), col("lang"), col("source"),
+      array_join(slice(col("tk"), 1, 2), " ").as("g"))
+    tails.hint("shuffle_hash")
+      .join(heads, Seq("lang", "source", "g"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "g")
+      .orderBy("a_id", "b_id")
+      .limit(2000)
+  }
+
+  /** Empirical survival curve of user engagement: S(t) = share of
+    * users whose first-to-last-event lifetime reaches ≥ t days, for
+    * t = 0..29 (the corpus's bounded day domain). Lifetimes histogram
+    * per user, then each lifetime bucket fans out to the offsets it
+    * survives (a bounded sequence explode — no cumulative window and
+    * no per-user work beyond one keyed aggregate); ppm vs the 1-row
+    * user total.
+    */
+  val eventsSurvivalCurve: Q = (s, d) => {
+    val lt = ev(s, d).groupBy("user_id")
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+             .cast("long").as("lt"))
+    val hist = lt.groupBy("lt").agg(cnt.as("n"))
+    val surv = hist
+      .select(explode(sequence(lit(0L), col("lt"))).as("t_days"), col("n"))
+      .groupBy("t_days").agg(sum("n").cast("long").as("n_surviving"))
+    val total = lt.agg(cnt.as("n_users"))
+    surv.crossJoin(broadcast(total))
+      .select(col("t_days"), col("n_surviving"),
+        expr("div(n_surviving * 1000000, n_users)").cast("long").as("survival_ppm"))
+      .orderBy("t_days")
+  }
+
+  /** Cohen's kappa between two deterministic event flags (value ≥ 100
+    * vs business-hours 9–17) — the inter-rater agreement statistic,
+    * exact from the four counts: κ·10⁶ = (agree·n − pe·n²)·10⁶ div
+    * (n² − pe·n²) with pe·n² = PA·PB + (n−PA)(n−PB), sign-split in
+    * DECIMAL(38). One scan, one row.
+    */
+  val mlCohenKappa: Q = (s, d) =>
+    ev(s, d)
+      .select(when(col("value") >= 100.0, 1L).otherwise(0L).as("fa"),
+              when(hour(col("ts")).between(9, 17), 1L).otherwise(0L).as("fb"))
+      .agg(cnt.as("n"),
+           sum("fa").cast("long").as("pa"),
+           sum("fb").cast("long").as("pb"),
+           sum(when(col("fa") === col("fb"), 1L).otherwise(0L)).cast("long").as("agree"))
+      .select(col("n"), col("agree"),
+        expr("""cast(CASE
+          WHEN agree * n - (pa * pb + (n - pa) * (n - pb)) < 0 THEN
+            -div(cast((pa * pb + (n - pa) * (n - pb)) - agree * n as decimal(38,0)) * 1000000,
+                 cast(n as decimal(38,0)) * n - (pa * pb + (n - pa) * (n - pb)))
+          ELSE div(cast(agree * n - (pa * pb + (n - pa) * (n - pb)) as decimal(38,0)) * 1000000,
+                   cast(n as decimal(38,0)) * n - (pa * pb + (n - pa) * (n - pb)))
+          END as bigint)""").as("kappa_ppm"))
+
+  /** Temporal burstiness per user: the Fano factor of inter-event
+    * gaps (whole seconds, R4) — var/mean as exact ppm,
+    * (n·Σx² − (Σx)²)·10⁶ div (n·Σx) in DECIMAL(38). A Poisson
+    * arrival process sits at ~gap-scale; bursty users blow past it.
+    * Complements `events_activity_gini` (volume concentration) with
+    * TIMING concentration. Top-20 burstiest (n ≥ 3 gaps, positive
+    * total gap).
+    */
+  val eventsFanoBurstiness: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(cnt.as("n_gaps"),
+           sum("gap").cast("long").as("sx"),
+           sum(col("gap") * col("gap")).cast("long").as("sx2"))
+      .filter(col("n_gaps") >= 3 && col("sx") > 0)
+      .select(col("user_id"), col("n_gaps"),
+        expr("cast(div((cast(n_gaps as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx) " +
+          "* 1000000, cast(n_gaps as decimal(38,0)) * sx) as bigint)").as("fano_ppm"))
+      .orderBy(col("fano_ppm").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** Supply-chain concentration risk: per part, how many distinct
+    * supplier NATIONS it ships from, and the unit-price spread across
+    * its lines (max − min cents of extendedprice/quantity — per-row
+    * double division, bit-identical). Census by nation count: parts
+    * sourced from one nation are the single-point-of-failure set.
+    */
+  val partSupplyRisk: Q = (s, d) => {
+    val unit = li(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_nationkey"),
+              cents(col("l_extendedprice") / col("l_quantity")).as("uc"))
+    unit.groupBy("l_partkey")
+      .agg(countDistinct(col("s_nationkey")).as("n_nations"),
+           (max("uc") - min("uc")).cast("long").as("spread_c"))
+      .groupBy("n_nations")
+      .agg(cnt.as("n_parts"), sum("spread_c").cast("long").as("sum_spread_cents"))
+      .orderBy("n_nations")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dq_order_total_recon" -> dqOrderTotalRecon,
+    "recon_nation_netting" -> reconNationNetting,
+    "graph_kcore" -> graphKcore,
+    "graph_bfs_layers" -> graphBfsLayers,
+    "ts_theil_sen_trend" -> tsTheilSenTrend,
+    "text_ttr_hapax" -> textTtrHapax,
+    "text_boundary_stitch" -> textBoundaryStitch,
+    "events_survival_curve" -> eventsSurvivalCurve,
+    "ml_cohen_kappa" -> mlCohenKappa,
+    "events_fano_burstiness" -> eventsFanoBurstiness,
+    "part_supply_risk" -> partSupplyRisk,
+  )
+}

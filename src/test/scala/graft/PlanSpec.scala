@@ -572,7 +572,10 @@ class PlanSpec extends SparkSpecBase {
     "events_decayed_score" -> "1-row scalar: as-of day broadcast",
     "dq_benford_first_digit" -> "1-row scalar: order-count total broadcast",
     "events_activity_gini" -> "bounded-bucket: B×B globalRank offsets",
-    "part_qty_price_spearman" -> "bounded-bucket: B×B globalRank offsets (two rankings)")
+    "part_qty_price_spearman" -> "bounded-bucket: B×B globalRank offsets (two rankings)",
+    "text_zipf_slope" -> "bounded-bucket: B×B globalRank offsets (B = count bit lengths)",
+    "events_survival_curve" -> "1-row scalar: user-total broadcast",
+    "graph_kcore" -> "1-row scalar: node-census broadcast onto the 1-row edge count")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -627,7 +630,11 @@ class PlanSpec extends SparkSpecBase {
     "agg_bitmap_union_all" -> "1-row ALL-row final over bucket-merged bitmaps",
     "text_vocab_growth" -> "bounded milestone-domain cumulative window",
     "events_error_budget" -> "bounded day-domain cumulative window",
-    "events_decayed_score" -> "1-row as-of-day aggregate")
+    "events_decayed_score" -> "1-row as-of-day aggregate",
+    "events_survival_curve" -> "1-row user-total aggregate",
+    "graph_kcore" -> "1-row census aggregates (edges + nodes)",
+    "ml_cohen_kappa" -> "1-row agreement-count final aggregate",
+    "ts_theil_sen_trend" -> "1-row fit over the bounded day-pair slope list")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
