@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "asof", "inc", "rule").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc | rule " +
+    require(only.forall(Set("het", "ivm", "asof", "inc", "rule", "mor").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc | rule | mor " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -78,6 +78,58 @@ object ScaleBench {
     // rule defaults OFF — restore so later full-run sections see stock plans
     spark.conf.set("spark.graft.asofRewrite", "false")
     } // end rule section
+
+    if (only.forall(_ == "mor")) {
+    // ---- round-10: merge-on-read vs copy-on-write deletes ---------------
+    // The claim under test: a small scattered delete (the GDPR shape —
+    // one key per data file is the CoW worst case) costs the MoR path
+    // ONE sidecar write regardless of table layout, while the CoW path
+    // rewrites every key-intersecting file. 5M rows in 64
+    // range-partitioned files; 640 scattered keys touch all 64.
+    import graft.sinks.CowTable
+    val morRoot = s"/tmp/graft_scalebench_mor_${System.nanoTime()}"
+    def freshTable(p: String): Unit = {
+      spark.range(5000000L).select(col("id"),
+          (col("id") * 7 % 1000).as("grp"),
+          concat(lit("payload_"), col("id")).as("s"))
+        .repartitionByRange(64, col("id"))
+        .write.mode("overwrite").parquet(s"$p/stage")
+      CowTable.create(spark.read.parquet(s"$p/stage"), p)
+    }
+    val (cowP, morP) = (s"$morRoot/cow", s"$morRoot/mor")
+    freshTable(cowP); freshTable(morP)
+    val pred = "id % 7812 = 11" // ~640 keys, one per ~file
+    def dataFilesWritten(p: String): Int =
+      (CowTable.snapshotFiles(p, Some(2)).toSet --
+        CowTable.snapshotFiles(p, Some(1)).toSet).size
+    def dataFilesRetired(p: String): Int =
+      (CowTable.snapshotFiles(p, Some(1)).toSet --
+        CowTable.snapshotFiles(p, Some(2)).toSet).size
+    val t0 = System.nanoTime()
+    CowTable.delete(spark, cowP, pred)
+    val cowSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    CowTable.deleteMor(spark, morP, pred, "id")
+    val morSec = (System.nanoTime() - t1) / 1e9
+    val (cowW, morW) = (dataFilesWritten(cowP), dataFilesWritten(morP))
+    val (cowN, morN) = (CowTable.read(spark, cowP).count(),
+                        CowTable.read(spark, morP).count())
+    val totalFiles = CowTable.snapshotFiles(cowP, Some(1)).size
+    println(f"[scalebench] mor cow-delete  ${cowSec}%6.2f s  data files written=$cowW%3d " +
+      f"(rewrote ${dataFilesRetired(cowP)}%2d of $totalFiles — every key-intersecting file)")
+    println(f"[scalebench] mor mor-delete  ${morSec}%6.2f s  data files written=$morW%3d " +
+      f"(sidecars=${CowTable.snapshotDeletes(morP).size})")
+    require(cowN == morN, s"row counts diverge: cow=$cowN mor=$morN")
+    require(morW == 0, "MoR delete must write zero data files")
+    // and the fold: compact retires the rows physically, read unchanged
+    val t2 = System.nanoTime()
+    CowTable.compact(spark, morP, 64)
+    val foldSec = (System.nanoTime() - t2) / 1e9
+    require(CowTable.read(spark, morP).count() == morN)
+    require(CowTable.snapshotDeletes(morP).isEmpty)
+    println(f"[scalebench] mor fold(compact) ${foldSec}%6.2f s  rows=$morN " +
+      f"(speedup cow/mor delete = ${cowSec / morSec}%.1f x)")
+    } // end mor section
 
     if (only.forall(_ == "inc")) {
     // ---- round-9: incremental (new-batch × index) dedup vs recompute ----
