@@ -140,7 +140,8 @@ object AsOf {
   def asofMergePlan(left: DataFrame, right: DataFrame,
                     leftKey: String, leftTs: String,
                     rightKey: String, rightTs: String,
-                    leftOuter: Boolean = false): DataFrame = {
+                    leftOuter: Boolean = false,
+                    forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // Self-register the planner strategy for sessions built without
     // GraftExtensions (Verify/Bench use the plain Sessions.builder);
@@ -151,7 +152,7 @@ object AsOf {
     org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark,
       graft.plans.AsOfMergeJoin(
         left.queryExecution.analyzed, right.queryExecution.analyzed,
-        leftKey, leftTs, rightKey, rightTs, leftOuter))
+        leftKey, leftTs, rightKey, rightTs, leftOuter, forward))
   }
 
   /** The oracle shape on the events table through the custom operator
@@ -192,11 +193,33 @@ object AsOf {
       .limit(1500)
   }
 
+  /** FIRST-AFTER through the custom exec's FORWARD mode (round 10):
+    * each purchase's next error — same semantics family as
+    * [[joinAsofNext]]'s band-join form, but via the descending-sweep
+    * AsOfMergeExec (O(1) state, no candidate pairs). The oracle is the
+    * `join_asof_next` family SQL; OperatorSpec asserts the two forms
+    * agree row-for-row.
+    */
+  val joinAsofMergeNext: Q = (s, d) => {
+    val e = Tables.t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("key"),
+              unix_micros(col("ts")).as("p_ts"))
+    val er = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_key"), unix_micros(col("ts")).as("e_ts"),
+              col("event_id").as("next_error_id"))
+    asofMergePlan(p, er, "key", "p_ts", "e_key", "e_ts", forward = true)
+      .select(col("purchase_id"), col("next_error_id"), col("e_ts").as("next_us"))
+      .orderBy("purchase_id")
+      .limit(2000)
+  }
+
   val queries: Map[String, Q] = Map(
     "join_asof_next" -> joinAsofNext,
     "join_asof_cogroup" -> joinAsofCogroup,
     "join_asof_nearest" -> joinAsofNearest,
     "join_asof_merge" -> joinAsofMergeExec,
     "join_asof_merge_outer" -> joinAsofMergeOuter,
+    "join_asof_merge_next" -> joinAsofMergeNext,
   )
 }

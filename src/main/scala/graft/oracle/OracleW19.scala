@@ -164,6 +164,16 @@ object OracleW19 {
     CAST((n_gaps::HUGEINT * sx2 - sx::HUGEINT * sx) * 1000000 //
          (n_gaps::HUGEINT * sx) AS BIGINT) fano_ppm
   FROM g ORDER BY fano_ppm DESC, user_id LIMIT 20""",
+    // round 10: first-after as-of through the forward merge exec —
+    // the join_asof_next family oracle (rn=1 == struct-min winner)
+    "join_asof_merge_next" ->
+      """WITH p AS (SELECT event_id p_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+  e AS (SELECT event_id e_id, user_id, ts e_ts FROM events WHERE event_type = 'error'),
+  j AS (SELECT p.p_id, e.e_id, e.e_ts,
+      row_number() OVER (PARTITION BY p.p_id ORDER BY e.e_ts, e.e_id) rn
+    FROM p JOIN e ON p.user_id = e.user_id AND e.e_ts > p.ts)
+  SELECT p_id purchase_id, e_id next_error_id, CAST(epoch_us(e_ts) AS BIGINT) next_us
+  FROM j WHERE rn = 1 ORDER BY purchase_id LIMIT 2000""",
     // round 10: supply-chain concentration census by supplier-nation count
     "part_supply_risk" ->
       """WITH u AS (SELECT l_partkey, s_nationkey,

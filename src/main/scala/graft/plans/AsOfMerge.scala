@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -38,6 +38,17 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   *
   * Keys/timestamps/ids are BIGINT by contract (surrogate ids and
   * epoch-micros — the canonical as-of triple across the repo).
+  *
+  * `forward = true` (round 10) flips the operator to FIRST-AFTER: for
+  * each left row, the right row of the same key with the SMALLEST
+  * `ts > left.ts` (ties by smallest residuals) — the
+  * `min(struct(ts, …))` / strict-`>` mirror of last-prior, i.e. the
+  * "first purchase within the window after signup" hop of chained
+  * reconciliation. Implementation is the SAME sweep with both sides'
+  * ts (and right residuals) sorted DESCENDING: admissible candidates
+  * (`rTs > lTs`) grow as the sweep walks left rows in decreasing ts,
+  * and the last admitted row is the lexicographic (ts, residuals)
+  * minimum — exactly the struct-min winner.
   */
 case class AsOfMergeJoin(
     left: LogicalPlan,
@@ -46,7 +57,8 @@ case class AsOfMergeJoin(
     leftTsCol: String,
     rightKeyCol: String,
     rightTsCol: String,
-    leftOuter: Boolean) extends BinaryNode {
+    leftOuter: Boolean,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] = {
     // the join key is emitted once, from the left side
@@ -77,7 +89,7 @@ object AsOfMergeStrategy extends SparkStrategy {
     case j: AsOfMergeJoin =>
       AsOfMergeExec(planLater(j.left), planLater(j.right),
         j.leftKeyCol, j.leftTsCol, j.rightKeyCol, j.rightTsCol,
-        j.leftOuter) :: Nil
+        j.leftOuter, j.forward) :: Nil
     case _ => Nil
   }
 }
@@ -89,7 +101,8 @@ case class AsOfMergeExec(
     leftTsCol: String,
     rightKeyCol: String,
     rightTsCol: String,
-    leftOuter: Boolean) extends BinaryExecNode {
+    leftOuter: Boolean,
+    forward: Boolean = false) extends BinaryExecNode {
 
   private val lKey = () => left.output.find(_.name == leftKeyCol).get
   private val lTs = () => left.output.find(_.name == leftTsCol).get
@@ -108,14 +121,18 @@ case class AsOfMergeExec(
     ClusteredDistribution(Seq(lKey())) ::
     ClusteredDistribution(Seq(rKey())) :: Nil
 
-  // Right side additionally id-ordered so the LAST admitted candidate
-  // is the (ts, id)-max — the oracle's tiebreak — with no comparison
-  // in the sweep.
+  // Right side additionally residual-ordered so the LAST admitted
+  // candidate is the (ts, residuals…) extremum — the struct-max
+  // (backward) or struct-min (forward) tiebreak — with no comparison
+  // in the sweep. Forward mode flips ts and residuals to DESCENDING
+  // (keys stay ascending): the sweep structure is identical, only the
+  // direction candidates accumulate in changes.
+  private def tsDir = if (forward) Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(lKey(), Ascending), SortOrder(lTs(), Ascending)),
-    Seq(SortOrder(rKey(), Ascending), SortOrder(rTs(), Ascending)) ++
+    Seq(SortOrder(lKey(), Ascending), SortOrder(lTs(), tsDir)),
+    Seq(SortOrder(rKey(), Ascending), SortOrder(rTs(), tsDir)) ++
       right.output.filter(a => a.name != rightKeyCol && a.name != rightTsCol)
-        .map(SortOrder(_, Ascending)))
+        .map(SortOrder(_, tsDir)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -133,6 +150,7 @@ case class AsOfMergeExec(
     val rOut = right.output
     val rWidth = rOut.length
     val leftIsOuter = leftOuter
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       // One projection from the joined (left ++ right) row to the
       // declared output order (key once, left-rest, right-rest).
@@ -171,7 +189,14 @@ case class AsOfMergeExec(
               pending = if (ri.hasNext) ri.next() else null
             } else {
               val rk = pending.getLong(rKeyIdx)
-              if (rk < lk || (rk == lk && pending.getLong(rTsIdx) <= lts)) {
+              // admission: same-key rows satisfying the range predicate
+              // (backward: rTs <= lTs under ascending ts; forward:
+              // rTs > lTs under descending ts — both are "the candidate
+              // set grows as the sweep advances")
+              val inRange =
+                if (fwd) pending.getLong(rTsIdx) > lts
+                else pending.getLong(rTsIdx) <= lts
+              if (rk < lk || (rk == lk && inRange)) {
                 if (rk == lk) { best = pending.copy(); bestKey = rk }
                 pending = if (ri.hasNext) ri.next() else null
               } else continue = false

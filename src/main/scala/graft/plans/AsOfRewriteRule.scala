@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -73,11 +73,21 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The (lKey, rKey, lTs, rTs, lowerBounds) decomposition of a join
-    * condition, if it has exactly the as-of shape.
+  /** The (lKey, rKey, lTs, rTs, bounds, forward) decomposition of a
+    * join condition, if it has exactly an as-of shape.
+    *
+    * BACKWARD (last-prior): range `rTs <= lTs`, leftover conjuncts
+    * must be LOWER bounds on rTs from left-only expressions (the
+    * tolerance band). FORWARD (first-after, round 10): range
+    * `rTs > lTs` (strict — the declared next-event semantics),
+    * leftover conjuncts must be UPPER bounds on rTs (the lookahead
+    * window). Backward is tried first, so a condition carrying BOTH a
+    * `<=` range and `>` conjuncts keeps its round-9 reading (band
+    * last-prior) — the forward reading only applies when no `<=`
+    * range exists.
     */
   private def decompose(cond: Expression, left: LogicalPlan, right: LogicalPlan)
-      : Option[(Attribute, Attribute, Attribute, Attribute, Seq[Expression])] = {
+      : Option[(Attribute, Attribute, Attribute, Attribute, Seq[Expression], Boolean)] = {
     val conjuncts = {
       def split(e: Expression): Seq[Expression] = e match {
         case And(a, b) => split(a) ++ split(b)
@@ -88,69 +98,95 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
     def side(a: Attribute): Int =
       if (left.outputSet.contains(a)) 0 else if (right.outputSet.contains(a)) 1 else -1
 
-    var eq: Option[(Attribute, Attribute)] = None      // (lKey, rKey)
-    var range: Option[(Attribute, Attribute)] = None   // (lTs, rTs)
-    val rest = Seq.newBuilder[Expression]
-    var ok = true
-    conjuncts.foreach {
-      case EqualTo(a: Attribute, b: Attribute) if eq.isEmpty &&
-          ((side(a), side(b)) == (0, 1) || (side(a), side(b)) == (1, 0)) =>
-        eq = Some(if (side(a) == 0) (a, b) else (b, a))
-      case LessThanOrEqual(r: Attribute, l: Attribute)
-          if range.isEmpty && side(r) == 1 && side(l) == 0 =>
-        range = Some((l, r))
-      case GreaterThanOrEqual(l: Attribute, r: Attribute)
-          if range.isEmpty && side(l) == 0 && side(r) == 1 =>
-        range = Some((l, r))
-      case other => rest += other
-    }
-    val bounds = rest.result()
-    // every leftover conjunct must be a lower bound on the SAME right
-    // timestamp whose other side is computed from left columns only
-    def isLowerBound(e: Expression, rTs: Attribute): Boolean = e match {
+    // a bound on rTs whose other side is computed from left columns
+    // only; `upper = false` accepts rTs > / >= f(left) (backward
+    // tolerance), `upper = true` accepts rTs < / <= f(left) (forward
+    // window)
+    def isBound(e: Expression, rTs: Attribute, upper: Boolean): Boolean = e match {
       case GreaterThan(a: Attribute, b) =>
-        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+        !upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
       case GreaterThanOrEqual(a: Attribute, b) =>
-        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+        !upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
       case LessThan(b, a: Attribute) =>
-        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+        !upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
       case LessThanOrEqual(b, a: Attribute) =>
-        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+        !upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      case LessThan(a: Attribute, b) =>
+        upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      case LessThanOrEqual(a: Attribute, b) =>
+        upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      case GreaterThan(b, a: Attribute) =>
+        upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      case GreaterThanOrEqual(b, a: Attribute) =>
+        upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
       case _ => false
     }
-    ok = eq.isDefined && range.isDefined &&
-      bounds.forall(e => isLowerBound(e, range.get._2))
-    if (!ok) None
-    else {
-      val (lKey, rKey) = eq.get
-      val (lTs, rTs) = range.get
-      if (longPhysical(lKey.dataType) && lKey.dataType == rKey.dataType &&
-          longPhysical(lTs.dataType) && longPhysical(rTs.dataType) &&
-          rTs.exprId != rKey.exprId)
-        Some((lKey, rKey, lTs, rTs, bounds))
-      else None
+
+    def attempt(forward: Boolean)
+        : Option[(Attribute, Attribute, Attribute, Attribute, Seq[Expression], Boolean)] = {
+      var eq: Option[(Attribute, Attribute)] = None      // (lKey, rKey)
+      var range: Option[(Attribute, Attribute)] = None   // (lTs, rTs)
+      val rest = Seq.newBuilder[Expression]
+      conjuncts.foreach {
+        case EqualTo(a: Attribute, b: Attribute) if eq.isEmpty &&
+            ((side(a), side(b)) == (0, 1) || (side(a), side(b)) == (1, 0)) =>
+          eq = Some(if (side(a) == 0) (a, b) else (b, a))
+        case LessThanOrEqual(r: Attribute, l: Attribute)
+            if !forward && range.isEmpty && side(r) == 1 && side(l) == 0 =>
+          range = Some((l, r))
+        case GreaterThanOrEqual(l: Attribute, r: Attribute)
+            if !forward && range.isEmpty && side(l) == 0 && side(r) == 1 =>
+          range = Some((l, r))
+        case GreaterThan(r: Attribute, l: Attribute)
+            if forward && range.isEmpty && side(r) == 1 && side(l) == 0 =>
+          range = Some((l, r))
+        case LessThan(l: Attribute, r: Attribute)
+            if forward && range.isEmpty && side(l) == 0 && side(r) == 1 =>
+          range = Some((l, r))
+        case other => rest += other
+      }
+      val bounds = rest.result()
+      val ok = eq.isDefined && range.isDefined &&
+        bounds.forall(e => isBound(e, range.get._2, upper = forward))
+      if (!ok) None
+      else {
+        val (lKey, rKey) = eq.get
+        val (lTs, rTs) = range.get
+        if (longPhysical(lKey.dataType) && lKey.dataType == rKey.dataType &&
+            longPhysical(lTs.dataType) && longPhysical(rTs.dataType) &&
+            rTs.exprId != rKey.exprId)
+          Some((lKey, rKey, lTs, rTs, bounds, forward))
+        else None
+      }
     }
+    attempt(forward = false).orElse(attempt(forward = true))
   }
 
-  /** True iff `e` is `max(struct(rTs, res₁, …, resₖ)).field` (possibly
-    * aliased) with plain max semantics, the struct fields being exactly
-    * the range timestamp followed by EVERY residual right column in
-    * right-output order (see class doc for why the full ordered
-    * sequence is the soundness condition).
+  /** True iff `e` is `max(struct(rTs, res₁, …, resₖ)).field` (backward)
+    * or `min(struct(rTs, res₁, …, resₖ)).field` (forward), possibly
+    * aliased, with plain aggregate semantics, the struct fields being
+    * exactly the range timestamp followed by EVERY residual right
+    * column in right-output order (see class doc for why the full
+    * ordered sequence is the soundness condition; the forward exec's
+    * descending sweep order makes its kept row the struct-MIN the same
+    * way the backward ascending order yields the struct-max).
     */
   private def isArgmaxOf(e: Expression, rTs: Attribute,
-                         residual: Seq[Attribute]): Boolean = e match {
-    case Alias(child, _) => isArgmaxOf(child, rTs, residual)
+                         residual: Seq[Attribute], forward: Boolean): Boolean = e match {
+    case Alias(child, _) => isArgmaxOf(child, rTs, residual, forward)
     case GetStructField(ae: AggregateExpression, ord, _)
         if !ae.isDistinct && ae.filter.isEmpty &&
           ord >= 0 && ord <= residual.size =>
-      ae.aggregateFunction match {
-        case Max(cns: CreateNamedStruct) =>
-          val vals = cns.valExprs
-          vals.sizeIs == residual.size + 1 && vals.forall(_.isInstanceOf[Attribute]) &&
-          vals.head.asInstanceOf[Attribute].exprId == rTs.exprId &&
-          vals.tail.asInstanceOf[Seq[Attribute]].map(_.exprId) == residual.map(_.exprId)
-        case _ => false
+      val structArg = ae.aggregateFunction match {
+        case Max(cns: CreateNamedStruct) if !forward => Some(cns)
+        case Min(cns: CreateNamedStruct) if forward  => Some(cns)
+        case _                                       => None
+      }
+      structArg.exists { cns =>
+        val vals = cns.valExprs
+        vals.sizeIs == residual.size + 1 && vals.forall(_.isInstanceOf[Attribute]) &&
+        vals.head.asInstanceOf[Attribute].exprId == rTs.exprId &&
+        vals.tail.asInstanceOf[Seq[Attribute]].map(_.exprId) == residual.map(_.exprId)
       }
     case _ => false
   }
@@ -169,7 +205,7 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
           .filter(j => (j.joinType == Inner || j.joinType == LeftOuter) && j.condition.isDefined)
           .flatMap { j =>
             decompose(j.condition.get, j.left, j.right).flatMap {
-              case (lKey, rKey, lTs, rTs, bounds) =>
+              case (lKey, rKey, lTs, rTs, bounds, forward) =>
                 val residual = j.right.output
                   .filterNot(a => a.exprId == rKey.exprId || a.exprId == rTs.exprId)
                 val groupingOk = grouping.forall {
@@ -187,13 +223,13 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
                       case g: Attribute => g.exprId == a.exprId
                       case _            => false
                     }
-                    case e => isArgmaxOf(e, rTs, residual)
+                    case e => isArgmaxOf(e, rTs, residual, forward)
                   }
                 if (!shapeOk) None
                 else {
                   val asof = AsOfMergeJoin(j.left, j.right,
                     lKey.name, lTs.name, rKey.name, rTs.name,
-                    leftOuter = j.joinType == LeftOuter)
+                    leftOuter = j.joinType == LeftOuter, forward = forward)
                   val input: LogicalPlan =
                     if (bounds.isEmpty) asof else Filter(bounds.reduce(And), asof)
                   Some(Aggregate(grouping, aggExprs, input))

@@ -138,6 +138,15 @@ class OperatorSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("forward merge as-of equals the band-join first-after form") {
+    // round 10: AsOfMergeExec's forward (descending-sweep) mode vs the
+    // natural join + min-struct shape — identical next-error rows
+    def rows(n: String) = q(n).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("next_error_id"),
+                 r.getAs[Long]("next_us"))).toSet
+    assert(rows("join_asof_merge_next") == rows("join_asof_next"))
+  }
+
   test("cogroup as-of completes and stays exact under a 100k-event hot key") {
     import org.apache.spark.sql.functions._
     // one pathological key holding BOTH legs' full 100k events: the

@@ -292,6 +292,138 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("asofRewrite forward: first-within-window min-struct shape routes onto the forward exec") {
+    // round 10: the chained-reconciliation hop — "each signup's FIRST
+    // purchase within 24 h" — is min(struct(p_ts, …)) over a strict
+    // rTs > lTs join; the rule must route it onto AsOfMergeExec's
+    // forward (descending-sweep) mode, window bound included
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val e = extended.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      def signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("u"),
+                col("ts").as("s_ts"))
+      def purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p_ts"),
+                col("event_id").as("p_id"), pmod(col("event_id"), lit(13)).as("channel"))
+      def argmin = min(struct(col("p_ts"), col("p_id"), col("channel")))
+      def query(banded: Boolean): DataFrame = {
+        val cond = col("u") === col("pu") && col("p_ts") > col("s_ts") &&
+          (if (banded) col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS") else lit(true))
+        signups.join(purchases, cond)
+          .groupBy("s_id")
+          .agg(argmin.getField("p_id").as("first_p_id"),
+               argmin.getField("channel").as("first_channel"))
+      }
+      for (banded <- Seq(false, true)) {
+        extended.conf.set("spark.graft.asofRewrite", "false")
+        val off = query(banded).collect().map(_.toSeq).toSeq
+        extended.conf.set("spark.graft.asofRewrite", "true")
+        val dfOn = query(banded)
+        val p = dfOn.queryExecution.executedPlan.toString
+        assert(p.contains("AsOfMerge"),
+          s"forward shape (banded=$banded) must rewrite:\n${p.take(900)}")
+        assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+          s"forward (banded=$banded) still contains the original join:\n${p.take(900)}")
+        val on = dfOn.collect().map(_.toSeq).toSeq
+        assert(on.diff(off).isEmpty && off.diff(on).isEmpty,
+          s"forward (banded=$banded) rows differ under rewrite")
+      }
+      // direction mismatches must not fire: min over the BACKWARD <=
+      // range, and max over the FORWARD > range
+      extended.conf.set("spark.graft.asofRewrite", "true")
+      val minBackward = signups.join(purchases,
+          col("u") === col("pu") && col("p_ts") <= col("s_ts"))
+        .groupBy("s_id")
+        .agg(min(struct(col("p_ts"), col("p_id"), col("channel")))
+               .getField("p_id").as("x"))
+      val maxForward = signups.join(purchases,
+          col("u") === col("pu") && col("p_ts") > col("s_ts"))
+        .groupBy("s_id")
+        .agg(max(struct(col("p_ts"), col("p_id"), col("channel")))
+               .getField("p_id").as("x"))
+      for ((df, what) <- Seq((minBackward, "min over <= (last-prior range)"),
+                             (maxForward, "max over > (first-after range)"))) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("AsOfMerge"),
+          s"rule must not fire on $what:\n${p.take(600)}")
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+      spark.conf.unset("spark.graft.asofRewrite")
+    }
+  }
+
+  test("asofRewrite forward equivalence on generated legs: ties, hot keys, windows") {
+    // the forward mirror of the backward generated-legs test: tiny
+    // domains force ts ties (where the descending sweep's residual
+    // order must equal the struct-min comparison) and hot keys
+    import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+    import org.apache.spark.sql.types._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val legGen = for {
+      nL <- Gen.choose(30, 50); nR <- Gen.choose(30, 50)
+      ls <- Gen.listOfN(nL, for {
+        sid <- Gen.choose(0L, 9L); u <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 6L)
+      } yield Seq(sid, u, t))
+      rs <- Gen.listOfN(nR, for {
+        u <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 6L)
+        pid <- Gen.choose(0L, 999L); c <- Gen.choose(0L, 2L)
+      } yield Seq(u, t, pid, c))
+    } yield (ls, rs)
+    val cases = Iterator.from(0)
+      .map(i => legGen.apply(Gen.Parameters.default, Seed(3042L + i)))
+      .collect { case Some(a) => a }.take(4).toSeq
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      def df(rows: Seq[Seq[Long]], names: Seq[String]): DataFrame =
+        extended.createDataFrame(
+          extended.sparkContext.parallelize(rows.map(Row.fromSeq), 2),
+          StructType(names.map(StructField(_, LongType))))
+      cases.foreach { case (ls, rs) =>
+        val l = df(ls, Seq("sid", "u", "s_ts"))
+        val r = df(rs, Seq("pu", "p_ts", "pid", "c"))
+        def query(banded: Boolean): DataFrame = {
+          val st = struct(col("p_ts"), col("pid"), col("c"))
+          val cond = col("u") === col("pu") && col("p_ts") > col("s_ts") &&
+            (if (banded) col("p_ts") <= col("s_ts") + 3 else lit(true))
+          l.join(r, cond).groupBy("sid")
+            .agg(min(st).getField("pid").as("first_pid"),
+                 min(st).getField("c").as("first_c"))
+        }
+        for (banded <- Seq(false, true)) {
+          extended.conf.set("spark.graft.asofRewrite", "false")
+          val off = query(banded).collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+          extended.conf.set("spark.graft.asofRewrite", "true")
+          val qOn = query(banded)
+          val plan = qOn.queryExecution.executedPlan.toString
+          assert(plan.contains("AsOfMerge"),
+            s"forward banded=$banded did not rewrite:\n${plan.take(500)}")
+          val on = qOn.collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+          assert(on == off, s"forward banded=$banded differs:\noff=$off\non=$on")
+        }
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+      spark.conf.unset("spark.graft.asofRewrite")
+    }
+  }
+
   test("asofRewrite payload-width property: generated widths, tie-heavy domains") {
     // widths 1..3 over tiny domains: every column collides constantly,
     // so the lexicographic tail of the struct decides winners — the
