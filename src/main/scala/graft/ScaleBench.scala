@@ -75,6 +75,32 @@ object ScaleBench {
     val on = measure("rewritten(ON)")
     require(off == on, s"rewrite changed the result: $off vs $on")
     println("[scalebench] rule rewritten == natural (count + checksum)")
+    // round 10: the FORWARD mirror (first-after, min-struct over strict
+    // >) on the same hot-key fixture — identical candidate blowup in
+    // the natural shape, same O(rows) sweep when rewritten
+    def naturalFwd() = {
+      val l = spark.read.parquet(lp)
+      val r = spark.read.parquet(rp)
+      l.join(r, col("key") === col("rkey") && col("rts") > col("lts"))
+        .groupBy("lid")
+        .agg(min(struct(col("rts"), col("rid"))).getField("rid").as("first_rid"))
+    }
+    def measureFwd(name: String): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val chk = naturalFwd().agg(count(lit(1)), sum(expr("lid * 31 + first_rid")))
+        .collect().head
+      println(f"[scalebench] rule $name%-14s rows=${chk.getLong(0)}%8d  " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      (chk.getLong(0), chk.getLong(1))
+    }
+    spark.conf.set("spark.graft.asofRewrite", "false")
+    val offF = measureFwd("fwd natural")
+    spark.conf.set("spark.graft.asofRewrite", "true")
+    val planF = naturalFwd().queryExecution.executedPlan.toString
+    require(planF.contains("AsOfMerge"), "forward rule did not fire on the fixture shape")
+    val onF = measureFwd("fwd rewritten")
+    require(offF == onF, s"forward rewrite changed the result: $offF vs $onF")
+    println("[scalebench] rule forward rewritten == natural (count + checksum)")
     // rule defaults OFF — restore so later full-run sections see stock plans
     spark.conf.set("spark.graft.asofRewrite", "false")
     } // end rule section
