@@ -59,6 +59,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         graft.sinks.CowTable.read(spark, path, asOf).queryExecution.analyzed
       }))
+    // The change feed as SQL (CDC-out): row-level insert/update/delete
+    // between two snapshots — `SELECT * FROM cow_changes('/p', 'id', 1, 3)`.
+    ext.injectTableFunction((
+      FunctionIdentifier("cow_changes"),
+      info("cow_changes",
+        "cow_changes(path, key, fromVersion, toVersion) - CowTable change feed " +
+          "(_change_type in insert/update/delete, delete rows carry preimages)"),
+      (es: Seq[Expression]) => {
+        def litOf(e: Expression): Any = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              "cow_changes arguments must be literals")
+          e.eval()
+        }
+        require(es.sizeIs == 4,
+          "cow_changes(path, key, fromVersion, toVersion) takes exactly 4 arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sinks.CowTable.changes(spark,
+            litOf(es(0)).toString, litOf(es(1)).toString,
+            litOf(es(2)).toString.toInt, litOf(es(3)).toString.toInt)
+          .queryExecution.analyzed
+      }))
+    // The merge-on-read delete ledger as SQL: the keys a snapshot's
+    // sidecars delete — `SELECT * FROM cow_deletes('/p'[, version])`
+    // (empty result when the snapshot carries no sidecars).
+    ext.injectTableFunction((
+      FunctionIdentifier("cow_deletes"),
+      info("cow_deletes",
+        "cow_deletes(path[, version]) - the snapshot's merge-on-read deleted keys"),
+      (es: Seq[Expression]) => {
+        def litOf(e: Expression): Any = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              "cow_deletes arguments must be literals")
+          e.eval()
+        }
+        val path = litOf(es.head).toString
+        val asOf = es.drop(1).headOption.map(e => litOf(e).toString.toInt)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dels = graft.sinks.CowTable.snapshotDeletes(path, asOf)
+        val df =
+          if (dels.nonEmpty) spark.read.parquet(dels: _*).distinct()
+          else {
+            // empty ledger: surface the table's key schema-lessly as a
+            // 0-row single-column frame (key name unknown without a
+            // sidecar to read it from)
+            import spark.implicits._
+            Seq.empty[String].toDF("key")
+          }
+        df.queryExecution.analyzed
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),

@@ -483,6 +483,40 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("cow_changes / cow_deletes TVFs: the CDC feed and MoR ledger from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    val path = tmp
+    CowTable.create((0L until 50L).map(i => (i, i)).toDF("id", "v"), path)        // v1
+    CowTable.merge(spark, path, Seq((100L, 1L), (3L, -3L)).toDF("id", "v"), "id") // v2
+    CowTable.deleteMor(spark, path, "id = 7", "id")                               // v3
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val feed = ext.sql(
+        s"SELECT id, _change_type FROM cow_changes('$path', 'id', 1, 3) ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(feed == Set((3L, "update"), (100L, "insert"), (7L, "delete")), feed.toString)
+      val dels = ext.sql(s"SELECT * FROM cow_deletes('$path')")
+        .collect().map(_.getLong(0)).toSet
+      assert(dels == Set(7L), dels.toString)
+      // pre-delete snapshot: empty ledger
+      assert(ext.sql(s"SELECT * FROM cow_deletes('$path', 2)").isEmpty)
+      // composes: the feed joins back to a snapshot
+      assert(ext.sql(
+        s"""SELECT count(*) FROM cow_changes('$path', 'id', 1, 2) c
+           |JOIN cow_snapshot('$path') s ON c.id = s.id""".stripMargin)
+        .head.getLong(0) == 2L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("restore re-publishes an old snapshot as a new commit, history intact") {
     import spark.implicits._
     val path = tmp
