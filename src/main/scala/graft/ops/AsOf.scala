@@ -214,6 +214,27 @@ object AsOf {
       .limit(2000)
   }
 
+  /** Forward + LEFT-OUTER through the exec: every purchase survives,
+    * error-less ones padded NULL — the forward mirror of
+    * [[joinAsofMergeOuter]], exercising the descending sweep's
+    * null-extension path under the driver's hash gate.
+    */
+  val joinAsofMergeNextOuter: Q = (s, d) => {
+    val e = Tables.t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("key"),
+              unix_micros(col("ts")).as("p_ts"))
+    val er = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_key"), unix_micros(col("ts")).as("e_ts"),
+              col("event_id").as("next_error_id"))
+    asofMergePlan(p, er, "key", "p_ts", "e_key", "e_ts",
+        leftOuter = true, forward = true)
+      .select(col("purchase_id"), col("next_error_id"),
+              when(col("next_error_id").isNull, 0L).otherwise(1L).as("matched"))
+      .orderBy("purchase_id")
+      .limit(2000)
+  }
+
   val queries: Map[String, Q] = Map(
     "join_asof_next" -> joinAsofNext,
     "join_asof_cogroup" -> joinAsofCogroup,
@@ -221,5 +242,6 @@ object AsOf {
     "join_asof_merge" -> joinAsofMergeExec,
     "join_asof_merge_outer" -> joinAsofMergeOuter,
     "join_asof_merge_next" -> joinAsofMergeNext,
+    "join_asof_merge_next_outer" -> joinAsofMergeNextOuter,
   )
 }

@@ -331,7 +331,158 @@ object Audits {
       .orderBy("n_nations")
   }
 
+  /** SMA crossover signal over daily purchase revenue: trailing-7-row
+    * vs trailing-28-row simple moving averages compared WITHOUT
+    * division (4·sum7 > sum28 ⇔ sum7/7 > sum28/28 — exact integer
+    * cross-multiplication), emitted for full-frame days only with the
+    * crossover flag (signal ≠ previous signal). Both windows run over
+    * the bounded ~30-day domain; the fact table collapses to daily
+    * cents first.
+    */
+  val tsSmaCrossover: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("c"))
+    val w = Window.orderBy("dd")
+    val full = daily
+      .withColumn("sum7", sum("c").over(w.rowsBetween(-6, 0)).cast("long"))
+      .withColumn("sum28", sum("c").over(w.rowsBetween(-27, 0)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 28)
+      .withColumn("signal", when(col("sum7") * 4 > col("sum28"), 1L).otherwise(0L))
+    full
+      .withColumn("crossed",
+        when(lag(col("signal"), 1).over(Window.orderBy("dd")).isNull, 0L)
+          .when(col("signal") =!= lag(col("signal"), 1).over(Window.orderBy("dd")), 1L)
+          .otherwise(0L))
+      .select(col("dd").cast("string").as("dd"), col("sum7"), col("sum28"),
+              col("signal"), col("crossed"))
+      .orderBy("dd")
+  }
+
+  /** Order-priority composition shift: per (year, priority) the order
+    * count, its share of the year in exact ppm, and the year-over-year
+    * share delta (lag over the bounded year domain per priority).
+    * Year totals ride a bounded-domain window partitioned by year.
+    */
+  val ordersPriorityMixShift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val yp = orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+               col("o_orderpriority").as("priority"))
+      .agg(cnt.as("n"))
+    val share = yp
+      .withColumn("yr_total", sum("n").over(Window.partitionBy("yr")).cast("long"))
+      .withColumn("share_ppm", expr("div(n * 1000000, yr_total)").cast("long"))
+    share
+      .withColumn("delta_ppm",
+        (col("share_ppm") -
+          lag(col("share_ppm"), 1).over(Window.partitionBy("priority").orderBy("yr")))
+          .cast("long"))
+      .select("yr", "priority", "n", "share_ppm", "delta_ppm")
+      .orderBy("yr", "priority")
+  }
+
+  /** Unit-price dispersion per brand: relative variance in exact ppm —
+    * (n·Σx² − (Σx)²)·10⁶ div (Σx)², DECIMAL(38) throughout (Σx² over
+    * millions of cents-squared rows crosses 2⁶³). The squared
+    * coefficient of variation, sqrt-free so both engines agree
+    * bit-for-bit. Top-20 most dispersed brands.
+    */
+  val partBrandPriceDispersion: Q = (s, d) => {
+    val part = Tables.t(s, d, "part")
+    li(s, d)
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), cents(col("l_extendedprice") / col("l_quantity")).as("uc"))
+      .groupBy("p_brand")
+      .agg(cnt.as("n"),
+           sum("uc").cast("long").as("su"),
+           sum(expr("cast(uc as decimal(38,0)) * uc")).as("sq"))
+      .select(col("p_brand"), col("n"),
+        expr("cast(div((cast(n as decimal(38,0)) * sq - cast(su as decimal(38,0)) * su) " +
+          "* 1000000, cast(su as decimal(38,0)) * su) as bigint)").as("rel_var_ppm"))
+      .orderBy(col("rel_var_ppm").desc, col("p_brand"))
+      .limit(20)
+  }
+
+  /** Buyer-nation × seller-nation purchase AFFINITY: observed
+    * directional line counts vs the independence expectation,
+    * lift_ppm = n_ab·N·10⁶ div (n_a·n_b) (DECIMAL(38) — the triple
+    * product crosses 2⁶³), support floor 50 lines. The trade-flow
+    * sibling of `events_cooccur_lift`; pair counts shuffle once,
+    * marginals are nation-domain tables riding broadcasts.
+    */
+  val customerNationAffinity: Q = (s, d) => {
+    val flows = li(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("bn"), col("s_nationkey").as("sn"))
+    val pairs = flows.groupBy("bn", "sn").agg(cnt.as("n_ab"))
+    val buyers = flows.groupBy("bn").agg(cnt.as("n_a"))
+    val sellers = flows.groupBy("sn").agg(cnt.as("n_b"))
+    val total = flows.agg(cnt.as("n_total"))
+    pairs
+      .join(broadcast(buyers), "bn")
+      .join(broadcast(sellers), "sn")
+      .crossJoin(broadcast(total))
+      .filter(col("n_ab") >= 50)
+      .select(col("bn"), col("sn"), col("n_ab"),
+        expr("cast(div(cast(n_ab as decimal(38,0)) * n_total * 1000000, " +
+          "cast(n_a as decimal(38,0)) * n_b) as bigint)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bn"), col("sn"))
+      .limit(20)
+  }
+
+  /** Supplier revenue concentration per nation — the Herfindahl–
+    * Hirschman index in exact ppm: Σ rᵢ²·10⁶ div (Σ rᵢ)² over each
+    * nation's supplier revenues (cents; squares in DECIMAL(38)).
+    * 10⁶/n = perfectly even, 10⁶ = monopoly. Two keyed aggregates.
+    */
+  val supplierHhiConcentration: Q = (s, d) => {
+    val rev = li(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+    rev.groupBy("s_nationkey")
+      .agg(cnt.as("n_suppliers"),
+           sum("r").cast("long").as("sr"),
+           sum(expr("cast(r as decimal(38,0)) * r")).as("sq"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        expr("cast(div(sq * 1000000, cast(sr as decimal(38,0)) * sr) as bigint)")
+          .as("hhi_ppm"))
+      .orderBy("nation")
+  }
+
+  /** Error-burst detection: 5-minute tumbling buckets per day — how
+    * many buckets saw any error, how many were BURSTS (≥ 3 errors),
+    * and the worst bucket. Bucketing is integer epoch-seconds div 300
+    * (identical on both engines); one keyed aggregate per level.
+    */
+  val eventsErrorBurst5m: Q = (s, d) => {
+    val b = ev(s, d).filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("dd"),
+               (unix_timestamp(col("ts")) / 300).cast("long").as("bucket"))
+      .agg(cnt.as("n_err"))
+    b.groupBy("dd")
+      .agg(cnt.as("n_error_buckets"),
+           sum(when(col("n_err") >= 3, 1L).otherwise(0L)).cast("long").as("n_burst_buckets"),
+           max("n_err").cast("long").as("max_bucket_errors"))
+      .select(col("dd").cast("string").as("dd"), col("n_error_buckets"),
+              col("n_burst_buckets"), col("max_bucket_errors"))
+      .orderBy("dd")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_sma_crossover" -> tsSmaCrossover,
+    "orders_priority_mix_shift" -> ordersPriorityMixShift,
+    "part_brand_price_dispersion" -> partBrandPriceDispersion,
+    "customer_nation_affinity" -> customerNationAffinity,
+    "supplier_hhi_concentration" -> supplierHhiConcentration,
+    "events_error_burst_5m" -> eventsErrorBurst5m,
     "dq_order_total_recon" -> dqOrderTotalRecon,
     "recon_nation_netting" -> reconNationNetting,
     "graph_kcore" -> graphKcore,

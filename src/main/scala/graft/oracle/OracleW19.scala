@@ -174,6 +174,87 @@ object OracleW19 {
     FROM p JOIN e ON p.user_id = e.user_id AND e.e_ts > p.ts)
   SELECT p_id purchase_id, e_id next_error_id, CAST(epoch_us(e_ts) AS BIGINT) next_us
   FROM j WHERE rn = 1 ORDER BY purchase_id LIMIT 2000""",
+    // round 10 wave 2: forward-outer as-of through the exec
+    "join_asof_merge_next_outer" ->
+      """WITH p AS (SELECT event_id p_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+  e AS (SELECT event_id e_id, user_id, ts e_ts FROM events WHERE event_type = 'error'),
+  j AS (SELECT p.p_id, e.e_id,
+      row_number() OVER (PARTITION BY p.p_id ORDER BY e.e_ts, e.e_id) rn
+    FROM p JOIN e ON p.user_id = e.user_id AND e.e_ts > p.ts),
+  f AS (SELECT p_id, e_id FROM j WHERE rn = 1)
+  SELECT p.p_id purchase_id, f.e_id next_error_id,
+    CAST(CASE WHEN f.e_id IS NULL THEN 0 ELSE 1 END AS BIGINT) matched
+  FROM p LEFT JOIN f ON p.p_id = f.p_id ORDER BY purchase_id LIMIT 2000""",
+    // round 10 wave 2: SMA crossover without division (4*sum7 vs sum28)
+    "ts_sma_crossover" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) c
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  w AS (SELECT dd,
+      CAST(sum(c) OVER (ORDER BY dd ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) sum7,
+      CAST(sum(c) OVER (ORDER BY dd ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) sum28,
+      row_number() OVER (ORDER BY dd) rn FROM daily),
+  f AS (SELECT dd, sum7, sum28,
+      CAST(CASE WHEN sum7 * 4 > sum28 THEN 1 ELSE 0 END AS BIGINT) signal
+    FROM w WHERE rn >= 28),
+  g AS (SELECT dd, sum7, sum28, signal,
+      lag(signal, 1) OVER (ORDER BY dd) prev FROM f)
+  SELECT CAST(dd AS VARCHAR) dd, sum7, sum28, signal,
+    CAST(CASE WHEN prev IS NULL THEN 0 WHEN signal <> prev THEN 1 ELSE 0 END AS BIGINT) crossed
+  FROM g ORDER BY dd""",
+    // round 10 wave 2: priority mix shift with YoY share deltas
+    "orders_priority_mix_shift" ->
+      """WITH yp AS (SELECT CAST(year(o_orderdate) AS BIGINT) yr, o_orderpriority priority,
+      CAST(count(*) AS BIGINT) n FROM orders GROUP BY 1, 2),
+  s AS (SELECT yr, priority, n,
+      CAST(sum(n) OVER (PARTITION BY yr) AS BIGINT) yr_total FROM yp),
+  p AS (SELECT yr, priority, n, CAST(n * 1000000 // yr_total AS BIGINT) share_ppm FROM s)
+  SELECT yr, priority, n, share_ppm,
+    CAST(share_ppm - lag(share_ppm, 1) OVER (PARTITION BY priority ORDER BY yr) AS BIGINT) delta_ppm
+  FROM p ORDER BY yr, priority""",
+    // round 10 wave 2: per-brand relative variance (squared CV) ppm
+    "part_brand_price_dispersion" ->
+      """WITH u AS (SELECT p.p_brand, CAST(round(l.l_extendedprice / l.l_quantity * 100) AS BIGINT) uc
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+  a AS (SELECT p_brand, CAST(count(*) AS BIGINT) n, CAST(sum(uc) AS BIGINT) su,
+      sum(uc::HUGEINT * uc) sq FROM u GROUP BY 1)
+  SELECT p_brand, n,
+    CAST((n::HUGEINT * sq - su::HUGEINT * su) * 1000000 // (su::HUGEINT * su) AS BIGINT) rel_var_ppm
+  FROM a ORDER BY rel_var_ppm DESC, p_brand LIMIT 20""",
+    // round 10 wave 2: nation-pair purchase lift vs independence
+    "customer_nation_affinity" ->
+      """WITH f AS (SELECT c.c_nationkey bn, s.s_nationkey sn
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+  pr AS (SELECT bn, sn, CAST(count(*) AS BIGINT) n_ab FROM f GROUP BY 1, 2),
+  ba AS (SELECT bn, CAST(count(*) AS BIGINT) n_a FROM f GROUP BY 1),
+  sb AS (SELECT sn, CAST(count(*) AS BIGINT) n_b FROM f GROUP BY 1),
+  t AS (SELECT CAST(count(*) AS BIGINT) n_total FROM f)
+  SELECT pr.bn, pr.sn, pr.n_ab,
+    CAST(pr.n_ab::HUGEINT * t.n_total * 1000000 // (ba.n_a::HUGEINT * sb.n_b) AS BIGINT) lift_ppm
+  FROM pr JOIN ba ON pr.bn = ba.bn JOIN sb ON pr.sn = sb.sn CROSS JOIN t
+  WHERE pr.n_ab >= 50
+  ORDER BY lift_ppm DESC, pr.bn, pr.sn LIMIT 20""",
+    // round 10 wave 2: per-nation supplier-revenue HHI ppm
+    "supplier_hhi_concentration" ->
+      """WITH r AS (SELECT s.s_nationkey, l.l_suppkey,
+      CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) r
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2),
+  a AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) n_suppliers,
+      CAST(sum(r) AS BIGINT) sr, sum(r::HUGEINT * r) sq FROM r GROUP BY 1)
+  SELECT n.n_name nation, a.n_suppliers,
+    CAST(a.sq * 1000000 // (a.sr::HUGEINT * a.sr) AS BIGINT) hhi_ppm
+  FROM a JOIN nation n ON a.s_nationkey = n.n_nationkey ORDER BY nation""",
+    // round 10 wave 2: 5-minute error-burst census per day
+    "events_error_burst_5m" ->
+      """WITH b AS (SELECT CAST(ts AS DATE) dd, epoch_us(ts) // 1000000 // 300 bucket,
+      CAST(count(*) AS BIGINT) n_err
+    FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+  SELECT CAST(dd AS VARCHAR) dd, CAST(count(*) AS BIGINT) n_error_buckets,
+    CAST(sum(CASE WHEN n_err >= 3 THEN 1 ELSE 0 END) AS BIGINT) n_burst_buckets,
+    CAST(max(n_err) AS BIGINT) max_bucket_errors
+  FROM b GROUP BY 1 ORDER BY 1""",
     // round 10: supply-chain concentration census by supplier-nation count
     "part_supply_risk" ->
       """WITH u AS (SELECT l_partkey, s_nationkey,

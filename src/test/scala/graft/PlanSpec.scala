@@ -707,7 +707,8 @@ class PlanSpec extends SparkSpecBase {
     "part_qty_price_spearman" -> "bounded-bucket: B×B globalRank offsets (two rankings)",
     "text_zipf_slope" -> "bounded-bucket: B×B globalRank offsets (B = count bit lengths)",
     "events_survival_curve" -> "1-row scalar: user-total broadcast",
-    "graph_kcore" -> "1-row scalar: node-census broadcast onto the 1-row edge count")
+    "graph_kcore" -> "1-row scalar: node-census broadcast onto the 1-row edge count",
+    "customer_nation_affinity" -> "1-row scalar: line-total broadcast over the bounded nation-pair table")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -766,7 +767,9 @@ class PlanSpec extends SparkSpecBase {
     "events_survival_curve" -> "1-row user-total aggregate",
     "graph_kcore" -> "1-row census aggregates (edges + nodes)",
     "ml_cohen_kappa" -> "1-row agreement-count final aggregate",
-    "ts_theil_sen_trend" -> "1-row fit over the bounded day-pair slope list")
+    "ts_theil_sen_trend" -> "1-row fit over the bounded day-pair slope list",
+    "customer_nation_affinity" -> "1-row line-total aggregate",
+    "ts_sma_crossover" -> "bounded day-domain SMA/crossover windows (fact collapses to daily cents first)")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
