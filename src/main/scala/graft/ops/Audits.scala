@@ -415,6 +415,11 @@ object Audits {
     * marginals are nation-domain tables riding broadcasts.
     */
   val customerNationAffinity: Q = (s, d) => {
+    // the narrow (bn, sn) flow records feed FOUR consumers (pairs,
+    // both marginals, the total); a localCheckpoint here was A/B'd
+    // WORSE (0.37 → 0.55 s — the materialization job costs more than
+    // the recompute, because the lineitem⋈orders exchange is already
+    // reused across the identical subplans)
     val flows = li(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
