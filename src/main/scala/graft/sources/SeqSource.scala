@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -93,12 +94,47 @@ class SeqTable(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
 class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
                      partitionByUser: Boolean = false, columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = SeqTable.schema
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[Array[aggregate.AggregateFunc]] = None
+
+  /** SEVENTH V2 read trait (round 10), `SupportsPushDownAggregates`
+    * with COMPLETE pushdown: ungrouped COUNT(*) / MIN(id) / MAX(id)
+    * over the generated interval are CLOSED FORM — the scan answers
+    * them from [lo, hi) arithmetic without generating a single row, so
+    * `spark.read...count()` over a billion-row table is O(1). Complete
+    * (not partial) pushdown means Spark plans NO aggregate exec at all
+    * — just a projection over the one-row result. Only called once
+    * every filter was pushed (the engine's contract), so [lo, hi)
+    * already reflects the WHERE clause; anything else (group-bys,
+    * other columns, other functions) is declined and planned normally.
+    */
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(supportedAgg)
+
+  private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def supportedAgg(f: aggregate.AggregateFunc): Boolean = f match {
+    case _: aggregate.CountStar => true
+    case m: aggregate.Min       => isIdRef(m.column)
+    case m: aggregate.Max       => isIdRef(m.column)
+    case _                      => false
+  }
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    aggPushed = Some(agg.aggregateExpressions)
+    true
+  }
 
   /** SIXTH V2 read trait (round 9), `SupportsPushDownLimit`: a LIMIT n
     * caps the generated interval to [lo, lo + n) BEFORE partition
@@ -132,9 +168,53 @@ class SeqScanBuilder(rows: Long, users: Long, slices: Int, rowsPerBatch: Long,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SeqScan(required, lo, math.max(lo, hi), users, slices, rowsPerBatch,
-      partitionByUser, columnar)
+  override def build(): Scan = aggPushed match {
+    case Some(funcs) =>
+      new SeqAggScan(funcs, lo, math.max(lo, hi))
+    case None =>
+      new SeqScan(required, lo, math.max(lo, hi), users, slices, rowsPerBatch,
+        partitionByUser, columnar)
+  }
+}
+
+/** The completely-pushed-aggregate scan: ONE partition, ONE row,
+  * values computed from interval arithmetic (count = hi−lo; min = lo;
+  * max = hi−1; empty interval → count 0, min/max NULL — SQL aggregate
+  * semantics).
+  */
+class SeqAggScan(funcs: Array[aggregate.AggregateFunc], lo: Long, hi: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(funcs.map {
+    case _: aggregate.CountStar => StructField("count_star", LongType, nullable = false)
+    case _: aggregate.Min       => StructField("min_id", LongType, nullable = true)
+    case _: aggregate.Max       => StructField("max_id", LongType, nullable = true)
+    case f => throw new IllegalStateException(s"unpushable aggregate $f")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SeqAggScan[lo=$lo, hi=$hi, ${funcs.map(_.describe).mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqInputPartition(0, 1)) // carrier for the single result row
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val n = math.max(0L, hi - lo)
+    val row = InternalRow.fromSeq(funcs.toIndexedSeq.map {
+      case _: aggregate.CountStar => n
+      case _: aggregate.Min       => if (n == 0) null else lo
+      case _: aggregate.Max       => if (n == 0) null else hi - 1
+      case f => throw new IllegalStateException(s"unpushable aggregate $f")
+    })
+    new SeqAggReaderFactory(row)
+  }
+}
+
+class SeqAggReaderFactory(row: InternalRow) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 class SeqScan(required: StructType, lo: Long, hi: Long, users: Long, slices: Int,

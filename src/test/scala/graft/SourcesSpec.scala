@@ -331,6 +331,40 @@ class SourcesSpec extends SparkSpecBase {
     assert(r.getAs[Double]("value") == 9990 % 10000 / 100.0)
   }
 
+  test("DSv2 SeqSource: complete aggregate pushdown answers count/min/max in O(1)") {
+    import org.apache.spark.sql.functions._
+    // a "billion-row" table: any plan that actually generates rows
+    // would take minutes — the closed-form SeqAggScan answers instantly
+    val big = seqDf("rows" -> "1000000000")
+    val t0 = System.nanoTime()
+    val r = big.agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1000000000L, 0L, 999999999L))
+    assert(sec < 30, s"closed-form aggregate took ${sec}s — rows were generated")
+    // the plan carries the pushed aggregate scan and NO aggregate exec
+    val p = big.agg(count(lit(1)), min("id"), max("id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SeqAggScan"), p.take(800))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p.take(800))
+    // composes with filter pushdown: the WHERE narrows [lo, hi) FIRST
+    val f = big.filter(col("id") >= 10L && col("id") < 17L)
+      .agg(count(lit(1)), min("id"), max("id")).collect().head
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) == (7L, 10L, 16L))
+    // empty interval: SQL aggregate semantics (count 0, min/max NULL)
+    val e = big.filter(col("id") < 0L)
+      .agg(count(lit(1)), min("id"), max("id")).collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+    // declined shapes still work through the normal row scan: group-bys
+    // and non-id aggregates are NOT pushed
+    val g = seqDf("rows" -> "1000")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("SeqScan"))
+    assert(g.count() == 100)
+    val v = seqDf("rows" -> "1000").agg(min("value")).collect().head
+    assert(v.getDouble(0) == 0.0)
+  }
+
   test("DSv2 SeqSource: limit pushdown caps generation before partition planning") {
     import org.apache.spark.sql.functions._
     // a billion-row table: limit(7) must generate 7 rows, not 1e9
