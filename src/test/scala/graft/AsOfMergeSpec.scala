@@ -102,4 +102,70 @@ class AsOfMergeSpec extends SparkSpecBase {
     val wrong = out.filter(col("rid") =!= expr("div(lid, 2)")).count()
     assert(wrong == 0L && out.count() == n)
   }
+
+  // ---- forward (first-after) mode, round 10 ----------------------------
+
+  test("forward: merge exec == band-join min-struct form on the full corpus") {
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("key"),
+              unix_micros(col("ts")).as("p_ts"))
+    val er = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_key"), unix_micros(col("ts")).as("e_ts"),
+              col("event_id").as("e_id"))
+    val merged = AsOf.asofMergePlan(p, er, "key", "p_ts", "e_key", "e_ts",
+        forward = true)
+      .select(col("purchase_id"), col("e_id"))
+    val banded = p.join(er, col("key") === col("e_key") && col("e_ts") > col("p_ts"))
+      .groupBy("purchase_id")
+      .agg(min(struct(col("e_ts"), col("e_id"))).getField("e_id").as("e_id"))
+    assert(merged.exceptAll(banded).isEmpty && banded.exceptAll(merged).isEmpty)
+  }
+
+  test("forward: null semantics and strictness (same-instant right row never matches)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("t", LongType)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // left 3 has a right row at the SAME ts (strict > must skip it and
+    // take the later one); left 4's only candidates are <= its ts
+    val left = df(Seq(Row(1L, null, 50L), Row(2L, 7L, null), Row(3L, 0L, 20L),
+                      Row(4L, 1L, 60L)))
+    val right = df(Seq(Row(10L, null, 10L), Row(11L, 0L, null), Row(12L, 0L, 20L),
+                       Row(13L, 0L, 30L), Row(14L, 1L, 20L), Row(15L, 1L, 60L)))
+      .toDF("rid", "rk", "rt")
+    val outer = graft.ops.AsOf.asofMergePlan(left, right, "k", "t", "rk", "rt",
+        leftOuter = true, forward = true)
+      .select("id", "rid").collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(outer == Map(1L -> None, 2L -> None, 3L -> Some(13L), 4L -> None),
+      outer.toString)
+    val inner = graft.ops.AsOf.asofMergePlan(left, right, "k", "t", "rk", "rt",
+        forward = true)
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inner == Map(3L -> 13L))
+  }
+
+  test("forward hot key: 200k left rows on ONE key sweep exactly") {
+    import spark.implicits._
+    val n = 200000
+    // left: one key, ts = 2i; right: same key, ts = 4j — expected
+    // first-after for left i: smallest 4j > 2i -> j = i/2 + 1 (even i)
+    // or (i+1)/2 (odd i) = floor(i/2) + 1; unmatched once 4j exceeds
+    // the right domain
+    val l = spark.range(n).select(col("id").as("lid"), lit(7L).as("key"),
+      (col("id") * 2).as("lts"))
+    val r = spark.range(n / 2).select(col("id").as("rid"), lit(7L).as("rkey"),
+      (col("id") * 4).as("rts"))
+    val out = AsOf.asofMergePlan(l, r, "key", "lts", "rkey", "rts",
+        forward = true)
+      .select(col("lid"), col("rid"))
+    val wrong = out.filter(col("rid") =!= expr("div(lid, 2) + 1")).count()
+    // matched lefts: those with some 4j > 2i, j < n/2 -> i/2 + 1 <= n/2 - 1
+    val expected = l.filter(expr(s"div(lid, 2) + 1 <= ${n / 2 - 1}")).count()
+    assert(wrong == 0L && out.count() == expected, s"wrong=$wrong n=${out.count()}")
+  }
 }
