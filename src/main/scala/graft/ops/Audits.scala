@@ -481,7 +481,67 @@ object Audits {
       .orderBy("dd")
   }
 
+  /** Exact-duplicate rate per source — the corpus-health dashboard
+    * number a crawl pipeline watches: docs vs distinct texts (compared
+    * through md5, engine-portable and far narrower than shuffling the
+    * text bodies), duplicate share in exact ppm.
+    */
+  val corpusDedupRateBySource: Q = (s, d) =>
+    docs(s, d)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(cnt.as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        expr("div((n_docs - n_distinct) * 1000000, n_docs)").cast("long").as("dup_ppm"))
+      .orderBy("source")
+
+  /** Head-heaviness of the trigram distribution: what share of ALL
+    * trigram occurrences the top-1,000 trigrams cover (count desc,
+    * gram asc tiebreak) — with [[Pipeline.textZipfSlope]] the pair of
+    * corpus-shape diagnostics (a boilerplate flood shows up as a
+    * coverage spike before it bends the Zipf fit). Top-k plans as
+    * TakeOrdered over the vocabulary table; totals are 1-row finals.
+    */
+  val textNgramCoverage: Q = (s, d) => {
+    val grams = docs(s, d)
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))"))
+        .as("g"))
+    val counts = grams.groupBy("g").agg(cnt.as("c"))
+    val top = counts.orderBy(col("c").desc, col("g")).limit(1000)
+      .agg(sum("c").cast("long").as("top_c"))
+    counts.agg(cnt.as("n_distinct"), sum("c").cast("long").as("n_total"))
+      .crossJoin(broadcast(top))
+      .select(col("n_total"), col("n_distinct"), col("top_c"),
+        expr("div(top_c * 1000000, n_total)").cast("long").as("top1000_share_ppm"))
+  }
+
+  /** Per-dimension embedding variance — the effective-dimensionality
+    * audit (collapsed dimensions carry no information; a whitening
+    * bug shows as one dominant dim). Values quantize per element at a
+    * FIXED scale (floor(x·1000 + 0.5) on the double-cast float —
+    * bit-identical on both engines), then n·Σq²−(Σq)² per dim in
+    * DECIMAL(38). One posexplode + one keyed aggregate over 64 dims.
+    */
+  val embeddingDimVariance: Q = (s, d) =>
+    Tables.t(s, d, "embeddings")
+      .select(posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")))
+        .as(Seq("dim", "q")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(cnt.as("n"), sum("q").cast("long").as("sq"),
+           sum(expr("cast(q as decimal(38,0)) * q")).as("sq2"))
+      .select(col("dim"), col("n"),
+        expr("div(sq, n)").cast("long").as("q_mean_milli"),
+        expr("cast(div(cast(n as decimal(38,0)) * sq2 - cast(sq as decimal(38,0)) * sq, " +
+          "cast(n as decimal(38,0)) * n) as bigint)").as("q_var"))
+      .orderBy("dim")
+
   val queries: Map[String, Q] = Map(
+    "corpus_dedup_rate_by_source" -> corpusDedupRateBySource,
+    "text_ngram_coverage" -> textNgramCoverage,
+    "embedding_dim_variance" -> embeddingDimVariance,
     "ts_sma_crossover" -> tsSmaCrossover,
     "orders_priority_mix_shift" -> ordersPriorityMixShift,
     "part_brand_price_dispersion" -> partBrandPriceDispersion,

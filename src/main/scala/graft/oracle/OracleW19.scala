@@ -255,6 +255,37 @@ object OracleW19 {
     CAST(sum(CASE WHEN n_err >= 3 THEN 1 ELSE 0 END) AS BIGINT) n_burst_buckets,
     CAST(max(n_err) AS BIGINT) max_bucket_errors
   FROM b GROUP BY 1 ORDER BY 1""",
+    // round 10 wave 3: exact-duplicate rate per source (md5-compared)
+    "corpus_dedup_rate_by_source" ->
+      """WITH h AS (SELECT source, md5(text) h FROM documents),
+  a AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+      CAST(count(DISTINCT h) AS BIGINT) n_distinct FROM h GROUP BY 1)
+  SELECT source, n_docs, n_distinct,
+    CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) dup_ppm
+  FROM a ORDER BY source""",
+    // round 10 wave 3: top-1000 trigram coverage share
+    "text_ngram_coverage" ->
+      """WITH tk AS (SELECT string_split(text, ' ') t FROM documents),
+  g AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) g FROM tk),
+  c AS (SELECT g, CAST(count(*) AS BIGINT) c FROM g GROUP BY 1),
+  top AS (SELECT CAST(sum(c) AS BIGINT) top_c FROM
+    (SELECT c FROM c ORDER BY c DESC, g LIMIT 1000)),
+  t AS (SELECT CAST(count(*) AS BIGINT) n_distinct, CAST(sum(c) AS BIGINT) n_total FROM c)
+  SELECT t.n_total, t.n_distinct, top.top_c,
+    CAST(top.top_c * 1000000 // t.n_total AS BIGINT) top1000_share_ppm
+  FROM t, top""",
+    // round 10 wave 3: per-dimension embedding variance (fixed-scale quantized)
+    "embedding_dim_variance" ->
+      """WITH q AS (SELECT unnest(list_transform(embedding::DOUBLE[],
+      x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))) q,
+      CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) dim
+    FROM embeddings),
+  a AS (SELECT dim, CAST(count(*) AS BIGINT) n, CAST(sum(q) AS BIGINT) sq,
+      sum(q::HUGEINT * q) sq2 FROM q GROUP BY 1)
+  SELECT dim, n, CAST(sq // n AS BIGINT) q_mean_milli,
+    CAST((n::HUGEINT * sq2 - sq::HUGEINT * sq) // (n::HUGEINT * n) AS BIGINT) q_var
+  FROM a ORDER BY dim""",
     // round 10: supply-chain concentration census by supplier-nation count
     "part_supply_risk" ->
       """WITH u AS (SELECT l_partkey, s_nationkey,

@@ -708,7 +708,8 @@ class PlanSpec extends SparkSpecBase {
     "text_zipf_slope" -> "bounded-bucket: B×B globalRank offsets (B = count bit lengths)",
     "events_survival_curve" -> "1-row scalar: user-total broadcast",
     "graph_kcore" -> "1-row scalar: node-census broadcast onto the 1-row edge count",
-    "customer_nation_affinity" -> "1-row scalar: line-total broadcast over the bounded nation-pair table")
+    "customer_nation_affinity" -> "1-row scalar: line-total broadcast over the bounded nation-pair table",
+    "text_ngram_coverage" -> "1-row scalar: top-1000 sum broadcast onto the 1-row totals")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -769,7 +770,8 @@ class PlanSpec extends SparkSpecBase {
     "ml_cohen_kappa" -> "1-row agreement-count final aggregate",
     "ts_theil_sen_trend" -> "1-row fit over the bounded day-pair slope list",
     "customer_nation_affinity" -> "1-row line-total aggregate",
-    "ts_sma_crossover" -> "bounded day-domain SMA/crossover windows (fact collapses to daily cents first)")
+    "ts_sma_crossover" -> "bounded day-domain SMA/crossover windows (fact collapses to daily cents first)",
+    "text_ngram_coverage" -> "1-row totals final aggregate (top-k plans as TakeOrdered)")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
