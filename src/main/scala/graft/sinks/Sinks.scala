@@ -157,6 +157,31 @@ object Sinks {
       }
       .start()
 
+  /** STREAMING DELETE SINK (round 10) — the right-to-be-forgotten
+    * pipeline: a stream of deletion requests (one key column) applies
+    * to a CowTable via MERGE-ON-READ per micro-batch. Each batch costs
+    * one key-list sidecar commit — ZERO data files rewritten no matter
+    * how scattered the keys, which is what makes a continuous GDPR
+    * stream affordable against a 100 TB table (the copy-on-write
+    * DELETE would rewrite every key-intersecting file every batch).
+    * Replay-safe: deleteMorKeys drops keys that are not live, so a
+    * re-delivered batch commits nothing new (no version churn — the
+    * no-op returns the current version). Physical retirement is the
+    * maintenance job's compact ([[graft.sinks.CowTable.compact]] folds
+    * the accumulated sidecars).
+    */
+  def gdprDeleteStream(requests: DataFrame, tablePath: String, key: String,
+                       checkpoint: String): StreamingQuery =
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty && CowTable.exists(tablePath))
+          CowTable.deleteMorKeys(batch.sparkSession, tablePath, batch, key)
+        ()
+      }
+      .start()
+
   /** Streaming upsert sink (`KTable` materialization): per micro-batch,
     * merge the batch into a keyed parquet view keeping the latest row
     * per key by `tsCol`. The merge here is read-union-dedup-rewrite via

@@ -741,6 +741,75 @@ class CowTableSpec extends SparkSpecBase {
       s"IVM missed the MoR-deleted groups: inc=$refreshed full=$full")
   }
 
+  test("table maintenance: thresholds drive compact + sidecar fold + retention; steady state is a no-op") {
+    import spark.implicits._
+    import graft.sinks.TableMaintenance
+    val path = tmp
+    CowTable.create((0L until 2000L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4), path)
+    // churn: 12 small merges (small files pile up) + 2 MoR deletes
+    (1 to 12).foreach { k =>
+      CowTable.merge(spark, path,
+        Seq((10000L + k, k.toLong)).toDF("id", "v"), "id")
+    }
+    CowTable.deleteMor(spark, path, "id < 100", "id")
+    CowTable.deleteMor(spark, path, "id >= 1900 AND id < 2000", "id")
+    val before = CowTable.read(spark, path).count()
+    assert(before == 2012 - 200)
+    assert(CowTable.snapshotDeletes(path).size == 2)
+    val files = CowTable.snapshotFiles(path).size
+    val policy = TableMaintenance.Policy(
+      maxDataFiles = 8, maxDeleteSidecars = 1, keepSnapshots = 2, targetFiles = 4)
+    val r1 = TableMaintenance.runOnce(spark, path, policy)
+    assert(r1.compacted && r1.foldedSidecars == 2, r1.toString)
+    assert(r1.expiredManifests > 0, s"old manifests should expire: $r1")
+    // the pre-compact snapshot is still inside the retention window, so
+    // its small files legitimately survive this vacuum (time travel to
+    // it stays exact); one more commit pushes it past retention and the
+    // NEXT pass reclaims the churn
+    assert(CowTable.read(spark, path).count() == before)
+    assert(CowTable.snapshotDeletes(path).isEmpty)
+    assert(CowTable.snapshotFiles(path).size <= 4)
+    CowTable.merge(spark, path, Seq((20000L, 1L)).toDF("id", "v"), "id")
+    val r1b = TableMaintenance.runOnce(spark, path, policy)
+    assert(!r1b.compacted && r1b.vacuumedFiles > 0,
+      s"second pass should vacuum the pre-compact files: $r1b (files before: $files)")
+    assert(CowTable.read(spark, path).count() == before + 1)
+    // steady state: a further pass commits and reclaims nothing
+    val v = CowTable.currentVersion(path)
+    val r2 = TableMaintenance.runOnce(spark, path, policy)
+    assert(!r2.compacted && r2.foldedSidecars == 0 && r2.vacuumedFiles == 0 &&
+      r2.version == v, r2.toString)
+    assert(CowTable.read(spark, path).count() == before + 1)
+  }
+
+  test("gdpr delete stream: each batch is one sidecar commit, zero data-file churn, replay-safe") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmp
+    CowTable.create((0L until 1000L).map(i => (i, s"u_$i")).toDF("id", "payload")
+      .repartition(4), path)
+    val dataFiles = CowTable.snapshotFiles(path).toSet
+    val stream = MemoryStream[Long]
+    val q = graft.sinks.Sinks.gdprDeleteStream(
+      stream.toDF().toDF("id"), path, "id",
+      java.nio.file.Files.createTempDirectory("gdpr_cp").toString)
+    stream.addData(1L, 500L, 999L)
+    q.processAllAvailable()
+    assert(CowTable.read(spark, path).count() == 997)
+    // batch 2: one new key + a REPLAYED key (already deleted — no-op share)
+    stream.addData(500L, 7L)
+    q.processAllAvailable()
+    q.stop()
+    assert(CowTable.read(spark, path).count() == 996)
+    // the whole stream never touched a data file
+    assert(CowTable.snapshotFiles(path).toSet == dataFiles,
+      "GDPR stream must be sidecar-only")
+    // time travel still shows the pre-delete world
+    assert(CowTable.read(spark, path, Some(1)).count() == 1000)
+  }
+
   test("deleteMor: restore and vacuum preserve the sidecar set") {
     import spark.implicits._
     val path = tmp
