@@ -538,7 +538,68 @@ object Audits {
           "cast(n as decimal(38,0)) * n) as bigint)").as("q_var"))
       .orderBy("dim")
 
+  /** Degree assortativity of the part↔supplier graph — do high-degree
+    * parts ship through high-degree suppliers? Signed r² in exact ppm
+    * (sign(cov)·cov²·10⁶ div (varx·vary), staged divisions in
+    * DECIMAL(38) — sqrt-free, so both engines agree bit-for-bit; the
+    * DECLARED statistic is r²·sign, order-isomorphic to r). Per-edge
+    * endpoint degrees join from the two degree tables; one edge-sized
+    * aggregate.
+    */
+  val graphAssortativity: Q = (s, d) => {
+    val e = bipartite(s, d)
+    val degA = e.groupBy("a").agg(cnt.as("dx"))
+    val degB = e.groupBy("b").agg(cnt.as("dy"))
+    e.join(degA, "a").join(degB, "b")
+      .agg(cnt.as("n_edges"),
+           sum("dx").cast("long").as("sx"), sum("dy").cast("long").as("sy"),
+           sum(expr("cast(dx as decimal(38,0)) * dy")).as("sxy"),
+           sum(expr("cast(dx as decimal(38,0)) * dx")).as("sxx"),
+           sum(expr("cast(dy as decimal(38,0)) * dy")).as("syy"))
+      .select(col("n_edges"),
+        expr("""cast(CASE WHEN n_edges * sxx - cast(sx as decimal(38,0)) * sx = 0
+                       OR n_edges * syy - cast(sy as decimal(38,0)) * sy = 0 THEN 0
+          ELSE CASE WHEN n_edges * sxy - cast(sx as decimal(38,0)) * sy < 0 THEN -1 ELSE 1 END *
+            div(div((n_edges * sxy - cast(sx as decimal(38,0)) * sy) *
+                    (n_edges * sxy - cast(sx as decimal(38,0)) * sy),
+                    n_edges * sxx - cast(sx as decimal(38,0)) * sx) * 1000000,
+                n_edges * syy - cast(sy as decimal(38,0)) * sy)
+          END as bigint)""").as("assort_r2_ppm"))
+  }
+
+  /** Day-of-week seasonal strength of daily purchase revenue:
+    * 1 − SSres/SStot in exact ppm, where SSres sums each weekday
+    * group's n·Σx²−(Σx)² div n and SStot is the same over all days
+    * (staged truncating divisions — the declared integer statistic).
+    * Near 10⁶ = revenue is pure weekday pattern; near 0 = no weekly
+    * seasonality. Complements `ts_dow_seasonality`'s per-day means
+    * with the single variance-explained number.
+    */
+  val tsSeasonalStrength: Q = (s, d) => {
+    val daily = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("c"))
+      .withColumn("dow", dayofweek(col("dd")).cast("long"))
+    val res = daily.groupBy("dow")
+      .agg(cnt.as("ng"), sum("c").cast("long").as("sg"),
+           sum(expr("cast(c as decimal(38,0)) * c")).as("qg"))
+      .agg(sum(expr("div(cast(ng as decimal(38,0)) * qg - cast(sg as decimal(38,0)) * sg, ng)"))
+             .as("ssres"))
+    val tot = daily.agg(cnt.as("n"), sum("c").cast("long").as("sc"),
+           sum(expr("cast(c as decimal(38,0)) * c")).as("qc"))
+      .select(col("n"),
+        expr("div(cast(n as decimal(38,0)) * qc - cast(sc as decimal(38,0)) * sc, n)")
+          .as("sstot"))
+    tot.crossJoin(broadcast(res))
+      .select(col("n").as("n_days"),
+        expr("cast(CASE WHEN sstot = 0 THEN 0 " +
+          "ELSE 1000000 - div(ssres * 1000000, sstot) END as bigint)")
+          .as("seasonal_strength_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_assortativity" -> graphAssortativity,
+    "ts_seasonal_strength" -> tsSeasonalStrength,
     "corpus_dedup_rate_by_source" -> corpusDedupRateBySource,
     "text_ngram_coverage" -> textNgramCoverage,
     "embedding_dim_variance" -> embeddingDimVariance,

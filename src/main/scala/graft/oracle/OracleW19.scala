@@ -255,6 +255,40 @@ object OracleW19 {
     CAST(sum(CASE WHEN n_err >= 3 THEN 1 ELSE 0 END) AS BIGINT) n_burst_buckets,
     CAST(max(n_err) AS BIGINT) max_bucket_errors
   FROM b GROUP BY 1 ORDER BY 1""",
+    // round 10 wave 3: degree assortativity, signed r^2 ppm (staged divs)
+    "graph_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_partkey * 2 a, l_suppkey * 2 + 1 b FROM lineitem),
+  da AS (SELECT a, CAST(count(*) AS BIGINT) dx FROM e GROUP BY 1),
+  db AS (SELECT b, CAST(count(*) AS BIGINT) dy FROM e GROUP BY 1),
+  j AS (SELECT da.dx, db.dy FROM e JOIN da ON e.a = da.a JOIN db ON e.b = db.b),
+  t AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(dx) AS BIGINT) sx,
+      CAST(sum(dy) AS BIGINT) sy, sum(dx::HUGEINT * dy) sxy,
+      sum(dx::HUGEINT * dx) sxx, sum(dy::HUGEINT * dy) syy FROM j)
+  SELECT n n_edges,
+    CAST(CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0
+           OR n::HUGEINT * syy - sy::HUGEINT * sy = 0 THEN 0
+      ELSE (CASE WHEN n::HUGEINT * sxy - sx::HUGEINT * sy < 0 THEN -1 ELSE 1 END) *
+        ((((n::HUGEINT * sxy - sx::HUGEINT * sy) * (n::HUGEINT * sxy - sx::HUGEINT * sy))
+          // (n::HUGEINT * sxx - sx::HUGEINT * sx)) * 1000000
+          // (n::HUGEINT * syy - sy::HUGEINT * sy))
+      END AS BIGINT) assort_r2_ppm
+  FROM t""",
+    // round 10 wave 3: DOW seasonal strength, 1 - SSres/SStot ppm
+    "ts_seasonal_strength" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) c
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  dw AS (SELECT isodow(dd) % 7 + 1 dow_x, c FROM daily),
+  g AS (SELECT dow_x, CAST(count(*) AS BIGINT) ng, CAST(sum(c) AS BIGINT) sg,
+      sum(c::HUGEINT * c) qg FROM dw GROUP BY 1),
+  r AS (SELECT sum((ng::HUGEINT * qg - sg::HUGEINT * sg) // ng) ssres FROM g),
+  t AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) sc,
+      sum(c::HUGEINT * c) qc FROM daily),
+  tt AS (SELECT n, (n::HUGEINT * qc - sc::HUGEINT * sc) // n sstot FROM t)
+  SELECT tt.n n_days,
+    CAST(CASE WHEN tt.sstot = 0 THEN 0
+      ELSE 1000000 - (r.ssres * 1000000 // tt.sstot) END AS BIGINT) seasonal_strength_ppm
+  FROM tt, r""",
     // round 10 wave 3: exact-duplicate rate per source (md5-compared)
     "corpus_dedup_rate_by_source" ->
       """WITH h AS (SELECT source, md5(text) h FROM documents),

@@ -709,7 +709,8 @@ class PlanSpec extends SparkSpecBase {
     "events_survival_curve" -> "1-row scalar: user-total broadcast",
     "graph_kcore" -> "1-row scalar: node-census broadcast onto the 1-row edge count",
     "customer_nation_affinity" -> "1-row scalar: line-total broadcast over the bounded nation-pair table",
-    "text_ngram_coverage" -> "1-row scalar: top-1000 sum broadcast onto the 1-row totals")
+    "text_ngram_coverage" -> "1-row scalar: top-1000 sum broadcast onto the 1-row totals",
+    "ts_seasonal_strength" -> "1-row scalar: SSres broadcast onto the 1-row total")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -771,7 +772,9 @@ class PlanSpec extends SparkSpecBase {
     "ts_theil_sen_trend" -> "1-row fit over the bounded day-pair slope list",
     "customer_nation_affinity" -> "1-row line-total aggregate",
     "ts_sma_crossover" -> "bounded day-domain SMA/crossover windows (fact collapses to daily cents first)",
-    "text_ngram_coverage" -> "1-row totals final aggregate (top-k plans as TakeOrdered)")
+    "text_ngram_coverage" -> "1-row totals final aggregate (top-k plans as TakeOrdered)",
+    "graph_assortativity" -> "1-row correlation final aggregate",
+    "ts_seasonal_strength" -> "1-row SSres/SStot final aggregates (bounded DOW domain)")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
