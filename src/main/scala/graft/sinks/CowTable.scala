@@ -244,6 +244,14 @@ object CowTable {
     * shape CDC-driven cleanup produces (a DataFrame of ids to retire).
     * Keys not currently live are dropped (re-deleting is a no-op), so
     * the sidecar only ever lists rows the snapshot actually shows.
+    *
+    * Cost note: the liveness restriction is one KEY-COLUMN scan of the
+    * snapshot per call — that is the price of replay-safety (a
+    * re-delivered batch commits nothing, no version churn) and of
+    * sidecars that never bloat with dead keys. A caller who batches
+    * deletes on a maintenance cadence amortizes it; committing keys
+    * unverified would shift the cost to sidecar growth between
+    * [[compact]] folds without changing any read result.
     */
   def deleteMorKeys(spark: SparkSession, path: String, keys: DataFrame,
                     key: String): Int = {
@@ -379,9 +387,16 @@ object CowTable {
     val delDirty = if (newSidecars.isEmpty) None else {
       val dk = spark.read.parquet(newSidecars: _*).distinct()
       val k = dk.columns.head
-      Some(read(spark, path, Some(fromV))
-        .join(dk.withColumnRenamed(k, "__del_k"), col(k) === col("__del_k"), "left_semi")
-        .select(col(groupCol).as("__dirty_g")).distinct())
+      // small delete sets become a literal In for the same
+      // footer-pruning reason as the dirty-key recompute below
+      val keys = dk.limit(dirtyLiteralMax + 1).collect().map(_.get(0))
+      val fromRows = read(spark, path, Some(fromV))
+      val matched =
+        if (keys.length <= dirtyLiteralMax && !keys.contains(null))
+          fromRows.filter(col(k).isin(keys.toIndexedSeq: _*))
+        else fromRows.join(dk.withColumnRenamed(k, "__del_k"),
+          col(k) === col("__del_k"), "left_semi")
+      Some(matched.select(col(groupCol).as("__dirty_g")).distinct())
     }
     val dirty = (fileDirty, delDirty) match {
       case (Some(a), Some(b)) => a.unionByName(b).distinct()
@@ -546,8 +561,21 @@ object CowTable {
           df.join(dk.withColumnRenamed(k, "__del_k"),
             col(key) === col("__del_k"), if (anti) "left_anti" else "left_semi")
       }
-    val carriedDeleted = newDel.flatMap(dk =>
-      rd(carried).map(c => applyDel(c, Some(dk), anti = false)))
+    // The carried-file preimage scan is the one piece not bounded by
+    // the manifest diff (deleteMor's whole point is that the files
+    // never moved) — so, exactly like incrementalAgg's dirty keys,
+    // small delete sets become a LITERAL In predicate that reaches the
+    // parquet footers and prunes carried files a key-clustered layout
+    // never touches; only a pathological backlog pays the semi-join
+    // full scan (and only of the carried files' key column).
+    val carriedDeleted = newDel.flatMap { dk =>
+      rd(carried).map { c =>
+        val keys = dk.limit(1025).collect().map(_.get(0))
+        if (keys.length <= 1024 && !keys.contains(null))
+          c.filter(col(key).isin(keys.toIndexedSeq: _*))
+        else applyDel(c, Some(dk), anti = false)
+      }
+    }
     val sides = (rd(removed).map(applyDel(_, fromDel, anti = true)),
                  rd(added).map(applyDel(_, toDel, anti = true)))
     val pieces = Seq(sides._1, sides._2, carriedDeleted).flatten
