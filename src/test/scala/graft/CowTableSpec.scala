@@ -810,6 +810,25 @@ class CowTableSpec extends SparkSpecBase {
     assert(CowTable.read(spark, path, Some(1)).count() == 1000)
   }
 
+  test("MoR change feed: small delete sets reach the carried-file scan as a literal In") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 1000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(4, col("id")), path)
+    CowTable.deleteMor(spark, path, "id = 5 OR id = 900", "id") // v2
+    val feed = CowTable.changes(spark, path, "id", 1, 2)
+    // the preimage scan over CARRIED files (nothing moved — that is
+    // deleteMor's point) must carry a literal In that reaches the
+    // parquet footers, so a key-clustered layout skips the untouched
+    // files instead of scanning the table
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(id"),
+      s"carried scan must push a literal In:\n${plan.take(1200)}")
+    val rows = feed.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(rows == Set((5L, "delete"), (900L, "delete")), rows.toString)
+  }
+
   test("deleteMor: restore and vacuum preserve the sidecar set") {
     import spark.implicits._
     val path = tmp
