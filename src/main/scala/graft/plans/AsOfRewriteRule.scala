@@ -101,25 +101,24 @@ object AsOfRewriteRule extends Rule[LogicalPlan] {
     // a bound on rTs whose other side is computed from left columns
     // only; `upper = false` accepts rTs > / >= f(left) (backward
     // tolerance), `upper = true` accepts rTs < / <= f(left) (forward
-    // window)
-    def isBound(e: Expression, rTs: Attribute, upper: Boolean): Boolean = e match {
-      case GreaterThan(a: Attribute, b) =>
-        !upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
-      case GreaterThanOrEqual(a: Attribute, b) =>
-        !upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
-      case LessThan(b, a: Attribute) =>
-        !upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
-      case LessThanOrEqual(b, a: Attribute) =>
-        !upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
-      case LessThan(a: Attribute, b) =>
-        upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
-      case LessThanOrEqual(a: Attribute, b) =>
-        upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
-      case GreaterThan(b, a: Attribute) =>
-        upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
-      case GreaterThanOrEqual(b, a: Attribute) =>
-        upper && a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
-      case _ => false
+    // window). GUARDS, not boolean bodies: an attribute-vs-attribute
+    // comparison matches two of these patterns, and a failed guard
+    // must fall through to the other orientation rather than return
+    // false from whichever pattern listed first.
+    def isBound(e: Expression, rTs: Attribute, upper: Boolean): Boolean = {
+      def bnd(a: Attribute, b: Expression): Boolean =
+        a.exprId == rTs.exprId && b.references.subsetOf(left.outputSet)
+      e match {
+        case GreaterThan(a: Attribute, b) if bnd(a, b)        => !upper
+        case GreaterThan(b, a: Attribute) if bnd(a, b)        => upper
+        case GreaterThanOrEqual(a: Attribute, b) if bnd(a, b) => !upper
+        case GreaterThanOrEqual(b, a: Attribute) if bnd(a, b) => upper
+        case LessThan(b, a: Attribute) if bnd(a, b)           => !upper
+        case LessThan(a: Attribute, b) if bnd(a, b)           => upper
+        case LessThanOrEqual(b, a: Attribute) if bnd(a, b)    => !upper
+        case LessThanOrEqual(a: Attribute, b) if bnd(a, b)    => upper
+        case _                                                => false
+      }
     }
 
     def attempt(forward: Boolean)
