@@ -676,6 +676,29 @@ object CowTable {
     // sidecar lines would resurrect rows deleted BEFORE toVersion)
     commit(path, manifestLines(path, Some(toVersion)), currentVersion(path))
 
+  /** SHALLOW CLONE (the Delta `CLONE ... SHALLOW` shape): create an
+    * INDEPENDENT table at `dest` whose v1 manifest references the
+    * source snapshot's data files and sidecars by absolute path — a
+    * metadata copy, zero data movement, unlike [[createBranch]] not
+    * tied to the parent's publish/drop lifecycle. Writes to the clone
+    * land under the clone's own data dir (copy-on-write as always);
+    * the source is never touched.
+    *
+    * The standing caveat every shallow-clone design shares: the SOURCE
+    * does not know its files are referenced elsewhere, so a source-side
+    * [[expireSnapshots]] that vacuums the cloned snapshot's files
+    * breaks the clone. Use clones as short-lived dev/test sandboxes
+    * inside the source's retention window, or [[compact]] the clone
+    * (which rewrites every row into clone-owned files) to sever the
+    * dependency.
+    */
+  def shallowClone(src: String, dest: String, asOf: Option[Int] = None): Int = {
+    require(!exists(dest), s"clone destination $dest already exists")
+    val v = asOf.getOrElse(currentVersion(src))
+    Files.createDirectories(Paths.get(dest))
+    commit(dest, manifestLines(src, Some(v)), 0)
+  }
+
   def branchPath(path: String, name: String): String =
     Paths.get(path, "_branches", name).toString
 

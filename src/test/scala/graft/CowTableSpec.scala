@@ -829,6 +829,33 @@ class CowTableSpec extends SparkSpecBase {
     assert(rows == Set((5L, "delete"), (900L, "delete")), rows.toString)
   }
 
+  test("shallow clone: zero-copy fork, fully independent writes, sidecars carried") {
+    import spark.implicits._
+    val src = tmp; val dest = tmp + "_clone"
+    CowTable.create((0L until 300L).map(i => (i, i)).toDF("id", "v")
+      .repartition(3), src)
+    CowTable.deleteMor(spark, src, "id < 30", "id") // v2 with a sidecar
+    CowTable.shallowClone(src, dest)
+    // zero-copy: the clone's v1 IS the source's manifest content
+    assert(CowTable.snapshotFiles(dest, Some(1)) == CowTable.snapshotFiles(src, Some(2)))
+    assert(CowTable.snapshotDeletes(dest, Some(1)).nonEmpty)
+    assert(CowTable.read(spark, dest).count() == 270)
+    // independent: writes to the clone never touch the source...
+    CowTable.merge(spark, dest, Seq((1000L, 1L)).toDF("id", "v"), "id")
+    CowTable.delete(spark, dest, "id >= 290")
+    assert(CowTable.read(spark, dest).count() == 260)
+    assert(CowTable.read(spark, src).count() == 270)
+    assert(CowTable.currentVersion(src) == 2)
+    // ...and source-side writes never move the clone
+    CowTable.merge(spark, src, Seq((2000L, 2L)).toDF("id", "v"), "id")
+    assert(CowTable.read(spark, dest).count() == 260)
+    // compacting the clone severs the file dependency on the source
+    CowTable.compact(spark, dest, 2)
+    val srcData = java.nio.file.Paths.get(src, "data").toString
+    assert(CowTable.snapshotFiles(dest).forall(!_.startsWith(srcData)),
+      "post-compact clone must own every file it references")
+  }
+
   test("deleteMor: restore and vacuum preserve the sidecar set") {
     import spark.implicits._
     val path = tmp
