@@ -5,8 +5,9 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Minimal COPY-ON-WRITE table format — the seam
   * [[Sinks.scd2Parquet]]/[[Sinks.upsertParquet]] name as their
@@ -91,20 +92,60 @@ object CowTable {
   /** True once [[create]] has committed snapshot v1. */
   def exists(path: String): Boolean = listVersions(path).nonEmpty
 
-  /** MERGE-ON-READ delete sidecars (round 10): a manifest line starting
-    * with this prefix names a parquet file of DELETED KEYS (one column,
-    * named after the table's merge key) rather than a data file. A
-    * [[deleteMor]] commit adds one sidecar and carries every data file
-    * over by reference — zero data-file writes, the property that makes
-    * a daily GDPR delete affordable at 100 TB where the copy-on-write
-    * [[delete]] would rewrite every key-intersecting file. Readers
-    * apply the union of a snapshot's sidecars as an anti-join;
+  /** MERGE-ON-READ delete sidecars (round 10, generalized round 11): a
+    * manifest line starting with this prefix names a parquet file of
+    * DELETED KEYS (one or more key columns — the composite-key form
+    * landed round 11; every sidecar of a table carries the SAME column
+    * set) rather than a data file. A [[deleteMor]] commit adds one
+    * sidecar and carries every data file over by reference — zero
+    * data-file writes, the property that makes a daily GDPR delete
+    * affordable at 100 TB where the copy-on-write [[delete]] would
+    * rewrite every key-intersecting file. Readers apply the union of a
+    * snapshot's sidecars as an anti-join ON THE SIDECAR'S OWN COLUMN
+    * NAMES (never a caller-supplied key — ADVICE r10);
     * [[compact]]/[[cluster]] fold them into the data (their rewrite
     * reads the LOGICAL rows); [[merge]] un-deletes keys its batch
     * reinserts. Old manifests contain no such lines, so pre-round-10
     * tables read unchanged.
     */
   private val DeletePrefix = "D "
+
+  /** POSITIONAL delete sidecars (round 11, the Iceberg-v2 shape): a
+    * parquet file of (`__file`, `__lo`, `__hi`) rows — consecutive-run
+    * RANGES of 0-based row ordinals (`_metadata.row_index`) deleted
+    * from each data file. A wide predicate delete ([[deleteMorWhere]])
+    * commits a sidecar bounded by file-count × run-count, NOT by the
+    * deleted-row count — on a layout clustered by the predicate column
+    * a 10%-of-the-table delete collapses to a handful of ranges per
+    * touched file. Readers apply them per file (broadcast of the range
+    * list + an `exists` filter on the row index), never a table-wide
+    * anti-join.
+    */
+  private val PosDeletePrefix = "P "
+
+  /** SCHEMA-EVOLUTION spec (round 11): one line per manifest carrying
+    * the declared schema as `StructType.json`, with each field's
+    * rename lineage (prior physical names, newest first) in its
+    * metadata under `was`. Reads project every snapshot file through
+    * this schema — add/rename/drop/widen never rewrite data files.
+    * Manifests without the line read raw (pre-evolution behavior).
+    */
+  private val SchemaPrefix = "S "
+
+  /** PARTITION-TRANSFORM spec (round 11, hidden partitioning): one
+    * line carrying the table's current partition transforms (e.g.
+    * day(ts), bucket(16, id)) as metadata JSON. New data writes lay
+    * files out under `<transform>=<value>` directories; reads prune
+    * the FILE LIST from the path segments ([[readPrunedEq]]) without
+    * the query ever naming the transform column. Changing the spec is
+    * a metadata commit: old files keep their layout (they simply never
+    * prune), new writes use the new transform.
+    */
+  private val PartitionPrefix = "T "
+
+  private def isMetaLine(l: String): Boolean =
+    l.startsWith(DeletePrefix) || l.startsWith(PosDeletePrefix) ||
+      l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix)
 
   private def manifestLines(path: String, asOf: Option[Int]): Seq[String] = {
     val v = asOf.getOrElse(currentVersion(path))
@@ -116,17 +157,44 @@ object CowTable {
   }
 
   /** DATA files constituting `asOf` (default: latest snapshot) —
-    * delete sidecars excluded. Reads the requested manifest directly —
-    * never lists the snapshot directory, so open cost is independent
-    * of the table's commit count.
+    * sidecar/spec lines excluded. Reads the requested manifest
+    * directly — never lists the snapshot directory, so open cost is
+    * independent of the table's commit count.
     */
   def snapshotFiles(path: String, asOf: Option[Int] = None): Seq[String] =
-    manifestLines(path, asOf).filterNot(_.startsWith(DeletePrefix))
+    manifestLines(path, asOf).filterNot(isMetaLine)
 
-  /** The snapshot's merge-on-read delete sidecar files (often empty). */
+  /** The snapshot's merge-on-read key-delete sidecar files (often empty). */
   def snapshotDeletes(path: String, asOf: Option[Int] = None): Seq[String] =
     manifestLines(path, asOf).filter(_.startsWith(DeletePrefix))
       .map(_.stripPrefix(DeletePrefix))
+
+  /** The snapshot's positional-delete sidecar files (often empty). */
+  def snapshotPositionDeletes(path: String, asOf: Option[Int] = None): Seq[String] =
+    manifestLines(path, asOf).filter(_.startsWith(PosDeletePrefix))
+      .map(_.stripPrefix(PosDeletePrefix))
+
+  /** The snapshot's declared schema, if it has evolved ([[addColumn]] /
+    * [[renameColumn]] / [[dropColumn]] / [[widenColumn]]). Field
+    * metadata key `was` holds the column's prior physical names.
+    */
+  def declaredSchema(path: String, asOf: Option[Int] = None): Option[types.StructType] =
+    manifestLines(path, asOf).find(_.startsWith(SchemaPrefix))
+      .map(l => types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[types.StructType])
+
+  /** The snapshot's partition-transform spec ([[setPartitionSpec]]). */
+  def partitionSpec(path: String, asOf: Option[Int] = None): Seq[PartitionTransform] =
+    manifestLines(path, asOf).find(_.startsWith(PartitionPrefix))
+      .map(l => PartitionTransform.decode(l.stripPrefix(PartitionPrefix)))
+      .getOrElse(Seq.empty)
+
+  /** Spec lines (schema + partition) that every data/sidecar commit
+    * carries forward unchanged.
+    */
+  private def specLines(path: String, base: Int): Seq[String] =
+    manifestLines(path, Some(base)).filter(l =>
+      l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix))
 
   /** Current version via the [[latestHint]] + forward probe — O(1) in
     * the commit count. Falls back to a directory listing only for
@@ -175,44 +243,222 @@ object CowTable {
     v
   }
 
-  /** Write `df` into `dir` as new immutable data files; returns them. */
-  private def writeData(df: DataFrame, path: String): Seq[String] = {
+  /** Write `df` into `dir` as new immutable data files; returns them.
+    * With a partition spec (data writes on a [[setPartitionSpec]]
+    * table), rows land under `<transform>=<value>` subdirectories —
+    * the hidden-partitioning layout [[readPrunedEq]] prunes on. The
+    * synthetic transform columns live ONLY in the directory names
+    * (partitionBy drops them from file content), so reads see the
+    * original schema. Sidecar writes always pass an empty spec.
+    */
+  private def writeData(df: DataFrame, path: String,
+                        spec: Seq[PartitionTransform] = Seq.empty): Seq[String] = {
     val stamp = s"${System.nanoTime()}"
     val dir = Paths.get(path, "data", stamp)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-    Files.list(dir).iterator().asScala.map(_.toString)
+    if (spec.isEmpty) df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    else spec.foldLeft(df)((d, t) => d.withColumn(t.name, t.exprOf(col(t.src))))
+      .write.partitionBy(spec.map(_.name): _*)
+      .mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    Files.walk(dir).iterator().asScala.map(_.toString)
       .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).toSeq
   }
 
-  /** Create the table: data files + manifest v1. */
-  def create(df: DataFrame, path: String): Int =
-    commit(path, writeData(df, path), base = (listVersions(path) :+ 0).max)
+  /** Create the table: data files + manifest v1. With `transforms`,
+    * v1 is laid out under the hidden-partitioning spec and the spec is
+    * recorded in the manifest ([[setPartitionSpec]] to evolve it
+    * later).
+    */
+  def create(df: DataFrame, path: String,
+             transforms: Seq[PartitionTransform] = Seq.empty): Int = {
+    val spec =
+      if (transforms.isEmpty) Seq.empty
+      else Seq(PartitionPrefix + PartitionTransform.encode(transforms))
+    commit(path, writeData(df, path, transforms) ++ spec,
+      base = (listVersions(path) :+ 0).max)
+  }
+
+  /** PARTITION EVOLUTION (hidden partitioning): record a new partition
+    * transform spec as a METADATA-ONLY commit. Existing files keep
+    * their layout — they are never rewritten, they simply don't prune
+    * under the new spec; every subsequent data write (merge rewrites
+    * and inserts, compact, cluster, delete survivors) lays out under
+    * the new transforms. Queries never name the transform column:
+    * [[readPrunedEq]] derives the matching directories from the SOURCE
+    * column predicate, which is what makes the layout changeable
+    * without breaking a single reader — the Iceberg partition-evolution
+    * contract.
+    */
+  def setPartitionSpec(path: String, transforms: Seq[PartitionTransform]): Int = {
+    val base = currentVersion(path)
+    val kept = manifestLines(path, Some(base)).filterNot(_.startsWith(PartitionPrefix))
+    val spec =
+      if (transforms.isEmpty) Seq.empty
+      else Seq(PartitionPrefix + PartitionTransform.encode(transforms))
+    commit(path, kept ++ spec, base)
+  }
+
+  /** Hidden-partition-PRUNED equality read: keep only the files whose
+    * transform directory matches `src = value` — plus every file
+    * written under an OLDER spec (no matching directory segment:
+    * over-approximate, never wrong). The residual filter still
+    * applies, so pruning is purely an IO optimization; correctness
+    * never depends on the layout. Sidecars and the declared schema
+    * apply as in [[read]].
+    */
+  def readPrunedEq(spark: SparkSession, path: String, src: String, value: Any,
+                   asOf: Option[Int] = None): DataFrame =
+    readFiles(spark, path, prunedFilesEq(spark, path, src, value, asOf),
+      asOf).filter(col(src) <=> lit(value))
+
+  /** The pruned file list behind [[readPrunedEq]] (exposed for tests /
+    * observability). Files written before the current spec carry no
+    * transform segment and always survive — pruning works ACROSS a
+    * partition-evolution boundary by reading old-layout files
+    * unpruned.
+    */
+  def prunedFilesEq(spark: SparkSession, path: String, src: String, value: Any,
+                    asOf: Option[Int] = None): Seq[String] = {
+    val files = snapshotFiles(path, asOf)
+    partitionSpec(path, asOf).find(_.src == src) match {
+      case None => files
+      case Some(t) =>
+        // evaluate the transform of the literal exactly as the writer
+        // did (one 1-row local projection), and escape the value the
+        // way Spark's partitioned writer escapes directory names —
+        // a mismatch here would WRONGLY prune, not just under-prune
+        val v = spark.range(1).select(t.exprOf(lit(value)).cast("string"))
+          .head.getString(0)
+        if (v == null) files // null never equals; residual filter decides
+        else {
+          val seg = s"/${t.name}=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v) + "/"
+          val marker = s"/${t.name}="
+          files.filter(f => f.contains(seg) || !f.contains(marker))
+        }
+    }
+  }
 
   /** Read a snapshot (latest, or `asOf` for time travel). Schemas are
     * merged across the snapshot's files so a snapshot mixing pre- and
     * post-evolution files never silently narrows to whichever file the
-    * reader sampled first. Merge-on-read delete sidecars apply as an
-    * anti-join on the key column they carry; a sidecar-free snapshot
-    * (the overwhelmingly common case, and every pre-round-10 snapshot)
-    * keeps the plain pruned scan plan.
+    * reader sampled first; a [[declaredSchema]] (if the table evolved)
+    * then projects the merged frame into the declared column set —
+    * renamed columns resolve per row through their lineage, dropped
+    * columns vanish, added columns are null for pre-evolution rows.
+    * Merge-on-read delete sidecars apply on the way: positional
+    * sidecars as a per-file range filter, key sidecars as an anti-join
+    * on the SIDECAR'S OWN columns. A sidecar-free unevolved snapshot
+    * (the overwhelmingly common case) keeps the plain pruned scan plan.
     */
-  def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame = {
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(snapshotFiles(path, asOf): _*)
-    val dels = snapshotDeletes(path, asOf)
-    if (dels.isEmpty) data
-    else {
-      // no mergeSchema: every sidecar of a table carries the SAME
-      // single key column ([[deleteMor]] contract) — a mismatch should
-      // fail loudly, not widen
-      val dk = spark.read.parquet(dels: _*).distinct()
-      val k = dk.columns.head
-      // sidecars are key lists bounded by the compaction cadence —
-      // size-based estimation broadcasts them; not forced, so a
-      // pathological backlog degrades to a shuffle join, never an OOM
-      data.join(dk.withColumnRenamed(k, "__del_k"),
-        col(k) === col("__del_k"), "left_anti")
+  def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
+    readFiles(spark, path, snapshotFiles(path, asOf), asOf)
+
+  /** [[read]] restricted to a subset of the snapshot's data files —
+    * the building block partition pruning ([[readPrunedEq]]) and the
+    * internal rewrite paths share. All of the snapshot's delete
+    * sidecars and its declared schema still apply.
+    */
+  private[graft] def readFiles(spark: SparkSession, path: String,
+                               files: Seq[String],
+                               asOf: Option[Int] = None): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val pos = applyPosDeletes(spark, raw, snapshotPositionDeletes(path, asOf))
+    val projected = declaredSchema(path, asOf).fold(pos)(projectDeclared(pos, _))
+    applyKeyDeletes(spark, projected, snapshotDeletes(path, asOf))
+  }
+
+  /** Anti-join `data` against the union of key-delete sidecars, joined
+    * on the sidecar's own column names (composite keys join on all of
+    * them). Sidecars are key lists bounded by the compaction cadence —
+    * size-based estimation broadcasts them; not forced, so a
+    * pathological backlog degrades to a shuffle join, never an OOM.
+    * A sidecar column missing from the data schema fails loudly
+    * (ADVICE r10): the one legitimate way to hit it is renaming the
+    * delete-key column before folding the sidecars — [[compact]]
+    * first.
+    */
+  private def applyKeyDeletes(spark: SparkSession, data: DataFrame,
+                              dels: Seq[String]): DataFrame = {
+    if (dels.isEmpty) return data
+    // no mergeSchema: every sidecar of a table carries the SAME column
+    // set ([[deleteMor]] contract, enforced at commit) — a mismatch
+    // should fail loudly, not widen
+    val dk = spark.read.parquet(dels: _*).distinct()
+    val kcols = dk.columns.toSeq
+    val missing = kcols.filterNot(data.columns.contains)
+    require(missing.isEmpty,
+      s"delete-sidecar key column(s) ${missing.mkString(", ")} not in the " +
+        s"table's read schema ${data.columns.mkString("[", ", ", "]")} — " +
+        "fold sidecars (compact) before renaming/dropping a delete-key column")
+    val renamed = kcols.foldLeft(dk)((d, c) => d.withColumnRenamed(c, s"__del_$c"))
+    data.join(renamed,
+      kcols.map(c => col(c) === col(s"__del_$c")).reduce(_ && _), "left_anti")
+  }
+
+  /** Filter out rows whose (file, row-ordinal) lands in a positional
+    * sidecar range. One broadcast of the per-file range lists (bounded
+    * by file-count × run-count — the sidecar design bound) + a codegen
+    * `exists` filter; rows from files with no ranges stream through the
+    * left join untouched.
+    */
+  private def applyPosDeletes(spark: SparkSession, data: DataFrame,
+                              pos: Seq[String]): DataFrame = {
+    if (pos.isEmpty) return data
+    // internal names are `__pd_`-prefixed so they can never collide
+    // with the caller's own `__file`/`__pos` bookkeeping (readWithPos)
+    val ranges = spark.read.parquet(pos: _*)
+      .groupBy(col("__file").as("__pd_file"))
+      .agg(collect_list(struct(col("__lo"), col("__hi"))).as("__pd_ranges"))
+    data
+      .withColumn("__pd_fp", col("_metadata.file_path"))
+      .withColumn("__pd_ri", col("_metadata.row_index"))
+      .join(broadcast(ranges), col("__pd_fp") === col("__pd_file"), "left_outer")
+      .filter(col("__pd_ranges").isNull || !org.apache.spark.sql.functions.exists(col("__pd_ranges"),
+        r => col("__pd_ri") >= r.getField("__lo") && col("__pd_ri") <= r.getField("__hi")))
+      .drop("__pd_fp", "__pd_ri", "__pd_file", "__pd_ranges")
+  }
+
+  /** Keep rows whose (file, row-ordinal) IS in a sidecar range — the
+    * preimage extraction [[changes]] uses for carried files.
+    */
+  private def keepPosDeleted(spark: SparkSession, data: DataFrame,
+                             pos: Seq[String]): DataFrame = {
+    val ranges = spark.read.parquet(pos: _*)
+      .groupBy(col("__file").as("__pd_file"))
+      .agg(collect_list(struct(col("__lo"), col("__hi"))).as("__pd_ranges"))
+    data
+      .withColumn("__pd_fp", col("_metadata.file_path"))
+      .withColumn("__pd_ri", col("_metadata.row_index"))
+      .join(broadcast(ranges), col("__pd_fp") === col("__pd_file"), "inner")
+      .filter(org.apache.spark.sql.functions.exists(col("__pd_ranges"),
+        r => col("__pd_ri") >= r.getField("__lo") && col("__pd_ri") <= r.getField("__hi")))
+      .drop("__pd_fp", "__pd_ri", "__pd_file", "__pd_ranges")
+  }
+
+  /** Project a (schema-merged) frame through the declared schema: each
+    * declared column resolves per row through its rename lineage
+    * (coalesce over whichever physical names are present, newest
+    * first), cast to the declared type (type widening). Physical
+    * columns outside the declared set (dropped, or renamed-away names)
+    * disappear; `keep` columns (internal bookkeeping like
+    * `input_file_name`) survive the projection.
+    */
+  private def projectDeclared(df: DataFrame, schema: types.StructType,
+                              keep: Seq[String] = Seq.empty): DataFrame = {
+    val present = df.columns.toSet
+    val cols = schema.fields.toIndexedSeq.map { f =>
+      val was: Seq[String] =
+        if (f.metadata.contains("was")) f.metadata.getStringArray("was").toIndexedSeq
+        else Seq.empty
+      val cands = (f.name +: was).filter(present)
+      (cands match {
+        case Seq()    => lit(null).cast(f.dataType)
+        case Seq(one) => col(one).cast(f.dataType)
+        case many     => coalesce(many.map(c => col(c).cast(f.dataType)): _*)
+      }).as(f.name)
     }
+    df.select(cols ++ keep.map(col): _*)
   }
 
   /** MERGE-ON-READ DELETE: commit the keys of rows matching
@@ -232,11 +478,19 @@ object CowTable {
     * current one unchanged when nothing matches).
     */
   def deleteMor(spark: SparkSession, path: String, predicate: String,
-                key: String): Int = {
+                key: String): Int = deleteMor(spark, path, predicate, Seq(key))
+
+  /** Composite-key [[deleteMor]]: the sidecar carries every key column
+    * and readers anti-join on all of them. All sidecars of a table
+    * must use the same key column set (enforced at commit).
+    */
+  def deleteMor(spark: SparkSession, path: String, predicate: String,
+                keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "at least one key column")
     val base = currentVersion(path)
     val matched = read(spark, path, Some(base))
       .filter(coalesce(expr(predicate), lit(false)))
-      .select(col(key)).filter(col(key).isNotNull).distinct()
+      .select(keys.map(col): _*).na.drop("any", keys).distinct()
     commitDeleteKeys(path, matched, base)
   }
 
@@ -254,17 +508,86 @@ object CowTable {
     * [[compact]] folds without changing any read result.
     */
   def deleteMorKeys(spark: SparkSession, path: String, keys: DataFrame,
-                    key: String): Int = {
+                    key: String): Int = deleteMorKeys(spark, path, keys, Seq(key))
+
+  /** Composite-key [[deleteMorKeys]]. */
+  def deleteMorKeys(spark: SparkSession, path: String, keys: DataFrame,
+                    keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "at least one key column")
     val base = currentVersion(path)
-    val matched = read(spark, path, Some(base)).select(col(key))
-      .join(keys.select(col(key)).filter(col(key).isNotNull).distinct(),
-        Seq(key), "left_semi")
+    val matched = read(spark, path, Some(base)).select(keyCols.map(col): _*)
+      .join(keys.select(keyCols.map(col): _*).na.drop("any", keyCols).distinct(),
+        keyCols, "left_semi")
       .distinct()
     commitDeleteKeys(path, matched, base)
   }
 
+  /** POSITIONAL merge-on-read delete (the Iceberg-v2 delete-file
+    * shape): commit the (file, row-ordinal-range) positions of rows
+    * matching `predicate` — no key column needed, no per-key sidecar
+    * rows. Consecutive ordinals collapse into ranges, so the sidecar
+    * is bounded by file-count × run-count: a wide predicate delete
+    * (drop a language, a source, a date range — 10% of a 100 TB
+    * table) costs a few ranges per touched file where the key-list
+    * sidecar would materialize billions of keys and tax every
+    * subsequent read with a giant anti-join. Zero data files written;
+    * rows vanish from read/changes immediately; [[compact]] folds the
+    * positions physically; time travel stays exact (old snapshots
+    * don't reference the sidecar). Returns the new version (or the
+    * current one unchanged when nothing matches).
+    */
+  def deleteMorWhere(spark: SparkSession, path: String, predicate: String): Int = {
+    val base = currentVersion(path)
+    val matched = readWithPos(spark, path, Some(base))
+      .filter(coalesce(expr(predicate), lit(false)))
+      .select(col("__file"), col("__pos"))
+    if (matched.isEmpty) return base
+    // collapse consecutive ordinals into runs: pos - rank is constant
+    // within a run (per file) — the classic gaps-and-islands grouping,
+    // partitioned by file so no global sort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__file").orderBy("__pos")
+    val ranges = matched
+      .withColumn("__run", col("__pos") - row_number().over(w))
+      .groupBy(col("__file"), col("__run"))
+      .agg(min("__pos").as("__lo"), max("__pos").as("__hi"))
+      .select("__file", "__lo", "__hi")
+    val sidecar = writeData(ranges.coalesce(1), path)
+    commit(path, manifestLines(path, Some(base)) ++
+      sidecar.map(PosDeletePrefix + _), base)
+  }
+
+  /** The logical snapshot with each row's physical address attached
+    * (`__file` = `_metadata.file_path`, `__pos` = row ordinal) — what
+    * [[deleteMorWhere]] filters. Key sidecars apply after projection
+    * as in [[read]], so the positions of already-deleted rows never
+    * re-commit.
+    */
+  private def readWithPos(spark: SparkSession, path: String,
+                          asOf: Option[Int]): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(snapshotFiles(path, asOf): _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val pos = applyPosDeletes(spark, raw, snapshotPositionDeletes(path, asOf))
+    val projected = declaredSchema(path, asOf)
+      .fold(pos)(projectDeclared(pos, _, keep = Seq("__file", "__pos")))
+    applyKeyDeletes(spark, projected, snapshotDeletes(path, asOf))
+  }
+
   private def commitDeleteKeys(path: String, matched: DataFrame, base: Int): Int = {
     if (matched.isEmpty) return base
+    // sidecar key contract: every key sidecar of a table carries the
+    // SAME column set — readers join on the sidecar's own columns, so
+    // a drifting contract would silently join unrelated values
+    val existing = snapshotDeletes(path, Some(base))
+    if (existing.nonEmpty) {
+      val cols = matched.sparkSession.read.parquet(existing.head).columns.toSeq
+      require(cols.sorted == matched.columns.toSeq.sorted,
+        s"delete-sidecar key contract violation: existing sidecars carry " +
+          s"${cols.mkString("[", ", ", "]")}, this delete uses " +
+          matched.columns.mkString("[", ", ", "]"))
+    }
     val sidecar = writeData(matched.coalesce(1), path)
     commit(path, manifestLines(path, Some(base)) ++
       sidecar.map(DeletePrefix + _), base)
@@ -278,49 +601,180 @@ object CowTable {
   def merge(spark: SparkSession, path: String, updates: DataFrame, key: String): Int = {
     val base = currentVersion(path)
     val current = snapshotFiles(path, Some(base))
+    val schema = declaredSchema(path, Some(base))
+    val posDels = snapshotPositionDeletes(path, Some(base))
     // one key-column scan finds the files that contain matched keys —
-    // the column-pruned generator analogue of footer-stat pruning
+    // the column-pruned generator analogue of footer-stat pruning.
+    // The scan projects through the declared schema (rename lineage)
+    // so `key` always means the DECLARED key column, whichever
+    // physical name a file carries.
     val keys = updates.select(col(key)).distinct()
-    val touched = spark.read.option("mergeSchema", "true").parquet(current: _*)
-      .select(input_file_name().as("f"), col(key))
+    val rawKeyed = spark.read.option("mergeSchema", "true").parquet(current: _*)
+      .withColumn("__f", input_file_name())
+    val keyed = schema.fold(rawKeyed)(projectDeclared(rawKeyed, _, keep = Seq("__f")))
+    val touched = keyed
+      .select(col("__f").as("f"), col(key))
       .join(broadcast(keys), key).select("f").distinct()
       .collect().map(_.getString(0)).toSet
     val isTouched = (f: String) => touched.exists(t => samePath(f, t))
     val untouched = current.filterNot(isTouched)
     val toRewrite = current.filter(isTouched)
+    val pspec = partitionSpec(path, Some(base))
     val rewritten =
-      if (toRewrite.isEmpty) writeData(updates, path) // pure insert
-      else writeData(
+      if (toRewrite.isEmpty) writeData(updates, path, pspec) // pure insert
+      else {
         // mergeSchema: a touched set mixing pre- and post-evolution
-        // files must not drop the added column from survivor rows
-        spark.read.option("mergeSchema", "true").parquet(toRewrite: _*)
+        // files must not drop the added column from survivor rows.
+        // Positionally-deleted rows are filtered BEFORE the rewrite —
+        // reading them raw would resurrect them in the new file (its
+        // fresh path makes the old range entries inert).
+        val rawTouched = spark.read.option("mergeSchema", "true").parquet(toRewrite: _*)
+        val logical0 = applyPosDeletes(spark, rawTouched, posDels)
+        val logical = schema.fold(logical0)(projectDeclared(logical0, _))
+        writeData(logical
           .join(broadcast(keys), Seq(key), "left_anti") // survivors
-          .unionByName(updates, allowMissingColumns = true), path)
-    // Merge-on-read sidecars: an upserted key is LIVE again, so it must
-    // leave the delete set (the update's row would otherwise vanish at
-    // read). Surviving entries consolidate into one fresh sidecar —
-    // merge doubles as sidecar compaction, bounding sidecar count by
-    // the commits since the last merge/compact, not table age.
+          .unionByName(updates, allowMissingColumns = true), path, pspec)
+      }
+    // Merge-on-read key sidecars: an upserted key is LIVE again, so it
+    // must leave the delete set (the update's row would otherwise
+    // vanish at read). Surviving entries consolidate into one fresh
+    // sidecar — merge doubles as sidecar compaction, bounding sidecar
+    // count by the commits since the last merge/compact, not table
+    // age. Sidecars keyed on something OTHER than the merge key
+    // (composite-key deletes) carry over untouched: their deletes are
+    // not addressed by this merge's key, so no un-delete applies.
     val sidecars = snapshotDeletes(path, Some(base))
     val delLines =
       if (sidecars.isEmpty) Seq.empty
+      else if (spark.read.parquet(sidecars.head).columns.toSeq != Seq(key))
+        sidecars.map(DeletePrefix + _)
       else {
         val remaining = spark.read.parquet(sidecars: _*).distinct()
           .join(broadcast(keys), Seq(key), "left_anti")
         if (remaining.isEmpty) Seq.empty
         else writeData(remaining.coalesce(1), path).map(DeletePrefix + _)
       }
-    commit(path, untouched ++ rewritten ++ delLines, base)
+    // Positional sidecars carry over: entries for carried files stay
+    // live; entries for rewritten files point at paths no longer in
+    // the manifest and are inert (compact retires them).
+    commit(path, untouched ++ rewritten ++ delLines ++
+      posDels.map(PosDeletePrefix + _) ++ specLines(path, base), base)
   }
 
-  /** SCHEMA EVOLUTION: `merge` accepts updates with ADDED columns —
-    * survivors and carried-over files keep their narrower schema on
-    * disk and readers widen (`mergeSchema`), so old files are never
-    * rewritten just to add a column. [[read]] always merges schemas
-    * across the snapshot's files (nulls for pre-evolution rows).
+  /** Implicit SCHEMA WIDENING: `merge` accepts updates with ADDED
+    * columns — survivors and carried-over files keep their narrower
+    * schema on disk and readers widen (`mergeSchema`), so old files
+    * are never rewritten just to add a column. [[read]] always merges
+    * schemas across the snapshot's files (nulls for pre-evolution
+    * rows). Kept as the zero-ceremony path; the DECLARED evolution
+    * contract below ([[addColumn]]/[[renameColumn]]/[[dropColumn]]/
+    * [[widenColumn]]) adds manifest-tracked schema versions on top.
     */
   def readEvolved(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
     read(spark, path, asOf)
+
+  // ---------------------------------------------------------------
+  // DECLARED SCHEMA EVOLUTION (round 11) — add / rename / drop /
+  // widen as METADATA-ONLY commits: the manifest records the declared
+  // schema (one `S` line, a StructType.json with rename lineage in
+  // field metadata) and readers project every file through it. No
+  // data file is ever rewritten for a schema change; old snapshots
+  // keep their own schema line, so time travel and the change feed
+  // show each version through the schema IT declared.
+  // ---------------------------------------------------------------
+
+  /** The declared schema at `base`, deriving one from the snapshot's
+    * merged file schema on first evolution (metadata stripped — field
+    * metadata is reserved for the rename lineage).
+    */
+  private def specOrDerived(spark: SparkSession, path: String, base: Int): types.StructType =
+    declaredSchema(path, Some(base)).getOrElse(
+      types.StructType(
+        spark.read.option("mergeSchema", "true")
+          .parquet(snapshotFiles(path, Some(base)): _*)
+          .schema.fields.map(f => types.StructField(f.name, f.dataType))))
+
+  /** All physical column names any snapshot file carries (current
+    * names and renamed-away ones) — the collision domain for
+    * [[addColumn]]/[[renameColumn]].
+    */
+  private def physicalCols(spark: SparkSession, path: String, base: Int): Set[String] =
+    spark.read.option("mergeSchema", "true")
+      .parquet(snapshotFiles(path, Some(base)): _*).columns.toSet
+
+  private def commitSchema(path: String, schema: types.StructType, base: Int): Int =
+    commit(path,
+      manifestLines(path, Some(base)).filterNot(_.startsWith(SchemaPrefix)) :+
+        (SchemaPrefix + schema.json), base)
+
+  /** ADD a column (type as a DDL string, e.g. "bigint", "decimal(12,2)").
+    * Pre-evolution rows read null. The name must be genuinely new —
+    * colliding with a physical column still present in any file (e.g.
+    * a previously dropped or renamed-away name) would leak that old
+    * data into the "new" column, so it fails loudly; [[compact]] first
+    * to physically retire old names.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String, ddl: String): Int = {
+    val base = currentVersion(path)
+    val cur = specOrDerived(spark, path, base)
+    require(!cur.fieldNames.contains(name), s"column $name already declared")
+    require(!physicalCols(spark, path, base).contains(name),
+      s"column $name still exists physically in snapshot files (dropped or " +
+        "renamed-away earlier) — compact before re-adding the name")
+    commitSchema(path, types.StructType(
+      cur.fields :+ types.StructField(name, types.DataType.fromDDL(ddl))), base)
+  }
+
+  /** RENAME a column — metadata only. The field keeps its rename
+    * lineage (`was`, newest first), so a snapshot mixing files written
+    * under either name resolves per row; files are never rewritten.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Int = {
+    val base = currentVersion(path)
+    val cur = specOrDerived(spark, path, base)
+    require(cur.fieldNames.contains(from), s"no declared column $from")
+    require(!cur.fieldNames.contains(to), s"column $to already declared")
+    require(!physicalCols(spark, path, base).contains(to),
+      s"column $to still exists physically in snapshot files — compact first")
+    commitSchema(path, types.StructType(cur.fields.map { f =>
+      if (f.name != from) f
+      else {
+        val was = if (f.metadata.contains("was")) f.metadata.getStringArray("was") else Array.empty[String]
+        types.StructField(to, f.dataType, f.nullable,
+          new types.MetadataBuilder().putStringArray("was", from +: was).build())
+      }
+    }), base)
+  }
+
+  /** DROP a column — metadata only; the data stays in old files
+    * (invisible through the declared schema) until a rewrite retires
+    * it. Re-adding the same name requires a [[compact]] first (see
+    * [[addColumn]]).
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Int = {
+    val base = currentVersion(path)
+    val cur = specOrDerived(spark, path, base)
+    require(cur.fieldNames.contains(name), s"no declared column $name")
+    commitSchema(path, types.StructType(cur.fields.filterNot(_.name == name)), base)
+  }
+
+  /** WIDEN a column's declared type (int→long, float→double,
+    * decimal precision growth — Iceberg's type-promotion lanes).
+    * Readers cast every file's physical values to the declared type;
+    * narrowing is refused (it would silently truncate old rows).
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String, ddl: String): Int = {
+    val base = currentVersion(path)
+    val cur = specOrDerived(spark, path, base)
+    val idx = cur.fieldNames.indexOf(name)
+    require(idx >= 0, s"no declared column $name")
+    val to = types.DataType.fromDDL(ddl)
+    val from = cur.fields(idx).dataType
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+      s"cannot widen ${from.simpleString} to ${to.simpleString} (not an up-cast)")
+    commitSchema(path, types.StructType(cur.fields.updated(idx,
+      cur.fields(idx).copy(dataType = to))), base)
+  }
 
   /** COMPACT the current snapshot into `files` bin-packed data files —
     * a metadata-only change from the reader's view (same rows, new
@@ -336,7 +790,12 @@ object CowTable {
   def compact(spark: SparkSession, path: String, files: Int): Int = {
     val base = currentVersion(path)
     val rows = read(spark, path, Some(base)).coalesce(files)
-    commit(path, writeData(rows, path), base)
+    // folds D and P sidecars (the logical read applied them; no
+    // sidecar lines carry over) and physically retires dropped /
+    // renamed-away columns (the rewrite emits the declared schema).
+    // Schema + partition spec lines carry forward.
+    commit(path, writeData(rows, path, partitionSpec(path, Some(base))) ++
+      specLines(path, base), base)
   }
 
   /** INCREMENTAL VIEW MAINTENANCE: refresh a grouped-aggregate
@@ -374,34 +833,50 @@ object CowTable {
     val delta = fromFiles.diff(toFiles) ++ toFiles.diff(fromFiles)
     // A merge-on-read delete commit moves NO data files — its dirty
     // groups come from the sidecar diff instead: the groups of the
-    // fromV rows whose keys the window's new sidecars deleted. (A
-    // superset is fine, as with rewrite survivors: sidecar
+    // fromV rows whose keys (or positions) the window's new sidecars
+    // deleted. (A superset is fine, as with rewrite survivors: sidecar
     // consolidation re-flags still-deleted keys whose rows no longer
     // join — extra recompute, never staleness.)
     val newSidecars = snapshotDeletes(path, Some(toV))
       .diff(snapshotDeletes(path, Some(fromV)))
-    if (delta.isEmpty && newSidecars.isEmpty) return mv
+    val newPos = snapshotPositionDeletes(path, Some(toV))
+      .diff(snapshotPositionDeletes(path, Some(fromV)))
+    if (delta.isEmpty && newSidecars.isEmpty && newPos.isEmpty) return mv
+    val toSchema = declaredSchema(path, Some(toV))
+    def projected(df: DataFrame): DataFrame = toSchema.fold(df)(projectDeclared(df, _))
     val fileDirty = if (delta.isEmpty) None else Some(
-      spark.read.option("mergeSchema", "true").parquet(delta: _*)
+      projected(spark.read.option("mergeSchema", "true").parquet(delta: _*))
         .select(col(groupCol).as("__dirty_g")).distinct())
     val delDirty = if (newSidecars.isEmpty) None else {
       val dk = spark.read.parquet(newSidecars: _*).distinct()
-      val k = dk.columns.head
-      // small delete sets become a literal In for the same
-      // footer-pruning reason as the dirty-key recompute below
-      val keys = dk.limit(dirtyLiteralMax + 1).collect().map(_.get(0))
+      val kcols = dk.columns.toSeq
       val fromRows = read(spark, path, Some(fromV))
       val matched =
-        if (keys.length <= dirtyLiteralMax && !keys.contains(null))
-          fromRows.filter(col(k).isin(keys.toIndexedSeq: _*))
-        else fromRows.join(dk.withColumnRenamed(k, "__del_k"),
-          col(k) === col("__del_k"), "left_semi")
+        if (kcols.size == 1) {
+          val k = kcols.head
+          // small delete sets become a literal In for the same
+          // footer-pruning reason as the dirty-key recompute below
+          val keys = dk.limit(dirtyLiteralMax + 1).collect().map(_.get(0))
+          if (keys.length <= dirtyLiteralMax && !keys.contains(null))
+            fromRows.filter(col(k).isin(keys.toIndexedSeq: _*))
+          else fromRows.join(dk.withColumnRenamed(k, "__del_k"),
+            col(k) === col("__del_k"), "left_semi")
+        } else {
+          val renamed = kcols.foldLeft(dk)((d, c) => d.withColumnRenamed(c, s"__del_$c"))
+          fromRows.join(renamed,
+            kcols.map(c => col(c) === col(s"__del_$c")).reduce(_ && _), "left_semi")
+        }
       Some(matched.select(col(groupCol).as("__dirty_g")).distinct())
     }
-    val dirty = (fileDirty, delDirty) match {
-      case (Some(a), Some(b)) => a.unionByName(b).distinct()
-      case (a, b)             => a.orElse(b).get
+    // positional sidecar diff: the deleted rows live in files that
+    // never moved — address them by (file, ordinal) against fromV
+    val posDirty = if (newPos.isEmpty) None else {
+      val rawFrom = spark.read.option("mergeSchema", "true").parquet(fromFiles: _*)
+      Some(projected(keepPosDeleted(spark, rawFrom, newPos))
+        .select(col(groupCol).as("__dirty_g")).distinct())
     }
+    val dirty = Seq(fileDirty, delDirty, posDirty).flatten
+      .reduce(_ unionByName _).distinct()
     // Small dirty sets become a LITERAL In predicate instead of a
     // semi-join: a literal reaches the parquet footers, so on a layout
     // clustered/sorted by the group column the recompute SKIPS the
@@ -474,7 +949,8 @@ object CowTable {
       .repartitionByRange(files, col("__z"))
       .drop(("__z" +: (0 until n).map(s"__q" + _)) ++
         zcols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
-    commit(path, writeData(clustered, path), base)
+    commit(path, writeData(clustered, path, partitionSpec(path, Some(base))) ++
+      specLines(path, base), base)
   }
 
   /** DELETE rows matching `predicate`: rewrite only files containing
@@ -488,24 +964,39 @@ object CowTable {
   def delete(spark: SparkSession, path: String, predicate: String): Int = {
     val base = currentVersion(path)
     val current = snapshotFiles(path, Some(base))
+    val schema = declaredSchema(path, Some(base))
+    val posDels = snapshotPositionDeletes(path, Some(base))
     val deleteCond = coalesce(expr(predicate), lit(false))
-    val touched = spark.read.option("mergeSchema", "true").parquet(current: _*)
-      .filter(deleteCond)
-      .select(input_file_name().as("f")).distinct()
+    // touched-file detection on the projected raw rows (predicate
+    // names declared columns); already-deleted rows may over-flag a
+    // file — an extra rewrite, never a wrong result
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(current: _*)
+      .withColumn("__f", input_file_name())
+    val probe = schema.fold(raw0)(projectDeclared(raw0, _, keep = Seq("__f")))
+    val touched = probe.filter(deleteCond)
+      .select(col("__f").as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     val untouched = current.filterNot(f => touched.exists(t => samePath(f, t)))
     val toRewrite = current.filter(f => touched.exists(t => samePath(f, t)))
     val files =
       if (toRewrite.isEmpty) untouched
       else {
-        val kept = spark.read.option("mergeSchema", "true").parquet(toRewrite: _*)
-          .filter(not(deleteCond))
-        untouched ++ writeData(kept, path)
+        // rewrite from the LOGICAL rows w.r.t. positional sidecars: a
+        // raw read would resurrect positionally-deleted rows in the new
+        // file (whose fresh path old range entries can't address)
+        val rawT = spark.read.option("mergeSchema", "true").parquet(toRewrite: _*)
+        val logical0 = applyPosDeletes(spark, rawT, posDels)
+        val logical = schema.fold(logical0)(projectDeclared(logical0, _))
+        untouched ++ writeData(logical.filter(not(deleteCond)), path,
+          partitionSpec(path, Some(base)))
       }
-    // MoR sidecars carry over untouched: a sidecar-deleted row stays
-    // deleted whether or not its physical row also matched here
+    // MoR key sidecars carry over untouched: a sidecar-deleted row
+    // stays deleted whether or not its physical row also matched here.
+    // Positional entries for carried files stay live; entries for
+    // rewritten files are inert (path left the manifest).
     commit(path, files ++
-      snapshotDeletes(path, Some(base)).map(DeletePrefix + _), base)
+      snapshotDeletes(path, Some(base)).map(DeletePrefix + _) ++
+      posDels.map(PosDeletePrefix + _) ++ specLines(path, base), base)
   }
 
   /** CHANGE FEED (CDC-out): row-level changes between two snapshots —
@@ -533,17 +1024,24 @@ object CowTable {
     val removed = fromFiles.filterNot(toFiles.contains)
     val added = toFiles.filterNot(fromFiles.contains)
     val carried = fromFiles.filter(toFiles.contains)
+    // the feed presents every row through toV's DECLARED schema, so a
+    // CDC consumer sees one column set across an evolution commit
+    // (renames resolve through lineage, drops vanish, adds are null on
+    // preimages)
+    val toSchema = declaredSchema(path, Some(toV))
+    def projected(df: DataFrame): DataFrame = toSchema.fold(df)(projectDeclared(df, _))
     def rd(fs: Seq[String]): Option[DataFrame] =
       if (fs.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true").parquet(fs: _*))
     // Merge-on-read sidecars: each side of the compare must see the
     // LOGICAL rows of its version. The preimage side drops rows already
-    // deleted at fromV and ADDS the carried-file rows whose keys the
-    // window's sidecars newly deleted (their data files never moved —
-    // the whole point of deleteMor — so the file diff alone would miss
-    // them); the postimage side drops rows deleted at toV. A key
-    // reinserted after a MoR delete then classifies as `insert` (its
-    // preimage wasn't visible at fromV) — the semantically right call.
+    // deleted at fromV and ADDS the carried-file rows whose keys (or
+    // positions) the window's sidecars newly deleted (their data files
+    // never moved — the whole point of deleteMor — so the file diff
+    // alone would miss them); the postimage side drops rows deleted at
+    // toV. A key reinserted after a MoR delete then classifies as
+    // `insert` (its preimage wasn't visible at fromV) — the
+    // semantically right call.
     def delKeys(fs: Seq[String]): Option[DataFrame] =
       if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*).distinct())
     val fromDel = delKeys(snapshotDeletes(path, Some(fromV)))
@@ -553,34 +1051,61 @@ object CowTable {
       case (None, Some(t))    => Some(t)
       case (Some(f), Some(t)) => Some(t.except(f))
     }
+    // join on the SIDECAR'S OWN column names (composite keys on all of
+    // them) — never the caller's `key`, which classifies the feed but
+    // need not be the delete key (ADVICE r10: a mismatched caller key
+    // silently anti-joined unrelated values)
     def applyDel(df: DataFrame, del: Option[DataFrame], anti: Boolean): DataFrame =
       del match {
         case None => df
         case Some(dk) =>
-          val k = dk.columns.head
-          df.join(dk.withColumnRenamed(k, "__del_k"),
-            col(key) === col("__del_k"), if (anti) "left_anti" else "left_semi")
+          val kcols = dk.columns.toSeq
+          val missing = kcols.filterNot(df.columns.contains)
+          require(missing.isEmpty,
+            s"delete-sidecar key column(s) ${missing.mkString(", ")} not in " +
+              s"the change-feed schema ${df.columns.mkString("[", ", ", "]")}")
+          val renamed = kcols.foldLeft(dk)((d, c) => d.withColumnRenamed(c, s"__del_$c"))
+          df.join(renamed,
+            kcols.map(c => col(c) === col(s"__del_$c")).reduce(_ && _),
+            if (anti) "left_anti" else "left_semi")
       }
+    val fromPos = snapshotPositionDeletes(path, Some(fromV))
+    val toPos = snapshotPositionDeletes(path, Some(toV))
+    val newPos = toPos.diff(fromPos)
     // The carried-file preimage scan is the one piece not bounded by
     // the manifest diff (deleteMor's whole point is that the files
     // never moved) — so, exactly like incrementalAgg's dirty keys,
-    // small delete sets become a LITERAL In predicate that reaches the
-    // parquet footers and prunes carried files a key-clustered layout
-    // never touches; only a pathological backlog pays the semi-join
-    // full scan (and only of the carried files' key column).
-    val carriedDeleted = newDel.flatMap { dk =>
-      rd(carried).map { c =>
-        val keys = dk.limit(1025).collect().map(_.get(0))
-        if (keys.length <= 1024 && !keys.contains(null))
-          c.filter(col(key).isin(keys.toIndexedSeq: _*))
-        else applyDel(c, Some(dk), anti = false)
+    // small single-column delete sets become a LITERAL In predicate
+    // that reaches the parquet footers and prunes carried files a
+    // key-clustered layout never touches; composite keys (and a
+    // pathological backlog) pay the semi-join scan of the carried
+    // files' key columns only.
+    val carriedKeyDeleted = newDel.flatMap { dk =>
+      rd(carried).map { c0 =>
+        val c = projected(applyPosDeletes(spark, c0, fromPos))
+        val kcols = dk.columns.toSeq
+        if (kcols.size == 1) {
+          val keys = dk.limit(1025).collect().map(_.get(0))
+          if (keys.length <= 1024 && !keys.contains(null))
+            c.filter(col(kcols.head).isin(keys.toIndexedSeq: _*))
+          else applyDel(c, Some(dk), anti = false)
+        } else applyDel(c, Some(dk), anti = false)
       }
     }
-    val sides = (rd(removed).map(applyDel(_, fromDel, anti = true)),
-                 rd(added).map(applyDel(_, toDel, anti = true)))
-    val pieces = Seq(sides._1, sides._2, carriedDeleted).flatten
+    // carried-file preimages newly POSITION-deleted: addressed by
+    // (file, ordinal) — visible at fromV unless already deleted there
+    val carriedPosDeleted =
+      if (newPos.isEmpty) None
+      else rd(carried).map(c0 => projected(keepPosDeleted(spark, c0, newPos)))
+    val sides = (
+      rd(removed).map(r => applyDel(projected(applyPosDeletes(spark, r, fromPos)),
+        fromDel, anti = true)),
+      rd(added).map(r => applyDel(projected(applyPosDeletes(spark, r, toPos)),
+        toDel, anti = true)))
+    val carriedPieces = carriedKeyDeleted.toSeq ++ carriedPosDeleted.toSeq
+    val pieces = Seq(sides._1, sides._2).flatten ++ carriedPieces
     if (pieces.isEmpty || (sides._1.isEmpty && sides._2.isEmpty &&
-          carriedDeleted.forall(_.isEmpty)))
+          carriedPieces.forall(_.isEmpty)))
       // identical manifests and no newly-deleted rows: no changes
       return read(spark, path, Some(toV))
         .withColumn("_change_type", lit("insert"))
@@ -596,9 +1121,12 @@ object CowTable {
     def toSide(df: DataFrame, name: String): DataFrame =
       conform(df).select(col(key).as("__k"),
         struct(payload.map(col): _*).as(name))
-    val oldPieces = (sides._1.toSeq ++ carriedDeleted.toSeq).map(toSide(_, "__old"))
+    val oldPieces = (sides._1.toSeq ++ carriedPieces).map(toSide(_, "__old"))
     val o = oldPieces.reduceOption(_ unionByName _)
       .getOrElse(toSide(pieces.head, "__old").limit(0))
+      // a row both key- and position-deleted in the window must emit
+      // ONE delete, not one per sidecar kind
+      .dropDuplicates("__k")
     val n = sides._2.map(toSide(_, "__new"))
       .getOrElse(toSide(pieces.head, "__new").limit(0))
     o.join(n, Seq("__k"), "full_outer")
@@ -633,7 +1161,8 @@ object CowTable {
     // full manifest lines: MoR delete sidecars are parquet files under
     // data/ too — a live snapshot's sidecars must survive the vacuum
     def liveOf(p: String, v: Int): Seq[String] =
-      snapshotFiles(p, Some(v)) ++ snapshotDeletes(p, Some(v))
+      snapshotFiles(p, Some(v)) ++ snapshotDeletes(p, Some(v)) ++
+        snapshotPositionDeletes(p, Some(v))
     val live = (kept.flatMap(v => liveOf(path, v)) ++
       listBranches(path).flatMap { b =>
         val bp = branchPath(path, b)
@@ -754,26 +1283,47 @@ object CowTable {
           s"'$name' forked; re-branch and replay the branch's changes")
     val parentData = Paths.get(path, "data").toString + "/"
     val relocDir = Paths.get(path, "data", s"publish-$name-${System.nanoTime()}")
-    // relocate data files AND MoR delete sidecars the branch wrote —
-    // a sidecar line keeps its prefix around the relocated path
+    // Positional sidecars address rows by data-file PATH; relocating a
+    // branch-written data file would orphan its position entries
+    // (silent row resurrection). Key sidecars and positions on
+    // PARENT-owned files are path-stable, so only the combination
+    // below is unsafe — fail it loudly; compact folds the positions.
+    val blines = manifestLines(bp, None)
+    val branchData = blines.filterNot(isMetaLine).exists(f => !f.startsWith(parentData))
+    val branchPos = blines.filter(_.startsWith(PosDeletePrefix))
+      .map(_.stripPrefix(PosDeletePrefix)).exists(f => !f.startsWith(parentData))
+    if (branchData && branchPos)
+      throw new IllegalStateException(
+        s"publish: branch '$name' carries positional delete sidecars alongside " +
+          "branch-written data files; relocation would invalidate the " +
+          "file-path-addressed positions — compact the branch first")
+    // relocate data files AND MoR sidecars (key + positional) the
+    // branch wrote — a sidecar line keeps its prefix around the
+    // relocated path; schema/partition spec lines carry verbatim
     val relocated = manifestLines(bp, None).map { line =>
-      val isDel = line.startsWith(DeletePrefix)
-      val f = if (isDel) line.stripPrefix(DeletePrefix) else line
-      val out =
-        if (f.startsWith(parentData)) f
-        else {
-          Files.createDirectories(relocDir)
-          val p = Paths.get(f)
-          // stamp-dir prefix keeps names unique across branch write
-          // batches; relocDir is freshly stamped per publish, so a name
-          // collision is always a bug — let createLink throw
-          // FileAlreadyExistsException loudly rather than silently
-          // pointing the manifest at the first file's content.
-          val target = relocDir.resolve(s"${p.getParent.getFileName}-${p.getFileName}")
-          Files.createLink(target, p)
-          target.toString
-        }
-      if (isDel) DeletePrefix + out else out
+      if (line.startsWith(SchemaPrefix) || line.startsWith(PartitionPrefix)) line
+      else {
+        val prefix =
+          if (line.startsWith(DeletePrefix)) DeletePrefix
+          else if (line.startsWith(PosDeletePrefix)) PosDeletePrefix
+          else ""
+        val f = line.stripPrefix(prefix)
+        val out =
+          if (f.startsWith(parentData)) f
+          else {
+            Files.createDirectories(relocDir)
+            val p = Paths.get(f)
+            // stamp-dir prefix keeps names unique across branch write
+            // batches; relocDir is freshly stamped per publish, so a name
+            // collision is always a bug — let createLink throw
+            // FileAlreadyExistsException loudly rather than silently
+            // pointing the manifest at the first file's content.
+            val target = relocDir.resolve(s"${p.getParent.getFileName}-${p.getFileName}")
+            Files.createLink(target, p)
+            target.toString
+          }
+        prefix + out
+      }
     }
     commit(path, relocated, cur)
   }
@@ -794,4 +1344,71 @@ object CowTable {
   private def samePath(manifest: String, uri: String): Boolean =
     uri.stripPrefix("file:").stripPrefix("//") == manifest ||
       uri.endsWith(manifest) || manifest.endsWith(uri.stripPrefix("file:"))
+}
+
+/** One hidden-partitioning transform (the Iceberg partition-spec
+  * shape): data lays out by a value DERIVED from a source column —
+  * `day(ts)`, `bucket(16, id)` — under a synthetic directory column
+  * (`p_day_ts=2024-01-01/`) that never appears in the data schema, so
+  * queries keep filtering on the source column and the layout can
+  * evolve without touching a reader. `n` parameterizes bucket /
+  * truncate; 0 otherwise.
+  */
+final case class PartitionTransform(src: String, kind: String, n: Int = 0) {
+  require(PartitionTransform.Kinds.contains(kind), s"unknown transform kind '$kind'")
+  require(kind != "bucket" && kind != "truncate" || n > 0,
+    s"$kind transform needs n > 0")
+
+  /** The synthetic directory-column name — prefixed so it can never
+    * collide with a data column, and carrying the parameters so two
+    * specs on the same source stay distinguishable in paths.
+    */
+  def name: String = kind match {
+    case "identity"             => s"p_$src"
+    case "bucket" | "truncate"  => s"p_$kind${n}_$src"
+    case _                      => s"p_${kind}_$src"
+  }
+
+  /** The transform applied to an arbitrary column or literal — shared
+    * verbatim by the writer (layout) and the pruner (predicate →
+    * directory), which is what makes pruning safe.
+    */
+  def exprOf(c: Column): Column = kind match {
+    case "identity" => c
+    case "day"      => date_format(c.cast("timestamp"), "yyyy-MM-dd")
+    case "month"    => date_format(c.cast("timestamp"), "yyyy-MM")
+    case "year"     => date_format(c.cast("timestamp"), "yyyy")
+    // hash the CANONICAL STRING form: murmur3 is type-sensitive, so
+    // hashing the raw value would bucket an Int literal differently
+    // from a Long column — and the pruner (which evaluates this on a
+    // caller-supplied literal) would then WRONGLY prune, not
+    // under-prune
+    case "bucket"   => pmod(hash(c.cast("string")), lit(n))
+    case "truncate" => floor(c.cast("long") / n).cast("long") * n
+  }
+}
+
+object PartitionTransform {
+  val Kinds: Set[String] = Set("identity", "day", "month", "year", "bucket", "truncate")
+
+  def identity(src: String): PartitionTransform = PartitionTransform(src, "identity")
+  def day(src: String): PartitionTransform = PartitionTransform(src, "day")
+  def month(src: String): PartitionTransform = PartitionTransform(src, "month")
+  def year(src: String): PartitionTransform = PartitionTransform(src, "year")
+  def bucket(n: Int, src: String): PartitionTransform = PartitionTransform(src, "bucket", n)
+  def truncate(n: Int, src: String): PartitionTransform = PartitionTransform(src, "truncate", n)
+
+  /** Manifest encoding rides Spark's own Metadata JSON (stable, no
+    * extra dependency, single line).
+    */
+  def encode(ts: Seq[PartitionTransform]): String =
+    new types.MetadataBuilder().putMetadataArray("transforms", ts.map(t =>
+      new types.MetadataBuilder()
+        .putString("src", t.src).putString("kind", t.kind)
+        .putLong("n", t.n.toLong).build()).toArray).build().json
+
+  def decode(json: String): Seq[PartitionTransform] =
+    types.Metadata.fromJson(json).getMetadataArray("transforms").toIndexedSeq
+      .map(m => PartitionTransform(m.getString("src"), m.getString("kind"),
+        m.getLong("n").toInt))
 }

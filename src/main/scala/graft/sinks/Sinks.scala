@@ -117,14 +117,23 @@ object Sinks {
     * is batch-boundary INVARIANT — which batch a doc pair arrived in
     * never changes whether it is flagged (ADVICE r9).
     *
-    * Exactly-once pair delivery (ADVICE r9): each batch's pairs write
-    * is an idempotent OVERWRITE of its own batch-id directory, and the
-    * index-version marker advances only AFTER that write commits
+    * Exactly-once pair delivery (ADVICE r9, hardened r11): each
+    * batch's pairs write lands under its own batch-id directory, and
+    * the index-version marker advances only AFTER that write commits
     * ([[graft.ops.IncrementalDedup.ingestStaged]]). A crash at any
-    * point replays the batch: the corpus merge upserts identical rows,
-    * the un-advanced marker re-derives the same CDC window, and the
-    * overwrite replaces any partial pairs output instead of appending
-    * beside it.
+    * point replays the batch; the replay is idempotent in BOTH crash
+    * windows:
+    *   - crash BEFORE the pairs `_SUCCESS` marker: the un-advanced
+    *     index marker re-derives the same CDC window and the overwrite
+    *     replaces any partial pairs output instead of appending;
+    *   - crash AFTER `_SUCCESS` (between sink completion and the
+    *     stream's checkpoint commit): the corpus re-merge opens a new
+    *     but content-identical version, the CDC feed from the
+    *     already-advanced marker is empty — and the write is SKIPPED
+    *     because `_SUCCESS` already exists, so the first attempt's
+    *     pairs are preserved rather than overwritten by the empty
+    *     replay window (ADVICE r10 high). The marker still re-commits
+    *     so the next batch's CDC window starts after the no-op merge.
     */
   def incrementalDedupPipeline(docs: DataFrame, corpusPath: String,
                                indexPath: String, pairsOut: String,
@@ -134,28 +143,48 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          def writePairs(pairs: DataFrame): Unit =
-            pairs.write.mode(SaveMode.Overwrite)
-              .parquet(s"$pairsOut/batch_id=$id")
-          if (!CowTable.exists(corpusPath)) {
-            CowTable.create(batch, corpusPath)
-            graft.ops.IncrementalDedup.buildIndex(spark, corpusPath, indexPath, blockCols)
-            val blocked = batch.select(col("doc_id"),
-              concat_ws("", blockCols.map(col): _*).as("block"), col("text"))
-            writePairs(graft.ops.IncrementalDedup.selfPairs(blocked))
-          } else {
-            CowTable.merge(spark, corpusPath, batch, "doc_id")
-            val staged = graft.ops.IncrementalDedup
-              .ingestStaged(spark, corpusPath, indexPath, blockCols)
-            writePairs(staged.pairs)
-            staged.commit()
-          }
-        }
-        ()
+        incrementalDedupBatch(batch, id, corpusPath, indexPath, pairsOut, blockCols)
       }
       .start()
+
+  /** The per-micro-batch body of [[incrementalDedupPipeline]], exposed
+    * so the replay contract is testable without streaming machinery:
+    * calling it twice with the same (batch, id) — the post-commit
+    * replay — must leave the pairs output exactly as the first call
+    * did.
+    */
+  private[graft] def incrementalDedupBatch(batch: DataFrame, id: Long,
+                                           corpusPath: String, indexPath: String,
+                                           pairsOut: String,
+                                           blockCols: Seq[String]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // Idempotent publish: parquet commits `_SUCCESS` last, so its
+    // presence means a prior attempt fully delivered this batch's
+    // pairs — skip the write (a pure post-commit replay would
+    // otherwise overwrite them with its empty CDC window). No
+    // marker, or a partial write without it, → overwrite replaces
+    // whatever partial output exists.
+    def writePairs(pairs: DataFrame): Unit = {
+      val out = new Path(s"$pairsOut/batch_id=$id")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(out, "_SUCCESS")))
+        pairs.write.mode(SaveMode.Overwrite).parquet(out.toString)
+    }
+    if (!CowTable.exists(corpusPath)) {
+      CowTable.create(batch, corpusPath)
+      graft.ops.IncrementalDedup.buildIndex(spark, corpusPath, indexPath, blockCols)
+      val blocked = batch.select(col("doc_id"),
+        concat_ws("", blockCols.map(col): _*).as("block"), col("text"))
+      writePairs(graft.ops.IncrementalDedup.selfPairs(blocked))
+    } else {
+      CowTable.merge(spark, corpusPath, batch, "doc_id")
+      val staged = graft.ops.IncrementalDedup
+        .ingestStaged(spark, corpusPath, indexPath, blockCols)
+      writePairs(staged.pairs)
+      staged.commit()
+    }
+  }
 
   /** STREAMING DELETE SINK (round 10) — the right-to-be-forgotten
     * pipeline: a stream of deletion requests (one key column) applies
@@ -169,6 +198,12 @@ object Sinks {
     * no-op returns the current version). Physical retirement is the
     * maintenance job's compact ([[graft.sinks.CowTable.compact]] folds
     * the accumulated sidecars).
+    *
+    * The target table MUST exist: a deletion request against a missing
+    * table FAILS the batch (so the stream retries it after the table
+    * appears) instead of consuming it — silently advancing the
+    * checkpoint would drop right-to-be-forgotten keys forever
+    * (ADVICE r10).
     */
   def gdprDeleteStream(requests: DataFrame, tablePath: String, key: String,
                        checkpoint: String): StreamingQuery =
@@ -176,8 +211,12 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty && CowTable.exists(tablePath))
+        if (!batch.isEmpty) {
+          require(CowTable.exists(tablePath),
+            s"gdprDeleteStream: target CowTable '$tablePath' does not exist; " +
+              "failing the batch so the deletion requests are retried, not dropped")
           CowTable.deleteMorKeys(batch.sparkSession, tablePath, batch, key)
+        }
         ()
       }
       .start()

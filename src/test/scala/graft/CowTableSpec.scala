@@ -856,6 +856,307 @@ class CowTableSpec extends SparkSpecBase {
       "post-compact clone must own every file it references")
   }
 
+  // ------------------------------------------------------------------
+  // round 11: composite-key + positional MoR deletes, declared schema
+  // evolution, hidden partitioning, exactly-once pair delivery replay
+  // ------------------------------------------------------------------
+
+  test("composite-key deleteMor: exact, sidecar-only, key contract enforced") {
+    import spark.implicits._
+    val path = tmp
+    val base = (for { r <- Seq("eu", "us"); i <- 0L until 200L } yield (r, i, i * 2))
+      .toDF("region", "id", "v").repartition(4)
+    CowTable.create(base, path)
+    val files = CowTable.snapshotFiles(path).toSet
+    val v2 = CowTable.deleteMor(spark, path, "region = 'eu' AND id < 50", Seq("region", "id"))
+    assert(v2 == 2)
+    assert(CowTable.snapshotFiles(path).toSet == files,
+      "composite MoR delete must be sidecar-only")
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 350)
+    assert(now.filter(col("region") === "eu" && col("id") < 50).count() == 0)
+    // the OTHER region's rows with the same ids must survive — a
+    // single-key sidecar on id alone would wrongly kill them
+    assert(now.filter(col("region") === "us" && col("id") < 50).count() == 50)
+    assert(CowTable.read(spark, path, Some(1)).count() == 400)
+    // change feed joins on the SIDECAR'S OWN columns, not the caller key
+    val feed = CowTable.changes(spark, path, "id", 1, 2)
+    assert(feed.filter(col("_change_type") === "delete").count() == 50)
+    // contract: a later delete with a DIFFERENT key set fails loudly
+    intercept[IllegalArgumentException] {
+      CowTable.deleteMor(spark, path, "id = 60", Seq("id"))
+    }
+    // a merge on a different key carries composite sidecars untouched
+    CowTable.merge(spark, path, Seq(("us", 1000L, 1L)).toDF("region", "id", "v"), "id")
+    assert(CowTable.read(spark, path).count() == 351)
+    assert(CowTable.snapshotDeletes(path).nonEmpty, "composite sidecar must survive the merge")
+    // compact folds them physically; time travel before it stays exact
+    CowTable.compact(spark, path, 2)
+    assert(CowTable.snapshotDeletes(path).isEmpty)
+    assert(CowTable.read(spark, path).count() == 351)
+    assert(CowTable.read(spark, path, Some(1)).count() == 400)
+  }
+
+  test("positional deleteMorWhere: range-bounded sidecar, reads/feed/TT/merge exact") {
+    import spark.implicits._
+    val path = tmp
+    // layout clustered by id → the predicate's rows are contiguous runs
+    val df = (0L until 2000L).map(i => (i, if (i < 200) "xx" else "en", i))
+      .toDF("id", "lang", "v").repartitionByRange(8, col("id"))
+    CowTable.create(df, path)
+    val files = CowTable.snapshotFiles(path).toSet
+    val v2 = CowTable.deleteMorWhere(spark, path, "lang = 'xx'") // 10% of the table
+    assert(v2 == 2)
+    assert(CowTable.snapshotFiles(path).toSet == files,
+      "positional delete must write no data file")
+    val pos = CowTable.snapshotPositionDeletes(path)
+    assert(pos.nonEmpty)
+    // the design bound: file-count × run-count, NOT deleted-row count —
+    // 200 clustered rows collapse to a handful of ranges
+    val sidecarRows = spark.read.parquet(pos: _*).count()
+    assert(sidecarRows <= 8, s"expected <=8 ranges for a clustered 200-row delete, got $sidecarRows")
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 1800 && now.filter(col("lang") === "xx").count() == 0)
+    assert(CowTable.read(spark, path, Some(1)).count() == 2000)
+    // change feed emits exactly the 200 preimage deletes
+    val feed = CowTable.changes(spark, path, "id", 1, 2)
+    assert(feed.count() == 200)
+    assert(feed.filter(col("_change_type") === "delete").count() == 200)
+    // a second predicate delete stacks (reads WITH existing positional
+    // sidecars on the readWithPos path); re-deleting is a no-op commit
+    val v3 = CowTable.deleteMorWhere(spark, path, "id >= 1900")
+    assert(CowTable.read(spark, path).count() == 1700)
+    assert(CowTable.deleteMorWhere(spark, path, "lang = 'xx'") == v3)
+    // merge rewriting a touched file must NOT resurrect its deleted rows
+    CowTable.merge(spark, path, Seq((100L, "en", -1L)).toDF("id", "lang", "v"), "id")
+    val merged = CowTable.read(spark, path)
+    assert(merged.count() == 1701, "upsert revives exactly its own row")
+    assert(merged.filter(col("lang") === "xx").count() === 0,
+      "rewrite must filter positionally-deleted rows, not resurrect them")
+    // compact folds positions physically; the feed across a fold-only
+    // window is silent (no logical change)
+    val vPre = CowTable.currentVersion(path)
+    CowTable.compact(spark, path, 4)
+    assert(CowTable.snapshotPositionDeletes(path).isEmpty)
+    assert(CowTable.read(spark, path).count() == 1701)
+    assert(CowTable.changes(spark, path, "id", vPre, vPre + 1).count() == 0)
+  }
+
+  test("positional deletes: IVM refreshes exactly the deleted rows' groups") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 400L).map(i => (i, i % 4, 1L)).toDF("id", "g", "x")
+      .repartitionByRange(4, col("id")), path)
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(sum("x").as("n"))
+    val mv1 = aggOf(CowTable.read(spark, path, Some(1)))
+    CowTable.deleteMorWhere(spark, path, "g = 2 AND id < 100") // v2, pure positional commit
+    val refreshed = CowTable.incrementalAgg(spark, path, "g", mv1, 1, 2)(aggOf)
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("n"))).toMap
+    val full = aggOf(CowTable.read(spark, path, Some(2)))
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("n"))).toMap
+    assert(refreshed == full, s"IVM missed position-deleted groups: inc=$refreshed full=$full")
+  }
+
+  test("schema evolution: add/rename/widen/drop are metadata-only; reads + merge exact") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, s"n_$i", i.toInt)).toDF("id", "name", "score")
+      .repartition(2), path) // v1
+    val v1Files = CowTable.snapshotFiles(path, Some(1)).toSet
+
+    // ADD: metadata-only; pre-evolution rows read null
+    CowTable.addColumn(spark, path, "tag", "string") // v2
+    assert(CowTable.snapshotFiles(path).toSet == v1Files, "addColumn must not write data")
+    val r2 = CowTable.read(spark, path)
+    assert(r2.columns.toSeq == Seq("id", "name", "score", "tag"))
+    assert(r2.filter(col("tag").isNotNull).count() == 0)
+
+    // merge rows THROUGH the evolved schema
+    CowTable.merge(spark, path,
+      Seq((5L, "upd_5", 50, "gold"), (200L, "new_200", 7, "fresh"))
+        .toDF("id", "name", "score", "tag"), "id") // v3
+    val r3 = CowTable.read(spark, path)
+    assert(r3.count() == 101)
+    assert(r3.filter(col("tag") === "gold").select("id").as[Long].head() == 5L)
+
+    // RENAME: old files keep `score` physically; lineage resolves per row
+    CowTable.renameColumn(spark, path, "score", "pts") // v4
+    val r4 = CowTable.read(spark, path)
+    assert(r4.columns.toSeq == Seq("id", "name", "pts", "tag"))
+    assert(r4.filter(col("id") === 7L).select("pts").as[Int].head() == 7)
+    assert(r4.filter(col("id") === 5L).select("pts").as[Int].head() == 50)
+
+    // WIDEN int → bigint; narrowing refused
+    CowTable.widenColumn(spark, path, "pts", "bigint") // v5
+    assert(CowTable.read(spark, path).schema("pts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    intercept[IllegalArgumentException] {
+      CowTable.widenColumn(spark, path, "pts", "int")
+    }
+    // merge under the RENAMED + widened declared name
+    CowTable.merge(spark, path, Seq((7L, "upd_7", 700L, "silver"))
+      .toDF("id", "name", "pts", "tag"), "id") // v6
+    val r6 = CowTable.read(spark, path)
+    assert(r6.filter(col("id") === 7L).select("pts").as[Long].head() == 700L)
+    assert(r6.filter(col("id") === 8L).select("pts").as[Long].head() == 8L,
+      "carried pre-rename rows must resolve through the lineage")
+
+    // DROP: invisible immediately; re-adding the name needs compact first
+    CowTable.dropColumn(spark, path, "name") // v7
+    assert(CowTable.read(spark, path).columns.toSeq == Seq("id", "pts", "tag"))
+    intercept[IllegalArgumentException] {
+      CowTable.addColumn(spark, path, "name", "string")
+    }
+    CowTable.compact(spark, path, 2) // physically retires `name`/`score`
+    CowTable.addColumn(spark, path, "name", "string")
+    val rf = CowTable.read(spark, path)
+    assert(rf.columns.toSeq == Seq("id", "pts", "tag", "name"))
+    assert(rf.filter(col("name").isNotNull).count() == 0,
+      "re-added column must not leak retired physical data")
+
+    // TIME TRAVEL: every snapshot reads through the schema IT declared
+    assert(CowTable.read(spark, path, Some(1)).columns.toSeq == Seq("id", "name", "score"))
+    assert(CowTable.read(spark, path, Some(3)).columns.toSeq == Seq("id", "name", "score", "tag"))
+    assert(CowTable.read(spark, path, Some(4)).columns.toSeq == Seq("id", "name", "pts", "tag"))
+  }
+
+  test("schema evolution: change feed presents one declared schema across the boundary") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 50L).map(i => (i, i.toInt)).toDF("id", "score")
+      .repartition(2), path) // v1
+    CowTable.addColumn(spark, path, "tag", "string") // v2 (metadata only)
+    CowTable.renameColumn(spark, path, "score", "pts") // v3 (metadata only)
+    CowTable.merge(spark, path,
+      Seq((1L, 100L, "hot"), (500L, 7L, "new")).toDF("id", "pts", "tag"), "id") // v4
+    // a metadata-only window is silent
+    assert(CowTable.changes(spark, path, "id", 1, 3).count() == 0)
+    // the cross-evolution window projects preimages through v4's schema
+    val feed = CowTable.changes(spark, path, "id", 1, 4)
+    assert(feed.columns.contains("pts") && feed.columns.contains("tag") &&
+      !feed.columns.contains("score"), feed.columns.mkString(","))
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType == Map("update" -> 1L, "insert" -> 1L), byType.toString)
+    assert(feed.filter(col("_change_type") === "update")
+      .select("pts").as[Long].head() == 100L)
+  }
+
+  test("hidden partitioning: spec evolution is metadata-only; pruning across the boundary") {
+    import spark.implicits._
+    import graft.sinks.PartitionTransform
+    val path = tmp
+    val old = (0L until 300L).map(i => (i, s"2024-03-0${1 + i % 3} 10:00:00", i))
+      .toDF("id", "ts", "v").repartition(2)
+    CowTable.create(old, path) // v1: unpartitioned layout
+    val v1Files = CowTable.snapshotFiles(path, Some(1))
+    assert(CowTable.partitionSpec(path).isEmpty)
+    val v2 = CowTable.setPartitionSpec(path, Seq(PartitionTransform.day("ts")))
+    assert(v2 == 2)
+    assert(CowTable.snapshotFiles(path, Some(2)) == v1Files,
+      "partition-spec change must be metadata-only")
+    // new writes lay out under the transform; queries never name it
+    CowTable.merge(spark, path,
+      (1000L until 1300L).map(i => (i, s"2024-03-0${4 + i % 3} 10:00:00", i))
+        .toDF("id", "ts", "v"), "id") // v3, pure insert
+    val newFiles = CowTable.snapshotFiles(path).filterNot(v1Files.contains)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("/p_day_ts=")),
+      s"new files must carry the transform layout: ${newFiles.take(2)}")
+    // the data schema is UNCHANGED — the transform column lives only in paths
+    assert(CowTable.read(spark, path).columns.toSeq == Seq("id", "ts", "v"))
+    assert(CowTable.read(spark, path).count() == 600)
+    // pruning: old-layout files all survive (over-approximate, never
+    // wrong); new-layout files prune to the matching day directory
+    val pruned = CowTable.prunedFilesEq(spark, path, "ts", "2024-03-05 10:00:00")
+    assert(v1Files.forall(pruned.contains), "pre-spec files must never be pruned")
+    val prunedNew = pruned.filter(_.contains("/p_day_ts="))
+    assert(prunedNew.nonEmpty && prunedNew.forall(_.contains("/p_day_ts=2024-03-05/")))
+    assert(pruned.size < CowTable.snapshotFiles(path).size, "pruning must drop some files")
+    // pruned read == unpruned filtered read
+    val got = CowTable.readPrunedEq(spark, path, "ts", "2024-03-05 10:00:00")
+    assert(got.count() == 100)
+    assert(got.select(sum("v")).as[Long].head() ==
+      CowTable.read(spark, path).filter(col("ts") === "2024-03-05 10:00:00")
+        .select(sum("v")).as[Long].head())
+  }
+
+  test("hidden partitioning: bucket transform prunes type-stably; compact keeps the layout") {
+    import spark.implicits._
+    import graft.sinks.PartitionTransform
+    val path = tmp
+    CowTable.create((0L until 400L).map(i => (i, i * 3)).toDF("id", "v"),
+      path, Seq(PartitionTransform.bucket(8, "id"))) // id is a LONG column
+    assert(CowTable.partitionSpec(path) == Seq(PartitionTransform.bucket(8, "id")))
+    val all = CowTable.snapshotFiles(path)
+    assert(all.forall(_.contains("/p_bucket8_id=")))
+    // an Int literal against the Long column must land in the SAME
+    // bucket (canonical-string hashing) — a type-sensitive hash here
+    // would WRONGLY prune the row away
+    val got = CowTable.readPrunedEq(spark, path, "id", 5)
+    assert(got.count() == 1 && got.select("v").as[Long].head() == 15L)
+    val pruned = CowTable.prunedFilesEq(spark, path, "id", 5)
+    assert(pruned.size < all.size, "bucket pruning must drop non-matching buckets")
+    // compact rewrites under the current spec
+    CowTable.compact(spark, path, 2)
+    assert(CowTable.snapshotFiles(path).forall(_.contains("/p_bucket8_id=")))
+    assert(CowTable.readPrunedEq(spark, path, "id", 5).count() == 1)
+    assert(CowTable.read(spark, path).count() == 400)
+  }
+
+  test("incremental dedup pipeline: post-commit replay preserves delivered pairs") {
+    import spark.implicits._
+    import graft.sinks.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("inc_replay").toString
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"; val pairsOut = s"$dir/pairs"
+    def pairsOf(id: Long) = spark.read.parquet(s"$pairsOut/batch_id=$id")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b0 = Seq((1L, "en", "web", "a b c d e f g h i j"),
+      (2L, "en", "web", "k l m n o p q r s t")).toDF("doc_id", "lang", "source", "text")
+    Sinks.incrementalDedupBatch(b0, 0L, corpus, index, pairsOut, Seq("lang", "source"))
+    val b1 = Seq((10L, "en", "web", "a b c d e f g h i j"))
+      .toDF("doc_id", "lang", "source", "text")
+    Sinks.incrementalDedupBatch(b1, 1L, corpus, index, pairsOut, Seq("lang", "source"))
+    assert(pairsOf(1L) == Set((1L, 10L)))
+    // the ADVICE r10 high: a crash BETWEEN sink completion and the
+    // stream's checkpoint commit replays the batch with the marker
+    // already advanced — the CDC window is empty, and the old code
+    // OVERWROTE the delivered pairs with that empty set
+    Sinks.incrementalDedupBatch(b1, 1L, corpus, index, pairsOut, Seq("lang", "source"))
+    assert(pairsOf(1L) == Set((1L, 10L)),
+      "post-commit replay must preserve the first attempt's pairs")
+    // the replayed merge was content-identical → no new flags downstream
+    val b2 = Seq((20L, "de", "web", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+      .toDF("doc_id", "lang", "source", "text")
+    Sinks.incrementalDedupBatch(b2, 2L, corpus, index, pairsOut, Seq("lang", "source"))
+    assert(pairsOf(2L).isEmpty)
+    assert(spark.read.parquet(pairsOut).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+  }
+
+  test("gdpr delete stream: a missing target table fails the batch — requests retry, never drop") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("gdpr_retry").toString
+    val path = s"$dir/table" // does not exist yet
+    val cp = s"$dir/cp"
+    val stream = MemoryStream[Long]
+    val q1 = graft.sinks.Sinks.gdprDeleteStream(stream.toDF().toDF("id"), path, "id", cp)
+    stream.addData(1L, 2L)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    // the checkpoint did NOT commit: creating the table and restarting
+    // re-delivers the failed batch instead of having silently dropped it
+    CowTable.create((0L until 10L).map(i => (i, i)).toDF("id", "v"), path)
+    val q2 = graft.sinks.Sinks.gdprDeleteStream(stream.toDF().toDF("id"), path, "id", cp)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(CowTable.read(spark, path).count() == 8,
+      "the failed batch's deletion requests must apply after the retry")
+  }
+
   test("deleteMor: restore and vacuum preserve the sidecar set") {
     import spark.implicits._
     val path = tmp
