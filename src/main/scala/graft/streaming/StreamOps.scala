@@ -200,13 +200,89 @@ object StreamOps {
       }
   }
 
+  /** IDLE-KEY STATE RETENTION (round 11) — the Kafka Streams
+    * store-retention analogue for `transformWithState` processors.
+    * Every long-lived per-key state here previously pinned
+    * `TTLConfig.NONE`: on an unbounded key space (user ids) the store
+    * grows forever — the classic production OOM. Mixing this in gives
+    * a processor one extra per-key ValueState (the armed idle
+    * deadline) and one event-time timer, re-armed on every batch the
+    * key appears in at `max(watermark, batch max event time) +
+    * retentionMs`; when the watermark passes the deadline with no
+    * newer activity, [[clearKeyState]] drops the key's entire state.
+    * Eviction is WATERMARK-driven (deterministic — no processing-time
+    * clock), and `retentionMs <= 0` keeps the prior keep-forever
+    * behavior with zero extra state or timers.
+    *
+    * Semantics after eviction are BOUNDED STALENESS, documented per
+    * processor: a key returning after the horizon restarts from empty
+    * state (e.g. an as-of enrichment forgets a signup older than the
+    * horizon), which is exactly the trade a retention-configured
+    * Kafka Streams store makes.
+    */
+  trait IdleEviction[K, I, O] {
+    self: org.apache.spark.sql.streaming.StatefulProcessor[K, I, O] =>
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues, ValueState}
+
+    /** Idle horizon in ms of event time; <= 0 disables eviction. */
+    protected def retentionMs: Long
+
+    @transient private var idleDeadline: ValueState[Long] = _
+
+    /** Call from `init` after the processor's own states. */
+    protected def initIdleEviction(): Unit =
+      if (retentionMs > 0)
+        idleDeadline = getHandle.getValueState[Long]("idleDeadline",
+          E.scalaLong, TTLConfig.NONE)
+
+    /** Call once per `handleInputRows`; `batchMaxEventMs` is the key's
+      * max event time in this batch (Long.MinValue when the input
+      * carries no event time — the deadline then rides the watermark
+      * alone). One live timer per key: re-arming deletes the old one.
+      */
+    protected def touchIdleTimer(timers: TimerValues, batchMaxEventMs: Long): Unit =
+      if (retentionMs > 0) {
+        val base = math.max(timers.getCurrentWatermarkInMs(), batchMaxEventMs)
+        // base == 0 means no event time AND the watermark hasn't moved
+        // yet (a watermark-only processor's very first batch): arming
+        // would set a near-epoch deadline that fires — and evicts —
+        // immediately. Skip; the key arms on its next appearance.
+        if (base > 0) {
+          val next = base + retentionMs
+          val prev = if (idleDeadline.exists()) idleDeadline.get() else Long.MinValue
+          if (next > prev) {
+            if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+            getHandle.registerTimer(next)
+            idleDeadline.update(next)
+          }
+        }
+      }
+
+    /** Drop every named state the processor keeps for this key. */
+    protected def clearKeyState(): Unit
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[O] = {
+      // only the CURRENTLY-armed deadline evicts: a stale timer (the
+      // key was active again since) finds a newer deadline and no-ops
+      if (retentionMs > 0 && idleDeadline.exists() &&
+          expired.getExpiryTimeInMs() == idleDeadline.get()) {
+        clearKeyState()
+        idleDeadline.clear()
+      }
+      Iterator.empty
+    }
+  }
+
   /** Spark 4 `transformWithState` processor — the full Processor-API
     * analogue (named value states, timer surface available via the
     * handle). Keeps a per-user (count, cents) pair; emits the refreshed
     * totals per batch. Requires the RocksDB state store provider.
     */
-  class RunningTotalsProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long, Long)] {
+  class RunningTotalsProcessor(override protected val retentionMs: Long = 0L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long, Long)]
+      with IdleEviction[Long, Evt, (Long, Long, Long)] {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -216,25 +292,42 @@ object StreamOps {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       count = getHandle.getValueState[Long]("count", E.scalaLong, TTLConfig.NONE)
       cents = getHandle.getValueState[Long]("cents", E.scalaLong, TTLConfig.NONE)
+      initIdleEviction()
     }
+
+    override protected def clearKeyState(): Unit = { count.clear(); cents.clear() }
 
     override def handleInputRows(user: Long, rows: Iterator[Evt],
                                  timers: TimerValues): Iterator[(Long, Long, Long)] = {
       var n = if (count.exists()) count.get() else 0L
       var c = if (cents.exists()) cents.get() else 0L
-      rows.foreach { e => n += 1; c += math.round(e.value * 100) }
+      var maxMs = Long.MinValue
+      rows.foreach { e =>
+        n += 1; c += math.round(e.value * 100)
+        if (e.ts.getTime > maxMs) maxMs = e.ts.getTime
+      }
       count.update(n); cents.update(c)
+      touchIdleTimer(timers, maxMs)
       Iterator((user, n, c))
     }
   }
 
-  /** Running (count, cents) per user via `transformWithState`. */
-  def runningTotalsTws(events: Dataset[Evt]): Dataset[(Long, Long, Long)] = {
+  /** Running (count, cents) per user via `transformWithState`. With
+    * `idleRetentionMs > 0`, a user idle past the horizon restarts the
+    * running totals from zero (bounded staleness; the input must carry
+    * a watermark — applied here on `ts`).
+    */
+  def runningTotalsTws(events: Dataset[Evt], idleRetentionMs: Long = 0L,
+                       watermark: String = "0 seconds"): Dataset[(Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+    if (idleRetentionMs <= 0)
+      events.groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+    else
+      events.withWatermark("ts", watermark).groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor(idleRetentionMs),
+          TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Streaming twin of the batch `events_transition_counts` query: a
@@ -247,16 +340,21 @@ object StreamOps {
     * stitches the sequence, so on an in-order replay the aggregated
     * pair counts equal the batch operator exactly (StreamingSpec).
     */
-  class TransitionProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, String)] {
+  class TransitionProcessor(override protected val retentionMs: Long = 0L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, String)]
+      with IdleEviction[Long, Evt, (String, String)] {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
 
     @transient private var last: ValueState[(Long, Long, String)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       last = getHandle.getValueState[(Long, Long, String)]("last",
         E.tuple(E.scalaLong, E.scalaLong, E.STRING), TTLConfig.NONE)
+      initIdleEviction()
+    }
+
+    override protected def clearKeyState(): Unit = last.clear()
 
     override def handleInputRows(user: Long, rows: Iterator[Evt],
                                  timers: TimerValues): Iterator[(String, String)] = {
@@ -270,17 +368,26 @@ object StreamOps {
       }
       val lastEv = sorted.last
       last.update((lastEv.ts.getTime, lastEv.event_id, lastEv.event_type))
+      touchIdleTimer(timers, lastEv.ts.getTime)
       out.result().iterator
     }
   }
 
-  /** Transition pairs per user via `transformWithState`. */
-  def transitionsTws(events: Dataset[Evt]): Dataset[(String, String)] = {
+  /** Transition pairs per user via `transformWithState`. With
+    * `idleRetentionMs > 0`, the first event after an idle horizon
+    * starts a fresh sequence (no pair against the pre-idle last event).
+    */
+  def transitionsTws(events: Dataset[Evt], idleRetentionMs: Long = 0L,
+                     watermark: String = "0 seconds"): Dataset[(String, String)] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .transformWithState(new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+    if (idleRetentionMs <= 0)
+      events.groupByKey(_.user_id)
+        .transformWithState(new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+    else
+      events.withWatermark("ts", watermark).groupByKey(_.user_id)
+        .transformWithState(new TransitionProcessor(idleRetentionMs),
+          TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stateful last-touch attribution — the true-streaming twin of the
@@ -291,39 +398,54 @@ object StreamOps {
     * sorted per user before applying (the in-order-replay contract the
     * parity test drives); state stitches sequences across batches.
     */
-  class AttributionProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, Long)] {
+  class AttributionProcessor(override protected val retentionMs: Long = 0L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, Long)]
+      with IdleEviction[Long, Evt, (String, Long)] {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
 
     @transient private var lastTouch: ValueState[String] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lastTouch = getHandle.getValueState[String]("lastTouch", E.STRING, TTLConfig.NONE)
+      initIdleEviction()
+    }
+
+    override protected def clearKeyState(): Unit = lastTouch.clear()
 
     override def handleInputRows(user: Long, rows: Iterator[Evt],
                                  timers: TimerValues): Iterator[(String, Long)] = {
       val out = Seq.newBuilder[(String, Long)]
+      var maxMs = Long.MinValue
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (e.ts.getTime > maxMs) maxMs = e.ts.getTime
         if (e.event_type == "purchase")
           out += ((if (lastTouch.exists()) lastTouch.get() else "none",
                    math.round(e.value * 100)))
         else lastTouch.update(e.event_type)
       }
+      touchIdleTimer(timers, maxMs)
       out.result().iterator
     }
   }
 
   /** Per-purchase attribution stream: (attributed_type, cents) rows in
     * append mode — aggregate downstream for the census the batch
-    * operator emits. Requires the RocksDB state store provider.
+    * operator emits. Requires the RocksDB state store provider. With
+    * `idleRetentionMs > 0`, a purchase after the idle horizon
+    * attributes to "none" (the pre-idle touch is forgotten).
     */
-  def attributionStream(events: Dataset[Evt]): Dataset[(String, Long)] = {
+  def attributionStream(events: Dataset[Evt], idleRetentionMs: Long = 0L,
+                        watermark: String = "0 seconds"): Dataset[(String, Long)] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+    if (idleRetentionMs <= 0)
+      events.groupByKey(_.user_id)
+        .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+    else
+      events.withWatermark("ts", watermark).groupByKey(_.user_id)
+        .transformWithState(new AttributionProcessor(idleRetentionMs),
+          TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming LAST-PRIOR AS-OF enrichment — the transformWithState
@@ -338,16 +460,21 @@ object StreamOps {
     * semantics. StreamingSpec proves parity with the batch as-of on
     * the in-order replay.
     */
-  class AsofEnrichProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long)] {
+  class AsofEnrichProcessor(override protected val retentionMs: Long = 0L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long)]
+      with IdleEviction[Long, Evt, (Long, Long)] {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
 
     @transient private var lastSignup: ValueState[(Long, Long)] = _ // (tsMicros, id)
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lastSignup = getHandle.getValueState[(Long, Long)]("lastSignup",
         E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      initIdleEviction()
+    }
+
+    override protected def clearKeyState(): Unit = lastSignup.clear()
 
     // full micros, not getTime's millis: the batch as-of orders by
     // unix_micros and sub-millisecond ties must break identically
@@ -357,7 +484,9 @@ object StreamOps {
     override def handleInputRows(user: Long, rows: Iterator[Evt],
                                  timers: TimerValues): Iterator[(Long, Long)] = {
       val out = Seq.newBuilder[(Long, Long)]
+      var maxMs = Long.MinValue
       rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        if (e.ts.getTime > maxMs) maxMs = e.ts.getTime
         if (e.event_type == "signup") {
           val cand = (micros(e.ts), e.event_id)
           if (!lastSignup.exists() ||
@@ -367,19 +496,29 @@ object StreamOps {
           out += ((e.event_id, lastSignup.get()._2))
         }
       }
+      touchIdleTimer(timers, maxMs)
       out.result().iterator
     }
   }
 
   /** Purchases enriched with the user's latest prior signup id, as a
-    * stream. Requires the RocksDB state store provider.
+    * stream. Requires the RocksDB state store provider. With
+    * `idleRetentionMs > 0`, a user's signup state is dropped once the
+    * watermark passes their last event + horizon: a purchase arriving
+    * after that goes unenriched (bounded staleness — exactly a
+    * retention-configured KTable forgetting a cold key).
     */
-  def asofEnrichStream(events: Dataset[Evt]): Dataset[(Long, Long)] = {
+  def asofEnrichStream(events: Dataset[Evt], idleRetentionMs: Long = 0L,
+                       watermark: String = "0 seconds"): Dataset[(Long, Long)] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .transformWithState(new AsofEnrichProcessor, TimeMode.None(), OutputMode.Append())
+    if (idleRetentionMs <= 0)
+      events.groupByKey(_.user_id)
+        .transformWithState(new AsofEnrichProcessor, TimeMode.None(), OutputMode.Append())
+    else
+      events.withWatermark("ts", watermark).groupByKey(_.user_id)
+        .transformWithState(new AsofEnrichProcessor(idleRetentionMs),
+          TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming KMV distinct-count sketch — the live distinct-value
@@ -392,19 +531,27 @@ object StreamOps {
     * smallest hash only falls), so the latest emission per key IS the
     * current census.
     */
-  class KmvDistinctProcessor(k: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+  class KmvDistinctProcessor(k: Int, override protected val retentionMs: Long = 0L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), (String, Long, Long)]
+      with IdleEviction[String, (String, Long), (String, Long, Long)] {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
 
     @transient private var hs: ListState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       hs = getHandle.getListState[Long]("hs", E.scalaLong, TTLConfig.NONE)
+      initIdleEviction()
+    }
+
+    override protected def clearKeyState(): Unit = hs.clear()
 
     override def handleInputRows(key: String, rows: Iterator[(String, Long)],
                                  timers: TimerValues): Iterator[(String, Long, Long)] = {
       val fresh = rows.map(r => StreamOps.kmvHash(r._2)).toArray
+      // the tuple input carries no event time — the idle deadline rides
+      // the watermark of the upstream `withWatermark` alone
+      touchIdleTimer(timers, Long.MinValue)
       val merged = (hs.get().toArray ++ fresh).distinct.sorted.take(k)
       hs.clear()
       merged.foreach(hs.appendValue)
@@ -427,13 +574,24 @@ object StreamOps {
     (h1 * 1597334677L + 12345L) % m
   }
 
-  /** (key, value) stream → (key, sketchSize, estimate) per micro-batch. */
-  def kmvDistinctStream(pairs: Dataset[(String, Long)],
-                        k: Int = 64): Dataset[(String, Long, Long)] = {
+  /** (key, value) stream → (key, sketchSize, estimate) per micro-batch.
+    * With `idleRetentionMs > 0`, the caller must have applied
+    * `withWatermark` UPSTREAM (before projecting to the pair shape —
+    * the watermark plan node survives the projection); a key idle past
+    * the horizon drops its sketch and re-estimates from empty on
+    * return.
+    */
+  def kmvDistinctStream(pairs: Dataset[(String, Long)], k: Int = 64,
+                        idleRetentionMs: Long = 0L): Dataset[(String, Long, Long)] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import pairs.sparkSession.implicits._
-    pairs.groupByKey(_._1)
-      .transformWithState(new KmvDistinctProcessor(k), TimeMode.None(), OutputMode.Append())
+    if (idleRetentionMs <= 0)
+      pairs.groupByKey(_._1)
+        .transformWithState(new KmvDistinctProcessor(k), TimeMode.None(), OutputMode.Append())
+    else
+      pairs.groupByKey(_._1)
+        .transformWithState(new KmvDistinctProcessor(k, idleRetentionMs),
+          TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** The QUANTILE sketch as bounded streaming state — the
@@ -448,21 +606,27 @@ object StreamOps {
     * StreamingSpec proves batch parity on the real event log across a
     * micro-batch boundary.
     */
-  class BottomkQuantilesProcessor(k: Int)
+  class BottomkQuantilesProcessor(k: Int, override protected val retentionMs: Long = 0L)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        String, (String, Long, Long), (String, Long, Long, Long)] {
+        String, (String, Long, Long), (String, Long, Long, Long)]
+      with IdleEviction[String, (String, Long, Long), (String, Long, Long, Long)] {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
 
     @transient private var sk: ListState[(Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sk = getHandle.getListState[(Long, Long)]("sk",
         E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      initIdleEviction()
+    }
+
+    override protected def clearKeyState(): Unit = sk.clear()
 
     override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
                                  timers: TimerValues): Iterator[(String, Long, Long, Long)] = {
       val fresh = rows.map(r => (StreamOps.kmvHash(r._2), r._3)).toArray
+      touchIdleTimer(timers, Long.MinValue) // no event time in the tuple input
       val merged = (sk.get().toArray ++ fresh).sorted.take(k)
       sk.clear()
       merged.foreach(sk.appendValue)
@@ -476,12 +640,17 @@ object StreamOps {
   /** (key, rowId, value) stream → (key, sampleSize, p50, p90) per
     * micro-batch; estimates converge as the sample fills.
     */
-  def bottomkQuantilesStream(rows: Dataset[(String, Long, Long)],
-                             k: Int = 256): Dataset[(String, Long, Long, Long)] = {
+  def bottomkQuantilesStream(rows: Dataset[(String, Long, Long)], k: Int = 256,
+                             idleRetentionMs: Long = 0L): Dataset[(String, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import rows.sparkSession.implicits._
-    rows.groupByKey(_._1)
-      .transformWithState(new BottomkQuantilesProcessor(k), TimeMode.None(), OutputMode.Append())
+    if (idleRetentionMs <= 0)
+      rows.groupByKey(_._1)
+        .transformWithState(new BottomkQuantilesProcessor(k), TimeMode.None(), OutputMode.Append())
+    else // watermark applied upstream, as in [[kmvDistinctStream]]
+      rows.groupByKey(_._1)
+        .transformWithState(new BottomkQuantilesProcessor(k, idleRetentionMs),
+          TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** EVENT-TIME TIMERS — the Processor-API `punctuate` analogue, and
@@ -803,6 +972,17 @@ object StreamOps {
     * included. Rows behind the watermark are dropped by the engine
     * (the same caveat as every streaming as-of here); the census
     * rolls up downstream (group by status), matching the batch query.
+    *
+    * ORDERING CONTRACT (ADVICE r10): matching is EAGER — events sort
+    * (ts, id) only within a micro-batch, so the processor additionally
+    * assumes cross-batch arrival respects event-time order per user. An
+    * error arriving one batch BEFORE its in-window purchase (disorder
+    * inside the watermark) resolves as purchase_no_error where the
+    * batch twin says full_chain. Eagerness is what buys on-arrival
+    * emission for the hot path; when in-watermark disorder must be
+    * absorbed instead, use the watermark-finalized buffering shape of
+    * [[AsofNextProcessor]] (every outcome emitted on watermark
+    * passage, both sides buffered one horizon).
     */
   class ChainFollowupProcessor(windowMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, Long, Long)] {
@@ -905,6 +1085,112 @@ object StreamOps {
                           TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming FORWARD (first-after) as-of — the true-streaming twin
+    * of the batch `join_asof_merge_next_outer` family (AsOfMergeExec's
+    * FORWARD mode), bounded by a horizon: for each purchase, the first
+    * error of the same user with `p_ts < e_ts <= p_ts + horizon`, or a
+    * null-match row when the horizon closes empty. The unbounded batch
+    * form has no streaming face (a purchase could wait forever); the
+    * horizon is what makes the wait finite — the same bound the chain
+    * reconciliation uses for its second hop.
+    *
+    * Unlike the eager-matching processors ([[ChainFollowupProcessor]],
+    * [[AsofEnrichProcessor]]), every outcome here is finalized by the
+    * WATERMARK, never by arrival: purchases buffer in ListState until
+    * the watermark passes their horizon, errors buffer until no
+    * live-or-future purchase window can contain them (`e_ts + horizon`
+    * behind the watermark — by then any unfinalized purchase satisfies
+    * `p_ts >= e_ts`, outside the strictly-after window). So an error
+    * arriving a batch BEFORE its in-window purchase — cross-batch
+    * event-time disorder inside the watermark, the case the eager
+    * processors document away — still matches. State per key is
+    * bounded by one horizon of open purchases + one horizon of errors.
+    * Output: (purchase_id, next_error_id | -1, matched 1|0).
+    */
+  class AsofNextProcessor(horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var openPurchases: ListState[(Long, Long)] = _ // (pId, pTsMicros)
+    @transient private var recentErrors: ListState[(Long, Long)] = _  // (eId, eTsMicros)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      openPurchases = getHandle.getListState[(Long, Long)]("openPurchases",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      recentErrors = getHandle.getListState[(Long, Long)]("recentErrors",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+    }
+
+    private def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    private val horizonMicros = horizonMs * 1000L
+    // fire strictly AFTER the horizon end: an error AT p_ts + horizon
+    // is a valid match and must be bufferable before finalization
+    private def deadlineMs(tsMicros: Long): Long =
+      math.floorDiv(tsMicros, 1000L) + horizonMs + 1L
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      rows.foreach { e =>
+        val m = micros(e.ts)
+        e.event_type match {
+          case "purchase" =>
+            openPurchases.appendValue((e.event_id, m))
+            getHandle.registerTimer(deadlineMs(m))
+          case "error" =>
+            recentErrors.appendValue((e.event_id, m))
+            // its own purge timer: without one, a key seeing only
+            // errors would buffer them forever
+            getHandle.registerTimer(deadlineMs(m))
+          case _ => ()
+        }
+      }
+      Iterator.empty // outcomes only ever emit on watermark passage
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val errs = recentErrors.get().toSeq
+      val (due, live) = openPurchases.get().toSeq
+        .partition(p => deadlineMs(p._2) <= wm)
+      val out = due.sortBy(p => (p._2, p._1)).map { case (pId, pTs) =>
+        // min (e_ts, e_id) in the window — the batch min-struct argmin
+        val win = errs.filter(e => e._2 > pTs && e._2 <= pTs + horizonMicros)
+        if (win.isEmpty) (pId, -1L, 0L)
+        else { val (eId, _) = win.minBy(e => (e._2, e._1)); (pId, eId, 1L) }
+      }
+      if (due.nonEmpty) {
+        openPurchases.clear(); live.foreach(openPurchases.appendValue)
+      }
+      // purge errors no unfinalized-or-future purchase window can
+      // contain (they ride the same fired timers — no timer of their own)
+      val keep = errs.filter(e => deadlineMs(e._2) > wm)
+      if (keep.size != errs.size) {
+        recentErrors.clear(); keep.foreach(recentErrors.appendValue)
+      }
+      out.iterator
+    }
+  }
+
+  /** Horizon-bounded first-after enrichment per user as a stream:
+    * (purchase_id, next_error_id | -1, matched). Outcomes emit when
+    * the watermark passes the purchase's horizon — deterministic, and
+    * disorder-tolerant inside the watermark. Requires the RocksDB
+    * state store provider.
+    */
+  def asofNextStream(events: Dataset[Evt], horizonMs: Long,
+                     watermark: String = "1 minute"): Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofNextProcessor(horizonMs),
+                          TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Interactive queries (Kafka Streams IQ / store.all() analogue):
     * read a streaming operator's STATE STORE as a DataFrame, straight
     * from the query's checkpoint, via Spark's state data source. Works
@@ -920,9 +1206,15 @@ object StreamOps {
   def readStateStore(spark: org.apache.spark.sql.SparkSession,
                      checkpointDir: String,
                      storeName: String = "default",
-                     operatorId: Int = 0): DataFrame =
-    spark.read.format("statestore")
+                     operatorId: Int = 0,
+                     stateVarName: String = null): DataFrame = {
+    val r = spark.read.format("statestore")
       .option("storeName", storeName)
       .option("operatorId", operatorId)
+    // transformWithState checkpoints hold NAMED state variables — pass
+    // the variable to read (e.g. "lastSignup"); aggregation/dedup
+    // operators have a single anonymous store and omit it
+    (if (stateVarName == null) r else r.option("stateVarName", stateVarName))
       .load(checkpointDir)
+  }
 }

@@ -1207,6 +1207,182 @@ class StreamingSpec extends SparkSpecBase {
     outcomes.unpersist()
   }
 
+  test("streaming forward as-of: horizon-bounded first-after == batch twin, disorder-tolerant") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val horizon = 3600000L // 1 hour
+      // user 1: purchase in b1, FIRST error lands in b2 (cross-batch
+      //   match pair split) with a LATER error to prove argmin;
+      // user 2: purchase whose horizon closes empty (timer outcome);
+      // user 3: error arrives in b2, its purchase in b3 with an EARLIER
+      //   event time — cross-batch DISORDER inside the watermark, the
+      //   case eager matching cannot resolve;
+      // user 4: error outside the horizon → unmatched.
+      val b1 = Seq(evt(10, "2024-01-01 10:00:00", user = 1, tpe = "purchase"),
+                   evt(20, "2024-01-01 10:00:00", user = 2, tpe = "purchase"),
+                   evt(40, "2024-01-01 10:00:00", user = 4, tpe = "purchase"))
+      val b2 = Seq(evt(11, "2024-01-01 10:30:00", user = 1, tpe = "error"),
+                   evt(12, "2024-01-01 10:45:00", user = 1, tpe = "error"),
+                   evt(31, "2024-01-01 10:20:00", user = 3, tpe = "error"),
+                   evt(41, "2024-01-01 11:30:00", user = 4, tpe = "error"))
+      val b3 = Seq(evt(30, "2024-01-01 10:10:00", user = 3, tpe = "purchase"))
+      // sentinels drive the watermark past every horizon
+      val b4 = Seq(evt(90, "2024-01-01 14:00:00", user = 99))
+      val b5 = Seq(evt(91, "2024-01-01 18:00:00", user = 99))
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      // 90-minute allowed lateness: user 3's 10:10 purchase must still
+      // be AHEAD of the watermark when it arrives in b3 (b2's max event
+      // is 11:30 — with a tight delay the engine would drop it as late)
+      val q = StreamOps.asofNextStream(stream.toDF().as[Evt], horizon,
+          watermark = "90 minutes")
+        .toDF("purchase_id", "next_error_id", "matched")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      Seq(b1, b2, b3, b4, b5).foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch twin: forward as-of with the same horizon over the same rows
+      val all = (b1 ++ b2 ++ b3 ++ b4 ++ b5).toDS()
+      val p = all.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                unix_micros(col("ts")).as("p_us"))
+      val er = all.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+                unix_micros(col("ts")).as("e_us"))
+      val batch = p.join(er, col("p_user") === col("e_user") &&
+            col("e_us") > col("p_us") && col("e_us") <= col("p_us") + horizon * 1000L, "left")
+        .groupBy("p_id")
+        .agg(min(struct(col("e_us"), col("e_id"))).as("nxt"))
+        .select(col("p_id"), coalesce(col("nxt.e_id"), lit(-1L)),
+                when(col("nxt.e_id").isNull, 0L).otherwise(1L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      // and the interesting rows really are what they claim:
+      assert(streamed.contains((10L, 11L, 1L)), "cross-batch split must match argmin")
+      assert(streamed.contains((30L, 31L, 1L)), "in-watermark disorder must still match")
+      assert(streamed.contains((20L, -1L, 0L)) && streamed.contains((40L, -1L, 0L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("idle-key retention: the horizon evicts a cold key's as-of state; active keys unaffected") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val horizon = 2L * 86400000L // 2 days of event time
+      val q = StreamOps.asofEnrichStream(stream.toDF().as[Evt], idleRetentionMs = horizon)
+        .toDF("purchase_id", "signup_id")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      // batch 1: users 1 and 2 sign up; user 1 purchases in-horizon
+      stream.addData(
+        evt(1, "2024-01-01 10:00:00", user = 1, tpe = "signup"),
+        evt(2, "2024-01-01 11:00:00", user = 1, tpe = "purchase"),
+        evt(3, "2024-01-01 10:30:00", user = 2, tpe = "signup"))
+      q.processAllAvailable()
+      // batch 2: user 3 signs up far in the future (watermark jump source)
+      stream.addData(evt(4, "2024-01-10 10:00:00", user = 3, tpe = "signup"))
+      q.processAllAvailable()
+      // batch 3: the watermark (trailing one batch) passes Jan 10 —
+      // users 1/2 idle since Jan 1 + 2d horizon → timers fire, state drops
+      stream.addData(evt(5, "2024-01-11 10:00:00", user = 3))
+      q.processAllAvailable()
+      // batch 4: user 1's post-horizon purchase goes UNENRICHED (signup
+      // forgotten — bounded staleness); user 3's enriches as normal
+      stream.addData(
+        evt(6, "2024-01-11 11:00:00", user = 1, tpe = "purchase"),
+        evt(7, "2024-01-11 11:00:00", user = 3, tpe = "purchase"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((2L, 1L), (7L, 4L)), rows.toString)
+      // the store REALLY shrank: only user 3's signup state remains
+      val state = StreamOps.readStateStore(spark, ckpt, stateVarName = "lastSignup")
+      val keys = state.select(col("key.*")).collect().map(_.getLong(0)).toSet
+      assert(keys == Set(3L), s"evicted keys must leave the store: $keys")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("idle-key retention: watermark-only sketch state (kmv) evicts cold keys, keeps hot ones") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_kmv").toString
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val horizon = 2L * 86400000L
+      // the watermark is applied UPSTREAM of the pair projection — the
+      // retention contract for inputs that carry no event time
+      val pairs = stream.toDF().withWatermark("ts", "0 seconds").as[Evt]
+        .map(e => (e.event_type, e.user_id))
+      val q = StreamOps.kmvDistinctStream(pairs, k = 64, idleRetentionMs = horizon)
+        .toDF("key", "size", "est")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      // two batches of activity on both keys (batch 1 can't arm — the
+      // watermark is still 0; batch 2 arms both)
+      stream.addData(evt(1, "2024-01-01 10:00:00", user = 1, tpe = "click"),
+                     evt(2, "2024-01-01 10:01:00", user = 2, tpe = "click"),
+                     evt(3, "2024-01-01 10:02:00", user = 9, tpe = "view"))
+      q.processAllAvailable()
+      stream.addData(evt(4, "2024-01-01 11:00:00", user = 3, tpe = "click"),
+                     evt(5, "2024-01-01 11:01:00", user = 9, tpe = "view"))
+      q.processAllAvailable()
+      // "view" stays hot while time passes; "click" goes idle
+      stream.addData(evt(6, "2024-01-10 10:00:00", user = 9, tpe = "view"))
+      q.processAllAvailable()
+      stream.addData(evt(7, "2024-01-11 12:00:00", user = 9, tpe = "view"))
+      q.processAllAvailable()
+      // click returns after the horizon: its sketch restarted from empty
+      // (view's wm-based deadline — Jan 10 + 2d — is still ahead of the
+      // final watermark, so the hot key survives)
+      stream.addData(evt(8, "2024-01-11 13:00:00", user = 7, tpe = "click"))
+      q.processAllAvailable()
+      q.stop()
+      val lastClick = spark.table(sink).filter(col("key") === "click")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).last
+      assert(lastClick == ((1L, 1L)),
+        s"post-eviction sketch must restart from empty: $lastClick")
+      // the hot key's sketch survived end to end: 1 distinct user
+      val lastView = spark.table(sink).filter(col("key") === "view")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).last
+      assert(lastView == ((1L, 1L)), lastView.toString)
+      val state = StreamOps.readStateStore(spark, ckpt, stateVarName = "hs")
+      val keys = state.select(col("key.*")).collect().map(_.getString(0)).toSet
+      assert(keys == Set("view", "click"),
+        s"state store after the run: $keys (click re-armed by batch 5)")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("approx_count_distinct within 2% of exact (HLL capability, R7)") {
     val o = graft.tables.Tables.t(spark, sf, "orders")
     val exact = o.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
