@@ -293,6 +293,69 @@ object Scale {
     ranked.withColumn("__tile", tile).drop("__rn", "__n")
   }
 
+  /** NTILE CENSUS with aggregate pushdown — for queries that only need
+    * per-tile AGGREGATES (count, min, sum, ...), not per-row tile
+    * labels. [[globalNtile]] ranks EVERY row (one full-data shuffle
+    * into per-bucket window sorts) before the census collapses it to k
+    * rows; but a bucket whose global rank span [off+1, off+bn] lies
+    * entirely inside one tile needs no per-row ranks at all — its tile
+    * is known from the histogram arithmetic alone. Only buckets
+    * STRADDLING a tile boundary (at most k−1 of them, (k−1)/B of the
+    * data for B buckets) are window-ranked; everything else flows
+    * through a plain map-side-combined partial aggregate. At 100 TB
+    * the full-data pass is one hash aggregate keyed by tile; the
+    * window touches a vanishing fraction.
+    *
+    * Aggregates are supplied in partial/merge form (the same algebraic
+    * split Spark's own partial aggregation uses): `partialAggs` run
+    * per tile on each path and MUST be aliased; `mergeAggs` combine
+    * those aliases across the two paths into the final per-tile row.
+    * E.g. count = `count(lit(1)).as("pc")` / `sum("pc").as("c")`.
+    * Output: one row per non-empty tile: (`__tile`, mergeAggs...).
+    * Same bucket/sort contract as [[globalRank]]; same tile sizing as
+    * [[globalNtile]] (oracle-pinned identical).
+    */
+  def globalNtileCensus(df: DataFrame, k: Int, coarse: Column,
+                        sortCols: Seq[Column],
+                        partialAggs: Seq[Column],
+                        mergeAggs: Seq[Column]): DataFrame = {
+    val withB = df.withColumn("__cb", coalesce(coarse.cast("long"), lit(Long.MinValue)))
+    val counts = withB.groupBy("__cb").agg(count(lit(1)).as("__bn"))
+    // offsets + grand total via the tiny B×B broadcast join, exactly as
+    // [[globalRank]] (never a single-partition global-order window)
+    val offsets = counts
+      .crossJoin(broadcast(
+        counts.select(col("__cb").as("__cb2"), col("__bn").as("__bn2"))))
+      .groupBy("__cb", "__bn")
+      .agg(coalesce(sum(when(col("__cb2") < col("__cb"), col("__bn2"))), lit(0L))
+             .as("__off"),
+           sum("__bn2").as("__n"))
+    def tileOf(rn: Column): Column = {
+      val q = floor(col("__n") / k).cast("long")
+      val r = col("__n") % k
+      val big = (q + 1) * r
+      when(rn <= big, floor((rn - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + floor((rn - 1 - big) / q).cast("long") + 1)
+    }
+    // a bucket is interior iff its first and last global ranks share a
+    // tile — decided on the B-row offsets table, then broadcast
+    val flagged = offsets
+      .withColumn("__tfirst", tileOf(col("__off") + 1))
+      .withColumn("__tlast", tileOf(col("__off") + col("__bn")))
+    val joined = withB.join(broadcast(flagged), "__cb")
+    val interior = joined.filter(col("__tfirst") === col("__tlast"))
+      .groupBy(col("__tfirst").as("__tile"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val w = Window.partitionBy("__cb").orderBy(sortCols: _*)
+    val straddling = joined.filter(col("__tfirst") =!= col("__tlast"))
+      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+      .groupBy(tileOf(col("__rn")).as("__tile"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    interior.unionByName(straddling)
+      .groupBy("__tile")
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
+
   /** Fused multi-dimension [[globalNtile]]: computes `NTILE(k)` over
     * SEVERAL independent global orderings of the same keyed table in a
     * single pipeline, instead of one sequential two-phase pass per

@@ -65,24 +65,28 @@ object Windows {
   }
 
   /** Global ntile WITHOUT the single-partition global sort that
-    * `ntile(4).over(Window.orderBy(...))` plans: ranking runs
-    * bucket-parallel via [[Scale.globalNtile]] (coarse price bucket →
-    * per-bucket row_number + offset). Output is bit-identical to the
-    * window formulation — the oracle pins it.
+    * `ntile(4).over(Window.orderBy(...))` plans — and, since the query
+    * only consumes the per-tile CENSUS (count + min), without ranking
+    * every row either: [[Scale.globalNtileCensus]] window-ranks only
+    * the ≤ k−1 price buckets that straddle a tile boundary and pushes
+    * the aggregate below the ranking for every interior bucket (one
+    * map-side-combined pass). Output is bit-identical to the window
+    * formulation — the oracle pins it.
     */
   val winNtile: Q = (s, d) =>
-    Scale.globalNtile(
+    Scale.globalNtileCensus(
         orders(s, d).select("o_totalprice", "o_orderkey"), 4,
         // bucket width 20k ≈ 28 price buckets: measured best at bench
-        // scale (0.69 s → 0.44 s vs width 5k/110 buckets — fewer window
-        // tasks + a 100× smaller B² offsets join). Bucket count should
-        // track cluster parallelism at real scale; any width is
-        // semantically identical (the oracle pins the output).
+        // scale (fewer window tasks + a 100× smaller B² offsets join
+        // than width 5k). Bucket count should track cluster parallelism
+        // at real scale; any width is semantically identical (the
+        // oracle pins the output).
         floor(col("o_totalprice") / 20000),
-        Seq(col("o_totalprice"), col("o_orderkey")))
-      .select(col("o_totalprice"), col("__tile").as("b"))
-      .groupBy("b")
-      .agg(cnt.as("c"), cents(min(col("o_totalprice"))).as("mn"))
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        partialAggs = Seq(cnt.as("__pc"), min(col("o_totalprice")).as("__pm")),
+        mergeAggs = Seq(sum("__pc").cast("long").as("c"),
+                        cents(min(col("__pm"))).as("mn")))
+      .select(col("__tile").as("b"), col("c"), col("mn"))
       .orderBy("b")
 
   val winFirstLast: Q = (s, d) => {

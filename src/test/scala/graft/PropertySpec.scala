@@ -112,6 +112,42 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("globalNtileCensus equals rank-every-row globalNtile census under generated widths and k") {
+    // the aggregate-pushdown census (interior buckets skip ranking;
+    // only straddlers window) must be bit-identical to ranking every
+    // row and aggregating — for ANY bucket width (including widths
+    // that put whole tiles inside one bucket or straddle several) and
+    // any k, including k > n (every tile is a single row or empty)
+    val cases = samples(Gen.zip(Gen.choose(500, 100000), Gen.choose(2, 9)), 6) ++
+      Seq((20000, 4), (1, 3)) // the bench shape; width 1 ≈ one bucket per price
+    cases.foreach { case (w, k) =>
+      val src = orders.select("o_totalprice", "o_orderkey")
+      val expected = graft.ops.Scale
+        .globalNtile(src, k, floor(col("o_totalprice") / w),
+                     Seq(col("o_totalprice"), col("o_orderkey")))
+        .groupBy(col("__tile")).agg(count(lit(1)).as("c"),
+                                    min("o_totalprice").as("mn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = graft.ops.Scale
+        .globalNtileCensus(src, k, floor(col("o_totalprice") / w),
+          Seq(col("o_totalprice"), col("o_orderkey")),
+          partialAggs = Seq(count(lit(1)).as("pc"), min("o_totalprice").as("pm")),
+          mergeAggs = Seq(sum("pc").cast("long").as("c"), min("pm").as("mn")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"width $w k $k")
+    }
+    // n < k: 3 rows into 5 tiles — tiles 4..5 empty, sizes all 1
+    val tiny = orders.select("o_totalprice", "o_orderkey")
+      .orderBy("o_orderkey").limit(3)
+    val tinyGot = graft.ops.Scale
+      .globalNtileCensus(tiny, 5, floor(col("o_totalprice") / 1000),
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        partialAggs = Seq(count(lit(1)).as("pc")),
+        mergeAggs = Seq(sum("pc").cast("long").as("c")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tinyGot == Set((1L, 1L), (2L, 1L), (3L, 1L)), tinyGot.toString)
+  }
+
   test("connectedComponents equals GraphX on generated random graphs (both label min node id)") {
     import spark.implicits._
     val edgeGen = for {
