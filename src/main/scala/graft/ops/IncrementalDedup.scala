@@ -252,4 +252,45 @@ object IncrementalDedup {
       .orderBy("a_id", "b_id")
       .limit(2000)
   }
+
+  // One prepared (corpus, index) environment per sfDir for the
+  // ingest-only query: bounded (one temp dir per data dir per JVM),
+  // built on first use, synchronized for Verify's thread pool.
+  private val ingestEnvs = scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private def ingestEnv(s: SparkSession, d: String): (String, String) =
+    ingestEnvs.synchronized {
+      ingestEnvs.getOrElseUpdate(d, {
+        val docs = graft.tables.Tables.t(s, d, "documents")
+          .select("doc_id", "lang", "source", "text")
+        val dir = Files.createTempDirectory("graft_incdedup_env").toString
+        val corpus = s"$dir/corpus"
+        val index = s"$dir/index"
+        CowTable.create(docs.filter(col("doc_id") % 5 =!= 0), corpus)
+        buildIndex(s, corpus, index, Seq("lang", "source"))
+        CowTable.merge(s, corpus, docs.filter(col("doc_id") % 5 === 0), "doc_id")
+        (corpus, index)
+      })
+    }
+
+  /** The LIKE-FOR-LIKE timed face of the component (VERDICT r10 task
+    * 6): [[dedupIncrementalIngest]] rebuilds corpus + index + merge on
+    * EVERY invocation — honest as an end-to-end correctness query, but
+    * as a bench row it compares Spark's full environment build against
+    * DuckDB's one restricted join, which misreads as a 2.6× deficit.
+    * This query times what a production ingest BATCH costs: the
+    * prepared corpus/index environment is built once per data dir
+    * (outside the timed body, like the Tables cache) and each
+    * invocation runs the staged ingest — CDC window read, batch
+    * signatures, index merge, broadcast band probe, exact verify —
+    * WITHOUT advancing the marker, so every run re-derives the same
+    * batch work and the same pairs. Output and oracle are identical to
+    * the composite query; both rows stay in the battery.
+    */
+  val dedupIngestOnly: (SparkSession, String) => DataFrame = (s, d) => {
+    val (corpus, index) = ingestEnv(s, d)
+    ingestStaged(s, corpus, index, Seq("lang", "source")).pairs
+      .orderBy("a_id", "b_id")
+      .limit(2000)
+  }
 }

@@ -1062,6 +1062,7 @@ object Pipeline {
     "unpivot_metrics" -> unpivotMetrics,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "dedup_incremental_ingest" -> IncrementalDedup.dedupIncrementalIngest,
+    "dedup_ingest_only" -> IncrementalDedup.dedupIngestOnly,
     "text_novelty_ratio" -> textNoveltyRatio,
     "text_zipf_slope" -> textZipfSlope,
   )
