@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Round-11 additions (SURVEY §2.15): distribution-comparison
+  * statistics (KS, χ², profile cosine), pricing/discount
+  * reconciliation audits, systematic sampling, corpus budget deciles,
+  * embedding drift, and the GROUP BY ALL SQL face. All integer-exact
+  * per §2.1 (cents / basis points / ppm via truncating `div`,
+  * DECIMAL(38) staging where intermediates exceed 2⁶³); every global
+  * ranking/prefix-sum rides the bucket-parallel [[Scale]] machinery.
+  */
+object Metrics {
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+
+  /** Line-price vs catalog reconciliation: per ship-year census of
+    * lines priced below / at / above `quantity × retail`, with the
+    * summed signed deviation in cents. One fact⋈dimension equi-join
+    * (part broadcasts at bench scale; hash-shuffles co-partitioned at
+    * 100 TB) + one keyed aggregate — the pricing-policy audit next to
+    * `dq_order_total_recon`'s invoice arithmetic.
+    */
+  val reconUnitPriceVsRetail: Q = (s, d) =>
+    li(s, d)
+      .join(Tables.t(s, d, "part").select(col("p_partkey"), col("p_retailprice")),
+            col("l_partkey") === col("p_partkey"))
+      .select(year(col("l_shipdate")).cast("long").as("yr"),
+              (cents(col("l_extendedprice")) -
+                round(col("l_quantity") * col("p_retailprice") * 100).cast("long"))
+                .as("dev"))
+      .withColumn("bucket",
+        when(col("dev") < 0, "a_below")
+          .when(col("dev") === 0, "b_at").otherwise("c_above"))
+      .groupBy("yr", "bucket")
+      .agg(cnt.as("n_lines"), sum("dev").cast("long").as("dev_cents"))
+      .orderBy("yr", "bucket")
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic (ppm) between the
+    * weekday and weekend purchase-value distributions. D = max over
+    * value levels of |F_wd − F_we| is computed integer-exactly as
+    * max |cum_wd·n_we − cum_we·n_wd| · 10⁶ div (n_wd·n_we); the
+    * cumulative runs through [[Scale.globalPrefixSum]] (bucket-parallel
+    * — value levels never single-partition), and the only centralized
+    * rows are the 1-row totals broadcast and the 1-row final max.
+    */
+  val mlKsWeekdayWeekend: Q = (s, d) => {
+    val p = ev(s, d).filter(col("event_type") === "purchase")
+      .select(cents(col("value")).as("v"),
+              when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"))
+    val g = p.groupBy("v")
+      .agg(sum(lit(1L) - col("we")).as("cw"), sum("we").as("ce"))
+    val tot = p.agg(sum(lit(1L) - col("we")).cast("long").as("nw"),
+                    sum("we").cast("long").as("ne"))
+    val diffs = g.crossJoin(broadcast(tot))
+      .select(col("v"), (col("cw") * col("ne") - col("ce") * col("nw")).as("dv"),
+              col("nw"), col("ne"))
+    Scale.globalPrefixSum(diffs, expr("div(v, 2000)"), Seq(col("v")), col("dv"))
+      .agg(max("nw").as("nw"), max("ne").as("ne"),
+           max(abs(col("__ps"))).as("dmax"))
+      .select(col("nw").as("n_weekday"), col("ne").as("n_weekend"),
+              expr("div(dmax * 1000000, nw * ne)").cast("long").as("ks_ppm"))
+  }
+
+  /** Embedding drift per label: squared distance between the label's
+    * centroid and the global centroid over fixed-scale quantized
+    * values (floor(x·1000+0.5), the `embedding_dim_variance`
+    * convention), emitted as Σ_d (μ_l,d − μ_g,d)²·10⁶ in milli² units
+    * via one staged DECIMAL(38) division — integer-exact on both
+    * engines. One posexplode + two keyed aggregates + a 64-row
+    * broadcast join; nothing is ever label²- or dim²-sized.
+    */
+  val embeddingCentroidShift: Q = (s, d) => {
+    val q = Tables.t(s, d, "embeddings")
+      .select(col("label").cast("long").as("lab"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")))
+          .as(Seq("dim", "q")))
+    val perLab = q.groupBy("lab", "dim")
+      .agg(sum("q").cast("long").as("sl"), cnt.as("nl"))
+    val glob = q.groupBy("dim")
+      .agg(sum("q").cast("long").as("sg"), cnt.as("ng"))
+    perLab.join(broadcast(glob), "dim")
+      .select(col("lab"), col("nl"), col("ng"),
+        expr("cast(sl as decimal(38,0)) * ng - cast(sg as decimal(38,0)) * nl").as("num"))
+      .groupBy("lab")
+      .agg(max("nl").cast("long").as("n_vecs"), max("ng").as("ng2"),
+           sum(expr("num * num")).as("dist2"))
+      .select(col("lab"), col("n_vecs"),
+        expr("cast(div(dist2 * 1000000, cast(n_vecs as decimal(38,0)) * n_vecs * ng2 * ng2) as bigint)")
+          .as("shift2_micro"))
+      .orderBy("lab")
+  }
+
+  /** Systematic (every-k-th) sampling in deterministic md5 order — the
+    * interval-sampling sibling of `sample_reservoir_group` /
+    * `sample_stratified` / `sample_weighted`: rows rank globally by
+    * md5(doc_id) via the bucket-parallel [[Scale.globalRank]] (coarse
+    * bucket = first hash byte, 256 buckets) and every 20th rank is
+    * kept. RNG-free and reshuffle-stable like the other samplers; no
+    * single-partition sort at any scale.
+    */
+  val sampleSystematic: Q = (s, d) => {
+    val keyed = Tables.t(s, d, "documents").select(col("doc_id"))
+      .withColumn("k", md5(col("doc_id").cast("string")))
+    Scale.globalRank(keyed,
+        expr("conv(substring(k, 1, 2), 16, 10)").cast("long"),
+        Seq(col("k"), col("doc_id")))
+      .filter(col("__rn") % 20 === 1)
+      .select(col("doc_id"), col("__rn").as("rn"))
+      .orderBy("rn")
+      .limit(2000)
+  }
+
+  /** Pairwise similarity of event types' hour-of-day activity
+    * profiles: cos²·10⁶ between the 24-dim count vectors, computed
+    * integer-exactly as (Σ_h c_a·c_b)²·10⁶ div (Σc_a²·Σc_b²) in
+    * DECIMAL(38). The profile table is (types×24) rows — everything
+    * after the first keyed aggregate is bounded and broadcast.
+    */
+  val eventsTypeHourCosine: Q = (s, d) => {
+    val c = ev(s, d)
+      .groupBy(col("event_type").as("t"), hour(col("ts")).as("h"))
+      .agg(cnt.as("c"))
+    val dots = c.select(col("t").as("ta"), col("h"), col("c").as("ca"))
+      .join(c.select(col("t").as("tb"), col("h"), col("c").as("cb")), Seq("h"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(sum(expr("cast(ca as decimal(38,0)) * cb")).as("dot"))
+    val norms = c.groupBy("t").agg(sum(expr("cast(c as decimal(38,0)) * c")).as("n2"))
+    dots
+      .join(broadcast(norms.select(col("t").as("ta"), col("n2").as("na2"))), "ta")
+      .join(broadcast(norms.select(col("t").as("tb"), col("n2").as("nb2"))), "tb")
+      .select(col("ta"), col("tb"),
+        expr("cast(div(dot * dot * 1000000, na2 * nb2) as bigint)").as("cos2_ppm"))
+      .orderBy("ta", "tb")
+  }
+
+  /** Pearson χ² test of independence for order priority × status —
+    * the declared statistic is the integer-exact per-cell sum
+    * Σ ((O·N − R·C)²·10⁶ div (N·R·C)) over the FULL contingency grid
+    * (absent combinations count as O = 0), staged in DECIMAL(38).
+    * Marginals are two keyed aggregates; the grid is a bounded
+    * (priorities × statuses) broadcast cross — never data-sized.
+    */
+  val mlChi2PriorityStatus: Q = (s, d) => {
+    val o = Tables.t(s, d, "orders")
+      .select(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+    val cells = o.groupBy("pr", "st").agg(cnt.as("n"))
+    val rowsM = o.groupBy("pr").agg(cnt.as("r"))
+    val colsM = o.groupBy("st").agg(cnt.as("c"))
+    val tot = o.agg(cnt.as("nn"))
+    rowsM.crossJoin(broadcast(colsM))
+      .join(cells, Seq("pr", "st"), "left")
+      .withColumn("nij", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("nn"),
+        expr("cast(div((cast(nij as decimal(38,0)) * nn - cast(r as decimal(38,0)) * c) * " +
+          "(cast(nij as decimal(38,0)) * nn - cast(r as decimal(38,0)) * c) * 1000000, " +
+          "cast(nn as decimal(38,0)) * r * c) as bigint)").as("term"))
+      .agg(sum("term").cast("long").as("chi2_ppm"), cnt.as("n_cells"),
+           max("nn").cast("long").as("n"))
+  }
+
+  /** Local-maximum detection on the daily purchase-revenue series: a
+    * day is a peak iff its revenue strictly exceeds every revenue in
+    * the 3 rows before and after (series edges compare against the
+    * rows that exist). The series is the bounded day domain — the
+    * global-order window ranges over ~30 rows, the `ts_sma_crossover`
+    * pattern, never over event-sized data.
+    */
+  val tsPeakDays: Q = (s, d) => {
+    val daily = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("rev_cents"))
+    val w = Window.orderBy("dd")
+    daily
+      .withColumn("mxp", max("rev_cents").over(w.rowsBetween(-3, -1)))
+      .withColumn("mxn", max("rev_cents").over(w.rowsBetween(1, 3)))
+      .select(col("dd").cast("string").as("dd"), col("rev_cents"),
+        when(col("rev_cents") > coalesce(col("mxp"), lit(Long.MinValue)) &&
+             col("rev_cents") > coalesce(col("mxn"), lit(Long.MinValue)), 1L)
+          .otherwise(0L).as("is_peak"))
+      .orderBy("dd")
+  }
+
+  /** Discount-policy audit per quantity band (1–10, 11–20, …): line
+    * count, mean discount in basis points (truncating div — the
+    * integer-exact declared statistic), and the zero-discount share in
+    * ppm. Volume discounts should rise with the band; a flat profile
+    * is the policy violation this surfaces. One keyed aggregate.
+    */
+  val dqDiscountBandAudit: Q = (s, d) =>
+    li(s, d)
+      .select(expr("div(cast(floor(l_quantity) as bigint) - 1, 10)").as("qty_band"),
+              round(col("l_discount") * 10000).cast("long").as("bp"))
+      .groupBy("qty_band")
+      .agg(cnt.as("n_lines"),
+           expr("div(sum(bp), count(1))").cast("long").as("avg_disc_bp"),
+           expr("div(sum(case when bp = 0 then 1 else 0 end) * 1000000, count(1))")
+             .cast("long").as("zero_disc_ppm"))
+      .orderBy("qty_band")
+
+  /** Token-budget curve of the corpus by document-length decile: how
+    * many documents and tokens each n_chars decile contributes — the
+    * "what does the top X% buy me" planning number for corpus
+    * selection. Rides [[Scale.globalNtileCensus]]: interior length
+    * buckets aggregate without per-row ranking; only tile-boundary
+    * buckets window. The aggregate-pushdown ntile's first consumer
+    * beyond `win_ntile`.
+    */
+  val corpusLengthTokenDeciles: Q = (s, d) => {
+    val docs = Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+              size(split(col("text"), " ")).cast("long").as("toks"))
+    Scale.globalNtileCensus(docs, 10,
+        expr("div(n_chars, 20)"), Seq(col("n_chars"), col("doc_id")),
+        partialAggs = Seq(cnt.as("__pc"), sum("toks").as("__pt"),
+                          min("n_chars").as("__pm")),
+        mergeAggs = Seq(sum("__pc").cast("long").as("n_docs"),
+                        sum("__pt").cast("long").as("tokens"),
+                        min("__pm").cast("long").as("min_chars")))
+      .select(col("__tile").as("decile"), col("n_docs"), col("tokens"),
+              col("min_chars"))
+      .orderBy("decile")
+  }
+
+  /** The GROUP BY ALL SQL surface (Spark 3.4+ grammar; DuckDB shares
+    * it — the oracle states the explicit column list, semantics being
+    * the contract as with `sql_pivot_syntax`).
+    */
+  val sqlGroupByAll: Q = (s, d) =>
+    Tables.sql(s, d,
+      """SELECT l_returnflag, l_linestatus, CAST(count(1) AS BIGINT) n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) rev_cents
+        |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "recon_unit_price_vs_retail" -> reconUnitPriceVsRetail,
+    "ml_ks_weekday_weekend" -> mlKsWeekdayWeekend,
+    "embedding_centroid_shift" -> embeddingCentroidShift,
+    "sample_systematic" -> sampleSystematic,
+    "events_type_hour_cosine" -> eventsTypeHourCosine,
+    "ml_chi2_priority_status" -> mlChi2PriorityStatus,
+    "ts_peak_days" -> tsPeakDays,
+    "dq_discount_band_audit" -> dqDiscountBandAudit,
+    "corpus_length_token_deciles" -> corpusLengthTokenDeciles,
+    "sql_group_by_all" -> sqlGroupByAll,
+  )
+}

@@ -22,5 +22,112 @@ object OracleW20 {
   WHERE len(list_intersect(a.tk,b.tk))::DOUBLE / len(list_distinct(a.tk || b.tk)) >= 0.9
     AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
   ORDER BY 1,2 LIMIT 2000""",
+    // round 11: line price vs catalog (quantity × retail) census
+    "recon_unit_price_vs_retail" ->
+      """WITH d AS (SELECT CAST(year(l_shipdate) AS BIGINT) yr,
+      CAST(round(l_extendedprice * 100) AS BIGINT)
+        - CAST(round(l_quantity * p_retailprice * 100) AS BIGINT) dev
+    FROM lineitem JOIN part ON l_partkey = p_partkey)
+  SELECT yr, CASE WHEN dev < 0 THEN 'a_below' WHEN dev = 0 THEN 'b_at'
+      ELSE 'c_above' END bucket,
+    CAST(count(*) AS BIGINT) n_lines, CAST(sum(dev) AS BIGINT) dev_cents
+  FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    // round 11: exact two-sample KS statistic, weekday vs weekend
+    // purchase values (ppm; cum diffs scaled by opposite totals)
+    "ml_ks_weekday_weekend" ->
+      """WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) v,
+      CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END we
+    FROM events WHERE event_type = 'purchase'),
+  tot AS (SELECT CAST(sum(1 - we) AS BIGINT) nw, CAST(sum(we) AS BIGINT) ne FROM p),
+  g AS (SELECT v, CAST(sum(1 - we) AS BIGINT) cw, CAST(sum(we) AS BIGINT) ce
+    FROM p GROUP BY 1),
+  c AS (SELECT CAST(sum(cw * (SELECT ne FROM tot) - ce * (SELECT nw FROM tot))
+      OVER (ORDER BY v) AS BIGINT) dv FROM g)
+  SELECT (SELECT nw FROM tot) n_weekday, (SELECT ne FROM tot) n_weekend,
+    CAST(max(abs(dv)) * 1000000 // ((SELECT nw FROM tot) * (SELECT ne FROM tot)) AS BIGINT) ks_ppm
+  FROM c""",
+    // round 11: per-label centroid shift vs global centroid, quantized
+    // milli² units ×10⁶ (HUGEINT mirror of the DECIMAL(38) staging)
+    "embedding_centroid_shift" ->
+      """WITH q AS (SELECT CAST("label" AS BIGINT) lab,
+      unnest(list_transform(embedding::DOUBLE[],
+        x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))) q,
+      CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) dim
+    FROM embeddings),
+  pl AS (SELECT lab, dim, CAST(sum(q) AS BIGINT) sl, CAST(count(*) AS BIGINT) nl
+    FROM q GROUP BY 1, 2),
+  gl AS (SELECT dim, CAST(sum(q) AS BIGINT) sg, CAST(count(*) AS BIGINT) ng
+    FROM q GROUP BY 1),
+  j AS (SELECT lab, nl, ng, sl::HUGEINT * ng - sg::HUGEINT * nl num
+    FROM pl JOIN gl USING (dim))
+  SELECT lab, CAST(max(nl) AS BIGINT) n_vecs,
+    CAST(sum(num * num) * 1000000
+      // (max(nl)::HUGEINT * max(nl) * max(ng) * max(ng)) AS BIGINT) shift2_micro
+  FROM j GROUP BY 1 ORDER BY 1""",
+    // round 11: systematic every-20th sample in md5(doc_id) order
+    "sample_systematic" ->
+      """SELECT doc_id, rn FROM (SELECT doc_id,
+    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+  FROM documents) WHERE rn % 20 = 1 ORDER BY rn LIMIT 2000""",
+    // round 11: pairwise cos²·10⁶ of event types' hour-of-day profiles
+    "events_type_hour_cosine" ->
+      """WITH c AS (SELECT event_type t, hour(ts) h, CAST(count(*) AS BIGINT) c
+    FROM events GROUP BY 1, 2),
+  dots AS (SELECT a.t ta, b.t tb, sum(a.c::HUGEINT * b.c) dot
+    FROM c a JOIN c b ON a.h = b.h AND a.t < b.t GROUP BY 1, 2),
+  norms AS (SELECT t, sum(c::HUGEINT * c) n2 FROM c GROUP BY 1)
+  SELECT ta, tb, CAST(dot * dot * 1000000 // (na.n2 * nb.n2) AS BIGINT) cos2_ppm
+  FROM dots JOIN norms na ON dots.ta = na.t JOIN norms nb ON dots.tb = nb.t
+  ORDER BY ta, tb""",
+    // round 11: χ² independence of priority × status over the full
+    // grid (absent cells count 0), per-cell truncating-div sum
+    "ml_chi2_priority_status" ->
+      """WITH o AS (SELECT o_orderpriority pr, o_orderstatus st FROM orders),
+  cells AS (SELECT pr, st, CAST(count(*) AS BIGINT) n FROM o GROUP BY 1, 2),
+  r AS (SELECT pr, CAST(count(*) AS BIGINT) r FROM o GROUP BY 1),
+  c AS (SELECT st, CAST(count(*) AS BIGINT) c FROM o GROUP BY 1),
+  t AS (SELECT CAST(count(*) AS BIGINT) nn FROM o),
+  g AS (SELECT r.pr, c.st, r.r, c.c, coalesce(cells.n, 0) nij, (SELECT nn FROM t) nn
+    FROM r CROSS JOIN c LEFT JOIN cells ON r.pr = cells.pr AND c.st = cells.st)
+  SELECT CAST(sum(CAST((nij::HUGEINT * nn - r::HUGEINT * c)
+        * (nij::HUGEINT * nn - r::HUGEINT * c) * 1000000
+        // (nn::HUGEINT * r * c) AS BIGINT)) AS BIGINT) chi2_ppm,
+    CAST(count(*) AS BIGINT) n_cells, CAST(max(nn) AS BIGINT) n
+  FROM g""",
+    // round 11: strict local maxima (±3 rows) of daily purchase revenue
+    "ts_peak_days" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) rev_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  w AS (SELECT dd, rev_cents,
+      max(rev_cents) OVER (ORDER BY dd ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) mxp,
+      max(rev_cents) OVER (ORDER BY dd ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) mxn
+    FROM daily)
+  SELECT CAST(dd AS VARCHAR) dd, rev_cents,
+    CASE WHEN rev_cents > coalesce(mxp, -9223372036854775808)
+      AND rev_cents > coalesce(mxn, -9223372036854775808) THEN 1 ELSE 0 END is_peak
+  FROM w ORDER BY dd""",
+    // round 11: discount policy by quantity band (bp mean, zero share)
+    "dq_discount_band_audit" ->
+      """WITH l AS (SELECT (CAST(floor(l_quantity) AS BIGINT) - 1) // 10 qty_band,
+      CAST(round(l_discount * 10000) AS BIGINT) bp FROM lineitem)
+  SELECT qty_band, CAST(count(*) AS BIGINT) n_lines,
+    CAST(sum(bp) // count(*) AS BIGINT) avg_disc_bp,
+    CAST(sum(CASE WHEN bp = 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) zero_disc_ppm
+  FROM l GROUP BY 1 ORDER BY 1""",
+    // round 11: token budget per document-length decile
+    "corpus_length_token_deciles" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+      CAST(len(string_split(text, ' ')) AS BIGINT) toks,
+      CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) decile
+    FROM documents)
+  SELECT decile, CAST(count(*) AS BIGINT) n_docs, CAST(sum(toks) AS BIGINT) tokens,
+    CAST(min(n_chars) AS BIGINT) min_chars
+  FROM d GROUP BY 1 ORDER BY 1""",
+    // round 11: GROUP BY ALL face — explicit list states the semantics
+    "sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) n,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) rev_cents
+  FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -710,7 +710,11 @@ class PlanSpec extends SparkSpecBase {
     "graph_kcore" -> "1-row scalar: node-census broadcast onto the 1-row edge count",
     "customer_nation_affinity" -> "1-row scalar: line-total broadcast over the bounded nation-pair table",
     "text_ngram_coverage" -> "1-row scalar: top-1000 sum broadcast onto the 1-row totals",
-    "ts_seasonal_strength" -> "1-row scalar: SSres broadcast onto the 1-row total")
+    "ts_seasonal_strength" -> "1-row scalar: SSres broadcast onto the 1-row total",
+    "ml_ks_weekday_weekend" -> "1-row scalar: weekday/weekend totals broadcast + B×B prefix-sum offsets",
+    "ml_chi2_priority_status" -> "bounded: priorities×statuses marginal grid + 1-row total broadcast",
+    "sample_systematic" -> "bounded-bucket: B×B globalRank offsets (B = 256 md5 prefixes)",
+    "corpus_length_token_deciles" -> "bounded-bucket: B×B ntile-census offsets (B = n_chars/20 buckets)")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -774,7 +778,10 @@ class PlanSpec extends SparkSpecBase {
     "ts_sma_crossover" -> "bounded day-domain SMA/crossover windows (fact collapses to daily cents first)",
     "text_ngram_coverage" -> "1-row totals final aggregate (top-k plans as TakeOrdered)",
     "graph_assortativity" -> "1-row correlation final aggregate",
-    "ts_seasonal_strength" -> "1-row SSres/SStot final aggregates (bounded DOW domain)")
+    "ts_seasonal_strength" -> "1-row SSres/SStot final aggregates (bounded DOW domain)",
+    "ml_ks_weekday_weekend" -> "1-row KS-max final aggregate (cumulative via bucket-parallel globalPrefixSum)",
+    "ml_chi2_priority_status" -> "1-row χ² final over the bounded contingency grid",
+    "ts_peak_days" -> "bounded day-domain ±3-row extrema windows (fact collapses to daily cents first)")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
