@@ -277,6 +277,67 @@ object CowTable {
       base = (listVersions(path) :+ 0).max)
   }
 
+  /** INSERT-ONLY APPEND with manifest-level REBASE (round 11) — the
+    * concurrent-writer fast path. Data files are written exactly ONCE;
+    * losing the commit race costs only a manifest recompute against
+    * the new snapshot (base lines + the already-written files), never
+    * a data rewrite — which is what makes N concurrent ingest writers
+    * affordable on a 100 TB table (an append conflicts with NOTHING:
+    * it reads no existing file and replaces no existing line, the
+    * Iceberg fast-append). Contrast [[withCommitRetry]], which re-runs
+    * the whole operation for read-modify-write commits.
+    *
+    * Semantics under concurrency: appends serialize in commit order;
+    * rows land with the layout of the partition spec read at WRITE
+    * time (a concurrently-evolved spec leaves these files in the old
+    * layout — exactly the mixed-layout state partition evolution
+    * already tolerates). A key present in a MoR delete sidecar stays
+    * deleted even if appended here — sidecars are table-wide by
+    * contract; reviving a key is [[merge]]'s job.
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             maxRetries: Int = 5): Int = {
+    val fresh = writeData(df, path, partitionSpec(path))
+    var attempts = 0
+    while (true) {
+      val base = currentVersion(path)
+      try return commit(path, manifestLines(path, Some(base)) ++ fresh, base)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** OPTIMISTIC RETRY for read-modify-write commits ([[merge]],
+    * [[deleteMorKeys]], [[deleteMorWhere]], [[compact]], ...): re-runs
+    * `op` until it commits or `maxRetries` conflicts. `op` MUST
+    * re-read the current snapshot on each run (every CowTable
+    * operation does — they open with `currentVersion`), so each retry
+    * recomputes against the winner's snapshot and the result is
+    * SERIALIZABLE: equivalent to the losers running strictly after the
+    * winners. Full recompute is deliberately the only conflict policy
+    * — cheaper rebases (e.g. disjoint-file detection) trade
+    * correctness edge cases for speed the local scale cannot justify;
+    * the insert-only case that CAN skip recompute safely has its own
+    * fast path ([[append]]). A lost attempt's data files are orphans,
+    * reclaimed by [[expireSnapshots]]'s vacuum like any dead write.
+    */
+  def withCommitRetry(maxRetries: Int = 5)(op: => Int): Int = {
+    var attempts = 0
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** PARTITION EVOLUTION (hidden partitioning): record a new partition
     * transform spec as a METADATA-ONLY commit. Existing files keep
     * their layout — they are never rewritten, they simply don't prune

@@ -179,6 +179,84 @@ class CowTableSpec extends SparkSpecBase {
     assert(CowTable.read(spark, path).filter(col("v") < 0).count() == 1)
   }
 
+  test("concurrent appends all land via manifest rebase: no lost rows, no data rewrite") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, 0L)).toDF("id", "v"), path)
+    val gate = new java.util.concurrent.CyclicBarrier(4)
+    // 4 writers append DISJOINT batches from the same base; every one
+    // must succeed (losers rebase their already-written files onto the
+    // winner's manifest instead of failing or rewriting)
+    val fs = (1 to 4).map { w =>
+      Future {
+        val batch = (0L until 10L).map(i => (1000L * w + i, w.toLong)).toDF("id", "v")
+        gate.await()
+        CowTable.append(spark, path, batch)
+      }
+    }
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    assert(versions.toSet == Set(2, 3, 4, 5), s"all four must commit: $versions")
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 140, "base 100 + 4 disjoint appends of 10")
+    assert(now.filter(col("id") >= 1000L).count() == 40, "no append may be lost")
+    // write-once: every appended file appears in the final manifest —
+    // rebase re-linked the SAME files, it never rewrote them
+    val files = CowTable.snapshotFiles(path).toSet
+    (2 to 5).foreach { v =>
+      val mine = CowTable.snapshotFiles(path, Some(v)).toSet --
+        CowTable.snapshotFiles(path, Some(v - 1)).toSet
+      assert(mine.nonEmpty && mine.subsetOf(files),
+        s"v$v's fresh files must survive into the final manifest")
+    }
+  }
+
+  test("withCommitRetry serializes racing merges: both land, last writer wins per key") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmp
+    CowTable.create((0L until 200L).map(i => (i, 0L)).toDF("id", "v"), path)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def racer(k: Long, stamp: Long): Future[Int] = Future {
+      gate.await()
+      CowTable.withCommitRetry() {
+        CowTable.merge(spark, path, Seq((k, stamp)).toDF("id", "v"), "id")
+      }
+    }
+    val vs = Await.result(Future.sequence(Seq(racer(3L, 31L), racer(7L, 71L))), 120.seconds)
+    assert(vs.toSet == Set(2, 3), s"retry must let the loser recompute and land: $vs")
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 200)
+    assert(now.filter(col("id") === 3L).select("v").as[Long].head() == 31L)
+    assert(now.filter(col("id") === 7L).select("v").as[Long].head() == 71L,
+      "both merges must be visible — serializable, not lost-update")
+  }
+
+  test("append conforms to the table contract: pruning under the partition spec, no sidecar revive") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, i % 4)).toDF("id", "grp"), path,
+      transforms = Seq(graft.sinks.PartitionTransform.identity("grp")))
+    // MoR-delete a key, then append a row with the SAME key: sidecars
+    // are table-wide by contract — the appended key stays deleted
+    CowTable.deleteMorKeys(spark, path, Seq(5L).toDF("id"), "id")
+    val v = CowTable.append(spark, path, Seq((5L, 1L), (500L, 2L)).toDF("id", "grp"))
+    val now = CowTable.read(spark, path, Some(v))
+    assert(now.count() == 100, "99 survivors + appended 500 (appended id=5 stays deleted)")
+    assert(now.filter(col("id") === 500L).count() == 1)
+    assert(now.filter(col("id") === 5L).count() == 0,
+      "append must not revive a MoR-deleted key — that is merge's job")
+    // appended file lands under the spec's directory layout and prunes
+    val pruned = CowTable.prunedFilesEq(spark, path, "grp", 2L, Some(v))
+    assert(pruned.exists(_.contains("=2")), s"appended file must prune by grp: $pruned")
+    assert(CowTable.snapshotFiles(path, Some(v)).size > pruned.size,
+      "equality pruning must skip the other partitions' files")
+  }
+
   test("snapshot isolation: readers during a concurrent merge see only full versions") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
