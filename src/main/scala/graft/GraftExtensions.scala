@@ -110,6 +110,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         df.queryExecution.analyzed
       }))
+    // Metadata tables (the Iceberg `files` / `history` shapes):
+    // `SELECT * FROM cow_files('/p'[, version])` — per-file kind+size;
+    // `SELECT * FROM cow_history('/p')` — per-retained-version census.
+    ext.injectTableFunction((
+      FunctionIdentifier("cow_files"),
+      info("cow_files",
+        "cow_files(path[, version]) - files a CowTable snapshot references (kind, size)"),
+      (es: Seq[Expression]) => {
+        def litOf(e: Expression): Any = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              "cow_files arguments must be literals")
+          e.eval()
+        }
+        val path = litOf(es.head).toString
+        val asOf = es.drop(1).headOption.map(e => litOf(e).toString.toInt)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sinks.CowTable.filesMeta(spark, path, asOf).queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("cow_history"),
+      info("cow_history",
+        "cow_history(path) - per-retained-snapshot file/sidecar/spec census"),
+      (es: Seq[Expression]) => {
+        def litOf(e: Expression): Any = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              "cow_history arguments must be literals")
+          e.eval()
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sinks.CowTable.history(spark, litOf(es.head).toString)
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double precision"),

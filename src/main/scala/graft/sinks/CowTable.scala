@@ -277,6 +277,48 @@ object CowTable {
       base = (listVersions(path) :+ 0).max)
   }
 
+  /** METADATA TABLE: one row per file a snapshot references — the
+    * Iceberg `files` table shape. `kind` ∈ data / delete_keys /
+    * position_deletes; `size_bytes` from the filesystem (−1 for a
+    * vanished file — a vacuumed-under-time-travel read should surface
+    * that, not hide it). Built from ONE manifest read — cost is
+    * independent of table size and commit count.
+    */
+  def filesMeta(spark: SparkSession, path: String,
+                asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = asOf.getOrElse(currentVersion(path))
+    manifestLines(path, Some(v)).flatMap { l =>
+      val (kind, f) =
+        if (l.startsWith(DeletePrefix)) ("delete_keys", l.stripPrefix(DeletePrefix))
+        else if (l.startsWith(PosDeletePrefix)) ("position_deletes", l.stripPrefix(PosDeletePrefix))
+        else if (isMetaLine(l)) (null, null)
+        else ("data", l)
+      Option(kind).map { k =>
+        val p = Paths.get(f)
+        (f, k, if (Files.exists(p)) Files.size(p) else -1L)
+      }
+    }.toDF("file", "kind", "size_bytes")
+  }
+
+  /** METADATA TABLE: one row per RETAINED snapshot (expired versions
+    * drop out) — the Iceberg `history`/`snapshots` shape: per-version
+    * data-file and sidecar counts plus whether the manifest declares a
+    * schema / partition spec. Manifest reads only.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    listVersions(path).sorted.map { v =>
+      val ls = manifestLines(path, Some(v))
+      (v.toLong, ls.count(l => !isMetaLine(l)).toLong,
+       ls.count(_.startsWith(DeletePrefix)).toLong,
+       ls.count(_.startsWith(PosDeletePrefix)).toLong,
+       ls.exists(_.startsWith(SchemaPrefix)),
+       ls.exists(_.startsWith(PartitionPrefix)))
+    }.toDF("version", "n_data_files", "n_delete_sidecars",
+           "n_pos_sidecars", "has_schema", "has_partition_spec")
+  }
+
   /** INSERT-ONLY APPEND with manifest-level REBASE (round 11) — the
     * concurrent-writer fast path. Data files are written exactly ONCE;
     * losing the commit race costs only a manifest recompute against

@@ -595,6 +595,45 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("cow_files / cow_history TVFs: the metadata tables from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    val path = tmp
+    CowTable.create((0L until 50L).map(i => (i, i)).toDF("id", "v")
+      .repartition(3), path)                                                       // v1: 3 data files
+    CowTable.deleteMorKeys(spark, path, Seq(7L).toDF("id"), "id")                  // v2: +1 key sidecar
+    CowTable.addColumn(spark, path, "tag", "string")                               // v3: schema line
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val kinds = ext.sql(
+        s"SELECT kind, count(*) c FROM cow_files('$path') GROUP BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(kinds == Map("data" -> 3L, "delete_keys" -> 1L), kinds.toString)
+      assert(ext.sql(s"SELECT * FROM cow_files('$path') WHERE size_bytes <= 0").isEmpty,
+        "every referenced file exists with a positive size")
+      // time travel: v1 has no sidecar yet
+      assert(ext.sql(s"SELECT * FROM cow_files('$path', 1) WHERE kind <> 'data'").isEmpty)
+      val hist = ext.sql(
+        s"""SELECT version, n_data_files, n_delete_sidecars, has_schema
+           |FROM cow_history('$path') ORDER BY version""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(hist.toSeq == Seq((1L, 3L, 0L, false), (2L, 3L, 1L, false),
+                               (3L, 3L, 1L, true)), hist.mkString(", "))
+      // composes: history drives a maintenance decision in plain SQL
+      assert(ext.sql(
+        s"SELECT max(version) FROM cow_history('$path') WHERE n_delete_sidecars > 0")
+        .head.getLong(0) == 3L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("restore re-publishes an old snapshot as a new commit, history intact") {
     import spark.implicits._
     val path = tmp
