@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.vec_dot
 import graft.tables.Tables
 import Util._
 
@@ -241,7 +242,135 @@ object Metrics {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) rev_cents
         |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
+  /** Repeat-purchase share per month: an order is REPEAT iff its
+    * customer has a strictly earlier order date (first-day ties stay
+    * "first" — day granularity is the declared contract). One keyed
+    * min-aggregate + equi-join + monthly census; linear, co-partitioned
+    * on the customer key at any scale.
+    */
+  val ordersRepeatShareMonthly: Q = (s, d) => {
+    val o = Tables.t(s, d, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("dt"))
+    val first = o.groupBy("o_custkey").agg(min("dt").as("fd"))
+    o.join(first, "o_custkey")
+      .groupBy(expr("cast(year(dt) * 100 + month(dt) as bigint)").as("ym"))
+      .agg(cnt.as("n_orders"),
+           sum(when(col("dt") > col("fd"), 1L).otherwise(0L)).cast("long").as("n_repeat"))
+      .withColumn("repeat_ppm", expr("div(n_repeat * 1000000, n_orders)").cast("long"))
+      .orderBy("ym")
+  }
+
+  /** Mean time between failures per user: whole-second gaps between a
+    * user's consecutive error events (lag over the user partition —
+    * keyed, parallel), per-gap truncation THEN truncating mean, the
+    * declared integer statistic. The reliability census beside
+    * `events_fano_burstiness`'s all-event timing dispersion.
+    */
+  val eventsErrorMtbf: Q = (s, d) => {
+    val e = ev(s, d).filter(col("event_type") === "error")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), expr("div(us - prev, 1000000)").as("gap_s"))
+      .groupBy("user_id")
+      .agg(cnt.as("n_gaps"),
+           expr("div(sum(gap_s), count(1))").cast("long").as("mean_gap_s"),
+           max("gap_s").cast("long").as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** Nearest-neighbor label purity — the clustering-quality EVAL: for
+    * every 10th vector, does its exact cosine 1-NN share its label?
+    * Purity ppm per label. Contract-quadratic by declaration (the
+    * exact eval, like `sim_knn_per_query`); the serving path at scale
+    * is `ann_ivf_topk`'s bucketed candidates.
+    */
+  val mlKnnLabelPurity: Q = (s, d) => {
+    val e = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("lab"))
+      .withColumn("nrm", sqrt(vec_dot(col("embedding"), col("embedding"))))
+    val qs = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q"), col("embedding").as("vq"),
+              col("nrm").as("nq"), col("lab").as("ql"))
+    val cs = e.select(col("vec_id").as("n"), col("embedding").as("vn"),
+                      col("nrm").as("nn"), col("lab").as("nl"))
+    val w = Window.partitionBy("q").orderBy(col("s").desc, col("n"))
+    qs.join(cs, col("q") =!= col("n"))
+      .withColumn("s", vec_dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("ql").as("lab"))
+      .agg(cnt.as("n_queries"),
+           sum(when(col("nl") === col("ql"), 1L).otherwise(0L)).cast("long").as("n_same"))
+      .withColumn("purity_ppm", expr("div(n_same * 1000000, n_queries)").cast("long"))
+      .orderBy("lab")
+  }
+
+  /** Winsorized vs raw daily mean purchase value: per day, values
+    * clamp to the day's exact [p10, p90] (integer-cents percentile,
+    * the `agg_percentiles` exactness pattern) before the truncating
+    * mean — outlier-robust revenue tracking beside `ts_outlier_iqr`'s
+    * flagging. Day-bounded percentile table broadcasts back.
+    */
+  val tsWinsorizedDailyMean: Q = (s, d) => {
+    val p = ev(s, d).filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("dd"), cents(col("value")).as("v"))
+    val bounds = p.groupBy("dd")
+      .agg(round(expr("percentile(v, 0.1)")).cast("long").as("lo"),
+           round(expr("percentile(v, 0.9)")).cast("long").as("hi"))
+    p.join(broadcast(bounds), "dd")
+      .select(col("dd"), col("v"),
+              greatest(col("lo"), least(col("hi"), col("v"))).as("wv"))
+      .groupBy("dd")
+      .agg(cnt.as("n"),
+           expr("div(sum(v), count(1))").cast("long").as("mean_cents"),
+           expr("div(sum(wv), count(1))").cast("long").as("wins_mean_cents"))
+      .select(col("dd").cast("string").as("dd"), col("n"),
+              col("mean_cents"), col("wins_mean_cents"))
+      .orderBy("dd")
+  }
+
+  /** Token-length profile per language: token count, mean length in
+    * centi-chars (truncating div), and the ≥8-char long-token share in
+    * ppm — the morphology-ish corpus diagnostic beside
+    * `text_lang_stats`' document-level counts. One explode + keyed agg.
+    */
+  val textWordLengthProfile: Q = (s, d) =>
+    Tables.t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang")
+      .agg(cnt.as("n_tokens"),
+           expr("div(sum(length(tok)) * 100, count(1))").cast("long").as("avg_len_centi"),
+           expr("div(sum(case when length(tok) >= 8 then 1 else 0 end) * 1000000, count(1))")
+             .cast("long").as("long_tok_ppm"))
+      .orderBy("lang")
+
+  /** Per-type retail-price median vs the global median, signed gap in
+    * ppm — exact integer-cents percentiles throughout; the global
+    * median is a 1-row broadcast. Catalog pricing-structure audit
+    * beside `part_brand_price_dispersion`'s within-brand variance.
+    */
+  val partTypePriceMedianGap: Q = (s, d) => {
+    val p = Tables.t(s, d, "part")
+      .select(col("p_type"), cents(col("p_retailprice")).as("c"))
+    val med = p.groupBy("p_type")
+      .agg(cnt.as("n_parts"), round(expr("percentile(c, 0.5)")).cast("long").as("med_cents"))
+    val gmed = p.agg(round(expr("percentile(c, 0.5)")).cast("long").as("gmed"))
+    med.crossJoin(broadcast(gmed))
+      .select(col("p_type"), col("n_parts"), col("med_cents"),
+              expr("div((med_cents - gmed) * 1000000, gmed)").cast("long").as("gap_ppm"))
+      .orderBy("p_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "orders_repeat_share_monthly" -> ordersRepeatShareMonthly,
+    "events_error_mtbf" -> eventsErrorMtbf,
+    "ml_knn_label_purity" -> mlKnnLabelPurity,
+    "ts_winsorized_daily_mean" -> tsWinsorizedDailyMean,
+    "text_word_length_profile" -> textWordLengthProfile,
+    "part_type_price_median_gap" -> partTypePriceMedianGap,
     "recon_unit_price_vs_retail" -> reconUnitPriceVsRetail,
     "ml_ks_weekday_weekend" -> mlKsWeekdayWeekend,
     "embedding_centroid_shift" -> embeddingCentroidShift,

@@ -129,5 +129,69 @@ object OracleW20 {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) n,
     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) rev_cents
   FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    // round 11 wave 2: repeat-order share per month (strictly-earlier
+    // order date = repeat; first-day ties stay first)
+    "orders_repeat_share_monthly" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) dt FROM orders),
+  f AS (SELECT o_custkey, min(dt) fd FROM o GROUP BY 1),
+  j AS (SELECT CAST(year(dt) * 100 + month(dt) AS BIGINT) ym,
+      CASE WHEN dt > fd THEN 1 ELSE 0 END rep FROM o JOIN f USING (o_custkey))
+  SELECT ym, CAST(count(*) AS BIGINT) n_orders, CAST(sum(rep) AS BIGINT) n_repeat,
+    CAST(sum(rep) * 1000000 // count(*) AS BIGINT) repeat_ppm
+  FROM j GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 2: per-user mean/max whole-second gaps between
+    // consecutive error events (per-gap truncation, then truncating mean)
+    "events_error_mtbf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) us, event_id FROM events
+    WHERE event_type = 'error'),
+  g AS (SELECT user_id,
+      (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 1000000 gap_s
+    FROM e)
+  SELECT user_id, CAST(count(*) AS BIGINT) n_gaps,
+    CAST(sum(gap_s) // count(*) AS BIGINT) mean_gap_s,
+    CAST(max(gap_s) AS BIGINT) max_gap_s
+  FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 2: exact cosine 1-NN label purity per label over
+    // every 10th query vector (contract-quadratic eval)
+    "ml_knn_label_purity" ->
+      """WITH sims AS (SELECT e1.vec_id q, CAST(e1."label" AS BIGINT) ql,
+      CAST(e2."label" AS BIGINT) nl, e2.vec_id n,
+      list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) s
+    FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id <> e2.vec_id
+    WHERE e1.vec_id % 10 = 0),
+  nn AS (SELECT q, ql, nl FROM (SELECT q, ql, nl,
+      row_number() OVER (PARTITION BY q ORDER BY s DESC, n) rn FROM sims) t
+    WHERE rn = 1)
+  SELECT ql lab, CAST(count(*) AS BIGINT) n_queries,
+    CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) n_same,
+    CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) purity_ppm
+  FROM nn GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 2: winsorized vs raw daily mean purchase cents
+    "ts_winsorized_daily_mean" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) dd, CAST(round(value * 100) AS BIGINT) v
+    FROM events WHERE event_type = 'purchase'),
+  b AS (SELECT dd, CAST(round(quantile_cont(v, 0.1)) AS BIGINT) lo,
+      CAST(round(quantile_cont(v, 0.9)) AS BIGINT) hi FROM p GROUP BY 1),
+  w AS (SELECT p.dd, v, greatest(lo, least(hi, v)) wv FROM p JOIN b ON p.dd = b.dd)
+  SELECT CAST(dd AS VARCHAR) dd, CAST(count(*) AS BIGINT) n,
+    CAST(sum(v) // count(*) AS BIGINT) mean_cents,
+    CAST(sum(wv) // count(*) AS BIGINT) wins_mean_cents
+  FROM w GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 2: per-language token-length profile
+    "text_word_length_profile" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) tok FROM documents)
+  SELECT lang, CAST(count(*) AS BIGINT) n_tokens,
+    CAST(sum(length(tok)) * 100 // count(*) AS BIGINT) avg_len_centi,
+    CAST(sum(CASE WHEN length(tok) >= 8 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) long_tok_ppm
+  FROM t WHERE tok <> '' GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 2: per-type median retail cents vs global median
+    "part_type_price_median_gap" ->
+      """WITH p AS (SELECT p_type, CAST(round(p_retailprice * 100) AS BIGINT) c FROM part),
+  m AS (SELECT p_type, CAST(count(*) AS BIGINT) n_parts,
+      CAST(round(quantile_cont(c, 0.5)) AS BIGINT) med_cents FROM p GROUP BY 1),
+  g AS (SELECT CAST(round(quantile_cont(c, 0.5)) AS BIGINT) gmed FROM p)
+  SELECT p_type, n_parts, med_cents,
+    CAST((med_cents - gmed) * 1000000 // gmed AS BIGINT) gap_ppm
+  FROM m CROSS JOIN g ORDER BY p_type""",
   )
 }

@@ -714,7 +714,9 @@ class PlanSpec extends SparkSpecBase {
     "ml_ks_weekday_weekend" -> "1-row scalar: weekday/weekend totals broadcast + B×B prefix-sum offsets",
     "ml_chi2_priority_status" -> "bounded: priorities×statuses marginal grid + 1-row total broadcast",
     "sample_systematic" -> "bounded-bucket: B×B globalRank offsets (B = 256 md5 prefixes)",
-    "corpus_length_token_deciles" -> "bounded-bucket: B×B ntile-census offsets (B = n_chars/20 buckets)")
+    "corpus_length_token_deciles" -> "bounded-bucket: B×B ntile-census offsets (B = n_chars/20 buckets)",
+    "ml_knn_label_purity" -> "contract-quadratic: exact 1-NN eval contract (serving twin: ann_ivf_topk)",
+    "part_type_price_median_gap" -> "1-row scalar: global-median broadcast")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -781,7 +783,8 @@ class PlanSpec extends SparkSpecBase {
     "ts_seasonal_strength" -> "1-row SSres/SStot final aggregates (bounded DOW domain)",
     "ml_ks_weekday_weekend" -> "1-row KS-max final aggregate (cumulative via bucket-parallel globalPrefixSum)",
     "ml_chi2_priority_status" -> "1-row χ² final over the bounded contingency grid",
-    "ts_peak_days" -> "bounded day-domain ±3-row extrema windows (fact collapses to daily cents first)")
+    "ts_peak_days" -> "bounded day-domain ±3-row extrema windows (fact collapses to daily cents first)",
+    "part_type_price_median_gap" -> "1-row global-median scalar")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
