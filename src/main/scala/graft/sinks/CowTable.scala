@@ -143,9 +143,22 @@ object CowTable {
     */
   private val PartitionPrefix = "T "
 
+  /** TRANSACTION watermarks (round 11, the Delta `txn` appId/version
+    * shape): a line `X <appId> <version>` records the highest writer
+    * version an application has committed into this table. An
+    * [[append]] carrying `txn = (appId, v)` with `v <=` the recorded
+    * watermark is a NO-OP — which is exactly what makes a foreachBatch
+    * append sink effectively-once: a replayed micro-batch (restart
+    * between sink write and checkpoint commit) re-presents the same
+    * (appId, batchId) and commits nothing. One line per appId; every
+    * commit carries them forward ([[specLines]]).
+    */
+  private val TxnPrefix = "X "
+
   private def isMetaLine(l: String): Boolean =
     l.startsWith(DeletePrefix) || l.startsWith(PosDeletePrefix) ||
-      l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix)
+      l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix) ||
+      l.startsWith(TxnPrefix)
 
   private def manifestLines(path: String, asOf: Option[Int]): Seq[String] = {
     val v = asOf.getOrElse(currentVersion(path))
@@ -189,12 +202,23 @@ object CowTable {
       .map(l => PartitionTransform.decode(l.stripPrefix(PartitionPrefix)))
       .getOrElse(Seq.empty)
 
-  /** Spec lines (schema + partition) that every data/sidecar commit
-    * carries forward unchanged.
+  /** Spec lines (schema + partition + transaction watermarks) that
+    * every data/sidecar commit carries forward unchanged.
     */
   private def specLines(path: String, base: Int): Seq[String] =
     manifestLines(path, Some(base)).filter(l =>
-      l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix))
+      l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix) ||
+        l.startsWith(TxnPrefix))
+
+  /** The highest committed writer version for `appId` (−1 if this
+    * application never committed) — the [[append]] `txn` watermark.
+    */
+  def txnVersion(path: String, appId: String,
+                 asOf: Option[Int] = None): Long =
+    manifestLines(path, asOf).collect {
+      case l if l.startsWith(TxnPrefix + appId + " ") =>
+        l.stripPrefix(TxnPrefix + appId + " ").trim.toLong
+    }.foldLeft(-1L)(math.max)
 
   /** Current version via the [[latestHint]] + forward probe — O(1) in
     * the commit count. Falls back to a directory listing only for
@@ -336,14 +360,39 @@ object CowTable {
     * already tolerates). A key present in a MoR delete sidecar stays
     * deleted even if appended here — sidecars are table-wide by
     * contract; reviving a key is [[merge]]'s job.
+    *
+    * `txn = Some((appId, version))` makes the append IDEMPOTENT per
+    * application (the Delta `txn` action): if the table's
+    * [[txnVersion]] watermark for `appId` is already `>= version`, the
+    * call is a no-op — the foreachBatch replay contract
+    * ([[Sinks.appendStream]]). The watermark line replaces the app's
+    * previous one and every other commit carries it forward.
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
-             maxRetries: Int = 5): Int = {
+             maxRetries: Int = 5,
+             txn: Option[(String, Long)] = None): Int = {
+    txn.foreach { case (app, _) =>
+      require(!app.exists(_.isWhitespace), s"txn appId must not contain whitespace: '$app'")
+    }
+    // Idempotence gate BEFORE paying the data write: a replayed
+    // (appId, version) at or below the table's watermark already
+    // committed fully — its files are in the manifest; re-appending
+    // would duplicate rows.
+    def replayed: Boolean = txn.exists { case (app, v) =>
+      txnVersion(path, app) >= v
+    }
+    if (replayed) return currentVersion(path)
     val fresh = writeData(df, path, partitionSpec(path))
     var attempts = 0
     while (true) {
       val base = currentVersion(path)
-      try return commit(path, manifestLines(path, Some(base)) ++ fresh, base)
+      if (replayed) return base // another writer of the SAME app won the race
+      val kept = txn.fold(manifestLines(path, Some(base))) { case (app, _) =>
+        manifestLines(path, Some(base))
+          .filterNot(_.startsWith(TxnPrefix + app + " "))
+      }
+      val mark = txn.map { case (app, v) => s"$TxnPrefix$app $v" }.toSeq
+      try return commit(path, kept ++ fresh ++ mark, base)
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1

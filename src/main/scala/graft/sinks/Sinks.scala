@@ -221,6 +221,45 @@ object Sinks {
       }
       .start()
 
+  /** STREAMING APPEND INGEST (round 11) — the plain event-log /
+    * document-ingest sink onto the table format: each micro-batch
+    * lands via [[CowTable.append]]'s insert-only fast path (data
+    * written once; a concurrent writer costs a manifest rebase, never
+    * a data rewrite), carrying `txn = (appId, batchId)` so a replayed
+    * batch (crash between sink write and checkpoint commit) is a
+    * NO-OP instead of a duplicate — exactly-once table content from an
+    * at-least-once foreachBatch, with no key column required (contrast
+    * [[reconCdcPipeline]]'s keyed merge). Multiple streams can ingest
+    * into ONE table concurrently under distinct appIds: their txn
+    * watermarks coexist and their appends rebase past each other.
+    * The first non-empty batch bootstraps the table (empty skeleton +
+    * transactional append, so the bootstrap itself is replay-safe).
+    */
+  def appendStream(stream: DataFrame, tablePath: String, checkpoint: String,
+                   appId: String = "append-stream"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch, id, tablePath, appId)
+      }
+      .start()
+
+  /** Per-micro-batch body of [[appendStream]], exposed so the replay
+    * contract is testable without streaming machinery: calling it
+    * twice with the same (batch, id) must leave the table exactly as
+    * the first call did.
+    */
+  private[graft] def appendBatch(batch: DataFrame, id: Long,
+                                 tablePath: String, appId: String): Unit = {
+    if (batch.isEmpty) return
+    if (!CowTable.exists(tablePath))
+      CowTable.create(batch.limit(0), tablePath) // schema-only skeleton
+    CowTable.append(batch.sparkSession, tablePath, batch,
+      txn = Some((appId, id)))
+    ()
+  }
+
   /** Streaming upsert sink (`KTable` materialization): per micro-batch,
     * merge the batch into a keyed parquet view keeping the latest row
     * per key by `tsCol`. The merge here is read-union-dedup-rewrite via

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sinks.CowTable
+import graft.sinks.{CowTable, Sinks}
 
 /** Copy-on-write table format: MERGE/DELETE rewrite only touched data
   * files, snapshots are immutable (time travel), commits are atomic
@@ -255,6 +255,57 @@ class CowTableSpec extends SparkSpecBase {
     assert(pruned.exists(_.contains("=2")), s"appended file must prune by grp: $pruned")
     assert(CowTable.snapshotFiles(path, Some(v)).size > pruned.size,
       "equality pruning must skip the other partitions' files")
+  }
+
+  test("transactional append: (appId, version) watermark makes replays no-ops, survives other commits") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 20L).map(i => (i, 0L)).toDF("id", "v"), path)
+    val v2 = CowTable.append(spark, path, Seq((100L, 1L)).toDF("id", "v"),
+      txn = Some(("ingest-a", 0L)))
+    assert(v2 == 2 && CowTable.txnVersion(path, "ingest-a") == 0L)
+    // replay of version 0: no-op — no new version, no duplicate row
+    val vr = CowTable.append(spark, path, Seq((100L, 1L)).toDF("id", "v"),
+      txn = Some(("ingest-a", 0L)))
+    assert(vr == 2, "replayed txn version must not commit")
+    assert(CowTable.read(spark, path).filter(col("id") === 100L).count() == 1)
+    // an unrelated RMW commit carries the watermark forward
+    CowTable.merge(spark, path, Seq((3L, -3L)).toDF("id", "v"), "id")
+    assert(CowTable.txnVersion(path, "ingest-a") == 0L,
+      "merge must carry txn watermarks forward")
+    // next version appends; a second app keeps an independent watermark
+    CowTable.append(spark, path, Seq((101L, 2L)).toDF("id", "v"),
+      txn = Some(("ingest-a", 1L)))
+    CowTable.append(spark, path, Seq((200L, 9L)).toDF("id", "v"),
+      txn = Some(("ingest-b", 0L)))
+    assert(CowTable.txnVersion(path, "ingest-a") == 1L)
+    assert(CowTable.txnVersion(path, "ingest-b") == 0L)
+    assert(CowTable.read(spark, path).count() == 23)
+    // stale replay BELOW the watermark is also a no-op
+    CowTable.append(spark, path, Seq((100L, 1L)).toDF("id", "v"),
+      txn = Some(("ingest-a", 0L)))
+    assert(CowTable.read(spark, path).filter(col("id") === 100L).count() == 1)
+  }
+
+  test("appendStream batch body: replayed micro-batch leaves the table exactly as the first delivery") {
+    import spark.implicits._
+    val path = tmp + "/ingested"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b1 = Seq((3L, "c")).toDF("id", "s")
+    Sinks.appendBatch(b0, 0L, path, "docs")   // bootstrap + append
+    Sinks.appendBatch(b0, 0L, path, "docs")   // post-commit replay
+    Sinks.appendBatch(b1, 1L, path, "docs")
+    Sinks.appendBatch(b1, 1L, path, "docs")   // replay of batch 1
+    val rows = CowTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"replays must not duplicate: $rows")
+    // two writers, one table: independent watermarks, concurrent appends
+    Sinks.appendBatch(Seq((10L, "x")).toDF("id", "s"), 0L, path, "other")
+    Sinks.appendBatch(Seq((10L, "x")).toDF("id", "s"), 0L, path, "other")
+    assert(CowTable.read(spark, path).count() == 4)
+    assert(CowTable.txnVersion(path, "docs") == 1L &&
+           CowTable.txnVersion(path, "other") == 0L)
   }
 
   test("snapshot isolation: readers during a concurrent merge see only full versions") {
