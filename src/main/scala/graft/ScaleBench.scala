@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "asof", "inc", "rule", "mor").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc | rule | mor " +
+    require(only.forall(Set("het", "ivm", "asof", "inc", "rule", "mor", "app").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc | rule | mor | app " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -156,6 +156,51 @@ object ScaleBench {
     println(f"[scalebench] mor fold(compact) ${foldSec}%6.2f s  rows=$morN " +
       f"(speedup cow/mor delete = ${cowSec / morSec}%.1f x)")
     } // end mor section
+
+    if (only.forall(_ == "app")) {
+    // ---- round-11: insert-only ingest — append vs merge --------------
+    // The claim under test: merge's upsert machinery pays a key-column
+    // scan of the WHOLE table per batch just to discover that a fresh
+    // batch touches nothing, while append is O(batch) — write the new
+    // files, link the manifest. For a high-frequency ingest stream into
+    // a 100 TB table that scan IS the bill; this makes it observable at
+    // 5M rows. Both paths must agree exactly on the final table.
+    import graft.sinks.CowTable
+    val appRoot = s"/tmp/graft_scalebench_app_${System.nanoTime()}"
+    def freshT(p: String): Unit = {
+      spark.range(5000000L).select(col("id"),
+          concat(lit("payload_"), col("id")).as("s"))
+        .repartitionByRange(64, col("id"))
+        .write.mode("overwrite").parquet(s"$p/stage")
+      CowTable.create(spark.read.parquet(s"$p/stage"), p)
+    }
+    val (mrgP, appP) = (s"$appRoot/merge", s"$appRoot/append")
+    freshT(mrgP); freshT(appP)
+    def batch(i: Long) = spark.range(10000L).select(
+      (col("id") + 10000000L + i * 100000L).as("id"),
+      concat(lit("fresh_"), col("id")).as("s"))
+    val t0 = System.nanoTime()
+    (0L until 4L).foreach(i => CowTable.merge(spark, mrgP, batch(i), "id"))
+    val mrgSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    (0L until 4L).foreach(i =>
+      CowTable.append(spark, appP, batch(i), txn = Some(("scalebench", i))))
+    val appSec = (System.nanoTime() - t1) / 1e9
+    val (mn, an) = (CowTable.read(spark, mrgP).count(), CowTable.read(spark, appP).count())
+    require(mn == an && an == 5040000L, s"ingest results diverge: merge=$mn append=$an")
+    // replayed batch: watermark makes it free AND a no-op
+    val vBefore = CowTable.currentVersion(appP)
+    val t2 = System.nanoTime()
+    CowTable.append(spark, appP, batch(3L), txn = Some(("scalebench", 3L)))
+    val repSec = (System.nanoTime() - t2) / 1e9
+    require(CowTable.currentVersion(appP) == vBefore &&
+      CowTable.read(spark, appP).count() == an, "replay must be a no-op")
+    println(f"[scalebench] app merge-ingest  4×10k rows  ${mrgSec}%6.2f s  " +
+      "(key-column scan of the full table per batch)")
+    println(f"[scalebench] app append-ingest 4×10k rows  ${appSec}%6.2f s  " +
+      f"(O(batch); speedup = ${mrgSec / appSec}%.1f x)")
+    println(f"[scalebench] app replayed txn batch        ${repSec}%6.3f s  (watermark no-op)")
+    } // end app section
 
     if (only.forall(_ == "inc")) {
     // ---- round-9: incremental (new-batch × index) dedup vs recompute ----
