@@ -364,7 +364,41 @@ object Metrics {
       .orderBy("p_type")
   }
 
+  /** Peak concurrent user-sessions per day — the capacity-planning
+    * number: a user's session on a day is their [first, last] active
+    * minute; the sweep turns sessions into +1/−1 deltas at the
+    * boundary minutes and takes the max of the running sum. Fact rows
+    * collapse to per-(user, day) bounds first; the cumulative window
+    * partitions BY DAY (parallel, bounded ≤1440 minutes per
+    * partition) — the keyed cousin of `orders_backlog_sweep`'s global
+    * sweep, no single-partition exchange anywhere.
+    */
+  val eventsPeakConcurrencyDaily: Q = (s, d) => {
+    val sess = ev(s, d)
+      .select(to_date(col("ts")).as("dd"), col("user_id"),
+              expr("div(unix_micros(ts), 60000000)").as("minute"))
+      .groupBy("dd", "user_id")
+      .agg(min("minute").as("mn"), max("minute").as("mx"))
+    val deltas = sess
+      .select(col("dd"), explode(array(
+        struct(col("mn").as("m"), lit(1L).as("delta")),
+        struct((col("mx") + 1).as("m"), lit(-1L).as("delta")))).as("x"))
+      .select(col("dd"), col("x.m").as("m"), col("x.delta").as("delta"))
+      .groupBy("dd", "m").agg(sum("delta").as("delta"))
+    val w = Window.partitionBy("dd").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum("delta").over(w))
+      .groupBy("dd")
+      .agg(max("conc").cast("long").as("peak_concurrent"))
+      .join(sess.groupBy("dd").agg(cnt.as("n_sessions")), "dd")
+      .select(col("dd").cast("string").as("dd"), col("n_sessions"),
+              col("peak_concurrent"))
+      .orderBy("dd")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_peak_concurrency_daily" -> eventsPeakConcurrencyDaily,
     "orders_repeat_share_monthly" -> ordersRepeatShareMonthly,
     "events_error_mtbf" -> eventsErrorMtbf,
     "ml_knn_label_purity" -> mlKnnLabelPurity,

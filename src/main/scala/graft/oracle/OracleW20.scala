@@ -193,5 +193,20 @@ object OracleW20 {
   SELECT p_type, n_parts, med_cents,
     CAST((med_cents - gmed) * 1000000 // gmed AS BIGINT) gap_ppm
   FROM m CROSS JOIN g ORDER BY p_type""",
+    // round 11 wave 2: peak concurrent user-sessions per day via the
+    // +1/-1 boundary sweep over per-(user, day) active-minute bounds
+    "events_peak_concurrency_daily" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) dd, user_id,
+      min(epoch_us(ts) // 60000000) mn, max(epoch_us(ts) // 60000000) mx
+    FROM events GROUP BY 1, 2),
+  d AS (SELECT dd, m, CAST(sum(delta) AS BIGINT) delta FROM (
+      SELECT dd, mn m, 1 delta FROM s UNION ALL SELECT dd, mx + 1, -1 FROM s)
+    GROUP BY 1, 2),
+  c AS (SELECT dd, sum(delta) OVER (PARTITION BY dd ORDER BY m
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) conc FROM d)
+  SELECT CAST(p.dd AS VARCHAR) dd, n_sessions, peak_concurrent FROM
+    (SELECT dd, CAST(max(conc) AS BIGINT) peak_concurrent FROM c GROUP BY 1) p
+    JOIN (SELECT dd, CAST(count(*) AS BIGINT) n_sessions FROM s GROUP BY 1) n
+    ON p.dd = n.dd ORDER BY 1""",
   )
 }
