@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.CosineBandRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.AsOfRewriteRule)
     // Whole-operator tier: plans the custom AsOfMergeJoin logical node
     // to its merge exec (SURVEY §4.3 preference (c)).

@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "asof", "inc", "rule", "mor", "app").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc | rule | mor | app " +
+    require(only.forall(Set("het", "ivm", "asof", "inc", "rule", "mor", "app", "band").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc | rule | mor | app | band " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -201,6 +201,45 @@ object ScaleBench {
       f"(O(batch); speedup = ${mrgSec / appSec}%.1f x)")
     println(f"[scalebench] app replayed txn batch        ${repSec}%6.3f s  (watermark no-op)")
     } // end app section
+
+    if (only.forall(_ == "band")) {
+    // ---- round-11: BandJoinRule's win condition, measured -------------
+    // The rule doc claims the bucketed rewrite wins when BOTH sides are
+    // fact-sized (nested-loop = O(n·m) predicate evaluations; banding =
+    // input + near-band pairs). 200k × 100k rows, values uniform on
+    // [0, 1e9), band ±500 — ~2·10¹⁰ nested-loop comparisons vs ~20k
+    // true pairs. Same rows proven by count + checksum.
+    val bl = "/tmp/graft_scalebench_band_l"
+    val br = "/tmp/graft_scalebench_band_r"
+    spark.range(200000L).select(col("id").as("lid"),
+        pmod(xxhash64(col("id")), lit(1000000000L)).cast("double").as("lv"))
+      .write.mode("overwrite").parquet(bl)
+    spark.range(100000L).select(col("id").as("rid"),
+        pmod(xxhash64(col("id") + 7), lit(1000000000L)).cast("double").as("rv"))
+      .write.mode("overwrite").parquet(br)
+    def bandJoin() = {
+      val l = spark.read.parquet(bl)
+      val r = spark.read.parquet(br)
+      l.join(r, col("lv") >= col("rv") - 500.0 && col("lv") <= col("rv") + 500.0)
+        .agg(count(lit(1)).as("n"), sum(expr("lid * 31 + rid")).as("chk"))
+    }
+    def measureBand(name: String): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val row = bandJoin().collect().head
+      println(f"[scalebench] band $name%-14s pairs=${row.getLong(0)}%8d  " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      (row.getLong(0), row.getLong(1))
+    }
+    spark.conf.set("spark.graft.bandJoinRewrite", "false")
+    val bandOff = measureBand("nested(OFF)")
+    spark.conf.set("spark.graft.bandJoinRewrite", "true")
+    val bandPlan = bandJoin().queryExecution.executedPlan.toString
+    require(bandPlan.contains("__bandb"), "band rule did not fire on the fixture")
+    val bandOn = measureBand("bucketed(ON)")
+    spark.conf.set("spark.graft.bandJoinRewrite", "false")
+    require(bandOff == bandOn, s"rewrite changed the result: $bandOff vs $bandOn")
+    println("[scalebench] band bucketed == nested (count + checksum)")
+    } // end band section
 
     if (only.forall(_ == "inc")) {
     // ---- round-9: incremental (new-batch × index) dedup vs recompute ----

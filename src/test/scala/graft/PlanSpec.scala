@@ -88,6 +88,58 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("bandJoinRewrite flag: band theta-join becomes a bucketed equi-join, identical rows") {
+    import org.apache.spark.sql.SparkSession
+    val off = q("join_theta_band").collect().map(_.toSeq).toSeq
+    assert(plan("join_theta_band").contains("BroadcastNestedLoopJoin"),
+      "default (off) must keep the declared nested-loop band join")
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val extOffPlan = SparkEntry.queries("join_theta_band")(extended, sf)
+        .queryExecution.executedPlan.toString
+      assert(extOffPlan.contains("BroadcastNestedLoopJoin"),
+        "rule registered but flag off must keep the nested loop:\n" + extOffPlan.take(600))
+      extended.conf.set("spark.graft.bandJoinRewrite", "true")
+      val dfOn = SparkEntry.queries("join_theta_band")(extended, sf)
+      val onPlan = dfOn.queryExecution.executedPlan.toString
+      assert(!onPlan.contains("BroadcastNestedLoopJoin") &&
+             !onPlan.contains("CartesianProduct") && onPlan.contains("__bandb"),
+        "flag on must plan the bucketed equi-join:\n" + onPlan.take(800))
+      assert(dfOn.collect().map(_.toSeq).toSeq == off,
+        "banding must not change the result")
+      // the asymmetric/reversed orientation fires too, and stays exact:
+      // supplier bounded by customer mirror (x on the RIGHT side)
+      import org.apache.spark.sql.functions._
+      def mirror(s: SparkSession) = {
+        val sup = graft.tables.Tables.t(s, sf, "supplier")
+          .select(col("s_suppkey"), col("s_acctbal"))
+        val cust = graft.tables.Tables.t(s, sf, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+        sup.join(cust,
+            col("c_acctbal") >= col("s_acctbal") - 40.0 &&
+            col("c_acctbal") <= col("s_acctbal") + 60.0)
+          .groupBy("s_suppkey").agg(count(lit(1)).as("c")).orderBy("s_suppkey")
+      }
+      extended.conf.set("spark.graft.bandJoinRewrite", "false")
+      val mOff = mirror(extended).collect().map(_.toSeq).toSeq
+      extended.conf.set("spark.graft.bandJoinRewrite", "true")
+      val mOnDf = mirror(extended)
+      assert(mOnDf.queryExecution.executedPlan.toString.contains("__bandb"),
+        "asymmetric band must fire")
+      assert(mOnDf.collect().map(_.toSeq).toSeq == mOff)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("asofRewrite flag: declared as-of shapes route onto AsOfMergeExec, identical rows") {
     import org.apache.spark.sql.SparkSession
     val names = Seq("join_asof_last_signup", "join_asof_left", "join_asof_tolerance")
