@@ -397,8 +397,80 @@ object Metrics {
       .orderBy("dd")
   }
 
+  /** Foreign-key fan-out profile — the data-modeling staple: for each
+    * declared parent→child relation, the min / truncating-mean (in
+    * centi-units) / max children per parent over parents that HAVE
+    * children (orphan-side coverage is `dq_referential_orphans`). Two
+    * keyed aggregates unioned; relation names sort the output.
+    */
+  val dqFkFanoutProfile: Q = (s, d) => {
+    def profile(rel: String, child: DataFrameish): org.apache.spark.sql.DataFrame =
+      child.groupBy("pk").agg(cnt.as("c"))
+        .agg(lit(rel).as("relation"), cnt.as("n_parents"),
+             min("c").cast("long").as("min_fanout"),
+             expr("div(sum(c) * 100, count(1))").cast("long").as("avg_fanout_centi"),
+             max("c").cast("long").as("max_fanout"))
+    val o = Tables.t(s, d, "orders").select(col("o_custkey").as("pk"))
+    val l = li(s, d).select(col("l_orderkey").as("pk"))
+    profile("customer->orders", o).unionByName(profile("orders->lineitem", l))
+      .orderBy("relation")
+  }
+  private type DataFrameish = org.apache.spark.sql.DataFrame
+
+  /** Weekly revenue volatility: per ISO-ish week (year, week-of-year
+    * is engine-divergent — the declared key is day-epoch div 7, an
+    * absolute 7-day grid), exact integer variance of the daily
+    * purchase cents series: (n·Σx² − (Σx)²) div n² in DECIMAL(38) —
+    * the dispersion companion to `ts_dow_seasonality`'s means.
+    */
+  val tsRevenueVolatilityWeekly: Q = (s, d) =>
+    ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sumCents(col("value")).as("x"))
+      .groupBy(expr("div(datediff(dd, date'1970-01-01'), 7)").as("wk"))
+      .agg(cnt.as("n_days"), sum("x").cast("long").as("week_cents"),
+           expr("cast(div(count(1) * sum(cast(x as decimal(38,0)) * x) - " +
+             "cast(sum(x) as decimal(38,0)) * sum(x), " +
+             "cast(count(1) as decimal(38,0)) * count(1)) as bigint)").as("day_var_cents2"))
+      .orderBy("wk")
+
+  /** New-vs-returning users per day: a user's first-ever active day is
+    * NEW, every later active day RETURNING — the acquisition-mix
+    * dashboard line beside `events_dau_wau`'s volume counts. Keyed
+    * min-aggregate + equi-join, user-co-partitioned.
+    */
+  val eventsNewVsReturningDaily: Q = (s, d) => {
+    val a = ev(s, d).select(col("user_id"), to_date(col("ts")).as("dd")).distinct()
+    val first = a.groupBy("user_id").agg(min("dd").as("fd"))
+    a.join(first, "user_id")
+      .groupBy("dd")
+      .agg(sum(when(col("dd") === col("fd"), 1L).otherwise(0L)).cast("long").as("new_users"),
+           sum(when(col("dd") > col("fd"), 1L).otherwise(0L)).cast("long").as("returning_users"))
+      .select(col("dd").cast("string").as("dd"), col("new_users"), col("returning_users"))
+      .orderBy("dd")
+  }
+
+  /** Customer engagement-breadth histogram: distinct active order
+    * months per customer, then the census of customers by that count —
+    * two keyed aggregates, the loyalty-depth profile beside
+    * `customer_rfm`'s value deciles.
+    */
+  val customerActiveMonthsHistogram: Q = (s, d) =>
+    Tables.t(s, d, "orders")
+      .select(col("o_custkey"),
+              expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)").as("ym"))
+      .distinct()
+      .groupBy("o_custkey").agg(cnt.as("m"))
+      .groupBy(col("m").as("active_months"))
+      .agg(cnt.as("n_customers"))
+      .orderBy("active_months")
+
   val queries: Map[String, Q] = Map(
     "events_peak_concurrency_daily" -> eventsPeakConcurrencyDaily,
+    "dq_fk_fanout_profile" -> dqFkFanoutProfile,
+    "ts_revenue_volatility_weekly" -> tsRevenueVolatilityWeekly,
+    "events_new_vs_returning_daily" -> eventsNewVsReturningDaily,
+    "customer_active_months_histogram" -> customerActiveMonthsHistogram,
     "orders_repeat_share_monthly" -> ordersRepeatShareMonthly,
     "events_error_mtbf" -> eventsErrorMtbf,
     "ml_knn_label_purity" -> mlKnnLabelPurity,

@@ -208,5 +208,42 @@ object OracleW20 {
     (SELECT dd, CAST(max(conc) AS BIGINT) peak_concurrent FROM c GROUP BY 1) p
     JOIN (SELECT dd, CAST(count(*) AS BIGINT) n_sessions FROM s GROUP BY 1) n
     ON p.dd = n.dd ORDER BY 1""",
+    // round 11 wave 3: FK fan-out profile (children per parent)
+    "dq_fk_fanout_profile" ->
+      """WITH co AS (SELECT o_custkey pk, CAST(count(*) AS BIGINT) c FROM orders GROUP BY 1),
+  ol AS (SELECT l_orderkey pk, CAST(count(*) AS BIGINT) c FROM lineitem GROUP BY 1),
+  a AS (SELECT 'customer->orders' relation, CAST(count(*) AS BIGINT) n_parents,
+      CAST(min(c) AS BIGINT) min_fanout, CAST(sum(c) * 100 // count(*) AS BIGINT) avg_fanout_centi,
+      CAST(max(c) AS BIGINT) max_fanout FROM co),
+  b AS (SELECT 'orders->lineitem' relation, CAST(count(*) AS BIGINT) n_parents,
+      CAST(min(c) AS BIGINT) min_fanout, CAST(sum(c) * 100 // count(*) AS BIGINT) avg_fanout_centi,
+      CAST(max(c) AS BIGINT) max_fanout FROM ol)
+  SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY relation""",
+    // round 11 wave 3: exact integer variance of daily purchase cents
+    // per absolute 7-day grid week (epoch-day div 7)
+    "ts_revenue_volatility_weekly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+  SELECT CAST(datediff('day', DATE '1970-01-01', dd) // 7 AS BIGINT) wk,
+    CAST(count(*) AS BIGINT) n_days, CAST(sum(x) AS BIGINT) week_cents,
+    CAST((count(*)::HUGEINT * sum(x::HUGEINT * x) - sum(x)::HUGEINT * sum(x))
+      // (count(*)::HUGEINT * count(*)) AS BIGINT) day_var_cents2
+  FROM daily GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 3: new vs returning users per active day
+    "events_new_vs_returning_daily" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dd FROM events),
+  f AS (SELECT user_id, min(dd) fd FROM a GROUP BY 1)
+  SELECT CAST(a.dd AS VARCHAR) dd,
+    CAST(sum(CASE WHEN a.dd = fd THEN 1 ELSE 0 END) AS BIGINT) new_users,
+    CAST(sum(CASE WHEN a.dd > fd THEN 1 ELSE 0 END) AS BIGINT) returning_users
+  FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 3: customers by distinct-active-month count
+    "customer_active_months_histogram" ->
+      """WITH m AS (SELECT DISTINCT o_custkey,
+      CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) ym FROM orders),
+  c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) m FROM m GROUP BY 1)
+  SELECT m active_months, CAST(count(*) AS BIGINT) n_customers
+  FROM c GROUP BY 1 ORDER BY 1""",
   )
 }

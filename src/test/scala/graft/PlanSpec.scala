@@ -836,7 +836,8 @@ class PlanSpec extends SparkSpecBase {
     "ml_ks_weekday_weekend" -> "1-row KS-max final aggregate (cumulative via bucket-parallel globalPrefixSum)",
     "ml_chi2_priority_status" -> "1-row χ² final over the bounded contingency grid",
     "ts_peak_days" -> "bounded day-domain ±3-row extrema windows (fact collapses to daily cents first)",
-    "part_type_price_median_gap" -> "1-row global-median scalar")
+    "part_type_price_median_gap" -> "1-row global-median scalar",
+    "dq_fk_fanout_profile" -> "per-relation 1-row profile union (the profile_table_stats shape)")
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
