@@ -41,7 +41,10 @@ object PlanAudit {
                      "q9_product_profit", "profile_table_stats",
                      "text_tfidf_topk", "ml_kmeans_2iter", "ml_auc_rank",
                      "graph_triangle_count", "embedding_pca_power",
-                     "join_scd2_pointintime", "join_skew_salted"))
+                     "join_scd2_pointintime", "join_skew_salted",
+                     // round-11 scale machinery
+                     "ml_ks_weekday_weekend", "corpus_length_token_deciles",
+                     "events_peak_concurrency_daily", "sample_systematic"))
       section(name)(SparkEntry.queries(name)(spark, d))
 
     spark.stop()

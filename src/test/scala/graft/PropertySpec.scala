@@ -148,6 +148,47 @@ class PropertySpec extends SparkSpecBase {
     assert(tinyGot == Set((1L, 1L), (2L, 1L), (3L, 1L)), tinyGot.toString)
   }
 
+  test("globalPrefixSum is bucket-width invariant (KS consumer contract)") {
+    // the coarse bucket is an internal parallelism knob — the prefix
+    // sum (and so any statistic derived from it, e.g. the KS max)
+    // must be identical for ANY width
+    val vals = orders.select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("v"))
+    def psChecksum(w: Int): (Long, Long) = {
+      val ps = graft.ops.Scale.globalPrefixSum(vals,
+        floor(col("v") / w), Seq(col("v"), col("k")), col("v"))
+      val r = ps.agg(max("__ps"), sum(expr("__ps * (k % 1000)")))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = psChecksum(2000)
+    samples(Gen.choose(100, 5000000), 4).foreach { w =>
+      assert(psChecksum(w) == base, s"width $w diverged")
+    }
+  }
+
+  test("sample_systematic picks identical doc_ids under any internal bucketing") {
+    // the md5-order systematic sample must be a pure function of the
+    // data: re-deriving the rank with different coarse buckets (or a
+    // plain window at test scale) yields the same every-20th set
+    val docs = graft.tables.Tables.t(spark, sf, "documents").select(col("doc_id"))
+      .withColumn("k", md5(col("doc_id").cast("string")))
+    val expected = docs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .filter(col("rn") % 20 === 1).select("doc_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    samples(Gen.choose(1, 4), 3).foreach { nibbles =>
+      val got = graft.ops.Scale.globalRank(docs,
+          expr(s"conv(substring(k, 1, $nibbles), 16, 10)").cast("long"),
+          Seq(col("k"), col("doc_id")))
+        .filter(col("__rn") % 20 === 1)
+        .select(col("doc_id"), col("__rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"bucket prefix $nibbles diverged")
+    }
+  }
+
   test("connectedComponents equals GraphX on generated random graphs (both label min node id)") {
     import spark.implicits._
     val edgeGen = for {

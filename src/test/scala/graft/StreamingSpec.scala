@@ -40,6 +40,34 @@ class StreamingSpec extends SparkSpecBase {
     spark.table(sink)
   }
 
+  test("appendStream end-to-end: micro-batches land as transactional appends, restart continues") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_appstream").toString
+    val table = s"$dir/events_table"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[Evt]
+    val q = graft.sinks.Sinks.appendStream(stream.toDF(), table, ckpt, appId = "evt-ingest")
+    stream.addData(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    stream.addData(evt(3, "2024-01-02 10:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val cow = graft.sinks.CowTable
+    assert(cow.read(spark, table).count() == 3)
+    assert(cow.txnVersion(table, "evt-ingest") == 1L, "two batches committed")
+    // restart from the same checkpoint (same source, new query):
+    // continues the batch-id sequence — no replayed duplicates
+    val q2 = graft.sinks.Sinks.appendStream(stream.toDF(), table, ckpt, appId = "evt-ingest")
+    stream.addData(evt(4, "2024-01-03 10:00:00"))
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = cow.read(spark, table).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L), s"restart must continue exactly-once: $ids")
+    assert(cow.txnVersion(table, "evt-ingest") == 2L)
+  }
+
   test("watermark drops late data; append mode emits final windows only") {
     // batch1: two events on Jan 1; batch2 advances watermark far past
     // Jan 1 (event on Jan 5); batch3: a LATE Jan 1 event -> dropped.
