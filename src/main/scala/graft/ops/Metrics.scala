@@ -465,8 +465,105 @@ object Metrics {
       .agg(cnt.as("n_customers"))
       .orderBy("active_months")
 
+  /** Order-status vs line-status consistency matrix — the lifecycle
+    * referential audit: TPC-H declares o_orderstatus F iff every line
+    * is F, O iff every line is O, P otherwise; this emits the full
+    * (status × derived-line-profile) census with the consistency flag,
+    * so a drifted ETL shows up as mass on an inconsistent cell. One
+    * keyed aggregate + equi-join.
+    */
+  val reconOrderLifecycle: Q = (s, d) => {
+    val prof = li(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("nf"),
+           cnt.as("nl"))
+      .select(col("ok"),
+        when(col("nf") === col("nl"), "all_F")
+          .when(col("nf") === 0, "all_O").otherwise("mixed").as("profile"))
+    Tables.t(s, d, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_orderstatus").as("status"))
+      .join(prof, Seq("ok"), "left")
+      .withColumn("profile", coalesce(col("profile"), lit("no_lines")))
+      .groupBy("status", "profile")
+      .agg(cnt.as("n_orders"))
+      .withColumn("is_consistent",
+        when(col("status") === "F" && col("profile") === "all_F", 1L)
+          .when(col("status") === "O" && col("profile") === "all_O", 1L)
+          .when(col("status") === "P" && col("profile") === "mixed", 1L)
+          .otherwise(0L))
+      .orderBy("status", "profile")
+  }
+
+  /** Round-number bias in order totals — the pricing-data forensic
+    * beside `dq_benford_first_digit`: per status, the ppm share of
+    * totals landing on exact cents-00 and exact $100 multiples
+    * (uniform expectations: 10,000 / 10 ppm — heavy excess means
+    * hand-entered or synthesized amounts).
+    */
+  val ordersPriceRoundBias: Q = (s, d) =>
+    Tables.t(s, d, "orders")
+      .select(col("o_orderstatus").as("status"), cents(col("o_totalprice")).as("c"))
+      .groupBy("status")
+      .agg(cnt.as("n_orders"),
+           expr("div(sum(case when c % 100 = 0 then 1 else 0 end) * 1000000, count(1))")
+             .cast("long").as("cents00_ppm"),
+           expr("div(sum(case when c % 10000 = 0 then 1 else 0 end) * 1000000, count(1))")
+             .cast("long").as("dollar100_ppm"))
+      .orderBy("status")
+
+  /** Share-of-wallet by market segment: each segment's slice of total
+    * account balance vs its slice of order revenue (both ppm, signed
+    * cents kept exact) — the mix question "does balance concentration
+    * match spend concentration". Totals are a 1-row broadcast; the
+    * segment table is bounded.
+    */
+  val segmentWalletShare: Q = (s, d) => {
+    val c = Tables.t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+              cents(col("c_acctbal")).as("bal"))
+    val rev = Tables.t(s, d, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sumCents(col("o_totalprice")).as("rev"))
+    val seg = c.join(rev, Seq("c_custkey"), "left")
+      .groupBy("segment")
+      .agg(cnt.as("n_customers"), sum("bal").cast("long").as("bal_cents"),
+           sum(coalesce(col("rev"), lit(0L))).cast("long").as("rev_cents"))
+    val tot = seg.agg(sum("bal_cents").cast("long").as("tb"),
+                      sum("rev_cents").cast("long").as("tr"))
+    seg.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_customers"), col("bal_cents"), col("rev_cents"),
+        expr("div(bal_cents * 1000000, tb)").cast("long").as("bal_share_ppm"),
+        expr("div(rev_cents * 1000000, tr)").cast("long").as("rev_share_ppm"))
+      .orderBy("segment")
+  }
+
+  /** Peak activity hour per event type, first vs second half of the
+    * month, and the signed shift — the load-pattern drift check
+    * beside `events_heatmap_dow_hour`'s static matrix. Ties break to
+    * the LATER hour via lexicographic (count, hour) max; the profile
+    * table is bounded at types × 24 × 2.
+    */
+  val eventsPeakHourShift: Q = (s, d) => {
+    val h = ev(s, d)
+      .groupBy(col("event_type").as("t"),
+               when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2").as("half"),
+               hour(col("ts")).cast("long").as("h"))
+      .agg(cnt.as("c"))
+      .groupBy("t", "half")
+      .agg(max(struct(col("c"), col("h"))).getField("h").as("peak"))
+    h.filter(col("half") === "h1").select(col("t"), col("peak").as("peak_h1"))
+      .join(h.filter(col("half") === "h2").select(col("t"), col("peak").as("peak_h2")), "t")
+      .select(col("t"), col("peak_h1"), col("peak_h2"),
+              (col("peak_h2") - col("peak_h1")).as("shift_hours"))
+      .orderBy("t")
+  }
+
   val queries: Map[String, Q] = Map(
     "events_peak_concurrency_daily" -> eventsPeakConcurrencyDaily,
+    "recon_order_lifecycle" -> reconOrderLifecycle,
+    "orders_price_round_bias" -> ordersPriceRoundBias,
+    "segment_wallet_share" -> segmentWalletShare,
+    "events_peak_hour_shift" -> eventsPeakHourShift,
     "dq_fk_fanout_profile" -> dqFkFanoutProfile,
     "ts_revenue_volatility_weekly" -> tsRevenueVolatilityWeekly,
     "events_new_vs_returning_daily" -> eventsNewVsReturningDaily,

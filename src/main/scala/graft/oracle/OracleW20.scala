@@ -245,5 +245,51 @@ object OracleW20 {
   c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) m FROM m GROUP BY 1)
   SELECT m active_months, CAST(count(*) AS BIGINT) n_customers
   FROM c GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 4: order-status vs line-status consistency matrix
+    "recon_order_lifecycle" ->
+      """WITH p AS (SELECT l_orderkey ok,
+      CASE WHEN sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) = count(*) THEN 'all_F'
+        WHEN sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) = 0 THEN 'all_O'
+        ELSE 'mixed' END profile
+    FROM lineitem GROUP BY 1),
+  j AS (SELECT o_orderstatus status, coalesce(profile, 'no_lines') profile
+    FROM orders LEFT JOIN p ON o_orderkey = p.ok)
+  SELECT status, profile, CAST(count(*) AS BIGINT) n_orders,
+    CAST(CASE WHEN (status = 'F' AND profile = 'all_F')
+      OR (status = 'O' AND profile = 'all_O')
+      OR (status = 'P' AND profile = 'mixed') THEN 1 ELSE 0 END AS BIGINT) is_consistent
+  FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    // round 11 wave 4: round-number bias in order totals
+    "orders_price_round_bias" ->
+      """WITH o AS (SELECT o_orderstatus status,
+      CAST(round(o_totalprice * 100) AS BIGINT) c FROM orders)
+  SELECT status, CAST(count(*) AS BIGINT) n_orders,
+    CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) cents00_ppm,
+    CAST(sum(CASE WHEN c % 10000 = 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) dollar100_ppm
+  FROM o GROUP BY 1 ORDER BY 1""",
+    // round 11 wave 4: balance-share vs revenue-share by market segment
+    "segment_wallet_share" ->
+      """WITH rev AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) r
+    FROM orders GROUP BY 1),
+  seg AS (SELECT c_mktsegment segment, CAST(count(*) AS BIGINT) n_customers,
+      CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) bal_cents,
+      CAST(sum(coalesce(r, 0)) AS BIGINT) rev_cents
+    FROM customer LEFT JOIN rev ON c_custkey = o_custkey GROUP BY 1),
+  t AS (SELECT CAST(sum(bal_cents) AS BIGINT) tb, CAST(sum(rev_cents) AS BIGINT) tr FROM seg)
+  SELECT segment, n_customers, bal_cents, rev_cents,
+    CAST(bal_cents * 1000000 // (SELECT tb FROM t) AS BIGINT) bal_share_ppm,
+    CAST(rev_cents * 1000000 // (SELECT tr FROM t) AS BIGINT) rev_share_ppm
+  FROM seg ORDER BY segment""",
+    // round 11 wave 4: peak activity hour per type, first vs second
+    // half of month (ties -> later hour via (count, hour) max)
+    "events_peak_hour_shift" ->
+      """WITH h AS (SELECT event_type t,
+      CASE WHEN day(ts) <= 15 THEN 'h1' ELSE 'h2' END half,
+      CAST(hour(ts) AS BIGINT) h, CAST(count(*) AS BIGINT) c
+    FROM events GROUP BY 1, 2, 3),
+  pk AS (SELECT t, half, max(struct_pack(c := c, h := h)).h peak FROM h GROUP BY 1, 2)
+  SELECT a.t, a.peak peak_h1, b.peak peak_h2, b.peak - a.peak shift_hours
+  FROM pk a JOIN pk b ON a.t = b.t AND a.half = 'h1' AND b.half = 'h2'
+  ORDER BY a.t""",
   )
 }
