@@ -66,6 +66,25 @@ object StreamOps {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("len"))
 
+  /** Session windows with a PER-EVENT dynamic gap (round 11): the gap
+    * an event contributes depends on its type — purchases hold the
+    * session open 30 minutes, everything else 10 (the "a conversion
+    * extends engagement" policy Kafka Streams expresses with
+    * `SessionWindows.withGap` per-stream only; Spark's
+    * `session_window(col, gapExpr)` makes it per-ROW). Batch and
+    * streaming share the expression; sessions merge until no member's
+    * own gap reaches the next event.
+    */
+  def sessionDynamicGap(events: DataFrame,
+                        watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"),
+                 when(col("event_type") === "purchase", "30 minutes")
+                   .otherwise("10 minutes")),
+               col("user_id"))
+      .agg(count(lit(1)).as("len"))
+
   /** Keyed dedup with state eviction — retransmit suppression whose
     * state is bounded by the watermark (vs unbounded `dropDuplicates`).
     */

@@ -8,6 +8,33 @@ import org.apache.spark.sql.Row
   */
 class QualitySpec extends SparkSpecBase {
 
+  test("observe DQ counters: metrics piggyback on the consuming action, values exact") {
+    import org.apache.spark.sql.functions._
+    val o = graft.tables.Tables.t(spark, sf, "orders")
+    val obs = new org.apache.spark.sql.Observation("dq")
+    val observed = graft.ops.Quality.withDqObservation(
+      o, obs, nullCols = Seq("o_orderstatus", "o_custkey"),
+      nonNegativeCol = "o_totalprice")
+    // the CONSUMING job is the pipeline's own work, not an audit scan
+    val delivered = observed.filter(col("o_orderstatus") === "F").count()
+    val m = obs.get
+    assert(m("rows") == o.count())
+    assert(m("nulls_o_orderstatus") == 0L && m("nulls_o_custkey") == 0L)
+    assert(m("negative_o_totalprice") == 0L)
+    assert(delivered > 0)
+    // and the counters really track the data: a frame with planted
+    // nulls/negatives reports them exactly
+    import spark.implicits._
+    val dirty = Seq((1L, "A", 10.0), (2L, null.asInstanceOf[String], -5.0),
+                    (3L, "B", -1.0)).toDF("o_custkey", "o_orderstatus", "o_totalprice")
+    val obs2 = new org.apache.spark.sql.Observation("dq2")
+    graft.ops.Quality.withDqObservation(dirty, obs2,
+      Seq("o_orderstatus"), "o_totalprice").count()
+    val m2 = obs2.get
+    assert(m2("rows") == 3L && m2("nulls_o_orderstatus") == 1L &&
+           m2("negative_o_totalprice") == 2L, m2.toString)
+  }
+
   test("profile_table_stats: one-scan long-format profile of orders") {
     val rows = q("profile_table_stats").collect()
     assert(rows.length == 13)

@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(cow.txnVersion(table, "evt-ingest") == 2L)
   }
 
+  test("dynamic-gap session window: a purchase holds the session open longer than a click") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // user 1: click 10:00, click 10:15 — 15 min > click's 10-min gap →
+    //   TWO sessions; user 2: purchase 10:00, click 10:15 — inside the
+    //   purchase's 30-min gap → ONE session of length 2. Sentinel
+    //   closes the watermark.
+    val out = run(Seq(
+      Seq(evt(1, "2024-01-01 10:00:00", user = 1, tpe = "click"),
+          evt(2, "2024-01-01 10:15:00", user = 1, tpe = "click"),
+          evt(3, "2024-01-01 10:00:00", user = 2, tpe = "purchase"),
+          evt(4, "2024-01-01 10:15:00", user = 2, tpe = "click")),
+      Seq(evt(9, "2024-01-02 00:00:00", user = 9))),
+      "append")(df => StreamOps.sessionDynamicGap(df))
+    val byUser = out.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("len")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byUser(1L) == Seq(1L, 1L), s"two 1-event click sessions: $byUser")
+    assert(byUser(2L) == Seq(2L), s"purchase gap must absorb the click: $byUser")
+    // batch face: the same expression sessionizes a static frame
+    val batch = StreamOps.sessionDynamicGap(
+      Seq(evt(1, "2024-01-01 10:00:00", user = 3, tpe = "purchase"),
+          evt(2, "2024-01-01 10:20:00", user = 3, tpe = "click")).toDF())
+      .collect()
+    assert(batch.length == 1 && batch.head.getAs[Long]("len") == 2L)
+  }
+
   test("watermark drops late data; append mode emits final windows only") {
     // batch1: two events on Jan 1; batch2 advances watermark far past
     // Jan 1 (event on Jan 5); batch3: a LATE Jan 1 event -> dropped.
