@@ -260,6 +260,35 @@ object Sinks {
     ()
   }
 
+  /** LIVE STREAM-TABLE ENRICHMENT (round 11) — the
+    * KStream⋈GlobalKTable analogue with a table that actually CHANGES:
+    * each micro-batch left-joins against the dimension CowTable's
+    * CURRENT snapshot (re-read per batch — a plain stream-static join
+    * pins the snapshot at query start), broadcast like a replicated
+    * GlobalKTable (no co-partitioning), and lands in the output table
+    * via the transactional append path (exactly-once under replay,
+    * [[appendStream]]'s contract). A dimension update between batches
+    * is visible to the NEXT batch — the lookup-table freshness
+    * semantics Kafka Streams gives GlobalKTable joins.
+    */
+  def enrichAppendStream(stream: DataFrame, dimPath: String, key: String,
+                         outPath: String, checkpoint: String,
+                         appId: String = "enrich-stream"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dim = CowTable.read(spark, dimPath)
+          val enriched = batch.join(
+            org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+          appendBatch(enriched, id, outPath, appId)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming upsert sink (`KTable` materialization): per micro-batch,
     * merge the batch into a keyed parquet view keeping the latest row
     * per key by `tsCol`. The merge here is read-union-dedup-rewrite via

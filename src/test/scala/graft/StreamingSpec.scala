@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(cow.txnVersion(table, "evt-ingest") == 2L)
   }
 
+  test("live stream-table enrichment: dimension updates between batches are visible to the next batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    val dim = s"$dir/dim"
+    val out = s"$dir/out"
+    val cow = graft.sinks.CowTable
+    cow.create(Seq((1L, "basic"), (2L, "basic")).toDF("user_id", "tier"), dim)
+    val stream = MemoryStream[Evt]
+    val q = graft.sinks.Sinks.enrichAppendStream(
+      stream.toDF().select(col("event_id"), col("user_id")), dim, "user_id",
+      out, s"$dir/ckpt")
+    stream.addData(evt(10, "2024-01-01 10:00:00", user = 1))
+    q.processAllAvailable()
+    // the dimension CHANGES: user 1 upgrades, user 3 appears
+    cow.merge(spark, dim, Seq((1L, "gold"), (3L, "new")).toDF("user_id", "tier"), "user_id")
+    stream.addData(evt(11, "2024-01-01 11:00:00", user = 1),
+                   evt(12, "2024-01-01 11:00:00", user = 3),
+                   evt(13, "2024-01-01 11:00:00", user = 99)) // no dim row
+    q.processAllAvailable()
+    q.stop()
+    val rows = cow.read(spark, out)
+      .select("event_id", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"))).toSet
+    assert(rows == Set((10L, "basic"), (11L, "gold"), (12L, "new"), (13L, "-")),
+      s"batch 1 must see the OLD tier, batch 2 the updated table: $rows")
+  }
+
   test("dynamic-gap session window: a purchase holds the session open longer than a click") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
