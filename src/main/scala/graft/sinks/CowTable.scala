@@ -980,6 +980,27 @@ object CowTable {
                      dirtyLiteralMax: Int = 1024)
                     (aggOf: DataFrame => DataFrame): DataFrame = {
     require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
+    dirtyGroupsOf(spark, path, groupCol, fromV, toV) match {
+      case None => mv
+      case Some(dirty) =>
+        refreshDirty(spark, mv, dirty, groupCol, dirtyLiteralMax,
+          lits => aggOf(read(spark, path, Some(toV))
+            .filter(col(groupCol).isin(lits: _*))),
+          d => aggOf(read(spark, path, Some(toV))
+            .join(d, col(groupCol) <=> col("__dirty_g"), "left_semi")))
+    }
+  }
+
+  /** The dirty-group discovery shared by [[incrementalAgg]] and
+    * [[incrementalJoin]]: groups touched by the version window's data
+    * file delta plus the groups of rows its new key/positional delete
+    * sidecars removed (always a SUPERSET of truly-changed groups —
+    * extra recompute, never staleness). None ⇔ the window changed
+    * nothing.
+    */
+  private def dirtyGroupsOf(spark: SparkSession, path: String,
+                            groupCol: String, fromV: Int, toV: Int,
+                            dirtyLiteralMax: Int = 1024): Option[DataFrame] = {
     val fromFiles = snapshotFiles(path, Some(fromV))
     val toFiles = snapshotFiles(path, Some(toV))
     val delta = fromFiles.diff(toFiles) ++ toFiles.diff(fromFiles)
@@ -993,7 +1014,7 @@ object CowTable {
       .diff(snapshotDeletes(path, Some(fromV)))
     val newPos = snapshotPositionDeletes(path, Some(toV))
       .diff(snapshotPositionDeletes(path, Some(fromV)))
-    if (delta.isEmpty && newSidecars.isEmpty && newPos.isEmpty) return mv
+    if (delta.isEmpty && newSidecars.isEmpty && newPos.isEmpty) return None
     val toSchema = declaredSchema(path, Some(toV))
     def projected(df: DataFrame): DataFrame = toSchema.fold(df)(projectDeclared(df, _))
     val fileDirty = if (delta.isEmpty) None else Some(
@@ -1027,28 +1048,68 @@ object CowTable {
       Some(projected(keepPosDeleted(spark, rawFrom, newPos))
         .select(col(groupCol).as("__dirty_g")).distinct())
     }
-    val dirty = Seq(fileDirty, delDirty, posDirty).flatten
-      .reduce(_ unionByName _).distinct()
-    // Small dirty sets become a LITERAL In predicate instead of a
-    // semi-join: a literal reaches the parquet footers, so on a layout
-    // clustered/sorted by the group column the recompute SKIPS the
-    // untouched files entirely (ScaleBench `ivm` measures the
-    // difference) — a semi-join can never file-prune. Null keys fall
-    // back to the null-safe join path.
+    Some(Seq(fileDirty, delDirty, posDirty).flatten
+      .reduce(_ unionByName _).distinct())
+  }
+
+  /** The carry-over/recompute split shared by the view refreshers.
+    * Small dirty sets become a LITERAL In predicate instead of a
+    * semi-join: a literal reaches the parquet footers, so on a layout
+    * clustered/sorted by the group column the recompute SKIPS the
+    * untouched files entirely (ScaleBench `ivm` measures the
+    * difference) — a semi-join can never file-prune. Null keys fall
+    * back to the null-safe join path.
+    */
+  private def refreshDirty(spark: SparkSession, mv: DataFrame,
+                           dirty: DataFrame, groupCol: String,
+                           dirtyLiteralMax: Int,
+                           freshOfLits: Seq[Any] => DataFrame,
+                           freshOfSet: DataFrame => DataFrame): DataFrame = {
     val keys = dirty.limit(dirtyLiteralMax + 1).collect().map(_.get(0))
     if (keys.length <= dirtyLiteralMax && !keys.contains(null)) {
       val lits = keys.toIndexedSeq
-      val fresh = aggOf(
-        read(spark, path, Some(toV)).filter(col(groupCol).isin(lits: _*)))
       mv.filter(col(groupCol).isNull || !col(groupCol).isin(lits: _*))
-        .unionByName(fresh)
+        .unionByName(freshOfLits(lits))
     } else {
-      val fresh = aggOf(
-        read(spark, path, Some(toV))
-          .join(dirty, col(groupCol) <=> col("__dirty_g"), "left_semi"))
       mv.join(dirty, col(groupCol) <=> col("__dirty_g"), "left_anti")
-        .unionByName(fresh)
+        .unionByName(freshOfSet(dirty))
     }
+  }
+
+  /** INCREMENTALLY-MAINTAINED JOIN VIEW (round 11) — the KTable⋈KTable
+    * analogue next to [[incrementalAgg]]'s grouped-aggregate views:
+    * refresh a materialized view computed by `joinOf(a, b)` over the
+    * two tables' snapshots when EITHER side advances, recomputing ONLY
+    * the rows of dirty join keys. `joinOf` must be KEY-LOCAL: its
+    * output carries `key`, and a key's output rows depend only on the
+    * two sides' rows with that key (any inner/left/full equi-join
+    * shape qualifies; so do key-local aggregations of one). Dirty keys
+    * from each side discover exactly as in [[incrementalAgg]] (file
+    * delta + key/positional sidecar diffs — a superset, never stale);
+    * clean keys carry over from `mv` by reference; the recompute reads
+    * both CURRENT snapshots filtered to the dirty keys (literal-IN
+    * file pruning when small). A key deleted from both sides leaves
+    * the view (joinOf of empty inputs emits nothing). Work scales with
+    * the delta on either side, not with either table.
+    */
+  def incrementalJoin(spark: SparkSession, pathA: String, pathB: String,
+                      key: String, mv: DataFrame,
+                      fromA: Int, toA: Int, fromB: Int, toB: Int,
+                      dirtyLiteralMax: Int = 1024)
+                     (joinOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(fromA <= toA && fromB <= toB,
+      s"version windows must be forward: A $fromA->$toA, B $fromB->$toB")
+    val dA = dirtyGroupsOf(spark, pathA, key, fromA, toA, dirtyLiteralMax)
+    val dB = dirtyGroupsOf(spark, pathB, key, fromB, toB, dirtyLiteralMax)
+    if (dA.isEmpty && dB.isEmpty) return mv
+    val dirty = (dA.toSeq ++ dB.toSeq).reduce(_ unionByName _).distinct()
+    def a = read(spark, pathA, Some(toA))
+    def b = read(spark, pathB, Some(toB))
+    refreshDirty(spark, mv, dirty, key, dirtyLiteralMax,
+      lits => joinOf(a.filter(col(key).isin(lits: _*)),
+                     b.filter(col(key).isin(lits: _*))),
+      d => joinOf(a.join(d, col(key) <=> col("__dirty_g"), "left_semi"),
+                  b.join(d, col(key) <=> col("__dirty_g"), "left_semi")))
   }
 
   /** Z-ORDER CLUSTER the current snapshot: rewrite the data files so

@@ -308,6 +308,47 @@ class CowTableSpec extends SparkSpecBase {
            CowTable.txnVersion(path, "other") == 0L)
   }
 
+  test("incrementalJoin: two-sided dirty-key refresh equals the full join recompute") {
+    import spark.implicits._
+    val dir = tmp
+    val (pa, pb) = (s"$dir/a", s"$dir/b")
+    CowTable.create((0L until 100L).map(i => (i, s"tier${i % 3}")).toDF("id", "tier"), pa)
+    CowTable.create((0L until 80L).flatMap(i => Seq((i, i * 10), (i, i * 10 + 1)))
+      .toDF("id", "spend"), pb)
+    def joinOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, Seq("id"), "full")
+        .select(col("id"), col("tier"), col("spend"))
+    val a1 = CowTable.currentVersion(pa)
+    val b1 = CowTable.currentVersion(pb)
+    val mv0 = joinOf(CowTable.read(spark, pa), CowTable.read(spark, pb))
+      .localCheckpoint()
+    // no window movement: the view returns untouched
+    assert(CowTable.incrementalJoin(spark, pa, pb, "id", mv0, a1, a1, b1, b1)(joinOf)
+      .collect().length == mv0.count())
+    // BOTH sides move: A re-tiers key 5 and inserts key 200 (A-only →
+    // null spend); B MoR-deletes key 7's rows and gains key 90 (which
+    // A already had with no B rows — null→value transition)
+    CowTable.merge(spark, pa, Seq((5L, "gold"), (200L, "new")).toDF("id", "tier"), "id")
+    CowTable.deleteMorKeys(spark, pb, Seq(7L).toDF("id"), "id")
+    CowTable.merge(spark, pb, Seq((90L, 900L)).toDF("id", "spend"), "id")
+    val a2 = CowTable.currentVersion(pa)
+    val b2 = CowTable.currentVersion(pb)
+    val refreshed = CowTable.incrementalJoin(
+      spark, pa, pb, "id", mv0, a1, a2, b1, b2)(joinOf)
+    val full = joinOf(CowTable.read(spark, pa), CowTable.read(spark, pb))
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    assert(refreshed.collect().map(keyOf).sorted.toSeq ==
+           full.collect().map(keyOf).sorted.toSeq,
+      "incremental refresh must equal the full recompute")
+    // the interesting transitions really happened:
+    val m = refreshed.collect().map(keyOf)
+    assert(m.exists(t => t._1 == 5L && t._2 == "gold"))
+    assert(m.exists(t => t._1 == 200L && t._3 == -1L), "A-only key joins null")
+    assert(!m.exists(t => t._1 == 7L && t._3 >= 0L), "B-deleted key loses its spend rows")
+    assert(m.exists(t => t._1 == 90L && t._3 == 900L), "null->value transition")
+  }
+
   test("snapshot isolation: readers during a concurrent merge see only full versions") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
