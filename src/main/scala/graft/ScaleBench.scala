@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "asof", "inc", "rule", "mor", "app", "band").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | asof | inc | rule | mor | app | band " +
+    require(only.forall(Set("het", "ivm", "ivmj", "asof", "inc", "rule", "mor", "app", "band").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | asof | inc | rule | mor | app | band " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -419,6 +419,58 @@ object ScaleBench {
       f"incremental ${tIncr}%5.2f s vs full recompute ${tFull}%5.2f s " +
       f"-> ${tFull / tIncr}%.1f x (rows: $nIncr vs $nFull)")
     } // end ivm section
+
+    if (only.forall(_ == "ivmj")) {
+    // ---- round-11: incrementally-maintained JOIN view ------------------
+    // Same claim as `ivm`, for the two-table join view: refresh work
+    // follows the DELTA on either side, not either table. 20M-row fact
+    // (id-keyed, id-clustered) full-outer-joined to a 20M-row dim on
+    // id; a 1k-key window (500 dim re-tiers + 500 fact upserts) goes
+    // dirty; incrementalJoin vs joining both full snapshots.
+    import graft.sinks.CowTable
+    val jDir = "/tmp/graft_scalebench_ivmj"
+    val jRoot = java.nio.file.Paths.get(jDir)
+    if (java.nio.file.Files.exists(jRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(jRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val (pa, pb) = (s"$jDir/fact", s"$jDir/dim")
+    def joinOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, Seq("id"), "full").select(col("id"), col("v"), col("tier"))
+    CowTable.create(spark.range(20000000L).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("v")).repartition(32), pa)
+    CowTable.create(spark.range(20000000L).select(col("id"),
+        pmod(col("id"), lit(5)).cast("string").as("tier")).repartition(32), pb)
+    val ja1 = CowTable.cluster(spark, pa, files = 32, zcols = Seq("id"))
+    val jb1 = CowTable.cluster(spark, pb, files = 32, zcols = Seq("id"))
+    val jmv = joinOf(CowTable.read(spark, pa, Some(ja1)),
+                     CowTable.read(spark, pb, Some(jb1))).cache()
+    jmv.count()
+    // two-sided window in the shapes that keep dirtiness KEY-granular:
+    // an append on the fact (pure insert — one small file, no rewrite)
+    // and a MoR key-delete on the dim (sidecar only — no file moves;
+    // dirty keys come from the sidecar diff exactly). A scattered
+    // UPSERT instead would rewrite every clustered file and honestly
+    // flag the whole rewritten span dirty — that path measures as a
+    // full recompute by design, see the dirty-superset rule.
+    val ja2 = CowTable.append(spark, pa, spark.range(500L)
+      .select((col("id") + 20000000L).as("id"), lit(-1L).as("v")))
+    val jb2 = CowTable.deleteMorKeys(spark, pb, spark.range(500L)
+      .select((col("id") * 7 + 100).as("id")), "id")
+    val tJ0 = System.nanoTime()
+    val nJ = CowTable.incrementalJoin(spark, pa, pb, "id", jmv,
+      ja1, ja2, jb1, jb2)(joinOf).count()
+    val tJ = (System.nanoTime() - tJ0) / 1e9
+    val tJF0 = System.nanoTime()
+    val nJF = joinOf(CowTable.read(spark, pa, Some(ja2)),
+                     CowTable.read(spark, pb, Some(jb2))).count()
+    val tJF = (System.nanoTime() - tJF0) / 1e9
+    require(nJ == nJF, s"join view diverged: $nJ vs $nJF")
+    println(f"[scalebench] ivmj @ 20M x 20M, 1k-key two-sided window: " +
+      f"incremental ${tJ}%5.2f s vs full join ${tJF}%5.2f s " +
+      f"-> ${tJF / tJ}%.1f x (rows: $nJ)")
+    } // end ivmj section
 
     val dir = "/tmp/graft_scalebench"
     def time(name: String): (Long, Double) = {
