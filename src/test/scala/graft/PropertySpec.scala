@@ -189,6 +189,52 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("incrementalJoin law: refresh equals full recompute across generated mutation sequences") {
+    import spark.implicits._
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivmj_prop").toString
+    val (pa, pb) = (s"$dir/a", s"$dir/b")
+    CowTable.create((0L until 60L).map(i => (i, i % 7)).toDF("id", "va"), pa)
+    CowTable.create((0L until 60L).filter(_ % 3 != 0)
+      .map(i => (i, i * 2)).toDF("id", "vb"), pb)
+    def joinOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, Seq("id"), "full").select(col("id"), col("va"), col("vb"))
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+                 if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+                 if (r.isNullAt(2)) Long.MinValue else r.getLong(2)))
+      .sorted.toSeq
+    var mv = joinOf(CowTable.read(spark, pa), CowTable.read(spark, pb))
+      .localCheckpoint()
+    var (va, vb) = (CowTable.currentVersion(pa), CowTable.currentVersion(pb))
+    // generated mutations: (side, op, key-seed) — upsert existing,
+    // insert new, or MoR-delete; after EACH, the incremental refresh
+    // from the last maintained state must equal the full recompute
+    val ops = samples(Gen.zip(Gen.oneOf("a", "b"),
+                              Gen.oneOf("upsert", "insert", "delete"),
+                              Gen.choose(0L, 59L)), 8)
+    var nextNew = 1000L
+    ops.foreach { case (side, op, k) =>
+      val (path, valCol) = if (side == "a") (pa, "va") else (pb, "vb")
+      op match {
+        case "upsert" => CowTable.merge(spark, path,
+          Seq((k, k + 777L)).toDF("id", valCol), "id")
+        case "insert" =>
+          nextNew += 1
+          CowTable.merge(spark, path,
+            Seq((nextNew, nextNew)).toDF("id", valCol), "id")
+        case "delete" => CowTable.deleteMorKeys(spark, path,
+          Seq(k).toDF("id"), "id")
+      }
+      val (na, nb) = (CowTable.currentVersion(pa), CowTable.currentVersion(pb))
+      mv = CowTable.incrementalJoin(spark, pa, pb, "id", mv, va, na, vb, nb)(joinOf)
+        .localCheckpoint()
+      va = na; vb = nb
+      val full = joinOf(CowTable.read(spark, pa), CowTable.read(spark, pb))
+      assert(snap(mv) == snap(full), s"diverged after $side/$op/$k")
+    }
+  }
+
   test("connectedComponents equals GraphX on generated random graphs (both label min node id)") {
     import spark.implicits._
     val edgeGen = for {
