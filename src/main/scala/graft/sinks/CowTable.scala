@@ -980,7 +980,7 @@ object CowTable {
                      dirtyLiteralMax: Int = 1024)
                     (aggOf: DataFrame => DataFrame): DataFrame = {
     require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
-    dirtyGroupsOf(spark, path, groupCol, fromV, toV) match {
+    dirtyGroupsOf(spark, path, groupCol, fromV, toV, dirtyLiteralMax) match {
       case None => mv
       case Some(dirty) =>
         refreshDirty(spark, mv, dirty, groupCol, dirtyLiteralMax,
