@@ -404,7 +404,7 @@ object Metrics {
     * keyed aggregates unioned; relation names sort the output.
     */
   val dqFkFanoutProfile: Q = (s, d) => {
-    def profile(rel: String, child: DataFrameish): org.apache.spark.sql.DataFrame =
+    def profile(rel: String, child: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       child.groupBy("pk").agg(cnt.as("c"))
         .agg(lit(rel).as("relation"), cnt.as("n_parents"),
              min("c").cast("long").as("min_fanout"),
@@ -415,7 +415,6 @@ object Metrics {
     profile("customer->orders", o).unionByName(profile("orders->lineitem", l))
       .orderBy("relation")
   }
-  private type DataFrameish = org.apache.spark.sql.DataFrame
 
   /** Weekly revenue volatility: per ISO-ish week (year, week-of-year
     * is engine-divergent — the declared key is day-epoch div 7, an
