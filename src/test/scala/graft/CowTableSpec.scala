@@ -308,6 +308,24 @@ class CowTableSpec extends SparkSpecBase {
            CowTable.txnVersion(path, "other") == 0L)
   }
 
+  test("withCommitRetry: exhausting maxRetries rethrows the conflict instead of spinning") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 10L).map(i => (i, i)).toDF("id", "v"), path)
+    var calls = 0
+    intercept[CowTable.ConcurrentCommitException] {
+      CowTable.withCommitRetry(maxRetries = 2) {
+        calls += 1
+        // an op that always loses: every attempt advances the table
+        // out from under itself before committing against its base
+        val base = CowTable.currentVersion(path)
+        CowTable.merge(spark, path, Seq((99L + calls, 0L)).toDF("id", "v"), "id")
+        throw new CowTable.ConcurrentCommitException(path, base + 1)
+      }
+    }
+    assert(calls == 3, s"initial attempt + 2 retries, then rethrow: $calls")
+  }
+
   test("incrementalJoin: two-sided dirty-key refresh equals the full join recompute") {
     import spark.implicits._
     val dir = tmp

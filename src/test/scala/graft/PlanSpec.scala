@@ -132,6 +132,25 @@ class PlanSpec extends SparkSpecBase {
       assert(mOnDf.queryExecution.executedPlan.toString.contains("__bandb"),
         "asymmetric band must fire")
       assert(mOnDf.collect().map(_.toSeq).toSeq == mOff)
+      // NEGATIVES (must NOT fire): both band expressions on one side
+      // (a filter, not a join-locality statement), and a non-literal
+      // width (no W to bucket by)
+      import org.apache.spark.sql.functions._
+      val sup = graft.tables.Tables.t(extended, sf, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey"))
+      val cust = graft.tables.Tables.t(extended, sf, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      val sameSide = sup.join(cust,
+        col("s_nationkey") === col("c_nationkey") &&
+        col("s_acctbal") >= col("s_acctbal") - 10.0 &&
+        col("s_acctbal") <= col("s_acctbal") + 10.0)
+      assert(!sameSide.queryExecution.executedPlan.toString.contains("__bandb"),
+        "one-sided band must not fire")
+      val varWidth = sup.join(cust,
+        col("c_acctbal") >= col("s_acctbal") - col("s_nationkey") &&
+        col("c_acctbal") <= col("s_acctbal") + col("s_nationkey"))
+      assert(!varWidth.queryExecution.executedPlan.toString.contains("__bandb"),
+        "non-literal width must not fire")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
