@@ -116,6 +116,27 @@ object BandJoinRule extends Rule[LogicalPlan] {
   private def bucketOf(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType)))
 
+  /** [[bucketOf]] with the soundness guard. The ±2 probe slack covers
+    * exact adjacency (±1) plus at most one FP-rounding bucket shift
+    * per side — and a shift stays ≤1 only while the value error of
+    * `x/W` is < 1, i.e. |x| / W · 2⁻⁵² < 1. Past |x| > W·2⁵⁰ (4×
+    * margin) the double division can shift floor(x/W) by MORE than
+    * the slack and qualifying pairs would be silently dropped, so the
+    * bucket expression raises a descriptive error instead — loud
+    * failure, never silent wrong results. NULL inputs pass through as
+    * NULL buckets (they never equi-join), exactly as unguarded.
+    */
+  private def guardedBucket(e: Expression, w: Double): Expression = {
+    val x = Cast(e, DoubleType)
+    val ok = Or(IsNull(x),
+      LessThanOrEqual(Abs(x), Literal(w * math.pow(2.0, 50), DoubleType)))
+    If(ok, bucketOf(e, w),
+      Cast(new RaiseError(Literal(
+        "BandJoinRule: |value| exceeds band width * 2^50, so bucket " +
+        "arithmetic cannot honor the ±2 probe slack; widen the band or " +
+        "disable spark.graft.bandJoinRewrite")), LongType))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.bandJoinRewrite", "false").toBoolean)
       return plan
@@ -126,9 +147,9 @@ object BandJoinRule extends Rule[LogicalPlan] {
           case Some(BandMatch(x, y, w, xOnLeft)) =>
             val (bSide, pSide) = if (xOnLeft) (left, right) else (right, left)
             // x always lives on bSide by construction
-            val bl = Alias(bucketOf(x, w), s"${BucketPrefix}_k")()
+            val bl = Alias(guardedBucket(x, w), s"${BucketPrefix}_k")()
             val keyed = Project(bSide.output :+ bl, bSide)
-            val py = Alias(bucketOf(y, w), s"${BucketPrefix}_c")()
+            val py = Alias(guardedBucket(y, w), s"${BucketPrefix}_c")()
             val centered = Project(pSide.output :+ py, pSide)
             val probeAttr =
               AttributeReference(s"${BucketPrefix}_probe", LongType, nullable = true)()

@@ -280,7 +280,8 @@ object CowTable {
     val stamp = s"${System.nanoTime()}"
     val dir = Paths.get(path, "data", stamp)
     if (spec.isEmpty) df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-    else spec.foldLeft(df)((d, t) => d.withColumn(t.name, t.exprOf(col(t.src))))
+    else spec.foldLeft(df)((d, t) =>
+      d.withColumn(t.name, t.exprOf(col(t.src), df.schema(t.src).dataType)))
       .write.partitionBy(spec.map(_.name): _*)
       .mode(SaveMode.ErrorIfExists).parquet(dir.toString)
     Files.walk(dir).iterator().asScala.map(_.toString)
@@ -477,8 +478,19 @@ object CowTable {
         // evaluate the transform of the literal exactly as the writer
         // did (one 1-row local projection), and escape the value the
         // way Spark's partitioned writer escapes directory names —
-        // a mismatch here would WRONGLY prune, not just under-prune
-        val v = spark.range(1).select(t.exprOf(lit(value)).cast("string"))
+        // a mismatch here would WRONGLY prune, not just under-prune.
+        // The literal is first cast to the SOURCE column's type
+        // (declared schema, else a data-file footer, else the
+        // literal's own type) so cross-family literals canonicalize
+        // to the writer's directory string.
+        val srcType: types.DataType =
+          declaredSchema(path, asOf)
+            .flatMap(_.fields.find(_.name == src).map(_.dataType))
+            .orElse(files.headOption.flatMap(f =>
+              scala.util.Try(spark.read.parquet(f).schema).toOption
+                .flatMap(_.fields.find(_.name == src).map(_.dataType))))
+            .getOrElse(spark.range(1).select(lit(value)).schema.head.dataType)
+        val v = spark.range(1).select(t.exprOf(lit(value), srcType).cast("string"))
           .head.getString(0)
         if (v == null) files // null never equals; residual filter decides
         else {
@@ -1335,11 +1347,27 @@ object CowTable {
       conform(df).select(col(key).as("__k"),
         struct(payload.map(col): _*).as(name))
     val oldPieces = (sides._1.toSeq ++ carriedPieces).map(toSide(_, "__old"))
-    val o = oldPieces.reduceOption(_ unionByName _)
+    val oRaw = oldPieces.reduceOption(_ unionByName _)
       .getOrElse(toSide(pieces.head, "__old").limit(0))
       // a row both key- and position-deleted in the window must emit
-      // ONE delete, not one per sidecar kind
-      .dropDuplicates("__k")
+      // ONE delete, not one per sidecar kind — but ONLY that case:
+      // dedup on (key, payload) so the dual-sidecar copies of the SAME
+      // row collapse while distinct preimage rows sharing a key (a
+      // key-unique-contract violation — append ingests arbitrary rows)
+      // survive to the loud check below instead of being silently
+      // collapsed to one arbitrary delete/update
+      .dropDuplicates("__k", "__old")
+    val kWin = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+    val o = oRaw
+      .withColumn("__kdup", count(lit(1)).over(kWin))
+      .withColumn("__old",
+        when(col("__kdup") > 1, raise_error(concat(
+          lit("CowTable.changes: multiple distinct preimage rows for key "),
+          col("__k").cast("string"),
+          lit(" — the table violates the key-unique contract"))).cast(
+            oRaw.schema("__old").dataType))
+          .otherwise(col("__old")))
+      .drop("__kdup")
     val n = sides._2.map(toSide(_, "__new"))
       .getOrElse(toSide(pieces.head, "__new").limit(0))
     o.join(n, Seq("__k"), "full_outer")
@@ -1584,20 +1612,47 @@ final case class PartitionTransform(src: String, kind: String, n: Int = 0) {
 
   /** The transform applied to an arbitrary column or literal — shared
     * verbatim by the writer (layout) and the pruner (predicate →
-    * directory), which is what makes pruning safe.
+    * directory), which is what makes pruning safe. `dt` is the SOURCE
+    * column's data type: the value is cast to it first, so a pruner
+    * literal of a different numeric family (Int 5 against a DOUBLE
+    * column) canonicalizes to the writer's directory string ("5.0")
+    * instead of wrongly pruning on "5".
+    *
+    * Time transforms are session-timezone-INDEPENDENT (the Iceberg
+    * contract): a TIMESTAMP is an absolute instant and resolves to its
+    * UTC calendar day via epoch-second arithmetic; DATE / NTZ / date
+    * strings are calendar values and resolve through epoch-day
+    * functions (`year`/`month` on DateType never consult the session
+    * zone). A writer and a pruner running under different
+    * `spark.sql.session.timeZone` settings therefore compute the SAME
+    * directory string — `date_format` on a session-zone-cast timestamp
+    * would not, and would silently drop matching files.
     */
-  def exprOf(c: Column): Column = kind match {
-    case "identity" => c
-    case "day"      => date_format(c.cast("timestamp"), "yyyy-MM-dd")
-    case "month"    => date_format(c.cast("timestamp"), "yyyy-MM")
-    case "year"     => date_format(c.cast("timestamp"), "yyyy")
-    // hash the CANONICAL STRING form: murmur3 is type-sensitive, so
-    // hashing the raw value would bucket an Int literal differently
-    // from a Long column — and the pruner (which evaluates this on a
-    // caller-supplied literal) would then WRONGLY prune, not
-    // under-prune
-    case "bucket"   => pmod(hash(c.cast("string")), lit(n))
-    case "truncate" => floor(c.cast("long") / n).cast("long") * n
+  def exprOf(c: Column, dt: types.DataType): Column = {
+    val cv = c.cast(dt)
+    kind match {
+      case "identity" => cv
+      case "day" | "month" | "year" =>
+        val d = dt match {
+          case types.TimestampType =>
+            date_add(to_date(lit("1970-01-01")),
+              floor(unix_seconds(cv) / lit(86400.0d)).cast("int"))
+          case _ => cv.cast("date")
+        }
+        kind match {
+          case "day"   => d.cast("string")
+          case "month" => concat(year(d).cast("string"), lit("-"),
+                                 lpad(month(d).cast("string"), 2, "0"))
+          case _       => year(d).cast("string")
+        }
+      // hash the CANONICAL STRING form: murmur3 is type-sensitive, so
+      // hashing the raw value would bucket an Int literal differently
+      // from a Long column — and the pruner (which evaluates this on a
+      // caller-supplied literal) would then WRONGLY prune, not
+      // under-prune
+      case "bucket"   => pmod(hash(cv.cast("string")), lit(n))
+      case "truncate" => floor(cv.cast("long") / n).cast("long") * n
+    }
   }
 }
 

@@ -1401,4 +1401,81 @@ class CowTableSpec extends SparkSpecBase {
     assert(CowTable.read(spark, path).count() == 150)
     assert(CowTable.read(spark, path, Some(3)).count() == 150)
   }
+
+  test("hidden partitioning: day transform is session-TZ-independent (write LA, prune Kolkata)") {
+    import spark.implicits._
+    import graft.sinks.PartitionTransform
+    import java.time.Instant
+    val path = tmp
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // writer session in LA: 2024-03-06T01:00Z is 2024-03-05 17:00 LOCAL —
+      // a session-zone day transform would write p_day_ts=2024-03-05
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val probe = java.sql.Timestamp.from(Instant.parse("2024-03-06T01:00:00Z"))
+      val rows = Seq(
+        (1L, java.sql.Timestamp.from(Instant.parse("2024-03-05T23:30:00Z"))),
+        (2L, probe),
+        (3L, java.sql.Timestamp.from(Instant.parse("2024-03-04T22:00:00Z"))))
+      CowTable.create(rows.toDF("id", "ts"), path, Seq(PartitionTransform.day("ts")))
+      // the instant lands under its UTC calendar day, not the writer zone's
+      val files = CowTable.snapshotFiles(path)
+      assert(files.exists(_.contains("/p_day_ts=2024-03-06/")),
+        s"instant must partition by UTC day: ${files.mkString("\n")}")
+      // pruner session in Kolkata (UTC+5:30, the opposite shift): the same
+      // instant literal must compute the same directory string — a
+      // session-zone transform would compute 2024-03-06 vs the writer's
+      // 2024-03-05 and silently prune the matching file away
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val pruned = CowTable.prunedFilesEq(spark, path, "ts", probe)
+      assert(pruned.size < files.size, "pruning must drop the other days")
+      val got = CowTable.readPrunedEq(spark, path, "ts", probe)
+      assert(got.count() == 1 && got.select("id").as[Long].head() == 2L,
+        "cross-zone prune must keep the matching instant's file")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("hidden partitioning: pruner literal of another numeric family canonicalizes") {
+    import spark.implicits._
+    import graft.sinks.PartitionTransform
+    val path = tmp
+    // identity transform over a DOUBLE column writes directories like
+    // v=5.0 — an Int literal 5 must still find them (the pruner casts
+    // the literal to the SOURCE column type before transforming)
+    CowTable.create(Seq((1L, 5.0d), (2L, 7.5d), (3L, 15.0d)).toDF("id", "v"),
+      path, Seq(PartitionTransform.identity("v")))
+    val all = CowTable.snapshotFiles(path)
+    assert(all.exists(_.contains("/p_v=5.0/")))
+    val got = CowTable.readPrunedEq(spark, path, "v", 5) // Int vs DOUBLE column
+    assert(got.count() == 1 && got.select("id").as[Long].head() == 1L)
+    assert(CowTable.prunedFilesEq(spark, path, "v", 5).size < all.size)
+    // truncate over the same double family: Int literal 15 → bucket 10
+    val path2 = tmp
+    CowTable.create(Seq((1L, 5.0d), (2L, 15.0d)).toDF("id", "v"),
+      path2, Seq(PartitionTransform.truncate(10, "v")))
+    val t = CowTable.readPrunedEq(spark, path2, "v", 15)
+    assert(t.count() == 1 && t.select("id").as[Long].head() == 2L)
+  }
+
+  test("change feed: distinct preimage rows sharing a key fail loudly, not collapse") {
+    import spark.implicits._
+    val path = tmp
+    // nothing enforces key uniqueness on create/append — two DISTINCT
+    // rows share id=1; deleting the key yields two distinct preimages
+    CowTable.create(Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "payload"), path)
+    CowTable.deleteMor(spark, path, "id = 1", "id") // v2: key sidecar for id=1
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    val e = intercept[Exception] {
+      CowTable.changes(spark, path, "id", 1, 2).collect()
+    }
+    assert(msgs(e).contains("key-unique"),
+      s"expected the loud key-unique contract error, got: ${msgs(e).take(400)}")
+    // a clean key-unique table still feeds changes() normally
+    val path2 = tmp
+    CowTable.create(Seq((1L, "a"), (2L, "c")).toDF("id", "payload"), path2)
+    CowTable.deleteMor(spark, path2, "id = 1", "id")
+    val feed = CowTable.changes(spark, path2, "id", 1, 2).collect()
+    assert(feed.length == 1 && feed.head.getAs[String]("_change_type") == "delete")
+  }
 }

@@ -159,6 +159,55 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("bandJoinRewrite guard: magnitudes past width*2^50 raise instead of dropping pairs") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      extended.conf.set("spark.graft.bandJoinRewrite", "true")
+      import extended.implicits._
+      def bandQ(scale: Double, w: Double) = {
+        val l = Seq(1e18 * scale, 2e18 * scale).toDF("lv").withColumn("lid", lit(1L))
+        val r = Seq(1e18 * scale + w / 2).toDF("rv").withColumn("rid", lit(2L))
+        l.join(r, col("lv") >= col("rv") - w && col("lv") <= col("rv") + w)
+      }
+      // |x| ~ 1e18 with W = 1: floor(x/W) double rounding can shift the
+      // bucket past the ±2 probe slack — completeness is unprovable, so
+      // the rewritten plan must fail LOUDLY, never silently drop pairs
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+      // (on a local-relation fixture the optimizer itself evaluates the
+      // guard — loud at plan OR run time is equally acceptable)
+      val e = intercept[Exception] { bandQ(1.0, 1.0).collect() }
+      assert(msgs(e).contains("probe slack"),
+        s"expected the band-guard error, got: ${msgs(e).take(300)}")
+      // same shape inside the guard: fires and matches the nested loop
+      val okOn = bandQ(1e-6, 1.0) // |x| ~ 1e12 < 2^50
+      assert(okOn.queryExecution.executedPlan.toString.contains("__bandb"))
+      val onRows = okOn.collect().map(_.toSeq).toSeq
+      extended.conf.set("spark.graft.bandJoinRewrite", "false")
+      assert(bandQ(1e-6, 1.0).collect().map(_.toSeq).toSeq == onRows)
+      // NULL values keep flowing through as non-matching, no error
+      extended.conf.set("spark.graft.bandJoinRewrite", "true")
+      val ln = Seq(Some(100.0), None).toDF("lv")
+      val rn = Seq(Some(100.5)).toDF("rv")
+      val withNull = ln.join(rn,
+        col("lv") >= col("rv") - 1.0 && col("lv") <= col("rv") + 1.0)
+      assert(withNull.queryExecution.executedPlan.toString.contains("__bandb"))
+      assert(withNull.collect().length == 1)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("asofRewrite flag: declared as-of shapes route onto AsOfMergeExec, identical rows") {
     import org.apache.spark.sql.SparkSession
     val names = Seq("join_asof_last_signup", "join_asof_left", "join_asof_tolerance")
