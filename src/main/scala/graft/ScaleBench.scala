@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "asof", "inc", "rule", "mor", "app", "band").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | asof | inc | rule | mor | app | band " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "asof", "inc", "rule", "mor", "app", "band").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | asof | inc | rule | mor | app | band " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -471,6 +471,69 @@ object ScaleBench {
       f"incremental ${tJ}%5.2f s vs full join ${tJF}%5.2f s " +
       f"-> ${tJF / tJ}%.1f x (rows: $nJ)")
     } // end ivmj section
+
+    if (only.forall(_ == "fkj")) {
+    // ---- round-12: KIP-213 FK join view, emission-path maintenance -----
+    // The claim that matters at 100 TB: a dim-side update's MAINTENANCE
+    // cost on a materialized FK-join view is dim-delta x fan-out, never
+    // O(fact). (Counting a refreshed view DataFrame is O(view) in ANY
+    // engine -- that measures serving, not maintenance -- so this bench
+    // times the table-maintenance path: Sinks.fkDimFanoutBatch merging
+    // exactly the fan-out rows into the view CowTable, vs recomputing
+    // and rewriting the whole view.) Layout is the TPC-H-ish reality:
+    // a 40M-row fact clustered by its FK (a customer's orders are
+    // adjacent), cust = oid / 10 (fan-out 10), 4M-row NON-broadcastable
+    // dim; a micro-batch of 8 dim upserts fans out to 80 view rows in
+    // at most 8 of 256 view files.
+    import graft.sinks.{CowTable, Sinks}
+    val kDir = "/tmp/graft_scalebench_fkj"
+    val kRoot = java.nio.file.Paths.get(kDir)
+    if (java.nio.file.Files.exists(kRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(kRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val (pkf, pkd, pkv) = (s"$kDir/fact", s"$kDir/dim", s"$kDir/view")
+    CowTable.create(spark.range(40000000L).select(col("id").as("oid"),
+        (col("id") / 10L).cast("long").as("cust"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("amount")).repartition(32), pkf)
+    CowTable.create(spark.range(4000000L).select(col("id").as("cid"),
+        concat(lit("tier_"), pmod(col("id"), lit(50)).cast("string"),
+          lit("_"), xxhash64(col("id")).cast("string")).as("tier"))
+      .repartition(8), pkd)
+    // cluster fact by the FK (subscription scans prune), dim by its key
+    // (the dim merge prunes), view by the fact key (the fan-out merge
+    // prunes -- FK-contiguous facts make the touched oids tight ranges)
+    CowTable.cluster(spark, pkf, files = 64, zcols = Seq("cust"))
+    CowTable.cluster(spark, pkd, files = 64, zcols = Seq("cid"))
+    Sinks.bootstrapFkView(spark, pkf, pkd, pkv, "cust", "cid")
+    CowTable.cluster(spark, pkv, files = 256, zcols = Seq("oid"))
+    val dimBatch = spark.range(8L).select((col("id") * 399999L + 7L).as("cid"),
+      concat(lit("UPDATED_"), col("id").cast("string")).as("tier"))
+    val tK0 = System.nanoTime()
+    Sinks.fkDimFanoutBatch(dimBatch, pkd, pkf, pkv, "oid", "cust", "cid")
+    val tK = (System.nanoTime() - tK0) / 1e9
+    // full recompute-and-rewrite of the same view, same end state
+    val tKF0 = System.nanoTime()
+    val fullView = Sinks.fkViewOf(CowTable.read(spark, pkf),
+      CowTable.read(spark, pkd), "cust", "cid")
+    fullView.write.mode("overwrite").parquet(s"$kDir/full")
+    val tKF = (System.nanoTime() - tKF0) / 1e9
+    // equality gate: the maintained view == the recomputed view
+    def chk(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("oid"), col("cust"),
+        col("amount"), col("tier")).cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), r.getDecimal(1).toString)
+    }
+    val (cI, hI) = chk(CowTable.read(spark, pkv))
+    val (cF, hF) = chk(spark.read.parquet(s"$kDir/full"))
+    require(cI == cF && hI == hF, s"FK view diverged: ($cI,$hI) vs ($cF,$hF)")
+    require(CowTable.read(spark, pkv).filter(col("tier").startsWith("UPDATED_"))
+      .count() == 80L, "fan-out must re-enrich exactly delta x fan-out rows")
+    println(f"[scalebench] fkj @ 40M fact x 4M dim, 8-dim-key batch (fan-out 80): " +
+      f"emission merge ${tK}%5.2f s vs full view rewrite ${tKF}%5.2f s " +
+      f"-> ${tKF / tK}%.1f x (rows: $cI)")
+    } // end fkj section
 
     val dir = "/tmp/graft_scalebench"
     def time(name: String): (Long, Double) = {

@@ -1124,6 +1124,85 @@ object CowTable {
                   b.join(d, col(key) <=> col("__dirty_g"), "left_semi")))
   }
 
+  /** INCREMENTALLY-MAINTAINED FOREIGN-KEY JOIN VIEW — the KIP-213
+    * KTable⋈KTable FK-join analogue, completing [[incrementalJoin]]
+    * (which requires a SHARED key). Here the view is keyed by the FACT
+    * key while the join runs on `fact.fkCol = dim.dimKey`: a dim-side
+    * update dirties fact rows whose join key is NOT the dirty key, so
+    * dim dirty keys must first map through a fact-side FK scan to the
+    * fact keys whose view rows recompute — KIP-213's "subscription"
+    * inverse index, expressed as one key/FK-column scan of the current
+    * fact snapshot (literal-IN pruned when the dim delta is small, so
+    * a fact layout [[cluster]]-ed by `fkCol` turns it into file
+    * skipping). Fact-side dirty keys discover exactly as in
+    * [[incrementalAgg]].
+    *
+    * `joinOf(factSlice, dimSlice)` must be FACT-KEY-LOCAL: its output
+    * carries `factKey`, and a fact key's output rows depend only on
+    * that key's fact rows plus the dim rows they reference (inner and
+    * left equi-joins on the FK qualify; the dim slice passed in is
+    * always a superset of the referenced rows, restricted for IO, so
+    * `joinOf` must not depend on unreferenced dim rows).
+    *
+    * Scale contract: refresh work is O(dim-delta × fan-out +
+    * fact-delta), never O(fact table) — the property that makes a
+    * daily-changing dimension against a 100 TB fact table maintainable
+    * (ScaleBench `fkj` measures it). A dim key deleted in the window
+    * dirties exactly its referencing fact keys (found in the CURRENT
+    * fact snapshot; fact rows that moved off the key in the same
+    * window are fact-side dirty already).
+    */
+  def incrementalJoinFk(spark: SparkSession, factPath: String, dimPath: String,
+                        factKey: String, fkCol: String, dimKey: String,
+                        mv: DataFrame,
+                        fromF: Int, toF: Int, fromD: Int, toD: Int,
+                        dirtyLiteralMax: Int = 1024)
+                       (joinOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(fromF <= toF && fromD <= toD,
+      s"version windows must be forward: fact $fromF->$toF, dim $fromD->$toD")
+    val dF = dirtyGroupsOf(spark, factPath, factKey, fromF, toF, dirtyLiteralMax)
+    val dDim = dirtyGroupsOf(spark, dimPath, dimKey, fromD, toD, dirtyLiteralMax)
+    if (dF.isEmpty && dDim.isEmpty) return mv
+    def fact = read(spark, factPath, Some(toF))
+    def dim = read(spark, dimPath, Some(toD))
+    // dim dirty keys → referencing fact keys, through the fact side's
+    // FK column (the KIP-213 subscription step). NULL FKs reference no
+    // dim row and are never dirtied from the dim side.
+    val fkMapped: Option[DataFrame] = dDim.map { dd =>
+      val keys = dd.limit(dirtyLiteralMax + 1).collect().map(_.get(0))
+      val touched =
+        if (keys.length <= dirtyLiteralMax && !keys.contains(null))
+          fact.filter(col(fkCol).isin(keys.toIndexedSeq: _*))
+        else fact.join(dd, col(fkCol) <=> col("__dirty_g"), "left_semi")
+      touched.select(col(factKey).as("__dirty_g")).distinct()
+    }
+    // delta-sized by contract; checkpoint breaks the FK-scan lineage so
+    // the carry-over anti-join and the recompute REUSE the key set
+    // instead of re-scanning the fact table once per consumer
+    val dirty = (dF.toSeq ++ fkMapped.toSeq).reduce(_ unionByName _).distinct()
+      .localCheckpoint()
+    // the dim slice a dirty fact slice needs: only the dim rows its FK
+    // values reference (literal-IN when small — footer pruning on a
+    // dim clustered by its key)
+    def dimOf(f: DataFrame): DataFrame = {
+      val fks = f.select(col(fkCol)).na.drop().distinct()
+        .limit(dirtyLiteralMax + 1).collect().map(_.get(0))
+      if (fks.length <= dirtyLiteralMax)
+        dim.filter(col(dimKey).isin(fks.toIndexedSeq: _*))
+      else dim.join(f.select(col(fkCol).as("__fk")).na.drop().distinct(),
+        col(dimKey) === col("__fk"), "left_semi")
+    }
+    // the dirty fact slice is delta-sized too: checkpoint it so
+    // dimOf's FK-value discovery and the join both read the slice, not
+    // the fact table again
+    refreshDirty(spark, mv, dirty, factKey, dirtyLiteralMax,
+      lits => { val f = fact.filter(col(factKey).isin(lits: _*)).localCheckpoint()
+                joinOf(f, dimOf(f)) },
+      d => { val f = fact.join(d, col(factKey) <=> col("__dirty_g"), "left_semi")
+               .localCheckpoint()
+             joinOf(f, dimOf(f)) })
+  }
+
   /** Z-ORDER CLUSTER the current snapshot: rewrite the data files so
     * each covers a tight range in EVERY clustering column, not just a
     * leading sort column — the layout that makes min/max footer

@@ -63,16 +63,25 @@ object Sinks {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.persist()
-        try {
-          batch.write.mode(SaveMode.Overwrite).parquet(s"$rawPath/batch=$id")
-          batch.groupBy("event_type")
-            .agg(org.apache.spark.sql.functions.count(
-                   org.apache.spark.sql.functions.lit(1)).as("c"))
-            .write.mode(SaveMode.Overwrite).parquet(s"$aggPath/batch=$id")
-        } finally batch.unpersist()
+        fanoutBatch(batch, id, rawPath, aggPath)
       }
       .start()
+
+  /** Per-micro-batch body of [[fanoutParquet]] (replay-contract
+    * testable: a second call with the same (batch, id) must leave both
+    * sinks exactly as the first call did).
+    */
+  private[graft] def fanoutBatch(batch: DataFrame, id: Long,
+                                 rawPath: String, aggPath: String): Unit = {
+    batch.persist()
+    try {
+      batch.write.mode(SaveMode.Overwrite).parquet(s"$rawPath/batch=$id")
+      batch.groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.count(
+               org.apache.spark.sql.functions.lit(1)).as("c"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$aggPath/batch=$id")
+    } finally { batch.unpersist(); () }
+  }
 
   /** End-to-end reconciliation pipeline sink — the reference's flagship
     * shape run as ONE multi-stage streaming job: a replayed event
@@ -93,17 +102,24 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val keyed = batch.withColumn("rk",
-            concat_ws("|",
-              coalesce(col("a_id").cast("string"), lit("_")),
-              coalesce(col("b_id").cast("string"), lit("_"))))
-          if (!CowTable.exists(tablePath)) CowTable.create(keyed, tablePath)
-          else CowTable.merge(batch.sparkSession, tablePath, keyed, "rk")
-        }
-        ()
+        reconCdcBatch(batch, tablePath)
       }
       .start()
+
+  /** Per-micro-batch body of [[reconCdcPipeline]] (replay-contract
+    * testable: re-merging the same keyed rows is content-idempotent).
+    */
+  private[graft] def reconCdcBatch(batch: DataFrame, tablePath: String): Unit = {
+    if (!batch.isEmpty) {
+      val keyed = batch.withColumn("rk",
+        concat_ws("|",
+          coalesce(col("a_id").cast("string"), lit("_")),
+          coalesce(col("b_id").cast("string"), lit("_"))))
+      if (!CowTable.exists(tablePath)) CowTable.create(keyed, tablePath)
+      else CowTable.merge(batch.sparkSession, tablePath, keyed, "rk")
+    }
+    ()
+  }
 
   /** STREAMING INGEST WITH ONLINE NEAR-DUP FLAGGING (round 9, hardened
     * round 10): the end-to-end shape of [[graft.ops.IncrementalDedup]]
@@ -211,15 +227,23 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          require(CowTable.exists(tablePath),
-            s"gdprDeleteStream: target CowTable '$tablePath' does not exist; " +
-              "failing the batch so the deletion requests are retried, not dropped")
-          CowTable.deleteMorKeys(batch.sparkSession, tablePath, batch, key)
-        }
-        ()
+        gdprDeleteBatch(batch, tablePath, key)
       }
       .start()
+
+  /** Per-micro-batch body of [[gdprDeleteStream]] (replay-contract
+    * testable: re-deleting non-live keys commits nothing).
+    */
+  private[graft] def gdprDeleteBatch(batch: DataFrame, tablePath: String,
+                                     key: String): Unit = {
+    if (!batch.isEmpty) {
+      require(CowTable.exists(tablePath),
+        s"gdprDeleteStream: target CowTable '$tablePath' does not exist; " +
+          "failing the batch so the deletion requests are retried, not dropped")
+      CowTable.deleteMorKeys(batch.sparkSession, tablePath, batch, key)
+    }
+    ()
+  }
 
   /** STREAMING APPEND INGEST (round 11) — the plain event-log /
     * document-ingest sink onto the table format: each micro-batch
@@ -278,16 +302,123 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val dim = CowTable.read(spark, dimPath)
-          val enriched = batch.join(
-            org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
-          appendBatch(enriched, id, outPath, appId)
-        }
-        ()
+        enrichAppendBatch(batch, id, dimPath, key, outPath, appId)
       }
       .start()
+
+  /** Per-micro-batch body of [[enrichAppendStream]] (replay-contract
+    * testable: the inner transactional append makes a replay a no-op).
+    */
+  private[graft] def enrichAppendBatch(batch: DataFrame, id: Long,
+                                       dimPath: String, key: String,
+                                       outPath: String, appId: String): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val dim = CowTable.read(spark, dimPath)
+      val enriched = batch.join(
+        org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+      appendBatch(enriched, id, outPath, appId)
+    }
+    ()
+  }
+
+  /** KTable⋈KTable FOREIGN-KEY join emission (round 12) — the
+    * streaming face of [[CowTable.incrementalJoinFk]] and the half
+    * [[enrichAppendStream]] doesn't cover: there, FACT rows arrive and
+    * look up the current dim; here, DIM UPSERTS arrive and the
+    * already-landed view rows they fan out to are re-emitted — the
+    * KIP-213 emission semantics (a dim-side update re-joins every fact
+    * row whose join key is NOT the dirty key). Per micro-batch:
+    *
+    *   1. the latest row per dim key MERGEs into the dim CowTable;
+    *   2. the fact rows with `fkCol` ∈ batch dim keys are found via
+    *      the fact-side FK scan (KIP-213's subscription index,
+    *      literal-IN pruned so a fact [[CowTable.cluster]]-ed by
+    *      `fkCol` reads only the referencing files);
+    *   3. those rows re-enrich against the NEW dim snapshot and MERGE
+    *      into the view on the FACT key — exactly the fan-out rows
+    *      rewrite; everything else carries over untouched.
+    *
+    * The view's shape is fact columns ++ dim non-key columns
+    * ([[bootstrapFkView]] creates it with the same join). Replay-safe:
+    * both merges are keyed and content-idempotent, so a re-delivered
+    * batch converges to the same table state. A batch carrying several
+    * versions of one dim key must be pre-ordered upstream (only the
+    * batch's last row per key applies, Kafka-Streams changelog
+    * semantics). Dim DELETES are out of scope here — route them
+    * through [[gdprDeleteStream]] against the dim plus a follow-up
+    * re-emission touch; the upsert path is the KIP-213 common case.
+    * New FACT rows keep flowing through [[enrichAppendStream]] into
+    * the same view.
+    */
+  def fkDimFanoutStream(dimUpdates: DataFrame, dimPath: String,
+                        factPath: String, viewPath: String,
+                        factKey: String, fkCol: String, dimKey: String,
+                        checkpoint: String,
+                        literalMax: Int = 1024): StreamingQuery =
+    dimUpdates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        fkDimFanoutBatch(batch, dimPath, factPath, viewPath,
+          factKey, fkCol, dimKey, literalMax)
+      }
+      .start()
+
+  /** The FK-join view both [[fkDimFanoutStream]] and its spec use:
+    * fact ⟕ dim on `fkCol = dimKey`, fact columns ++ dim payload.
+    */
+  def fkViewOf(fact: DataFrame, dim: DataFrame,
+               fkCol: String, dimKey: String): DataFrame = {
+    val d = dim.withColumnRenamed(dimKey, "__dimk")
+    fact.join(org.apache.spark.sql.functions.broadcast(d),
+        fact(fkCol) === d("__dimk"), "left")
+      .drop("__dimk")
+  }
+
+  /** Materialize the initial FK-join view [[fkDimFanoutStream]]
+    * maintains (fact ⟕ current dim, keyed by the fact key).
+    */
+  def bootstrapFkView(spark: org.apache.spark.sql.SparkSession,
+                      factPath: String, dimPath: String, viewPath: String,
+                      fkCol: String, dimKey: String): Int =
+    CowTable.create(fkViewOf(CowTable.read(spark, factPath),
+      CowTable.read(spark, dimPath), fkCol, dimKey), viewPath)
+
+  /** Per-micro-batch body of [[fkDimFanoutStream]] (replay-contract
+    * testable: both merges are keyed, a re-delivered batch converges).
+    */
+  private[graft] def fkDimFanoutBatch(batch: DataFrame, dimPath: String,
+                                      factPath: String, viewPath: String,
+                                      factKey: String, fkCol: String,
+                                      dimKey: String,
+                                      literalMax: Int = 1024): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    require(CowTable.exists(viewPath),
+      s"fkDimFanoutStream: view CowTable '$viewPath' does not exist; " +
+        "bootstrapFkView it first — failing the batch so the dim updates retry")
+    val latest = batch.dropDuplicates(dimKey)
+    CowTable.merge(spark, dimPath, latest, dimKey)
+    // KIP-213 subscription: dim dirty keys → referencing fact rows
+    val keys = latest.select(dimKey).limit(literalMax + 1).collect().map(_.get(0))
+    val fact = CowTable.read(spark, factPath)
+    val dimNow = CowTable.read(spark, dimPath)
+    val (touched, dimSlice) =
+      if (keys.length <= literalMax && !keys.contains(null))
+        (fact.filter(col(fkCol).isin(keys.toIndexedSeq: _*)),
+         // only the batch's dim rows can re-enrich the touched facts —
+         // never broadcast the whole dimension for a delta merge
+         dimNow.filter(col(dimKey).isin(keys.toIndexedSeq: _*)))
+      else
+        (fact.join(latest.select(col(dimKey).as("__dk")),
+           col(fkCol) === col("__dk"), "left_semi"),
+         dimNow.join(latest.select(col(dimKey).as("__dk")),
+           col(dimKey) === col("__dk"), "left_semi"))
+    val refreshed = fkViewOf(touched, dimSlice, fkCol, dimKey)
+    CowTable.merge(spark, viewPath, refreshed, factKey)
+    ()
+  }
 
   /** Streaming upsert sink (`KTable` materialization): per micro-batch,
     * merge the batch into a keyed parquet view keeping the latest row
@@ -437,23 +568,31 @@ object Sinks {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val incoming = batch.withColumnRenamed(tsCol, "valid_from")
-        val current =
-          if (fs.exists(new Path(path))) spark.read.parquet(path).drop("valid_to")
-          else incoming.limit(0)
-        val w = Window.partitionBy(keyCol).orderBy("valid_from")
-        val versions = current.unionByName(incoming)
-          .dropDuplicates(keyCol, "valid_from")
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
-        val stage = path + "__stage"
-        versions.write.mode(SaveMode.Overwrite).parquet(stage)
-        fs.delete(new Path(path), true)
-        fs.rename(new Path(stage), new Path(path))
-        ()
+        scd2Batch(batch, path, keyCol, tsCol)
       }
       .start()
+
+  /** Per-micro-batch body of [[scd2Parquet]] (replay-contract
+    * testable: dropDuplicates on (key, valid_from) absorbs a replay).
+    */
+  private[graft] def scd2Batch(batch: DataFrame, path: String,
+                               keyCol: String, tsCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incoming = batch.withColumnRenamed(tsCol, "valid_from")
+    val current =
+      if (fs.exists(new Path(path))) spark.read.parquet(path).drop("valid_to")
+      else incoming.limit(0)
+    val w = Window.partitionBy(keyCol).orderBy("valid_from")
+    val versions = current.unionByName(incoming)
+      .dropDuplicates(keyCol, "valid_from")
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val stage = path + "__stage"
+    versions.write.mode(SaveMode.Overwrite).parquet(stage)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(stage), new Path(path))
+    ()
+  }
 
   /** CDC-apply sink — [[upsertParquet]] with TOMBSTONES: each change
     * row carries an `opCol` ('delete' = tombstone, anything else =
@@ -470,46 +609,63 @@ object Sinks {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // stored live rows re-enter the merge as upserts at their
-        // original change time, so a NEWER tombstone in the batch
-        // deletes them and an OLDER one (late replay) does not
-        val current =
-          if (fs.exists(new Path(path))) spark.read.parquet(path)
-          else batch.limit(0)
-        val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(keyCol))
-        val merged = current.unionByName(batch)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1 && col(opCol) =!= "delete")
-          .drop("__rn")
-        val stage = path + "__stage"
-        merged.write.mode(SaveMode.Overwrite).parquet(stage)
-        fs.delete(new Path(path), true)
-        fs.rename(new Path(stage), new Path(path))
-        ()
+        cdcApplyBatch(batch, path, keyCol, tsCol, opCol)
       }
       .start()
+
+  /** Per-micro-batch body of [[cdcApplyParquet]] (replay-contract
+    * testable: latest-change-per-key-wins absorbs a replay).
+    */
+  private[graft] def cdcApplyBatch(batch: DataFrame, path: String,
+                                   keyCol: String, tsCol: String,
+                                   opCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stored live rows re-enter the merge as upserts at their
+    // original change time, so a NEWER tombstone in the batch
+    // deletes them and an OLDER one (late replay) does not
+    val current =
+      if (fs.exists(new Path(path))) spark.read.parquet(path)
+      else batch.limit(0)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(keyCol))
+    val merged = current.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "delete")
+      .drop("__rn")
+    val stage = path + "__stage"
+    merged.write.mode(SaveMode.Overwrite).parquet(stage)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(stage), new Path(path))
+    ()
+  }
 
   def upsertParquet(stream: DataFrame, path: String, checkpoint: String,
                     keyCol: String, tsCol: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val current =
-          if (fs.exists(new Path(path))) spark.read.parquet(path) else batch.limit(0)
-        val w = Window.partitionBy(keyCol)
-          .orderBy(col(tsCol).desc, col(keyCol))
-        val merged = current.unionByName(batch)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val stage = path + "__stage"
-        merged.write.mode(SaveMode.Overwrite).parquet(stage)
-        fs.delete(new Path(path), true)
-        fs.rename(new Path(stage), new Path(path))
-        ()
+        upsertBatch(batch, path, keyCol, tsCol)
       }
       .start()
+
+  /** Per-micro-batch body of [[upsertParquet]] (replay-contract
+    * testable: latest-row-per-key-wins absorbs a replay).
+    */
+  private[graft] def upsertBatch(batch: DataFrame, path: String,
+                                 keyCol: String, tsCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(new Path(path))) spark.read.parquet(path) else batch.limit(0)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(keyCol))
+    val merged = current.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val stage = path + "__stage"
+    merged.write.mode(SaveMode.Overwrite).parquet(stage)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(stage), new Path(path))
+    ()
+  }
 }

@@ -367,6 +367,59 @@ class CowTableSpec extends SparkSpecBase {
     assert(m.exists(t => t._1 == 90L && t._3 == 900L), "null->value transition")
   }
 
+  test("incrementalJoinFk: dim dirty keys fan out through the fact FK index (KIP-213)") {
+    import spark.implicits._
+    val dir = tmp
+    val (pf, pd) = (s"$dir/fact", s"$dir/dim")
+    // fact: 600 orders over 30 customers (fan-out 20), keyed by oid,
+    // FK = cust; dim: 40 customers (10 never referenced), keyed by cid
+    CowTable.create((0L until 600L).map(i => (i, i % 30, i * 2))
+      .toDF("oid", "cust", "amount").repartition(4), pf)
+    CowTable.create((0L until 40L).map(c => (c, s"seg${c % 4}"))
+      .toDF("cid", "segment").repartition(2), pd)
+    def joinOf(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+      f.join(d, f("cust") === d("cid"), "left")
+        .select(col("oid"), col("cust"), col("amount"), col("segment"))
+    val f1 = CowTable.currentVersion(pf)
+    val d1 = CowTable.currentVersion(pd)
+    val mv0 = joinOf(CowTable.read(spark, pf), CowTable.read(spark, pd))
+      .localCheckpoint()
+    // no window movement: the view returns untouched
+    assert(CowTable.incrementalJoinFk(spark, pf, pd, "oid", "cust", "cid",
+      mv0, f1, f1, d1, d1)(joinOf).count() == mv0.count())
+    // the verdict's window: dim MERGE (re-segment cust 3, insert
+    // unreferenced cust 100) + dim MoR DELETE (cust 7 — its 20 orders
+    // fall to null segment) + fact APPEND (new orders for re-segmented
+    // cust 3 and for untouched cust 8)
+    CowTable.merge(spark, pd, Seq((3L, "vip"), (100L, "ghost"))
+      .toDF("cid", "segment"), "cid")
+    CowTable.deleteMorKeys(spark, pd, Seq(7L).toDF("cid"), "cid")
+    CowTable.append(spark, pf, Seq((1000L, 3L, 5L), (1001L, 8L, 6L))
+      .toDF("oid", "cust", "amount"))
+    val f2 = CowTable.currentVersion(pf)
+    val d2 = CowTable.currentVersion(pd)
+    val refreshed = CowTable.incrementalJoinFk(spark, pf, pd, "oid", "cust", "cid",
+      mv0, f1, f2, d1, d2)(joinOf)
+    val full = joinOf(CowTable.read(spark, pf), CowTable.read(spark, pd))
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+       if (r.isNullAt(3)) "<null>" else r.getString(3))
+    assert(refreshed.collect().map(keyOf).sorted.toSeq ==
+           full.collect().map(keyOf).sorted.toSeq,
+      "FK incremental refresh must equal the full recompute")
+    val m = refreshed.collect().map(keyOf)
+    // dim-dirty fan-out: every cust-3 order re-segmented to vip —
+    // their oids were NOT dirty on the fact side
+    assert(m.count(t => t._2 == 3L && t._4 == "vip") == 21, "20 old + 1 appended")
+    // dim delete fans out to null enrichment
+    assert(m.count(t => t._2 == 7L) == 20 && m.filter(_._2 == 7L).forall(_._4 == "<null>"))
+    // fact append joins the CURRENT dim
+    assert(m.exists(t => t._1 == 1001L && t._4 == "seg0"))
+    // unreferenced dim insert adds no view rows
+    assert(!m.exists(_._4 == "ghost"))
+    assert(m.length == 602)
+  }
+
   test("snapshot isolation: readers during a concurrent merge see only full versions") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

@@ -1473,4 +1473,185 @@ class StreamingSpec extends SparkSpecBase {
       .collect().head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact <= 0.02 + 0.02)
   }
+
+  test("KIP-213 stream: a dim update between batches re-emits exactly the fan-out rows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.sinks.{CowTable, Sinks}
+    val root = java.nio.file.Files.createTempDirectory("fk_stream").toString
+    val (fact, dim, view) = (s"$root/fact", s"$root/dim", s"$root/view")
+    // 40 orders over 4 customers (fan-out 10), FK-contiguous
+    CowTable.create((0L until 40L).map(i => (i, i / 10, i * 3))
+      .toDF("oid", "cust", "amt").repartition(2), fact)
+    CowTable.create(Seq((0L, "s0"), (1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("cid", "seg"), dim)
+    Sinks.bootstrapFkView(spark, fact, dim, view, "cust", "cid")
+    val v0 = CowTable.currentVersion(view)
+    val stream = MemoryStream[(Long, String)]
+    val q = Sinks.fkDimFanoutStream(stream.toDF().toDF("cid", "seg"),
+      dim, fact, view, "oid", "cust", "cid",
+      java.nio.file.Files.createTempDirectory("fk_cp").toString)
+    def viewCanon(): Seq[(Long, Long, Long, String)] =
+      CowTable.read(spark, view).collect()
+        .map(r => (r.getAs[Long]("oid"), r.getAs[Long]("cust"),
+                   r.getAs[Long]("amt"), r.getAs[String]("seg"))).sorted.toSeq
+    def batchTwin(): Seq[(Long, Long, Long, String)] =
+      Sinks.fkViewOf(CowTable.read(spark, fact), CowTable.read(spark, dim),
+        "cust", "cid").collect()
+        .map(r => (r.getAs[Long]("oid"), r.getAs[Long]("cust"),
+                   r.getAs[Long]("amt"), r.getAs[String]("seg"))).sorted.toSeq
+    // batch 1: one dim key updates — its 10 fan-out rows re-emit
+    stream.addData((1L, "vip"))
+    q.processAllAvailable()
+    val v1 = CowTable.currentVersion(view)
+    assert(viewCanon() == batchTwin(), "view must equal the batch FK join")
+    assert(viewCanon().count(_._4 == "vip") == 10)
+    // the CDC feed shows EXACTLY the fan-out rows changed — nothing else
+    val feed1 = CowTable.changes(spark, view, "oid", v0, v1)
+      .filter(col("_change_type") === "update")
+    assert(feed1.select("oid").as[Long].collect().sorted.toSeq ==
+      (10L until 20L).toSeq, "exactly cust-1's orders re-emit")
+    // batch 2: two keys, one of them new-to-dim (no fact rows yet)
+    stream.addData((3L, "churned"), (9L, "ghost"))
+    q.processAllAvailable()
+    q.stop()
+    assert(viewCanon() == batchTwin(), "view tracks the dim across batches")
+    val feed2 = CowTable.changes(spark, view, "oid", v1,
+      CowTable.currentVersion(view)).filter(col("_change_type") === "update")
+    assert(feed2.select("oid").as[Long].collect().sorted.toSeq ==
+      (30L until 40L).toSeq, "the ghost key fans out to nothing")
+    // the dim table itself advanced under the same batches
+    assert(CowTable.read(spark, dim).filter(col("cid") === 9L).count() == 1)
+  }
+
+  test("replay idempotence: every foreachBatch sink body called twice per batch converges") {
+    // The r10 high bug (incremental-dedup pairs overwritten by a
+    // post-commit replay) lived exactly in the gap between per-sink
+    // tests — so the double-call property is asserted HARNESS-WIDE:
+    // for every sink's extracted batch body, a run where each batch is
+    // delivered TWICE (crash-between-sink-and-checkpoint replay) must
+    // leave the same content state as the single-delivery run, after
+    // every batch.
+    import spark.implicits._
+    import graft.sinks.{CowTable, Sinks}
+    val root = java.nio.file.Files.createTempDirectory("replay_all").toString
+
+    // column order is NOT part of the contract (a bootstrap-create and
+    // a merge may order differently) — sort columns by name, then rows
+    def canonDf(df: DataFrame): Seq[String] =
+      df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    def canonP(path: String): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) Seq.empty
+      else canonDf(spark.read.parquet(path))
+    }
+    def canonCow(path: String): Seq[String] =
+      if (!CowTable.exists(path)) Seq.empty
+      else canonDf(CowTable.read(spark, path))
+
+    case class Sink(name: String,
+                    setup: String => Unit,
+                    batches: Seq[DataFrame],
+                    body: (String, DataFrame, Long) => Unit,
+                    state: String => Seq[String])
+
+    // shared read-only dim for the enrich sink (identical for both runs)
+    val dimShared = s"$root/dim_shared"
+    CowTable.create(Seq((1L, "gold"), (2L, "blue")).toDF("k", "seg"), dimShared)
+
+    val sinks = Seq(
+      Sink("scd2",
+        _ => (),
+        Seq(Seq((1L, "2024-01-01 00:00:00", 10L), (2L, "2024-01-01 00:00:00", 5L))
+              .toDF("id", "ts", "v"),
+            Seq((1L, "2024-02-01 00:00:00", 20L)).toDF("id", "ts", "v")),
+        (d, b, _) => Sinks.scd2Batch(b, s"$d/t", "id", "ts"),
+        d => canonP(s"$d/t")),
+      Sink("cdcApply",
+        _ => (),
+        Seq(Seq((1L, "2024-01-01", "upsert", 10L), (2L, "2024-01-01", "upsert", 5L))
+              .toDF("id", "ts", "op", "v"),
+            Seq((1L, "2024-02-01", "delete", 0L), (3L, "2024-02-01", "upsert", 7L))
+              .toDF("id", "ts", "op", "v"),
+            Seq((1L, "2024-03-01", "upsert", 30L)).toDF("id", "ts", "op", "v")),
+        (d, b, _) => Sinks.cdcApplyBatch(b, s"$d/t", "id", "ts", "op"),
+        d => canonP(s"$d/t")),
+      Sink("upsert",
+        _ => (),
+        Seq(Seq((1L, "2024-01-01", 10L), (2L, "2024-01-01", 5L)).toDF("id", "ts", "v"),
+            Seq((1L, "2024-02-01", 20L), (3L, "2024-02-01", 7L)).toDF("id", "ts", "v")),
+        (d, b, _) => Sinks.upsertBatch(b, s"$d/t", "id", "ts"),
+        d => canonP(s"$d/t")),
+      Sink("fanout",
+        _ => (),
+        Seq(Seq(("click", 1L), ("view", 2L)).toDF("event_type", "v"),
+            Seq(("click", 3L)).toDF("event_type", "v")),
+        (d, b, id) => Sinks.fanoutBatch(b, id, s"$d/raw", s"$d/agg"),
+        d => canonP(s"$d/raw") ++ canonP(s"$d/agg")),
+      Sink("append",
+        _ => (),
+        Seq(Seq((1L, 10L), (2L, 5L)).toDF("id", "v"),
+            Seq((3L, 7L)).toDF("id", "v")),
+        (d, b, id) => Sinks.appendBatch(b, id, s"$d/t", "harness-app"),
+        d => canonCow(s"$d/t")),
+      Sink("enrichAppend",
+        _ => (),
+        Seq(Seq((1L, 100L), (9L, 50L)).toDF("k", "amt"),
+            Seq((2L, 70L)).toDF("k", "amt")),
+        (d, b, id) => Sinks.enrichAppendBatch(b, id, dimShared, "k", s"$d/t", "harness-enr"),
+        d => canonCow(s"$d/t")),
+      Sink("reconCdc",
+        _ => (),
+        Seq(Seq((Some(1L), Some(10L), "matched"), (Some(2L), None, "unmatched_a"))
+              .toDF("a_id", "b_id", "status"),
+            Seq((Some(2L), Some(20L), "matched")).toDF("a_id", "b_id", "status")),
+        (d, b, _) => Sinks.reconCdcBatch(b, s"$d/t"),
+        d => canonCow(s"$d/t")),
+      Sink("gdprDelete",
+        d => CowTable.create((0L until 20L).map(i => (i, i * 2)).toDF("id", "v"), s"$d/t"),
+        Seq(Seq(Tuple1(3L)).toDF("id"), Seq(Tuple1(7L), Tuple1(3L)).toDF("id")),
+        (d, b, _) => Sinks.gdprDeleteBatch(b, s"$d/t", "id"),
+        d => canonCow(s"$d/t")),
+      Sink("incrementalDedup",
+        _ => (),
+        Seq(Seq((1L, "en", "web", "a b c d e f g h i j"),
+                (2L, "en", "web", "k l m n o p q r s t"))
+              .toDF("doc_id", "lang", "source", "text"),
+            Seq((10L, "en", "web", "a b c d e f g h i j"))
+              .toDF("doc_id", "lang", "source", "text")),
+        (d, b, id) => Sinks.incrementalDedupBatch(b, id, s"$d/corpus", s"$d/index",
+          s"$d/pairs", Seq("lang", "source")),
+        d => canonCow(s"$d/corpus") ++ canonP(s"$d/pairs")),
+      Sink("fkDimFanout",
+        d => {
+          CowTable.create((0L until 40L).map(i => (i, i % 4, i * 2))
+            .toDF("oid", "cust", "amt"), s"$d/fact")
+          CowTable.create(Seq((0L, "s0"), (1L, "s1"), (2L, "s2"), (3L, "s3"))
+            .toDF("cid", "seg"), s"$d/dim")
+          Sinks.bootstrapFkView(spark, s"$d/fact", s"$d/dim", s"$d/view", "cust", "cid")
+          ()
+        },
+        Seq(Seq((1L, "vip")).toDF("cid", "seg"),
+            Seq((2L, "churned"), (0L, "s0b")).toDF("cid", "seg")),
+        (d, b, _) => Sinks.fkDimFanoutBatch(b, s"$d/dim", s"$d/fact", s"$d/view",
+          "oid", "cust", "cid"),
+        d => canonCow(s"$d/view") ++ canonCow(s"$d/dim")))
+
+    sinks.foreach { s =>
+      val ref = s"$root/${s.name}/ref"; val rep = s"$root/${s.name}/rep"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ref))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rep))
+      s.setup(ref); s.setup(rep)
+      s.batches.zipWithIndex.foreach { case (b, i) =>
+        s.body(ref, b, i.toLong)
+        s.body(rep, b, i.toLong)
+        s.body(rep, b, i.toLong) // the crash-window replay
+        assert(s.state(rep) == s.state(ref),
+          s"${s.name}: double-delivered batch $i diverged from single delivery")
+      }
+      assert(s.state(ref).nonEmpty, s"${s.name}: vacuous fixture (empty final state)")
+    }
+  }
 }
