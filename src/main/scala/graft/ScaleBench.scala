@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "asof", "inc", "rule", "mor", "app", "band").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | asof | inc | rule | mor | app | band " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "asof", "inc", "rule", "mor", "app", "band").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | asof | inc | rule | mor | app | band " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -534,6 +534,68 @@ object ScaleBench {
       f"emission merge ${tK}%5.2f s vs full view rewrite ${tKF}%5.2f s " +
       f"-> ${tKF / tK}%.1f x (rows: $cI)")
     } // end fkj section
+
+    if (only.forall(_ == "ivf")) {
+    // ---- round-12: persistent IVF index — ingest-then-probe ------------
+    // The serving claim: once the index is a TABLE, a corpus delta
+    // costs a frozen-centroid refresh (O(delta x cells) assignment +
+    // touched-cell drift check + key-intersecting merge) and a query
+    // costs a probe (centroid rank + nprobe cell reads + exact
+    // rerank) — neither re-runs the k-means build the per-invocation
+    // form pays every call. 2M x 16-dim vectors, 64 cells, 2k-vector
+    // delta, 10 probes.
+    import graft.ops.IvfIndex
+    import graft.sinks.CowTable
+    val vDir = "/tmp/graft_scalebench_ivf"
+    val vRoot = java.nio.file.Paths.get(vDir)
+    if (java.nio.file.Files.exists(vRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(vRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val (pvc, pvi) = (s"$vDir/corpus", s"$vDir/index")
+    def synthVec(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(15)),
+        j => sin(id * 7 + j.cast("double")) * sin(id * 7 + j.cast("double")) + 0.1)
+    CowTable.create(spark.range(2000000L)
+      .select(col("id").as("vec_id"), synthVec(col("id")).as("ve"))
+      .repartition(32), pvc)
+    val tB0 = System.nanoTime()
+    IvfIndex.buildIndex(spark, pvc, pvi, numCells = 64, iters = 2)
+    val tB = (System.nanoTime() - tB0) / 1e9
+    // cluster assign by cell: probes become file-skipping reads
+    CowTable.cluster(spark, s"$pvi/assign", files = 64, zcols = Seq("cell"))
+    // delta: 1k updates (mild move) + 1k inserts
+    CowTable.merge(spark, pvc, spark.range(1000L)
+      .select((col("id") * 1999L).as("vec_id"),
+        synthVec(col("id") * 1999L + 13L).as("ve")), "vec_id")
+    CowTable.append(spark, pvc, spark.range(2000000L, 2001000L)
+      .select(col("id").as("vec_id"), synthVec(col("id")).as("ve")))
+    val tR0 = System.nanoTime()
+    val ref = IvfIndex.refresh(spark, pvc, pvi, maxDrift = 0.2, numCells = 64)
+    val tR = (System.nanoTime() - tR0) / 1e9
+    require(!ref.rebuilt, "mild 0.1% delta must not re-seed")
+    // equality gate: refreshed assign == full reassignment under the
+    // frozen centroids
+    def chkA(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("vec_id"), col("cell"))
+        .cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), r.getDecimal(1).toString)
+    }
+    val (cR, hR) = chkA(CowTable.read(spark, s"$pvi/assign"))
+    val (cT, hT) = chkA(IvfIndex.assignTo(
+      IvfIndex.withNorm(CowTable.read(spark, pvc).select(col("vec_id"), col("ve"))),
+      CowTable.read(spark, s"$pvi/centroids")))
+    require(cR == cT && hR == hT, s"assign diverged: ($cR,$hR) vs ($cT,$hT)")
+    val probeQ = CowTable.read(spark, pvc).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ve").as("qe")).localCheckpoint()
+    val tP0 = System.nanoTime()
+    val nP = IvfIndex.probe(spark, pvi, probeQ, nprobe = 4, k = 10).count()
+    val tP = (System.nanoTime() - tP0) / 1e9
+    println(f"[scalebench] ivf @ 2M x 16d, 64 cells: build ${tB}%5.1f s ONCE; " +
+      f"2k-delta refresh ${tR}%5.2f s, 10-query probe ${tP}%5.2f s (rows: $nP) " +
+      f"-> serving pays ${tR + tP}%.2f s/window vs ${tB}%.1f s/query rebuilt")
+    } // end ivf section
 
     val dir = "/tmp/graft_scalebench"
     def time(name: String): (Long, Double) = {

@@ -1,0 +1,389 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.vec_dot
+import graft.sinks.CowTable
+
+/** PERSISTENT IVF ANN INDEX (round 12, VERDICT r11 task 2) — the
+  * serving face of [[Pipeline.annIvfTopk]]'s per-invocation index.
+  * The query form rebuilds centroids + assignments on every call:
+  * honest as an end-to-end correctness contract, but at 100 TB the
+  * k-means build dwarfs the probe, so a served index must be a TABLE,
+  * not a plan. This module materializes the index as two [[CowTable]]s
+  * beside the vector corpus — the [[IncrementalDedup]] pattern applied
+  * to ANN:
+  *
+  *   - `indexPath/centroids` — (cid, ce, nc), tiny (numCells rows);
+  *   - `indexPath/assign`    — (vec_id, cell), one row per corpus
+  *     vector, the partitioning story at scale: each cell is a
+  *     read-unit, [[CowTable.cluster]]-ing it by `cell` makes a probe
+  *     of nprobe cells a file-skipping read;
+  *   - `indexPath/_corpus_version` — the corpus snapshot the index
+  *     reflects (same atomic marker protocol as the dedup band index).
+  *
+  * [[refresh]] advances the index from the corpus's CDC feed
+  * ([[CowTable.changes]] — cost ∝ the delta, never the corpus):
+  * new/updated vectors assign to the FROZEN stored centroids and land
+  * rewrite-free as positional-delete-preimages + append-postimages
+  * (the Iceberg-v2 upsert shape). Frozen-centroid maintenance keeps
+  * the exact invariant a probe needs — every live vector sits in its
+  * argmax-cosine cell UNDER THE INDEX'S CENTROIDS (IvfIndexSpec proves
+  * refreshed == full-reassign equality) — while centroid drift is
+  * watched, not ignored: the centroid table carries RUNNING per-cell
+  * component sums, so each refresh folds the delta in (O(delta), the
+  * `embedding_centroid_shift` trigger metric from ops/Metrics.scala in
+  * per-cell form) and re-seeds the whole index via [[buildIndex]] only
+  * when the worst relative centroid shift crosses the declared
+  * threshold — the "reindex on drift" cadence every production ANN
+  * service runs.
+  *
+  * The k-means primitives here are THE implementation —
+  * [[Pipeline.ivfIndex]] delegates — so the persistent index built
+  * from the full corpus is bit-identical to the query form's
+  * (1e-3-quantized centroids, smallest-cid tiebreaks; see
+  * [[Pipeline.annIvfTopk]]'s determinism story) and `ann_ivf_persistent`
+  * shares `ann_ivf_topk`'s DuckDB oracle verbatim.
+  *
+  * Corpus table contract: (vec_id: long, ve: array<float|double>),
+  * vec_id unique.
+  */
+object IvfIndex {
+
+  // ---- k-means primitives (shared with Pipeline.ivfIndex) ----------------
+
+  /** (vec_id, ve) → + `nv` (the L2 norm, computed once per vector). */
+  def withNorm(vecs: DataFrame): DataFrame =
+    vecs.withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
+
+  /** Argmax-cosine cell per vector, centroids broadcast. Ties break to
+    * the SMALLEST cid explicitly: 1e-3-quantized centroids can
+    * collide, giving exactly equal scores, and max_by/arg_max leave
+    * that choice engine- and partition-order-dependent — the
+    * row_number tiebreak (mirrored verbatim in the oracle SQL) keeps
+    * the whole index bit-reproducible.
+    */
+  def assignTo(v: DataFrame, c: DataFrame): DataFrame = {
+    val wa = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
+    v.join(broadcast(c), lit(true))
+      .withColumn("s", vec_dot(col("ve"), col("ce")) / (col("nv") * col("nc")))
+      .withColumn("rr", row_number().over(wa))
+      .filter(col("rr") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** Component-wise 1e-3-quantized means of each cell's members
+    * (quantization makes parallel-summation-order differences — ~1e-13
+    * across engines — vanish, so centroids are bit-reproducible).
+    */
+  def centroidsFrom(v: DataFrame, assign: DataFrame): DataFrame =
+    assign.join(v.select("vec_id", "ve"), "vec_id")
+      .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((round(avg(col("x")) * 1000) / 1000).as("mval"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+                     e => e.getField("mval")).as("ce"))
+      .select(col("cell").as("cid"), col("ce"))
+      .withColumn("nc", sqrt(vec_dot(col("ce"), col("ce"))))
+
+  /** Deterministic seeds: the `n` smallest vec_ids, cid = vec_id (a
+    * fixed, data-independent choice — `vec_id < 16` on the driver
+    * corpus, same as the oracle's c0).
+    */
+  def seedsOf(v: DataFrame, n: Int): DataFrame =
+    v.orderBy("vec_id").limit(n)
+      .select(col("vec_id").as("cid"), col("ve").as("ce"), col("nv").as("nc"))
+
+  /** Lloyd iterations: `iters` rounds of {assign, recompute quantized
+    * means}. Assignment is a broadcast cross join (shuffle-parallel),
+    * means are a two-level groupBy (map-side partials).
+    */
+  def kmeans(v: DataFrame, seeds: DataFrame, iters: Int): DataFrame =
+    (1 to iters).foldLeft(seeds)((c, _) => centroidsFrom(v, assignTo(v, c)))
+
+  // ---- persistent index --------------------------------------------------
+
+  private def centroidsPath(indexPath: String) = s"$indexPath/centroids"
+  private def assignPath(indexPath: String) = s"$indexPath/assign"
+  private def markerPath(indexPath: String) = Paths.get(indexPath, "_corpus_version")
+
+  private def writeIndexedVersion(indexPath: String, v: Int): Unit = {
+    Files.createDirectories(Paths.get(indexPath))
+    val tmp = Paths.get(indexPath, s"._corpus_version.${System.nanoTime()}.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, markerPath(indexPath),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The corpus snapshot version the index currently reflects. */
+  def indexedVersion(indexPath: String): Int =
+    new String(Files.readAllBytes(markerPath(indexPath)),
+      StandardCharsets.UTF_8).trim.toInt
+
+  /** Full (re)build: k-means over the corpus's CURRENT snapshot,
+    * centroids + assignments written as fresh CowTable versions, marker
+    * advanced. Run once at bootstrap and again only when [[refresh]]
+    * detects drift past its threshold; every routine corpus change
+    * goes through [[refresh]].
+    *
+    * Table shapes (the FAISS/ScaNN inverted-list layout):
+    *   - assign (vec_id, cell, ve, nv): the lists CARRY the vectors —
+    *     a probe reads nprobe cells' files and reranks in place, never
+    *     joining back to the corpus (the 2× vector storage every IVF
+    *     service pays to keep query cost ∝ probed lists, not corpus);
+    *   - centroids (cid, ce, nc, vsum, cnt): alongside each quantized
+    *     centroid, the RUNNING per-cell component sums + member count
+    *     that make [[refresh]]'s drift watch O(delta) — the candidate
+    *     mean round(vsum/cnt·1000)/1000 is exactly the centroid a
+    *     rebuild would quantize from those members.
+    */
+  def buildIndex(spark: SparkSession, corpusPath: String, indexPath: String,
+                 numCells: Int = 16, iters: Int = 2): Int = {
+    val ver = CowTable.currentVersion(corpusPath)
+    val v = withNorm(CowTable.read(spark, corpusPath, Some(ver))
+      .select(col("vec_id"), col("ve")))
+    val c = kmeans(v, seedsOf(v, numCells), iters).localCheckpoint()
+    val assign = assignTo(v, c)
+      .join(v.select(col("vec_id"), col("ve"), col("nv")), Seq("vec_id"))
+    val stats = assign
+      .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+                     e => e.getField("sx")).as("vsum"),
+           max("n").as("cnt"))
+      .select(col("cell").as("cid"), col("vsum"), col("cnt"))
+    val cFull = c.join(stats, Seq("cid"))
+      .select(col("cid"), col("ce"), col("nc"), col("vsum"), col("cnt"))
+    if (CowTable.exists(centroidsPath(indexPath))) {
+      // re-seed in place: full-snapshot MERGE keeps table history
+      // (time-travel to the pre-rebuild index still works) while the
+      // new version IS the rebuilt index — stale cells/vectors retire
+      // via POSITIONAL MoR deletes (a key sidecar would also hide the
+      // key in rows a later refresh appends; positional pins only the
+      // rows that exist now)
+      val stale = CowTable.read(spark, centroidsPath(indexPath)).select("cid")
+        .join(cFull.select("cid"), Seq("cid"), "left_anti").localCheckpoint()
+      CowTable.merge(spark, centroidsPath(indexPath), cFull, "cid")
+      if (!stale.isEmpty)
+        CowTable.deleteMorPosKeys(spark, centroidsPath(indexPath), stale)
+      val gone = CowTable.read(spark, assignPath(indexPath)).select("vec_id")
+        .join(assign.select("vec_id"), Seq("vec_id"), "left_anti").localCheckpoint()
+      CowTable.merge(spark, assignPath(indexPath), assign, "vec_id")
+      if (!gone.isEmpty)
+        CowTable.deleteMorPosKeys(spark, assignPath(indexPath), gone)
+    } else {
+      CowTable.create(cFull, centroidsPath(indexPath))
+      CowTable.create(assign, assignPath(indexPath))
+    }
+    writeIndexedVersion(indexPath, ver)
+    ver
+  }
+
+  /** Result of a [[refresh]]: whether drift forced a full re-seed, and
+    * the corpus version the index now reflects.
+    */
+  final case class Refresh(rebuilt: Boolean, toVersion: Int)
+
+  /** Incremental maintenance from the corpus CDC feed. Per window:
+    *
+    *   1. upserted vectors assign to the FROZEN stored centroids
+    *      (broadcast — numCells rows);
+    *   2. ONE key-pruned scan of the lists collects every changed id's
+    *      preimage (cell, ve) — the rows to retire AND the per-cell
+    *      sums to subtract from the running stats;
+    *   3. drift watch on the RUNNING per-cell stats, O(delta):
+    *      vsum' = vsum − Σpreimages + Σpostimages, cnt' likewise; the
+    *      candidate mean round(vsum'/cnt'·1000)/1000 is exactly what a
+    *      rebuild would quantize from the current members (modulo
+    *      summation order, absorbed by the quantization — repeated
+    *      add/subtract FP residue rides the same 1e-3 grid, and every
+    *      re-seed recomputes the sums exactly). Worst relative L2
+    *      shift |ce'−ce|/|ce| > `maxDrift` → re-seed via
+    *      [[buildIndex]];
+    *   4. otherwise land the delta REWRITE-FREE — the Iceberg-v2
+    *      upsert shape: [[CowTable.deleteMorPosKeys]] pins the
+    *      preimage rows (a positional sidecar; a KEY sidecar would
+    *      also hide the rows this very refresh appends),
+    *      [[CowTable.append]] lands the new list rows, the centroid
+    *      table merges the updated running stats (ce/nc FROZEN), the
+    *      marker advances. The probe invariant — every vector in its
+    *      argmax cell under the stored centroids — holds EXACTLY
+    *      (IvfIndexSpec's parity law).
+    *
+    * Cost: O(delta × numCells) assignment + O(delta) stats maintenance
+    * + two key-pruned list scans (preimage capture; positional-delete
+    * pinning) + sidecar/append commits — never a data-file rewrite,
+    * never O(corpus) k-means work. Sidecars fold at
+    * the next [[CowTable.compact]]/[[CowTable.cluster]] (maintenance
+    * cadence, as for the dedup band index).
+    */
+  def refresh(spark: SparkSession, corpusPath: String, indexPath: String,
+              maxDrift: Double = 0.2,
+              numCells: Int = 16, iters: Int = 2): Refresh = {
+    val fromV = indexedVersion(indexPath)
+    val toV = CowTable.currentVersion(corpusPath)
+    if (toV == fromV) return Refresh(rebuilt = false, toV)
+
+    val feed = CowTable.changes(spark, corpusPath, "vec_id", fromV, toV)
+    val upserts = withNorm(
+      feed.filter(col("_change_type").isin("insert", "update"))
+        .select(col("vec_id"), col("ve")))
+    val deleted = feed.filter(col("_change_type") === "delete").select("vec_id")
+
+    val cPath = centroidsPath(indexPath)
+    val aPath = assignPath(indexPath)
+    val stored = CowTable.read(spark, cPath)
+    val hasUpserts = !upserts.isEmpty
+    val hasDeletes = !deleted.isEmpty
+    // carry the vectors into the list rows (the assign-table layout:
+    // vec_id, cell, ve, nv — same shape buildIndex writes)
+    val newAssign =
+      if (hasUpserts)
+        assignTo(upserts, stored).join(upserts, Seq("vec_id")).localCheckpoint()
+      else null
+    val changedIds =
+      ((if (hasUpserts) Seq(upserts.select("vec_id")) else Nil) ++
+       (if (hasDeletes) Seq(deleted) else Nil))
+        .reduceOption(_ unionByName _).map(_.localCheckpoint())
+    // preimages captured BEFORE any write lands (eager checkpoint: a
+    // lazy plan would re-read post-delete state); cells LOSING a
+    // member shift too, which is why preimage sums matter
+    val pre = changedIds.map(ids =>
+      CowTable.read(spark, aPath)
+        .join(broadcast(ids), Seq("vec_id"), "left_semi")
+        .select(col("cell"), col("ve")).localCheckpoint())
+
+    // signed per-(cell, pos) sums: −preimages, +postimages
+    def posSums(rows: DataFrame, sgn: Int): DataFrame =
+      rows.select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum("x") * sgn).as("sx"), (count(lit(1)) * sgn).as("n"))
+    val deltaPos =
+      (pre.map(posSums(_, -1)).toSeq ++
+       (if (hasUpserts) Seq(posSums(newAssign, 1)) else Nil))
+        .reduceOption(_ unionByName _)
+
+    // fold the deltas into the running stats; the candidate quantized
+    // mean of each touched cell is its would-be rebuilt centroid
+    val judged = deltaPos.map { dp =>
+      val delta = dp.groupBy("cell", "pos")
+        .agg(sum("sx").as("sx"), sum("n").as("n"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+                       e => e.getField("sx")).as("dsum"),
+             max("n").as("dn")) // n is the same net member delta at every pos
+        .select(col("cell").as("cid"), col("dsum"), col("dn"))
+      stored.join(delta, Seq("cid")) // cells always come from `stored`
+        .withColumn("vsum2", zip_with(col("vsum"), col("dsum"), _ + _))
+        .withColumn("cnt2", col("cnt") + col("dn"))
+        .withColumn("ce2",
+          transform(col("vsum2"), x => round(x / col("cnt2") * 1000) / 1000))
+        .withColumn("shift",
+          // an emptied cell has no candidate mean — frozen centroid
+          // stays, no shift row
+          when(col("cnt2") <= 0, lit(null).cast("double"))
+            .otherwise(
+              sqrt(vec_dot(zip_with(col("ce2"), col("ce"), _ - _),
+                           zip_with(col("ce2"), col("ce"), _ - _))) / col("nc")))
+        .localCheckpoint() // consumed twice: verdict + centroid merge
+    }
+    val drifted = judged.exists { j =>
+      val worst = j.agg(max("shift")).collect().head
+      !worst.isNullAt(0) && worst.getDouble(0) > maxDrift
+    }
+    if (drifted) {
+      buildIndex(spark, corpusPath, indexPath, numCells, iters)
+      Refresh(rebuilt = true, toV)
+    } else {
+      changedIds.foreach(ids => CowTable.deleteMorPosKeys(spark, aPath, ids))
+      if (hasUpserts) CowTable.append(spark, aPath, newAssign)
+      judged.foreach(j => CowTable.merge(spark, cPath,
+        j.select(col("cid"), col("ce"), col("nc"),
+                 col("vsum2").as("vsum"), col("cnt2").as("cnt")), "cid"))
+      writeIndexedVersion(indexPath, toV)
+      Refresh(rebuilt = false, toV)
+    }
+  }
+
+  /** Probe the SERVED index: per query, rank the stored centroids,
+    * touch `nprobe` cells, rerank IN PLACE against the vectors the
+    * lists carry — a probe never joins back to the corpus (the point of
+    * the 2× inverted-list storage). `queries`: (qid, qe). Self-matches
+    * (a query id present in the corpus) are excluded, matching
+    * [[Pipeline.annIvfTopk]]. The assign read carries a `cell IN
+    * (probed)` filter — with ≤ numCells distinct values it is always a
+    * literal list, so a cell-clustered assign table file-skips to the
+    * probed cells.
+    */
+  def probe(spark: SparkSession, indexPath: String,
+            queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val c = CowTable.read(spark, centroidsPath(indexPath))
+    val q = withNorm(queries.select(col("qid").as("vec_id"), col("qe").as("ve")))
+      .select(col("vec_id").as("qid"), col("ve").as("qe"), col("nv").as("nq"))
+    val wp = Window.partitionBy("qid").orderBy(col("ps").desc, col("cid"))
+    val probes = q.join(broadcast(c), lit(true))
+      .withColumn("ps", vec_dot(col("qe"), col("ce")) / (col("nq") * col("nc")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "cid")
+    val cellLits = probes.select("cid").distinct().collect().map(_.get(0))
+    val assign = CowTable.read(spark, assignPath(indexPath))
+      .filter(col("cell").isin(cellLits.toIndexedSeq: _*))
+      .select(col("vec_id"), col("cell"), col("ve").as("ne"), col("nv").as("nn"))
+    val cand = q.join(broadcast(probes), Seq("qid"))
+      .join(assign, col("cell") === col("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("s", vec_dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
+    val wr = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
+    cand
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid").as("q"), col("vec_id").as("n"), col("rn"))
+  }
+
+  // ---- the declared query ------------------------------------------------
+
+  // One prepared (corpus, index) per sfDir: built on first use (the
+  // serving model — the build is NOT part of a probe), synchronized
+  // for Verify's thread pool, bounded (one temp dir per data dir per
+  // JVM, like IncrementalDedup.ingestEnv).
+  private val envs = scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private def env(s: SparkSession, d: String): (String, String) =
+    envs.synchronized {
+      envs.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft_ivf_env").toString
+        val corpus = s"$dir/corpus"
+        val index = s"$dir/index"
+        CowTable.create(graft.tables.Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("ve")), corpus)
+        buildIndex(s, corpus, index)
+        (corpus, index)
+      })
+    }
+
+  /** The SERVED-index face of `ann_ivf_topk`: identical rows, same
+    * DuckDB oracle (the persistent build runs the same seeded,
+    * quantized k-means over the same corpus), but each invocation
+    * times ONLY the probe path — centroid ranking, nprobe cell reads,
+    * exact rerank — against the stored index tables, the cost a query
+    * pays on a served 100 TB index. The build runs once per data dir,
+    * outside the timed body (like `dedup_ingest_only`'s prepared
+    * environment).
+    */
+  val annIvfPersistent: (SparkSession, String) => DataFrame = (s, d) => {
+    val (corpus, index) = env(s, d)
+    val queries = CowTable.read(s, corpus).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    probe(s, index, queries, nprobe = 4, k = 3)
+      .orderBy("q", "rn")
+  }
+}

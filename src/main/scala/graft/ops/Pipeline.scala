@@ -324,40 +324,15 @@ object Pipeline {
     * cluster-census query run the SAME index.
     */
   private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val v = embeddings(s, d).select(col("vec_id"), col("embedding").as("ve"))
-      .withColumn("nv", sqrt(vec_dot(col("ve"), col("ve"))))
-
-    // argmax-cosine cell per vector, centroids broadcast. Ties break to
-    // the SMALLEST cid explicitly: 1e-3-quantized centroids can
-    // collide, giving exactly equal scores, and max_by/arg_max leave
-    // that choice engine- and partition-order-dependent — the
-    // row_number tiebreak (mirrored verbatim in the oracle SQL) keeps
-    // the whole index bit-reproducible.
-    def assignTo(c: DataFrame): DataFrame = {
-      val wa = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
-      v.join(broadcast(c), lit(true))
-        .withColumn("s", vec_dot(col("ve"), col("ce")) / (col("nv") * col("nc")))
-        .withColumn("rr", row_number().over(wa))
-        .filter(col("rr") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
-    }
-
-    // component-wise quantized means of each cell's members
-    def centroidsFrom(assign: DataFrame): DataFrame =
-      assign.join(v.select("vec_id", "ve"), "vec_id")
-        .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg((round(avg(col("x")) * 1000) / 1000).as("mval"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
-                       e => e.getField("mval")).as("ce"))
-        .select(col("cell").as("cid"), col("ce"))
-        .withColumn("nc", sqrt(vec_dot(col("ce"), col("ce"))))
-
-    val c0 = v.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("ve").as("ce"), col("nv").as("nc"))
-    val c = centroidsFrom(assignTo(centroidsFrom(assignTo(c0))))
-    (v, c, assignTo(c))
+    // primitives live in IvfIndex (round 12) — the persistent-table
+    // build delegates to the SAME code, so the served index and this
+    // per-invocation plan are bit-identical and share one oracle.
+    // Seeds = the 16 smallest vec_ids (vec_id < 16 on this corpus),
+    // 2 Lloyd iterations, 1e-3-quantized means, smallest-cid tiebreaks.
+    val v = IvfIndex.withNorm(
+      embeddings(s, d).select(col("vec_id"), col("embedding").as("ve")))
+    val c = IvfIndex.kmeans(v, IvfIndex.seedsOf(v, 16), iters = 2)
+    (v, c, IvfIndex.assignTo(v, c))
   }
 
   val annIvfTopk: Q = (s, d) => {
@@ -1038,6 +1013,7 @@ object Pipeline {
     "dedup_ngram_banded" -> dedupNgramBanded,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_ivf_persistent" -> IvfIndex.annIvfPersistent,
     "ann_lsh_topk" -> annLshTopk,
     "text_langid" -> textLangid,
     "text_quality_score" -> textQualityScore,

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.IvfIndex
+import graft.sinks.CowTable
+
+/** Persistent IVF ANN index (round 12): the served index equals the
+  * per-invocation query form, incremental refresh equals a full
+  * reassignment under the frozen centroids, and drift past the
+  * threshold re-seeds.
+  */
+class IvfIndexSpec extends SparkSpecBase {
+
+  private def tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+
+  // deterministic synthetic corpus: 8-dim positive vectors
+  private def vecOf(i: Long): Array[Double] =
+    Array.tabulate(8)(j => math.abs(math.sin(i.toDouble * 7 + j)) + 0.1)
+
+  private def mkCorpus(path: String, n: Long): Unit = {
+    import spark.implicits._
+    CowTable.create((0L until n).map(i => (i, vecOf(i)))
+      .toDF("vec_id", "ve").repartition(4), path)
+  }
+
+  private def assignRows(aPath: String): Seq[(Long, Long)] =
+    CowTable.read(spark, aPath).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).sorted.toSeq
+
+  test("served probe == per-invocation ann_ivf_topk (same index, same rows)") {
+    val persistent = q("ann_ivf_persistent").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val perCall = q("ann_ivf_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(persistent == perCall)
+    assert(persistent.nonEmpty)
+  }
+
+  test("refresh: upserts + deletes converge to full reassignment under frozen centroids") {
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    mkCorpus(corpus, 200L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2)
+    val centroidsBefore = CowTable.read(spark, s"$index/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq
+
+    // delta: 10 updates (vectors move mildly), 5 inserts, 7 deletes
+    CowTable.merge(spark, corpus,
+      (0L until 10L).map(i => (i * 3, vecOf(i * 3 + 1000)))
+        .toDF("vec_id", "ve"), "vec_id")
+    CowTable.append(spark, corpus,
+      (500L until 505L).map(i => (i, vecOf(i))).toDF("vec_id", "ve"))
+    CowTable.deleteMorKeys(spark, corpus,
+      (100L until 107L).map(Tuple1(_)).toDF("vec_id"), "vec_id")
+
+    val r = IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9)
+    assert(!r.rebuilt, "mild delta must not re-seed")
+    assert(r.toVersion == CowTable.currentVersion(corpus))
+    assert(IvfIndex.indexedVersion(index) == r.toVersion, "marker advances")
+    // centroids FROZEN across the refresh
+    assert(CowTable.read(spark, s"$index/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq == centroidsBefore)
+
+    // the refresh invariant: assign table == argmax-cosine assignment
+    // of EVERY live vector under the stored centroids
+    val full = IvfIndex.assignTo(
+      IvfIndex.withNorm(CowTable.read(spark, corpus).select(col("vec_id"), col("ve"))),
+      CowTable.read(spark, s"$index/centroids"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell")))
+      .sorted.toSeq
+    assert(assignRows(s"$index/assign") == full)
+    assert(!full.exists(t => t._1 >= 100L && t._1 < 107L), "deleted ids gone")
+    assert(full.exists(_._1 == 504L), "inserted ids present")
+
+    // a second refresh with no corpus movement is a no-op
+    val r2 = IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9)
+    assert(!r2.rebuilt && r2.toVersion == r.toVersion)
+  }
+
+  test("drift past the threshold re-seeds; rebuilt index == fresh build on the same corpus") {
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index, fresh) = (s"$dir/corpus", s"$dir/index", s"$dir/fresh")
+    mkCorpus(corpus, 200L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2)
+
+    // massive movement: half the corpus relocates far away
+    CowTable.merge(spark, corpus,
+      (100L until 200L).map(i => (i, Array.tabulate(8)(j => 100.0 + j + (i % 3))))
+        .toDF("vec_id", "ve"), "vec_id")
+
+    val r = IvfIndex.refresh(spark, corpus, index,
+      maxDrift = 0.05, numCells = 4, iters = 2)
+    assert(r.rebuilt, "drifted cells must trigger a re-seed")
+    assert(IvfIndex.indexedVersion(index) == CowTable.currentVersion(corpus))
+
+    // the in-place rebuild equals a fresh build on the same snapshot
+    IvfIndex.buildIndex(spark, corpus, fresh, numCells = 4, iters = 2)
+    assert(assignRows(s"$index/assign") == assignRows(s"$fresh/assign"))
+    def cents(p: String) = CowTable.read(spark, s"$p/centroids").collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Double]]("ce"))).sortBy(_._1).toSeq
+    assert(cents(index) == cents(fresh))
+  }
+}

@@ -808,6 +808,7 @@ class PlanSpec extends SparkSpecBase {
     "recon_aging_buckets" -> "1-row scalar: as-of timestamp broadcast",
     "q11_important_stock" -> "1-row scalar: threshold subquery broadcast",
     "ann_ivf_topk" -> "1-row scalar: broadcast IVF centroid array",
+    "ann_ivf_persistent" -> "1-row scalar: broadcast stored-centroid table (numCells rows) in the probe rank",
     "embedding_cluster_sizes" -> "1-row scalar: broadcast centroid array",
     "graph_triangle_count" -> "bounded: degree-table broadcast",
     "win_ntile" -> "bounded-bucket: B×B offsets cross join",
