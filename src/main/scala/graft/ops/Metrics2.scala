@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Round-12 additions (SURVEY §2.16): window/function SQL surface
+  * (cume_dist/percent_rank, width_bucket), record-day detection,
+  * key-vs-time monotonicity audit, Brier calibration, k-fold split
+  * census, bigram surprisal, fan-out histogram, supplier latency, and
+  * quadrant segmentation. All integer-exact per §2.1 (cents / bp / ppm
+  * via truncating `div`); day-domain windows only over bounded
+  * domains; global medians ride the 1-row broadcast pattern.
+  */
+object Metrics2 {
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** The cume_dist / percent_rank window surface: each customer's
+    * balance percentile INSIDE its market segment, ppm-floored. Both
+    * functions are rank-ratio divisions — one IEEE division per row,
+    * identical on both engines; ordering on integer cents keeps ties
+    * engine-identical. Partitioned by segment: parallel, never a
+    * global sort.
+    */
+  val winCumeDist: Q = (s, d) => {
+    val c = cust(s, d).select(col("c_mktsegment").as("segment"),
+      col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+    val w = Window.partitionBy("segment").orderBy("bal_cents")
+    c.withColumn("cd_ppm", floor(cume_dist().over(w) * 1000000.0).cast("long"))
+      .withColumn("pr_ppm", floor(percent_rank().over(w) * 1000000.0).cast("long"))
+      .select(col("segment"), col("c_custkey"), col("bal_cents"),
+              col("cd_ppm"), col("pr_ppm"))
+      .orderBy("segment", "c_custkey").limit(2000)
+  }
+
+  /** The width_bucket SQL surface as an order-value histogram. Bounds
+    * are chosen FP-exact: [0, 2²⁶) cents with 16 buckets gives a 2²²
+    * width, so every division in either engine's formula is an exact
+    * power-of-two scale and boundary cents land identically (the
+    * oracle emulates with floor(c/2²²)+1 — algebraically equal and
+    * step-for-step exact).
+    */
+  val exprWidthBucket: Q = (s, d) =>
+    orders(s, d).select(cents(col("o_totalprice")).as("c"))
+      .select(expr("width_bucket(c, 0, 67108864, 16)").as("bucket"), col("c"))
+      .groupBy("bucket")
+      .agg(cnt.as("n_orders"), sum("c").cast("long").as("sum_cents"))
+      .orderBy("bucket")
+
+  /** Record revenue days: purchase days whose daily cents strictly
+    * exceed every prior day's — the running-all-time-high audit. Fact
+    * collapses to the bounded day domain first; the cumulative max
+    * window runs over ~hundreds of day rows (the `ts_sma_crossover`
+    * allowlist class).
+    */
+  val tsRecordHighs: Q = (s, d) => {
+    val daily = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dd"))
+      .agg(sum(cents(col("value"))).cast("long").as("rev_cents"))
+    val w = Window.orderBy("dd").rowsBetween(Window.unboundedPreceding, -1)
+    daily.withColumn("pm", max("rev_cents").over(w))
+      .filter(col("pm").isNull || col("rev_cents") > col("pm"))
+      .select(col("dd").cast("string").as("dd"), col("rev_cents"),
+              coalesce(col("pm"), lit(0L)).as("prev_max_cents"))
+      .orderBy("dd")
+  }
+
+  /** Key-vs-time monotonicity audit: within each order month, count
+    * adjacent (in orderkey order) pairs whose order date DECREASES —
+    * the "are surrogate keys time-ordered?" data-contract check that
+    * decides whether key ranges can prune time predicates. Partitioned
+    * by month: parallel, bounded per-partition sorts.
+    */
+  val dqKeyDateInversions: Q = (s, d) => {
+    val o = orders(s, d).select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"),
+      col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy("ym").orderBy("o_orderkey")
+    o.withColumn("prev_d", lag("o_orderdate", 1).over(w))
+      .groupBy("ym")
+      .agg(cnt.as("n_orders"),
+           sum(when(col("prev_d") > col("o_orderdate"), 1L).otherwise(0L))
+             .cast("long").as("n_inversions"))
+      .orderBy("ym")
+  }
+
+  /** Brier score of "discount predicts return": probability = discount
+    * ×10 in basis points (integer), outcome = returnflag='R' in bp;
+    * mean squared error per line status in 1e-8 units — exact integer
+    * arithmetic end-to-end (squares ≤ 10⁸, sums well under 2⁶³). The
+    * proper-scoring-rule face next to `ml_calibration_bins`.
+    */
+  val mlBrierScore: Q = (s, d) =>
+    li(s, d).select(col("l_linestatus").as("status"),
+        round(col("l_discount") * 100000).cast("long").as("p_bp"),
+        when(col("l_returnflag") === "R", 10000L).otherwise(0L).as("y_bp"))
+      .withColumn("sq", (col("p_bp") - col("y_bp")) * (col("p_bp") - col("y_bp")))
+      .groupBy("status")
+      .agg(cnt.as("n"),
+           expr("div(sum(sq), count(1))").cast("long").as("brier_e8"))
+      .orderBy("status")
+
+  /** Deterministic 5-fold split census — the cross-validation
+    * assignment every training pipeline needs, RNG-free (md5 hash mod,
+    * reshuffle-stable like `sample_systematic`): per fold, document
+    * count, total/mean chars, and language coverage. Balanced folds +
+    * full language coverage = the split is usable.
+    */
+  val splitKfold: Q = (s, d) =>
+    docs(s, d).select(col("lang"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 5).as("fold"))
+      .groupBy("fold")
+      .agg(cnt.as("n_docs"), sum("n_chars").cast("long").as("sum_chars"),
+           countDistinct("lang").cast("long").as("n_langs"),
+           expr("div(sum(n_chars), count(1))").cast("long").as("mean_chars"))
+      .orderBy("fold")
+
+  /** Per-document BIGRAM surprisal — the conditional sibling of
+    * `text_unigram_surprisal`: each bigram contributes
+    * floor(log2 c(w₁·)) − floor(log2 c(w₁w₂)) (how surprising is w₂
+    * given w₁), with floor(log2) as bit length − 1 (exact integers on
+    * both engines — the `text_zipf_slope` idiom). Bigram extraction is
+    * a per-doc lead window (partitioned by doc — parallel); the count
+    * dimension folds c(w₁·) into the bigram table first so the fact
+    * side pays ONE shuffle-hash join (string keys — the 4.1 SMJ
+    * hazard).
+    */
+  val textBigramSurprisal: Q = (s, d) => {
+    val t = docs(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = t.withColumn("w2", lead("tok", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(cnt.as("c2"))
+    val c1 = bi.groupBy("w1").agg(cnt.as("c1"))
+    val dim = c2.join(c1.hint("shuffle_hash"), "w1")
+      .select(col("w1"), col("w2"),
+        ((length(bin(col("c1"))) - 1) - (length(bin(col("c2"))) - 1))
+          .cast("long").as("sbits"))
+    bi.join(dim.hint("shuffle_hash"), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_bigrams"), sum("sbits").cast("long").as("surprisal"))
+      .orderBy("doc_id")
+      .limit(2000)
+  }
+
+  /** Lines-per-order fan-out histogram — the full distribution behind
+    * `dq_fk_fanout_profile`'s min/mean/max: how many orders carry k
+    * lines. Two keyed aggregates, no broadcast, no window.
+    */
+  val ordersFanoutHistogram: Q = (s, d) =>
+    li(s, d).groupBy("l_orderkey").agg(cnt.as("lines"))
+      .groupBy("lines").agg(cnt.as("n_orders"))
+      .orderBy("lines")
+
+  /** Supplier shipping latency: whole-day lag from order date to ship
+    * date per supplier — count, truncating mean, max — worst 100 by
+    * mean (deterministic suppkey tiebreak, TakeOrdered cut). One fact
+    * equi-join + keyed aggregate.
+    */
+  val supplierShipLatency: Q = (s, d) =>
+    li(s, d).join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+              datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
+      .groupBy("l_suppkey")
+      .agg(cnt.as("n_lines"),
+           expr("div(sum(lag_d), count(1))").cast("long").as("mean_lag_days"),
+           max("lag_d").as("max_lag_days"))
+      .orderBy(col("mean_lag_days").desc, col("l_suppkey"))
+      .limit(100)
+
+  /** Balance×spend quadrant census over customers WITH orders: above/
+    * below the exact global median on each axis (medians ride the
+    * 1-row broadcast — the `part_type_price_median_gap` pattern). The
+    * 2×2 segmentation every CRM runs.
+    */
+  val customerBalanceSpendQuadrant: Q = (s, d) => {
+    val spend = orders(s, d).groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("sp"))
+    val c = cust(s, d).select(col("c_custkey"), cents(col("c_acctbal")).as("bal"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+    val med = c.agg(round(expr("percentile(bal, 0.5)")).cast("long").as("mb"),
+                    round(expr("percentile(sp, 0.5)")).cast("long").as("ms"))
+    c.crossJoin(broadcast(med))
+      .select(when(col("bal") > col("mb"), "hi_bal").otherwise("lo_bal").as("bal_side"),
+              when(col("sp") > col("ms"), "hi_spend").otherwise("lo_spend").as("spend_side"))
+      .groupBy("bal_side", "spend_side")
+      .agg(cnt.as("n_customers"))
+      .orderBy("bal_side", "spend_side")
+  }
+
+  /** Reconstruction error of `embedding_quantize`'s int8 scheme, per
+    * label: per-component error round((x − q·m/127)·10⁵) as an exact
+    * integer (same expression tree both engines — per-row IEEE doubles
+    * are bit-identical, the §2.1 R2 rule), summed squares in 1e-10
+    * units. The "is int8 good enough for this corpus" audit a
+    * quantized ANN deployment runs before switching.
+    */
+  val embeddingQuantizeError: Q = (s, d) => {
+    val ve = transform(col("embedding"), x => x.cast("double"))
+    Tables.t(s, d, "embeddings").select(col("label"), ve.as("ve"))
+      .withColumn("m", array_max(transform(col("ve"), x => abs(x))))
+      .withColumn("e", transform(col("ve"),
+        x => round((x - floor(x * 127.0 / col("m") + 0.5) * col("m") / 127.0)
+          * 100000).cast("long")))
+      .select(col("label").cast("long").as("label"),
+              aggregate(col("e"), lit(0L), (a, x) => a + x * x).as("sse"))
+      .groupBy("label")
+      .agg(cnt.as("n_vecs"), sum("sse").cast("long").as("sse_e10"),
+           expr("div(sum(sse), count(1))").cast("long").as("mse_e10"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_bigram_surprisal" -> textBigramSurprisal,
+    "orders_fanout_histogram" -> ordersFanoutHistogram,
+    "supplier_ship_latency" -> supplierShipLatency,
+    "customer_balance_spend_quadrant" -> customerBalanceSpendQuadrant,
+    "embedding_quantize_error" -> embeddingQuantizeError,
+    "win_cume_dist" -> winCumeDist,
+    "expr_width_bucket" -> exprWidthBucket,
+    "ts_record_highs" -> tsRecordHighs,
+    "dq_key_date_inversions" -> dqKeyDateInversions,
+    "ml_brier_score" -> mlBrierScore,
+    "split_kfold" -> splitKfold,
+  )
+}

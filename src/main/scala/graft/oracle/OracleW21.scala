@@ -45,5 +45,102 @@ object OracleW21 {
     WHERE a.vec_id <> q.qid)
   SELECT qid q, n, rn FROM (SELECT qid, n, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, n) rn FROM cand) t
   WHERE rn <= 3 ORDER BY q, rn""",
+
+    // round-12 wave A
+    "win_cume_dist" ->
+      """WITH c AS (SELECT c_mktsegment segment, c_custkey,
+      CAST(round(c_acctbal * 100) AS BIGINT) bal_cents FROM customer)
+  SELECT segment, c_custkey, bal_cents,
+    CAST(floor(cume_dist() OVER (PARTITION BY segment ORDER BY bal_cents) * 1000000) AS BIGINT) cd_ppm,
+    CAST(floor(percent_rank() OVER (PARTITION BY segment ORDER BY bal_cents) * 1000000) AS BIGINT) pr_ppm
+  FROM c ORDER BY segment, c_custkey LIMIT 2000""",
+    // width_bucket emulated: bounds [0, 2^26) cents, 16 buckets -> width
+    // 2^22; floor(c/2^22)+1 is step-for-step FP-exact on both engines
+    "expr_width_bucket" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) c FROM orders)
+  SELECT CAST(floor(c / 4194304.0) AS BIGINT) + 1 bucket,
+    CAST(count(*) AS BIGINT) n_orders, CAST(sum(c) AS BIGINT) sum_cents
+  FROM o GROUP BY 1 ORDER BY 1""",
+    "ts_record_highs" ->
+      """WITH dly AS (SELECT CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) rev_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  w AS (SELECT dd, rev_cents,
+      max(rev_cents) OVER (ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm
+    FROM dly)
+  SELECT CAST(dd AS VARCHAR) dd, rev_cents, coalesce(pm, 0) prev_max_cents
+  FROM w WHERE pm IS NULL OR rev_cents > pm ORDER BY dd""",
+    "dq_key_date_inversions" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) ym,
+      o_orderkey, o_orderdate FROM orders),
+  l AS (SELECT ym, o_orderdate,
+      lag(o_orderdate) OVER (PARTITION BY ym ORDER BY o_orderkey) prev_d FROM o)
+  SELECT ym, CAST(count(*) AS BIGINT) n_orders,
+    CAST(sum(CASE WHEN prev_d > o_orderdate THEN 1 ELSE 0 END) AS BIGINT) n_inversions
+  FROM l GROUP BY 1 ORDER BY 1""",
+    "ml_brier_score" ->
+      """WITH t AS (SELECT l_linestatus status,
+      CAST(round(l_discount * 100000) AS BIGINT) p_bp,
+      CASE WHEN l_returnflag = 'R' THEN 10000 ELSE 0 END y_bp FROM lineitem),
+  q AS (SELECT status, (p_bp - y_bp) * (p_bp - y_bp) sq FROM t)
+  SELECT status, CAST(count(*) AS BIGINT) n,
+    CAST(sum(sq) // count(*) AS BIGINT) brier_e8
+  FROM q GROUP BY 1 ORDER BY 1""",
+    "split_kfold" ->
+      """WITH f AS (SELECT lang, n_chars,
+      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 fold
+    FROM documents)
+  SELECT fold, CAST(count(*) AS BIGINT) n_docs, CAST(sum(n_chars) AS BIGINT) sum_chars,
+    CAST(count(DISTINCT lang) AS BIGINT) n_langs,
+    CAST(sum(n_chars) // count(*) AS BIGINT) mean_chars
+  FROM f GROUP BY 1 ORDER BY 1""",
+
+    // round-12 wave B
+    "text_bigram_surprisal" ->
+      """WITH g AS (SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) bg
+    FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)),
+  c2 AS (SELECT bg, CAST(count(*) AS BIGINT) c2 FROM g GROUP BY 1),
+  c1 AS (SELECT split_part(bg, ' ', 1) w1, CAST(count(*) AS BIGINT) c1 FROM g GROUP BY 1),
+  dim AS (SELECT c2.bg,
+      (length(bin(c1.c1)) - 1) - (length(bin(c2.c2)) - 1) sbits
+    FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1)
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+    CAST(sum(dim.sbits) AS BIGINT) surprisal
+  FROM g JOIN dim ON g.bg = dim.bg
+  GROUP BY 1 ORDER BY 1 LIMIT 2000""",
+    "orders_fanout_histogram" ->
+      """WITH f AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) lines FROM lineitem GROUP BY 1)
+  SELECT lines, CAST(count(*) AS BIGINT) n_orders FROM f GROUP BY 1 ORDER BY 1""",
+    "supplier_ship_latency" ->
+      """WITH t AS (SELECT l_suppkey,
+      CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) lag_d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) n_lines,
+    CAST(sum(lag_d) // count(*) AS BIGINT) mean_lag_days,
+    CAST(max(lag_d) AS BIGINT) max_lag_days
+  FROM t GROUP BY 1 ORDER BY mean_lag_days DESC, l_suppkey LIMIT 100""",
+    "customer_balance_spend_quadrant" ->
+      """WITH sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) sp
+    FROM orders GROUP BY 1),
+  c AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) bal, sp
+    FROM customer JOIN sp ON c_custkey = o_custkey),
+  m AS (SELECT CAST(round(quantile_cont(bal, 0.5)) AS BIGINT) mb,
+      CAST(round(quantile_cont(sp, 0.5)) AS BIGINT) ms FROM c)
+  SELECT CASE WHEN bal > mb THEN 'hi_bal' ELSE 'lo_bal' END bal_side,
+    CASE WHEN sp > ms THEN 'hi_spend' ELSE 'lo_spend' END spend_side,
+    CAST(count(*) AS BIGINT) n_customers
+  FROM c CROSS JOIN m GROUP BY 1, 2 ORDER BY 1, 2""",
+    "embedding_quantize_error" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] ve FROM embeddings),
+  s AS (SELECT label, list_max(list_transform(ve, x -> abs(x))) m, ve FROM v),
+  e AS (SELECT label,
+      list_sum(list_transform(ve,
+        x -> CAST(round((x - floor(x * 127.0 / m + 0.5) * m / 127.0) * 100000) AS BIGINT)
+             * CAST(round((x - floor(x * 127.0 / m + 0.5) * m / 127.0) * 100000) AS BIGINT))) sse
+    FROM s)
+  SELECT CAST(label AS BIGINT) AS "label", CAST(count(*) AS BIGINT) n_vecs,
+    CAST(sum(sse) AS BIGINT) sse_e10, CAST(sum(sse) // count(*) AS BIGINT) mse_e10
+  FROM e GROUP BY 1 ORDER BY 1""",
   )
 }

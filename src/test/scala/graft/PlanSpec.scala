@@ -838,6 +838,7 @@ class PlanSpec extends SparkSpecBase {
     "corpus_length_token_deciles" -> "bounded-bucket: B×B ntile-census offsets (B = n_chars/20 buckets)",
     "ml_knn_label_purity" -> "contract-quadratic: exact 1-NN eval contract (serving twin: ann_ivf_topk)",
     "part_type_price_median_gap" -> "1-row scalar: global-median broadcast",
+    "customer_balance_spend_quadrant" -> "1-row scalar: two-median broadcast",
     "segment_wallet_share" -> "1-row scalar: balance/revenue totals broadcast over the bounded segment table")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
@@ -907,6 +908,8 @@ class PlanSpec extends SparkSpecBase {
     "ml_chi2_priority_status" -> "1-row χ² final over the bounded contingency grid",
     "ts_peak_days" -> "bounded day-domain ±3-row extrema windows (fact collapses to daily cents first)",
     "part_type_price_median_gap" -> "1-row global-median scalar",
+    "customer_balance_spend_quadrant" -> "1-row two-median scalar",
+    "ts_record_highs" -> "bounded day-domain cumulative-max window (fact collapses to daily cents first)",
     "dq_fk_fanout_profile" -> "per-relation 1-row profile union (the profile_table_stats shape)",
     "segment_wallet_share" -> "1-row totals scalar over the bounded segment table")
 
