@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "asof", "inc", "rule", "mor", "app", "band").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | asof | inc | rule | mor | app | band " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -534,6 +534,48 @@ object ScaleBench {
       f"emission merge ${tK}%5.2f s vs full view rewrite ${tKF}%5.2f s " +
       f"-> ${tKF / tK}%.1f x (rows: $cI)")
     } // end fkj section
+
+    if (only.forall(_ == "stats")) {
+    // ---- round-12: per-file column stats — manifest-level skipping -----
+    // The claim: on a stats-declared clustered table, a selective band
+    // read opens only the files whose [min, max] intersect the
+    // predicate — no footer round trips for the rest. At 100 TB the
+    // skipped cost is file-open latency x files, which dominates
+    // selective reads long before scan bytes do. 20M rows, 64 files
+    // clustered by v, ~1.5% band.
+    import graft.sinks.CowTable
+    val stDir = "/tmp/graft_scalebench_stats"
+    val stRoot = java.nio.file.Paths.get(stDir)
+    if (java.nio.file.Files.exists(stRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    CowTable.create(spark.range(20000000L)
+      .select((col("id") * 7919L % 20000000L).as("v"),
+              (col("id") % 1000L).as("payload"))
+      .repartition(64), stDir)
+    CowTable.setStatsColumns(spark, stDir, Seq("v"))
+    CowTable.cluster(spark, stDir, files = 64, zcols = Seq("v"))
+    val lo = 5000000L; val hi = 5300000L
+    val nAll = CowTable.snapshotFiles(stDir).size
+    val nPruned = CowTable.prunedFilesRange(spark, stDir, "v", Some(lo), Some(hi)).size
+    def agg(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("v") * 31L + col("payload"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val tF0 = System.nanoTime()
+    val full = agg(CowTable.read(spark, stDir)
+      .filter(col("v") >= lo && col("v") <= hi))
+    val tF = (System.nanoTime() - tF0) / 1e9
+    val tP0 = System.nanoTime()
+    val pruned = agg(CowTable.readPrunedRange(spark, stDir, "v", Some(lo), Some(hi)))
+    val tP = (System.nanoTime() - tP0) / 1e9
+    require(full == pruned, s"stats-pruned read diverged: $full vs $pruned")
+    println(f"[scalebench] stats @ 20M x 64 files, 1.5%% band: full-read filter ${tF}%5.2f s " +
+      f"vs stats-pruned ${tP}%5.2f s ($nPruned/$nAll files opened) " +
+      f"-> ${tF / tP}%.1f x, checksum-equal (rows: ${full._1})")
+    } // end stats section
 
     if (only.forall(_ == "ivf")) {
     // ---- round-12: persistent IVF index — ingest-then-probe ------------
