@@ -222,7 +222,93 @@ object Metrics2 {
       .orderBy("label")
   }
 
+  /** Log2-bucketed (bit-length) value histogram per event type — the
+    * long-tail money histogram `agg_histogram`'s equi-width buckets
+    * flatten. Bucket = bit length of integer cents: exact on both
+    * engines, no float log.
+    */
+  val aggHistogramLog2: Q = (s, d) =>
+    ev(s, d).select(col("event_type"), cents(col("value")).as("c"))
+      .withColumn("bucket", length(bin(col("c"))).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(cnt.as("n"), sum("c").cast("long").as("sum_cents"))
+      .orderBy("event_type", "bucket")
+
+  /** Supplier redundancy census: how many parts have k distinct
+    * suppliers — the single-source-risk distribution behind
+    * `part_supply_risk`'s per-part flags.
+    */
+  val partSupplierRedundancy: Q = (s, d) =>
+    li(s, d).select("l_partkey", "l_suppkey").distinct()
+      .groupBy("l_partkey").agg(cnt.as("n_suppliers"))
+      .groupBy("n_suppliers").agg(cnt.as("n_parts"))
+      .orderBy("n_suppliers")
+
+  /** The DISTINCT ON grammar face (DuckDB's Postgres-ism): latest
+    * order per customer — Spark expresses it as the row_number()=1
+    * argmax window (per-customer partitions, parallel), the oracle as
+    * native DISTINCT ON; semantics is the contract, as with
+    * `sql_pivot_syntax`.
+    */
+  val sqlDistinctOn: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").cast("string").as("last_date"),
+              cents(col("o_totalprice")).as("last_cents"))
+      .orderBy("o_custkey").limit(2000)
+  }
+
+  /** Month-over-month purchase revenue growth (signed ppm, truncating
+    * div): fact collapses to the bounded month domain first, then one
+    * lag window over ~tens of month rows.
+    */
+  val tsMomGrowth: Q = (s, d) => {
+    val m = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy((year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"))
+      .agg(sum(cents(col("value"))).cast("long").as("rev_cents"))
+    val w = Window.orderBy("ym")
+    m.withColumn("prev", lag("rev_cents", 1).over(w))
+      .select(col("ym"), col("rev_cents"),
+              when(col("prev").isNull, lit(null).cast("long"))
+                .otherwise(expr("div((rev_cents - prev) * 1000000, prev)")).as("growth_ppm"))
+      .orderBy("ym")
+  }
+
+  /** Inter-label centroid affinity matrix: squared L2 distance (milli²
+    * units) between every label pair's quantized mean embedding —
+    * values quantize to integer milli BEFORE averaging (floor(x·1000
+    * + 0.5), the `embedding_centroid_shift` staging) so the means are
+    * truncating integer divisions, exact on both engines. The
+    * label-structure audit run before trusting labels as
+    * stratification keys. Bounded: labels × 64 dims.
+    */
+  val embeddingLabelAffinity: Q = (s, d) => {
+    val m = Tables.t(s, d, "embeddings")
+      .select(col("label").cast("long").as("label"),
+              posexplode(transform(col("embedding"),
+                x => floor(x.cast("double") * 1000 + 0.5).cast("long")))
+                .as(Seq("pos", "q")))
+      .groupBy("label", "pos")
+      .agg(expr("div(sum(q), count(1))").as("mq"))
+    val a = m.select(col("label").as("label_a"), col("pos"), col("mq").as("ma"))
+    val b = m.select(col("label").as("label_b"), col("pos"), col("mq").as("mb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+        .cast("long").as("d2_milli2"))
+      .orderBy("label_a", "label_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_histogram_log2" -> aggHistogramLog2,
+    "part_supplier_redundancy" -> partSupplierRedundancy,
+    "sql_distinct_on" -> sqlDistinctOn,
+    "ts_mom_growth" -> tsMomGrowth,
+    "embedding_label_affinity" -> embeddingLabelAffinity,
     "text_bigram_surprisal" -> textBigramSurprisal,
     "orders_fanout_histogram" -> ordersFanoutHistogram,
     "supplier_ship_latency" -> supplierShipLatency,

@@ -142,5 +142,40 @@ object OracleW21 {
   SELECT CAST(label AS BIGINT) AS "label", CAST(count(*) AS BIGINT) n_vecs,
     CAST(sum(sse) AS BIGINT) sse_e10, CAST(sum(sse) // count(*) AS BIGINT) mse_e10
   FROM e GROUP BY 1 ORDER BY 1""",
+
+    // round-12 wave C
+    "agg_histogram_log2" ->
+      """WITH t AS (SELECT event_type, CAST(round("value" * 100) AS BIGINT) c FROM events)
+  SELECT event_type, CAST(length(bin(c)) AS BIGINT) bucket,
+    CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) sum_cents
+  FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "part_supplier_redundancy" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+  k AS (SELECT l_partkey, CAST(count(*) AS BIGINT) n_suppliers FROM ps GROUP BY 1)
+  SELECT n_suppliers, CAST(count(*) AS BIGINT) n_parts FROM k GROUP BY 1 ORDER BY 1""",
+    "sql_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) last_date,
+    CAST(round(o_totalprice * 100) AS BIGINT) last_cents
+  FROM orders
+  ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC LIMIT 2000""",
+    "ts_mom_growth" ->
+      """WITH m AS (SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) ym,
+      CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) rev_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  l AS (SELECT ym, rev_cents, lag(rev_cents) OVER (ORDER BY ym) prev FROM m)
+  SELECT ym, rev_cents,
+    CAST((rev_cents - prev) * 1000000 // prev AS BIGINT) growth_ppm
+  FROM l ORDER BY ym""",
+    "embedding_label_affinity" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] ve FROM embeddings),
+  m AS (SELECT label, r.i pos,
+      CAST(sum(CAST(floor(ve[r.i] * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        // count(*) mq
+    FROM v, range(1, 65) r(i) GROUP BY 1, 2)
+  SELECT a.label label_a, b.label label_b,
+    CAST(sum((a.mq - b.mq) * (a.mq - b.mq)) AS BIGINT) d2_milli2
+  FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -910,6 +910,7 @@ class PlanSpec extends SparkSpecBase {
     "part_type_price_median_gap" -> "1-row global-median scalar",
     "customer_balance_spend_quadrant" -> "1-row two-median scalar",
     "ts_record_highs" -> "bounded day-domain cumulative-max window (fact collapses to daily cents first)",
+    "ts_mom_growth" -> "bounded month-domain lag window (fact collapses to monthly cents first)",
     "dq_fk_fanout_profile" -> "per-relation 1-row profile union (the profile_table_stats shape)",
     "segment_wallet_share" -> "1-row totals scalar over the bounded segment table")
 
