@@ -130,6 +130,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         graft.sinks.CowTable.filesMeta(spark, path, asOf).queryExecution.analyzed
       }))
+    // Per-file column statistics (round 12): what the manifest records
+    // for file skipping — `SELECT * FROM cow_stats('/p'[, version])`.
+    ext.injectTableFunction((
+      FunctionIdentifier("cow_stats"),
+      info("cow_stats",
+        "cow_stats(path[, version]) - per-(file, column) min/max/nonNullCount the manifest records"),
+      (es: Seq[Expression]) => {
+        def litOf(e: Expression): Any = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              "cow_stats arguments must be literals")
+          e.eval()
+        }
+        val path = litOf(es.head).toString
+        val asOf = es.drop(1).headOption.map(e => litOf(e).toString.toInt)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sinks.CowTable.statsMeta(spark, path, asOf).queryExecution.analyzed
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("cow_history"),
       info("cow_history",

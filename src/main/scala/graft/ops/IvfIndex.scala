@@ -183,6 +183,10 @@ object IvfIndex {
       CowTable.create(cFull, centroidsPath(indexPath))
       CowTable.create(assign, assignPath(indexPath))
     }
+    // declare per-file `cell` stats on the lists: every write from here
+    // on (cluster rewrites, refresh appends) records them, so a probe's
+    // nprobe-cell read file-skips at the MANIFEST level
+    CowTable.setStatsColumns(spark, assignPath(indexPath), Seq("cell"))
     writeIndexedVersion(indexPath, ver)
     ver
   }
@@ -335,7 +339,8 @@ object IvfIndex {
       .filter(col("pr") <= nprobe)
       .select("qid", "cid")
     val cellLits = probes.select("cid").distinct().collect().map(_.get(0))
-    val assign = CowTable.read(spark, assignPath(indexPath))
+    val assign = CowTable.readPrunedIn(spark, assignPath(indexPath), "cell",
+        cellLits.toIndexedSeq)
       .filter(col("cell").isin(cellLits.toIndexedSeq: _*))
       .select(col("vec_id"), col("cell"), col("ve").as("ne"), col("nv").as("nn"))
     val cand = q.join(broadcast(probes), Seq("qid"))

@@ -686,6 +686,29 @@ object CowTable {
     }.toMap
   }
 
+  /** METADATA TABLE: one row per (data file, stats column) a snapshot
+    * records — min/max rendered as strings (JSON encoding: epoch days
+    * for dates, epoch micros for timestamps), nonNullCount exact. The
+    * SQL face is the `cow_stats(path[, v])` TVF beside
+    * cow_files/cow_history.
+    */
+  def statsMeta(spark: SparkSession, path: String,
+                asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val rows = fileStats(path, asOf).toSeq.flatMap { case (f, cols) =>
+      cols.toSeq.map { case (c, (mn, mx, nn)) =>
+        def render(j: org.json4s.JValue): String = j match {
+          case org.json4s.JNull => null
+          case org.json4s.JString(s) => s
+          case other => org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(other))
+        }
+        (f, c, render(mn), render(mx), nn)
+      }
+    }.sorted
+    rows.toDF("file", "column_name", "min_value", "max_value", "non_null_count")
+  }
+
   /** A stats JSON value as a BigDecimal (numeric/date/timestamp
     * ordering); None = not comparable (NaN marker, corrupt) → the
     * prune side must keep the file.
@@ -1394,15 +1417,16 @@ object CowTable {
     * NULL-keyed group refreshes like any other.
     */
   /** [[read]] restricted by [[prunedFilesIn]] manifest stats — the
-    * dirty-literal recompute read the IVM refreshers use: on a
-    * stats-declared clustered table the untouched files are skipped
+    * dirty-literal recompute read the IVM refreshers use, and the
+    * probe read [[graft.ops.IvfIndex]] uses for nprobe cell reads: on
+    * a stats-declared clustered table the untouched files are skipped
     * WITHOUT opening their footers (manifest-level skipping, one tier
     * above parquet row-group stats). Falls back to the full snapshot
     * when stats are absent. Callers still apply their residual IN
     * filter, so pruning is purely IO.
     */
-  private def readStatsIn(spark: SparkSession, path: String, column: String,
-                          values: Seq[Any], asOf: Option[Int]): DataFrame = {
+  def readPrunedIn(spark: SparkSession, path: String, column: String,
+                   values: Seq[Any], asOf: Option[Int] = None): DataFrame = {
     val files = prunedFilesIn(spark, path, column, values, asOf)
     if (files.isEmpty) read(spark, path, asOf).limit(0)
     else readFiles(spark, path, files, asOf)
@@ -1417,7 +1441,7 @@ object CowTable {
       case None => mv
       case Some(dirty) =>
         refreshDirty(spark, mv, dirty, groupCol, dirtyLiteralMax,
-          lits => aggOf(readStatsIn(spark, path, groupCol, lits, Some(toV))
+          lits => aggOf(readPrunedIn(spark, path, groupCol, lits, Some(toV))
             .filter(col(groupCol).isin(lits: _*))),
           d => aggOf(read(spark, path, Some(toV))
             .join(d, col(groupCol) <=> col("__dirty_g"), "left_semi")))
@@ -1540,9 +1564,9 @@ object CowTable {
     def b = read(spark, pathB, Some(toB))
     refreshDirty(spark, mv, dirty, key, dirtyLiteralMax,
       lits => joinOf(
-        readStatsIn(spark, pathA, key, lits, Some(toA))
+        readPrunedIn(spark, pathA, key, lits, Some(toA))
           .filter(col(key).isin(lits: _*)),
-        readStatsIn(spark, pathB, key, lits, Some(toB))
+        readPrunedIn(spark, pathB, key, lits, Some(toB))
           .filter(col(key).isin(lits: _*))),
       d => joinOf(a.join(d, col(key) <=> col("__dirty_g"), "left_semi"),
                   b.join(d, col(key) <=> col("__dirty_g"), "left_semi")))
@@ -1596,7 +1620,7 @@ object CowTable {
       val keys = dd.limit(dirtyLiteralMax + 1).collect().map(_.get(0))
       val touched =
         if (keys.length <= dirtyLiteralMax && !keys.contains(null))
-          readStatsIn(spark, factPath, fkCol, keys.toIndexedSeq, Some(toF))
+          readPrunedIn(spark, factPath, fkCol, keys.toIndexedSeq, Some(toF))
             .filter(col(fkCol).isin(keys.toIndexedSeq: _*))
         else fact.join(dd, col(fkCol) <=> col("__dirty_g"), "left_semi")
       touched.select(col(factKey).as("__dirty_g")).distinct()
@@ -1613,7 +1637,7 @@ object CowTable {
       val fks = f.select(col(fkCol)).na.drop().distinct()
         .limit(dirtyLiteralMax + 1).collect().map(_.get(0))
       if (fks.length <= dirtyLiteralMax)
-        readStatsIn(spark, dimPath, dimKey, fks.toIndexedSeq, Some(toD))
+        readPrunedIn(spark, dimPath, dimKey, fks.toIndexedSeq, Some(toD))
           .filter(col(dimKey).isin(fks.toIndexedSeq: _*))
       else dim.join(f.select(col(fkCol).as("__fk")).na.drop().distinct(),
         col(dimKey) === col("__fk"), "left_semi")
@@ -1622,7 +1646,7 @@ object CowTable {
     // dimOf's FK-value discovery and the join both read the slice, not
     // the fact table again
     refreshDirty(spark, mv, dirty, factKey, dirtyLiteralMax,
-      lits => { val f = readStatsIn(spark, factPath, factKey, lits, Some(toF))
+      lits => { val f = readPrunedIn(spark, factPath, factKey, lits, Some(toF))
                   .filter(col(factKey).isin(lits: _*)).localCheckpoint()
                 joinOf(f, dimOf(f)) },
       d => { val f = fact.join(d, col(factKey) <=> col("__dirty_g"), "left_semi")

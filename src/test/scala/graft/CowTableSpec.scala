@@ -797,6 +797,41 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("cow_stats TVF: the per-file stats the manifest records, from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    val path = tmp
+    CowTable.create((0L until 400L).map(i => (i, s"s$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id")), path)
+    CowTable.setStatsColumns(spark, path, Seq("id", "name"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val rows = ext.sql(
+        s"""SELECT column_name, count(*) n, sum(non_null_count) nn
+           |FROM cow_stats('$path') GROUP BY 1 ORDER BY 1""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(("id", 4L, 400L), ("name", 4L, 400L)), rows.mkString(", "))
+      // the ranged layout shows in the recorded bounds: file min/max
+      // ranges are disjoint, so max(min) > min(max) across files
+      val idStats = ext.sql(
+        s"""SELECT CAST(min_value AS BIGINT) mn, CAST(max_value AS BIGINT) mx
+           |FROM cow_stats('$path') WHERE column_name = 'id' ORDER BY mn""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(idStats.length == 4 && idStats.sliding(2).forall {
+        case Array(a, b) => a._2 < b._1
+        case _ => true
+      }, idStats.mkString(", "))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("restore re-publishes an old snapshot as a new commit, history intact") {
     import spark.implicits._
     val path = tmp
