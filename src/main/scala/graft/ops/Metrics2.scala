@@ -303,7 +303,70 @@ object Metrics2 {
       .orderBy("label_a", "label_b")
   }
 
+  /** CCNet-style PREFIX dedup census: documents sharing an identical
+    * 64-char prefix (md5-keyed) — catches boilerplate-header
+    * duplication whole-document hashing misses. Histogram of duplicate
+    * group sizes.
+    */
+  val dedupPrefixHash: Q = (s, d) =>
+    docs(s, d).select(md5(substring(col("text"), 1, 64)).as("h"))
+      .groupBy("h").agg(cnt.as("k")).filter(col("k") > 1)
+      .groupBy("k").agg(cnt.as("n_groups"))
+      .orderBy("k")
+
+  /** Language × source corpus mix: doc counts, char budgets, and each
+    * source's share of its language (ppm) — the mixture table a
+    * curation run rebalances against. Share rides a window over the
+    * bounded lang domain (partitioned, never global).
+    */
+  val corpusLangSourceMatrix: Q = (s, d) =>
+    docs(s, d).groupBy("lang", "source")
+      .agg(cnt.as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+      .withColumn("tot", sum("n_docs").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("source"), col("n_docs"), col("sum_chars"),
+              expr("div(n_docs * 1000000, tot)").cast("long").as("lang_share_ppm"))
+      .orderBy("lang", "source")
+
+  /** Supplier-nation price index: mean line price per supplier nation
+    * vs the global mean, ppm (truncating div at every stage — exact
+    * both engines). One fact⋈dim join + 1-row total broadcast.
+    */
+  val supplierNationPriceIndex: Q = (s, d) => {
+    val t = li(s, d)
+      .join(Tables.t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"), cents(col("l_extendedprice")).as("c"))
+    val byN = t.groupBy("s_nationkey")
+      .agg(cnt.as("n_lines"), sum("c").cast("long").as("sum_cents"))
+    val tot = t.agg(sum("c").cast("long").as("gc"), cnt.as("gn"))
+    byN.crossJoin(broadcast(tot))
+      .select(col("s_nationkey").cast("long").as("nationkey"), col("n_lines"),
+              expr("div(sum_cents, n_lines)").cast("long").as("mean_cents"),
+              expr("div(div(sum_cents, n_lines) * 1000000, div(gc, gn))")
+                .cast("long").as("index_ppm"))
+      .orderBy("nationkey")
+  }
+
+  /** Market-segment × order-priority mix (share ppm within segment) —
+    * the cross-table contingency audit beside `ml_chi2_priority_status`
+    * but joined through the customer dimension; window over the
+    * bounded segment domain.
+    */
+  val customerSegmentPriorityMix: Q = (s, d) =>
+    cust(s, d).select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("segment"), col("o_orderpriority").as("priority"))
+      .agg(cnt.as("n_orders"))
+      .withColumn("tot", sum("n_orders").over(Window.partitionBy("segment")))
+      .select(col("segment"), col("priority"), col("n_orders"),
+              expr("div(n_orders * 1000000, tot)").cast("long").as("share_ppm"))
+      .orderBy("segment", "priority")
+
   val queries: Map[String, Q] = Map(
+    "dedup_prefix_hash" -> dedupPrefixHash,
+    "corpus_lang_source_matrix" -> corpusLangSourceMatrix,
+    "supplier_nation_price_index" -> supplierNationPriceIndex,
+    "customer_segment_priority_mix" -> customerSegmentPriorityMix,
     "agg_histogram_log2" -> aggHistogramLog2,
     "part_supplier_redundancy" -> partSupplierRedundancy,
     "sql_distinct_on" -> sqlDistinctOn,

@@ -177,5 +177,35 @@ object OracleW21 {
     CAST(sum((a.mq - b.mq) * (a.mq - b.mq)) AS BIGINT) d2_milli2
   FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
   GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // round-12 wave D
+    "dedup_prefix_hash" ->
+      """WITH h AS (SELECT md5(substr(text, 1, 64)) h FROM documents),
+  g AS (SELECT h, CAST(count(*) AS BIGINT) k FROM h GROUP BY 1)
+  SELECT k, CAST(count(*) AS BIGINT) n_groups FROM g WHERE k > 1
+  GROUP BY 1 ORDER BY 1""",
+    "corpus_lang_source_matrix" ->
+      """WITH m AS (SELECT lang, source, CAST(count(*) AS BIGINT) n_docs,
+      CAST(sum(n_chars) AS BIGINT) sum_chars FROM documents GROUP BY 1, 2)
+  SELECT lang, source, n_docs, sum_chars,
+    CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) lang_share_ppm
+  FROM m ORDER BY lang, source""",
+    "supplier_nation_price_index" ->
+      """WITH t AS (SELECT s_nationkey, CAST(round(l_extendedprice * 100) AS BIGINT) c
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+  n AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) n_lines, CAST(sum(c) AS BIGINT) sum_cents
+    FROM t GROUP BY 1),
+  g AS (SELECT CAST(sum(c) AS BIGINT) gc, CAST(count(*) AS BIGINT) gn FROM t)
+  SELECT CAST(s_nationkey AS BIGINT) nationkey, n_lines,
+    CAST(sum_cents // n_lines AS BIGINT) mean_cents,
+    CAST((sum_cents // n_lines) * 1000000 // (gc // gn) AS BIGINT) index_ppm
+  FROM n CROSS JOIN g ORDER BY nationkey""",
+    "customer_segment_priority_mix" ->
+      """WITH m AS (SELECT c_mktsegment segment, o_orderpriority priority,
+      CAST(count(*) AS BIGINT) n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2)
+  SELECT segment, priority, n_orders,
+    CAST(n_orders * 1000000 // sum(n_orders) OVER (PARTITION BY segment) AS BIGINT) share_ppm
+  FROM m ORDER BY segment, priority""",
   )
 }

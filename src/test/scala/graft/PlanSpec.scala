@@ -839,6 +839,7 @@ class PlanSpec extends SparkSpecBase {
     "ml_knn_label_purity" -> "contract-quadratic: exact 1-NN eval contract (serving twin: ann_ivf_topk)",
     "part_type_price_median_gap" -> "1-row scalar: global-median broadcast",
     "customer_balance_spend_quadrant" -> "1-row scalar: two-median broadcast",
+    "supplier_nation_price_index" -> "1-row scalar: global price-total broadcast",
     "segment_wallet_share" -> "1-row scalar: balance/revenue totals broadcast over the bounded segment table")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
@@ -909,6 +910,7 @@ class PlanSpec extends SparkSpecBase {
     "ts_peak_days" -> "bounded day-domain ±3-row extrema windows (fact collapses to daily cents first)",
     "part_type_price_median_gap" -> "1-row global-median scalar",
     "customer_balance_spend_quadrant" -> "1-row two-median scalar",
+    "supplier_nation_price_index" -> "1-row global price-total scalar",
     "ts_record_highs" -> "bounded day-domain cumulative-max window (fact collapses to daily cents first)",
     "ts_mom_growth" -> "bounded month-domain lag window (fact collapses to monthly cents first)",
     "dq_fk_fanout_profile" -> "per-relation 1-row profile union (the profile_table_stats shape)",
