@@ -8,12 +8,15 @@ import graft.tables.Tables
 import Util._
 
 /** Round-12 additions (SURVEY §2.16): window/function SQL surface
-  * (cume_dist/percent_rank, width_bucket), record-day detection,
-  * key-vs-time monotonicity audit, Brier calibration, k-fold split
-  * census, bigram surprisal, fan-out histogram, supplier latency, and
-  * quadrant segmentation. All integer-exact per §2.1 (cents / bp / ppm
-  * via truncating `div`); day-domain windows only over bounded
-  * domains; global medians ride the 1-row broadcast pattern.
+  * (cume_dist/percent_rank, width_bucket, DISTINCT ON), record-day
+  * detection, key-vs-time monotonicity audit, Brier calibration,
+  * k-fold split census, bigram surprisal, fan-out histograms,
+  * supplier latency, quadrant segmentation, log2 histograms,
+  * month-over-month growth, label-affinity matrix, prefix dedup,
+  * corpus mix matrices, and price indices. All integer-exact per §2.1
+  * (cents / bp / ppm via truncating `div`); day/month-domain windows
+  * only over bounded domains; global medians/totals ride the 1-row
+  * broadcast pattern.
   */
 object Metrics2 {
 
@@ -362,7 +365,78 @@ object Metrics2 {
               expr("div(n_orders * 1000000, tot)").cast("long").as("share_ppm"))
       .orderBy("segment", "priority")
 
+  /** SLA latency bands: order→ship lag bucketed per order priority —
+    * the "are urgent orders actually faster" census. One fact join +
+    * keyed aggregate.
+    */
+  val dqSlaLatencyBands: Q = (s, d) =>
+    li(s, d).join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+              datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
+      .withColumn("band",
+        when(col("lag_d") <= 30, "a_0_30")
+          .when(col("lag_d") <= 60, "b_31_60")
+          .when(col("lag_d") <= 90, "c_61_90")
+          .otherwise("d_over_90"))
+      .groupBy("priority", "band")
+      .agg(cnt.as("n_lines"))
+      .orderBy("priority", "band")
+
+  /** Feature-breadth histogram: how many users exercise k distinct
+    * event types — the adoption-depth census every product team
+    * tracks. Two keyed aggregates.
+    */
+  val eventsFeatureBreadth: Q = (s, d) =>
+    ev(s, d).groupBy("user_id")
+      .agg(countDistinct("event_type").cast("long").as("k"))
+      .groupBy("k").agg(cnt.as("n_users"))
+      .orderBy("k")
+
+  /** Hour-of-day regularity census: per user, integer entropy score
+    * Σ c·(bitlen(n) − bitlen(c)) over their 24-hour activity profile
+    * (floor-log2 as bit length — exact both engines), banded by
+    * truncating per-event average bits. Low bands = clockwork
+    * (bot-like) activity, high = human spread — the behavioral-
+    * regularity screen beside `events_fano_burstiness`. The hour
+    * profile is bounded (users × 24); the total rides a user-
+    * partitioned window (parallel).
+    */
+  val eventsUserHourEntropy: Q = (s, d) => {
+    val c = ev(s, d)
+      .groupBy(col("user_id"), hour(col("ts")).as("h")).agg(cnt.as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("user_id")))
+    c.groupBy("user_id")
+      .agg(sum(col("c") * (length(bin(col("n"))) - length(bin(col("c")))))
+             .cast("long").as("score"),
+           max("n").cast("long").as("n"))
+      .select(expr("div(score, n)").cast("long").as("band"))
+      .groupBy("band").agg(cnt.as("n_users"))
+      .orderBy("band")
+  }
+
+  /** Per-group ntile: supplier balance quartiles WITHIN each nation
+    * (partitioned windows — parallel by construction, unlike the
+    * global `win_ntile` that needs the census machinery); quartile
+    * census with min/max bounds. Ties broken by explicit suppkey
+    * order, so tile assignment is engine-identical.
+    */
+  val winNtileByGroup: Q = (s, d) => {
+    val w = Window.partitionBy("nationkey")
+      .orderBy(col("bal"), col("s_suppkey"))
+    Tables.t(s, d, "supplier")
+      .select(col("s_nationkey").cast("long").as("nationkey"),
+              col("s_suppkey"), cents(col("s_acctbal")).as("bal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("nationkey", "quartile")
+      .agg(cnt.as("n_suppliers"), min("bal").as("min_bal"), max("bal").as("max_bal"))
+      .orderBy("nationkey", "quartile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_sla_latency_bands" -> dqSlaLatencyBands,
+    "events_feature_breadth" -> eventsFeatureBreadth,
+    "events_user_hour_entropy" -> eventsUserHourEntropy,
+    "win_ntile_by_group" -> winNtileByGroup,
     "dedup_prefix_hash" -> dedupPrefixHash,
     "corpus_lang_source_matrix" -> corpusLangSourceMatrix,
     "supplier_nation_price_index" -> supplierNationPriceIndex,

@@ -207,5 +207,39 @@ object OracleW21 {
   SELECT segment, priority, n_orders,
     CAST(n_orders * 1000000 // sum(n_orders) OVER (PARTITION BY segment) AS BIGINT) share_ppm
   FROM m ORDER BY segment, priority""",
+
+    // round-12 wave E
+    "dq_sla_latency_bands" ->
+      """WITH t AS (SELECT o_orderpriority priority,
+      CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) lag_d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+  SELECT priority,
+    CASE WHEN lag_d <= 30 THEN 'a_0_30' WHEN lag_d <= 60 THEN 'b_31_60'
+         WHEN lag_d <= 90 THEN 'c_61_90' ELSE 'd_over_90' END band,
+    CAST(count(*) AS BIGINT) n_lines
+  FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_feature_breadth" ->
+      """WITH u AS (SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) k
+    FROM events GROUP BY 1)
+  SELECT k, CAST(count(*) AS BIGINT) n_users FROM u GROUP BY 1 ORDER BY 1""",
+    "events_user_hour_entropy" ->
+      """WITH c AS (SELECT user_id, hour(ts) h, CAST(count(*) AS BIGINT) c
+    FROM events GROUP BY 1, 2),
+  w AS (SELECT user_id, c, CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) n FROM c),
+  u AS (SELECT user_id,
+      CAST(sum(c * (length(bin(n)) - length(bin(c)))) AS BIGINT) score,
+      CAST(max(n) AS BIGINT) n
+    FROM w GROUP BY 1)
+  SELECT CAST(score // n AS BIGINT) band, CAST(count(*) AS BIGINT) n_users
+  FROM u GROUP BY 1 ORDER BY 1""",
+    "win_ntile_by_group" ->
+      """WITH s AS (SELECT CAST(s_nationkey AS BIGINT) nationkey, s_suppkey,
+      CAST(round(s_acctbal * 100) AS BIGINT) bal FROM supplier),
+  q AS (SELECT nationkey, bal,
+      CAST(ntile(4) OVER (PARTITION BY nationkey ORDER BY bal, s_suppkey) AS BIGINT) quartile
+    FROM s)
+  SELECT nationkey, quartile, CAST(count(*) AS BIGINT) n_suppliers,
+    CAST(min(bal) AS BIGINT) min_bal, CAST(max(bal) AS BIGINT) max_bal
+  FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
