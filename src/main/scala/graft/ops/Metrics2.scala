@@ -432,7 +432,65 @@ object Metrics2 {
       .orderBy("nationkey", "quartile")
   }
 
+  /** Per-language Gini coefficient of document lengths (ppm): corpus
+    * budget inequality inside each language — the equity diagnostic
+    * behind `corpus_domain_cap`. Gini = (2·Σ(rank·x) − (n+1)·Σx) /
+    * (n·Σx), rank ascending within language (explicit doc_id
+    * tiebreak); windows partition by lang — parallel, never global.
+    */
+  val corpusLengthGini: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    docs(s, d).select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .groupBy("lang")
+      .agg(cnt.as("n_docs"),
+           sum(col("r") * col("n_chars")).as("s1"),
+           sum(col("n_chars")).as("s0"))
+      .select(col("lang"), col("n_docs"),
+              expr("div((2 * s1 - (n_docs + 1) * s0) * 1000000, n_docs * s0)")
+                .cast("long").as("gini_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Matthews-correlation components for "deep discount predicts
+    * return" (pred = discount > 5%, label = returnflag='R'), per line
+    * status: TP/TN/FP/FN census + the exact integer MCC numerator
+    * TP·TN − FP·FN (the denominator is a √ — kept OUT of the contract
+    * so every output stays integer-exact; callers finish the division
+    * in their own precision). Beside `ml_confusion_matrix` /
+    * `ml_cohen_kappa`.
+    */
+  val mlMccComponents: Q = (s, d) =>
+    li(s, d).select(col("l_linestatus").as("status"),
+        (col("l_discount") > 0.05).as("p"),
+        (col("l_returnflag") === "R").as("y"))
+      .groupBy("status")
+      .agg(cnt.as("n"),
+           sum(when(col("p") && col("y"), 1L).otherwise(0L)).cast("long").as("tp"),
+           sum(when(!col("p") && !col("y"), 1L).otherwise(0L)).cast("long").as("tn"),
+           sum(when(col("p") && !col("y"), 1L).otherwise(0L)).cast("long").as("fp"),
+           sum(when(!col("p") && col("y"), 1L).otherwise(0L)).cast("long").as("fn"))
+      .withColumn("mcc_num", col("tp") * col("tn") - col("fp") * col("fn"))
+      .orderBy("status")
+
+  /** 2-D histogram: quantity band × price band census over lineitem —
+    * the joint-distribution heat grid (quantity in 5 bands of 10,
+    * price in $20k bands capped at 4). All integer bucketing.
+    */
+  val aggHistogram2d: Q = (s, d) =>
+    li(s, d).select(
+        floor((col("l_quantity") - 1) / 10).cast("long").as("qband"),
+        least(expr("div(cast(round(l_extendedprice * 100) as bigint), 2000000)"),
+              lit(4L)).cast("long").as("pband"),
+        cents(col("l_extendedprice")).as("c"))
+      .groupBy("qband", "pband")
+      .agg(cnt.as("n_lines"), sum("c").cast("long").as("sum_cents"))
+      .orderBy("qband", "pband")
+
   val queries: Map[String, Q] = Map(
+    "corpus_length_gini" -> corpusLengthGini,
+    "ml_mcc_components" -> mlMccComponents,
+    "agg_histogram_2d" -> aggHistogram2d,
     "dq_sla_latency_bands" -> dqSlaLatencyBands,
     "events_feature_breadth" -> eventsFeatureBreadth,
     "events_user_hour_entropy" -> eventsUserHourEntropy,

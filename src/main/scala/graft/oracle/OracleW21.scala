@@ -241,5 +241,37 @@ object OracleW21 {
   SELECT nationkey, quartile, CAST(count(*) AS BIGINT) n_suppliers,
     CAST(min(bal) AS BIGINT) min_bal, CAST(max(bal) AS BIGINT) max_bal
   FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // round-12 wave F
+    "corpus_length_gini" ->
+      """WITH r AS (SELECT lang, n_chars,
+      CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) r
+    FROM documents),
+  g AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+      CAST(sum(r * n_chars) AS BIGINT) s1, CAST(sum(n_chars) AS BIGINT) s0
+    FROM r GROUP BY 1)
+  SELECT lang, n_docs,
+    CAST((2 * s1 - (n_docs + 1) * s0) * 1000000 // (n_docs * s0) AS BIGINT) gini_ppm
+  FROM g ORDER BY lang""",
+    "ml_mcc_components" ->
+      """WITH t AS (SELECT l_linestatus status,
+      (l_discount > 0.05) p, (l_returnflag = 'R') y FROM lineitem)
+  SELECT status, CAST(count(*) AS BIGINT) n,
+    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) tp,
+    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) tn,
+    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) fp,
+    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) fn,
+    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) *
+         sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) -
+         sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) *
+         sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) mcc_num
+  FROM t GROUP BY 1 ORDER BY 1""",
+    "agg_histogram_2d" ->
+      """WITH t AS (SELECT CAST(floor((l_quantity - 1) / 10) AS BIGINT) qband,
+      least(CAST(round(l_extendedprice * 100) AS BIGINT) // 2000000, 4) pband,
+      CAST(round(l_extendedprice * 100) AS BIGINT) c
+    FROM lineitem)
+  SELECT qband, pband, CAST(count(*) AS BIGINT) n_lines, CAST(sum(c) AS BIGINT) sum_cents
+  FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
