@@ -637,6 +637,21 @@ object ScaleBench {
     println(f"[scalebench] ivf @ 2M x 16d, 64 cells: build ${tB}%5.1f s ONCE; " +
       f"2k-delta refresh ${tR}%5.2f s, 10-query probe ${tP}%5.2f s (rows: $nP) " +
       f"-> serving pays ${tR + tP}%.2f s/window vs ${tB}%.1f s/query rebuilt")
+    // the SERVING path: ONE query probes nprobe cells only — with the
+    // assign table cell-clustered + stats-declared, the read opens
+    // ~nprobe of 64 files at the MANIFEST (no footer round trips)
+    val oneQ = probeQ.limit(1).localCheckpoint()
+    val t10 = System.nanoTime()
+    val n1 = IvfIndex.probe(spark, pvi, oneQ, nprobe = 4, k = 10).count()
+    val t1q = (System.nanoTime() - t10) / 1e9
+    val cellsOf = CowTable.read(spark, s"$pvi/centroids").select("cid")
+      .collect().map(_.get(0)).toSeq
+    val openAll = CowTable.snapshotFiles(s"$pvi/assign").size
+    // worst case (all cells) vs a 4-cell literal probe
+    val open4 = CowTable.prunedFilesIn(spark, s"$pvi/assign", "cell",
+      cellsOf.take(4)).size
+    println(f"[scalebench] ivf single-query probe ${t1q}%5.2f s (rows: $n1); " +
+      f"a 4-cell literal list opens $open4 of $openAll assign files (manifest stats)")
     } // end ivf section
 
     val dir = "/tmp/graft_scalebench"
