@@ -68,6 +68,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(cow.txnVersion(table, "evt-ingest") == 2L)
   }
 
+  test("streamed appends record file stats: a streaming-built table prunes at the manifest") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_appstats").toString
+    val table = s"$dir/t"
+    val cow = graft.sinks.CowTable
+    val stream = MemoryStream[Evt]
+    val q = graft.sinks.Sinks.appendStream(stream.toDF(), table, s"$dir/ckpt",
+      appId = "stats-ingest")
+    stream.addData(evt(1, "2024-01-01 10:00:00"), evt(2, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    // declare AFTER the first batch created the table: backfills the
+    // existing file; every SUBSEQUENT streamed batch records its own
+    // stats lines through the transactional append path
+    cow.setStatsColumns(spark, table, Seq("event_id"))
+    stream.addData(evt(100, "2024-01-02 10:00:00"), evt(101, "2024-01-02 11:00:00"))
+    q.processAllAvailable()
+    stream.addData(evt(200, "2024-01-03 10:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    // every file with ROWS carries stats (a zero-row batch-0 create
+    // file legitimately has none — no group to aggregate — and the
+    // pruner reads stats-less files unconditionally, so it stays safe)
+    val stats = cow.fileStats(table).keySet
+    assert(stats.subsetOf(cow.snapshotFiles(table).toSet) && stats.size >= 3,
+      s"backfilled + streamed files must carry stats: $stats")
+    val pruned = cow.prunedFilesRange(spark, table, "event_id", Some(200L), Some(300L))
+    assert(pruned.size < cow.snapshotFiles(table).size,
+      s"${pruned.size} of ${cow.snapshotFiles(table).size} — streamed table must file-skip")
+    assert(cow.readPrunedRange(spark, table, "event_id", Some(200L), Some(300L))
+      .select("event_id").as[Long].collect().toSeq == Seq(200L))
+  }
+
   test("live stream-table enrichment: dimension updates between batches are visible to the next batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
