@@ -317,6 +317,22 @@ object IvfIndex {
     }
   }
 
+  /** MAINTENANCE: fold the positional-delete sidecars [[refresh]]
+    * accumulates (one per window with updates/deletes) back into the
+    * list data and restore the cell clustering — probes pay the
+    * sidecar range filter until this runs, exactly the compaction
+    * cadence of [[IncrementalDedup.compactIndex]]. Cell clustering is
+    * what keeps the probe's `cell IN (...)` read file-skipping, so the
+    * rewrite goes through [[CowTable.cluster]] (which folds sidecars
+    * like compact does) rather than plain bin-packing; cluster writes
+    * re-record the declared `cell` stats automatically.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String,
+                   files: Int = 16): Unit = {
+    CowTable.cluster(spark, assignPath(indexPath), files, Seq("cell"))
+    CowTable.compact(spark, centroidsPath(indexPath), files = 1)
+  }
+
   /** Probe the SERVED index: per query, rank the stored centroids,
     * touch `nprobe` cells, rerank IN PLACE against the vectors the
     * lists carry — a probe never joins back to the corpus (the point of

@@ -79,6 +79,43 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(!r2.rebuilt && r2.toVersion == r.toVersion)
   }
 
+  test("compactIndex folds refresh sidecars; probes identical before and after") {
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    mkCorpus(corpus, 200L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2)
+    // two refresh windows, each with updates + deletes -> positional
+    // sidecars accumulate on the assign table
+    CowTable.merge(spark, corpus,
+      (0L until 8L).map(i => (i * 5, vecOf(i * 5 + 777))).toDF("vec_id", "ve"), "vec_id")
+    CowTable.deleteMorKeys(spark, corpus,
+      Seq(Tuple1(42L), Tuple1(43L)).toDF("vec_id"), "vec_id")
+    assert(!IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9).rebuilt)
+    CowTable.merge(spark, corpus,
+      (0L until 4L).map(i => (i * 7 + 1, vecOf(i * 7 + 901))).toDF("vec_id", "ve"), "vec_id")
+    assert(!IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9).rebuilt)
+    val aPath = s"$index/assign"
+    assert(CowTable.snapshotPositionDeletes(aPath).nonEmpty,
+      "refresh windows must have accumulated positional sidecars")
+    val queries = CowTable.read(spark, corpus).filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("ve").as("qe")).localCheckpoint()
+    val before = IvfIndex.probe(spark, index, queries, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    IvfIndex.compactIndex(spark, index, files = 4)
+    assert(CowTable.snapshotPositionDeletes(aPath).isEmpty,
+      "compaction must fold the sidecars")
+    assert(CowTable.fileStats(aPath).nonEmpty, "cluster rewrite re-records cell stats")
+    val after = IvfIndex.probe(spark, index, queries, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(before == after && before.nonEmpty)
+    // the logical rows survived the physical rewrite
+    assert(assignRows(aPath) == IvfIndex.assignTo(
+      IvfIndex.withNorm(CowTable.read(spark, corpus).select(col("vec_id"), col("ve"))),
+      CowTable.read(spark, s"$index/centroids"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).sorted.toSeq)
+  }
+
   test("drift past the threshold re-seeds; rebuilt index == fresh build on the same corpus") {
     import spark.implicits._
     val dir = tmp
