@@ -487,7 +487,59 @@ object Metrics2 {
       .agg(cnt.as("n_lines"), sum("c").cast("long").as("sum_cents"))
       .orderBy("qband", "pband")
 
+  /** The ORDER BY ALL grammar face (Spark 4 + DuckDB both support it;
+    * the oracle states it natively, like `sql_group_by_all`): priority
+    * × status order census sorted by every output column.
+    */
+  val sqlOrderByAll: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_oba")
+    s.sql("""SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                    CAST(count(1) AS BIGINT) AS n_orders
+             FROM orders_oba GROUP BY ALL ORDER BY ALL""")
+  }
+
+  /** Session-depth histogram: sessions by event count (30-minute gap
+    * sessionization, the `events_sessionize_stats` convention) — the
+    * engagement-depth distribution. Per-user windows (parallel), then
+    * two keyed aggregates.
+    */
+  val eventsSessionDepthHistogram: Q = (s, d) => {
+    val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d).select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wo)))
+      .withColumn("new_sess",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_sess").over(wrun))
+      .groupBy("user_id", "sid").agg(cnt.as("depth"))
+      .groupBy("depth").agg(cnt.as("n_sessions"))
+      .orderBy("depth")
+  }
+
+  /** Cross-language duplicates on the NORMALIZED form (sorted distinct
+    * token set — the `text_dedup_normalized` convention; this corpus
+    * has no byte-exact dups but plenty of J=1.0 reorderings): the same
+    * content under more than one language tag — the mislabeled-langid /
+    * contamination audit a multilingual curation run needs (a same-lang
+    * dup is ordinary; a cross-lang one means the language tag lied).
+    */
+  val dedupCrossLangExact: Q = (s, d) =>
+    docs(s, d).select(
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+          .as("h"),
+        col("lang"), col("doc_id"))
+      .groupBy("h")
+      .agg(countDistinct("lang").cast("long").as("n_langs"),
+           cnt.as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_langs") > 1)
+      .select(col("n_langs"), col("n_docs"), col("first_doc"))
+      .orderBy("first_doc")
+
   val queries: Map[String, Q] = Map(
+    "sql_order_by_all" -> sqlOrderByAll,
+    "events_session_depth_histogram" -> eventsSessionDepthHistogram,
+    "dedup_cross_lang_exact" -> dedupCrossLangExact,
     "corpus_length_gini" -> corpusLengthGini,
     "ml_mcc_components" -> mlMccComponents,
     "agg_histogram_2d" -> aggHistogram2d,

@@ -273,5 +273,31 @@ object OracleW21 {
     FROM lineitem)
   SELECT qband, pband, CAST(count(*) AS BIGINT) n_lines, CAST(sum(c) AS BIGINT) sum_cents
   FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // round-12 wave G
+    "sql_order_by_all" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+    CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY ALL ORDER BY ALL""",
+    "events_session_depth_histogram" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+      CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END new_sess
+    FROM events),
+  sd AS (SELECT user_id,
+      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+    FROM e),
+  dep AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) depth FROM sd GROUP BY 1, 2)
+  SELECT depth, CAST(count(*) AS BIGINT) n_sessions FROM dep GROUP BY 1 ORDER BY 1""",
+    "dedup_cross_lang_exact" ->
+      """WITH n AS (SELECT lang, doc_id,
+      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) h
+    FROM documents),
+  g AS (SELECT h, CAST(count(DISTINCT lang) AS BIGINT) n_langs,
+      CAST(count(*) AS BIGINT) n_docs, CAST(min(doc_id) AS BIGINT) first_doc
+    FROM n GROUP BY 1)
+  SELECT n_langs, n_docs, first_doc FROM g WHERE n_langs > 1 ORDER BY first_doc""",
   )
 }
