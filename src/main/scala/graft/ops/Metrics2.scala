@@ -536,7 +536,71 @@ object Metrics2 {
       .select(col("n_langs"), col("n_docs"), col("first_doc"))
       .orderBy("first_doc")
 
+  /** Pairwise language vocabulary overlap (Jaccard ppm over distinct
+    * token sets) — the language-similarity matrix that catches
+    * mislabeled languages at the corpus level (high overlap between
+    * two tags = the langid confuses them). Token-keyed equi-join on
+    * the bounded (token, lang) vocab — linear, never all-pairs;
+    * shuffle-hash hinted (string keys).
+    */
+  val textVocabOverlapLangs: Q = (s, d) => {
+    val v = docs(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sizes = v.groupBy("lang").agg(cnt.as("n"))
+    val inter = v.select(col("lang").as("lang_a"), col("tok"))
+      .join(v.select(col("lang").as("lang_b"), col("tok")).hint("shuffle_hash"), "tok")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(cnt.as("i"))
+    inter
+      .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n").as("na"))), "lang_a")
+      .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n").as("nb"))), "lang_b")
+      .select(col("lang_a"), col("lang_b"),
+              expr("div(i * 1000000, na + nb - i)").cast("long").as("jaccard_ppm"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** Revenue concentration per market segment: the top spend-decile's
+    * share of segment revenue (ppm) — the Pareto census. Deciles via
+    * percent_rank WITHIN segment (partitioned windows, parallel;
+    * explicit custkey tiebreak).
+    */
+  val customerTopDecileShare: Q = (s, d) => {
+    val spend = orders(s, d).groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("sp"))
+    val c = cust(s, d).select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+    val w = Window.partitionBy("segment").orderBy(col("sp"), col("c_custkey"))
+    c.withColumn("pr", percent_rank().over(w))
+      .groupBy("segment")
+      .agg(cnt.as("n_customers"),
+           sum(when(col("pr") >= 0.9, 1L).otherwise(0L)).cast("long").as("n_top"),
+           expr("div(sum(CASE WHEN pr >= 0.9 THEN sp ELSE 0 END) * 1000000, sum(sp))")
+             .cast("long").as("top_share_ppm"))
+      .orderBy("segment")
+  }
+
+  /** Day-of-month purchase seasonality: per-day-of-month revenue share
+    * vs the uniform expectation, signed ppm deviation — the
+    * month-shape sibling of `ts_dow_seasonality` (payday/billing-cycle
+    * detection). Bounded 31-row domain after the fact collapse; totals
+    * ride a bounded-domain window.
+    */
+  val tsDomSeasonality: Q = (s, d) =>
+    ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(dayofmonth(col("ts")).cast("long").as("dom"))
+      .agg(cnt.as("n"), sum(cents(col("value"))).cast("long").as("rev_cents"))
+      .withColumn("tot", sum("rev_cents").over(Window.partitionBy()))
+      .withColumn("days", count(lit(1)).over(Window.partitionBy()))
+      .select(col("dom"), col("n"), col("rev_cents"),
+              (expr("div(rev_cents * 1000000, tot)") -
+               expr("div(1000000, days)")).cast("long").as("dev_ppm"))
+      .orderBy("dom")
+
   val queries: Map[String, Q] = Map(
+    "text_vocab_overlap_langs" -> textVocabOverlapLangs,
+    "customer_top_decile_share" -> customerTopDecileShare,
+    "ts_dom_seasonality" -> tsDomSeasonality,
     "sql_order_by_all" -> sqlOrderByAll,
     "events_session_depth_histogram" -> eventsSessionDepthHistogram,
     "dedup_cross_lang_exact" -> dedupCrossLangExact,

@@ -299,5 +299,36 @@ object OracleW21 {
       CAST(count(*) AS BIGINT) n_docs, CAST(min(doc_id) AS BIGINT) first_doc
     FROM n GROUP BY 1)
   SELECT n_langs, n_docs, first_doc FROM g WHERE n_langs > 1 ORDER BY first_doc""",
+
+    // round-12 wave H
+    "text_vocab_overlap_langs" ->
+      """WITH v AS (SELECT DISTINCT lang, unnest(string_split(text, ' ')) tok FROM documents),
+  sz AS (SELECT lang, CAST(count(*) AS BIGINT) n FROM v GROUP BY 1),
+  i AS (SELECT a.lang lang_a, b.lang lang_b, CAST(count(*) AS BIGINT) i
+    FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang GROUP BY 1, 2)
+  SELECT lang_a, lang_b,
+    CAST(i * 1000000 // (sa.n + sb.n - i) AS BIGINT) jaccard_ppm
+  FROM i JOIN sz sa ON sa.lang = i.lang_a JOIN sz sb ON sb.lang = i.lang_b
+  ORDER BY lang_a, lang_b""",
+    "customer_top_decile_share" ->
+      """WITH sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) sp
+    FROM orders GROUP BY 1),
+  c AS (SELECT c_mktsegment segment, c_custkey, sp
+    FROM customer JOIN sp ON c_custkey = o_custkey),
+  r AS (SELECT segment, sp,
+      percent_rank() OVER (PARTITION BY segment ORDER BY sp, c_custkey) pr FROM c)
+  SELECT segment, CAST(count(*) AS BIGINT) n_customers,
+    CAST(sum(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) n_top,
+    CAST(sum(CASE WHEN pr >= 0.9 THEN sp ELSE 0 END) * 1000000 // sum(sp) AS BIGINT) top_share_ppm
+  FROM r GROUP BY 1 ORDER BY 1""",
+    "ts_dom_seasonality" ->
+      """WITH m AS (SELECT CAST(day(ts) AS BIGINT) dom, CAST(count(*) AS BIGINT) n,
+      CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) rev_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  t AS (SELECT dom, n, rev_cents,
+      CAST(sum(rev_cents) OVER () AS BIGINT) tot, CAST(count(*) OVER () AS BIGINT) nd FROM m)
+  SELECT dom, n, rev_cents,
+    CAST(rev_cents * 1000000 // tot - 1000000 // nd AS BIGINT) dev_ppm
+  FROM t ORDER BY dom""",
   )
 }

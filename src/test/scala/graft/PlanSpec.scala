@@ -913,6 +913,7 @@ class PlanSpec extends SparkSpecBase {
     "supplier_nation_price_index" -> "1-row global price-total scalar",
     "ts_record_highs" -> "bounded day-domain cumulative-max window (fact collapses to daily cents first)",
     "ts_mom_growth" -> "bounded month-domain lag window (fact collapses to monthly cents first)",
+    "ts_dom_seasonality" -> "bounded 31-row day-of-month domain total window (fact collapses first)",
     "dq_fk_fanout_profile" -> "per-relation 1-row profile union (the profile_table_stats shape)",
     "segment_wallet_share" -> "1-row totals scalar over the bounded segment table")
 
