@@ -597,7 +597,72 @@ object Metrics2 {
                expr("div(1000000, days)")).cast("long").as("dev_ppm"))
       .orderBy("dom")
 
+  /** Supplier revenue-rank shift quarter-over-quarter: rank within
+    * each quarter (partitioned windows), adjacent quarters joined on a
+    * continuous quarter index, top-50 movers by absolute shift
+    * (deterministic tiebreaks) — the leaderboard-churn analytic.
+    */
+  val supplierRankShiftQuarterly: Q = (s, d) => {
+    val rev = li(s, d)
+      .select(col("l_suppkey"),
+              (year(col("l_shipdate")) * 4 + quarter(col("l_shipdate")) - 1)
+                .cast("long").as("qi"),
+              cents(col("l_extendedprice")).as("c"))
+      .groupBy("l_suppkey", "qi").agg(sum("c").cast("long").as("rev"))
+    val w = Window.partitionBy("qi").orderBy(col("rev").desc, col("l_suppkey"))
+    val ranked = rev.withColumn("rk", row_number().over(w).cast("long"))
+    val prev = ranked.select(col("l_suppkey"), (col("qi") + 1).as("qi"),
+                             col("rk").as("rk_prev"))
+    ranked.join(prev, Seq("l_suppkey", "qi"))
+      .select(col("l_suppkey"), col("qi"), col("rk_prev"), col("rk"),
+              (col("rk_prev") - col("rk")).as("shift"))
+      .orderBy(abs(col("shift")).desc, col("qi"), col("l_suppkey"))
+      .limit(50)
+  }
+
+  /** Maximum intra-month revenue drawdown (ppm below the month's
+    * running peak) — the `ts_record_highs` complement. Running peak
+    * partitions BY MONTH (parallel, bounded ≤31 days/partition).
+    */
+  val tsMaxDrawdown: Q = (s, d) => {
+    val daily = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy((year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"),
+               to_date(col("ts")).as("dd"))
+      .agg(sum(cents(col("value"))).cast("long").as("rev"))
+    val w = Window.partitionBy("ym").orderBy("dd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("peak", max("rev").over(w))
+      .select(col("ym"),
+              expr("div((peak - rev) * 1000000, peak)").as("dd_ppm"))
+      .groupBy("ym")
+      .agg(cnt.as("n_days"), max("dd_ppm").cast("long").as("max_drawdown_ppm"))
+      .orderBy("ym")
+  }
+
+  /** F1 sweep over discount thresholds for "deep discount predicts
+    * return": per threshold (bp), TP/FP/FN and F1 in ppm —
+    * 2·TP·10⁶ div (2·TP+FP+FN), exact integers (the PR-curve shape
+    * beside `ml_mcc_components`' single operating point).
+    */
+  val mlF1ThresholdSweep: Q = (s, d) =>
+    li(s, d).select(round(col("l_discount") * 10000).cast("long").as("disc_bp"),
+                    (col("l_returnflag") === "R").as("y"))
+      .select(explode(lit(Array(200L, 300L, 400L, 500L, 600L, 700L, 800L)))
+                .as("thr_bp"),
+              col("disc_bp"), col("y"))
+      .withColumn("p", col("disc_bp") > col("thr_bp"))
+      .groupBy("thr_bp")
+      .agg(sum(when(col("p") && col("y"), 1L).otherwise(0L)).cast("long").as("tp"),
+           sum(when(col("p") && !col("y"), 1L).otherwise(0L)).cast("long").as("fp"),
+           sum(when(!col("p") && col("y"), 1L).otherwise(0L)).cast("long").as("fn"))
+      .select(col("thr_bp"), col("tp"), col("fp"), col("fn"),
+              expr("div(2 * tp * 1000000, 2 * tp + fp + fn)").cast("long").as("f1_ppm"))
+      .orderBy("thr_bp")
+
   val queries: Map[String, Q] = Map(
+    "supplier_rank_shift_quarterly" -> supplierRankShiftQuarterly,
+    "ts_max_drawdown" -> tsMaxDrawdown,
+    "ml_f1_threshold_sweep" -> mlF1ThresholdSweep,
     "text_vocab_overlap_langs" -> textVocabOverlapLangs,
     "customer_top_decile_share" -> customerTopDecileShare,
     "ts_dom_seasonality" -> tsDomSeasonality,

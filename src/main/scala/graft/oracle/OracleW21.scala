@@ -330,5 +330,43 @@ object OracleW21 {
   SELECT dom, n, rev_cents,
     CAST(rev_cents * 1000000 // tot - 1000000 // nd AS BIGINT) dev_ppm
   FROM t ORDER BY dom""",
+
+    // round-12 wave I
+    "supplier_rank_shift_quarterly" ->
+      """WITH rev AS (SELECT l_suppkey,
+      CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1 AS BIGINT) qi,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) rev
+    FROM lineitem GROUP BY 1, 2),
+  rk AS (SELECT l_suppkey, qi, rev,
+      CAST(row_number() OVER (PARTITION BY qi ORDER BY rev DESC, l_suppkey) AS BIGINT) rk
+    FROM rev)
+  SELECT a.l_suppkey, a.qi, b.rk rk_prev, a.rk,
+    CAST(b.rk - a.rk AS BIGINT) shift
+  FROM rk a JOIN rk b ON a.l_suppkey = b.l_suppkey AND b.qi + 1 = a.qi
+  ORDER BY abs(b.rk - a.rk) DESC, a.qi, a.l_suppkey LIMIT 50""",
+    "ts_max_drawdown" ->
+      """WITH dly AS (SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) ym, CAST(ts AS DATE) dd,
+      CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) rev
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+  pk AS (SELECT ym,
+      CAST(max(rev) OVER (PARTITION BY ym ORDER BY dd
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) peak, rev
+    FROM dly)
+  SELECT ym, CAST(count(*) AS BIGINT) n_days,
+    CAST(max((peak - rev) * 1000000 // peak) AS BIGINT) max_drawdown_ppm
+  FROM pk GROUP BY 1 ORDER BY 1""",
+    "ml_f1_threshold_sweep" ->
+      """WITH t AS (SELECT CAST(round(l_discount * 10000) AS BIGINT) disc_bp,
+      (l_returnflag = 'R') y FROM lineitem),
+  x AS (SELECT thr_bp, disc_bp > thr_bp p, y
+    FROM t, unnest([200, 300, 400, 500, 600, 700, 800]) u(thr_bp)),
+  g AS (SELECT CAST(thr_bp AS BIGINT) thr_bp,
+      CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) tp,
+      CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) fp,
+      CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) fn
+    FROM x GROUP BY 1)
+  SELECT thr_bp, tp, fp, fn,
+    CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) f1_ppm
+  FROM g ORDER BY thr_bp""",
   )
 }
