@@ -92,9 +92,10 @@ object IvfIndex {
       .select(col("cell").as("cid"), col("ce"))
       .withColumn("nc", sqrt(vec_dot(col("ce"), col("ce"))))
 
-  /** Deterministic seeds: the `n` smallest vec_ids, cid = vec_id (a
-    * fixed, data-independent choice — `vec_id < 16` on the driver
-    * corpus, same as the oracle's c0).
+  /** Deterministic seeds: the `n` smallest vec_ids, cid = vec_id — a
+    * fixed, data-independent choice the oracle's c0 derives the SAME
+    * way (`ORDER BY vec_id LIMIT n`), so the two sides agree on any
+    * corpus, sparse or offset ids included.
     */
   def seedsOf(v: DataFrame, n: Int): DataFrame =
     v.orderBy("vec_id").limit(n)
@@ -112,6 +113,14 @@ object IvfIndex {
   private def centroidsPath(indexPath: String) = s"$indexPath/centroids"
   private def assignPath(indexPath: String) = s"$indexPath/assign"
   private def markerPath(indexPath: String) = Paths.get(indexPath, "_corpus_version")
+  private def rebuildIntentPath(indexPath: String) = Paths.get(indexPath, "_rebuilding")
+
+  /** The txn appId [[refresh]] stamps on its atomic assign-table
+    * upsert — the crash-detection handle: watermark ≥ target corpus
+    * version with the marker still behind means "table write landed,
+    * derived stats/marker did not" → [[repairStats]].
+    */
+  private[graft] val RefreshApp = "ivf_refresh"
 
   private def writeIndexedVersion(indexPath: String, v: Int): Unit = {
     Files.createDirectories(Paths.get(indexPath))
@@ -213,14 +222,35 @@ object IvfIndex {
     *      shift |ce'−ce|/|ce| > `maxDrift` → re-seed via
     *      [[buildIndex]];
     *   4. otherwise land the delta REWRITE-FREE — the Iceberg-v2
-    *      upsert shape: [[CowTable.deleteMorPosKeys]] pins the
-    *      preimage rows (a positional sidecar; a KEY sidecar would
-    *      also hide the rows this very refresh appends),
-    *      [[CowTable.append]] lands the new list rows, the centroid
-    *      table merges the updated running stats (ce/nc FROZEN), the
-    *      marker advances. The probe invariant — every vector in its
-    *      argmax cell under the stored centroids — holds EXACTLY
-    *      (IvfIndexSpec's parity law).
+    *      upsert shape, as ONE ATOMIC COMMIT:
+    *      [[CowTable.upsertMorPos]] pins the preimage rows with a
+    *      positional sidecar (a KEY sidecar would also hide the rows
+    *      this very refresh appends) AND lands the new list rows in
+    *      the SAME snapshot, stamped with the `(ivf_refresh, toV)` txn
+    *      watermark; then the centroid table merges the updated
+    *      running stats (ce/nc FROZEN) and the marker advances. The
+    *      probe invariant — every vector in its argmax cell under the
+    *      stored centroids — holds EXACTLY (IvfIndexSpec's parity
+    *      law).
+    *
+    * CRASH SAFETY (the whole point of the single-commit shape): every
+    * prefix of the commit sequence is recoverable by re-calling
+    * refresh —
+    *   - crash before the upsert commits: nothing landed, the retry
+    *     replays the window cleanly;
+    *   - crash after the upsert but before the stats merge / marker:
+    *     the retry sees the assign table's `ivf_refresh` watermark at
+    *     `toV` with the marker behind, and instead of re-deriving
+    *     preimage sums from a feed whose preimages are GONE (which
+    *     would silently corrupt the running stats), it recomputes the
+    *     touched state EXACTLY from the lists ([[repairStats]] — one
+    *     aggregate scan, rebuild-identical values) and advances the
+    *     marker; the txn gate makes re-landing the upsert a no-op;
+    *   - crash inside a drift-triggered re-seed: an intent marker
+    *     (`_rebuilding`) is written first, so the retry finishes the
+    *     re-seed via [[buildIndex]] (itself convergent under retry —
+    *     full-snapshot content-keyed merges) rather than judging
+    *     drift against a half-rebuilt index.
     *
     * Cost: O(delta × numCells) assignment + O(delta) stats maintenance
     * + two key-pruned list scans (preimage capture; positional-delete
@@ -232,9 +262,26 @@ object IvfIndex {
   def refresh(spark: SparkSession, corpusPath: String, indexPath: String,
               maxDrift: Double = 0.2,
               numCells: Int = 16, iters: Int = 2): Refresh = {
+    // a crash-interrupted drift re-seed resumes FIRST: judging drift
+    // against a half-rebuilt index would be garbage either way
+    if (Files.exists(rebuildIntentPath(indexPath))) {
+      buildIndex(spark, corpusPath, indexPath, numCells, iters)
+      Files.deleteIfExists(rebuildIntentPath(indexPath))
+      return Refresh(rebuilt = true, indexedVersion(indexPath))
+    }
     val fromV = indexedVersion(indexPath)
     val toV = CowTable.currentVersion(corpusPath)
     if (toV == fromV) return Refresh(rebuilt = false, toV)
+    // crash-repair: a prior attempt's ATOMIC upsert landed (watermark
+    // at/past toV) but its stats merge / marker advance did not — the
+    // lists already reflect toV, so recompute the running stats
+    // exactly from them and advance; never re-derive from a feed
+    // whose preimages are gone
+    if (CowTable.txnVersion(assignPath(indexPath), RefreshApp) >= toV.toLong) {
+      repairStats(spark, indexPath)
+      writeIndexedVersion(indexPath, toV)
+      return Refresh(rebuilt = false, toV)
+    }
 
     val feed = CowTable.changes(spark, corpusPath, "vec_id", fromV, toV)
     val upserts = withNorm(
@@ -304,17 +351,57 @@ object IvfIndex {
       !worst.isNullAt(0) && worst.getDouble(0) > maxDrift
     }
     if (drifted) {
+      // intent marker BEFORE the re-seed: a crash mid-rebuild resumes
+      // the rebuild on the next refresh instead of judging drift
+      // against a half-rebuilt index
+      Files.createDirectories(Paths.get(indexPath))
+      Files.write(rebuildIntentPath(indexPath),
+        toV.toString.getBytes(StandardCharsets.UTF_8))
       buildIndex(spark, corpusPath, indexPath, numCells, iters)
+      Files.deleteIfExists(rebuildIntentPath(indexPath))
       Refresh(rebuilt = true, toV)
     } else {
-      changedIds.foreach(ids => CowTable.deleteMorPosKeys(spark, aPath, ids))
-      if (hasUpserts) CowTable.append(spark, aPath, newAssign)
+      changedIds.foreach { ids =>
+        val adds = if (hasUpserts) newAssign
+                   else CowTable.read(spark, aPath).limit(0)
+        CowTable.upsertMorPos(spark, aPath, ids, adds,
+          txn = Some((RefreshApp, toV.toLong)))
+      }
       judged.foreach(j => CowTable.merge(spark, cPath,
         j.select(col("cid"), col("ce"), col("nc"),
                  col("vsum2").as("vsum"), col("cnt2").as("cnt")), "cid"))
       writeIndexedVersion(indexPath, toV)
       Refresh(rebuilt = false, toV)
     }
+  }
+
+  /** Crash repair: recompute every cell's RUNNING (vsum, cnt) stats
+    * EXACTLY from the current assign lists — the same aggregation
+    * [[buildIndex]] seeds them with, so the repaired values are
+    * rebuild-identical (no accumulated signed-delta residue) — and
+    * merge them into the centroid table with ce/nc FROZEN. Cells with
+    * no remaining members zero out (their frozen centroid stays, as on
+    * the incremental path). One aggregate scan of the lists; only runs
+    * after a detected crash window, never on the happy path.
+    */
+  private[graft] def repairStats(spark: SparkSession, indexPath: String): Unit = {
+    val a = CowTable.read(spark, assignPath(indexPath))
+    val stats = a
+      .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+                     e => e.getField("sx")).as("vs"),
+           max("n").as("ct"))
+      .select(col("cell").as("cid"), col("vs"), col("ct"))
+    val stored = CowTable.read(spark, centroidsPath(indexPath))
+    val repaired = stored.select(col("cid"), col("ce"), col("nc"))
+      .join(stats, Seq("cid"), "left")
+      .withColumn("vsum", coalesce(col("vs"), transform(col("ce"), x => x * lit(0.0))))
+      .withColumn("cnt", coalesce(col("ct"), lit(0L)))
+      .select(col("cid"), col("ce"), col("nc"), col("vsum"), col("cnt"))
+    CowTable.merge(spark, centroidsPath(indexPath), repaired, "cid")
   }
 
   /** MAINTENANCE: fold the positional-delete sidecars [[refresh]]

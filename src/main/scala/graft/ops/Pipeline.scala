@@ -327,8 +327,11 @@ object Pipeline {
     // primitives live in IvfIndex (round 12) — the persistent-table
     // build delegates to the SAME code, so the served index and this
     // per-invocation plan are bit-identical and share one oracle.
-    // Seeds = the 16 smallest vec_ids (vec_id < 16 on this corpus),
-    // 2 Lloyd iterations, 1e-3-quantized means, smallest-cid tiebreaks.
+    // Seeds = the 16 smallest vec_ids — and the oracle's c0 derives
+    // them the SAME way (ORDER BY vec_id LIMIT 16), so the seed rule
+    // is identical by construction even on a corpus with sparse or
+    // offset ids (r12 advice). 2 Lloyd iterations, 1e-3-quantized
+    // means, smallest-cid tiebreaks.
     val v = IvfIndex.withNorm(
       embeddings(s, d).select(col("vec_id"), col("embedding").as("ve")))
     val c = IvfIndex.kmeans(v, IvfIndex.seedsOf(v, 16), iters = 2)

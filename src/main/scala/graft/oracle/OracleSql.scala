@@ -1172,7 +1172,7 @@ object OracleSql {
   ORDER BY 1,2 LIMIT 2000""",
     "ann_ivf_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),
-  c0 AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
+  c0 AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings ORDER BY vec_id LIMIT 16),
   a1 AS (SELECT vec_id, cell FROM (
          SELECT v.vec_id, c0.cid cell,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c0.ce) DESC, c0.cid) rr
@@ -1379,7 +1379,7 @@ object OracleSql {
   FROM qv ORDER BY vec_id LIMIT 2000""",
     "embedding_cluster_sizes" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings),
-  c0 AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings WHERE vec_id < 16),
+  c0 AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings ORDER BY vec_id LIMIT 16),
   a1 AS (SELECT vec_id, cell FROM (
          SELECT v.vec_id, c0.cid cell,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c0.ce) DESC, c0.cid) rr

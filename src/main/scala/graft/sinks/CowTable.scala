@@ -226,6 +226,15 @@ object CowTable {
       .map(l => PartitionTransform.decode(l.stripPrefix(PartitionPrefix)))
       .getOrElse(Seq.empty)
 
+  /** The semantics version of the snapshot's partition-spec line
+    * ([[PartitionTransform.SpecV]] when no spec is declared — nothing
+    * to distrust).
+    */
+  def partitionSpecVersion(path: String, asOf: Option[Int] = None): Long =
+    manifestLines(path, asOf).find(_.startsWith(PartitionPrefix))
+      .map(l => PartitionTransform.decodeVersion(l.stripPrefix(PartitionPrefix)))
+      .getOrElse(PartitionTransform.SpecV)
+
   /** Spec lines (schema + partition + transaction watermarks) that
     * every data/sidecar commit carries forward unchanged.
     */
@@ -524,6 +533,13 @@ object CowTable {
     val files = snapshotFiles(path, asOf)
     partitionSpec(path, asOf).find(_.src == src) match {
       case None => files
+      // a PRE-VERSIONED spec line's time-transform directories may
+      // have been written under a non-UTC session zone or unpadded
+      // years — the new expression can compute a directory name that
+      // doesn't exist and WRONGLY prune; read everything instead
+      // (sound under-prune; rewrite the table to re-enable)
+      case Some(t) if Set("day", "month", "year").contains(t.kind) &&
+          partitionSpecVersion(path, asOf) < PartitionTransform.SpecV => files
       case Some(t) =>
         // evaluate the transform of the literal exactly as the writer
         // did (one 1-row local projection), and escape the value the
@@ -829,8 +845,13 @@ object CowTable {
         case Some((mn, mx, _)) if isString =>
           (mn, mx) match {
             case (org.json4s.JString(a), org.json4s.JString(b)) =>
-              lo.forall(l => utf8Cmp(b, String.valueOf(l)) >= 0) &&
-                hi.forall(h => utf8Cmp(a, String.valueOf(h)) <= 0)
+              // only a STRING literal compares the way the stats were
+              // recorded (UTF-8 bytes); a cross-typed literal (numeric
+              // vs string column) compares NUMERICALLY in the residual
+              // filter after Spark's implicit cast ("30" < "5" lexic.)
+              // — it cannot prune, so it keeps the file
+              lo.forall { case l: String => utf8Cmp(b, l) >= 0; case _ => true } &&
+                hi.forall { case h: String => utf8Cmp(a, h) <= 0; case _ => true }
             case _ => true
           }
         case Some((mn, mx, _)) =>
@@ -871,9 +892,12 @@ object CowTable {
         case Some((mn, mx, _)) if isString =>
           (mn, mx) match {
             case (org.json4s.JString(a), org.json4s.JString(b)) =>
-              vs.exists { v =>
-                val s = String.valueOf(v)
-                utf8Cmp(a, s) <= 0 && utf8Cmp(b, s) >= 0
+              vs.exists {
+                // a cross-typed value matches via the residual's
+                // implicit numeric cast, not UTF-8 order — it keeps
+                // the file (see prunedFilesRange)
+                case s: String => utf8Cmp(a, s) <= 0 && utf8Cmp(b, s) >= 0
+                case _ => true
               }
             case _ => true
           }
@@ -1130,6 +1154,71 @@ object CowTable {
       .join(broadcast(keys), keys.columns.toSeq, "left_semi")
       .select(col("__file"), col("__pos"))
     commitPosRanges(spark, path, matched, base)
+  }
+
+  /** ATOMIC MoR UPSERT — ONE commit carrying BOTH the positional
+    * deletes of `keys`' current rows AND `adds` as new data files
+    * (plus an optional `txn` watermark): the Iceberg-v2 snapshot shape
+    * where delete files and data files land in the same snapshot.
+    * Either everything is visible or nothing is — there is no crash
+    * window with the preimages gone but the postimages absent (or
+    * vice versa), unlike sequencing [[deleteMorPosKeys]] then
+    * [[append]] as two commits. With `txn = (appId, v)` the whole
+    * upsert is replay-idempotent per application (same gate as
+    * [[append]]'s): a retried window whose watermark already committed
+    * is a no-op, which is what lets a crash-interrupted incremental
+    * maintainer ([[graft.ops.IvfIndex.refresh]]) detect "my table
+    * write landed, only my derived state is missing" and repair
+    * instead of double-applying. Empty `keys` degrades to a
+    * transactional append; empty `adds` to a transactional positional
+    * delete; both empty commits nothing (returns the current version).
+    */
+  def upsertMorPos(spark: SparkSession, path: String, keys: DataFrame,
+                   adds: DataFrame, txn: Option[(String, Long)] = None,
+                   maxRetries: Int = 5): Int = {
+    txn.foreach { case (app, _) =>
+      require(!app.exists(_.isWhitespace), s"txn appId must not contain whitespace: '$app'")
+    }
+    def replayed: Boolean = txn.exists { case (app, v) => txnVersion(path, app) >= v }
+    if (replayed) return currentVersion(path)
+    val fresh =
+      if (adds.isEmpty) Seq.empty
+      else writeDataWithStats(adds, path, partitionSpec(path))
+    var attempts = 0
+    while (true) {
+      val base = currentVersion(path)
+      if (replayed) return base // same-app concurrent writer won the race
+      // positions recompute against each attempt's base: a concurrent
+      // compact/cluster relocates rows, so the run ranges must be the
+      // winner-snapshot's (withCommitRetry's serializable contract)
+      val matched = readWithPos(spark, path, Some(base))
+        .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+        .select(col("__file"), col("__pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__file").orderBy("__pos")
+      val ranges = matched
+        .withColumn("__run", col("__pos") - row_number().over(w))
+        .groupBy(col("__file"), col("__run"))
+        .agg(min("__pos").as("__lo"), max("__pos").as("__hi"))
+        .select("__file", "__lo", "__hi")
+      val sidecar =
+        if (matched.isEmpty) Seq.empty
+        else writeData(ranges.coalesce(1), path)
+      val kept = txn.fold(manifestLines(path, Some(base))) { case (app, _) =>
+        manifestLines(path, Some(base))
+          .filterNot(_.startsWith(TxnPrefix + app + " "))
+      }
+      val mark = txn.map { case (app, v) => s"$TxnPrefix$app $v" }.toSeq
+      if (sidecar.isEmpty && fresh.isEmpty && mark.isEmpty) return base
+      try return commit(path,
+        kept ++ sidecar.map(PosDeletePrefix + _) ++ fresh ++ mark, base)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def commitPosRanges(spark: SparkSession, path: String,
@@ -2171,9 +2260,13 @@ final case class PartitionTransform(src: String, kind: String, n: Int = 0) {
         }
         kind match {
           case "day"   => d.cast("string")
-          case "month" => concat(year(d).cast("string"), lit("-"),
+          // year is 4-digit zero-padded ("0099", matching the pre-v2
+          // date_format("yyyy") writer and date-cast's own padding) —
+          // an unpadded year would silently change directory strings
+          // for ancient dates
+          case "month" => concat(lpad(year(d).cast("string"), 4, "0"), lit("-"),
                                  lpad(month(d).cast("string"), 2, "0"))
-          case _       => year(d).cast("string")
+          case _       => lpad(year(d).cast("string"), 4, "0")
         }
       // hash the CANONICAL STRING form: murmur3 is type-sensitive, so
       // hashing the raw value would bucket an Int literal differently
@@ -2189,6 +2282,19 @@ final case class PartitionTransform(src: String, kind: String, n: Int = 0) {
 object PartitionTransform {
   val Kinds: Set[String] = Set("identity", "day", "month", "year", "bucket", "truncate")
 
+  /** Partition-spec SEMANTICS version, stamped into every encoded spec
+    * line. v2 = session-timezone-independent time transforms with
+    * 4-digit-padded years. A spec line WITHOUT the stamp (pre-v2
+    * writer) may cover directories computed under a non-UTC session
+    * zone / unpadded years, so the pruner treats its time transforms
+    * as non-pruning (reads all files) — rewrite the table
+    * ([[CowTable.cluster]]/[[CowTable.compact]], or re-declare via
+    * [[CowTable.setPartitionSpec]] AFTER a rewrite) to re-enable
+    * directory pruning. Re-declaring the same spec without rewriting
+    * upgrades the stamp but NOT the old directories — don't.
+    */
+  val SpecV = 2L
+
   def identity(src: String): PartitionTransform = PartitionTransform(src, "identity")
   def day(src: String): PartitionTransform = PartitionTransform(src, "day")
   def month(src: String): PartitionTransform = PartitionTransform(src, "month")
@@ -2200,13 +2306,20 @@ object PartitionTransform {
     * extra dependency, single line).
     */
   def encode(ts: Seq[PartitionTransform]): String =
-    new types.MetadataBuilder().putMetadataArray("transforms", ts.map(t =>
-      new types.MetadataBuilder()
-        .putString("src", t.src).putString("kind", t.kind)
-        .putLong("n", t.n.toLong).build()).toArray).build().json
+    new types.MetadataBuilder().putLong("specV", SpecV)
+      .putMetadataArray("transforms", ts.map(t =>
+        new types.MetadataBuilder()
+          .putString("src", t.src).putString("kind", t.kind)
+          .putLong("n", t.n.toLong).build()).toArray).build().json
 
   def decode(json: String): Seq[PartitionTransform] =
     types.Metadata.fromJson(json).getMetadataArray("transforms").toIndexedSeq
       .map(m => PartitionTransform(m.getString("src"), m.getString("kind"),
         m.getLong("n").toInt))
+
+  /** The semantics version a spec line was written under (0 when the
+    * line predates versioning — the pre-v2 writers).
+    */
+  def decodeVersion(json: String): Long =
+    scala.util.Try(types.Metadata.fromJson(json).getLong("specV")).getOrElse(0L)
 }

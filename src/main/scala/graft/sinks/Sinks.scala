@@ -343,9 +343,12 @@ object Sinks {
     * ([[bootstrapFkView]] creates it with the same join). Replay-safe:
     * both merges are keyed and content-idempotent, so a re-delivered
     * batch converges to the same table state. A batch carrying several
-    * versions of one dim key must be pre-ordered upstream (only the
-    * batch's last row per key applies, Kafka-Streams changelog
-    * semantics). Dim DELETES are out of scope here — route them
+    * versions of one dim key resolves DETERMINISTICALLY: pass
+    * `versionCol` and the max-version row wins (Kafka-Streams
+    * changelog latest-wins, ties broken by full-row struct order);
+    * without one, distinct conflicting rows for a key fail the batch
+    * loudly ([[latestPerKey]]) instead of merging an arbitrary
+    * version. Dim DELETES are out of scope here — route them
     * through [[gdprDeleteStream]] against the dim plus a follow-up
     * re-emission touch; the upsert path is the KIP-213 common case.
     * New FACT rows keep flowing through [[enrichAppendStream]] into
@@ -355,13 +358,14 @@ object Sinks {
                         factPath: String, viewPath: String,
                         factKey: String, fkCol: String, dimKey: String,
                         checkpoint: String,
-                        literalMax: Int = 1024): StreamingQuery =
+                        literalMax: Int = 1024,
+                        versionCol: Option[String] = None): StreamingQuery =
     dimUpdates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         fkDimFanoutBatch(batch, dimPath, factPath, viewPath,
-          factKey, fkCol, dimKey, literalMax)
+          factKey, fkCol, dimKey, literalMax, versionCol)
       }
       .start()
 
@@ -392,13 +396,14 @@ object Sinks {
                                       factPath: String, viewPath: String,
                                       factKey: String, fkCol: String,
                                       dimKey: String,
-                                      literalMax: Int = 1024): Unit = {
+                                      literalMax: Int = 1024,
+                                      versionCol: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     require(CowTable.exists(viewPath),
       s"fkDimFanoutStream: view CowTable '$viewPath' does not exist; " +
         "bootstrapFkView it first — failing the batch so the dim updates retry")
-    val latest = batch.dropDuplicates(dimKey)
+    val latest = latestPerKey(batch, dimKey, versionCol)
     CowTable.merge(spark, dimPath, latest, dimKey)
     // KIP-213 subscription: dim dirty keys → referencing fact rows
     val keys = latest.select(dimKey).limit(literalMax + 1).collect().map(_.get(0))
@@ -419,6 +424,38 @@ object Sinks {
     CowTable.merge(spark, viewPath, refreshed, factKey)
     ()
   }
+
+  /** Deterministic per-key winner for a changelog micro-batch. With a
+    * `versionCol` the max-version row wins (ties broken by the full row
+    * via lexicographic struct-max — any two replicas pick the SAME
+    * winner). Without one, exact-duplicate rows collapse and the batch
+    * must then be unique per key — several DISTINCT rows sharing a key
+    * fail loudly rather than let `dropDuplicates` keep an arbitrary
+    * one and nondeterministically merge a stale dim version.
+    */
+  private[graft] def latestPerKey(batch: DataFrame, key: String,
+                                  versionCol: Option[String]): DataFrame =
+    versionCol match {
+      case Some(v) =>
+        require(batch.columns.contains(v),
+          s"latestPerKey: version column '$v' absent from batch ${batch.columns.mkString("[", ",", "]")}")
+        val payload = batch.columns.filterNot(_ == key).toIndexedSeq
+        val ordered = v +: payload.filterNot(_ == v)
+        batch.groupBy(col(key))
+          .agg(max(struct(ordered.map(col): _*)).as("__w"))
+          .select(col(key) +: payload.map(c => col(s"__w.`$c`").as(c)): _*)
+          .select(batch.columns.toIndexedSeq.map(col): _*)
+      case None =>
+        val distinctRows = batch.distinct()
+        val clashes = distinctRows.groupBy(col(key)).count()
+          .filter(col("count") > 1).limit(5)
+          .collect().map(_.get(0))
+        require(clashes.isEmpty,
+          s"latestPerKey: batch carries several distinct rows for key(s) ${clashes.mkString(", ")} " +
+            s"on '$key' and no versionCol was given — the winner would be " +
+            "nondeterministic. Pass versionCol (latest wins) or pre-dedupe upstream.")
+        distinctRows
+    }
 
   /** Streaming upsert sink (`KTable` materialization): per micro-batch,
     * merge the batch into a keyed parquet view keeping the latest row

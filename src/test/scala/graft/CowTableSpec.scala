@@ -1677,4 +1677,95 @@ class CowTableSpec extends SparkSpecBase {
     assert(back == Seq("reborn"))
     assert(CowTable.read(spark, path).count() == 98)
   }
+
+  test("upsertMorPos: delete + append land in ONE commit; txn makes replays no-ops") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, s"v$i")).toDF("id", "x")
+      .repartition(4), path)
+    val v0 = CowTable.currentVersion(path)
+    val dataBefore = CowTable.snapshotFiles(path).toSet
+    val keys = Seq(7L, 8L).toDF("id")
+    val adds = Seq((7L, "v7b"), (8L, "v8b"), (200L, "new")).toDF("id", "x")
+    val v1 = CowTable.upsertMorPos(spark, path, keys, adds, txn = Some(("app", 1L)))
+    assert(v1 == v0 + 1, "preimage deletes + postimage appends must be ONE commit")
+    assert(dataBefore.subsetOf(CowTable.snapshotFiles(path).toSet),
+      "the upsert is rewrite-free: original data files carry over")
+    val got = CowTable.read(spark, path)
+    assert(got.count() == 101)
+    assert(got.filter(col("id") === 7L).select("x").as[String].collect().toSeq
+      == Seq("v7b"))
+    // a replayed window (same appId, same version) is a complete no-op
+    val v2 = CowTable.upsertMorPos(spark, path, keys, adds, txn = Some(("app", 1L)))
+    assert(v2 == v1, "replay must not commit")
+    assert(CowTable.read(spark, path).count() == 101)
+    // empty adds degrades to a transactional positional delete
+    val v3 = CowTable.upsertMorPos(spark, path, Seq(5L).toDF("id"),
+      adds.limit(0), txn = Some(("app", 2L)))
+    assert(v3 == v1 + 1 && CowTable.read(spark, path).count() == 100)
+    assert(CowTable.txnVersion(path, "app") == 2L)
+  }
+
+  test("year transform pads to 4 digits; a pre-v2 spec line disables time pruning") {
+    import spark.implicits._
+    import graft.sinks.PartitionTransform
+    val path = tmp
+    val ancient = java.sql.Date.valueOf("0099-03-05")
+    CowTable.create(
+      Seq((1L, ancient), (2L, java.sql.Date.valueOf("2024-01-15"))).toDF("id", "d"),
+      path, Seq(PartitionTransform.year("d")))
+    val files = CowTable.snapshotFiles(path)
+    assert(files.exists(_.contains("/p_year_d=0099/")),
+      s"ancient years must zero-pad to the writer parity format: $files")
+    assert(CowTable.prunedFilesEq(spark, path, "d", ancient).size < files.size)
+    assert(CowTable.readPrunedEq(spark, path, "d", ancient).count() == 1)
+    // simulate a table written BEFORE spec versioning: strip the specV
+    // stamp from the manifest's T line — its directories may have been
+    // computed under a non-UTC session zone / unpadded years, so the
+    // pruner must stop trusting them and read everything
+    val mf = java.nio.file.Paths.get(path, "_snapshots",
+      s"v${CowTable.currentVersion(path)}.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .replace("\"specV\":2,", "").replace(",\"specV\":2", "")
+    java.nio.file.Files.write(mf,
+      stripped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(CowTable.partitionSpecVersion(path) == 0L,
+      "the stamp must be gone for the scenario to be real")
+    assert(CowTable.prunedFilesEq(spark, path, "d", ancient).size == files.size,
+      "a pre-v2 time-transform spec must not prune (sound under-prune)")
+    assert(CowTable.readPrunedEq(spark, path, "d", ancient).count() == 1)
+  }
+
+  test("file stats: cross-typed literal against a string column never prunes") {
+    import spark.implicits._
+    val path = tmp
+    // numeric-looking strings whose lexicographic and numeric orders
+    // disagree — the exact shape where byte-order stats pruning and
+    // the residual's implicit numeric cast contradict each other
+    CowTable.create(Seq((0L, "5")).toDF("id", "s"), path)
+    CowTable.setStatsColumns(spark, path, Seq("s"))
+    CowTable.append(spark, path, Seq((1L, "30")).toDF("id", "s"))
+    CowTable.append(spark, path, Seq((2L, "400")).toDF("id", "s"))
+    CowTable.append(spark, path, Seq((3L, "05")).toDF("id", "s"))
+    val all = CowTable.snapshotFiles(path)
+    assert(all.size == 4)
+    // string literals prune normally
+    assert(CowTable.prunedFilesIn(spark, path, "s", Seq("30")).size == 1)
+    // Int literals CANNOT prune a string column: lexicographic "30" <
+    // "5" while the residual matches numerically — every file survives
+    assert(CowTable.prunedFilesIn(spark, path, "s", Seq(5)).size == all.size)
+    // readPrunedIn carries no residual (callers apply their own) — a
+    // numeric residual must still SEE both matching rows, which it
+    // only can because the cross-typed values didn't prune their files
+    assert(CowTable.readPrunedIn(spark, path, "s", Seq(5))
+      .filter(col("s").cast("int") === 5)
+      .select("id").as[Long].collect().toSet == Set(0L, 3L),
+      "both \"5\" and \"05\" match 5 numerically and must be read")
+    assert(CowTable.prunedFilesRange(spark, path, "s", Some(5), Some(31)).size
+      == all.size)
+    assert(CowTable.readPrunedRange(spark, path, "s", Some(5), Some(31))
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 3L),
+      "numeric range [5,31] matches 5, 30 and 05 — the \"30\" file must not be skipped")
+  }
 }

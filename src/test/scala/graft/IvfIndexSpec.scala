@@ -140,4 +140,98 @@ class IvfIndexSpec extends SparkSpecBase {
       .map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Double]]("ce"))).sortBy(_._1).toSeq
     assert(cents(index) == cents(fresh))
   }
+
+  test("crash between the atomic upsert and the stats merge: retry repairs exactly") {
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    mkCorpus(corpus, 200L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2)
+    val fromV = IvfIndex.indexedVersion(index)
+    // delta: moves + inserts + deletes
+    CowTable.merge(spark, corpus,
+      (0L until 8L).map(i => (i * 5, vecOf(i * 5 + 2000))).toDF("vec_id", "ve"),
+      "vec_id")
+    CowTable.deleteMorKeys(spark, corpus,
+      (60L until 66L).map(Tuple1(_)).toDF("vec_id"), "vec_id")
+    CowTable.append(spark, corpus,
+      (700L until 704L).map(i => (i, vecOf(i))).toDF("vec_id", "ve"))
+    val toV = CowTable.currentVersion(corpus)
+    // replay refresh's TABLE write by hand and stop — the r12-advice
+    // crash window: assign carries the (ivf_refresh, toV) watermark,
+    // the centroid stats merge and the marker never happened
+    val feed = CowTable.changes(spark, corpus, "vec_id", fromV, toV)
+    val upserts = IvfIndex.withNorm(
+      feed.filter(col("_change_type").isin("insert", "update"))
+        .select(col("vec_id"), col("ve")))
+    val deleted = feed.filter(col("_change_type") === "delete").select("vec_id")
+    val stored = CowTable.read(spark, s"$index/centroids")
+    val newAssign = IvfIndex.assignTo(upserts, stored)
+      .join(upserts, Seq("vec_id")).localCheckpoint()
+    val ids = upserts.select("vec_id").unionByName(deleted).localCheckpoint()
+    CowTable.upsertMorPos(spark, s"$index/assign", ids, newAssign,
+      txn = Some((IvfIndex.RefreshApp, toV.toLong)))
+    assert(IvfIndex.indexedVersion(index) == fromV,
+      "marker still behind — this IS the crash state")
+    // the retried refresh must detect the landed upsert and REPAIR —
+    // re-deriving preimage sums from a feed whose preimages are gone
+    // would silently corrupt the running stats
+    val r = IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9)
+    assert(!r.rebuilt && r.toVersion == toV)
+    assert(IvfIndex.indexedVersion(index) == toV)
+    // parity law: assign == full reassignment under the frozen centroids
+    val v = IvfIndex.withNorm(
+      CowTable.read(spark, corpus).select(col("vec_id"), col("ve")))
+    val aFull = IvfIndex.assignTo(v, stored).join(v.select("vec_id", "ve"), Seq("vec_id"))
+    assert(assignRows(s"$index/assign") ==
+      aFull.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell")))
+        .sorted.toSeq)
+    // running stats equal what a frozen-centroid rebuild computes —
+    // no double-added postimages, no unsubtracted preimages
+    val want = aFull
+      .groupBy(col("cell").as("cid"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(aggregate(col("ve"), lit(0.0d), _ + _)).as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val got = CowTable.read(spark, s"$index/centroids")
+      .select(col("cid"), col("cnt"),
+        aggregate(col("vsum"), lit(0.0d), _ + _).as("tot"))
+      .filter(col("cnt") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)),
+      s"member counts must be rebuild-exact: $got vs $want")
+    got.zip(want).foreach { case ((_, _, g), (_, _, w)) =>
+      assert(math.abs(g - w) < 1e-9, s"vsum drifted: $g vs $w")
+    }
+    // and the repaired index keeps refreshing normally
+    CowTable.merge(spark, corpus,
+      Seq((3L, vecOf(5000L))).toDF("vec_id", "ve"), "vec_id")
+    val r2 = IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9)
+    assert(!r2.rebuilt && IvfIndex.indexedVersion(index) == r2.toVersion)
+  }
+
+  test("interrupted drift re-seed resumes via the intent marker") {
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index, fresh) = (s"$dir/corpus", s"$dir/index", s"$dir/fresh")
+    mkCorpus(corpus, 200L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2)
+    CowTable.merge(spark, corpus,
+      (100L until 200L).map(i => (i, Array.tabulate(8)(j => 100.0 + j + (i % 3))))
+        .toDF("vec_id", "ve"), "vec_id")
+    // a drift-triggered re-seed crashed right after writing its intent
+    java.nio.file.Files.write(java.nio.file.Paths.get(index, "_rebuilding"),
+      "9".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val r = IvfIndex.refresh(spark, corpus, index,
+      maxDrift = 1e9, numCells = 4, iters = 2)
+    assert(r.rebuilt, "an interrupted re-seed must resume, never judge drift " +
+      "against a half-rebuilt index")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(index, "_rebuilding")))
+    assert(IvfIndex.indexedVersion(index) == CowTable.currentVersion(corpus))
+    IvfIndex.buildIndex(spark, corpus, fresh, numCells = 4, iters = 2)
+    assert(assignRows(s"$index/assign") == assignRows(s"$fresh/assign"))
+  }
 }

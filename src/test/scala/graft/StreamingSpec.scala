@@ -1557,6 +1557,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(CowTable.read(spark, dim).filter(col("cid") === 9L).count() == 1)
   }
 
+  test("KIP-213 batch with several versions of one dim key: versionCol picks the latest, no versionCol fails loudly") {
+    import spark.implicits._
+    import graft.sinks.{CowTable, Sinks}
+    // deterministic winner: the max-version row per key, ties broken by
+    // the full row — never dropDuplicates' partition-order arbitrary pick
+    val batch = Seq((1L, "old", 10L), (1L, "new", 20L), (2L, "only", 5L))
+      .toDF("cid", "seg", "ver")
+    val picked = Sinks.latestPerKey(batch, "cid", Some("ver"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(picked == Seq((1L, "new", 20L), (2L, "only", 5L)))
+    // exact duplicate rows collapse silently (replay shape) …
+    val dup = Seq((1L, "same"), (1L, "same")).toDF("cid", "seg")
+    assert(Sinks.latestPerKey(dup, "cid", None).count() == 1)
+    // … but DISTINCT conflicting rows without a version rule fail the
+    // batch rather than merge an arbitrary (possibly stale) version
+    val clash = Seq((1L, "a"), (1L, "b")).toDF("cid", "seg")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.latestPerKey(clash, "cid", None).count()
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+    // end-to-end: a multi-version batch through the fanout body lands
+    // the LATEST dim version in both the dim table and the view
+    val root = java.nio.file.Files.createTempDirectory("fk_ver").toString
+    val (fact, dim, view) = (s"$root/fact", s"$root/dim", s"$root/view")
+    CowTable.create((0L until 6L).map(i => (i, i / 3, i))
+      .toDF("oid", "cust", "amt"), fact)
+    CowTable.create(Seq((0L, "s0", 0L), (1L, "s1", 0L)).toDF("cid", "seg", "ver"), dim)
+    Sinks.bootstrapFkView(spark, fact, dim, view, "cust", "cid")
+    Sinks.fkDimFanoutBatch(
+      Seq((1L, "stale", 7L), (1L, "fresh", 9L)).toDF("cid", "seg", "ver"),
+      dim, fact, view, "oid", "cust", "cid", versionCol = Some("ver"))
+    assert(CowTable.read(spark, dim).filter(col("cid") === 1L)
+      .select("seg").as[String].head() == "fresh")
+    assert(CowTable.read(spark, view).filter(col("cust") === 1L)
+      .select("seg").as[String].collect().toSeq.distinct == Seq("fresh"))
+  }
+
   test("replay idempotence: every foreachBatch sink body called twice per batch converges") {
     // The r10 high bug (incremental-dedup pairs overwritten by a
     // post-commit replay) lived exactly in the gap between per-sink
