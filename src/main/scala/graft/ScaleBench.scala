@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -652,7 +652,99 @@ object ScaleBench {
       cellsOf.take(4)).size
     println(f"[scalebench] ivf single-query probe ${t1q}%5.2f s (rows: $n1); " +
       f"a 4-cell literal list opens $open4 of $openAll assign files (manifest stats)")
+    // recall column (round 13): served recall@10 vs exact brute force
+    // for the same 10 queries, swept over nprobe — the quality the
+    // latency above buys. (The synthetic corpus is banded by
+    // construction — sin² clusters — so IVF cells align with it.)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.vec_dot
+    val vAll = CowTable.read(spark, pvc).select(col("vec_id"), col("ve"))
+    val wEx = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
+    val exactTop = probeQ.join(vAll, col("vec_id") =!= col("qid"))
+      .withColumn("s", vec_dot(col("qe"), col("ve")) /
+        (sqrt(vec_dot(col("qe"), col("qe"))) * sqrt(vec_dot(col("ve"), col("ve")))))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(1, 2, 4, 8).foreach { np =>
+      val t0 = System.nanoTime()
+      val served = IvfIndex.probe(spark, pvi, probeQ, nprobe = np, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = served.intersect(exactTop).size.toDouble / exactTop.size
+      println(f"[scalebench] ivf recall@10 nprobe=$np%d: $recall%.3f " +
+        f"(probe ${sec}%5.2f s, 10 queries)")
+    }
     } // end ivf section
+
+    if (only.forall(_ == "skew")) {
+    // ---- round-13: AQE skew join vs manual salting (VERDICT r12 #7) ----
+    // The declarative path a 100 TB user gets by default: AQE's
+    // OptimizeSkewedJoin splits oversized shuffle partitions at
+    // runtime. Fixture: 8M-row fact with 30% of rows on ONE key
+    // joined to a 200k-row dim, broadcast disabled (dim too wide to
+    // broadcast in the scenario) → a sort-merge join whose hot
+    // partition holds 2.4M rows. Three plans, same checksum:
+    //   naive    AQE off, plain join — the hot task dominates
+    //   aqe      AQE on, plain join  — skew split at runtime (plan-
+    //            guarded: the executed plan must say "skew=true")
+    //   salted   AQE off, Scale.saltedJoin(16) — the explicit tool
+    // Salting's remaining win condition: shapes AQE can't split — a
+    // broadcast-excluded HASH join it must keep intact, or aggregation
+    // after the join keyed on the hot column (the split partitions
+    // re-merge at the agg exchange); for the plain shuffle join AQE
+    // is the right default and manual salt is just overhead.
+    val fDir = "/tmp/graft_scalebench_skew_f"
+    val dDir = "/tmp/graft_scalebench_skew_d"
+    spark.range(8000000L).select(
+        when(pmod(col("id"), lit(10)) < 3, 0L)
+          .otherwise(pmod(xxhash64(col("id")), lit(200000L))).as("k"),
+        col("id").as("payload"))
+      .write.mode("overwrite").parquet(fDir)
+    spark.range(200000L).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("attr"))
+      .write.mode("overwrite").parquet(dDir)
+    def chk(df: org.apache.spark.sql.DataFrame): (Long, String, Double, String) = {
+      val t0 = System.nanoTime()
+      val agg = df.agg(count(lit(1)),
+        sum(xxhash64(col("payload"), col("attr")).cast("decimal(38,0)")))
+      val r = agg.collect().head
+      // the agg df is the one that EXECUTED — its adaptive plan is final
+      (r.getLong(0), r.getDecimal(1).toString, (System.nanoTime() - t0) / 1e9,
+        agg.queryExecution.executedPlan.toString)
+    }
+    def withConfs(pairs: (String, String)*)(body: => (Long, String, Double, String)) = {
+      val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val fact = () => spark.read.parquet(fDir)
+    val dim = () => spark.read.parquet(dDir)
+    val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    val (cN, hN, tN, _) = withConfs(noBc, "spark.sql.adaptive.enabled" -> "false") {
+      chk(fact().join(dim(), "k"))
+    }
+    val (cA, hA, tA, aqePlan) = withConfs(noBc,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m") {
+      chk(fact().join(dim(), "k"))
+    }
+    require(aqePlan.contains("skew=true"),
+      "plan guard: AQE's OptimizeSkewedJoin must have fired on the hot key")
+    val (cS, hS, tS, _) = withConfs(noBc, "spark.sql.adaptive.enabled" -> "false") {
+      chk(graft.ops.Scale.saltedJoin(fact(), dim(), "k", salts = 16))
+    }
+    require(cN == cA && cA == cS && hN == hA && hA == hS,
+      s"skew variants diverged: ($cN,$hN) ($cA,$hA) ($cS,$hS)")
+    println(f"[scalebench] skew @ 8M x 200k, 30%% on one key: " +
+      f"naive ${tN}%5.2f s | AQE skew-split ${tA}%5.2f s (plan-guarded skew=true) " +
+      f"| salted(16) ${tS}%5.2f s — checksum-equal")
+    } // end skew section
 
     val dir = "/tmp/graft_scalebench"
     def time(name: String): (Long, Double) = {

@@ -44,6 +44,9 @@ object IncrementalDedup {
   private val Bands = 32
   private val RowsPerBand = 4
   private val JaccardThreshold = 0.9
+  // band keys collected for the bloom-pruned index read: a batch of
+  // ~250 docs (32 bands each); past this the probe reads unpruned
+  private val BandLiteralMax = 8192
 
   private def blockOf(blockCols: Seq[String]): Column =
     concat_ws("", blockCols.map(col): _*)
@@ -87,11 +90,20 @@ object IncrementalDedup {
     * delete entries); every subsequent batch goes through [[ingest]].
     */
   def buildIndex(spark: SparkSession, corpusPath: String, indexPath: String,
-                 blockCols: Seq[String]): Int = {
+                 blockCols: Seq[String],
+                 lookupBits: Int = 1 << 19): Int = {
     val v = CowTable.currentVersion(corpusPath)
     val docs = CowTable.read(spark, corpusPath, Some(v))
       .select(col("doc_id"), blockOf(blockCols).as("block"), col("text"))
-    val ver = CowTable.create(signatures(docs), indexPath)
+    CowTable.create(signatures(docs), indexPath)
+    // per-file bloom over the band-key ELEMENTS: a probe batch asks
+    // "may this index file share any band key with the batch?" and
+    // skips the files that can't — the point-lookup pruning range
+    // stats cannot express for an array column. Size `lookupBits` at
+    // ≥10 bits per distinct band key per file (≈ 32 × docs-per-file)
+    // or the filter saturates and prunes nothing
+    val ver = CowTable.setLookupColumns(spark, indexPath, Seq("bands"),
+      dictMax = 128, bloomBits = lookupBits)
     writeIndexedVersion(indexPath, v)
     ver
   }
@@ -148,8 +160,21 @@ object IncrementalDedup {
     // candidates: the batch's band keys probe the updated index. The
     // batch rides a broadcast — the index never shuffles; ingest
     // batches are small relative to the corpus by contract (a
-    // corpus-sized "batch" is what buildIndex is for).
-    val haystack = explodeBands(CowTable.read(spark, indexPath))
+    // corpus-sized "batch" is what buildIndex is for). The index READ
+    // is bloom-pruned first: the batch's distinct band keys consult
+    // the per-file `bands` sidecars ([[buildIndex]] declares them), so
+    // only index files that MAY share a band key with the batch open —
+    // at 100 TB that is the difference between scanning the corpus's
+    // whole band index and touching the probed slice. The equi-join on
+    // band_key is the exact residual; an oversized batch degrades to
+    // the full scan, never to a wrong one.
+    val bandLits = explodeBands(newSigs).select("band_key").distinct()
+      .limit(BandLiteralMax + 1).collect().map(_.get(0))
+    val indexNow =
+      if (bandLits.length <= BandLiteralMax && !bandLits.contains(null))
+        CowTable.readPrunedIn(spark, indexPath, "bands", bandLits.toIndexedSeq)
+      else CowTable.read(spark, indexPath)
+    val haystack = explodeBands(indexNow)
     val probe = explodeBands(newSigs).select(
       col("doc_id").as("b_id"), col("block").as("b_block"),
       col("band_idx").as("b_bi"), col("band_key").as("b_bk"))

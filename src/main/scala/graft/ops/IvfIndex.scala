@@ -192,18 +192,30 @@ object IvfIndex {
       CowTable.create(cFull, centroidsPath(indexPath))
       CowTable.create(assign, assignPath(indexPath))
     }
-    // declare per-file `cell` stats on the lists: every write from here
-    // on (cluster rewrites, refresh appends) records them, so a probe's
-    // nprobe-cell read file-skips at the MANIFEST level
+    // declare per-file `cell` stats AND a cell dictionary on the
+    // lists: every write from here on (cluster rewrites, refresh
+    // appends) records both, so a probe's nprobe-cell read file-skips
+    // at the MANIFEST level. The dictionary matters after REFRESH
+    // windows: an appended file mixes a few cells, so its [min,max]
+    // range spans most of the domain and prunes nothing, while its
+    // exact cell dictionary (≤ numCells values) still skips it
     CowTable.setStatsColumns(spark, assignPath(indexPath), Seq("cell"))
+    CowTable.setLookupColumns(spark, assignPath(indexPath), Seq("cell"),
+      dictMax = math.max(128, numCells))
     writeIndexedVersion(indexPath, ver)
     ver
   }
 
-  /** Result of a [[refresh]]: whether drift forced a full re-seed, and
-    * the corpus version the index now reflects.
+  /** Result of a [[refresh]]: whether drift forced a full re-seed, the
+    * corpus version the index now reflects, and the worst relative
+    * centroid shift the drift watch observed this window (None when
+    * the window carried no cell movement or the path skipped the
+    * check — no-op, crash repair, resumed rebuild). Exposing the
+    * observed drift is what lets maintenance policy and tests reason
+    * about "how close to the re-seed threshold is this index?".
     */
-  final case class Refresh(rebuilt: Boolean, toVersion: Int)
+  final case class Refresh(rebuilt: Boolean, toVersion: Int,
+                           worstShift: Option[Double] = None)
 
   /** Incremental maintenance from the corpus CDC feed. Per window:
     *
@@ -346,10 +358,11 @@ object IvfIndex {
                            zip_with(col("ce2"), col("ce"), _ - _))) / col("nc")))
         .localCheckpoint() // consumed twice: verdict + centroid merge
     }
-    val drifted = judged.exists { j =>
+    val worstShift = judged.flatMap { j =>
       val worst = j.agg(max("shift")).collect().head
-      !worst.isNullAt(0) && worst.getDouble(0) > maxDrift
+      if (worst.isNullAt(0)) None else Some(worst.getDouble(0))
     }
+    val drifted = worstShift.exists(_ > maxDrift)
     if (drifted) {
       // intent marker BEFORE the re-seed: a crash mid-rebuild resumes
       // the rebuild on the next refresh instead of judging drift
@@ -359,7 +372,7 @@ object IvfIndex {
         toV.toString.getBytes(StandardCharsets.UTF_8))
       buildIndex(spark, corpusPath, indexPath, numCells, iters)
       Files.deleteIfExists(rebuildIntentPath(indexPath))
-      Refresh(rebuilt = true, toV)
+      Refresh(rebuilt = true, toV, worstShift)
     } else {
       changedIds.foreach { ids =>
         val adds = if (hasUpserts) newAssign
@@ -371,7 +384,7 @@ object IvfIndex {
         j.select(col("cid"), col("ce"), col("nc"),
                  col("vsum2").as("vsum"), col("cnt2").as("cnt")), "cid"))
       writeIndexedVersion(indexPath, toV)
-      Refresh(rebuilt = false, toV)
+      Refresh(rebuilt = false, toV, worstShift)
     }
   }
 
@@ -418,6 +431,79 @@ object IvfIndex {
                    files: Int = 16): Unit = {
     CowTable.cluster(spark, assignPath(indexPath), files, Seq("cell"))
     CowTable.compact(spark, centroidsPath(indexPath), files = 1)
+  }
+
+  /** Maintenance thresholds for the index PAIR — the
+    * [[graft.sinks.TableMaintenance.Policy]] idea applied to an index
+    * whose health metrics are its own: positional-sidecar backlog and
+    * small-file count on the assignment lists (each refresh window
+    * adds one sidecar + one small appended file, and every probe pays
+    * the sidecar range filter and the extra footers until they fold),
+    * drift distance to the re-seed threshold, and snapshot retention.
+    */
+  final case class IndexPolicy(
+      maxPosSidecars: Int = 4,
+      maxAssignFiles: Int = 64,
+      targetFiles: Int = 16,
+      keepSnapshots: Int = 10,
+      maxDrift: Double = 0.2,
+      numCells: Int = 16,
+      iters: Int = 2)
+
+  /** What one maintenance pass did (the
+    * [[graft.sinks.TableMaintenance.Report]] shape for the pair). */
+  final case class IndexReport(
+      refreshed: Boolean, reseeded: Boolean, worstShift: Option[Double],
+      compacted: Boolean, foldedPosSidecars: Int,
+      expiredManifests: Int, vacuumedFiles: Int)
+
+  /** ONE scheduled maintenance pass over (corpus, index) — round 13,
+    * VERDICT r12 task 6: round 12 built the levers ([[refresh]],
+    * [[compactIndex]], snapshot expiry), this is the policy that
+    * SCHEDULES them, so a served index can't quietly lose its
+    * file-skipping probe under churn:
+    *
+    *   1. CATCH UP + DRIFT CHECK: if the corpus moved, [[refresh]]
+    *      under `maxDrift` (the drift watch is cumulative since the
+    *      last re-seed, so every pass IS a drift check; past the
+    *      threshold it re-seeds via [[buildIndex]]);
+    *   2. COMPACT when the assignment table's positional-sidecar
+    *      backlog or file count exceeds policy — [[compactIndex]]
+    *      folds sidecars AND restores the cell clustering that makes
+    *      a probe's `cell IN (...)` read file-skip;
+    *   3. EXPIRE snapshots past retention on both tables, vacuuming
+    *      unreferenced files.
+    *
+    * Idempotent at steady state: an in-bounds, caught-up index commits
+    * nothing (IvfIndexSpec churn fixture asserts degrade → restore →
+    * no-op).
+    */
+  def maintainIndex(spark: SparkSession, corpusPath: String, indexPath: String,
+                    policy: IndexPolicy = IndexPolicy()): IndexReport = {
+    val aPath = assignPath(indexPath)
+    val cPath = centroidsPath(indexPath)
+    val needsRefresh = Files.exists(rebuildIntentPath(indexPath)) ||
+      CowTable.currentVersion(corpusPath) != indexedVersion(indexPath)
+    val r =
+      if (needsRefresh)
+        Some(refresh(spark, corpusPath, indexPath, policy.maxDrift,
+          policy.numCells, policy.iters))
+      else None
+    val posSidecars = CowTable.snapshotPositionDeletes(aPath).size
+    val assignFiles = CowTable.snapshotFiles(aPath).size
+    val needCompact = posSidecars > policy.maxPosSidecars ||
+      assignFiles > policy.maxAssignFiles
+    if (needCompact) compactIndex(spark, indexPath, policy.targetFiles)
+    val (e1, v1) = CowTable.expireSnapshots(aPath, policy.keepSnapshots)
+    val (e2, v2) = CowTable.expireSnapshots(cPath, policy.keepSnapshots)
+    IndexReport(
+      refreshed = r.isDefined,
+      reseeded = r.exists(_.rebuilt),
+      worstShift = r.flatMap(_.worstShift),
+      compacted = needCompact,
+      foldedPosSidecars = if (needCompact) posSidecars else 0,
+      expiredManifests = e1 + e2,
+      vacuumedFiles = v1 + v2)
   }
 
   /** Probe the SERVED index: per query, rank the stored centroids,

@@ -111,9 +111,11 @@ object Relevance {
     val cy = bg.groupBy("r").agg(cnt.as("c_y"))
     val n = bg.agg(cnt.as("n_total"))
     cxy.filter(col("c_xy") >= 5)
-      // shuffle_hash: the marginals join on string tokens — never let
-      // AQE fall back to a string-keyed SMJ (LlmOps.blockedTokenPairs)
-      .join(cx.hint("shuffle_hash"), "l").join(cy.hint("shuffle_hash"), "r")
+      // the marginals are VOCAB-sized (Zipf-bounded) count tables —
+      // broadcast them so the supported cxy rows never shuffle (and a
+      // string-keyed SMJ can't appear); r13 A/B: 0.37 → 0.27 s at
+      // sf0.1 vs the previous shuffle_hash marginal joins
+      .join(broadcast(cx), "l").join(broadcast(cy), "r")
       .crossJoin(broadcast(n))
       .withColumn("pmi_scaled", expr(
         """cast(div(cast(c_xy as decimal(38,0)) * n_total * 1000000,

@@ -178,11 +178,35 @@ object CowTable {
     */
   private val StatsColsPrefix = "K "
 
+  /** PER-FILE KEY LOOKUP SIDECARS (round 13, VERDICT r12 task 2 — the
+    * Iceberg/Delta bloom-sidecar answer to point lookups): a line
+    * `B <dataFile>\t<json>` carrying, for each declared LOOKUP column,
+    * either the file's exact distinct-value dictionary (NDV ≤ the
+    * declared threshold) or a fixed-size bloom filter over the
+    * canonical key strings. Range `C` stats prune nothing for a
+    * high-cardinality equality/IN on a column the table is NOT
+    * clustered by — every file's [min,max] spans the key — which is
+    * exactly the shape of every keyed lookup at 100 TB (FK scans,
+    * band-index probes, IVF cell reads). Declared via
+    * [[setLookupColumns]] (`L` spec line); data-writing paths record
+    * fresh `B` lines; [[commit]] carries/retires them mechanically
+    * with the file set, like `C` lines. Consulted by
+    * [[prunedFilesIn]]: a file is skipped only when NO requested key
+    * can be present (dictionary miss, or all bloom probe bits clear) —
+    * files without an entry always survive; a value that cannot
+    * canonicalize under the column type never prunes.
+    */
+  private val BloomPrefix = "B "
+
+  /** The declared lookup-column spec: `L <dictMax> <bits> col1,col2`. */
+  private val LookupPrefix = "L "
+
   private def isMetaLine(l: String): Boolean =
     l.startsWith(DeletePrefix) || l.startsWith(PosDeletePrefix) ||
       l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix) ||
       l.startsWith(TxnPrefix) || l.startsWith(StatsPrefix) ||
-      l.startsWith(StatsColsPrefix)
+      l.startsWith(StatsColsPrefix) || l.startsWith(BloomPrefix) ||
+      l.startsWith(LookupPrefix)
 
   private def manifestLines(path: String, asOf: Option[Int]): Seq[String] = {
     val v = asOf.getOrElse(currentVersion(path))
@@ -241,7 +265,8 @@ object CowTable {
   private def specLines(path: String, base: Int): Seq[String] =
     manifestLines(path, Some(base)).filter(l =>
       l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix) ||
-        l.startsWith(TxnPrefix) || l.startsWith(StatsColsPrefix))
+        l.startsWith(TxnPrefix) || l.startsWith(StatsColsPrefix) ||
+        l.startsWith(LookupPrefix))
 
   /** The highest committed writer version for `appId` (−1 if this
     * application never committed) — the [[append]] `txn` watermark.
@@ -289,15 +314,22 @@ object CowTable {
     // incoming C lines for fresh files (they win on a duplicate), and
     // retire C lines whose file left the manifest (rewrites, compaction).
     val dataSet = files.filterNot(isMetaLine).toSet
-    val baseStats =
-      if (base > 0 && Files.exists(d.resolve(s"v$base.json")))
-        manifestLines(path, Some(base)).filter(_.startsWith(StatsPrefix))
-      else Seq.empty
-    val fileOf = (l: String) =>
-      l.stripPrefix(StatsPrefix).takeWhile(_ != '\t')
-    val stats = (files.filter(_.startsWith(StatsPrefix)) ++ baseStats)
-      .distinctBy(fileOf).filter(l => dataSet.contains(fileOf(l)))
-    val lines = files.filterNot(_.startsWith(StatsPrefix)) ++ stats
+    // carry/retire per-file sidecar lines (C stats, B lookup filters)
+    // mechanically with the data-file set: incoming lines win for
+    // fresh files, the base snapshot's carry for surviving files,
+    // departed files drop theirs
+    def carried(prefix: String): Seq[String] = {
+      val fromBase =
+        if (base > 0 && Files.exists(d.resolve(s"v$base.json")))
+          manifestLines(path, Some(base)).filter(_.startsWith(prefix))
+        else Seq.empty
+      val fileOf = (l: String) => l.stripPrefix(prefix).takeWhile(_ != '\t')
+      (files.filter(_.startsWith(prefix)) ++ fromBase)
+        .distinctBy(fileOf).filter(l => dataSet.contains(fileOf(l)))
+    }
+    val lines = files.filterNot(l =>
+      l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix)) ++
+      carried(StatsPrefix) ++ carried(BloomPrefix)
     val tmp = d.resolve(s".v$v.${System.nanoTime()}.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(d.resolve(s"v$v.json"), tmp)
@@ -344,7 +376,9 @@ object CowTable {
   private def writeDataWithStats(df: DataFrame, path: String,
                                  spec: Seq[PartitionTransform] = Seq.empty): Seq[String] = {
     val files = writeData(df, path, spec)
-    files ++ statsLinesFor(df.sparkSession, path, files, statsColumns(path))
+    files ++ statsLinesFor(df.sparkSession, path, files, statsColumns(path)) ++
+      lookupSpec(path).toSeq.flatMap(s =>
+        bloomLinesFor(df.sparkSession, path, files, s))
   }
 
   /** Create the table: data files + manifest v1. With `transforms`,
@@ -729,6 +763,209 @@ object CowTable {
     * ordering); None = not comparable (NaN marker, corrupt) → the
     * prune side must keep the file.
     */
+  // ---- per-file key lookup sidecars (round 13) ---------------------------
+
+  /** The snapshot's lookup spec: (columns, dictMax, bloomBits). */
+  def lookupSpec(path: String, asOf: Option[Int] = None)
+      : Option[(Seq[String], Int, Int)] =
+    if (!exists(path)) None
+    else manifestLines(path, asOf).find(_.startsWith(LookupPrefix)).flatMap { l =>
+      l.stripPrefix(LookupPrefix).split(" ", 3) match {
+        case Array(d, b, cs) => scala.util.Try(
+          (cs.split(",").toSeq.filter(_.nonEmpty), d.toInt, b.toInt)).toOption
+        case _ => None
+      }
+    }
+
+  /** DECLARE the table's point-lookup columns and BACKFILL: per data
+    * file, each declared column gets either its exact distinct-value
+    * DICTIONARY (NDV ≤ `dictMax`) or a `bloomBits`-bit BLOOM filter
+    * over the canonical key strings, committed as `B` manifest lines.
+    * Every subsequent data write records fresh `B` lines
+    * automatically; rewrites retire them with the file. ARRAY columns
+    * index their ELEMENTS (a band-index probe asks "may this file
+    * contain any of these band keys?"). Unsupported types (nested
+    * non-array, float/double — FP string forms are not canonical,
+    * decimal) are skipped: their files simply never prune. Empty
+    * `cols` retires the spec and all `B` lines.
+    *
+    * This is the 100 TB point-lookup complement to [[setStatsColumns]]:
+    * range stats prune nothing for an equality/IN on a column the
+    * table is NOT clustered by (every file's [min,max] covers the
+    * key); a dictionary/bloom answers per file regardless of layout.
+    */
+  def setLookupColumns(spark: SparkSession, path: String, cols: Seq[String],
+                       dictMax: Int = 128, bloomBits: Int = 8192): Int = {
+    require(cols.forall(c => !c.contains(",") && !c.contains(" ") &&
+      !c.contains("\t") && !c.contains("\n")),
+      s"lookup column names must not contain ',', ' ', TAB or newline: $cols")
+    require(dictMax >= 0 && bloomBits > 0 && bloomBits % 8 == 0,
+      s"need dictMax >= 0 and bloomBits a positive multiple of 8, got $dictMax/$bloomBits")
+    val base = currentVersion(path)
+    val kept = manifestLines(path, Some(base)).filterNot(l =>
+      l.startsWith(LookupPrefix) || l.startsWith(BloomPrefix))
+    if (cols.isEmpty) return commit(path, kept, base)
+    val spec = (cols, dictMax, bloomBits)
+    commit(path,
+      (kept :+ s"$LookupPrefix$dictMax $bloomBits ${cols.mkString(",")}") ++
+        bloomLinesFor(spark, path, snapshotFiles(path, Some(base)), spec),
+      base)
+  }
+
+  private[sinks] val BloomK = 4
+
+  /** The k probe positions of a canonical key — double hashing
+    * (Kirsch–Mitzenmacher) over two Murmur3 seeds. PLAIN SCALA on
+    * purpose: the build pass (a UDF over the written rows) and the
+    * prune side (driver, per literal) call the SAME function, so the
+    * two can never disagree the way re-implemented hash chains do.
+    */
+  private[sinks] def bloomPositions(key: String, bits: Int): Array[Int] = {
+    val bs = key.getBytes(StandardCharsets.UTF_8)
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bs, 0xb100f11e)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bs, 0x05eedca7)
+    Array.tabulate(BloomK)(i => math.floorMod(h1 + (i + 1) * h2, bits))
+  }
+
+  /** Canonical key string of a column value, computed IN THE PLAN for
+    * the build pass. Exact types only: integral → decimal string,
+    * string → itself, date → epoch-day, timestamp → epoch-micros
+    * (instant-based, session-zone independent). None = type
+    * unsupported for lookup sidecars.
+    */
+  private def canonKeyCol(c: Column, t: types.DataType): Option[Column] = t match {
+    case types.StringType => Some(c)
+    case types.ByteType | types.ShortType | types.IntegerType | types.LongType =>
+      Some(c.cast("long").cast("string"))
+    case types.DateType =>
+      Some(datediff(c, to_date(lit("1970-01-01"))).cast("long").cast("string"))
+    case types.TimestampType => Some(unix_micros(c).cast("string"))
+    case _ => None
+  }
+
+  /** The same canonical form for a caller LITERAL under the column's
+    * key type — [[litBig]] canonicalization, then exact-integer
+    * rendering. None = this value cannot prune (cross-typed against a
+    * string column, non-integral against an integral one, …).
+    */
+  private def lookupKey(v: Any, t: types.DataType): Option[String] = t match {
+    case types.StringType => v match { case s: String => Some(s); case _ => None }
+    case types.ByteType | types.ShortType | types.IntegerType | types.LongType |
+         types.DateType | types.TimestampType =>
+      litBig(v, Some(t)).flatMap(_.toBigIntExact).map(_.toString)
+    case _ => None
+  }
+
+  /** Fresh `B` lines for newly written `files` under `spec` — one
+    * column-pruned, per-file-distinct pass per declared column. Dict
+    * values and bloom positions are both BOUNDED per file (dictMax
+    * values / bloomBits positions), so the driver-side collect is
+    * metadata-sized no matter how many rows a file holds.
+    */
+  private def bloomLinesFor(spark: SparkSession, path: String,
+                            files: Seq[String],
+                            spec: (Seq[String], Int, Int)): Seq[String] = {
+    import org.json4s._
+    val (cols, dictMax, bits) = spec
+    if (cols.isEmpty || files.isEmpty) return Seq.empty
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val byNorm = files.map(f => Paths.get(f).normalize.toString -> f).toMap
+    def fileOf(raw: String): Option[String] = byNorm.get(Paths.get(
+      new org.apache.hadoop.fs.Path(raw).toUri.getPath).normalize.toString)
+    val posOf = udf((v: String) => bloomPositions(v, bits).toSeq)
+    val perFile = scala.collection.mutable.Map.empty[String, List[(String, JValue)]]
+    cols.filter(df.columns.contains).foreach { c =>
+      // generators can't nest inside the canonical cast: explode the
+      // array into a raw column FIRST, then canonicalize it
+      val (raw, keyT) = df.schema(c).dataType match {
+        case types.ArrayType(el, _) =>
+          (df.select(col("_metadata.file_path").as("__f"),
+             explode(col(c)).as("__raw")), el)
+        case t =>
+          (df.select(col("_metadata.file_path").as("__f"),
+             col(c).as("__raw")), t)
+      }
+      canonKeyCol(col("__raw"), keyT).foreach { canon =>
+        val base = raw.select(col("__f"), canon.as("__v"))
+          .filter(col("__v").isNotNull).distinct()
+        val ndv = base.groupBy("__f").agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val smallSet = ndv.filter(_._2 <= dictMax).keySet
+        val entries: Seq[(String, JValue)] =
+          (if (smallSet.isEmpty) Seq.empty
+           else base
+             .filter(col("__f").isin(smallSet.toIndexedSeq: _*))
+             .groupBy("__f").agg(sort_array(collect_set(col("__v"))).as("__d"))
+             .collect().toSeq.map { r =>
+               r.getString(0) -> JObject("d" ->
+                 JArray(r.getSeq[String](1).map(JString(_)).toList))
+             }) ++
+          (if (smallSet.size == ndv.size) Seq.empty
+           else base
+             .filter(!col("__f").isin(smallSet.toIndexedSeq: _*))
+             .select(col("__f"), explode(posOf(col("__v"))).as("__p"))
+             .groupBy("__f").agg(collect_set(col("__p")).as("__ps"))
+             .collect().toSeq.map { r =>
+               val bytes = new Array[Byte](bits / 8)
+               r.getSeq[Int](1).foreach(p =>
+                 bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
+               r.getString(0) -> JObject(
+                 "b" -> JString(java.util.Base64.getEncoder.encodeToString(bytes)),
+                 "m" -> JLong(bits.toLong))
+             })
+        entries.foreach { case (raw, j) =>
+          fileOf(raw).foreach { f =>
+            perFile(f) = (c -> j) :: perFile.getOrElse(f, Nil)
+          }
+        }
+      }
+    }
+    perFile.toSeq.map { case (f, colEntries) =>
+      BloomPrefix + f + "\t" + org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(JObject(colEntries.reverse: _*)))
+    }
+  }
+
+  private sealed trait LookupEntry
+  private final case class DictEntry(vals: Set[String]) extends LookupEntry
+  private final case class BloomEntry(bytes: Array[Byte], bits: Int) extends LookupEntry
+
+  /** Parsed `B` sidecars of a snapshot: file → column → entry. */
+  private def fileLookups(path: String, asOf: Option[Int])
+      : Map[String, Map[String, LookupEntry]] = {
+    import org.json4s._
+    manifestLines(path, asOf).filter(_.startsWith(BloomPrefix)).flatMap { l =>
+      val body = l.stripPrefix(BloomPrefix)
+      val i = body.indexOf('\t')
+      if (i < 0) None
+      else scala.util.Try {
+        val cols = org.json4s.jackson.JsonMethods.parse(body.substring(i + 1))
+          .asInstanceOf[JObject].obj.flatMap {
+            case (c, JObject(fields)) =>
+              val m = fields.toMap
+              m.get("d") match {
+                case Some(JArray(vs)) =>
+                  Some(c -> DictEntry(vs.collect { case JString(s) => s }.toSet))
+                case _ => (m.get("b"), m.get("m")) match {
+                  case (Some(JString(b64)), Some(mj)) =>
+                    statBig(mj).map(mm => c -> BloomEntry(
+                      java.util.Base64.getDecoder.decode(b64), mm.toInt))
+                  case _ => None
+                }
+              }
+            case _ => None
+          }.toMap
+        body.substring(0, i) -> cols
+      }.toOption
+    }.toMap
+  }
+
+  private def mayContain(e: LookupEntry, key: String): Boolean = e match {
+    case DictEntry(vs) => vs.contains(key)
+    case BloomEntry(bytes, m) => bloomPositions(key, m).forall(p =>
+      (p >> 3) < bytes.length && (bytes(p >> 3) & (1 << (p & 7))) != 0)
+  }
+
   private def statBig(j: org.json4s.JValue): Option[BigDecimal] = j match {
     case org.json4s.JLong(v) => Some(BigDecimal(v))
     case org.json4s.JInt(v) => Some(BigDecimal(v))
@@ -878,12 +1115,37 @@ object CowTable {
     if (vs.isEmpty) return Seq.empty
     val files = snapshotFiles(path, asOf)
     val stats = fileStats(path, asOf)
-    if (stats.isEmpty) return files
+    val lookups = fileLookups(path, asOf)
+    if (stats.isEmpty && lookups.isEmpty) return files
     val names = physicalNamesOf(path, column, asOf)
     val colType = statsColType(spark, path, column, names, files, asOf)
     val isString = colType.contains(types.StringType) ||
       (colType.isEmpty && vs.head.isInstanceOf[String])
-    files.filter { f =>
+    // dictionary/bloom gate (the point-lookup path): a file is skipped
+    // when NO requested key can be present. Keys canonicalize under
+    // the column's KEY type (array columns index their elements); any
+    // uncanonicalizable value disables the gate — conservative
+    val lookupKeys: Option[Seq[String]] =
+      if (lookups.isEmpty) None
+      else colType.map {
+        case types.ArrayType(el, _) => el
+        case t => t
+      }.flatMap { kt =>
+        val ks = vs.map(lookupKey(_, kt))
+        if (ks.exists(_.isEmpty)) None else Some(ks.flatten)
+      }
+    def lookupGate(f: String): Boolean = lookupKeys match {
+      case None => true
+      case Some(keys) =>
+        lookups.get(f).flatMap(m => names.collectFirst {
+          case n if m.contains(n) => m(n)
+        }) match {
+          case None => true // no sidecar for this file/column: must read
+          case Some(e) => keys.exists(mayContain(e, _))
+        }
+    }
+    if (stats.isEmpty) return files.filter(lookupGate)
+    files.filter(lookupGate).filter { f =>
       stats.get(f).flatMap(m => names.collectFirst {
         case n if m.contains(n) => m(n)
       }) match {

@@ -331,6 +331,79 @@ object StreamOps {
     }
   }
 
+  /** WALL-CLOCK PUNCTUATE (round 13, VERDICT r12 task 4 — the
+    * `PunctuationType.WALL_CLOCK_TIME` half of the Processor API's
+    * punctuate; the event-time half is the timers in [[IdleEviction]]
+    * and the CEP/session processors): per key, a PROCESSING-TIME timer
+    * armed `intervalMs` of WALL CLOCK after the key's latest activity
+    * emits the key's running count REGARDLESS of whether data arrived
+    * since — heartbeat/timeout emission, the shape Kafka Streams users
+    * reach for when a downstream needs liveness ("say something N ms
+    * after the last thing you saw, data or not"). Each firing is
+    * ONE-SHOT and the next activity re-arms: under a steady input the
+    * key beats once per quiet gap; a timer that re-armed ITSELF on
+    * expiry would make the engine schedule empty micro-batches forever
+    * (measured: >1000 epochs/4 min) and no idle point would ever
+    * exist for `processAllAvailable`/graceful drains — the activity-
+    * re-armed form is the punctuate that composes with micro-batching.
+    *
+    * Determinism contract (why the tests assert INVARIANTS, not
+    * timings): data-driven emissions (`kind = "data"`) are a pure
+    * function of the input batches; heartbeat emissions
+    * (`kind = "hb"`) fire on the engine's wall clock, so their COUNT
+    * varies run to run — but every heartbeat's payload is the key's
+    * running count at some batch prefix, and the final data state
+    * converges identically under any firing schedule.
+    */
+  class HeartbeatProcessor(intervalMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (Long, Long, String)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var count: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", E.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("hbDeadline", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(Long, Long, String)] = {
+      var n = if (count.exists()) count.get() else 0L
+      rows.foreach(_ => n += 1)
+      count.update(n)
+      // activity re-arms the one-shot deadline (stale timer deleted)
+      val next = timers.getCurrentProcessingTimeInMs() + intervalMs
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(next)
+      armed.update(next)
+      Iterator((user, n, "data"))
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Long, String)] = {
+      // the punctuate body: emit NOW, data or not; one-shot — the
+      // key's next activity re-arms
+      val n = if (count.exists()) count.get() else 0L
+      armed.clear()
+      Iterator((user, n, "hb"))
+    }
+  }
+
+  /** Per-user running count with a wall-clock heartbeat `intervalMs`
+    * after each key's latest activity ([[HeartbeatProcessor]]):
+    * `TimeMode.ProcessingTime`, update mode. Output
+    * (user, runningCount, "data" | "hb").
+    */
+  def heartbeatTws(events: Dataset[Evt], intervalMs: Long): Dataset[(Long, Long, String)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new HeartbeatProcessor(intervalMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   /** Running (count, cents) per user via `transformWithState`. With
     * `idleRetentionMs > 0`, a user idle past the horizon restarts the
     * running totals from zero (bounded staleness; the input must carry

@@ -1768,4 +1768,123 @@ class CowTableSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSet == Set(0L, 1L, 3L),
       "numeric range [5,31] matches 5, 30 and 05 — the \"30\" file must not be skipped")
   }
+
+  test("lookup sidecars: IN on a NON-clustering key opens few files where range stats open all") {
+    import spark.implicits._
+    val path = tmp
+    // clustered by v — ids are scattered, so every file's id [min,max]
+    // spans ~the whole domain and range stats cannot skip anything
+    CowTable.create((0L until 40000L).map(i => (i, (i * 7919L) % 40000L))
+      .toDF("id", "v").repartition(8), path)
+    CowTable.setStatsColumns(spark, path, Seq("v", "id"))
+    CowTable.cluster(spark, path, files = 16, zcols = Seq("v"))
+    val all = CowTable.snapshotFiles(path)
+    val probe = Seq(123L, 31007L, 8888L)
+    assert(CowTable.prunedFilesIn(spark, path, "id", probe).size == all.size,
+      "range stats alone must be useless on the scattered key — the scenario premise")
+    CowTable.setLookupColumns(spark, path, Seq("id"), dictMax = 128,
+      bloomBits = 1 << 16)
+    val opened = CowTable.prunedFilesIn(spark, path, "id", probe)
+    assert(opened.size <= 6,
+      s"bloom sidecars must skip to ~the 3 containing files: ${opened.size} of ${all.size}")
+    // checksum-equal with the full scan
+    val viaLookup = CowTable.readPrunedIn(spark, path, "id", probe)
+      .filter(col("id").isin(probe: _*)).orderBy("id").collect().toSeq
+    val full = CowTable.read(spark, path)
+      .filter(col("id").isin(probe: _*)).orderBy("id").collect().toSeq
+    assert(viaLookup == full && full.size == 3)
+    // cross-typed literal: gate disabled, nothing wrongly pruned
+    assert(CowTable.prunedFilesIn(spark, path, "id", Seq("123x")).size == all.size)
+    // sidecars survive maintenance like C lines: a compact rewrite
+    // re-records for the fresh files …
+    CowTable.compact(spark, path, files = 8)
+    val all2 = CowTable.snapshotFiles(path)
+    // (compact bin-packs without re-clustering; the dict/bloom is
+    // recomputed per fresh file so the gate stays sound)
+    assert(CowTable.readPrunedIn(spark, path, "id", probe)
+      .filter(col("id").isin(probe: _*)).orderBy("id").collect().toSeq == full)
+    assert(CowTable.prunedFilesIn(spark, path, "id", probe).size <= all2.size)
+    // … and consult through RENAME lineage: entries recorded under the
+    // old physical name keep pruning after the column renames
+    CowTable.renameColumn(spark, path, "id", "doc")
+    val renamed = CowTable.prunedFilesIn(spark, path, "doc", probe)
+    assert(renamed.size < all2.size,
+      s"rename lineage must keep the sidecars consulted: ${renamed.size} of ${all2.size}")
+    assert(CowTable.readPrunedIn(spark, path, "doc", probe)
+      .filter(col("doc").isin(probe: _*)).select("doc").as[Long].collect().sorted
+      .toSeq == probe.sorted)
+  }
+
+  test("lookup sidecars: array columns index their elements (band-probe shape)") {
+    import spark.implicits._
+    val path = tmp
+    // 4 files, each carrying a disjoint band-key range inside an array
+    CowTable.create((0L until 50L).map(i => (i, Array(i * 3, i * 3 + 1, i * 3 + 2)))
+      .toDF("doc", "bands").coalesce(1), path)
+    (1 to 3).foreach { g =>
+      CowTable.append(spark, path,
+        (0L until 50L).map(i => (g * 1000L + i,
+          Array(g * 10000L + i * 3, g * 10000L + i * 3 + 1, g * 10000L + i * 3 + 2)))
+          .toDF("doc", "bands").coalesce(1))
+    }
+    CowTable.setLookupColumns(spark, path, Seq("bands"), dictMax = 16,
+      bloomBits = 1 << 14)
+    val all = CowTable.snapshotFiles(path)
+    assert(all.size == 4)
+    // keys from one group's range: only that group's file may contain them
+    val opened = CowTable.prunedFilesIn(spark, path, "bands",
+      Seq(20001L, 20044L))
+    assert(opened.size == 1,
+      s"element lookup must open only the containing file: ${opened.size} of ${all.size}")
+    val got = CowTable.readPrunedIn(spark, path, "bands", Seq(20001L, 20044L))
+      .filter(arrays_overlap(col("bands"), array(lit(20001L), lit(20044L))))
+      .select("doc").as[Long].collect().toSet
+    assert(got == CowTable.read(spark, path)
+      .filter(arrays_overlap(col("bands"), array(lit(20001L), lit(20044L))))
+      .select("doc").as[Long].collect().toSet && got.nonEmpty)
+    // a key present nowhere prunes everything
+    assert(CowTable.prunedFilesIn(spark, path, "bands", Seq(999999999L)).isEmpty)
+  }
+
+  test("lookup sidecars reach the FK scan: dim-dirty refresh opens few fact files") {
+    import spark.implicits._
+    val dir = tmp
+    val (pf, pd) = (s"$dir/fact", s"$dir/dim")
+    // fact CLUSTERED BY oid — cust is scattered, range stats useless
+    // on it; each of the 16 files holds ~every cust value's oid range
+    // high-cardinality FK (the 100 TB shape): each file's cust set is
+    // ~2000 values scattered over the whole [0, 32000) domain
+    CowTable.create((0L until 32000L).map(i => (i, (i * 7919L) % 32000L, i * 2))
+      .toDF("oid", "cust", "amount").repartition(8), pf)
+    CowTable.setStatsColumns(spark, pf, Seq("oid", "cust"))
+    CowTable.cluster(spark, pf, files = 16, zcols = Seq("oid"))
+    CowTable.create((0L until 32000L).map(c => (c, s"seg${c % 4}"))
+      .toDF("cid", "segment").repartition(2), pd)
+    assert(CowTable.prunedFilesIn(spark, pf, "cust", Seq(123L)).size
+      == CowTable.snapshotFiles(pf).size,
+      "scenario premise: range stats cannot prune the scattered FK")
+    CowTable.setLookupColumns(spark, pf, Seq("cust"), dictMax = 32,
+      bloomBits = 1 << 16)
+    // ~2000 distinct custs/file over 2^16 bits: far under saturation
+    val opened = CowTable.prunedFilesIn(spark, pf, "cust", Seq(123L))
+    assert(opened.size <= 3,
+      s"FK bloom must skip to ~the containing file: ${opened.size}")
+    // and the KIP-213 refresh path stays exact through the pruned scan
+    def joinOf(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+      f.join(d, f("cust") === d("cid"), "left")
+        .select(col("oid"), col("cust"), col("amount"), col("segment"))
+    val f1 = CowTable.currentVersion(pf)
+    val d1 = CowTable.currentVersion(pd)
+    val mv0 = joinOf(CowTable.read(spark, pf), CowTable.read(spark, pd))
+      .localCheckpoint()
+    CowTable.merge(spark, pd, Seq((123L, "vip")).toDF("cid", "segment"), "cid")
+    val refreshed = CowTable.incrementalJoinFk(spark, pf, pd, "oid", "cust", "cid",
+      mv0, f1, CowTable.currentVersion(pf), d1, CowTable.currentVersion(pd))(joinOf)
+    val full = joinOf(CowTable.read(spark, pf), CowTable.read(spark, pd))
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    assert(refreshed.collect().map(keyOf).sorted.toSeq ==
+      full.collect().map(keyOf).sorted.toSeq)
+    assert(refreshed.filter(col("segment") === "vip").count() == 1)
+  }
 }

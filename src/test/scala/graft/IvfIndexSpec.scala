@@ -212,6 +212,142 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(!r2.rebuilt && IvfIndex.indexedVersion(index) == r2.toVersion)
   }
 
+  test("maintenance policy: probe file-skip degrades under churn, one pass restores it, steady state is a no-op") {
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    mkCorpus(corpus, 200L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2)
+    IvfIndex.compactIndex(spark, index, files = 4) // clustered baseline
+    val aPath = s"$index/assign"
+    val cell = CowTable.read(spark, aPath).select("cell").head().getLong(0)
+    def filesForCell = CowTable.prunedFilesIn(spark, aPath, "cell", Seq(cell)).size
+    def probeRows() = {
+      val qs = CowTable.read(spark, corpus).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ve").as("qe"))
+      IvfIndex.probe(spark, index, qs, nprobe = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    }
+    val baseFiles = filesForCell
+    // churn: 6 refresh windows, each a scattered upsert → one pos
+    // sidecar + one mixed-cell appended file per window
+    (0 until 6).foreach { w =>
+      CowTable.merge(spark, corpus,
+        (0L until 12L).map(i => (w * 17L + i * 13L) % 200L).distinct
+          .map(id => (id, vecOf(id + 3000L + w)))
+          .toDF("vec_id", "ve"), "vec_id")
+      assert(!IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9,
+        numCells = 4).rebuilt)
+    }
+    val churnFiles = filesForCell
+    val churnSidecars = CowTable.snapshotPositionDeletes(aPath).size
+    assert(churnFiles > baseFiles,
+      s"churn must degrade the probe's file skip: $churnFiles vs $baseFiles")
+    assert(churnSidecars > 4, s"churn must pile up sidecars: $churnSidecars")
+    val beforeMaint = probeRows()
+    // ONE policy pass: folds the sidecars, restores the clustering
+    val rep = IvfIndex.maintainIndex(spark, corpus, index,
+      IvfIndex.IndexPolicy(maxPosSidecars = 4, targetFiles = 4,
+        maxDrift = 1e9, numCells = 4))
+    assert(rep.compacted && rep.foldedPosSidecars == churnSidecars)
+    assert(!rep.refreshed, "index was caught up — nothing to refresh")
+    assert(CowTable.snapshotPositionDeletes(aPath).isEmpty)
+    assert(filesForCell <= baseFiles + 1,
+      s"maintenance must RESTORE the file skip: $filesForCell vs base $baseFiles")
+    assert(probeRows() == beforeMaint, "maintenance must not change served rows")
+    // an un-caught-up corpus is caught up by the same pass
+    CowTable.merge(spark, corpus, Seq((7L, vecOf(9999L))).toDF("vec_id", "ve"),
+      "vec_id")
+    val rep2 = IvfIndex.maintainIndex(spark, corpus, index,
+      IvfIndex.IndexPolicy(maxPosSidecars = 4, targetFiles = 4,
+        maxDrift = 1e9, numCells = 4))
+    assert(rep2.refreshed && !rep2.reseeded)
+    // steady state: a third pass commits nothing
+    val v0 = (CowTable.currentVersion(aPath), CowTable.currentVersion(s"$index/centroids"))
+    val rep3 = IvfIndex.maintainIndex(spark, corpus, index,
+      IvfIndex.IndexPolicy(maxPosSidecars = 4, targetFiles = 4,
+        maxDrift = 1e9, numCells = 4))
+    assert(!rep3.refreshed && !rep3.compacted && rep3.vacuumedFiles == 0)
+    assert((CowTable.currentVersion(aPath),
+      CowTable.currentVersion(s"$index/centroids")) == v0,
+      "steady state must be a no-op")
+  }
+
+  test("served-index recall@10 ≥ 0.9 on the clustered corpus: fresh build, after 3 refresh windows, just below the drift threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.vec_dot
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    // the clustered corpus is where recall is MEANINGFUL (the sf
+    // embeddings are near-random — max cosine ~0.5, any probe looks
+    // fine at 0.5 recall); here true neighbours share a tight cluster
+    CowTable.create(graft.ops.Pipeline
+      .clusteredCorpus(spark, n = 2000, clusters = 50, dims = 64, noise = 0.05)
+      .repartition(4), corpus)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 16, iters = 2)
+    val nQ = 20
+    def recallAt(nprobe: Int): Double = {
+      val v = CowTable.read(spark, corpus).select(col("vec_id"), col("ve"))
+      val queries = v.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("ve").as("qe"))
+      val served = IvfIndex.probe(spark, index, queries, nprobe, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
+      val exact = queries.join(v, col("vec_id") =!= col("qid"))
+        .withColumn("s", vec_dot(col("qe"), col("ve")) /
+          (sqrt(vec_dot(col("qe"), col("qe"))) * sqrt(vec_dot(col("ve"), col("ve")))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+      served.intersect(exact).size.toDouble / exact.size
+    }
+    // point 1 — fresh build, swept over nprobe; gate the SERVING
+    // nprobe (4, what ann_ivf_persistent probes with)
+    val sweep = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
+    info(s"fresh-build recall@10 sweep: $sweep")
+    assert(sweep.toMap.apply(4) >= 0.9, s"fresh-build recall: $sweep")
+    // exact-score rerank over a growing candidate set: recall is
+    // monotone in nprobe — a sweep that ISN'T means the probe is broken
+    assert(sweep.sliding(2).forall(p => p.head._2 <= p.last._2 + 1e-9),
+      s"recall must not decrease with nprobe: $sweep")
+    // point 2 — three refresh windows of SCATTERED upserts (in-cluster
+    // jitter on every 7th id + fresh inserts near existing clusters)
+    (0 until 3).foreach { w =>
+      val moved = CowTable.read(spark, corpus)
+        .filter(pmod(col("vec_id"), lit(7)) === w)
+        .select(col("vec_id"),
+          transform(col("ve"), x => x + lit(0.02) * sin(x * 31.0 + lit(w))).as("ve"))
+      CowTable.merge(spark, corpus, moved, "vec_id")
+      CowTable.append(spark, corpus,
+        CowTable.read(spark, corpus)
+          .filter(col("vec_id") >= 100 + w * 20 && col("vec_id") < 120 + w * 20)
+          .select((col("vec_id") + 10000 + w * 100).as("vec_id"),
+            transform(col("ve"), x => x + lit(0.01)).as("ve")))
+      val r = IvfIndex.refresh(spark, corpus, index, numCells = 16)
+      assert(!r.rebuilt, s"scattered jitter must stay under the threshold: $r")
+    }
+    val afterWindows = recallAt(4)
+    info(s"recall@10 after 3 refresh windows: $afterWindows")
+    assert(afterWindows >= 0.9, s"recall degraded after refresh windows: $afterWindows")
+    // point 3 — drift JUST BELOW the declared threshold: a constant
+    // offset on two whole clusters shifts their cells' running means
+    // measurably but under maxDrift; the refresh must keep the frozen
+    // centroids AND the served recall must still gate
+    val shoved = CowTable.read(spark, corpus)
+      .filter(pmod(col("vec_id"), lit(50)) < 2 && col("vec_id") < 2000)
+      .select(col("vec_id"), transform(col("ve"), x => x + lit(0.15)).as("ve"))
+    CowTable.merge(spark, corpus, shoved, "vec_id")
+    val r3 = IvfIndex.refresh(spark, corpus, index, maxDrift = 0.25, numCells = 16)
+    info(s"near-threshold window: $r3")
+    assert(!r3.rebuilt, s"drift must stay under the 0.25 threshold: $r3")
+    assert(r3.worstShift.exists(s => s > 0.05),
+      s"the window must produce REAL drift for this point to mean anything: $r3")
+    val nearThreshold = recallAt(4)
+    info(s"recall@10 just below the drift threshold: $nearThreshold")
+    assert(nearThreshold >= 0.9,
+      s"a drifted-but-not-rebuilt index must still serve: $nearThreshold")
+  }
+
   test("interrupted drift re-seed resumes via the intent marker") {
     import spark.implicits._
     val dir = tmp

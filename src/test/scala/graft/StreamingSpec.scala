@@ -845,6 +845,88 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("wall-clock punctuate: heartbeats fire on idle keys; invariants hold under ANY firing schedule") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // one run = four data batches with real wall-clock gaps so the
+      // 150 ms one-shot timers expire between them. ProcessingTime
+      // mode keeps the engine in a continuous empty-batch poll loop,
+      // so `processAllAvailable` never observes idle — the test polls
+      // the SINK for the deterministic data rows instead (and the
+      // poll-loop behavior is exactly why HeartbeatProcessor's timers
+      // are activity-re-armed one-shots, not self-re-arming)
+      def run(): (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+        val stream = MemoryStream[Evt]
+        val sink = nextSink()
+        val q = StreamOps.heartbeatTws(stream.toDF().as[Evt], intervalMs = 150L)
+          .toDF("user_id", "n", "kind")
+          .writeStream.format("memory").queryName(sink).outputMode("update").start()
+        def dataRows() = spark.table(sink).filter(col("kind") === "data").count()
+        def await(atLeast: Long): Unit = {
+          val t0 = System.currentTimeMillis()
+          while (dataRows() < atLeast) {
+            assert(q.exception.isEmpty, s"query died: ${q.exception}")
+            assert(System.currentTimeMillis() - t0 < 60000,
+              s"timed out waiting for $atLeast data rows (have ${dataRows()})")
+            Thread.sleep(100)
+          }
+        }
+        stream.addData(evt(1, "2024-01-01 10:00:00", user = 1, v = 1.0),
+                       evt(2, "2024-01-01 10:00:01", user = 1, v = 1.0),
+                       evt(3, "2024-01-01 10:00:02", user = 1, v = 1.0))
+        await(1)
+        Thread.sleep(400)
+        stream.addData(evt(4, "2024-01-01 10:01:00", user = 1, v = 1.0),
+                       evt(5, "2024-01-01 10:01:01", user = 2, v = 1.0))
+        await(3)
+        Thread.sleep(400)
+        stream.addData(evt(6, "2024-01-01 10:02:00", user = 3, v = 1.0))
+        await(4)
+        Thread.sleep(400)
+        stream.addData(evt(7, "2024-01-01 10:03:00", user = 3, v = 1.0))
+        await(5)
+        // give the last armed timers a chance to fire before stopping
+        Thread.sleep(400)
+        q.stop()
+        val rows = spark.table(sink).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+            r.getAs[String]("kind")))
+        (rows.filter(_._3 == "data").map(t => (t._1, t._2)).sorted.toSeq,
+         rows.filter(_._3 == "hb").map(t => (t._1, t._2)).sorted.toSeq)
+      }
+      val (data1, hb1) = run()
+      // the data-driven state is a pure function of the batches
+      assert(data1 == Seq((1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (3L, 2L)),
+        s"data emissions must be schedule-independent: $data1")
+      // heartbeats fired (timers armed in batch 1 expire across the
+      // 400 ms gaps — every later batch is a firing opportunity) …
+      assert(hb1.nonEmpty, "wall-clock punctuate never fired")
+      // … and each one's payload is the key's running count at SOME
+      // batch prefix — never a value the state never held
+      val validPrefix = Map(1L -> Set(0L, 3L, 4L), 2L -> Set(0L, 1L),
+        3L -> Set(0L, 1L, 2L))
+      hb1.foreach { case (u, n) =>
+        assert(validPrefix(u).contains(n), s"heartbeat ($u, $n) is not a prefix count")
+      }
+      // schedule independence: a second run converges to the SAME
+      // final data state, whatever its heartbeat schedule did
+      val (data2, hb2) = run()
+      assert(data2 == data1, "final data state must be identical across runs")
+      hb2.foreach { case (u, n) =>
+        assert(validPrefix(u).contains(n), s"heartbeat ($u, $n) is not a prefix count")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transition census stream equals the batch operator on an in-order replay") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
