@@ -785,6 +785,10 @@ class PlanSpec extends SparkSpecBase {
     *    cross join — cardinality fixed by construction, never data.
     */
   private val bnljAllowed: Map[String, String] = Map(
+    "events_anomaly_daily" -> "1-row scalar: global moment (N,S,SS) broadcast over the day domain",
+    "events_hour_share_drift" -> "1-row scalar: corpus-total broadcast over the bounded day-hour grid",
+    "events_top_minutes" -> "1-row scalar: corpus-total broadcast over the minute census",
+    "ml_population_drift_bins" -> "1-row scalar: per-half totals broadcast over the bounded band table",
     "sim_pairs_threshold" -> "contract-quadratic (linear twin: dedup_minhash_lsh)",
     "sim_knn_per_query" -> "contract-quadratic (linear twin: ann_ivf_topk)",
     "ml_mrr_hits" -> "contract-quadratic: exact-ranking eval contract (serving twin: ann_ivf_topk)",
@@ -848,6 +852,12 @@ class PlanSpec extends SparkSpecBase {
     * scalar subqueries) or a bounded domain table — never fact data.
     */
   private val singleAllowed: Map[String, String] = Map(
+    "events_anomaly_daily" -> "1-row moment aggregate (the broadcast side; day census stays parallel)",
+    "events_hour_share_drift" -> "1-row corpus-total aggregate (grid/day aggs stay parallel)",
+    "events_top_minutes" -> "1-row corpus-total aggregate (minute census stays parallel)",
+    "ml_population_drift_bins" -> "1-row totals aggregate (band census stays parallel)",
+    "supplier_volume_balance_spearman" -> "1-row spearman final aggregate (ranks via bucket-parallel globalRank)",
+    "ts_runs_updown" -> "bounded day-domain sign/run windows (fact collapses to daily cents first; the ts_sma_crossover class)",
     "agg_count_distinct" -> "1-row global aggregate",
     "agg_approx_topk" -> "1-row global sketch merge",
     "agg_kmv_distinct" -> "1-row global sketch merge",
@@ -916,6 +926,50 @@ class PlanSpec extends SparkSpecBase {
     "ts_dom_seasonality" -> "bounded 31-row day-of-month domain total window (fact collapses first)",
     "dq_fk_fanout_profile" -> "per-relation 1-row profile union (the profile_table_stats shape)",
     "segment_wallet_share" -> "1-row totals scalar over the bounded segment table")
+
+  test("AQE OptimizeSkewedJoin splits a hot-key shuffle join at runtime (salting OFF)") {
+    // the declarative skew path a 100 TB user gets by DEFAULT — the
+    // plan-guard half of ScaleBench `skew` (VERDICT r12 task 7):
+    // with salting off and broadcast disabled, the executed adaptive
+    // plan must carry the skew=true SMJ split, and the rows must equal
+    // the AQE-off run. Scale.saltedJoin remains the explicit tool for
+    // shapes AQE can't split (a hash join it must keep intact, or a
+    // post-join agg keyed on the hot column re-merging the splits).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      // 400k rows, half on ONE key: the hot shuffle partition is ~40×
+      // the others and well past the (tuned-down) skew threshold
+      def fact = spark.range(400000L).select(
+        when(pmod(col("id"), lit(10)) < 5, 0L)
+          .otherwise(pmod(xxhash64(col("id")), lit(5000L))).as("k"),
+        concat(lit("payload_"), col("id")).as("p"))
+      def dim = spark.range(5000L).select(col("id").as("k"),
+        concat(lit("attr_"), col("id")).as("a"))
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = fact.join(dim, "k")
+      // execute THIS df's own QueryExecution (count() would build a
+      // fresh aggregate plan and leave df's adaptive plan un-final)
+      val n = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin must fire on the hot key; executed plan:\n$plan")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(fact.join(dim, "k").count() == n,
+        "the skew-split plan must not change the result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
   test("battery-wide: no data-sized BNLJ / cartesian / single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
