@@ -786,6 +786,8 @@ class PlanSpec extends SparkSpecBase {
     */
   private val bnljAllowed: Map[String, String] = Map(
     "events_anomaly_daily" -> "1-row scalar: global moment (N,S,SS) broadcast over the day domain",
+    "dq_clock_uniformity" -> "1-row scalar: corpus-total broadcast over the bounded 60-row minute domain",
+    "embedding_label_norm_gap" -> "1-row scalar: global norm totals broadcast over the bounded label table",
     "events_hour_share_drift" -> "1-row scalar: corpus-total broadcast over the bounded day-hour grid",
     "events_top_minutes" -> "1-row scalar: corpus-total broadcast over the minute census",
     "ml_population_drift_bins" -> "1-row scalar: per-half totals broadcast over the bounded band table",
@@ -853,6 +855,9 @@ class PlanSpec extends SparkSpecBase {
     */
   private val singleAllowed: Map[String, String] = Map(
     "events_anomaly_daily" -> "1-row moment aggregate (the broadcast side; day census stays parallel)",
+    "dq_clock_uniformity" -> "1-row corpus-total aggregate (minute census stays parallel)",
+    "embedding_label_norm_gap" -> "1-row norm-total aggregate (label census stays parallel)",
+    "customer_acquisition_monthly" -> "bounded month-domain cumulative window (customer grain collapses to months first)",
     "events_hour_share_drift" -> "1-row corpus-total aggregate (grid/day aggs stay parallel)",
     "events_top_minutes" -> "1-row corpus-total aggregate (minute census stays parallel)",
     "ml_population_drift_bins" -> "1-row totals aggregate (band census stays parallel)",
