@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -745,6 +745,67 @@ object ScaleBench {
       f"naive ${tN}%5.2f s | AQE skew-split ${tA}%5.2f s (plan-guarded skew=true) " +
       f"| salted(16) ${tS}%5.2f s — checksum-equal")
     } // end skew section
+
+    if (only.forall(_ == "lookup")) {
+    // ---- round-13: per-file key lookup sidecars (VERDICT r12 #2) -------
+    // The shape range stats can NEVER prune: a fact clustered by its
+    // OWN key (the realistic time/arrival layout) probed by an IN on a
+    // hash-distributed FK. Every file's [min,max] on the FK spans the
+    // whole domain — range stats open ALL 64 files — but each specific
+    // key's rows are arrival-contiguous (a customer's orders land
+    // together), so per-file membership blooms open only the files
+    // that can hold the probed keys. This is the KIP-213 FK-scan /
+    // band-index-probe shape the bloom `B` sidecars exist for.
+    import graft.sinks.CowTable
+    val lDir = "/tmp/graft_scalebench_lookup"
+    val lRoot = java.nio.file.Paths.get(lDir)
+    if (java.nio.file.Files.exists(lRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(lRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val plt = s"$lDir/fact"
+    // 8M facts, 64 oid-range files; cust = hash(oid/10): 10 contiguous
+    // oids share a cust, cust VALUES hash-scattered over 800k — per
+    // file ~12.5k distinct custs whose min/max covers ~the full domain
+    CowTable.create(spark.range(8000000L).select(col("id").as("oid"),
+        pmod(xxhash64((col("id") / 10L).cast("long")), lit(800000L)).as("cust"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("amount"))
+      .repartitionByRange(64, col("id")), plt)
+    CowTable.setStatsColumns(spark, plt, Seq("oid", "cust"))
+    val tLB0 = System.nanoTime()
+    // ~12.5k keys/file at 2^18 bits ≈ 21 bits/key — comfortably unsaturated
+    CowTable.setLookupColumns(spark, plt, Seq("cust"), dictMax = 128,
+      bloomBits = 1 << 18)
+    val tLB = (System.nanoTime() - tLB0) / 1e9
+    val probeKeys: Seq[Any] = (0 until 8).map(i =>
+      Long.box((spark.range(1).select(
+        pmod(xxhash64(lit(i * 99991L + 3L)), lit(800000L))).collect().head.getLong(0))))
+    val allF = CowTable.snapshotFiles(plt).size
+    val openB = CowTable.prunedFilesIn(spark, plt, "cust", probeKeys).size
+    // range stats alone (the pre-bloom world): rebuild the same table
+    // without a lookup spec and prune the same IN
+    val pltR = s"$lDir/factR"
+    CowTable.create(CowTable.read(spark, plt).repartitionByRange(64, col("oid")), pltR)
+    CowTable.setStatsColumns(spark, pltR, Seq("oid", "cust"))
+    val openR = CowTable.prunedFilesIn(spark, pltR, "cust", probeKeys).size
+    def lchk(df: org.apache.spark.sql.DataFrame): (Long, String, Double) = {
+      val t0 = System.nanoTime()
+      val r = df.filter(col("cust").isInCollection(probeKeys))
+        .agg(count(lit(1)), sum(xxhash64(col("oid"), col("cust"), col("amount"))
+          .cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), r.getDecimal(1).toString, (System.nanoTime() - t0) / 1e9)
+    }
+    val (cLF, hLF, tLF) = lchk(CowTable.read(spark, plt))
+    val (cLP, hLP, tLP) = lchk(CowTable.readPrunedIn(spark, plt, "cust", probeKeys))
+    require(cLF == cLP && hLF == hLP,
+      s"bloom-pruned read diverged: ($cLF,$hLF) vs ($cLP,$hLP)")
+    require(cLF > 0L, "probe keys must match rows")
+    println(f"[scalebench] lookup @ 8M facts / 64 files, 8-key FK IN: " +
+      f"bloom sidecars open $openB of $allF files (range stats alone: $openR) — " +
+      f"full ${tLF}%5.2f s vs pruned ${tLP}%5.2f s, checksum-equal " +
+      f"(bloom backfill ${tLB}%5.2f s once)")
+    } // end lookup section
 
     val dir = "/tmp/graft_scalebench"
     def time(name: String): (Long, Double) = {
