@@ -1,0 +1,254 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import Util._
+
+/** Round-13 wave 3 (SURVEY §2.17): rolling active-user windows without
+  * distinct-over-window, monthly active share, brand revenue ranks,
+  * type×dow mixes, key-space density audits, ship-before-order
+  * referential time audits, cross-dimension balance gaps, lifecycle
+  * transition matrices, one-and-done cohort churn, explode-free token
+  * length profiles, the min_by/max_by SQL surface, and sign-bucket
+  * embedding censuses. Exactness and scale posture per §2.1.
+  */
+object Metrics5 {
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** Rolling 7-day active users per day WITHOUT distinct-over-window
+    * (which no engine does cheaply): each distinct (user, day) explodes
+    * to the ≤7 trailing report days it covers — a ×7 linear map — and
+    * the census counts distinct users per report day. Reported days
+    * are the days with events (semi join), so no phantom tail.
+    */
+  val eventsRollingWau: Q = (s, d) => {
+    val du = ev(s, d).select(col("user_id"), to_date(col("ts")).as("dd")).distinct()
+    val days = du.select("dd").distinct()
+    du.select(col("user_id"),
+        explode(sequence(col("dd"), date_add(col("dd"), 6))).as("rd"))
+      .join(days.withColumnRenamed("dd", "rd"), Seq("rd"), "left_semi")
+      .groupBy("rd")
+      .agg(countDistinct("user_id").cast("long").as("wau"))
+      .select(col("rd").cast("string").as("rd"), col("wau"))
+      .orderBy("rd")
+  }
+
+  /** Monthly active customers as a share (ppm) of the cumulative
+    * acquired base — engagement of the book, not just its growth
+    * (`customer_acquisition_monthly` gives the base; this divides into
+    * it). Customer grain collapses to bounded months; the cumulative
+    * window runs over months only.
+    */
+  val customerMonthlyActiveShare: Q = (s, d) => {
+    val om = orders(s, d).select(col("o_custkey").as("ck"),
+      trunc(col("o_orderdate"), "month").as("m"))
+    val active = om.groupBy("m")
+      .agg(countDistinct("ck").cast("long").as("active"))
+    val acquired = om.groupBy("ck").agg(min("m").as("m"))
+      .groupBy("m").agg(cnt.as("nw"))
+    val w = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(acquired, Seq("m"), "left")
+      .withColumn("base", sum(coalesce(col("nw"), lit(0L))).over(w).cast("long"))
+      .select(col("m").cast("string").as("m"), col("active"), col("base"),
+              expr("div(active * 1000000, base)").cast("long").as("active_ppm"))
+      .orderBy("m")
+  }
+
+  /** Brand revenue leaderboard: net revenue, quantity, and dense
+    * revenue rank per part brand — the catalog P&L cut. One fact pass
+    * through a broadcast part dim into the bounded 25-brand domain;
+    * the rank window runs over 25 aggregate rows.
+    */
+  val partBrandRevenueRank: Q = (s, d) => {
+    val rev = li(s, d)
+      .join(broadcast(Tables.t(s, d, "part").select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("net_cents"),
+           sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+    rev.withColumn("rev_rank",
+        row_number().over(Window.orderBy(col("net_cents").desc, col("brand")))
+          .cast("long"))
+      .orderBy("rev_rank")
+  }
+
+  /** Event-type × day-of-week mix with within-type shares (ppm). The
+    * dow KEY is emitted through the pinned Sunday=1 mapping (Spark
+    * `dayofweek` natively; oracle `isodow%7+1`) — week-of-year-free
+    * per §2.1. Bounded type×7 domain.
+    */
+  val eventsTypeDowMix: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(col("event_type").as("etype"),
+               dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(cnt.as("n"))
+      .withColumn("type_share_ppm",
+        expr("div(n * 1000000, sum(n) over (partition by etype))").cast("long"))
+      .orderBy("etype", "dow")
+
+  /** Key-space density audit: per 32k-orderkey block, the count and
+    * the missing-key tally (span − present) — surrogate-key burn /
+    * deleted-row footprint, the write-side complement of
+    * `dq_key_date_inversions`. Pure groupBy, no window.
+    */
+  val dqOrderkeyGaps: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(expr("div(o_orderkey, 32768)").as("block"))
+      .agg(cnt.as("n_keys"),
+           min("o_orderkey").cast("long").as("min_key"),
+           max("o_orderkey").cast("long").as("max_key"))
+      .withColumn("missing", col("max_key") - col("min_key") + 1L - col("n_keys"))
+      .orderBy("block")
+
+  /** Ship-before-order referential TIME audit: lines whose ship date
+    * precedes their order's date, per ship month — the cross-table
+    * arrow-of-time check beside `dq_key_date_inversions`' in-table
+    * one. One orderkey equi-join; zero violations is the healthy
+    * answer and months still report.
+    */
+  val dqShipBeforeOrder: Q = (s, d) =>
+    li(s, d)
+      .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(cnt.as("n_lines"),
+           sum(when(to_date(col("l_shipdate")) < to_date(col("o_orderdate")), 1L)
+             .otherwise(0L)).cast("long").as("n_violations"))
+      .orderBy("ym")
+
+  /** Cross-dimension balance gap per nation: customer-side vs
+    * supplier-side account balances — where the money sits. Two
+    * bounded keyed aggs full-outer-joined on the nation domain.
+    */
+  val nationBalanceGap: Q = (s, d) => {
+    val n = Tables.t(s, d, "nation")
+    val cb = Tables.t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(cnt.as("n_customers"),
+           sum(cents(col("c_acctbal"))).cast("long").as("cust_bal_cents"))
+    val sb = Tables.t(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+      .agg(cnt.as("n_suppliers"),
+           sum(cents(col("s_acctbal"))).cast("long").as("supp_bal_cents"))
+    cb.join(sb, Seq("nk"), "full_outer")
+      .join(broadcast(n), col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("cust_bal_cents"), lit(0L)).as("cust_bal_cents"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("supp_bal_cents"), lit(0L)).as("supp_bal_cents"))
+      .withColumn("gap_cents", col("cust_bal_cents") - col("supp_bal_cents"))
+      .orderBy("nation")
+  }
+
+  /** First→last event-type transition matrix per user — the lifecycle
+    * counterpart of `orders_priority_transition` on the behavioral
+    * stream. Deterministic struct extremes over (ts, event_id);
+    * bounded type×type output.
+    */
+  val eventsFirstLastTypeMatrix: Q = (s, d) =>
+    ev(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type").as("t")).as("st"))
+      .groupBy("user_id")
+      .agg(min("st").getField("t").as("first_type"),
+           max("st").getField("t").as("last_type"))
+      .groupBy("first_type", "last_type")
+      .agg(cnt.as("n_users"))
+      .orderBy("first_type", "last_type")
+
+  /** One-and-done churn per acquisition month: the share (ppm) of each
+    * month's NEW customers who never ordered again — the cohort-decay
+    * headline. One customer-grain agg into bounded months.
+    */
+  val customerOneAndDoneMonthly: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(min(trunc(col("o_orderdate"), "month")).as("fm"), cnt.as("n_orders"))
+      .groupBy("fm")
+      .agg(cnt.as("n_new"),
+           sum(when(col("n_orders") === 1L, 1L).otherwise(0L)).cast("long")
+             .as("n_single"))
+      .select(col("fm").cast("string").as("fm"), col("n_new"), col("n_single"),
+              expr("div(n_single * 1000000, n_new)").cast("long").as("single_ppm"))
+      .orderBy("fm")
+
+  /** Token-length profile per language WITHOUT exploding: per-doc
+    * token count, summed token chars, and max token length all come
+    * from array expressions (`aggregate`/`transform`/`array_max`), so
+    * the fact never widens — the explode-free idiom that matters when
+    * documents are megabytes. Mean length in ×100 truncating div.
+    */
+  val textTokenLengthByLang: Q = (s, d) =>
+    docs(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        expr("aggregate(transform(split(text, ' '), x -> length(x)), 0L, (a, x) -> a + x)")
+          .as("chars"),
+        expr("array_max(transform(split(text, ' '), x -> length(x)))")
+          .cast("long").as("maxlen"))
+      .groupBy("lang")
+      .agg(cnt.as("n_docs"), sum("toks").cast("long").as("n_tokens"),
+           expr("div(sum(chars) * 100, sum(toks))").cast("long").as("mean_len_x100"),
+           max("maxlen").cast("long").as("max_token_len"))
+      .orderBy("lang")
+
+  /** The min_by/max_by SQL surface: richest and poorest supplier per
+    * nation. The ordering scalar is made UNIQUE by construction
+    * (bal_cents·10⁵ + suppkey) so the argmax needs no engine tiebreak
+    * rule — both engines' arg extreme is the same row.
+    */
+  val aggMinMaxBy: Q = (s, d) =>
+    Tables.t(s, d, "supplier")
+      .join(broadcast(Tables.t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("s_name"),
+        (cents(col("s_acctbal")) * 100000L + col("s_suppkey")).as("ord"))
+      .groupBy("nation")
+      .agg(cnt.as("n_suppliers"),
+           expr("max_by(s_name, ord)").as("richest"),
+           expr("min_by(s_name, ord)").as("poorest"))
+      .orderBy("nation")
+
+  /** Sign-bucket census of the first 8 embedding dimensions: each
+    * vector hashes to the 8-bit bucket Σ 2^i·[vᵢ>0] (a 1-plane-per-dim
+    * SimHash) and the census reports bucket populations and label
+    * spread — the "how balanced would an LSH index be" planning
+    * number. Exact integers; bounded 256-row output.
+    */
+  val embeddingSignBucketCensus: Q = (s, d) =>
+    Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 8)
+      .groupBy("vec_id", "label")
+      .agg(sum(when(col("v") > 0f,
+        expr("shiftleft(cast(1 as bigint), cast(pos as int))")).otherwise(0L))
+        .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(cnt.as("n_vecs"), countDistinct("label").cast("long").as("n_labels"))
+      .orderBy("bucket")
+
+  val queries: Map[String, Q] = Map(
+    "events_rolling_wau" -> eventsRollingWau,
+    "customer_monthly_active_share" -> customerMonthlyActiveShare,
+    "part_brand_revenue_rank" -> partBrandRevenueRank,
+    "events_type_dow_mix" -> eventsTypeDowMix,
+    "dq_orderkey_gaps" -> dqOrderkeyGaps,
+    "dq_ship_before_order" -> dqShipBeforeOrder,
+    "nation_balance_gap" -> nationBalanceGap,
+    "events_first_last_type_matrix" -> eventsFirstLastTypeMatrix,
+    "customer_one_and_done_monthly" -> customerOneAndDoneMonthly,
+    "text_token_length_by_lang" -> textTokenLengthByLang,
+    "agg_min_max_by" -> aggMinMaxBy,
+    "embedding_sign_bucket_census" -> embeddingSignBucketCensus,
+  )
+}

@@ -858,6 +858,8 @@ class PlanSpec extends SparkSpecBase {
     "dq_clock_uniformity" -> "1-row corpus-total aggregate (minute census stays parallel)",
     "embedding_label_norm_gap" -> "1-row norm-total aggregate (label census stays parallel)",
     "customer_acquisition_monthly" -> "bounded month-domain cumulative window (customer grain collapses to months first)",
+    "customer_monthly_active_share" -> "bounded month-domain cumulative window (customer grain collapses to months first)",
+    "part_brand_revenue_rank" -> "bounded 25-row brand-domain rank window over the aggregate",
     "events_hour_share_drift" -> "1-row corpus-total aggregate (grid/day aggs stay parallel)",
     "events_top_minutes" -> "1-row corpus-total aggregate (minute census stays parallel)",
     "ml_population_drift_bins" -> "1-row totals aggregate (band census stays parallel)",
