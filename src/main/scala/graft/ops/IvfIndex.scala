@@ -130,6 +130,12 @@ object IvfIndex {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Whether an index exists at `indexPath` (its version marker is the
+    * last artifact a successful [[buildIndex]] writes, so marker
+    * presence == a complete index).
+    */
+  def exists(indexPath: String): Boolean = Files.exists(markerPath(indexPath))
+
   /** The corpus snapshot version the index currently reflects. */
   def indexedVersion(indexPath: String): Int =
     new String(Files.readAllBytes(markerPath(indexPath)),

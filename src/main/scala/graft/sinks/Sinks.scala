@@ -163,6 +163,62 @@ object Sinks {
       }
       .start()
 
+  /** LIVE ANN-INDEX MAINTENANCE (round 13): the streaming face of
+    * [[graft.ops.IvfIndex]] — each micro-batch of vector upserts lands
+    * in the corpus CowTable as ONE atomic MoR upsert stamped
+    * `(appId, batchId)` ([[CowTable.upsertMorPos]] — positional
+    * deletes of the replaced keys AND the new rows in the same
+    * snapshot), and the persistent IVF index folds the resulting CDC
+    * window in O(batch) via [[graft.ops.IvfIndex.refresh]] (drift
+    * watch, threshold re-seed, crash repair — all of refresh's
+    * contract applies per batch). The first batch bootstraps corpus +
+    * index.
+    *
+    * Exactly-once under replay, with NO extra machinery: a
+    * post-commit re-delivery hits the corpus txn watermark (upsert
+    * no-ops, version unchanged), so refresh sees `fromV == toV` and
+    * no-ops too — the double-delivery harness asserts byte-equal
+    * corpus, assignment, and centroid state. Expected input columns:
+    * `vec_id` + the vector column `ve`.
+    */
+  def ivfIngestStream(vectors: DataFrame, corpusPath: String,
+                      indexPath: String, checkpoint: String,
+                      numCells: Int = 16, iters: Int = 2,
+                      maxDrift: Double = 0.2,
+                      appId: String = "ivf-ingest"): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ivfIngestBatch(batch, id, corpusPath, indexPath,
+          numCells, iters, maxDrift, appId)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[ivfIngestStream]], exposed so the
+    * replay contract is testable without streaming machinery.
+    */
+  private[graft] def ivfIngestBatch(batch: DataFrame, id: Long,
+                                    corpusPath: String, indexPath: String,
+                                    numCells: Int = 16, iters: Int = 2,
+                                    maxDrift: Double = 0.2,
+                                    appId: String = "ivf-ingest"): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    if (!CowTable.exists(corpusPath))
+      CowTable.create(batch.limit(0), corpusPath) // schema-only skeleton
+    CowTable.upsertMorPos(spark, corpusPath,
+      batch.select("vec_id").distinct(), batch, txn = Some((appId, id)))
+    if (!graft.ops.IvfIndex.exists(indexPath))
+      graft.ops.IvfIndex.buildIndex(spark, corpusPath, indexPath,
+        numCells = numCells, iters = iters)
+    else {
+      graft.ops.IvfIndex.refresh(spark, corpusPath, indexPath,
+        maxDrift = maxDrift, numCells = numCells, iters = iters)
+      ()
+    }
+  }
+
   /** The per-micro-batch body of [[incrementalDedupPipeline]], exposed
     * so the replay contract is testable without streaming machinery:
     * calling it twice with the same (batch, id) — the post-commit

@@ -79,6 +79,50 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(!r2.rebuilt && r2.toVersion == r.toVersion)
   }
 
+  test("ivfIngestStream: live vector upserts maintain the served index end-to-end") {
+    // the streaming face (Sinks.ivfIngestStream): batch 1 bootstraps
+    // corpus + index; batch 2's upserts + inserts fold via refresh.
+    // Invariants after the stream drains: marker == corpus version,
+    // and the assign table == argmax assignment of every live vector
+    // under the stored centroids (refresh's parity law) — i.e. the
+    // live-maintained index serves exactly what a rebuild would,
+    // modulo centroid freezing.
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    val stream = MemoryStream[(Long, Array[Double])]
+    val q = graft.sinks.Sinks.ivfIngestStream(
+      stream.toDF().toDF("vec_id", "ve"), corpus, index,
+      checkpoint = s"$dir/cp", numCells = 4, iters = 2, maxDrift = 1e9)
+    try {
+      stream.addData((0L until 120L).map(i => (i, vecOf(i))))
+      q.processAllAvailable()
+      assert(IvfIndex.exists(index), "first batch bootstraps the index")
+      val centroids0 = CowTable.read(spark, s"$index/centroids")
+        .select("cid").as[Long].collect().sorted.toSeq
+      // batch 2: 6 vectors move, 4 new arrive
+      stream.addData((0L until 6L).map(i => (i * 11, vecOf(i * 11 + 2000))) ++
+        (200L until 204L).map(i => (i, vecOf(i))))
+      q.processAllAvailable()
+      assert(IvfIndex.indexedVersion(index) == CowTable.currentVersion(corpus),
+        "index marker tracks the corpus head")
+      // centroids frozen across the streamed refresh window
+      assert(CowTable.read(spark, s"$index/centroids")
+        .select("cid").as[Long].collect().sorted.toSeq == centroids0)
+      val full = IvfIndex.assignTo(
+        IvfIndex.withNorm(CowTable.read(spark, corpus).select(col("vec_id"), col("ve"))),
+        CowTable.read(spark, s"$index/centroids"))
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell")))
+        .sorted.toSeq
+      assert(assignRows(s"$index/assign") == full,
+        "live-maintained assignment == frozen-centroid argmax of the whole corpus")
+      assert(full.exists(_._1 == 203L), "streamed inserts are indexed")
+      assert(full.size == 124)
+    } finally q.stop()
+  }
+
   test("compactIndex folds refresh sidecars; probes identical before and after") {
     import spark.implicits._
     val dir = tmp

@@ -1777,6 +1777,21 @@ class StreamingSpec extends SparkSpecBase {
         (d, b, id) => Sinks.incrementalDedupBatch(b, id, s"$d/corpus", s"$d/index",
           s"$d/pairs", Seq("lang", "source")),
         d => canonCow(s"$d/corpus") ++ canonP(s"$d/pairs")),
+      Sink("ivfIngest",
+        _ => (),
+        Seq((0L until 24L).map(i => (i, Array.tabulate(4)(j =>
+              math.abs(math.sin(i.toDouble * 7 + j)) + 0.1)))
+              .toDF("vec_id", "ve"),
+            // batch 2: 4 upserts (vectors move) + 2 inserts
+            (Seq(1L, 5L, 9L, 13L).map(i => (i, Array.tabulate(4)(j =>
+              math.abs(math.sin(i.toDouble * 7 + j + 500)) + 0.1))) ++
+             Seq(30L, 31L).map(i => (i, Array.tabulate(4)(j =>
+              math.abs(math.sin(i.toDouble * 7 + j)) + 0.1))))
+              .toDF("vec_id", "ve")),
+        (d, b, id) => Sinks.ivfIngestBatch(b, id, s"$d/corpus", s"$d/index",
+          numCells = 2, iters = 1, maxDrift = 1e9),
+        d => canonCow(s"$d/corpus") ++ canonCow(s"$d/index/assign") ++
+          canonCow(s"$d/index/centroids")),
       Sink("fkDimFanout",
         d => {
           CowTable.create((0L until 40L).map(i => (i, i % 4, i * 2))
