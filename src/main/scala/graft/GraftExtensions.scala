@@ -148,6 +148,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         graft.sinks.CowTable.statsMeta(spark, path, asOf).queryExecution.analyzed
       }))
+    // Per-file key lookup sidecars (round 13): which files carry an
+    // exact dictionary vs a bloom for the declared lookup columns —
+    // `SELECT * FROM cow_lookups('/p'[, version])`.
+    ext.injectTableFunction((
+      FunctionIdentifier("cow_lookups"),
+      info("cow_lookups",
+        "cow_lookups(path[, version]) - per-(file, column) lookup sidecar kind (dict|bloom) + NDV/bits"),
+      (es: Seq[Expression]) => {
+        def litOf(e: Expression): Any = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              "cow_lookups arguments must be literals")
+          e.eval()
+        }
+        val path = litOf(es.head).toString
+        val asOf = es.drop(1).headOption.map(e => litOf(e).toString.toInt)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sinks.CowTable.lookupsMeta(spark, path, asOf).queryExecution.analyzed
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("cow_history"),
       info("cow_history",

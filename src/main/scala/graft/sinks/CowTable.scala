@@ -759,6 +759,24 @@ object CowTable {
     rows.toDF("file", "column_name", "min_value", "max_value", "non_null_count")
   }
 
+  /** Observability face of the `B` lookup sidecars, symmetric with
+    * [[statsMeta]]: per (file, column), whether the file carries an
+    * exact DICTIONARY (with its NDV) or a BLOOM (with its bit size) —
+    * the "will my IN-list prune here?" planning view. SQL face:
+    * `cow_lookups(path[, v])`.
+    */
+  def lookupsMeta(spark: SparkSession, path: String,
+                  asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val rows = fileLookups(path, asOf).toSeq.flatMap { case (f, cols) =>
+      cols.toSeq.map {
+        case (c, DictEntry(vs)) => (f, c, "dict", vs.size.toLong)
+        case (c, BloomEntry(_, bits)) => (f, c, "bloom", bits.toLong)
+      }
+    }.sorted
+    rows.toDF("file", "column_name", "kind", "ndv_or_bits")
+  }
+
   /** A stats JSON value as a BigDecimal (numeric/date/timestamp
     * ordering); None = not comparable (NaN marker, corrupt) → the
     * prune side must keep the file.

