@@ -13,9 +13,12 @@ import graft.sinks.CowTable
   * writer, and ForkRaceSpec spawns two of them concurrently and then
   * proves zero lost rows and gap-free versions.
   *
-  * Args: <tablePath> <writerId> <nAppends> <nMerges>. Every row key is
-  * globally unique per (writer, op), so the success criterion is
-  * exact: the table must hold ALL keys both writers wrote, each once.
+  * Args: <tablePath> <writerId> <nAppends> <nMerges> <nUpserts>. Every
+  * row key is globally unique per (writer, op), so the success
+  * criterion is exact: the table must hold ALL keys both writers
+  * wrote, each once — and each upserted key must carry its POST-image
+  * (the atomic delete+append either fully lands or fully retries;
+  * a torn upsert would surface as a duplicate or a lost key).
   *
   * Object-store caveat (documented, not simulated here): the protocol
   * relies on an atomic, fail-if-exists link/rename on the shared
@@ -26,8 +29,9 @@ import graft.sinks.CowTable
   */
 object RaceWriter {
   def main(args: Array[String]): Unit = {
-    val Array(path, writerId, nAppendsStr, nMergesStr) = args.take(4)
+    val Array(path, writerId, nAppendsStr, nMergesStr, nUpsertsStr) = args.take(5)
     val (nAppends, nMerges) = (nAppendsStr.toInt, nMergesStr.toInt)
+    val nUpserts = nUpsertsStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"cow-race-$writerId")
@@ -48,6 +52,15 @@ object RaceWriter {
           CowTable.merge(spark, path,
             Seq((s"$writerId-m$i", writerId, i)).toDF("k", "w", "i"), "k")
         }
+      }
+      // atomic MoR upsert path (round 13): replace this writer's own
+      // appended rows with post-images in ONE positional-delete+append
+      // commit, racing the other JVM's commits on the same manifest
+      (0 until nUpserts).foreach { i =>
+        CowTable.upsertMorPos(spark, path,
+          Seq(Tuple1(s"$writerId-a$i")).toDF("k"),
+          Seq((s"$writerId-a$i", writerId, i + 1000)).toDF("k", "w", "i"),
+          txn = Some((s"up-$writerId", i.toLong)), maxRetries = 64)
       }
     } finally spark.stop()
   }

@@ -237,7 +237,47 @@ object Metrics5 {
       .agg(cnt.as("n_vecs"), countDistinct("label").cast("long").as("n_labels"))
       .orderBy("bucket")
 
+  /** Cross-supplier price consistency per part: implied unit price
+    * (centi-cents, truncating) per (part, supplier), then the max/min
+    * spread ppm across suppliers of the same part, binned at 5% — the
+    * procurement-arbitrage census. Two keyed aggs; the spread join is
+    * part-keyed, never all-pairs.
+    */
+  val partCrossSupplierPriceSpread: Q = (s, d) => {
+    val up = li(s, d)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(expr("div(sum(cast(round(l_extendedprice * 100) as bigint)) * 100, " +
+                "sum(cast(floor(l_quantity) as bigint)))").as("up_cc"))
+    up.groupBy("pk")
+      .agg(cnt.as("ns"), min("up_cc").as("mn"), max("up_cc").as("mx"))
+      .filter(col("ns") >= 2L)
+      .select(expr("div(div((mx - mn) * 1000000, mn), 50000)").as("spread_band"),
+              expr("div((mx - mn) * 1000000, mn)").as("spread_ppm"))
+      .groupBy("spread_band")
+      .agg(cnt.as("n_parts"), max("spread_ppm").cast("long").as("max_spread_ppm"))
+      .orderBy("spread_band")
+  }
+
+  /** Customer reactivations per month: a reactivation is an order
+    * following a >90-day silence from the same customer — the win-back
+    * curve (`win_gaps_islands` gives streak structure; this is the
+    * event-level return census). One keyed lag window + month agg.
+    */
+  val customerReactivationMonthly: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_custkey").as("ck"),
+      to_date(col("o_orderdate")).as("dt"), col("o_orderkey").as("ok"))
+    val w = Window.partitionBy("ck").orderBy("dt", "ok")
+    o.withColumn("gap", datediff(col("dt"), lag("dt", 1).over(w)))
+      .filter(col("gap") > 90)
+      .groupBy((year(col("dt")) * 100 + month(col("dt"))).cast("long").as("ym"))
+      .agg(cnt.as("n_reactivations"),
+           countDistinct("ck").cast("long").as("n_customers"))
+      .orderBy("ym")
+  }
+
   val queries: Map[String, Q] = Map(
+    "part_cross_supplier_price_spread" -> partCrossSupplierPriceSpread,
+    "customer_reactivation_monthly" -> customerReactivationMonthly,
     "events_rolling_wau" -> eventsRollingWau,
     "customer_monthly_active_share" -> customerMonthlyActiveShare,
     "part_brand_revenue_rank" -> partBrandRevenueRank,

@@ -6,6 +6,28 @@ package graft.oracle
 object OracleW24 {
 
   val sql: Map[String, String] = Map(
+    "part_cross_supplier_price_spread" ->
+      """WITH up AS (SELECT l_partkey pk, l_suppkey sk,
+      sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+        // sum(CAST(floor(l_quantity) AS BIGINT)) up_cc
+    FROM lineitem GROUP BY 1, 2),
+  sp AS (SELECT pk, CAST(count(*) AS BIGINT) ns,
+      min(up_cc) mn, max(up_cc) mx FROM up GROUP BY pk)
+  SELECT CAST(((mx - mn) * 1000000 // mn) // 50000 AS BIGINT) spread_band,
+    CAST(count(*) AS BIGINT) n_parts,
+    CAST(max((mx - mn) * 1000000 // mn) AS BIGINT) max_spread_ppm
+  FROM sp WHERE ns >= 2 GROUP BY 1 ORDER BY 1""",
+
+    "customer_reactivation_monthly" ->
+      """WITH o AS (SELECT o_custkey ck, CAST(o_orderdate AS DATE) dt, o_orderkey ok
+    FROM orders),
+  g AS (SELECT ck, dt,
+      datediff('day', lag(dt) OVER (PARTITION BY ck ORDER BY dt, ok), dt) gap FROM o)
+  SELECT CAST(year(dt) * 100 + month(dt) AS BIGINT) ym,
+    CAST(count(*) AS BIGINT) n_reactivations,
+    CAST(count(DISTINCT ck) AS BIGINT) n_customers
+  FROM g WHERE gap > 90 GROUP BY 1 ORDER BY 1""",
+
     "events_rolling_wau" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dd FROM events),
   days AS (SELECT DISTINCT dd FROM du),

@@ -35,14 +35,15 @@ class ForkRaceSpec extends SparkSpecBase {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val (nAppends, nMerges) = (6, 6)
+    val (nAppends, nMerges, nUpserts) = (6, 6, 4)
     def spawn(id: String): (Process, java.io.File) = {
       val log = new java.io.File(s"$root/$id.log")
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx3g", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.RaceWriter",
-        path, id, nAppends.toString, nMerges.toString)).toIndexedSeq
+        path, id, nAppends.toString, nMerges.toString,
+        nUpserts.toString)).toIndexedSeq
       val p = new ProcessBuilder(cmd: _*)
         .redirectErrorStream(true)
         .redirectOutput(ProcessBuilder.Redirect.to(log))
@@ -58,7 +59,8 @@ class ForkRaceSpec extends SparkSpecBase {
           new String(Files.readAllBytes(log.toPath)).takeRight(2000))
     }
 
-    // zero lost rows, each key exactly once
+    // zero lost rows, each key exactly once (upserts REPLACE the
+    // writer's own appended keys — the row count is unchanged)
     val rows = CowTable.read(spark, path).localCheckpoint()
     val expect = 1 + 2 * (nAppends + nMerges)
     assert(rows.count() == expect, "every racing commit's rows must survive")
@@ -66,19 +68,29 @@ class ForkRaceSpec extends SparkSpecBase {
     Seq("w1", "w2").foreach { w =>
       assert(rows.filter(col("w") === w).count() == nAppends + nMerges,
         s"writer $w lost rows")
+      // the atomic cross-process upserts landed their POST-images: a
+      // torn delete+append would show as a lost key (delete landed,
+      // append didn't) or a duplicate (append landed twice)
+      (0 until nUpserts).foreach { i =>
+        val got = rows.filter(col("k") === s"$w-a$i")
+          .collect().map(_.getAs[Int]("i")).toSeq
+        assert(got == Seq(i + 1000),
+          s"upserted key $w-a$i must carry exactly its post-image: $got")
+      }
     }
     // gap-free serializable history: exactly one version per commit,
     // every manifest present — a clobbered concurrent commit would
     // leave a hole or a shared version number
     val v = CowTable.currentVersion(path)
-    assert(v == expect, s"expected $expect commits, table is at v$v")
+    assert(v == expect + 2 * nUpserts,
+      s"expected ${expect + 2 * nUpserts} commits, table is at v$v")
     (1 to v).foreach(i => assert(
       Files.exists(Paths.get(path, "_snapshots", s"v$i.json")),
       s"version $i missing from a gap-free history"))
-    // and the history is readable at every point (each snapshot a
-    // strict superset of its parent in row count — append/insert-only)
+    // and the history is readable at every point; row counts never
+    // shrink (appends/merges insert, upserts replace 1-for-1)
     val counts = (1 to v).map(i => CowTable.read(spark, path, Some(i)).count())
     assert(counts == counts.sorted && counts.last == expect.toLong,
-      "snapshots must grow monotonically under insert-only racing")
+      "snapshots must grow monotonically under insert-only + 1-for-1 racing")
   }
 }
