@@ -275,7 +275,30 @@ object Metrics5 {
       .orderBy("ym")
   }
 
+  /** Co-supplier census on the part↔supplier bipartite graph: for each
+    * supplier, how many DISTINCT other suppliers share at least one
+    * part with it — reported as a histogram (co-degree band → supplier
+    * count). The pair generation is a part-keyed self-join whose
+    * fan-out is suppliers-per-part (bounded by sourcing policy), never
+    * supplier×supplier — the same never-all-pairs discipline as
+    * `graph_jaccard_neighbors`.
+    */
+  val graphCosupplierCensus: Q = (s, d) => {
+    val ps = li(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .distinct()
+    val co = ps.join(ps.select(col("p"), col("sk").as("sk2")), Seq("p"))
+      .filter(col("sk") =!= col("sk2"))
+      .groupBy("sk")
+      .agg(countDistinct("sk2").cast("long").as("codeg"))
+    co.groupBy(expr("div(codeg, 50)").as("codeg_band"))
+      .agg(cnt.as("n_suppliers"),
+           min("codeg").cast("long").as("min_codeg"),
+           max("codeg").cast("long").as("max_codeg"))
+      .orderBy("codeg_band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_cosupplier_census" -> graphCosupplierCensus,
     "part_cross_supplier_price_spread" -> partCrossSupplierPriceSpread,
     "customer_reactivation_monthly" -> customerReactivationMonthly,
     "events_rolling_wau" -> eventsRollingWau,

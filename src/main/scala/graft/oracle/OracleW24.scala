@@ -6,6 +6,15 @@ package graft.oracle
 object OracleW24 {
 
   val sql: Map[String, String] = Map(
+    "graph_cosupplier_census" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey sk FROM lineitem),
+  co AS (SELECT a.sk, CAST(count(DISTINCT b.sk) AS BIGINT) codeg
+    FROM ps a JOIN ps b ON a.p = b.p AND a.sk <> b.sk GROUP BY a.sk)
+  SELECT CAST(codeg // 50 AS BIGINT) codeg_band,
+    CAST(count(*) AS BIGINT) n_suppliers,
+    CAST(min(codeg) AS BIGINT) min_codeg, CAST(max(codeg) AS BIGINT) max_codeg
+  FROM co GROUP BY 1 ORDER BY 1""",
+
     "part_cross_supplier_price_spread" ->
       """WITH up AS (SELECT l_partkey pk, l_suppkey sk,
       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
