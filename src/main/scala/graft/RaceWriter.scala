@@ -62,6 +62,14 @@ object RaceWriter {
           Seq((s"$writerId-a$i", writerId, i + 1000)).toDF("k", "w", "i"),
           txn = Some((s"up-$writerId", i.toLong)), maxRetries = 64)
       }
+      // SAME-KEY contention: both JVMs merge the ONE shared key —
+      // last-writer-wins must hold ACROSS processes (exactly one row
+      // survives, carrying exactly one writer's post-image; a torn
+      // merge would leave zero or two rows)
+      CowTable.withCommitRetry(maxRetries = 64) {
+        CowTable.merge(spark, path,
+          Seq(("shared-k", writerId, 9999)).toDF("k", "w", "i"), "k")
+      }
     } finally spark.stop()
   }
 }

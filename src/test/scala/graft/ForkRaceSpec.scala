@@ -60,14 +60,15 @@ class ForkRaceSpec extends SparkSpecBase {
     }
 
     // zero lost rows, each key exactly once (upserts REPLACE the
-    // writer's own appended keys — the row count is unchanged)
+    // writer's own appended keys — the row count is unchanged; the
+    // one SHARED merged key adds a single row)
     val rows = CowTable.read(spark, path).localCheckpoint()
-    val expect = 1 + 2 * (nAppends + nMerges)
+    val expect = 1 + 2 * (nAppends + nMerges) + 1
     assert(rows.count() == expect, "every racing commit's rows must survive")
     assert(rows.select("k").distinct().count() == expect, "no key duplicated")
     Seq("w1", "w2").foreach { w =>
-      assert(rows.filter(col("w") === w).count() == nAppends + nMerges,
-        s"writer $w lost rows")
+      assert(rows.filter(col("w") === w && col("k") =!= "shared-k")
+        .count() == nAppends + nMerges, s"writer $w lost rows")
       // the atomic cross-process upserts landed their POST-images: a
       // torn delete+append would show as a lost key (delete landed,
       // append didn't) or a duplicate (append landed twice)
@@ -78,12 +79,20 @@ class ForkRaceSpec extends SparkSpecBase {
           s"upserted key $w-a$i must carry exactly its post-image: $got")
       }
     }
+    // same-key contention: last-writer-wins ACROSS processes — exactly
+    // one survivor carrying exactly one writer's post-image
+    val shared = rows.filter(col("k") === "shared-k")
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Int]("i"))).toSeq
+    assert(shared.length == 1 && Set("w1", "w2").contains(shared.head._1) &&
+      shared.head._2 == 9999,
+      s"shared key must hold exactly one writer's post-image: $shared")
+
     // gap-free serializable history: exactly one version per commit,
     // every manifest present — a clobbered concurrent commit would
     // leave a hole or a shared version number
     val v = CowTable.currentVersion(path)
-    assert(v == expect + 2 * nUpserts,
-      s"expected ${expect + 2 * nUpserts} commits, table is at v$v")
+    assert(v == expect + 2 * nUpserts + 1,
+      s"expected ${expect + 2 * nUpserts + 1} commits, table is at v$v")
     (1 to v).foreach(i => assert(
       Files.exists(Paths.get(path, "_snapshots", s"v$i.json")),
       s"version $i missing from a gap-free history"))
