@@ -295,13 +295,28 @@ object IvfIndex {
     // lists already reflect toV, so recompute the running stats
     // exactly from them and advance; never re-derive from a feed
     // whose preimages are gone
-    if (CowTable.txnVersion(assignPath(indexPath), RefreshApp) >= toV.toLong) {
+    val landedWatermark = CowTable.txnVersion(assignPath(indexPath), RefreshApp)
+    if (landedWatermark >= toV.toLong) {
       repairStats(spark, indexPath)
       writeIndexedVersion(indexPath, toV)
       return Refresh(rebuilt = false, toV)
     }
+    // a crashed window whose target version is now BEHIND toV (the
+    // corpus kept committing between the crash and this refresh): the
+    // lists already hold that window's postimages, so repairing only
+    // when watermark >= toV would let the preimage capture below read
+    // post-crash state and silently corrupt the running stats. Any
+    // landed-but-unaccounted window (watermark > marker) repairs first
+    // and advances the marker to the watermark; the remaining
+    // (watermark, toV] window then processes against consistent state.
+    val effFromV =
+      if (landedWatermark > fromV.toLong) {
+        repairStats(spark, indexPath)
+        writeIndexedVersion(indexPath, landedWatermark.toInt)
+        landedWatermark.toInt
+      } else fromV
 
-    val feed = CowTable.changes(spark, corpusPath, "vec_id", fromV, toV)
+    val feed = CowTable.changes(spark, corpusPath, "vec_id", effFromV, toV)
     val upserts = withNorm(
       feed.filter(col("_change_type").isin("insert", "update"))
         .select(col("vec_id"), col("ve")))

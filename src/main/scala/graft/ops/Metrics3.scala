@@ -66,8 +66,12 @@ object Metrics3 {
     */
   val eventsAnomalyDaily: Q = (s, d) => {
     val daily = ev(s, d).groupBy(to_date(col("ts")).as("dd")).agg(cnt.as("n"))
+    // ss rides decimal(38,0) END TO END: summing LongType n*n wraps
+    // silently (non-ANSI) once a day's count passes ~3.04e9 — the
+    // decimal cast happens BEFORE the square so the promise in the
+    // scaladoc is real, matching the oracle's HUGEINT ss
     val g = daily.agg(cnt.as("nd"), sum("n").cast("long").as("sn"),
-                      sum(col("n") * col("n")).cast("long").as("ss"))
+                      sum(col("n").cast("decimal(38,0)") * col("n")).as("ss"))
     daily.crossJoin(broadcast(g))
       .withColumn("is_outlier",
         when(expr("cast(nd * n - sn as decimal(38,0)) * (nd * n - sn) > " +

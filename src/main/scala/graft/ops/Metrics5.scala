@@ -203,15 +203,18 @@ object Metrics5 {
 
   /** The min_by/max_by SQL surface: richest and poorest supplier per
     * nation. The ordering scalar is made UNIQUE by construction
-    * (bal_cents·10⁵ + suppkey) so the argmax needs no engine tiebreak
-    * rule — both engines' arg extreme is the same row.
+    * (bal_cents·10⁷ + suppkey) so the argmax needs no engine tiebreak
+    * rule — both engines' arg extreme is the same row. The multiplier
+    * sits above the supplier key domain through SF 1000 (TPC-H
+    * suppliers = SF·10⁴, so 10⁵ collided from SF ≥ 10 on); bal_cents
+    * ≤ 10⁶ keeps the product < 10¹⁴, far inside BIGINT.
     */
   val aggMinMaxBy: Q = (s, d) =>
     Tables.t(s, d, "supplier")
       .join(broadcast(Tables.t(s, d, "nation")),
             col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("s_name"),
-        (cents(col("s_acctbal")) * 100000L + col("s_suppkey")).as("ord"))
+        (cents(col("s_acctbal")) * 10000000L + col("s_suppkey")).as("ord"))
       .groupBy("nation")
       .agg(cnt.as("n_suppliers"),
            expr("max_by(s_name, ord)").as("richest"),
@@ -282,6 +285,19 @@ object Metrics5 {
     * fan-out is suppliers-per-part (bounded by sourcing policy), never
     * supplier×supplier — the same never-all-pairs discipline as
     * `graph_jaccard_neighbors`.
+    *
+    * SCALE CAVEAT (unlike triangle counting, this wedge join has NO
+    * degree-orientation bound): candidate volume is Σ_part deg(part)²,
+    * so ONE celebrity part sold by d suppliers contributes d² rows and
+    * dominates quadratically at 100×. The contract needs every
+    * unordered co-pair once per side, so orientation (emit only
+    * sk < sk2, recover both sides by symmetry) halves the volume but
+    * cannot cap it — the honest levers at scale are (a) a deg(part)
+    * cap with the dropped parts REPORTED (a capped census is a
+    * different, declared contract), or (b) the `graph_triangle_count`
+    * orientation trick when only pair EXISTENCE (not per-supplier
+    * co-degree) is needed. TPC-H part degree is bounded (~4–8
+    * suppliers/part at every SF), which is why the exact form ships.
     */
   val graphCosupplierCensus: Q = (s, d) => {
     val ps = li(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))

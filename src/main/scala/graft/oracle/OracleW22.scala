@@ -28,7 +28,7 @@ object OracleW22 {
       """WITH daily AS (SELECT CAST(ts AS DATE) dd, CAST(count(*) AS BIGINT) n
     FROM events GROUP BY 1),
   g AS (SELECT CAST(count(*) AS BIGINT) nd, CAST(sum(n) AS BIGINT) sn,
-      CAST(sum(n * n) AS BIGINT) ss FROM daily)
+      sum(n::HUGEINT * n) ss FROM daily)
   SELECT CAST(dd AS VARCHAR) dd, n,
     CASE WHEN (nd * n - sn)::HUGEINT * (nd * n - sn)
            > 4 * (nd::HUGEINT * ss - sn::HUGEINT * sn)

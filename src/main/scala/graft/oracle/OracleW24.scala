@@ -146,7 +146,7 @@ object OracleW24 {
 
     "agg_min_max_by" ->
       """WITH s AS (SELECT n_name nation, s_name,
-      CAST(round(s_acctbal * 100) AS BIGINT) * 100000 + s_suppkey ord
+      CAST(round(s_acctbal * 100) AS BIGINT) * 10000000 + s_suppkey ord
     FROM supplier JOIN nation ON s_nationkey = n_nationkey)
   SELECT nation, CAST(count(*) AS BIGINT) n_suppliers,
     arg_max(s_name, ord) richest, arg_min(s_name, ord) poorest

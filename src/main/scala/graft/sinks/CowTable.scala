@@ -327,9 +327,16 @@ object CowTable {
       (files.filter(_.startsWith(prefix)) ++ fromBase)
         .distinctBy(fileOf).filter(l => dataSet.contains(fileOf(l)))
     }
+    // B lines exist only in service of an L spec: a committed line set
+    // with NO spec (setLookupColumns' retire path) must not have the
+    // base snapshot's B lines mechanically re-added, or cow_lookups
+    // reports retired sidecars forever (pruning stayed sound — the
+    // entries were accurate — but the retire was a no-op).
+    val hasLookupSpec = files.exists(_.startsWith(LookupPrefix))
     val lines = files.filterNot(l =>
       l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix)) ++
-      carried(StatsPrefix) ++ carried(BloomPrefix)
+      carried(StatsPrefix) ++
+      (if (hasLookupSpec) carried(BloomPrefix) else Seq.empty)
     val tmp = d.resolve(s".v$v.${System.nanoTime()}.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(d.resolve(s"v$v.json"), tmp)

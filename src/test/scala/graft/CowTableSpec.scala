@@ -865,6 +865,21 @@ class CowTableSpec extends SparkSpecBase {
       assert(kinds.map(_._1).toSet == Set("id", "cust"))
       // time travel: before the spec was declared there were no sidecars
       assert(ext.sql(s"SELECT * FROM cow_lookups('$path', 1)").isEmpty)
+      // RETIRE (ADVICE r13): empty cols must drop the spec AND all B
+      // lines — commit()'s mechanical carry must not re-add the base
+      // snapshot's sidecars on the spec-less line set
+      CowTable.setLookupColumns(spark, path, Seq.empty)
+      assert(CowTable.lookupSpec(path).isEmpty, "spec retired")
+      assert(ext.sql(s"SELECT * FROM cow_lookups('$path')").isEmpty,
+        "retire must remove every B line, not just the L spec")
+      // and a later data commit stays sidecar-free (no spec → no build)
+      CowTable.append(spark, path,
+        (400L until 410L).map(i => (i, i % 100, s"s$i")).toDF("id", "cust", "name"))
+      assert(ext.sql(s"SELECT * FROM cow_lookups('$path')").isEmpty)
+      // while the PRE-retire snapshot still time-travels its sidecars
+      val retireV = CowTable.currentVersion(path) - 1
+      assert(ext.sql(s"SELECT * FROM cow_lookups('$path', ${retireV - 1})")
+        .count() > 0, "history keeps the sidecars")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

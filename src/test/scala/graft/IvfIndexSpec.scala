@@ -256,6 +256,74 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(!r2.rebuilt && IvfIndex.indexedVersion(index) == r2.toVersion)
   }
 
+  test("crash repair when the corpus kept committing past the crashed window") {
+    // the ADVICE r13 medium: the crashed window's watermark t1 sits
+    // BEHIND the next refresh's toV = t2, so the >= toV gate alone
+    // misses it — the preimage capture would then read assign lists
+    // already holding the crashed window's postimages and permanently
+    // corrupt the running stats. refresh must repair-and-advance to
+    // the watermark FIRST, then process (t1, t2] against clean state.
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    mkCorpus(corpus, 200L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2)
+    val fromV = IvfIndex.indexedVersion(index)
+    // window 1: moves + inserts, upsert hand-replayed then "crash"
+    CowTable.merge(spark, corpus,
+      (0L until 8L).map(i => (i * 5, vecOf(i * 5 + 2000))).toDF("vec_id", "ve"),
+      "vec_id")
+    val t1 = CowTable.currentVersion(corpus)
+    val feed1 = CowTable.changes(spark, corpus, "vec_id", fromV, t1)
+    val up1 = IvfIndex.withNorm(
+      feed1.filter(col("_change_type").isin("insert", "update"))
+        .select(col("vec_id"), col("ve")))
+    val stored = CowTable.read(spark, s"$index/centroids")
+    val na1 = IvfIndex.assignTo(up1, stored)
+      .join(up1, Seq("vec_id")).localCheckpoint()
+    CowTable.upsertMorPos(spark, s"$index/assign", up1.select("vec_id"), na1,
+      txn = Some((IvfIndex.RefreshApp, t1.toLong)))
+    assert(IvfIndex.indexedVersion(index) == fromV, "crash state: marker behind")
+    // window 2: the corpus moves ON before anyone retries — more moves
+    // (including keys the crashed window touched), deletes, inserts
+    CowTable.merge(spark, corpus,
+      Seq((0L, vecOf(7000L)), (11L, vecOf(7011L))).toDF("vec_id", "ve"), "vec_id")
+    CowTable.deleteMorKeys(spark, corpus,
+      Seq(5L, 60L).map(Tuple1(_)).toDF("vec_id"), "vec_id")
+    CowTable.append(spark, corpus,
+      (800L until 804L).map(i => (i, vecOf(i))).toDF("vec_id", "ve"))
+    val t2 = CowTable.currentVersion(corpus)
+    assert(t2 > t1, "scenario premise: commits landed past the crash")
+    // ONE retried refresh must absorb both windows
+    val r = IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9)
+    assert(!r.rebuilt && r.toVersion == t2 && IvfIndex.indexedVersion(index) == t2)
+    // parity law: assign == full frozen-centroid reassignment
+    val v = IvfIndex.withNorm(
+      CowTable.read(spark, corpus).select(col("vec_id"), col("ve")))
+    val aFull = IvfIndex.assignTo(v, stored).join(v.select("vec_id", "ve"), Seq("vec_id"))
+    assert(assignRows(s"$index/assign") ==
+      aFull.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell")))
+        .sorted.toSeq)
+    // running stats rebuild-exact: no double-added window-1 postimages
+    val want = aFull
+      .groupBy(col("cell").as("cid"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(aggregate(col("ve"), lit(0.0d), _ + _)).as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val got = CowTable.read(spark, s"$index/centroids")
+      .select(col("cid"), col("cnt"),
+        aggregate(col("vsum"), lit(0.0d), _ + _).as("tot"))
+      .filter(col("cnt") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)),
+      s"member counts must be rebuild-exact: $got vs $want")
+    got.zip(want).foreach { case ((_, _, g), (_, _, w)) =>
+      assert(math.abs(g - w) < 1e-9, s"vsum drifted: $g vs $w")
+    }
+  }
+
   test("maintenance policy: probe file-skip degrades under churn, one pass restores it, steady state is a no-op") {
     import spark.implicits._
     val dir = tmp
