@@ -219,6 +219,55 @@ object Sinks {
     }
   }
 
+  /** TABLE→TABLE CHAINING CONSUMER: mirror a CowTable CDC FEED (the
+    * [[graft.sources.CowCdcSourceProvider]] output — rows carrying
+    * `_change_type`/`_commit_version`) into a downstream CowTable.
+    * insert/update postimages upsert by `key`; delete preimages drop
+    * their key — BOTH applied as ONE atomic commit
+    * ([[CowTable.upsertMorPos]]: the changed keys' current rows pinned
+    * by a positional sidecar, the postimages appended in the same
+    * snapshot; a deleted key simply contributes no postimage).
+    *
+    * Exactly-once under replay: the batch's max `_commit_version` —
+    * the UPSTREAM snapshot version, deterministic under the source's
+    * replay-deterministic batches — rides the txn watermark, so a
+    * re-delivered batch short-circuits before any write. The feed's
+    * one-change-per-key-per-window contract makes the postimage set
+    * key-unique by construction.
+    */
+  def cdcMirrorStream(feed: DataFrame, path: String, key: String,
+                      checkpoint: String,
+                      appId: String = "cdc-mirror"): StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cdcMirrorBatch(batch, path, key, appId)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[cdcMirrorStream]], exposed so the
+    * replay contract is testable without streaming machinery.
+    */
+  private[graft] def cdcMirrorBatch(batch: DataFrame, path: String,
+                                    key: String,
+                                    appId: String = "cdc-mirror"): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val upstreamV = batch.agg(max(col("_commit_version"))).head.getInt(0).toLong
+    if (CowTable.exists(path) && CowTable.txnVersion(path, appId) >= upstreamV)
+      return // post-commit replay: metadata-priced no-op
+    val payload = batch.columns.filterNot(c =>
+      c == "_change_type" || c == "_commit_version").toIndexedSeq
+    val adds = batch.filter(col("_change_type") =!= "delete")
+      .select(payload.map(col): _*)
+    if (!CowTable.exists(path))
+      CowTable.create(adds.limit(0), path) // schema-only skeleton
+    CowTable.upsertMorPos(spark, path,
+      batch.select(key).distinct(), adds, txn = Some((appId, upstreamV)))
+    ()
+  }
+
   /** The per-micro-batch body of [[incrementalDedupPipeline]], exposed
     * so the replay contract is testable without streaming machinery:
     * calling it twice with the same (batch, id) — the post-commit

@@ -1677,6 +1677,103 @@ class StreamingSpec extends SparkSpecBase {
       .select("seg").as[String].collect().toSeq.distinct == Seq("fresh"))
   }
 
+  test("cow-cdc source: table->table chaining equals batch recompute across commits incl. MoR delete and a mid-stream restart") {
+    import spark.implicits._
+    import graft.sinks.{CowTable, Sinks}
+    import graft.sources.CowCdcSourceProvider
+    val dir = java.nio.file.Files.createTempDirectory("cow_cdc_src").toString
+    val up = s"$dir/up"; val mirror = s"$dir/mirror"; val ckpt = s"$dir/ckpt"
+    CowTable.create(
+      (1L to 6L).map(i => (i, s"u$i", i * 10L)).toDF("id", "name", "v"), up)
+
+    def feed() = spark.readStream
+      .format(classOf[CowCdcSourceProvider].getName)
+      .option("path", up).option("key", "id").load()
+    def canon(p: String): Seq[String] = {
+      val df = CowTable.read(spark, p)
+      df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+
+    // batch 1: the initial snapshot lands as inserts
+    val q = Sinks.cdcMirrorStream(feed(), mirror, "id", ckpt)
+    q.processAllAvailable()
+    assert(canon(mirror) == canon(up), "initial snapshot mirrored")
+    // commit 2: a merge window (2 updates + 1 insert) streams as CDC
+    CowTable.merge(spark, up,
+      Seq((2L, "u2x", 200L), (4L, "u4x", 400L), (7L, "u7", 70L))
+        .toDF("id", "name", "v"), "id")
+    q.processAllAvailable()
+    assert(canon(mirror) == canon(up), "merge window mirrored")
+    q.stop() // ---- restart mid-stream ----
+    // commits 3+4 land while no query is running: a MoR key delete
+    // (files never move — the manifest-diff blind spot the sidecar
+    // handling covers) and a plain append
+    CowTable.deleteMorKeys(spark, up, Seq(1L, 5L).toDF("id"), "id")
+    CowTable.append(spark, up, Seq((9L, "u9", 90L)).toDF("id", "name", "v"))
+    val q2 = Sinks.cdcMirrorStream(feed(), mirror, "id", ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(canon(mirror) == canon(up),
+      "restart resumes from the committed version: no gap, no duplicate")
+    // the downstream VIEW equality the task names: an agg computed off
+    // the streamed mirror equals the batch recompute off the upstream
+    def agg(p: String) = CowTable.read(spark, p)
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .collect().map(_.toString).toSeq
+    assert(agg(mirror) == agg(up))
+    assert(CowTable.read(spark, mirror).count() == 6L) // 6+1 inserted, 2 deleted
+  }
+
+  test("cow-cdc source: startingVersion resumes a known position; maxVersionsPerBatch bounds batch spans") {
+    import spark.implicits._
+    import graft.sinks.{CowTable, Sinks}
+    import graft.sources.CowCdcSourceProvider
+    val dir = java.nio.file.Files.createTempDirectory("cow_cdc_opts").toString
+    val up = s"$dir/up"
+    CowTable.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), up) // v1
+    CowTable.append(spark, up, Seq((3L, 30L)).toDF("id", "v"))     // v2
+    CowTable.merge(spark, up, Seq((1L, 11L), (4L, 40L)).toDF("id", "v"), "id") // v3
+    CowTable.deleteMorKeys(spark, up, Seq(2L).toDF("id"), "id")    // v4
+
+    // startingVersion=2: only the post-v2 changes, no initial snapshot
+    val sink1 = nextSink()
+    val q1 = spark.readStream.format(classOf[CowCdcSourceProvider].getName)
+      .option("path", up).option("key", "id").option("startingVersion", "2")
+      .load()
+      .writeStream.format("memory").queryName(sink1).outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    val got = spark.table(sink1)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 11L, "update"), (4L, 40L, "insert"), (2L, 20L, "delete")),
+      s"changes strictly after v2: $got")
+
+    // maxVersionsPerBatch=1 walks the backlog one table commit per
+    // micro-batch; content equality at the end is what matters
+    val mirror = s"$dir/m2"; val ckpt = s"$dir/ck2"
+    val q2 = Sinks.cdcMirrorStream(
+      spark.readStream.format(classOf[CowCdcSourceProvider].getName)
+        .option("path", up).option("key", "id")
+        .option("startingVersion", "1").option("maxVersionsPerBatch", "1")
+        .load(),
+      mirror, "id", ckpt)
+    q2.processAllAvailable(); q2.stop()
+    def canon(p: String): Seq[String] = {
+      val df = CowTable.read(spark, p)
+      df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    // mirror bootstraps from the post-v1 feed: inserts after v1 (3, 4),
+    // the changed v1 row's postimage (1 -> 11), and id 2's delete no-ops
+    // (never mirrored) — which here converges to the upstream exactly,
+    // since every surviving upstream row changed after v1
+    assert(canon(mirror) == canon(up))
+    // one upstream version per batch: the mirror's watermark advanced
+    // to the head across three separate applied windows
+    assert(CowTable.txnVersion(mirror, "cdc-mirror") == 4L)
+  }
+
   test("replay idempotence: every foreachBatch sink body called twice per batch converges") {
     // The r10 high bug (incremental-dedup pairs overwritten by a
     // post-commit replay) lived exactly in the gap between per-sink
@@ -1792,6 +1889,17 @@ class StreamingSpec extends SparkSpecBase {
           numCells = 2, iters = 1, maxDrift = 1e9),
         d => canonCow(s"$d/corpus") ++ canonCow(s"$d/index/assign") ++
           canonCow(s"$d/index/centroids")),
+      Sink("cdcMirror",
+        _ => (),
+        // CDC-feed-shaped batches (what the cow-cdc source emits):
+        // _commit_version is the UPSTREAM snapshot version per window
+        Seq(Seq((1L, 10L, "insert", 1), (2L, 20L, "insert", 1))
+              .toDF("id", "v", "_change_type", "_commit_version"),
+            Seq((1L, 11L, "update", 2), (3L, 30L, "insert", 2))
+              .toDF("id", "v", "_change_type", "_commit_version"),
+            Seq((2L, 20L, "delete", 3)).toDF("id", "v", "_change_type", "_commit_version")),
+        (d, b, _) => Sinks.cdcMirrorBatch(b, s"$d/t", "id"),
+        d => canonCow(s"$d/t")),
       Sink("fkDimFanout",
         d => {
           CowTable.create((0L until 40L).map(i => (i, i % 4, i * 2))
