@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator tier: plans the custom AsOfMergeJoin logical node
     // to its merge exec (SURVEY §4.3 preference (c)).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
+    // MERGE INTO on CowCatalog tables: the resolution rule lowers the
+    // analyzed MergeIntoTable onto the format's transactional API and
+    // the strategy plans the command exec (see CowMergeIntoRule).
+    ext.injectResolutionRule(_ => graft.plans.CowMergeIntoRule)
+    ext.injectPlannerStrategy(_ => graft.plans.CowMergeStrategy)
     // Table-valued SQL face for the CowTable format: time travel from
     // plain SQL — `SELECT * FROM cow_snapshot('/path'[, version])`.
     // Args must be literals (the plan is built at analysis time).

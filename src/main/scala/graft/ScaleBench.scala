@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -745,6 +745,69 @@ object ScaleBench {
       f"naive ${tN}%5.2f s | AQE skew-split ${tA}%5.2f s (plan-guarded skew=true) " +
       f"| salted(16) ${tS}%5.2f s — checksum-equal")
     } // end skew section
+
+    if (only.forall(_ == "spj")) {
+    // ---- round-14: storage-partitioned CowTable join (VERDICT r13 #2) --
+    // Two co-bucketed 10M-row CowTables joined on their bucket key: the
+    // SPJ read face (KeyGroupedPartitioning(bucket(32, id)) through the
+    // CowCatalog FunctionCatalog) plans the join with ZERO exchanges,
+    // vs the ordinary shuffled plan on the same data. Checksum-equal.
+    // Honest-measurement caveat (round-5 key-grouped precedent): on one
+    // JVM the avoided exchange is a memory copy, so the local delta
+    // understates; the structural win is the eliminated network
+    // round-trip of BOTH fact shuffles at cluster scale, plus the
+    // scan-parallelism trade (n buckets caps map tasks) documented on
+    // the default-OFF gate.
+    import graft.sinks.{CowTable, PartitionTransform}
+    val spjWh = "/tmp/graft_scalebench_spj"
+    val spjRoot = java.nio.file.Paths.get(spjWh)
+    if (java.nio.file.Files.exists(spjRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(spjRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$spjWh/ns"))
+    val spjN = 32
+    CowTable.create(spark.range(10000000L).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("v")).repartition(16),
+      s"$spjWh/ns/a", Seq(PartitionTransform.bucket(spjN, "id")))
+    CowTable.create(spark.range(2000000L, 12000000L).select(col("id"),
+        pmod(xxhash64(col("id") + 7), lit(1000L)).as("w")).repartition(16),
+      s"$spjWh/ns/b", Seq(PartitionTransform.bucket(spjN, "id")))
+    spark.conf.set("spark.sql.catalog.spjcat", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.root", spjWh)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def spjQ = spark.sql(
+      "SELECT count(*) c, sum(a.v * b.w) s FROM spjcat.ns.a a JOIN spjcat.ns.b b ON a.id = b.id")
+    def spjRun(): (String, Double, Int) = {
+      val df = spjQ
+      val nEx = "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      val t0 = System.nanoTime()
+      val r = df.collect().head.toString
+      (r, (System.nanoTime() - t0) / 1e9, nEx)
+    }
+    spark.conf.set("spark.graft.cowSpj", "true")
+    val (rSpj, tSpj, exSpj) = spjRun()
+    spark.conf.set("spark.graft.cowSpj", "false")
+    val (rShuf, tShuf, exShuf) = spjRun()
+    require(rSpj == rShuf, s"SPJ diverged: $rSpj vs $rShuf")
+    // the measuring query's own 1-row final aggregate keeps one
+    // SinglePartition exchange in BOTH plans; the JOIN's two fact
+    // shuffles are what SPJ removes
+    require(exSpj == 1 && exShuf == 3,
+      s"plan shape: spj=$exSpj exchanges (want 1: final agg only), " +
+        s"shuffled=$exShuf (want 3)")
+    println(f"[scalebench] spj @ 10M x 10M co-bucketed(32) join: " +
+      f"zero-JOIN-exchange ${tSpj}%5.2f s vs shuffled (${exShuf - 1} join exchanges) ${tShuf}%5.2f s, " +
+      f"checksum-equal")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    } // end spj section
 
     if (only.forall(_ == "lookup")) {
     // ---- round-13: per-file key lookup sidecars (VERDICT r12 #2) -------

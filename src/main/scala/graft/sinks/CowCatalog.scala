@@ -1,0 +1,583 @@
+package graft.sinks
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL CATALOG face for the CowTable format — a DataSource V2
+  * `TableCatalog` (+ `FunctionCatalog` for storage-partitioned joins)
+  * registering path-backed CowTables under a filesystem root:
+  *
+  * {{{
+  * spark.conf: spark.sql.catalog.cow      = graft.sinks.CowCatalog
+  *             spark.sql.catalog.cow.root = /warehouse
+  * SELECT * FROM cow.ns.t                         -- read (pruned scan)
+  * SELECT * FROM cow.ns.t VERSION AS OF 3         -- time travel
+  * CREATE TABLE cow.ns.t2 (id BIGINT, v BIGINT)   -- + PARTITIONED BY (bucket(16, id))
+  * INSERT INTO cow.ns.t2 SELECT ...               -- transactional append
+  * INSERT OVERWRITE cow.ns.t2 SELECT ...          -- snapshot replace
+  * MERGE INTO cow.ns.t USING s ON ...             -- CowTable.merge (GraftExtensions)
+  * }}}
+  *
+  * Identifier `ns…。name` maps to directory `root/ns…/name`; namespaces
+  * are directories. The catalog READ path is a genuine DSv2 scan over
+  * the snapshot's own manifest — column pruning reaches the vectorized
+  * parquet readers, filter pushdown reaches the MANIFEST (per-file
+  * range stats + dict/bloom lookup sidecars prune which files are
+  * opened — the same `prunedFilesIn`/`prunedFilesRange` gates the
+  * incremental operators use), and MoR delete sidecars are honored
+  * per-file (positional ranges skipped by row ordinal; key deletes
+  * filtered with the driver-collected sidecar, which is bounded by the
+  * compaction cadence).
+  *
+  * STORAGE-PARTITIONED JOINS (the last exchange a co-clustered star
+  * join pays): a table whose partition spec is a single
+  * `bucket(n, col)` reports `KeyGroupedPartitioning(bucket(n, col))`
+  * with one input partition per bucket when `spark.graft.cowSpj=true`
+  * — under `spark.sql.sources.v2.bucketing.enabled`, two co-bucketed
+  * CowTables join with ZERO exchanges and a keyed aggregate needs no
+  * shuffle. The `bucket` function resolves through this catalog's
+  * `FunctionCatalog` face and computes EXACTLY the write layout's
+  * assignment (`pmod(hash(cast(col as string)), n)` — one shared
+  * definition, so plan-time matching and physical layout can never
+  * disagree). Default OFF: per-bucket partitions cap scan parallelism
+  * at n, the wrong trade for a scan-bound query (same honest gate as
+  * `topkRewrite`/`bandJoin`).
+  *
+  * LIMITS (loud, never silent): the DSv2 read face requires a
+  * non-evolved declared schema (renames/drops/widening route through
+  * [[CowTable.read]] — the TVF face covers them in SQL); key-delete
+  * sidecars beyond 100k rows fail the scan with a compaction hint
+  * rather than ship unbounded state to every task.
+  */
+class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'root' (spark.sql.catalog.$name.root)"))
+  }
+  override def name(): String = catalogName
+
+  private def dir(ident: Identifier): String =
+    (root +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+  private def dir(ns: Seq[String]): String = (root +: ns).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = java.nio.file.Paths.get(dir(namespace.toSeq))
+    if (!java.nio.file.Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    java.nio.file.Files.list(d).iterator().asScala
+      .filter(p => CowTable.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = CowTable.exists(dir(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    else new CowSqlTable(dir(ident), ident.toString, None)
+
+  /** `VERSION AS OF v` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    else new CowSqlTable(dir(ident), ident.toString, Some(version.toInt))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(!tableExists(ident), s"table $ident already exists")
+    CowTable.createEmpty(dir(ident), schema,
+      partitions.toSeq.map(CowCatalog.toCowTransform))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER via SQL is not wired; use the CowTable schema-evolution API " +
+        "(addColumn/renameColumn/dropColumn/widenColumn)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = java.nio.file.Paths.get(dir(ident))
+    if (!CowTable.exists(d.toString)) return false
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    require(tableExists(from), s"no table $from")
+    require(!tableExists(to), s"table $to already exists")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir(to)).getParent)
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir(from)),
+      java.nio.file.Paths.get(dir(to)))
+    ()
+  }
+
+  // ---- namespaces = directories ------------------------------------------
+  override def listNamespaces(): Array[Array[String]] = {
+    val d = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(d)) return Array.empty
+    java.nio.file.Files.list(d).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        !CowTable.exists(p.toString))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir(namespace.toSeq)))
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir(namespace.toSeq)))
+    ()
+  }
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is not stored")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = java.nio.file.Paths.get(dir(namespace.toSeq))
+    if (!java.nio.file.Files.isDirectory(d)) return false
+    if (!cascade && java.nio.file.Files.list(d).iterator().hasNext)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+    java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    true
+  }
+
+  // ---- FunctionCatalog: the bucket transform for SPJ ---------------------
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    ident.name() match {
+      case "bucket" => CowBucketUnbound
+      case other    => throw new NoSuchTableException(Seq("function", other))
+    }
+}
+
+object CowCatalog {
+  /** V2 transform → CowTable write-layout transform (CREATE TABLE
+    * PARTITIONED BY). Names the V2 spec and [[PartitionTransform]]
+    * share: identity / bucket / years / months / days.
+    */
+  private[sinks] def toCowTransform(t: Transform): PartitionTransform = {
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): String =
+      e match {
+        case r: NamedReference => r.fieldNames.mkString(".")
+        case other => throw new IllegalArgumentException(s"unsupported transform arg $other")
+      }
+    t.name() match {
+      case "identity" => PartitionTransform.identity(ref(t.arguments()(0)))
+      case "bucket" =>
+        val (ns, cols) = t.arguments().toSeq.partition(_.isInstanceOf[V2Literal[_]])
+        PartitionTransform.bucket(
+          ns.head.asInstanceOf[V2Literal[_]].value.asInstanceOf[Number].intValue(),
+          ref(cols.head))
+      case "years"  => PartitionTransform.year(ref(t.arguments()(0)))
+      case "months" => PartitionTransform.month(ref(t.arguments()(0)))
+      case "days"   => PartitionTransform.day(ref(t.arguments()(0)))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported partition transform $other")
+    }
+  }
+
+  /** The ONE bucket-assignment definition (write layout, pruning, and
+    * the SPJ function all call this): Murmur3(seed 42) of the value's
+    * canonical string form, non-negative mod n — exactly
+    * `pmod(hash(cast(col as string)), lit(n))`, the
+    * [[PartitionTransform]] `bucket` expression.
+    */
+  def bucketId(canonical: UTF8String, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(canonical, StringType, 42L).toInt
+    math.floorMod(h, n)
+  }
+}
+
+/** SPJ bucket function: binds (int n, key) for integral / string /
+  * date keys; canonical name is shared across all bound forms so two
+  * co-bucketed scans compare equal at plan time.
+  */
+object CowBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col) - CowTable write-layout bucket id: pmod(murmur3(string(col)), n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType,
+      s"bucket expects (int n, key), got $inputType")
+    new CowBucketBound(inputType.fields(1).dataType)
+  }
+}
+
+final class CowBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.cow.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    // the SAME canonical string form PartitionTransform's
+    // cast-to-string uses, per key type
+    val s: UTF8String = keyType match {
+      case StringType  => input.getUTF8String(1)
+      case LongType    => UTF8String.fromString(input.getLong(1).toString)
+      case IntegerType => UTF8String.fromString(input.getInt(1).toString)
+      case ShortType   => UTF8String.fromString(input.getShort(1).toString)
+      case ByteType    => UTF8String.fromString(input.getByte(1).toString)
+      case DateType => UTF8String.fromString(
+        org.apache.spark.sql.catalyst.util.DateFormatter().format(input.getInt(1)))
+      case other => throw new UnsupportedOperationException(s"bucket key type $other")
+    }
+    CowCatalog.bucketId(s, n)
+  }
+}
+
+/** The catalog table: DSv2 read face (manifest-pruned vectorized
+  * parquet readers honoring MoR sidecars) + V1 write face (INSERT INTO
+  * = [[CowTable.append]], INSERT OVERWRITE = [[CowTable.overwrite]] —
+  * DataFrame-level seams, same rationale as the CDC source).
+  */
+class CowSqlTable(val path: String, ident: String, asOf: Option[Int])
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = ident
+  override lazy val schema: StructType =
+    CowTable.read(SparkSession.active, path, asOf).schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  override def partitioning(): Array[Transform] =
+    CowTable.partitionSpec(path, asOf).map { t =>
+      t.kind match {
+        case "identity" => Expressions.identity(t.src)
+        case "bucket"   => Expressions.bucket(t.n, t.src)
+        case "day"      => Expressions.days(t.src)
+        case "month"    => Expressions.months(t.src)
+        case "year"     => Expressions.years(t.src)
+        case _          => Expressions.identity(t.src)
+      }
+    }.toArray
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(SparkSession.active, path, asOf, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            require(asOf.isEmpty, "cannot write to a time-travel snapshot")
+            if (overwrite) CowTable.overwrite(data.sparkSession, path, data)
+            else CowTable.append(data.sparkSession, path, data)
+            ()
+          }
+      }
+    }
+}
+
+class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
+                     tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var files: Seq[String] = CowTable.snapshotFiles(path, asOf)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Filters prune at the MANIFEST (which files are opened) via the
+    * per-file range stats and dict/bloom lookup sidecars; every filter
+    * is also returned as residual (Spark re-evaluates above the scan —
+    * the parquet-reader contract).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.filter {
+      case EqualTo(_, null) => false
+      case _: EqualTo | _: In | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual => true
+      case _ => false
+    }
+    usable.foreach { f =>
+      val surviving: Set[String] = (f match {
+        case EqualTo(c, v) => CowTable.prunedFilesIn(spark, path, c, Seq(v), asOf)
+        case In(c, vs)     => CowTable.prunedFilesIn(spark, path, c, vs.toSeq, asOf)
+        case GreaterThan(c, v) =>
+          CowTable.prunedFilesRange(spark, path, c, Some(v), None, asOf)
+        case GreaterThanOrEqual(c, v) =>
+          CowTable.prunedFilesRange(spark, path, c, Some(v), None, asOf)
+        case LessThan(c, v) =>
+          CowTable.prunedFilesRange(spark, path, c, None, Some(v), asOf)
+        case LessThanOrEqual(c, v) =>
+          CowTable.prunedFilesRange(spark, path, c, None, Some(v), asOf)
+        case _ => files
+      }).toSet
+      files = files.filter(surviving.contains)
+    }
+    pushed = usable
+    filters // all residual: pruning is file-level, rows still checked
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new CowScan(spark, path, asOf, required, tableSchema, files)
+}
+
+/** One scan = the pruned file set + the snapshot's sidecar state.
+  * Partitions are per-file (scan-parallel default) or per-bucket
+  * (`spark.graft.cowSpj=true` on a single-bucket-transform table,
+  * reporting `KeyGroupedPartitioning` for zero-exchange joins/aggs).
+  */
+class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
+              required: StructType, tableSchema: StructType, files: Seq[String])
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  // the readers open physical files directly, so RENAME lineage (a
+  // declared column whose bytes live under an old physical name) can't
+  // resolve here — loud, with the TVF escape hatch. A lineage-free
+  // declared schema (CREATE TABLE / addColumn) is fine: readers request
+  // declared names, extra physical columns are never read, and a
+  // widened type either upcasts in the vectorized reader or fails
+  // loudly (never silently wrong).
+  require(CowTable.declaredSchema(path, asOf).forall(
+      _.fields.forall(!_.metadata.contains("was"))),
+    "the catalog scan reads physical files directly and cannot resolve " +
+      "rename lineage; read renamed tables via CowTable.read / the " +
+      "cow_snapshot TVF")
+
+  private val posRanges: Map[String, Seq[(Long, Long)]] = {
+    val sidecars = CowTable.snapshotPositionDeletes(path, asOf)
+    if (sidecars.isEmpty) Map.empty
+    else spark.read.parquet(sidecars: _*)
+      .groupBy("__file")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("__lo"),
+          org.apache.spark.sql.functions.col("__hi"))).as("r"))
+      .collect().map { r =>
+        CowScan.canonPath(r.getString(0)) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))
+      }.toMap
+  }
+
+  /** Key-delete sidecar, driver-collected (bounded by compaction
+    * cadence; loud cap). Stored as (key column names, canonical-string
+    * tuple set) — canonical strings sidestep internal-vs-external type
+    * mismatches between the sidecar read and the parquet readers.
+    */
+  private val keyDeletes: Option[(Seq[String], Set[Seq[String]])] = {
+    val sidecars = CowTable.snapshotDeletes(path, asOf)
+    if (sidecars.isEmpty) None
+    else {
+      val df = spark.read.parquet(sidecars: _*).distinct()
+      val n = df.count()
+      require(n <= 100000,
+        s"$n MoR-deleted keys exceed the catalog scan's 100k per-task bound; " +
+          "run CowTable.compact to fold sidecars, or read via CowTable.read")
+      val cols = df.columns.toSeq
+      Some((cols, df.collect().map(r =>
+        cols.indices.map(i => String.valueOf(r.get(i)))).toSet))
+    }
+  }
+
+  private def spjSpec: Option[PartitionTransform] =
+    if (!spark.conf.getOption("spark.graft.cowSpj").contains("true")) None
+    else CowTable.partitionSpec(path, asOf) match {
+      case Seq(t) if t.kind == "bucket" => Some(t)
+      case _                            => None
+    }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CowScan[$path${asOf.fold("")(v => s"@v$v")}, files=${files.size}]"
+
+  override def outputPartitioning(): Partitioning = spjSpec match {
+    case Some(t) =>
+      new KeyGroupedPartitioning(Array(Expressions.bucket(t.n, t.src)), t.n)
+    case None => new UnknownPartitioning(planInputPartitions().length)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = spjSpec match {
+    case Some(t) =>
+      // one partition per bucket id, EVERY bucket present (possibly
+      // with zero files) so the reported count and the key space stay
+      // aligned on both join sides
+      val byBucket = files.groupBy { f =>
+        val tag = s"${t.name}="
+        f.split('/').find(_.startsWith(tag)).map(_.stripPrefix(tag).toInt)
+          .getOrElse(throw new IllegalStateException(
+            s"file $f is not laid out under the ${t.name} spec; rewrite via " +
+              "CowTable.cluster/compact before enabling spark.graft.cowSpj"))
+      }
+      (0 until t.n).map(b => CowInputPartition(
+        byBucket.getOrElse(b, Seq.empty).toArray, Some(b)): InputPartition).toArray
+    case None =>
+      files.map(f => CowInputPartition(Array(f), None): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // key-delete columns the projection pruned must still be DECODED
+    // (at their real table types) for the filter, then projected out
+    val extraFields: Seq[StructField] =
+      keyDeletes.map(_._1.filterNot(required.fieldNames.contains)
+        .map(n => tableSchema(tableSchema.fieldIndex(n))).toSeq).getOrElse(Seq.empty)
+    new CowReaderFactory(required.json,
+      StructType(required.fields ++ extraFields).json,
+      posRanges.map { case (k, v) => k -> v.toArray },
+      keyDeletes.map { case (c, s) => (c.toArray, s) })
+  }
+}
+
+object CowScan {
+  /** `_metadata.file_path` URI vs manifest filesystem path. */
+  private[sinks] def canonPath(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+}
+
+case class CowInputPartition(files: Array[String], bucket: Option[Int])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket.getOrElse(0))
+}
+
+/** Per-file vectorized parquet readers (the same
+  * `VectorizedParquetRecordReader` Spark's own parquet scan runs),
+  * chained across the partition's files; the REQUESTED Spark schema
+  * drives column pruning inside the reader. Positional deletes skip by
+  * running row ordinal; key deletes filter against the canonical-string
+  * tuple set. Local-filesystem scope: readers build a fresh Hadoop conf
+  * (a cluster deployment would broadcast the session's).
+  */
+class CowReaderFactory(requiredJson: String, readSchemaJson: String,
+                       posRanges: Map[String, Array[(Long, Long)]],
+                       keyDeletes: Option[(Array[String], Set[Seq[String]])])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CowInputPartition]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    new PartitionReader[InternalRow] {
+      // required columns plus any key-delete columns the projection
+      // pruned (real table types); the latter are dropped after the
+      // key filter by the projection below
+      private val readSchema =
+        DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
+      private val extra = readSchema.fields.length > required.fields.length
+      private var fileIdx = -1
+      private var reader: VectorizedParquetRecordReader = _
+      private var ordinal: Long = -1L
+      private var ranges: Array[(Long, Long)] = Array.empty
+      private var current: InternalRow = _
+      private val keyIdx: Array[Int] = keyDeletes
+        .map(_._1.map(n => readSchema.fieldIndex(n))).getOrElse(Array.empty)
+      private val keyTypes: Array[DataType] = keyIdx.map(readSchema.fields(_).dataType)
+      private val project: UnsafeProjection =
+        if (!extra) null
+        else UnsafeProjection.create(required.fields.zipWithIndex.map {
+          case (f, i) => BoundReference(i, f.dataType, nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+        }.toIndexedSeq)
+
+      private def openNext(): Boolean = {
+        if (reader != null) { reader.close(); reader = null }
+        fileIdx += 1
+        if (fileIdx >= p.files.length) return false
+        val f = p.files(fileIdx)
+        val conf = new Configuration()
+        conf.set("parquet.read.support.class",
+          "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+        conf.set("org.apache.spark.sql.parquet.row.requested_schema", readSchema.json)
+        conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+        conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+        conf.setBoolean("spark.sql.caseSensitive", false)
+        conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+        conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+        val hp = new HPath(f)
+        val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
+        val r = new VectorizedParquetRecordReader(
+          null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+        r.initialize(new FileSplit(hp, 0, len, Array.empty[String]),
+          new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+        reader = r
+        ordinal = -1L
+        ranges = posRanges.getOrElse(CowScan.canonPath(f), Array.empty)
+        true
+      }
+
+      private def deletedAt(ord: Long): Boolean = {
+        var i = 0
+        while (i < ranges.length) {
+          if (ord >= ranges(i)._1 && ord <= ranges(i)._2) return true
+          i += 1
+        }
+        false
+      }
+
+      private def keyDeleted(row: InternalRow): Boolean = keyDeletes match {
+        case None => false
+        case Some((_, set)) =>
+          val k = new Array[String](keyIdx.length)
+          var i = 0
+          while (i < keyIdx.length) {
+            val v = row.get(keyIdx(i), keyTypes(i))
+            k(i) = String.valueOf(v)
+            i += 1
+          }
+          set.contains(k.toSeq)
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null && !openNext()) return false
+          if (reader.nextKeyValue()) {
+            ordinal += 1
+            if (!deletedAt(ordinal)) {
+              val row = reader.getCurrentValue.asInstanceOf[InternalRow]
+              if (!keyDeleted(row)) {
+                current = if (project == null) row else project(row)
+                return true
+              }
+            }
+          } else {
+            reader.close(); reader = null
+          }
+        }
+        false // unreachable
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit =
+        if (reader != null) { reader.close(); reader = null }
+    }
+  }
+}

@@ -517,6 +517,37 @@ object CowTable {
     * fast path ([[append]]). A lost attempt's data files are orphans,
     * reclaimed by [[expireSnapshots]]'s vacuum like any dead write.
     */
+  /** CREATE a zero-row table from a SCHEMA (the SQL `CREATE TABLE`
+    * shape): no data files — the schema rides the manifest's `S` line
+    * (exactly what schema evolution writes), so reads return an empty
+    * frame of the declared shape and the first append materializes
+    * files under the declared partition spec.
+    */
+  def createEmpty(path: String, schema: types.StructType,
+                  transforms: Seq[PartitionTransform] = Seq.empty): Int = {
+    require(!exists(path), s"table already exists at $path")
+    val spec =
+      if (transforms.isEmpty) Seq.empty
+      else Seq(PartitionPrefix + PartitionTransform.encode(transforms))
+    commit(path, (SchemaPrefix + schema.json) +: spec,
+      base = (listVersions(path) :+ 0).max)
+  }
+
+  /** REPLACE the table's contents with `df` in one commit (the INSERT
+    * OVERWRITE shape): fresh data files under the current partition
+    * spec, every prior data file and delete sidecar dropped from the
+    * manifest, schema/partition/txn spec lines carried. Time travel to
+    * pre-overwrite snapshots stays exact (their manifests still
+    * reference the old files until [[expireSnapshots]]).
+    */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame): Int =
+    withCommitRetry() {
+      val base = currentVersion(path)
+      commit(path,
+        writeDataWithStats(df, path, partitionSpec(path, Some(base))) ++
+          specLines(path, base), base)
+    }
+
   def withCommitRetry(maxRetries: Int = 5)(op: => Int): Int = {
     var attempts = 0
     while (true) {
@@ -1242,6 +1273,14 @@ object CowTable {
   private[graft] def readFiles(spark: SparkSession, path: String,
                                files: Seq[String],
                                asOf: Option[Int] = None): DataFrame = {
+    if (files.isEmpty)
+      // a zero-data-file snapshot ([[createEmpty]], or everything
+      // deleted by rewrite): the declared schema is the only shape
+      return declaredSchema(path, asOf).map(s =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot of $path has no data files and no declared schema"))
     val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
     val pos = applyPosDeletes(spark, raw, snapshotPositionDeletes(path, asOf))
     val projected = declaredSchema(path, asOf).fold(pos)(projectDeclared(pos, _))

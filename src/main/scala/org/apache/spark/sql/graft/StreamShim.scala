@@ -26,4 +26,14 @@ object StreamShim {
                          schema: StructType): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Analyzed logical plan → DataFrame (`Dataset.ofRows`) — the MERGE
+    * INTO command wraps its already-resolved source plan back into the
+    * DataFrame API to drive the format's transactional merge.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1943,4 +1943,135 @@ class CowTableSpec extends SparkSpecBase {
       full.collect().map(keyOf).sorted.toSeq)
     assert(refreshed.filter(col("segment") === "vip").count() == 1)
   }
+
+  test("SQL catalog: CREATE/INSERT/MERGE/OVERWRITE/time-travel round trip; manifest pruning reaches the catalog scan") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      // CREATE + INSERT (the V1Write append seam)
+      s.sql("CREATE TABLE cowt.ns.t (id BIGINT, name STRING, v BIGINT)")
+      s.sql("INSERT INTO cowt.ns.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+      assert(s.sql("SELECT sum(v) FROM cowt.ns.t").head().getLong(0) == 60L)
+      val v2 = CowTable.currentVersion(s"$wh/ns/t")
+      // MERGE (upsert onto CowTable.merge's transactional path)
+      Seq((2L, "B", 200L), (4L, "d", 40L)).toDF("id", "name", "v")
+        .createOrReplaceTempView("src")
+      s.sql("""MERGE INTO cowt.ns.t t USING src ON t.id = src.id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      assert(s.sql("SELECT name, v FROM cowt.ns.t WHERE id = 2").head().toString
+        == "[B,200]")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.t").head().getLong(0) == 4L)
+      // MERGE delete form -> rewrite-free MoR sidecar, honored by the scan
+      Seq(Tuple1(1L)).toDF("id").createOrReplaceTempView("dels")
+      s.sql("MERGE INTO cowt.ns.t t USING dels ON t.id = dels.id WHEN MATCHED THEN DELETE")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.t").head().getLong(0) == 3L)
+      assert(s.sql("SELECT count(name) FROM cowt.ns.t").head().getLong(0) == 3L,
+        "key-delete filtering must hold when the projection pruned the key")
+      // time travel reads the pre-merge snapshot
+      assert(s.sql(s"SELECT count(*) FROM cowt.ns.t VERSION AS OF $v2")
+        .head().getLong(0) == 3L)
+      assert(s.sql(s"SELECT v FROM cowt.ns.t VERSION AS OF $v2 WHERE id = 2")
+        .head().getLong(0) == 20L)
+      // TVF parity: the catalog scan and cow_snapshot agree row-for-row
+      val viaCatalog = s.sql("SELECT * FROM cowt.ns.t")
+        .collect().map(_.toString).sorted.toSeq
+      val viaTvf = s.sql(s"SELECT * FROM cow_snapshot('$wh/ns/t')")
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaCatalog == viaTvf)
+      // INSERT OVERWRITE replaces the snapshot, history stays exact
+      s.sql("INSERT OVERWRITE cowt.ns.t VALUES (9, 'z', 90)")
+      assert(s.sql("SELECT count(*), sum(v) FROM cowt.ns.t").head().toString == "[1,90]")
+      assert(s.sql(s"SELECT count(*) FROM cowt.ns.t VERSION AS OF $v2")
+        .head().getLong(0) == 3L)
+      // manifest pruning THROUGH the catalog read path: id-clustered
+      // files + declared stats; an id filter opens few of many files
+      CowTable.create((0L until 8000L).map(i => (i, i % 97L)).toDF("id", "w")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("id")), s"$wh/ns/big")
+      CowTable.setStatsColumns(s, s"$wh/ns/big", Seq("id"))
+      // fresh stats only cover post-declaration writes; cluster rewrites all
+      CowTable.cluster(s, s"$wh/ns/big", files = 8, zcols = Seq("id"))
+      val q = s.sql("SELECT w FROM cowt.ns.big WHERE id = 4242")
+      val scanDesc = q.queryExecution.executedPlan.toString
+      val filesRe = "files=(\\d+)".r
+      val opened = filesRe.findFirstMatchIn(scanDesc).map(_.group(1).toInt)
+      assert(opened.exists(n => n <= 2),
+        s"id filter must prune the catalog scan to the containing file: $scanDesc")
+      assert(q.head().getLong(0) == 4242L % 97L)
+      // unsupported MERGE shapes fail loudly in analysis
+      val err = intercept[Exception] {
+        s.sql("MERGE INTO cowt.ns.t t USING src ON t.id = src.id " +
+          "WHEN MATCHED AND src.v > 0 THEN UPDATE SET *")
+      }
+      assert(err.getMessage.contains("supports exactly"), err.getMessage)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("storage-partitioned CowTable join: co-bucketed tables join and aggregate with ZERO exchanges") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .config("spark.sql.sources.v2.bucketing.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.enabled", "false")
+        .getOrCreate()
+      import s.implicits._
+      import graft.sinks.PartitionTransform
+      val n = 8
+      CowTable.create((1L to 5000L).map(i => (i, i * 2)).toDF("id", "v").repartition(4),
+        s"$wh/ns/a", Seq(PartitionTransform.bucket(n, "id")))
+      CowTable.create((2000L to 9000L).map(i => (i, i * 7)).toDF("id", "w").repartition(4),
+        s"$wh/ns/b", Seq(PartitionTransform.bucket(n, "id")))
+      def q = s.sql(
+        "SELECT a.id, a.v, b.w FROM cowt.ns.a a JOIN cowt.ns.b b ON a.id = b.id")
+      def agg = s.sql("SELECT id, sum(v) sv FROM cowt.ns.a GROUP BY id")
+      // gated ON: both scans report KeyGroupedPartitioning(bucket(8, id))
+      // through the catalog's FunctionCatalog -> no exchange anywhere
+      s.conf.set("spark.graft.cowSpj", "true")
+      val spj = q
+      val spjPlan = spj.queryExecution.executedPlan.toString
+      assert(!spjPlan.contains("Exchange"), spjPlan.take(1500))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), aggPlan.take(1500))
+      val spjRows = spj.collect().map(_.toString).sorted.toSeq
+      val aggRows = agg.collect().map(_.toString).sorted.toSeq
+      // gate OFF: same rows through the ordinary shuffled plan
+      s.conf.set("spark.graft.cowSpj", "false")
+      val shuffled = q
+      assert(shuffled.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(spjRows == shuffled.collect().map(_.toString).sorted.toSeq)
+      assert(aggRows == agg.collect().map(_.toString).sorted.toSeq)
+      assert(spjRows.size == 3001)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
