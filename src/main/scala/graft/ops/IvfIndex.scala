@@ -113,6 +113,47 @@ object IvfIndex {
   private def centroidsPath(indexPath: String) = s"$indexPath/centroids"
   private def assignPath(indexPath: String) = s"$indexPath/assign"
   private def markerPath(indexPath: String) = Paths.get(indexPath, "_corpus_version")
+  private def corpusMarkerPath(indexPath: String) = Paths.get(indexPath, "_corpus_path")
+
+  // ---- int8 list compression (IVF-SQ8, round 14) --------------------------
+  //
+  // Probe IO at 100 TB is dominated by raw vector bytes in the
+  // assignment lists; the standard FAISS answer is scalar-quantized
+  // lists with exact rerank from the corpus floats. Per vector:
+  // sc = max|x|/127 (worst relative component error 1/254), vq_i =
+  // round(x_i/sc) as TINYINT — 8x fewer list bytes than float64.
+  // EVERY list consumer (preimage capture, drift stats, repairStats,
+  // the probe's candidate scoring) reads through [[decodeLists]], so
+  // the running stats live consistently in the DEQUANTIZED domain:
+  // preimage sums, postimage sums and a crash repair all reproduce the
+  // same values (the IvfIndexSpec sq8 parity law). The probe scores
+  // candidates on the quantized form (that IS vec_dot over decoded
+  // int8), keeps rerankFactor*k per query, and re-scores those few
+  // against the CORPUS floats — the emitted top-k is exact over the
+  // candidate set, so quantization can only affect which tail
+  // candidates survive the cut, the recall-gated property.
+
+  /** Encode list rows for storage: `ve` -> (`vq` int8 array, `sc`). */
+  private def encodeLists(df: DataFrame, sq8: Boolean): DataFrame =
+    if (!sq8) df
+    else df
+      .withColumn("sc", greatest(
+        expr("aggregate(ve, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))") / 127.0,
+        lit(1e-30)))
+      .withColumn("vq", expr("transform(ve, x -> cast(round(x / sc) as tinyint))"))
+      .drop("ve")
+
+  /** Read list rows back to the `ve` every consumer uses (identity on
+    * float lists — schema-detected, so sq8 never threads through
+    * signatures).
+    */
+  private def decodeLists(df: DataFrame): DataFrame =
+    if (!df.columns.contains("vq")) df
+    else df.withColumn("ve", expr("transform(vq, x -> cast(x as double) * sc)"))
+      .drop("vq", "sc")
+
+  private def isSq8(spark: SparkSession, indexPath: String): Boolean =
+    CowTable.read(spark, assignPath(indexPath)).columns.contains("vq")
   private def rebuildIntentPath(indexPath: String) = Paths.get(indexPath, "_rebuilding")
 
   /** The txn appId [[refresh]] stamps on its atomic assign-table
@@ -159,14 +200,18 @@ object IvfIndex {
     *     rebuild would quantize from those members.
     */
   def buildIndex(spark: SparkSession, corpusPath: String, indexPath: String,
-                 numCells: Int = 16, iters: Int = 2): Int = {
+                 numCells: Int = 16, iters: Int = 2,
+                 sq8: Boolean = false): Int = {
     val ver = CowTable.currentVersion(corpusPath)
     val v = withNorm(CowTable.read(spark, corpusPath, Some(ver))
       .select(col("vec_id"), col("ve")))
     val c = kmeans(v, seedsOf(v, numCells), iters).localCheckpoint()
-    val assign = assignTo(v, c)
-      .join(v.select(col("vec_id"), col("ve"), col("nv")), Seq("vec_id"))
-    val stats = assign
+    // assignment from the FLOAT vectors (cell choice is exact either
+    // way); the stored form is the encoded one, and the running stats
+    // come from the DECODED stored rows so repairStats reproduces them
+    val assign = encodeLists(assignTo(v, c)
+      .join(v.select(col("vec_id"), col("ve"), col("nv")), Seq("vec_id")), sq8)
+    val stats = decodeLists(assign)
       .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
       .groupBy("cell", "pos")
       .agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -208,6 +253,12 @@ object IvfIndex {
     CowTable.setStatsColumns(spark, assignPath(indexPath), Seq("cell"))
     CowTable.setLookupColumns(spark, assignPath(indexPath), Seq("cell"),
       dictMax = math.max(128, numCells))
+    // the corpus path rides a marker so a probe on quantized lists can
+    // exact-rerank from the corpus floats without the caller re-wiring
+    val tmp = Paths.get(indexPath, s"._corpus_path.${System.nanoTime()}.tmp")
+    Files.write(tmp, corpusPath.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, corpusMarkerPath(indexPath),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     writeIndexedVersion(indexPath, ver)
     ver
   }
@@ -283,7 +334,8 @@ object IvfIndex {
     // a crash-interrupted drift re-seed resumes FIRST: judging drift
     // against a half-rebuilt index would be garbage either way
     if (Files.exists(rebuildIntentPath(indexPath))) {
-      buildIndex(spark, corpusPath, indexPath, numCells, iters)
+      buildIndex(spark, corpusPath, indexPath, numCells, iters,
+        isSq8(spark, indexPath))
       Files.deleteIfExists(rebuildIntentPath(indexPath))
       return Refresh(rebuilt = true, indexedVersion(indexPath))
     }
@@ -329,9 +381,11 @@ object IvfIndex {
     val hasDeletes = !deleted.isEmpty
     // carry the vectors into the list rows (the assign-table layout:
     // vec_id, cell, ve, nv — same shape buildIndex writes)
+    val sq8 = isSq8(spark, indexPath)
     val newAssign =
       if (hasUpserts)
-        assignTo(upserts, stored).join(upserts, Seq("vec_id")).localCheckpoint()
+        encodeLists(assignTo(upserts, stored).join(upserts, Seq("vec_id")), sq8)
+          .localCheckpoint()
       else null
     val changedIds =
       ((if (hasUpserts) Seq(upserts.select("vec_id")) else Nil) ++
@@ -341,7 +395,7 @@ object IvfIndex {
     // lazy plan would re-read post-delete state); cells LOSING a
     // member shift too, which is why preimage sums matter
     val pre = changedIds.map(ids =>
-      CowTable.read(spark, aPath)
+      decodeLists(CowTable.read(spark, aPath))
         .join(broadcast(ids), Seq("vec_id"), "left_semi")
         .select(col("cell"), col("ve")).localCheckpoint())
 
@@ -352,7 +406,7 @@ object IvfIndex {
         .agg((sum("x") * sgn).as("sx"), (count(lit(1)) * sgn).as("n"))
     val deltaPos =
       (pre.map(posSums(_, -1)).toSeq ++
-       (if (hasUpserts) Seq(posSums(newAssign, 1)) else Nil))
+       (if (hasUpserts) Seq(posSums(decodeLists(newAssign), 1)) else Nil))
         .reduceOption(_ unionByName _)
 
     // fold the deltas into the running stats; the candidate quantized
@@ -391,7 +445,7 @@ object IvfIndex {
       Files.createDirectories(Paths.get(indexPath))
       Files.write(rebuildIntentPath(indexPath),
         toV.toString.getBytes(StandardCharsets.UTF_8))
-      buildIndex(spark, corpusPath, indexPath, numCells, iters)
+      buildIndex(spark, corpusPath, indexPath, numCells, iters, sq8)
       Files.deleteIfExists(rebuildIntentPath(indexPath))
       Refresh(rebuilt = true, toV, worstShift)
     } else {
@@ -419,7 +473,7 @@ object IvfIndex {
     * after a detected crash window, never on the happy path.
     */
   private[graft] def repairStats(spark: SparkSession, indexPath: String): Unit = {
-    val a = CowTable.read(spark, assignPath(indexPath))
+    val a = decodeLists(CowTable.read(spark, assignPath(indexPath)))
     val stats = a
       .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
       .groupBy("cell", "pos")
@@ -538,10 +592,12 @@ object IvfIndex {
     * probed cells.
     */
   def probe(spark: SparkSession, indexPath: String,
-            queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+            queries: DataFrame, nprobe: Int, k: Int,
+            rerankFactor: Int = 4): DataFrame = {
     val c = CowTable.read(spark, centroidsPath(indexPath))
     val q = withNorm(queries.select(col("qid").as("vec_id"), col("qe").as("ve")))
       .select(col("vec_id").as("qid"), col("ve").as("qe"), col("nv").as("nq"))
+      .localCheckpoint()
     val wp = Window.partitionBy("qid").orderBy(col("ps").desc, col("cid"))
     val probes = q.join(broadcast(c), lit(true))
       .withColumn("ps", vec_dot(col("qe"), col("ce")) / (col("nq") * col("nc")))
@@ -549,19 +605,49 @@ object IvfIndex {
       .filter(col("pr") <= nprobe)
       .select("qid", "cid")
     val cellLits = probes.select("cid").distinct().collect().map(_.get(0))
-    val assign = CowTable.readPrunedIn(spark, assignPath(indexPath), "cell",
-        cellLits.toIndexedSeq)
-      .filter(col("cell").isin(cellLits.toIndexedSeq: _*))
+    val sq8 = isSq8(spark, indexPath)
+    val assign = decodeLists(
+        CowTable.readPrunedIn(spark, assignPath(indexPath), "cell",
+          cellLits.toIndexedSeq)
+          .filter(col("cell").isin(cellLits.toIndexedSeq: _*)))
       .select(col("vec_id"), col("cell"), col("ve").as("ne"), col("nv").as("nn"))
+    // on quantized lists this score IS the int8 dot (x scale): the
+    // cheap pass that decides which candidates reach the exact rerank
     val cand = q.join(broadcast(probes), Seq("qid"))
       .join(assign, col("cell") === col("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("s", vec_dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
     val wr = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
-    cand
-      .withColumn("rn", row_number().over(wr).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid").as("q"), col("vec_id").as("n"), col("rn"))
+    if (!sq8)
+      cand
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("qid").as("q"), col("vec_id").as("n"), col("rn"))
+    else {
+      // EXACT RERANK (IVF-SQ8): rerankFactor*k survivors per query by
+      // quantized score, re-scored against the corpus floats — the
+      // emitted top-k is exact over the candidate set. The candidate
+      // id list is serving-bounded (queries x rerankFactor x k), so it
+      // rides the same literal-IN manifest pruning as the cell read.
+      val corpus = new String(Files.readAllBytes(corpusMarkerPath(indexPath)),
+        StandardCharsets.UTF_8).trim
+      val short = cand
+        .withColumn("rq", row_number().over(wr))
+        .filter(col("rq") <= rerankFactor.toLong * k)
+        .select("qid", "vec_id").localCheckpoint()
+      val idLits = short.select("vec_id").distinct().collect().map(_.get(0))
+      val exact = withNorm(
+          CowTable.readPrunedIn(spark, corpus, "vec_id", idLits.toIndexedSeq)
+            .filter(col("vec_id").isin(idLits.toIndexedSeq: _*))
+            .select(col("vec_id"), col("ve")))
+        .select(col("vec_id"), col("ve").as("fe"), col("nv").as("nf"))
+      q.join(short, Seq("qid"))
+        .join(exact, Seq("vec_id"))
+        .withColumn("s", vec_dot(col("qe"), col("fe")) / (col("nq") * col("nf")))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("qid").as("q"), col("vec_id").as("n"), col("rn"))
+    }
   }
 
   // ---- the declared query ------------------------------------------------

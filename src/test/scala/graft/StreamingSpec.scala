@@ -1774,6 +1774,109 @@ class StreamingSpec extends SparkSpecBase {
     assert(CowTable.txnVersion(mirror, "cdc-mirror") == 4L)
   }
 
+  test("composed punctuate: event-time finals byte-equal the timer twin; wall-clock heartbeats name open legs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the chainFollowupStream fixture verbatim: five users covering
+      // every outcome, chains split across batches
+      val b1 = Seq(
+        evt(1, "2024-01-01 10:00:00", user = 1, tpe = "signup"),
+        evt(2, "2024-01-01 10:00:00", user = 2, tpe = "signup"),
+        evt(3, "2024-01-01 10:00:00", user = 3, tpe = "signup"),
+        evt(4, "2024-01-01 10:00:00", user = 4, tpe = "signup"),
+        evt(5, "2024-01-01 10:00:00", user = 5, tpe = "signup"),
+        evt(6, "2024-01-01 11:00:00", user = 3, tpe = "purchase"),
+        evt(7, "2024-01-01 11:00:00", user = 5, tpe = "purchase"))
+      val b2 = Seq(
+        evt(8, "2024-01-01 12:00:00", user = 1, tpe = "purchase"),
+        evt(9, "2024-01-01 11:30:00", user = 5, tpe = "error"),
+        evt(10, "2024-01-01 12:00:00", user = 5, tpe = "purchase"),
+        evt(11, "2024-01-01 12:30:00", user = 4, tpe = "purchase"))
+      val b3 = Seq(
+        evt(12, "2024-01-01 13:00:00", user = 1, tpe = "error"),
+        evt(13, "2024-01-01 14:00:00", user = 4, tpe = "error"))
+      val sentinels = Seq(
+        Seq(evt(98, "2024-01-03 00:00:00", user = 99)),
+        Seq(evt(99, "2024-01-04 00:00:00", user = 99)))
+      val stream = MemoryStream[Evt]
+      val sink = nextSink()
+      val q = StreamOps.reconPunctuateStream(stream.toDF().as[Evt],
+          hbIntervalMs = 150L)
+        .toDF("kind", "status", "s_id", "v")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // ProcessingTime mode keeps the engine polling; drive by sink
+      // content (the heartbeat-test protocol), with wall-clock gaps so
+      // the 150 ms punctuators fire while legs are genuinely open
+      def finals() = spark.table(sink).filter(col("kind") === "final").count()
+      def await(atLeast: Long): Unit = {
+        val t0 = System.currentTimeMillis()
+        while (finals() < atLeast) {
+          assert(q.exception.isEmpty, s"query died: ${q.exception}")
+          assert(System.currentTimeMillis() - t0 < 90000,
+            s"timed out waiting for $atLeast finals (have ${finals()})")
+          Thread.sleep(100)
+        }
+      }
+      stream.addData(b1); Thread.sleep(500)
+      stream.addData(b2); Thread.sleep(500)
+      stream.addData(b3); await(2) // user 5 and user 1 full chains arrive on data
+      Thread.sleep(500)
+      sentinels.foreach { b => stream.addData(b); Thread.sleep(500) }
+      await(5) // every chain resolved once the watermark passes 2024-01-02
+      Thread.sleep(500) // let any last armed punctuator fire and go silent
+      q.stop()
+      val rows = spark.table(sink).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val streamedFinals = rows.filter(_._1 == "final")
+        .map(t => (t._2, t._3, t._4)).toSet
+      // invariant 1: finals byte-equal the event-time twin's outcomes
+      val twinSink = nextSink()
+      val twinStream = MemoryStream[Evt]
+      val tq = StreamOps.chainFollowupStream(twinStream.toDF().as[Evt])
+        .toDF("status", "s_id", "lat")
+        .writeStream.format("memory").queryName(twinSink).outputMode("append").start()
+      (Seq(b1, b2, b3) ++ sentinels).foreach { b =>
+        twinStream.addData(b); tq.processAllAvailable() }
+      tq.stop()
+      val twinFinals = spark.table(twinSink).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamedFinals == twinFinals,
+        s"composed finals diverged:\n$streamedFinals\nvs twin\n$twinFinals")
+      assert(streamedFinals.size == 5 &&
+        streamedFinals.contains(("full_chain", 1L, 10800L)))
+      // invariant 2: every heartbeat names a leg that was OPEN at
+      // emission — it must hold a later final, and an open_chain beat
+      // can only precede full_chain/purchase_no_error outcomes
+      val hbs = rows.filter(_._1 == "hb")
+      val finalsBy = streamedFinals.map(t => t._1 -> t._2).groupMap(_._2)(_._1)
+      hbs.foreach { case (_, st, id, _) =>
+        val outcome = finalsBy.getOrElse(id, Set.empty)
+        assert(outcome.nonEmpty, s"heartbeat for unknown leg $id")
+        if (st == "open_chain")
+          assert(!outcome.contains("no_purchase"),
+            s"a chain beat implies the purchase landed: $id -> $outcome")
+      }
+      // invariant 3: the punctuators really fired while legs waited
+      // (wall-clock gaps made every key idle with open state at least
+      // once), and each key's heartbeat watermarks are monotone
+      assert(hbs.nonEmpty, "no heartbeat observed despite idle gaps")
+      hbs.groupBy(t => (t._2, t._3)).values.foreach { perLeg =>
+        val wms = perLeg.map(_._4).toSeq
+        assert(wms == wms.sorted, s"heartbeat watermarks must be monotone: $wms")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("replay idempotence: every foreachBatch sink body called twice per batch converges") {
     // The r10 high bug (incremental-dedup pairs overwritten by a
     // post-commit replay) lived exactly in the gap between per-sink
