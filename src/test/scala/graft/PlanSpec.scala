@@ -785,6 +785,7 @@ class PlanSpec extends SparkSpecBase {
     *    cross join — cardinality fixed by construction, never data.
     */
   private val bnljAllowed: Map[String, String] = Map(
+    "li_ship_dow_profile" -> "1-row scalar: revenue-total broadcast over the bounded 7-row dow domain",
     "events_anomaly_daily" -> "1-row scalar: global moment (N,S,SS) broadcast over the day domain",
     "dq_clock_uniformity" -> "1-row scalar: corpus-total broadcast over the bounded 60-row minute domain",
     "embedding_label_norm_gap" -> "1-row scalar: global norm totals broadcast over the bounded label table",
@@ -854,6 +855,8 @@ class PlanSpec extends SparkSpecBase {
     * scalar subqueries) or a bounded domain table — never fact data.
     */
   private val singleAllowed: Map[String, String] = Map(
+    "li_ship_dow_profile" -> "1-row revenue-total aggregate (dow census stays parallel)",
+    "orders_daily_count_autocorr" -> "bounded day-domain lead window + 1-row final moment aggregate",
     "events_anomaly_daily" -> "1-row moment aggregate (the broadcast side; day census stays parallel)",
     "dq_clock_uniformity" -> "1-row corpus-total aggregate (minute census stays parallel)",
     "embedding_label_norm_gap" -> "1-row norm-total aggregate (label census stays parallel)",
