@@ -269,7 +269,28 @@ final class CowBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
   * DataFrame-level seams, same rationale as the CDC source).
   */
 class CowSqlTable(val path: String, ident: String, asOf: Option[Int])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** `DELETE FROM cow.ns.t WHERE …`: the pushed filters compile to the
+    * predicate string [[CowTable.delete]] rewrites touched files
+    * against (copy-on-write; `deleteMor` stays the API-side rewrite-
+    * free alternative). Only filters with an exact SQL rendering are
+    * accepted — anything else fails ANALYSIS with a fallback hint
+    * rather than approximating (`canDeleteWhere` false ⇒ Spark raises
+    * its own unsupported-delete error).
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => CowSqlTable.filterSql(f).isDefined)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.map(f => CowSqlTable.filterSql(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate not translatable: $f — use CowTable.delete/deleteMor")))
+        .mkString("(", ") AND (", ")")
+    CowTable.delete(SparkSession.active, path, pred)
+    ()
+  }
   override def name(): String = ident
   override lazy val schema: StructType =
     CowTable.read(SparkSession.active, path, asOf).schema
@@ -305,6 +326,45 @@ class CowSqlTable(val path: String, ident: String, asOf: Option[Int])
           }
       }
     }
+}
+
+object CowSqlTable {
+  /** Exact SQL rendering of a pushed V1 filter, or None (untranslatable
+    * → the DELETE is rejected in analysis, never approximated). String
+    * literals escape single quotes; other literal types render through
+    * Catalyst's own Literal SQL form.
+    */
+  private[sinks] def filterSql(f: org.apache.spark.sql.sources.Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case b: Boolean => Some(b.toString)
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+      case d: java.sql.Date => Some(s"DATE'$d'")
+      case t: java.sql.Timestamp => Some(s"TIMESTAMP'$t'")
+      case _ => None // doubles/decimals: no exact round-trip text, reject
+    }
+    def col(c: String): Option[String] =
+      if (c.forall(ch => ch.isLetterOrDigit || ch == '_')) Some(s"`$c`") else None
+    f match {
+      case EqualTo(c, v)            => for (a <- col(c); b <- lit(v)) yield s"$a = $b"
+      case GreaterThan(c, v)        => for (a <- col(c); b <- lit(v)) yield s"$a > $b"
+      case GreaterThanOrEqual(c, v) => for (a <- col(c); b <- lit(v)) yield s"$a >= $b"
+      case LessThan(c, v)           => for (a <- col(c); b <- lit(v)) yield s"$a < $b"
+      case LessThanOrEqual(c, v)    => for (a <- col(c); b <- lit(v)) yield s"$a <= $b"
+      case In(c, vs) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.exists(_.isEmpty)) None
+        else col(c).map(a => s"$a IN (${ls.flatten.mkString(", ")})")
+      case IsNull(c)    => col(c).map(a => s"$a IS NULL")
+      case IsNotNull(c) => col(c).map(a => s"$a IS NOT NULL")
+      case And(l, r) => for (a <- filterSql(l); b <- filterSql(r)) yield s"($a) AND ($b)"
+      case Or(l, r)  => for (a <- filterSql(l); b <- filterSql(r)) yield s"($a) OR ($b)"
+      case Not(x)    => filterSql(x).map(a => s"NOT ($a)")
+      case _ => None
+    }
+  }
 }
 
 class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],

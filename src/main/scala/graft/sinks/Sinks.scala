@@ -185,13 +185,14 @@ object Sinks {
                       indexPath: String, checkpoint: String,
                       numCells: Int = 16, iters: Int = 2,
                       maxDrift: Double = 0.2,
-                      appId: String = "ivf-ingest"): StreamingQuery =
+                      appId: String = "ivf-ingest",
+                      sq8: Boolean = false): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ivfIngestBatch(batch, id, corpusPath, indexPath,
-          numCells, iters, maxDrift, appId)
+          numCells, iters, maxDrift, appId, sq8)
       }
       .start()
 
@@ -202,7 +203,8 @@ object Sinks {
                                     corpusPath: String, indexPath: String,
                                     numCells: Int = 16, iters: Int = 2,
                                     maxDrift: Double = 0.2,
-                                    appId: String = "ivf-ingest"): Unit = {
+                                    appId: String = "ivf-ingest",
+                                    sq8: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     if (!CowTable.exists(corpusPath))
@@ -210,8 +212,10 @@ object Sinks {
     CowTable.upsertMorPos(spark, corpusPath,
       batch.select("vec_id").distinct(), batch, txn = Some((appId, id)))
     if (!graft.ops.IvfIndex.exists(indexPath))
+      // sq8 applies only at bootstrap: refresh auto-detects the list
+      // encoding from the assign schema thereafter
       graft.ops.IvfIndex.buildIndex(spark, corpusPath, indexPath,
-        numCells = numCells, iters = iters)
+        numCells = numCells, iters = iters, sq8 = sq8)
     else {
       graft.ops.IvfIndex.refresh(spark, corpusPath, indexPath,
         maxDrift = maxDrift, numCells = numCells, iters = iters)

@@ -2015,6 +2015,15 @@ class CowTableSpec extends SparkSpecBase {
           "WHEN MATCHED AND src.v > 0 THEN UPDATE SET *")
       }
       assert(err.getMessage.contains("supports exactly"), err.getMessage)
+      // DELETE FROM through SupportsDelete: translatable predicates
+      // compile to CowTable.delete's copy-on-write rewrite
+      s.sql("INSERT INTO cowt.ns.t VALUES (10, 'p', 5), (11, 'q', 6), (12, 'q', 7)")
+      s.sql("DELETE FROM cowt.ns.t WHERE name = 'q' AND v >= 7")
+      assert(s.sql("SELECT id FROM cowt.ns.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(9L, 10L, 11L),
+        "only the (q, >=7) row deleted")
+      s.sql("DELETE FROM cowt.ns.t WHERE id IN (10, 11)")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.t").head().getLong(0) == 1L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
