@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -826,6 +826,80 @@ object ScaleBench {
       f"naive ${tN}%5.2f s | AQE skew-split ${tA}%5.2f s (plan-guarded skew=true) " +
       f"| salted(16) ${tS}%5.2f s — checksum-equal")
     } // end skew section
+
+    if (only.forall(_ == "cdc")) {
+    // ---- round-14: streaming table->table chaining (cow-cdc source) ----
+    // A 5M-row upstream CowTable mirrored downstream through the
+    // cow-cdc STREAMING source + cdcMirror sink; five CDC windows
+    // (append / merge / MoR delete) land while the query runs. The
+    // structural claim: each mirrored window costs the manifest DIFF
+    // (delta-proportional reads + one atomic MoR upsert), while the
+    // batch-glue alternative re-copies the table per window.
+    import graft.sinks.{CowTable, Sinks}
+    import graft.sources.CowCdcSourceProvider
+    val cdcDir = "/tmp/graft_scalebench_cdc"
+    val cdcRoot = java.nio.file.Paths.get(cdcDir)
+    if (java.nio.file.Files.exists(cdcRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(cdcRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val up = s"$cdcDir/up"; val mir = s"$cdcDir/mirror"
+    CowTable.create(spark.range(5000000L).select(col("id"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("v"))
+      .repartitionByRange(32, col("id")), up)
+    val feed = spark.readStream.format(classOf[CowCdcSourceProvider].getName)
+      .option("path", up).option("key", "id").load()
+    val q = Sinks.cdcMirrorStream(feed, mir, "id", s"$cdcDir/ckpt")
+    q.processAllAvailable() // window 0: the 5M-row initial snapshot
+    // window shapes follow the round-11 IVM lesson: appends + MoR
+    // deletes are key-granular; updates stay CLUSTERED (contiguous ids
+    // -> few rewritten files). A scattered 5k-key merge would rewrite
+    // all 32 range files and the manifest diff honestly degrades to a
+    // full-table compare; delete key lists stay <= 1024 so the
+    // carried-file preimage scan rides the literal-IN manifest pruning
+    val t0 = System.nanoTime()
+    (0 until 5).foreach { w =>
+      CowTable.append(spark, up, spark.range(5000000L + w * 30000L,
+          5000000L + w * 30000L + 20000L)
+        .select(col("id"), pmod(xxhash64(col("id")), lit(100000L)).as("v")))
+      CowTable.merge(spark, up, spark.range(5000L)
+        .select((col("id") + w * 300000L).as("id"), lit(w.toLong).as("v")), "id")
+      CowTable.deleteMorKeys(spark, up, spark.range(800L)
+        .select((col("id") * 4999L + w * 7L).as("id")).toDF("id"), "id")
+      q.processAllAvailable()
+    }
+    val tInc = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    def chk(p: String): (Long, String) = {
+      val r = CowTable.read(spark, p).agg(count(lit(1)),
+        sum(xxhash64(col("id"), col("v")).cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), r.getDecimal(1).toString)
+    }
+    val (cU, hU) = chk(up); val (cM, hM) = chk(mir)
+    require(cU == cM && hU == hM,
+      s"mirror diverged from upstream: ($cU,$hU) vs ($cM,$hM)")
+    // the batch-glue alternative: one full-table rewrite per window
+    CowTable.create(CowTable.read(spark, up).limit(0), s"$cdcDir/copy")
+    val t1 = System.nanoTime()
+    (0 until 5).foreach { _ =>
+      CowTable.overwrite(spark, s"$cdcDir/copy", CowTable.read(spark, up))
+    }
+    val tFull = (System.nanoTime() - t1) / 1e9
+    // the continuous trigger mirrors every upstream COMMIT as its own
+    // micro-batch (15 here — lowest latency), each paying one manifest
+    // diff + one atomic MoR upsert; batching commits per trigger is the
+    // maxVersionsPerBatch/trigger knob, not a different plan
+    val nCommits = 15.0
+    println(f"[scalebench] cdc @ 5M-row table, 5 windows of " +
+      f"20k append + 5k clustered merge + 800-key MoR delete: streamed " +
+      f"chaining ${tInc}%5.2f s (${nCommits.toInt} per-commit micro-batches, " +
+      f"${tInc / nCommits}%4.1f s each) vs full-recopy glue ${tFull}%5.2f s " +
+      f"(5 rewrites), mirror checksum-equal (${cM}%,d rows); the structural " +
+      f"claim is delta-proportional READS per mirrored commit (flat as the " +
+      f"table grows) — locally a 5M-row recopy is one ~1 s scan, the " +
+      f"ivm-section caveat")
+    } // end cdc section
 
     if (only.forall(_ == "spj")) {
     // ---- round-14: storage-partitioned CowTable join (VERDICT r13 #2) --

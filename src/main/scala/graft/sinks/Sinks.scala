@@ -256,6 +256,16 @@ object Sinks {
   private[graft] def cdcMirrorBatch(batch: DataFrame, path: String,
                                     key: String,
                                     appId: String = "cdc-mirror"): Unit = {
+    // the CDC batch plan (manifest diff + classification joins) is
+    // consumed several times below — materialize ONCE (the fanoutBatch
+    // discipline; without it every pass re-runs the diff)
+    val rows = batch.persist()
+    try cdcMirrorBody(rows, path, key, appId)
+    finally { rows.unpersist(); () }
+  }
+
+  private def cdcMirrorBody(batch: DataFrame, path: String, key: String,
+                            appId: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val upstreamV = batch.agg(max(col("_commit_version"))).head.getInt(0).toLong
