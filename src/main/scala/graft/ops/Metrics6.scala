@@ -175,7 +175,43 @@ object Metrics6 {
         |SELECT pri, has_return, CAST(count(*) AS BIGINT) n
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Census of within-user inter-event gaps in whole minutes (capped
+    * at 120): the session-gap histogram that justifies a sessionization
+    * threshold (the 30-minute industry default is exactly a valley in
+    * this curve). One user-keyed lag window + bounded ≤121-row census.
+    */
+  val eventsSessionGapCensus: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(least(expr("div(gap_us, 60000000)"), lit(120L)).as("gap_min"))
+      .agg(cnt.as("n"))
+      .orderBy("gap_min")
+  }
+
+  /** Month-end loading audit: share of each month's orders landing in
+    * its last 3 days vs the calendar expectation (3/days-in-month) —
+    * the billing-cycle / quota-stuffing detector, exact ppm integers.
+    */
+  val ordersMonthEndEffect: Q = (s, d) =>
+    orders(s, d)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        when(datediff(last_day(col("o_orderdate")), col("o_orderdate")) < 3, 1L)
+          .otherwise(0L).as("tail3"),
+        dayofmonth(last_day(col("o_orderdate"))).cast("long").as("dim"))
+      .groupBy("ym")
+      .agg(cnt.as("n_orders"), sum("tail3").cast("long").as("n_tail3"),
+        expr("cast(sum(tail3) * 1000000 div count(1) as bigint)").as("tail3_ppm"),
+        expr("cast(3 * 1000000 div max(dim) as bigint)").as("expected_ppm"))
+      .orderBy("ym")
+
   val queries: Map[String, Q] = Map(
+    "events_session_gap_census" -> eventsSessionGapCensus,
+    "orders_month_end_effect" -> ordersMonthEndEffect,
     "events_props_value_bands" -> eventsPropsValueBands,
     "embedding_label_coherence" -> embeddingLabelCoherence,
     "orders_daily_count_autocorr" -> ordersDailyCountAutocorr,

@@ -78,6 +78,28 @@ object OracleW25 {
   SELECT yq, CAST(rn AS BIGINT) rn, ck, rev FROM r WHERE rn <= 3
   ORDER BY yq, rn""",
 
+    "events_session_gap_census" ->
+      """WITH g AS (SELECT user_id,
+      CAST(epoch_us(ts) AS BIGINT) - lag(CAST(epoch_us(ts) AS BIGINT))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) gap_us
+    FROM events),
+  b AS (SELECT CAST(least(gap_us // 60000000, 120) AS BIGINT) gap_min
+        FROM g WHERE gap_us IS NOT NULL)
+  SELECT gap_min, CAST(count(*) AS BIGINT) n FROM b
+  GROUP BY 1 ORDER BY 1""",
+
+    "orders_month_end_effect" ->
+      """WITH t AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) ym,
+      CASE WHEN datediff('day', o_orderdate, last_day(o_orderdate)) < 3
+           THEN 1 ELSE 0 END tail3,
+      CAST(day(last_day(o_orderdate)) AS BIGINT) dim
+    FROM orders)
+  SELECT ym, CAST(count(*) AS BIGINT) n_orders,
+    CAST(sum(tail3) AS BIGINT) n_tail3,
+    CAST(sum(tail3) * 1000000 // count(*) AS BIGINT) tail3_ppm,
+    CAST(3 * 1000000 // max(dim) AS BIGINT) expected_ppm
+  FROM t GROUP BY 1 ORDER BY 1""",
+
     "subq_exists_select_list" ->
       """WITH t AS (SELECT o_orderpriority pri,
       CAST(EXISTS(SELECT 1 FROM lineitem
