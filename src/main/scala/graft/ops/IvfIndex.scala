@@ -636,6 +636,12 @@ object IvfIndex {
         .filter(col("rq") <= rerankFactor.toLong * k)
         .select("qid", "vec_id").localCheckpoint()
       val idLits = short.select("vec_id").distinct().collect().map(_.get(0))
+      // zero candidates (tiny corpus / the query's probed cells hold
+      // only itself): an empty IN-list would reach readPrunedIn/isin
+      // with no arguments — return the empty result directly
+      if (idLits.isEmpty)
+        return cand.select(col("qid").as("q"), col("vec_id").as("n"),
+          lit(1L).as("rn")).limit(0)
       val exact = withNorm(
           CowTable.readPrunedIn(spark, corpus, "vec_id", idLits.toIndexedSeq)
             .filter(col("vec_id").isin(idLits.toIndexedSeq: _*))

@@ -22,15 +22,21 @@ object Metrics6 {
   private def orders(s: SparkSession, d: String) = Tables.t(s, d, "orders")
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
-  /** JSON payload profiling at scale: `get_json_object` (codegen'd
-    * path extraction — no per-field re-tokenization) pulls the numeric
-    * `k` out of every event's props and the census bands it per type.
-    * The oracle extracts with a regex, pinning that the JSON path and
-    * the textual form agree. One scan + one keyed agg.
+  /** JSON payload profiling: BOTH engines extract `k` with the SAME
+    * regex (`"k": (\d+)` — the pinned textual contract: non-negative
+    * integer, exactly that spacing), so the extraction domain is
+    * identical by construction; on the non-negative domain Spark `div`
+    * and DuckDB `//` agree (both truncate = floor there). ADVICE r14:
+    * the earlier get_json_object form parsed ANY JSON number while the
+    * oracle regex did not — silently divergent off this corpus. The
+    * regex is as codegen-friendly as the JSON path (one string op per
+    * row); non-matching rows band as NULL on both sides. One scan +
+    * one keyed agg.
     */
   val eventsPropsValueBands: Q = (s, d) =>
     ev(s, d).select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        regexp_extract(col("props"), """"k": (\d+)""", 1)
+          .cast("long").as("k"))
       .groupBy(col("event_type"), expr("div(k, 10)").as("band"))
       .agg(cnt.as("n"), sum("k").cast("long").as("sum_k"))
       .orderBy("event_type", "band")

@@ -9,7 +9,7 @@ object OracleW25 {
 
     "events_props_value_bands" ->
       """WITH t AS (SELECT event_type,
-    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) k FROM events)
+    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) k FROM events)
   SELECT event_type, CAST(k // 10 AS BIGINT) band,
     CAST(count(*) AS BIGINT) n, CAST(sum(k) AS BIGINT) sum_k
   FROM t GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -90,9 +90,14 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = java.nio.file.Paths.get(dir(namespace.toSeq))
     if (!java.nio.file.Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
-    java.nio.file.Files.list(d).iterator().asScala
-      .filter(p => CowTable.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+    // Files.list streams hold a directory fd until closed — always
+    // materialize inside Using.resource (ADVICE r14: repeated catalog
+    // ops leaked descriptors)
+    scala.util.Using.resource(java.nio.file.Files.list(d)) { st =>
+      st.iterator().asScala
+        .filter(p => CowTable.exists(p.toString))
+        .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean = CowTable.exists(dir(ident))
@@ -123,9 +128,7 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def dropTable(ident: Identifier): Boolean = {
     val d = java.nio.file.Paths.get(dir(ident))
     if (!CowTable.exists(d.toString)) return false
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    CowCatalog.deleteTree(d)
     true
   }
 
@@ -143,10 +146,12 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def listNamespaces(): Array[Array[String]] = {
     val d = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.isDirectory(d)) return Array.empty
-    java.nio.file.Files.list(d).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p) &&
-        !CowTable.exists(p.toString))
-      .map(p => Array(p.getFileName.toString)).toArray
+    scala.util.Using.resource(java.nio.file.Files.list(d)) { st =>
+      st.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          !CowTable.exists(p.toString))
+        .map(p => Array(p.getFileName.toString)).toArray
+    }
   }
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
@@ -167,10 +172,11 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val d = java.nio.file.Paths.get(dir(namespace.toSeq))
     if (!java.nio.file.Files.isDirectory(d)) return false
-    if (!cascade && java.nio.file.Files.list(d).iterator().hasNext)
+    val nonEmpty = scala.util.Using.resource(java.nio.file.Files.list(d))(
+      _.iterator().hasNext)
+    if (!cascade && nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
-    java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    CowCatalog.deleteTree(d)
     true
   }
 
@@ -185,6 +191,18 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 }
 
 object CowCatalog {
+  /** Recursive delete with the walk stream materialized and CLOSED
+    * before any deletion (an open Files.walk stream both holds a
+    * directory fd and sees its own deletions).
+    */
+  private[sinks] def deleteTree(d: java.nio.file.Path): Unit = {
+    val paths = scala.util.Using.resource(java.nio.file.Files.walk(d)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toVector
+    }
+    paths.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   /** V2 transform → CowTable write-layout transform (CREATE TABLE
     * PARTITIONED BY). Names the V2 spec and [[PartitionTransform]]
     * share: identity / bucket / years / months / days.
@@ -454,8 +472,13 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
 
   /** Key-delete sidecar, driver-collected (bounded by compaction
     * cadence; loud cap). Stored as (key column names, canonical-string
-    * tuple set) — canonical strings sidestep internal-vs-external type
-    * mismatches between the sidecar read and the parquet readers.
+    * tuple set). BOTH sides of the comparison live in the INTERNAL type
+    * domain: the sidecar is collected via `queryExecution.toRdd`
+    * (InternalRow — Int days, Long micros, UTF8String) and stringified
+    * through the same [[CowScan.canonKey]] the per-row reader check
+    * uses. Collecting external rows (java.sql.Date "2020-01-01") and
+    * comparing against internal ones (Int 18262) silently matched
+    * nothing for date/timestamp/binary keys — ADVICE r14 (high).
     */
   private val keyDeletes: Option[(Seq[String], Set[Seq[String]])] = {
     val sidecars = CowTable.snapshotDeletes(path, asOf)
@@ -467,8 +490,15 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
         s"$n MoR-deleted keys exceed the catalog scan's 100k per-task bound; " +
           "run CowTable.compact to fold sidecars, or read via CowTable.read")
       val cols = df.columns.toSeq
-      Some((cols, df.collect().map(r =>
-        cols.indices.map(i => String.valueOf(r.get(i)))).toSet))
+      val types = df.schema.fields.map(_.dataType)
+      types.zip(cols).foreach { case (t, c) =>
+        require(CowScan.atomicKeyType(t),
+          s"MoR key-delete column $c has non-atomic type $t; the catalog " +
+            "scan's canonical-string key filter covers atomic types only — " +
+            "read via CowTable.read / the cow_snapshot TVF") }
+      val rows = df.queryExecution.toRdd.map(_.copy()).collect()
+      Some((cols, rows.map(r => cols.indices.map(i =>
+        CowScan.canonKey(if (r.isNullAt(i)) null else r.get(i, types(i))))).toSet))
     }
   }
 
@@ -525,6 +555,29 @@ object CowScan {
   /** `_metadata.file_path` URI vs manifest filesystem path. */
   private[sinks] def canonPath(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
+  /** One canonical string per INTERNAL value, used on both sides of the
+    * MoR key-delete filter (sidecar collection above, per-row reader
+    * check below) so the comparison never crosses type domains. Nulls
+    * carry a sentinel (the string "null" must not match a null key);
+    * binary is value-encoded (arrays stringify by identity otherwise).
+    */
+  private[sinks] def canonKey(v: Any): String = v match {
+    case null           => "\u0000<null>"
+    case b: Array[Byte] => "\u0001" + java.util.Base64.getEncoder.encodeToString(b)
+    case other          => String.valueOf(other)
+  }
+
+  /** Types whose internal form stringifies value-faithfully; nested
+    * types would compare by ArrayData/InternalRow toString — reject
+    * loudly rather than ever be silently wrong.
+    */
+  private[sinks] def atomicKeyType(t: DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.ArrayType |
+         _: org.apache.spark.sql.types.MapType |
+         _: org.apache.spark.sql.types.StructType => false
+    case _ => true
+  }
 }
 
 case class CowInputPartition(files: Array[String], bucket: Option[Int])
@@ -611,7 +664,7 @@ class CowReaderFactory(requiredJson: String, readSchemaJson: String,
           var i = 0
           while (i < keyIdx.length) {
             val v = row.get(keyIdx(i), keyTypes(i))
-            k(i) = String.valueOf(v)
+            k(i) = CowScan.canonKey(v)
             i += 1
           }
           set.contains(k.toSeq)

@@ -95,21 +95,41 @@ object CowTable {
       var held = false
       while (!held) {
         try {
+          // pid + wall-clock + nanos: every lock INCARNATION has unique
+          // content, so a takeover park name identifies one incarnation
           Files.write(lock,
-            s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
-              .getBytes(StandardCharsets.UTF_8),
+            (s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()} " +
+              s"${System.nanoTime()}").getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
           held = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            val stale =
-              try {
-                val body = new String(Files.readAllBytes(lock),
-                  StandardCharsets.UTF_8).trim.split(" ")
-                System.currentTimeMillis() - body(1).toLong > leaseMs
-              } catch { case scala.util.control.NonFatal(_) => false }
-            if (stale) Files.deleteIfExists(lock)
+            val body =
+              try Some(new String(Files.readAllBytes(lock),
+                StandardCharsets.UTF_8).trim)
+              catch { case scala.util.control.NonFatal(_) => None }
+            val stale = body.exists { b =>
+              try System.currentTimeMillis() - b.split(" ")(1).toLong > leaseMs
+              catch { case scala.util.control.NonFatal(_) => false }
+            }
+            if (stale) {
+              // Stale-lease takeover by PARKING, never in-place delete
+              // (ADVICE r14 medium: judge-stale A deletes, B recreates,
+              // A's leftover delete then removes B's FRESH lock — two
+              // holders). Rename the stale lock to a name derived from
+              // ITS OWN content: exactly one racer's rename moves the
+              // file; a racer still acting on that content finds the
+              // park name occupied and its move fails loudly, sending
+              // it back to re-read the (now fresh) lock. Nobody ever
+              // deletes a live lock it doesn't hold.
+              val park = lock.resolveSibling("_commit.lock.stale." +
+                java.lang.Long.toHexString(
+                  java.util.Arrays.hashCode(body.get.getBytes(
+                    StandardCharsets.UTF_8)).toLong & 0xffffffffL))
+              try { Files.move(lock, park); () }
+              catch { case scala.util.control.NonFatal(_) => Thread.sleep(5) }
+            }
             else if (System.nanoTime() > deadline)
               throw new IllegalStateException(
                 s"commit lease acquisition timed out after ${acquireTimeoutMs}ms: $lock")
@@ -119,7 +139,21 @@ object CowTable {
       try {
         if (Files.exists(target)) throw new ConcurrentCommitException(path, v)
         Files.copy(tmp, target) // the non-atomic PUT, exclusive via the lease
-      } finally Files.deleteIfExists(lock)
+      } finally {
+        Files.deleteIfExists(lock)
+        // Park-file GC: a parked stale lock is load-bearing only while
+        // a racer might still act on its content — past lease+timeout
+        // any such racer has itself timed out (the same paused-process
+        // caveat the wall-clock lease already carries). Older parks go.
+        try scala.util.Using.resource(Files.list(lock.getParent)) { st =>
+          st.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("_commit.lock.stale."))
+            .filter(p => try System.currentTimeMillis() -
+                Files.getLastModifiedTime(p).toMillis > leaseMs + acquireTimeoutMs
+              catch { case scala.util.control.NonFatal(_) => false })
+            .toVector.foreach(Files.deleteIfExists(_))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 

@@ -2083,4 +2083,118 @@ class CowTableSpec extends SparkSpecBase {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("catalog scan honors MoR key deletes on DATE/TIMESTAMP/BINARY keys (ADVICE r14 high)") {
+    import org.apache.spark.sql.SparkSession
+    import spark.implicits._
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    // build the tables with the OUTER session (plain CowTable API), read
+    // through a catalog session: the regression was collect()-side
+    // EXTERNAL values (java.sql.Date) vs reader-side INTERNAL ones (Int
+    // days) never matching, so deleted rows silently reappeared in SQL
+    val d1 = java.sql.Date.valueOf("2020-01-01")
+    val d2 = java.sql.Date.valueOf("2020-01-02")
+    val d3 = java.sql.Date.valueOf("2020-01-03")
+    val t1 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2020-01-02 12:30:00")
+    val t3 = java.sql.Timestamp.valueOf("2020-01-03 23:59:59")
+    CowTable.create(Seq((d1, t1, 10L), (d2, t2, 20L), (d3, t3, 30L))
+      .toDF("d", "ts", "v"), s"$wh/ns/kd")
+    CowTable.deleteMorKeys(spark, s"$wh/ns/kd", Seq(d1).toDF("d"), "d")
+    // one key contract per table: timestamp key on its own table
+    CowTable.create(Seq((t1, 10L), (t2, 20L), (t3, 30L))
+      .toDF("ts", "v"), s"$wh/ns/kt")
+    CowTable.deleteMorKeys(spark, s"$wh/ns/kt", Seq(t2).toDF("ts"), "ts")
+    CowTable.create(Seq((Array[Byte](1, 2, 3), 1L), (Array[Byte](4, 5), 2L))
+      .toDF("b", "v"), s"$wh/ns/kb")
+    CowTable.deleteMorKeys(spark, s"$wh/ns/kb",
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b"), "b")
+    // null key vs the STRING "null": deleting the literal string must
+    // not take the null-keyed row with it (the canon sentinel)
+    CowTable.create(Seq((Option("null"), 1L), (Option.empty[String], 2L),
+      (Option("x"), 3L)).toDF("name", "v"), s"$wh/ns/kn")
+    CowTable.deleteMorKeys(spark, s"$wh/ns/kn", Seq("null").toDF("name"), "name")
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s.sql("SELECT v FROM cowt.ns.kd ORDER BY v").collect()
+        .map(_.getLong(0)).toSeq == Seq(20L, 30L),
+        "date MoR key deletes must hold through the catalog scan")
+      assert(s.sql("SELECT v FROM cowt.ns.kt ORDER BY v").collect()
+        .map(_.getLong(0)).toSeq == Seq(10L, 30L),
+        "timestamp MoR key deletes must hold through the catalog scan")
+      // projection that PRUNES the key columns still filters (the
+      // extra-decode path)
+      assert(s.sql("SELECT count(*) FROM cowt.ns.kd").head().getLong(0) == 2L)
+      assert(s.sql("SELECT v FROM cowt.ns.kb ORDER BY v").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L),
+        "binary MoR key deletes must hold through the catalog scan")
+      assert(s.sql("SELECT v FROM cowt.ns.kn ORDER BY v").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L, 3L),
+        "deleting the string 'null' must not delete the NULL-keyed row")
+      // parity with the batch read path on every table
+      Seq("kd", "kt", "kb", "kn").foreach { t =>
+        val viaCatalog = s.sql(s"SELECT v FROM cowt.ns.$t").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        val viaApi = CowTable.read(s, s"$wh/ns/$t").select("v").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        assert(viaCatalog == viaApi, s"catalog vs CowTable.read diverge on $t")
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("lockfile provider: stale-lease takeover parks the old lock — no double-hold (ADVICE r14 medium)") {
+    import scala.jdk.CollectionConverters._
+    val snap = java.nio.file.Files.createTempDirectory("graft_lock")
+    var sawPark = false
+    (1 to 30).foreach { round =>
+      val lock = snap.resolve("_commit.lock")
+      // seed a STALE lock (crashed holder) so both racers judge staleness
+      java.nio.file.Files.write(lock,
+        s"99999 ${System.currentTimeMillis() - 600000L} $round".getBytes("UTF-8"))
+      val target = snap.resolve(f"v$round%05d.manifest")
+      val provider = new CowTable.LockFileProvider(leaseMs = 50L)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (1 to 2).map { t =>
+        new Thread(() => {
+          val tmpf = java.nio.file.Files.createTempFile(snap, "tmp", ".m")
+          java.nio.file.Files.write(tmpf, s"writer-$t".getBytes("UTF-8"))
+          try { provider.publish(snap.toString, target, tmpf, round); results.add(s"ok $t") }
+          catch {
+            case _: CowTable.ConcurrentCommitException => results.add(s"ccx $t")
+            case e: Throwable => results.add(s"BAD ${e.getClass.getName}: ${e.getMessage}")
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val rs = results.asScala.toSeq.sorted
+      // the r14 window (judge-stale A deletes, B recreates, A's delete
+      // removes B's fresh lock) let BOTH proceed: the loser then died on
+      // copy's FileAlreadyExistsException or clobbered the winner. Now:
+      // exactly one publisher, exactly one ConcurrentCommitException.
+      assert(rs.count(_.startsWith("ok")) == 1, s"round $round: $rs")
+      assert(rs.count(_.startsWith("ccx")) == 1, s"round $round: $rs")
+      val winner = rs.find(_.startsWith("ok")).get.stripPrefix("ok ")
+      assert(new String(java.nio.file.Files.readAllBytes(target), "UTF-8")
+        == s"writer-$winner", s"round $round: target must carry the winner's manifest")
+      assert(!java.nio.file.Files.exists(lock), s"round $round: lease released")
+      sawPark ||= scala.util.Using.resource(java.nio.file.Files.list(snap))(
+        _.iterator().asScala.exists(
+          _.getFileName.toString.startsWith("_commit.lock.stale.")))
+    }
+    assert(sawPark, "takeovers must park the stale lock, not delete it in place")
+  }
 }

@@ -503,4 +503,23 @@ class IvfIndexSpec extends SparkSpecBase {
     IvfIndex.buildIndex(spark, corpus, fresh, numCells = 4, iters = 2)
     assert(assignRows(s"$index/assign") == assignRows(s"$fresh/assign"))
   }
+
+  test("sq8 probe with zero rerank candidates returns empty, not an error (ADVICE r14)") {
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    // a 1-vector corpus: the only probed cell holds just the query
+    // itself, so the self-filter empties the candidate set and the
+    // rerank's literal-IN list would be zero-width
+    mkCorpus(corpus, 1L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 1, iters = 1, sq8 = true)
+    val queries = CowTable.read(spark, corpus)
+      .select(col("vec_id").as("qid"), col("ve").as("qe"))
+    val out = IvfIndex.probe(spark, index, queries, nprobe = 1, k = 3)
+    assert(out.columns.toSeq == Seq("q", "n", "rn"))
+    assert(out.collect().isEmpty)
+    // float-list parity on the same degenerate shape
+    IvfIndex.buildIndex(spark, corpus, s"$dir/index_f", numCells = 1, iters = 1)
+    assert(IvfIndex.probe(spark, s"$dir/index_f", queries, nprobe = 1, k = 3)
+      .collect().isEmpty)
+  }
 }
