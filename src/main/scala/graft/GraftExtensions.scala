@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analyzed MergeIntoTable onto the format's transactional API and
     // the strategy plans the command exec (see CowMergeIntoRule).
     ext.injectResolutionRule(_ => graft.plans.CowMergeIntoRule)
+    // UPDATE ... SET on CowCatalog tables: same seam, same strategy
+    // (see CowUpdateRule — touched-file rewrite, analysis-time grammar).
+    ext.injectResolutionRule(_ => graft.plans.CowUpdateRule)
     ext.injectPlannerStrategy(_ => graft.plans.CowMergeStrategy)
     // Table-valued SQL face for the CowTable format: time travel from
     // plain SQL — `SELECT * FROM cow_snapshot('/path'[, version])`.

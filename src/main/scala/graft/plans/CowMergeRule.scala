@@ -139,8 +139,9 @@ case class CowMergeCommand(path: String, key: String, mode: String,
 
 object CowMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case c: CowMergeCommand => CowMergeExec(c) :: Nil
-    case _                  => Nil
+    case c: CowMergeCommand  => CowMergeExec(c) :: Nil
+    case c: CowUpdateCommand => CowUpdateExec(c) :: Nil
+    case _                   => Nil
   }
 }
 

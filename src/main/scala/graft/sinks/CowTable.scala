@@ -2293,6 +2293,90 @@ object CowTable {
       posDels.map(PosDeletePrefix + _) ++ specLines(path, base), base)
   }
 
+  /** UPDATE rows matching `predicate`: apply `sets` (column → new
+    * value, evaluated against the OLD row — all assignments are
+    * simultaneous, so `SET a = b, b = a` swaps) and rewrite only the
+    * files containing matches; every other file carries over by
+    * reference, so the write cost is proportional to the TOUCHED data,
+    * not the table. SQL UPDATE semantics throughout: a row changes
+    * only where the predicate is TRUE (NULL keeps the row unchanged —
+    * the same three-valued coalesce on the touched-file probe and the
+    * rewrite, so the result is independent of file placement), and
+    * each assignment casts back to the column's declared type.
+    *
+    * MoR interaction: positional sidecars are honored on the rewrite
+    * (delete()'s discipline — carried files keep their entries live,
+    * rewritten files leave theirs inert) and key-delete sidecars carry
+    * over, which is only sound while no assignment TARGETS a sidecar
+    * key column — rewriting a hidden row's key out from under the
+    * sidecar would resurrect it, and rewriting a live row's key ONTO a
+    * deleted key would silently hide it. That combination is rejected
+    * loudly; `compact` folds the sidecars first.
+    *
+    * Returns the new version, or the current one unchanged when no
+    * row matches (no version churn on a no-op).
+    */
+  def update(spark: SparkSession, path: String, predicate: Column,
+             sets: Seq[(String, Column)]): Int = {
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(sets.map(_._1).distinct.lengthCompare(sets.length) == 0,
+      "UPDATE SET assigns a column twice: " +
+        sets.map(_._1).diff(sets.map(_._1).distinct).mkString(", "))
+    val base = currentVersion(path)
+    val current = snapshotFiles(path, Some(base))
+    val schema = declaredSchema(path, Some(base))
+    val posDels = snapshotPositionDeletes(path, Some(base))
+    val keyDels = snapshotDeletes(path, Some(base))
+    if (keyDels.nonEmpty) {
+      val sidecarCols = spark.read.parquet(keyDels.head).columns.toSet
+      val clash = sets.map(_._1).filter(sidecarCols.contains)
+      require(clash.isEmpty,
+        s"UPDATE SET targets delete-sidecar key column(s) " +
+          s"${clash.mkString(", ")} — moving rows across the sidecar's " +
+          "key-hiding contract could resurrect deleted rows or hide live " +
+          "ones; fold the sidecars (compact) first")
+    }
+    val updateCond = coalesce(predicate, lit(false))
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(current: _*)
+      .withColumn("__f", input_file_name())
+    val probe = schema.fold(raw0)(projectDeclared(raw0, _, keep = Seq("__f")))
+    val missing = sets.map(_._1).filterNot(n => probe.columns.contains(n))
+    require(missing.isEmpty,
+      s"UPDATE SET on unknown column(s) ${missing.mkString(", ")} — table " +
+        s"columns are ${probe.columns.filterNot(_ == "__f").mkString("[", ", ", "]")}")
+    val touched = probe.filter(updateCond)
+      .select(col("__f").as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return base
+    val untouched = current.filterNot(f => touched.exists(t => samePath(f, t)))
+    val toRewrite = current.filter(f => touched.exists(t => samePath(f, t)))
+    // rewrite from the LOGICAL rows w.r.t. positional sidecars (same
+    // reason as delete(): a raw read would resurrect positionally-
+    // deleted rows into the new file)
+    val rawT = spark.read.option("mergeSchema", "true").parquet(toRewrite: _*)
+    val logical0 = applyPosDeletes(spark, rawT, posDels)
+    val logical = schema.fold(logical0)(projectDeclared(logical0, _))
+    val byName = sets.toMap
+    val out = logical.select(logical.schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(v) =>
+          when(updateCond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val files = untouched ++
+      writeDataWithStats(out, path, partitionSpec(path, Some(base)))
+    commit(path, files ++ keyDels.map(DeletePrefix + _) ++
+      posDels.map(PosDeletePrefix + _) ++ specLines(path, base), base)
+  }
+
+  /** String-expression convenience for [[update]] (the API twin of
+    * [[delete]]'s predicate-string face).
+    */
+  def update(spark: SparkSession, path: String, predicate: String,
+             sets: Seq[(String, String)])(implicit d: DummyImplicit): Int =
+    update(spark, path, expr(predicate), sets.map { case (c, e) => (c, expr(e)) })
+
   /** CHANGE FEED (CDC-out): row-level changes between two snapshots —
     * `_change_type` ∈ insert / update (postimage) / delete (preimage),
     * plus `_commit_version = toV`. The copy-on-write layout makes this

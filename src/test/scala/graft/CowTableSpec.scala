@@ -493,6 +493,58 @@ class CowTableSpec extends SparkSpecBase {
     assert(CowTable.read(spark, path, Some(1)).count() == 100)
   }
 
+  test("update rewrites only touched files; old-row semantics, NULL keeps, casts back") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i =>
+        (i, i % 10, if (i == 7) null else s"g${i % 3}"))
+      .toDF("id", "v", "tag").repartitionByRange(5, col("id")), path)
+    // assignments read the OLD row (simultaneous): swap id and v on a band
+    val v2 = CowTable.update(spark, path, "id >= 90",
+      Seq("id" -> "v", "v" -> "id"))
+    val now = CowTable.read(spark, path)
+    assert(now.count() == 100)
+    assert(now.filter("v >= 90").count() == 10, "v carries the old ids")
+    assert(now.filter("id >= 90").count() == 0, "id swapped down to old v")
+    // range layout: only the last file contained id >= 90
+    val f1 = CowTable.snapshotFiles(path, Some(1)).toSet
+    val f2 = CowTable.snapshotFiles(path, Some(v2)).toSet
+    assert((f1 & f2).size >= 3, s"expected most files reused, got ${(f1 & f2).size}")
+    // NULL predicate keeps the row unchanged (tag is NULL on id=7)
+    val v3 = CowTable.update(spark, path, "tag = 'gX'", Seq("v" -> "v + 1000"))
+    assert(v3 == v2, "no match -> no version churn")
+    val v4 = CowTable.update(spark, path, "substring(tag, 2, 1) = '1'",
+      Seq("v" -> "v + 1000"))
+    val after = CowTable.read(spark, path, Some(v4))
+    assert(after.filter("id = 7 AND tag IS NULL").head().getLong(1) == 7L % 10,
+      "NULL predicate row must be untouched (even though its group 'would' match)")
+    // cast-back: a double-valued assignment lands as the declared LONG
+    val v5 = CowTable.update(spark, path, "id = 0", Seq("v" -> "v + 0.5"))
+    val sch = CowTable.read(spark, path, Some(v5)).schema
+    assert(sch("v").dataType == org.apache.spark.sql.types.LongType)
+    // time travel still sees every pre-update state
+    assert(CowTable.read(spark, path, Some(1)).filter("id >= 90").count() == 10)
+    // positional-sidecar interplay: pos-delete one row, then update a
+    // DIFFERENT row in the same file — the deleted row must not resurrect
+    val p2 = tmp
+    CowTable.create((0L until 20L).map(i => (i, i)).toDF("k", "w").coalesce(1), p2)
+    CowTable.deleteMorWhere(spark, p2, "k = 3")
+    CowTable.update(spark, p2, "k = 5", Seq("w" -> "w * 10"))
+    val r2 = CowTable.read(spark, p2)
+    assert(r2.count() == 19, "pos-deleted row stays deleted through the rewrite")
+    assert(r2.filter("k = 5").head().getLong(1) == 50L)
+    // key-sidecar clash: SET on the sidecar key column is rejected loudly
+    CowTable.deleteMor(spark, p2, "k = 9", "k")
+    val err = intercept[IllegalArgumentException] {
+      CowTable.update(spark, p2, "k = 5", Seq("k" -> "k + 100"))
+    }
+    assert(err.getMessage.contains("sidecar"), err.getMessage)
+    // non-key assignment still fine with the sidecar present; hidden row stays hidden
+    CowTable.update(spark, p2, "w >= 0", Seq("w" -> "w + 1"))
+    assert(CowTable.read(spark, p2).count() == 18)
+    assert(CowTable.read(spark, p2).filter("k = 9").count() == 0)
+  }
+
   test("change feed: insert/update/delete between snapshots; survivor rewrites excluded") {
     import spark.implicits._
     val path = tmp
@@ -2024,6 +2076,57 @@ class CowTableSpec extends SparkSpecBase {
         "only the (q, >=7) row deleted")
       s.sql("DELETE FROM cowt.ns.t WHERE id IN (10, 11)")
       assert(s.sql("SELECT count(*) FROM cowt.ns.t").head().getLong(0) == 1L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("SQL UPDATE on the catalog: expressions, WHERE, grammar rejections, time travel") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s.sql("CREATE TABLE cowt.ns.u (id BIGINT, name STRING, v BIGINT)")
+      s.sql("INSERT INTO cowt.ns.u VALUES (1,'a',10),(2,'b',20),(3,'c',30),(4,'d',40)")
+      val v1 = CowTable.currentVersion(s"$wh/ns/u")
+      // expression SET + WHERE; multi-assignment reads the OLD row
+      s.sql("UPDATE cowt.ns.u SET v = v * 10, name = concat(name, '!') WHERE id % 2 = 0")
+      assert(s.sql("SELECT name, v FROM cowt.ns.u WHERE id = 2").head().toString
+        == "[b!,200]")
+      assert(s.sql("SELECT v FROM cowt.ns.u WHERE id = 3").head().getLong(0) == 30L,
+        "non-matching rows untouched")
+      // no WHERE -> every row
+      s.sql("UPDATE cowt.ns.u SET v = v + 1")
+      assert(s.sql("SELECT sum(v) FROM cowt.ns.u").head().getLong(0)
+        == (10L + 200 + 30 + 400) + 4,
+        "sum after: even rows *10, then every row +1")
+      // CASE and functions in SET work (name-anchored Column transport)
+      s.sql("UPDATE cowt.ns.u SET name = CASE WHEN v > 100 THEN upper(name) ELSE name END")
+      assert(s.sql("SELECT name FROM cowt.ns.u WHERE id = 4").head().getString(0) == "D!")
+      // time travel: pre-update snapshot intact
+      assert(s.sql(s"SELECT sum(v) FROM cowt.ns.u VERSION AS OF $v1")
+        .head().getLong(0) == 100L)
+      // grammar rejections in ANALYSIS, naming the limit
+      val e1 = intercept[Exception] {
+        s.sql("UPDATE cowt.ns.u SET v = (SELECT max(v) FROM cowt.ns.u) WHERE id = 1")
+      }
+      assert(e1.getMessage.contains("subqueries"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        s.sql("UPDATE cowt.ns.u SET v = cast(rand() * 10 AS BIGINT)")
+      }
+      assert(e2.getMessage.contains("nondeterministic"), e2.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
