@@ -785,6 +785,8 @@ class PlanSpec extends SparkSpecBase {
     *    cross join — cardinality fixed by construction, never data.
     */
   private val bnljAllowed: Map[String, String] = Map(
+    "alloc_largest_remainder" -> "1-row scalar: revenue-total + leftover-seat broadcasts over the 25-row nation domain",
+    "orders_queue_backlog" -> "1-row scalar: capacity constant broadcast over the bounded day domain",
     "li_ship_dow_profile" -> "1-row scalar: revenue-total broadcast over the bounded 7-row dow domain",
     "events_anomaly_daily" -> "1-row scalar: global moment (N,S,SS) broadcast over the day domain",
     "dq_clock_uniformity" -> "1-row scalar: corpus-total broadcast over the bounded 60-row minute domain",
@@ -855,6 +857,8 @@ class PlanSpec extends SparkSpecBase {
     * scalar subqueries) or a bounded domain table — never fact data.
     */
   private val singleAllowed: Map[String, String] = Map(
+    "alloc_largest_remainder" -> "bounded 25-row nation-domain remainder-rank window over the aggregate",
+    "orders_queue_backlog" -> "bounded day-domain Lindley windows (fact collapses to daily counts first; the ts_sma_crossover class)",
     "li_ship_dow_profile" -> "1-row revenue-total aggregate (dow census stays parallel)",
     "orders_daily_count_autocorr" -> "bounded day-domain lead window + 1-row final moment aggregate",
     "events_anomaly_daily" -> "1-row moment aggregate (the broadcast side; day census stays parallel)",
