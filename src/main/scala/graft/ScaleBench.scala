@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -963,6 +963,75 @@ object ScaleBench {
     spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     } // end spj section
+
+    if (only.forall(_ == "upd")) {
+    // ---- round-15: SQL UPDATE write cost ∝ touched files --------------
+    // A 10M-row id-range-clustered CowTable (64 files) takes a narrow
+    // SQL UPDATE (one id band ≈ 2 files) and a full-width one (every
+    // row): the narrow rewrite must touch only the band's files and
+    // carry the rest by reference, so its write cost tracks the TOUCHED
+    // data, not the table. Equality gate: the updated snapshot matches
+    // an independent DataFrame recompute of the expected state,
+    // checksum-exact. The probe scan is one column-pruned pass either
+    // way (the same price DELETE pays); at 100 TB manifest range stats
+    // bound even that (the predicate names the clustering key).
+    import graft.sinks.CowTable
+    val updWh = "/tmp/graft_scalebench_upd"
+    val updRoot = java.nio.file.Paths.get(updWh)
+    if (java.nio.file.Files.exists(updRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(updRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$updWh/ns"))
+    CowTable.create(spark.range(10000000L).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("v"),
+        pmod(xxhash64(col("id") + 3), lit(100L)).as("w"))
+      .repartitionByRange(64, col("id")), s"$updWh/ns/t")
+    spark.conf.set("spark.sql.catalog.updcat", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.updcat.root", updWh)
+    val updV1 = CowTable.currentVersion(s"$updWh/ns/t")
+    val updF1 = CowTable.snapshotFiles(s"$updWh/ns/t", Some(updV1)).toSet
+    def checksum(df: org.apache.spark.sql.DataFrame): String =
+      df.agg(count(lit(1)), sum(col("v")), sum(col("w")),
+        sum(col("v") * col("w"))).head().toString
+    // independent expectation: both updates applied to the ORIGINAL rows
+    val updExpected = checksum(spark.read.parquet(updF1.toSeq: _*)
+      .select(col("id"),
+        when(col("id").between(3000000L, 3299999L), col("v") + 7)
+          .otherwise(col("v")).as("v0"), col("w"))
+      .select(col("id"), col("v0").as("v"),
+        when(col("v0") % 10 === 0, col("w") * 2).otherwise(col("w")).as("w")))
+    val tN0 = System.nanoTime()
+    spark.sql("UPDATE updcat.ns.t SET v = v + 7 WHERE id BETWEEN 3000000 AND 3299999")
+    val tNarrow = (System.nanoTime() - tN0) / 1e9
+    val updV2 = CowTable.currentVersion(s"$updWh/ns/t")
+    val updF2 = CowTable.snapshotFiles(s"$updWh/ns/t", Some(updV2)).toSet
+    val carried = (updF1 & updF2).size
+    val rewrote = updF1.size - carried
+    require(rewrote <= 4,
+      s"narrow UPDATE must rewrite only the band's files: rewrote $rewrote of ${updF1.size}")
+    val tF0 = System.nanoTime()
+    spark.sql("UPDATE updcat.ns.t SET w = w * 2 WHERE v % 10 = 0")
+    val tFull = (System.nanoTime() - tF0) / 1e9
+    val updV3 = CowTable.currentVersion(s"$updWh/ns/t")
+    val updF3 = CowTable.snapshotFiles(s"$updWh/ns/t", Some(updV3)).toSet
+    require((updF2 & updF3).isEmpty || (updF2 & updF3).size < updF2.size,
+      "full-width UPDATE rewrites the touched files")
+    val updGot = checksum(CowTable.read(spark, s"$updWh/ns/t"))
+    require(updGot == updExpected, s"UPDATE diverged: $updGot vs $updExpected")
+    // time travel: the pre-update snapshot is untouched
+    require(CowTable.read(spark, s"$updWh/ns/t", Some(updV1))
+      .filter(col("id") === 3000000L).head().getLong(1) ==
+      CowTable.read(spark, s"$updWh/ns/t", Some(updV2))
+        .filter(col("id") === 3000000L).head().getLong(1) - 7,
+      "time travel must see the pre-update value")
+    println(f"[scalebench] upd @ 10M/64 files: narrow band UPDATE " +
+      f"rewrote $rewrote of ${updF1.size} files in ${tNarrow}%5.2f s " +
+      f"(carried $carried by reference); full-width UPDATE " +
+      f"(${(updF2 -- updF3).size} files) ${tFull}%5.2f s; " +
+      f"checksum-equal to the independent recompute, time travel intact")
+    } // end upd section
 
     if (only.forall(_ == "lookup")) {
     // ---- round-13: per-file key lookup sidecars (VERDICT r12 #2) -------

@@ -70,9 +70,24 @@ object CowUpdateRule extends Rule[LogicalPlan] {
 
   /** Re-anchor a resolved expression by NAME so it can resolve against
     * the rewrite-time scan (different attribute ids, same columns).
+    * `With` common-subexpression nodes (the analyzer's BETWEEN/like
+    * dedup form) are inlined first: their `CommonExpressionDef`s call
+    * `dataType` while rebuilding, which an unresolved-by-name child
+    * cannot answer — and the rewrite scan re-analyzes from scratch
+    * anyway, re-deduplicating on its own.
     */
-  private def unresolve(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  private def unresolve(e: Expression): Expression = {
+    val inlined = e.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            byId(r.id)
+        }
+    }
+    inlined.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
   }
 
   private def checkSupported(e: Expression, where: String): Unit = {

@@ -2115,6 +2115,11 @@ class CowTableSpec extends SparkSpecBase {
       // CASE and functions in SET work (name-anchored Column transport)
       s.sql("UPDATE cowt.ns.u SET name = CASE WHEN v > 100 THEN upper(name) ELSE name END")
       assert(s.sql("SELECT name FROM cowt.ns.u WHERE id = 4").head().getString(0) == "D!")
+      // BETWEEN parses into a With common-subexpression node — the
+      // inline-before-unresolve path (ScaleBench upd regression)
+      s.sql("UPDATE cowt.ns.u SET v = v + 100 WHERE id BETWEEN 3 AND 4")
+      assert(s.sql("SELECT sum(v) FROM cowt.ns.u WHERE id IN (3, 4)").head().getLong(0)
+        == (31L + 100) + (401 + 100))
       // time travel: pre-update snapshot intact
       assert(s.sql(s"SELECT sum(v) FROM cowt.ns.u VERSION AS OF $v1")
         .head().getLong(0) == 100L)
