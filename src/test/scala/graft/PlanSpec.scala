@@ -785,6 +785,7 @@ class PlanSpec extends SparkSpecBase {
     *    cross join — cardinality fixed by construction, never data.
     */
   private val bnljAllowed: Map[String, String] = Map(
+    "customer_churn_labels" -> "1-row scalar: corpus-horizon date broadcast over the customer census",
     "alloc_largest_remainder" -> "1-row scalar: revenue-total + leftover-seat broadcasts over the 25-row nation domain",
     "orders_queue_backlog" -> "1-row scalar: capacity constant broadcast over the bounded day domain",
     "li_ship_dow_profile" -> "1-row scalar: revenue-total broadcast over the bounded 7-row dow domain",
@@ -857,6 +858,8 @@ class PlanSpec extends SparkSpecBase {
     * scalar subqueries) or a bounded domain table — never fact data.
     */
   private val singleAllowed: Map[String, String] = Map(
+    "li_return_wilson_rank" -> "bounded 25-row brand-domain rank window over the aggregate",
+    "customer_churn_labels" -> "1-row corpus-horizon aggregate (the broadcast side; customer census stays parallel)",
     "alloc_largest_remainder" -> "bounded 25-row nation-domain remainder-rank window over the aggregate",
     "orders_queue_backlog" -> "bounded day-domain Lindley windows (fact collapses to daily counts first; the ts_sma_crossover class)",
     "li_ship_dow_profile" -> "1-row revenue-total aggregate (dow census stays parallel)",
