@@ -756,6 +756,47 @@ object ScaleBench {
       f"recall@10 nprobe=4: sq8 $recQ%.3f vs float $recF%.3f (exact rerank)")
     require(recQ >= recF - 0.05,
       s"sq8 + exact rerank must not lose recall: $recQ vs $recF")
+
+    // ---- round-15: IVF-PQ product-quantized lists ----------------------
+    // One level below sq8: m=4 subspaces x 64-codeword codebooks over
+    // the 16-dim corpus — 4 code bytes per list vector vs 16 int8 vs
+    // 128 float64. Codebooks train on a 1/100 deterministic hash
+    // sample (the standard practice; encoding covers every vector);
+    // probes reconstruct through the shared decode seam, which IS the
+    // ADC sum, then exact-rerank from the corpus floats like sq8.
+    // THE TRADE this section measures: coarser codes need a deeper
+    // exact-rerank buffer (FAISS's reorder_k) — on these HARD queries
+    // (margins < 0.002, under the quantization error by construction)
+    // recall climbs with rerankFactor instead of being free at 64 the
+    // way sq8's finer codes allow. ks=256 books reach 1.000 at
+    // rf=1024 but cost a 4x slower encode (measured in PLANS.md);
+    // the default battery keeps ks=64 and shows the curve.
+    val pvp = s"$vDir/index_pq"
+    val tPqb0 = System.nanoTime()
+    IvfIndex.buildIndex(spark, pvc, pvp, numCells = 64, iters = 2,
+      pq = 4, pqCodes = 64, pqTrainSample = 100)
+    val tPb = (System.nanoTime() - tPqb0) / 1e9
+    CowTable.cluster(spark, s"$pvp/assign", files = 64, zcols = Seq("cell"))
+    val bP = dataBytes(s"$pvp/assign")
+    val pqCurve = Seq(64, 256, 1024, 4096).map { rf =>
+      val t0 = System.nanoTime()
+      val servedP = IvfIndex.probe(spark, pvp, probeQ, nprobe = 4, k = 10,
+          rerankFactor = rf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rec = servedP.intersect(exactTop).size.toDouble / exactTop.size
+      println(f"[scalebench] ivf-pq recall@10 nprobe=4 rerankFactor=$rf%d: " +
+        f"$rec%.3f (probe ${sec}%5.2f s, 10 queries)")
+      rf -> rec
+    }
+    println(f"[scalebench] ivf-pq @ same corpus: assign lists $bP%,d bytes vs " +
+      f"sq8 $bQ%,d / float $bF%,d (${bF.toDouble / bP}%.1fx smaller than float); " +
+      f"build ${tPb}%5.1f s (1/100 train sample); recall reaches float's " +
+      f"$recF%.3f at the deep-rerank end of the curve")
+    require(pqCurve.sliding(2).forall(p => p.head._2 <= p.last._2 + 1e-9),
+      s"pq recall must be monotone in rerankFactor: $pqCurve")
+    require(pqCurve.last._2 >= 0.9,
+      s"pq + deep exact rerank must recover recall: $pqCurve")
     } // end ivf section
 
     if (only.forall(_ == "skew")) {

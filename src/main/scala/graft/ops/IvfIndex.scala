@@ -115,7 +115,7 @@ object IvfIndex {
   private def markerPath(indexPath: String) = Paths.get(indexPath, "_corpus_version")
   private def corpusMarkerPath(indexPath: String) = Paths.get(indexPath, "_corpus_path")
 
-  // ---- int8 list compression (IVF-SQ8, round 14) --------------------------
+  // ---- compressed list codecs (IVF-SQ8 round 14, IVF-PQ round 15) ---------
   //
   // Probe IO at 100 TB is dominated by raw vector bytes in the
   // assignment lists; the standard FAISS answer is scalar-quantized
@@ -133,27 +133,158 @@ object IvfIndex {
   // candidate set, so quantization can only affect which tail
   // candidates survive the cut, the recall-gated property.
 
-  /** Encode list rows for storage: `ve` -> (`vq` int8 array, `sc`). */
-  private def encodeLists(df: DataFrame, sq8: Boolean): DataFrame =
-    if (!sq8) df
-    else df
-      .withColumn("sc", greatest(
-        expr("aggregate(ve, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))") / 127.0,
-        lit(1e-30)))
-      .withColumn("vq", expr("transform(ve, x -> cast(round(x / sc) as tinyint))"))
-      .drop("ve")
+  // ---- product quantization (IVF-PQ, round 15) ----------------------------
+  //
+  // One level below SQ8: split each vector into m subvectors, k-means
+  // a ks-entry codebook PER SUBSPACE, store each list vector as m
+  // 1-byte codes (64-dim float64 512 B → sq8 64 B → pq-8 8 B). The
+  // reconstruction ve ≈ concat(cw[s][code_s]) rides the SAME decode
+  // seam as sq8, so every consumer (drift stats, repair, the probe's
+  // candidate scoring) stays consistent in the decoded domain — and
+  // the probe's reconstruct-then-dot IS asymmetric distance
+  // computation: dot(q, concat(cw)) = Σ_s dot(q_s, cw[s][code_s]),
+  // exactly the ADC lookup-table sum, without a separate LUT path.
+  // The exact rerank from corpus floats then caps what quantization
+  // can affect at the tail of the candidate cut (recall-gated).
+
+  /** How list vectors are stored. Detected from the assign schema —
+    * codecs never thread through public signatures.
+    */
+  private sealed trait ListCodec
+  private case object FloatLists extends ListCodec
+  private case object Sq8Lists extends ListCodec
+  /** `cb(sub)(code)` = codeword (dsub doubles). */
+  private final case class PqLists(m: Int, ks: Int, dsub: Int,
+                                   cb: Seq[Seq[Seq[Double]]]) extends ListCodec
+
+  private def codebooksPath(indexPath: String) = s"$indexPath/codebooks"
+  private def pqConfigPath(indexPath: String) = Paths.get(indexPath, "_pq_config")
+
+  private def codecOf(spark: SparkSession, indexPath: String): ListCodec = {
+    val cols = CowTable.read(spark, assignPath(indexPath)).columns
+    if (cols.contains("vq")) Sq8Lists
+    else if (cols.contains("pqc")) loadPqCodec(spark, indexPath)
+    else FloatLists
+  }
+
+  private def loadPqCodec(spark: SparkSession, indexPath: String): PqLists = {
+    val Array(m, ks) = new String(Files.readAllBytes(pqConfigPath(indexPath)),
+      StandardCharsets.UTF_8).trim.split(" ").map(_.toInt)
+    val rows = CowTable.read(spark, codebooksPath(indexPath))
+      .orderBy("sub", "code").collect()
+    val cb = (0 until m).map { s =>
+      val bySub = rows.filter(_.getInt(0) == s)
+      // dead codes (emptied by retraining) stay addressable as their
+      // last codeword — encode never emits them again, decode of old
+      // rows must not crash
+      val byCode = bySub.map(r => r.getInt(1) -> r.getSeq[Double](2).toIndexedSeq).toMap
+      val dsub = byCode.values.head.size
+      (0 until ks).map(c => byCode.getOrElse(c, IndexedSeq.fill(dsub)(0.0)))
+    }
+    PqLists(m, ks, cb.head.head.size, cb)
+  }
+
+  /** Squared-L2 between two double arrays, as one codegen'd HOF. */
+  private def l2sq(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (xx, yy) -> (xx - yy) * (xx - yy)), " +
+      "cast(0.0 as double), (acc, zz) -> acc + zz)"
+
+  /** Encode list rows for storage: `ve` -> (`vq`, `sc`) for sq8, or
+    * (`pqc` m×int8 codes) for pq; identity on float lists. PQ encode
+    * assigns each subvector to its nearest codeword (L2, smallest-code
+    * tiebreak via array_position's first match — deterministic).
+    * Codes store as tinyint code−128.
+    */
+  private def encodeLists(df: DataFrame, codec: ListCodec): DataFrame =
+    codec match {
+      case FloatLists => df
+      case Sq8Lists => df
+        .withColumn("sc", greatest(
+          expr("aggregate(ve, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))") / 127.0,
+          lit(1e-30)))
+        .withColumn("vq", expr("transform(ve, x -> cast(round(x / sc) as tinyint))"))
+        .drop("ve")
+      case PqLists(m, _, dsub, cb) => df
+        .withColumn("__cb", typedLit(cb))
+        // subvector sliced ONCE per (row, sub); argmin is a single
+        // aggregate pass over the codewords carrying (best dist, best
+        // code, next index) — no dist array rebuild, no second scan
+        .withColumn("pqc", expr(
+          s"""transform(
+                transform(sequence(0, ${m - 1}), s -> slice(ve, s * $dsub + 1, $dsub)),
+                (sv, s) -> cast(
+                  aggregate(element_at(__cb, s + 1),
+                    named_struct('bd', cast('Infinity' as double), 'bi', 0, 'i', 0),
+                    (acc, cw) -> if (${l2sq("sv", "cw")} < acc.bd,
+                      named_struct('bd', ${l2sq("sv", "cw")}, 'bi', acc.i, 'i', acc.i + 1),
+                      named_struct('bd', acc.bd, 'bi', acc.bi, 'i', acc.i + 1)),
+                    acc -> acc.bi) - 128 as tinyint))"""))
+        .drop("ve", "__cb")
+    }
 
   /** Read list rows back to the `ve` every consumer uses (identity on
-    * float lists — schema-detected, so sq8 never threads through
+    * float lists — schema-detected, so codecs never thread through
     * signatures).
     */
-  private def decodeLists(df: DataFrame): DataFrame =
-    if (!df.columns.contains("vq")) df
-    else df.withColumn("ve", expr("transform(vq, x -> cast(x as double) * sc)"))
-      .drop("vq", "sc")
+  private def decodeLists(df: DataFrame, codec: ListCodec): DataFrame =
+    codec match {
+      case FloatLists => df
+      case Sq8Lists =>
+        if (!df.columns.contains("vq")) df
+        else df.withColumn("ve", expr("transform(vq, x -> cast(x as double) * sc)"))
+          .drop("vq", "sc")
+      case PqLists(_, _, _, cb) =>
+        if (!df.columns.contains("pqc")) df
+        else df.withColumn("__cb", typedLit(cb))
+          .withColumn("ve", expr(
+            "flatten(transform(pqc, (c, s) -> " +
+              "element_at(element_at(__cb, s + 1), cast(c as int) + 129)))"))
+          .drop("pqc", "__cb")
+    }
 
-  private def isSq8(spark: SparkSession, indexPath: String): Boolean =
-    CowTable.read(spark, assignPath(indexPath)).columns.contains("vq")
+  /** Per-subspace k-means codebooks: (sub, code, cw). Same determinism
+    * discipline as the cell k-means — seeds are the ks smallest
+    * vec_ids' subvectors, means 1e-3-quantized, argmin ties to the
+    * smallest code.
+    */
+  private def trainCodebooks(v: DataFrame, m: Int, ks: Int, dsub: Int,
+                             iters: Int): DataFrame = {
+    val sdf = v.select(col("vec_id"), col("ve"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(ve, sub * $dsub + 1, $dsub)").as("sv"))
+    val seeds = v.orderBy("vec_id").limit(ks)
+      .withColumn("code",
+        row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(col("code"), col("ve"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"), col("code"),
+        expr(s"slice(ve, sub * $dsub + 1, $dsub)").as("cw"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val wa = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("dist").asc, col("code").asc)
+      sdf.join(broadcast(cents), Seq("sub"))
+        .withColumn("dist", expr(l2sq("sv", "cw")))
+        .withColumn("rr", row_number().over(wa))
+        .filter(col("rr") === 1)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg((round(avg(col("x")) * 1000) / 1000).as("mval"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+                       e => e.getField("mval")).as("cw"))
+    }
+  }
+
+  /** (sq8, pq, pqCodes) buildIndex args reproducing `codec` — the
+    * rebuild paths re-seed with the SAME list encoding the index
+    * already carries.
+    */
+  private def buildParams(codec: ListCodec): (Boolean, Int, Int) = codec match {
+    case FloatLists          => (false, 0, 0)
+    case Sq8Lists            => (true, 0, 0)
+    case PqLists(m, ks, _, _) => (false, m, ks)
+  }
   private def rebuildIntentPath(indexPath: String) = Paths.get(indexPath, "_rebuilding")
 
   /** The txn appId [[refresh]] stamps on its atomic assign-table
@@ -201,17 +332,45 @@ object IvfIndex {
     */
   def buildIndex(spark: SparkSession, corpusPath: String, indexPath: String,
                  numCells: Int = 16, iters: Int = 2,
-                 sq8: Boolean = false): Int = {
+                 sq8: Boolean = false, pq: Int = 0, pqCodes: Int = 256,
+                 pqTrainSample: Int = 1): Int = {
+    require(!(sq8 && pq > 0), "sq8 and pq list codecs are mutually exclusive")
     val ver = CowTable.currentVersion(corpusPath)
     val v = withNorm(CowTable.read(spark, corpusPath, Some(ver))
       .select(col("vec_id"), col("ve")))
+    val codec: ListCodec =
+      if (pq > 0) {
+        val dim = v.select(size(col("ve"))).head().getInt(0)
+        require(dim % pq == 0, s"pq=$pq must divide the dimension $dim")
+        val dsub = dim / pq
+        // codebook TRAINING can ride a deterministic hash sample (every
+        // pqTrainSample-th vec_id) — the standard PQ practice at corpus
+        // scale; ENCODING always covers every vector
+        val trainV =
+          if (pqTrainSample <= 1) v
+          else v.filter(pmod(xxhash64(col("vec_id")), lit(pqTrainSample)) === 0)
+        val cbDf = trainCodebooks(trainV, pq, pqCodes, dsub, iters)
+          .select(col("sub").cast("int").as("sub"),
+            col("code").cast("int").as("code"), col("cw"))
+          .localCheckpoint()
+        if (CowTable.exists(codebooksPath(indexPath)))
+          CowTable.overwrite(spark, codebooksPath(indexPath), cbDf)
+        else CowTable.create(cbDf.coalesce(1), codebooksPath(indexPath))
+        val cfgTmp = Paths.get(indexPath, s"._pq_config.${System.nanoTime()}.tmp")
+        Files.createDirectories(Paths.get(indexPath))
+        Files.write(cfgTmp, s"$pq $pqCodes".getBytes(StandardCharsets.UTF_8))
+        Files.move(cfgTmp, pqConfigPath(indexPath),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        loadPqCodec(spark, indexPath)
+      } else if (sq8) Sq8Lists
+      else FloatLists
     val c = kmeans(v, seedsOf(v, numCells), iters).localCheckpoint()
     // assignment from the FLOAT vectors (cell choice is exact either
     // way); the stored form is the encoded one, and the running stats
     // come from the DECODED stored rows so repairStats reproduces them
     val assign = encodeLists(assignTo(v, c)
-      .join(v.select(col("vec_id"), col("ve"), col("nv")), Seq("vec_id")), sq8)
-    val stats = decodeLists(assign)
+      .join(v.select(col("vec_id"), col("ve"), col("nv")), Seq("vec_id")), codec)
+    val stats = decodeLists(assign, codec)
       .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
       .groupBy("cell", "pos")
       .agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -334,8 +493,8 @@ object IvfIndex {
     // a crash-interrupted drift re-seed resumes FIRST: judging drift
     // against a half-rebuilt index would be garbage either way
     if (Files.exists(rebuildIntentPath(indexPath))) {
-      buildIndex(spark, corpusPath, indexPath, numCells, iters,
-        isSq8(spark, indexPath))
+      val (rs, rp, rk) = buildParams(codecOf(spark, indexPath))
+      buildIndex(spark, corpusPath, indexPath, numCells, iters, rs, rp, rk)
       Files.deleteIfExists(rebuildIntentPath(indexPath))
       return Refresh(rebuilt = true, indexedVersion(indexPath))
     }
@@ -381,10 +540,10 @@ object IvfIndex {
     val hasDeletes = !deleted.isEmpty
     // carry the vectors into the list rows (the assign-table layout:
     // vec_id, cell, ve, nv — same shape buildIndex writes)
-    val sq8 = isSq8(spark, indexPath)
+    val codec = codecOf(spark, indexPath)
     val newAssign =
       if (hasUpserts)
-        encodeLists(assignTo(upserts, stored).join(upserts, Seq("vec_id")), sq8)
+        encodeLists(assignTo(upserts, stored).join(upserts, Seq("vec_id")), codec)
           .localCheckpoint()
       else null
     val changedIds =
@@ -395,7 +554,7 @@ object IvfIndex {
     // lazy plan would re-read post-delete state); cells LOSING a
     // member shift too, which is why preimage sums matter
     val pre = changedIds.map(ids =>
-      decodeLists(CowTable.read(spark, aPath))
+      decodeLists(CowTable.read(spark, aPath), codec)
         .join(broadcast(ids), Seq("vec_id"), "left_semi")
         .select(col("cell"), col("ve")).localCheckpoint())
 
@@ -406,7 +565,7 @@ object IvfIndex {
         .agg((sum("x") * sgn).as("sx"), (count(lit(1)) * sgn).as("n"))
     val deltaPos =
       (pre.map(posSums(_, -1)).toSeq ++
-       (if (hasUpserts) Seq(posSums(decodeLists(newAssign), 1)) else Nil))
+       (if (hasUpserts) Seq(posSums(decodeLists(newAssign, codec), 1)) else Nil))
         .reduceOption(_ unionByName _)
 
     // fold the deltas into the running stats; the candidate quantized
@@ -422,8 +581,13 @@ object IvfIndex {
       stored.join(delta, Seq("cid")) // cells always come from `stored`
         .withColumn("vsum2", zip_with(col("vsum"), col("dsum"), _ + _))
         .withColumn("cnt2", col("cnt") + col("dn"))
+        // the cnt2 guard must wrap the MEAN too, not just `shift`: an
+        // emptied cell (every member reassigned away) divides by zero
+        // here under ANSI before the shift's own guard ever evaluates
         .withColumn("ce2",
-          transform(col("vsum2"), x => round(x / col("cnt2") * 1000) / 1000))
+          when(col("cnt2") <= 0, lit(null))
+            .otherwise(
+              transform(col("vsum2"), x => round(x / col("cnt2") * 1000) / 1000)))
         .withColumn("shift",
           // an emptied cell has no candidate mean — frozen centroid
           // stays, no shift row
@@ -445,7 +609,8 @@ object IvfIndex {
       Files.createDirectories(Paths.get(indexPath))
       Files.write(rebuildIntentPath(indexPath),
         toV.toString.getBytes(StandardCharsets.UTF_8))
-      buildIndex(spark, corpusPath, indexPath, numCells, iters, sq8)
+      val (rs, rp, rk) = buildParams(codec)
+      buildIndex(spark, corpusPath, indexPath, numCells, iters, rs, rp, rk)
       Files.deleteIfExists(rebuildIntentPath(indexPath))
       Refresh(rebuilt = true, toV, worstShift)
     } else {
@@ -473,7 +638,8 @@ object IvfIndex {
     * after a detected crash window, never on the happy path.
     */
   private[graft] def repairStats(spark: SparkSession, indexPath: String): Unit = {
-    val a = decodeLists(CowTable.read(spark, assignPath(indexPath)))
+    val a = decodeLists(CowTable.read(spark, assignPath(indexPath)),
+      codecOf(spark, indexPath))
     val stats = a
       .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "x")))
       .groupBy("cell", "pos")
@@ -605,11 +771,12 @@ object IvfIndex {
       .filter(col("pr") <= nprobe)
       .select("qid", "cid")
     val cellLits = probes.select("cid").distinct().collect().map(_.get(0))
-    val sq8 = isSq8(spark, indexPath)
+    val codec = codecOf(spark, indexPath)
+    val quantized = codec != FloatLists
     val assign = decodeLists(
         CowTable.readPrunedIn(spark, assignPath(indexPath), "cell",
           cellLits.toIndexedSeq)
-          .filter(col("cell").isin(cellLits.toIndexedSeq: _*)))
+          .filter(col("cell").isin(cellLits.toIndexedSeq: _*)), codec)
       .select(col("vec_id"), col("cell"), col("ve").as("ne"), col("nv").as("nn"))
     // on quantized lists this score IS the int8 dot (x scale): the
     // cheap pass that decides which candidates reach the exact rerank
@@ -618,7 +785,7 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("s", vec_dot(col("qe"), col("ne")) / (col("nq") * col("nn")))
     val wr = Window.partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
-    if (!sq8)
+    if (!quantized)
       cand
         .withColumn("rn", row_number().over(wr).cast("long"))
         .filter(col("rn") <= k)
