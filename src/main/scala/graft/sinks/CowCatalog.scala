@@ -111,6 +111,15 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     else new CowSqlTable(dir(ident), ident.toString, Some(version.toInt))
 
+  /** `TIMESTAMP AS OF ts` time travel — Spark hands epoch MICROS; the
+    * snapshot is the greatest commit stamped at or before it
+    * ([[CowTable.versionAt]]).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    else new CowSqlTable(dir(ident), ident.toString,
+      Some(CowTable.versionAt(dir(ident), Math.floorDiv(timestamp, 1000L))))
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

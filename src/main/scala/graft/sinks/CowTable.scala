@@ -279,6 +279,16 @@ object CowTable {
     */
   private val TxnPrefix = "X "
 
+  /** COMMIT TIMESTAMP (round 15): one line per manifest carrying the
+    * commit wall-clock in epoch millis, clamped monotone against the
+    * base snapshot's stamp (a regressed clock can never reorder time
+    * travel against version order). `TIMESTAMP AS OF` resolves through
+    * [[versionAt]]; manifests that predate the line inherit the
+    * previous stamped time (0 before any stamp — an old table's
+    * history is "before every timestamp" rather than a guess).
+    */
+  private val WhenPrefix = "W "
+
   /** PER-FILE COLUMN STATISTICS (round 12, the Iceberg/Delta file-stats
     * contract): a line `C <dataFile>\t<json>` carrying, for each
     * declared stats column, `[min, max, nonNullCount]` over that file's
@@ -330,7 +340,7 @@ object CowTable {
       l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix) ||
       l.startsWith(TxnPrefix) || l.startsWith(StatsPrefix) ||
       l.startsWith(StatsColsPrefix) || l.startsWith(BloomPrefix) ||
-      l.startsWith(LookupPrefix)
+      l.startsWith(LookupPrefix) || l.startsWith(WhenPrefix)
 
   private def manifestLines(path: String, asOf: Option[Int]): Seq[String] = {
     val v = asOf.getOrElse(currentVersion(path))
@@ -457,10 +467,20 @@ object CowTable {
     // reports retired sidecars forever (pruning stayed sound — the
     // entries were accurate — but the retire was a no-op).
     val hasLookupSpec = files.exists(_.startsWith(LookupPrefix))
+    // commit timestamp, monotone vs the base (never carried — each
+    // manifest stamps its own commit instant)
+    val prevStamp =
+      if (base > 0 && Files.exists(d.resolve(s"v$base.json")))
+        manifestLines(path, Some(base)).find(_.startsWith(WhenPrefix))
+          .map(_.stripPrefix(WhenPrefix).trim.toLong).getOrElse(0L)
+      else 0L
+    val stamp = math.max(System.currentTimeMillis(), prevStamp + 1)
     val lines = files.filterNot(l =>
-      l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix)) ++
+      l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix) ||
+        l.startsWith(WhenPrefix)) ++
       carried(StatsPrefix) ++
-      (if (hasLookupSpec) carried(BloomPrefix) else Seq.empty)
+      (if (hasLookupSpec) carried(BloomPrefix) else Seq.empty) ++
+      Seq(WhenPrefix + stamp)
     val tmp = d.resolve(s".v$v.${System.nanoTime()}.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     // publication goes through the pluggable lock seam: hard link on
@@ -563,9 +583,40 @@ object CowTable {
        ls.count(_.startsWith(DeletePrefix)).toLong,
        ls.count(_.startsWith(PosDeletePrefix)).toLong,
        ls.exists(_.startsWith(SchemaPrefix)),
-       ls.exists(_.startsWith(PartitionPrefix)))
+       ls.exists(_.startsWith(PartitionPrefix)),
+       commitTimeMs(path, v).getOrElse(0L))
     }.toDF("version", "n_data_files", "n_delete_sidecars",
-           "n_pos_sidecars", "has_schema", "has_partition_spec")
+           "n_pos_sidecars", "has_schema", "has_partition_spec",
+           "commit_time_ms")
+  }
+
+  /** The commit wall-clock (epoch millis) stamped on `v`'s manifest;
+    * None on manifests that predate the stamp line.
+    */
+  def commitTimeMs(path: String, v: Int): Option[Long] =
+    manifestLines(path, Some(v)).find(_.startsWith(WhenPrefix))
+      .map(_.stripPrefix(WhenPrefix).trim.toLong)
+
+  /** `TIMESTAMP AS OF` resolution: the snapshot a reader at wall-clock
+    * `tsMillis` would have seen — the greatest version whose commit
+    * stamp is ≤ `tsMillis`. Versions without a stamp inherit the
+    * previous stamped time (0 before any — a pre-feature history sits
+    * "before every timestamp", never guessed). Loud when the timestamp
+    * precedes the first surviving commit.
+    */
+  def versionAt(path: String, tsMillis: Long): Int = {
+    val vs = listVersions(path).sorted
+    require(vs.nonEmpty, s"no snapshots under $path")
+    var last = 0L
+    var ans = -1
+    for (v <- vs) {
+      last = commitTimeMs(path, v).getOrElse(last)
+      if (last <= tsMillis) ans = v
+    }
+    require(ans > 0,
+      s"TIMESTAMP AS OF $tsMillis precedes the first surviving commit of " +
+        s"$path (earliest stamp: ${commitTimeMs(path, vs.head).getOrElse(0L)})")
+    ans
   }
 
   /** INSERT-ONLY APPEND with manifest-level REBASE (round 11) — the
@@ -2694,7 +2745,10 @@ object CowTable {
     // relocate data files AND MoR sidecars (key + positional) the
     // branch wrote — a sidecar line keeps its prefix around the
     // relocated path; schema/partition spec lines carry verbatim
-    val relocated = manifestLines(bp, None).map { line =>
+    // the branch's own commit stamp never relocates — commit() below
+    // stamps the publish itself
+    val relocated = manifestLines(bp, None)
+      .filterNot(_.startsWith(WhenPrefix)).map { line =>
       if (line.startsWith(SchemaPrefix) || line.startsWith(PartitionPrefix)) line
       else {
         val prefix =

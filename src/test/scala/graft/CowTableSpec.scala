@@ -2036,6 +2036,11 @@ class CowTableSpec extends SparkSpecBase {
         .head().getLong(0) == 3L)
       assert(s.sql(s"SELECT v FROM cowt.ns.t VERSION AS OF $v2 WHERE id = 2")
         .head().getLong(0) == 20L)
+      // TIMESTAMP AS OF resolves through the commit stamps (micros in,
+      // greatest commit at-or-before wins)
+      val tsV2 = CowTable.commitTimeMs(s"$wh/ns/t", v2).get
+      assert(s.sql("SELECT count(*) FROM cowt.ns.t " +
+          s"TIMESTAMP AS OF timestamp_millis(${tsV2}L)").head().getLong(0) == 3L)
       // TVF parity: the catalog scan and cow_snapshot agree row-for-row
       val viaCatalog = s.sql("SELECT * FROM cowt.ns.t")
         .collect().map(_.toString).sorted.toSeq
@@ -2082,6 +2087,38 @@ class CowTableSpec extends SparkSpecBase {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
     }
+  }
+
+  test("TIMESTAMP AS OF: commit stamps are monotone; resolution picks the visible snapshot") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 10L).map(i => (i, i)).toDF("k", "v"), path)
+    CowTable.append(spark, path, Seq((100L, 100L)).toDF("k", "v"))
+    CowTable.append(spark, path, Seq((200L, 200L)).toDF("k", "v"))
+    val t = (1 to 3).map(v => CowTable.commitTimeMs(path, v).get)
+    assert(t(0) < t(1) && t(1) < t(2), s"stamps must be strictly monotone: $t")
+    assert(CowTable.versionAt(path, t(0)) == 1)
+    assert(CowTable.versionAt(path, t(1)) == 2)
+    assert(CowTable.versionAt(path, t(1) - 1) == 1,
+      "an instant before v2's stamp sees v1")
+    assert(CowTable.versionAt(path, t(2) + 1000000) == 3, "the future sees latest")
+    val err = intercept[IllegalArgumentException] {
+      CowTable.versionAt(path, t(0) - 1)
+    }
+    assert(err.getMessage.contains("precedes"), err.getMessage)
+    // pre-feature manifests (no stamp line) inherit the previous stamp
+    // (0 before any): strip v1's stamp and the whole pre-v2 range maps to v1
+    val mf = java.nio.file.Paths.get(path, "_snapshots", "v1.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf))
+      .split("\n").filterNot(_.startsWith("W ")).mkString("\n")
+    java.nio.file.Files.write(mf, stripped.getBytes)
+    assert(CowTable.versionAt(path, 1L) == 1, "unstamped v1 reads as epoch 0")
+    assert(CowTable.versionAt(path, t(1)) == 2)
+    // history carries the stamp column
+    val h = CowTable.history(spark, path)
+      .select("version", "commit_time_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(2L) == t(1) && h(3L) == t(2) && h(1L) == 0L)
   }
 
   test("SQL UPDATE on the catalog: expressions, WHERE, grammar rejections, time travel") {
