@@ -415,20 +415,26 @@ object Audits {
     * marginals are nation-domain tables riding broadcasts.
     */
   val customerNationAffinity: Q = (s, d) => {
-    // the narrow (bn, sn) flow records feed FOUR consumers (pairs,
-    // both marginals, the total); a localCheckpoint here was A/B'd
-    // WORSE (0.37 → 0.55 s — the materialization job costs more than
-    // the recompute, because the lineitem⋈orders exchange is already
-    // reused across the identical subplans)
+    // ONE fact pass: the marginals and the total are exact sums of the
+    // (bn, sn) pair counts, so everything downstream derives from the
+    // ≤625-row pairs aggregate. Local wall clock is UNCHANGED (~0.34 s
+    // best-of-5 either way — the old four-consumer shape already
+    // reused the lineitem⋈orders exchange, so its extra aggregates ran
+    // over cached shuffle blocks); the win is structural: three reduce
+    // phases over the fact exchange become sums over 625 rows, which
+    // is what survives when the exchange no longer fits one machine's
+    // shuffle cache. The remaining local cost IS the fact join — the
+    // canonical co-partitioned lineitem⋈orders shuffle (floor
+    // attribution: PLANS.md round 15).
     val flows = li(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").as("bn"), col("s_nationkey").as("sn"))
-    val pairs = flows.groupBy("bn", "sn").agg(cnt.as("n_ab"))
-    val buyers = flows.groupBy("bn").agg(cnt.as("n_a"))
-    val sellers = flows.groupBy("sn").agg(cnt.as("n_b"))
-    val total = flows.agg(cnt.as("n_total"))
+    val pairs = flows.groupBy("bn", "sn").agg(cnt.as("n_ab")).localCheckpoint()
+    val buyers = pairs.groupBy("bn").agg(sum("n_ab").cast("long").as("n_a"))
+    val sellers = pairs.groupBy("sn").agg(sum("n_ab").cast("long").as("n_b"))
+    val total = pairs.agg(sum("n_ab").cast("long").as("n_total"))
     pairs
       .join(broadcast(buyers), "bn")
       .join(broadcast(sellers), "sn")
