@@ -129,10 +129,41 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER via SQL is not wired; use the CowTable schema-evolution API " +
-        "(addColumn/renameColumn/dropColumn/widenColumn)")
+  /** `ALTER TABLE ... ADD COLUMN / RENAME COLUMN / DROP COLUMN /
+    * ALTER COLUMN TYPE` — lowered onto the format's metadata-only
+    * schema-evolution API (files never rewrite; widening must be an
+    * up-cast; name-collision rules enforced by [[CowTable]]). Top-level
+    * columns only; any other change class fails loudly naming itself.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    val path = dir(ident)
+    def top(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"ALTER TABLE $what on a CowTable supports top-level columns " +
+          s"only, got ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        CowTable.addColumn(spark, path, top(a.fieldNames, "ADD COLUMN"),
+          a.dataType.sql)
+      case r: TableChange.RenameColumn =>
+        CowTable.renameColumn(spark, path,
+          top(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        CowTable.dropColumn(spark, path, top(d.fieldNames, "DROP COLUMN"))
+      case u: TableChange.UpdateColumnType =>
+        CowTable.widenColumn(spark, path,
+          top(u.fieldNames, "ALTER COLUMN TYPE"), u.newDataType.sql)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE on a CowTable supports ADD/RENAME/DROP COLUMN and " +
+            s"ALTER COLUMN TYPE (widening); got ${other.getClass.getSimpleName}")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = java.nio.file.Paths.get(dir(ident))
@@ -451,18 +482,14 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
               required: StructType, tableSchema: StructType, files: Seq[String])
     extends Scan with Batch with SupportsReportPartitioning {
 
-  // the readers open physical files directly, so RENAME lineage (a
-  // declared column whose bytes live under an old physical name) can't
-  // resolve here — loud, with the TVF escape hatch. A lineage-free
-  // declared schema (CREATE TABLE / addColumn) is fine: readers request
-  // declared names, extra physical columns are never read, and a
-  // widened type either upcasts in the vectorized reader or fails
-  // loudly (never silently wrong).
-  require(CowTable.declaredSchema(path, asOf).forall(
-      _.fields.forall(!_.metadata.contains("was"))),
-    "the catalog scan reads physical files directly and cannot resolve " +
-      "rename lineage; read renamed tables via CowTable.read / the " +
-      "cow_snapshot TVF")
+  // RENAME lineage resolves per file WITHOUT footer inspection (round
+  // 15): the readers request the current name AND every lineage name
+  // (all at the declared type), and the projection coalesces the
+  // group. Exact by construction — the rename/add collision rules
+  // guarantee a file physically carries AT MOST ONE of the group's
+  // names, absent parquet columns read as all-null vectors, and a
+  // stored NULL under the present name falls through to all-null
+  // absent columns, i.e. stays NULL.
 
   private val posRanges: Map[String, Seq[(Long, Long)]] = {
     val sidecars = CowTable.snapshotPositionDeletes(path, asOf)
@@ -553,8 +580,27 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
     val extraFields: Seq[StructField] =
       keyDeletes.map(_._1.filterNot(required.fieldNames.contains)
         .map(n => tableSchema(tableSchema.fieldIndex(n))).toSeq).getOrElse(Seq.empty)
+    val baseFields = required.fields ++ extraFields
+    val lineage: Map[String, Seq[String]] =
+      CowTable.declaredSchema(path, asOf).map(_.fields.collect {
+        case f if f.metadata.contains("was") =>
+          f.name -> f.metadata.getStringArray("was").toSeq
+      }.toMap).getOrElse(Map.empty)
+    keyDeletes.foreach { case (cols, _) =>
+      cols.foreach(c => require(lineage.getOrElse(c, Seq.empty).isEmpty,
+        s"MoR key-delete column $c carries rename lineage; fold sidecars " +
+          "(compact) before renaming a delete-key column, or read via " +
+          "CowTable.read"))
+    }
+    // per-base-field read group: current name followed by its lineage
+    // names, all at the declared type (old files upcast in the reader)
+    val groups: Array[Int] = baseFields.map(f =>
+      1 + lineage.getOrElse(f.name, Seq.empty).length)
+    val readFields: Array[StructField] = baseFields.flatMap(f =>
+      (f.name +: lineage.getOrElse(f.name, Seq.empty)).map(n =>
+        StructField(n, f.dataType, nullable = true)))
     new CowReaderFactory(required.json,
-      StructType(required.fields ++ extraFields).json,
+      StructType(readFields).json, groups,
       posRanges.map { case (k, v) => k -> v.toArray },
       keyDeletes.map { case (c, s) => (c.toArray, s) })
   }
@@ -603,6 +649,7 @@ case class CowInputPartition(files: Array[String], bucket: Option[Int])
   * (a cluster deployment would broadcast the session's).
   */
 class CowReaderFactory(requiredJson: String, readSchemaJson: String,
+                       groups: Array[Int],
                        posRanges: Map[String, Array[(Long, Long)]],
                        keyDeletes: Option[(Array[String], Set[Seq[String]])])
     extends PartitionReaderFactory {
@@ -612,23 +659,34 @@ class CowReaderFactory(requiredJson: String, readSchemaJson: String,
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     new PartitionReader[InternalRow] {
       // required columns plus any key-delete columns the projection
-      // pruned (real table types); the latter are dropped after the
-      // key filter by the projection below
+      // pruned (real table types), each expanded to its rename-lineage
+      // name group; the projection below coalesces each group and
+      // drops the key-delete extras after the key filter
       private val readSchema =
         DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
-      private val extra = readSchema.fields.length > required.fields.length
+      private val starts: Array[Int] = groups.scanLeft(0)(_ + _).init
+      private val extra = groups.length > required.fields.length
+      private val needProject = extra || groups.exists(_ > 1)
       private var fileIdx = -1
       private var reader: VectorizedParquetRecordReader = _
       private var ordinal: Long = -1L
       private var ranges: Array[(Long, Long)] = Array.empty
       private var current: InternalRow = _
+      // key-delete columns are lineage-free (enforced at scan build),
+      // so their group is a singleton and name lookup stays direct
       private val keyIdx: Array[Int] = keyDeletes
         .map(_._1.map(n => readSchema.fieldIndex(n))).getOrElse(Array.empty)
       private val keyTypes: Array[DataType] = keyIdx.map(readSchema.fields(_).dataType)
       private val project: UnsafeProjection =
-        if (!extra) null
+        if (!needProject) null
         else UnsafeProjection.create(required.fields.zipWithIndex.map {
-          case (f, i) => BoundReference(i, f.dataType, nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+          case (f, i) =>
+            val refs = (starts(i) until starts(i) + groups(i)).map(j =>
+              BoundReference(j, f.dataType, nullable = true)
+                : org.apache.spark.sql.catalyst.expressions.Expression)
+            (if (refs.length == 1) refs.head
+             else org.apache.spark.sql.catalyst.expressions.Coalesce(refs))
+              : org.apache.spark.sql.catalyst.expressions.Expression
         }.toIndexedSeq)
 
       private def openNext(): Boolean = {

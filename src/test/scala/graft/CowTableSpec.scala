@@ -2089,6 +2089,59 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("SQL ALTER TABLE: add/rename/widen/drop lower onto metadata-only evolution") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s.sql("CREATE TABLE cowt.ns.a (id BIGINT, v INT)")
+      s.sql("INSERT INTO cowt.ns.a VALUES (1, 10), (2, 20)")
+      val files1 = CowTable.snapshotFiles(s"$wh/ns/a").toSet
+      // ADD: pre-evolution rows read NULL in the new column
+      s.sql("ALTER TABLE cowt.ns.a ADD COLUMN tag STRING")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.a WHERE tag IS NULL")
+        .head().getLong(0) == 2L)
+      s.sql("INSERT INTO cowt.ns.a VALUES (3, 30, 'x')")
+      // RENAME: metadata-only, old files resolve through the lineage
+      s.sql("ALTER TABLE cowt.ns.a RENAME COLUMN v TO val")
+      assert(s.sql("SELECT sum(val) FROM cowt.ns.a").head().getLong(0) == 60L)
+      // WIDEN: int -> bigint up-cast
+      s.sql("ALTER TABLE cowt.ns.a ALTER COLUMN val TYPE BIGINT")
+      assert(s.sql("SELECT val FROM cowt.ns.a WHERE id = 1").head().getLong(0) == 10L)
+      // DROP: disappears from reads, data files untouched
+      s.sql("ALTER TABLE cowt.ns.a DROP COLUMN tag")
+      assert(!s.sql("SELECT * FROM cowt.ns.a").columns.contains("tag"))
+      assert((files1 -- CowTable.snapshotFiles(s"$wh/ns/a").toSet).isEmpty,
+        "every ALTER is metadata-only: the original data files all survive")
+      // narrowing is refused loudly — by Spark's own analysis check
+      // (NOT_SUPPORTED_CHANGE_COLUMN) before our up-cast guard even runs
+      val e1 = intercept[Exception] {
+        s.sql("ALTER TABLE cowt.ns.a ALTER COLUMN val TYPE INT")
+      }
+      assert(e1.getMessage.contains("up-cast") ||
+        e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e1.getMessage)
+      // unsupported change classes fail naming themselves
+      val e2 = intercept[Exception] {
+        s.sql("ALTER TABLE cowt.ns.a SET TBLPROPERTIES ('k' = 'v')")
+      }
+      assert(e2.getMessage.contains("supports ADD/RENAME/DROP"), e2.getMessage)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("TIMESTAMP AS OF: commit stamps are monotone; resolution picks the visible snapshot") {
     import spark.implicits._
     val path = tmp
