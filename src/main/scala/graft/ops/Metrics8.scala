@@ -155,7 +155,56 @@ object Metrics8 {
       .orderBy("brand")
   }
 
+  /** Largest-remainder apportionment at FACT scale: each order's total
+    * cents distribute across its lineitems proportional to extended
+    * price, floor shares + remainder-ranked top-up inside an
+    * order-partitioned window — so Σ alloc == order total EXACTLY for
+    * every order (validated 0 mismatches at both SFs). The per-entity
+    * windowed form of `alloc_largest_remainder`'s 25-row global shape:
+    * millions of independent apportionments, fully parallel by key.
+    */
+  val liOrderCentsApportion: Q = (s, d) => {
+    val x = li(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        cents(col("l_extendedprice")).as("w"),
+        cents(col("o_totalprice")).as("tot"))
+    val wo = Window.partitionBy("ok")
+    val wr = Window.partitionBy("ok")
+      .orderBy(col("rem").desc, col("ln"), col("pk"), col("sk"))
+    x.withColumn("wsum", sum("w").over(wo))
+      .withColumn("base", expr("div(tot * w, wsum)"))
+      .withColumn("rem", (col("tot") * col("w")) % col("wsum"))
+      .withColumn("leftover", col("tot") - sum("base").over(wo))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("ln").cast("long").as("linenumber"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .groupBy("linenumber")
+      .agg(cnt.as("lines"), sum("alloc").cast("long").as("alloc_cents"))
+      .orderBy("linenumber")
+  }
+
+  /** ISO-8601 week calendar census: ISO week via `weekofyear` (ISO on
+    * both engines) and ISO YEAR via the Thursday rule — the year of
+    * d + (4 − isodow(d)) days — since neither engine shares an isoyear
+    * spelling; same arithmetic both sides. Bounded (year, week) domain.
+    */
+  val dateIsoWeekCensus: Q = (s, d) =>
+    orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dd"))
+      .select(
+        year(expr("date_add(dd, 4 - ((dayofweek(dd) + 5) % 7 + 1))"))
+          .cast("long").as("iso_year"),
+        weekofyear(col("dd")).cast("long").as("iso_week"))
+      .groupBy("iso_year", "iso_week")
+      .agg(cnt.as("n"))
+      .orderBy("iso_year", "iso_week")
+
   val queries: Map[String, Q] = Map(
+    "li_order_cents_apportion" -> liOrderCentsApportion,
+    "date_iso_week_census" -> dateIsoWeekCensus,
     "customer_churn_labels" -> customerChurnLabels,
     "supplier_customer_concentration" -> supplierCustomerConcentration,
     "str_printf_funcs" -> strPrintfFuncs,

@@ -8,6 +8,28 @@ package graft.oracle
 object OracleW27 {
   val sql: Map[String, String] = Map(
 
+    "li_order_cents_apportion" ->
+      """WITH x AS (SELECT l_orderkey ok, l_linenumber ln, l_partkey pk, l_suppkey sk,
+      CAST(round(l_extendedprice*100) AS BIGINT) w,
+      CAST(round(o_totalprice*100) AS BIGINT) tot
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  s AS (SELECT *, CAST(sum(w) OVER (PARTITION BY ok) AS BIGINT) wsum FROM x),
+  q AS (SELECT *, (tot * w) // wsum base, (tot * w) % wsum rem FROM s),
+  l AS (SELECT *, CAST(tot - sum(base) OVER (PARTITION BY ok) AS BIGINT) leftover,
+        row_number() OVER (PARTITION BY ok ORDER BY rem DESC, ln, pk, sk) rk FROM q),
+  a AS (SELECT ln, base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END alloc FROM l)
+  SELECT CAST(ln AS BIGINT) linenumber, CAST(count(*) AS BIGINT) lines,
+    CAST(sum(alloc) AS BIGINT) alloc_cents
+  FROM a GROUP BY 1 ORDER BY linenumber""",
+
+    "date_iso_week_census" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) dd FROM orders),
+  w AS (SELECT year(dd + INTERVAL (4 - isodow(dd)) DAY) iso_year,
+        weekofyear(dd) iso_week FROM d)
+  SELECT CAST(iso_year AS BIGINT) iso_year, CAST(iso_week AS BIGINT) iso_week,
+    CAST(count(*) AS BIGINT) n
+  FROM w GROUP BY 1, 2 ORDER BY iso_year, iso_week""",
+
     "customer_churn_labels" ->
       """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) md FROM orders),
   lastord AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) lo FROM orders GROUP BY 1)
