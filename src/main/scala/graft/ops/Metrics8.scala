@@ -202,7 +202,30 @@ object Metrics8 {
       .agg(cnt.as("n"))
       .orderBy("iso_year", "iso_week")
 
+  /** Cohort LTV under ANNUAL HALF-LIFE discounting — present value with
+    * an EXACT integer discount: cents // 2^(years since first order),
+    * so both engines agree bit-for-bit where a pow(0.9, t) factor
+    * would ride libm's not-correctly-rounded pow into cross-engine ULP
+    * flips at round-half boundaries. Cohort = the customer's first
+    * order month; one keyed min-agg + self-join + monthly census.
+    */
+  val ltvHalflifeCohort: Q = (s, d) => {
+    val f = orders(s, d).groupBy(col("o_custkey").as("ck"))
+      .agg(min(trunc(col("o_orderdate"), "month")).as("fm"))
+    orders(s, d).join(f, col("o_custkey") === col("ck"))
+      .select(col("fm").cast("string").as("cohort_month"),
+        ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+         (year(col("fm")) * 12 + month(col("fm")))).as("t"),
+        cents(col("o_totalprice")).as("c"))
+      .withColumn("dc", expr("div(c, shiftleft(1, div(t, 12)))"))
+      .groupBy("cohort_month")
+      .agg(cnt.as("n_orders"), sum("c").cast("long").as("nominal_cents"),
+        sum("dc").cast("long").as("discounted_cents"))
+      .orderBy("cohort_month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ltv_halflife_cohort" -> ltvHalflifeCohort,
     "li_order_cents_apportion" -> liOrderCentsApportion,
     "date_iso_week_census" -> dateIsoWeekCensus,
     "customer_churn_labels" -> customerChurnLabels,

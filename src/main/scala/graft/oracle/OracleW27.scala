@@ -8,6 +8,20 @@ package graft.oracle
 object OracleW27 {
   val sql: Map[String, String] = Map(
 
+    "ltv_halflife_cohort" ->
+      """WITH f AS (SELECT o_custkey ck, min(date_trunc('month', o_orderdate)) fm
+       FROM orders GROUP BY 1),
+  x AS (SELECT (year(o.o_orderdate)*12 + month(o.o_orderdate))
+             - (year(f.fm)*12 + month(f.fm)) t,
+        f.fm, CAST(round(o.o_totalprice*100) AS BIGINT) cents
+        FROM orders o JOIN f ON o.o_custkey = f.ck),
+  d AS (SELECT CAST(CAST(fm AS DATE) AS VARCHAR) cohort_month,
+        cents, cents // (1 << (t // 12)) dc FROM x)
+  SELECT cohort_month, CAST(count(*) AS BIGINT) n_orders,
+    CAST(sum(cents) AS BIGINT) nominal_cents,
+    CAST(sum(dc) AS BIGINT) discounted_cents
+  FROM d GROUP BY 1 ORDER BY cohort_month""",
+
     "li_order_cents_apportion" ->
       """WITH x AS (SELECT l_orderkey ok, l_linenumber ln, l_partkey pk, l_suppkey sk,
       CAST(round(l_extendedprice*100) AS BIGINT) w,
