@@ -153,9 +153,17 @@ object IvfIndex {
   private sealed trait ListCodec
   private case object FloatLists extends ListCodec
   private case object Sq8Lists extends ListCodec
-  /** `cb(sub)(code)` = codeword (dsub doubles). */
+  /** `cb(sub)(code)` = codeword (dsub doubles) — the DECODE table
+    * (dead/missing codes read as zero vectors: only pre-retrain rows
+    * can reference them, and the exact rerank bounds the effect).
+    * `encCb` is the ENCODE table: dead codes carry +Infinity sentinels
+    * so the argmin can only ever emit a TRAINED code — a zero fill
+    * there would win the argmin for any subvector nearest the origin
+    * and silently encode to an untrained code (ADVICE r15).
+    */
   private final case class PqLists(m: Int, ks: Int, dsub: Int,
-                                   cb: Seq[Seq[Seq[Double]]]) extends ListCodec
+                                   cb: Seq[Seq[Seq[Double]]],
+                                   encCb: Seq[Seq[Seq[Double]]]) extends ListCodec
 
   private def codebooksPath(indexPath: String) = s"$indexPath/codebooks"
   private def pqConfigPath(indexPath: String) = Paths.get(indexPath, "_pq_config")
@@ -172,16 +180,20 @@ object IvfIndex {
       StandardCharsets.UTF_8).trim.split(" ").map(_.toInt)
     val rows = CowTable.read(spark, codebooksPath(indexPath))
       .orderBy("sub", "code").collect()
-    val cb = (0 until m).map { s =>
+    val (cb, encCb) = (0 until m).map { s =>
       val bySub = rows.filter(_.getInt(0) == s)
-      // dead codes (emptied by retraining) stay addressable as their
-      // last codeword — encode never emits them again, decode of old
-      // rows must not crash
       val byCode = bySub.map(r => r.getInt(1) -> r.getSeq[Double](2).toIndexedSeq).toMap
       val dsub = byCode.values.head.size
-      (0 until ks).map(c => byCode.getOrElse(c, IndexedSeq.fill(dsub)(0.0)))
-    }
-    PqLists(m, ks, cb.head.head.size, cb)
+      // dead codes (emptied by retraining) must stay ADDRESSABLE
+      // (decode of pre-retrain rows must not crash — they read as zero
+      // vectors, bounded by the exact rerank) but never WINNABLE:
+      // the encode table fills them with +Infinity so the argmin can
+      // only emit trained codes (a zero fill would win near the origin)
+      ((0 until ks).map(c => byCode.getOrElse(c, IndexedSeq.fill(dsub)(0.0))),
+       (0 until ks).map(c => byCode.getOrElse(c,
+         IndexedSeq.fill(dsub)(Double.PositiveInfinity))))
+    }.unzip
+    PqLists(m, ks, cb.head.head.size, cb, encCb)
   }
 
   /** Squared-L2 between two double arrays, as one codegen'd HOF. */
@@ -204,8 +216,8 @@ object IvfIndex {
           lit(1e-30)))
         .withColumn("vq", expr("transform(ve, x -> cast(round(x / sc) as tinyint))"))
         .drop("ve")
-      case PqLists(m, _, dsub, cb) => df
-        .withColumn("__cb", typedLit(cb))
+      case PqLists(m, _, dsub, _, encCb) => df
+        .withColumn("__cb", typedLit(encCb))
         // subvector sliced ONCE per (row, sub); argmin is a single
         // aggregate pass over the codewords carrying (best dist, best
         // code, next index) — no dist array rebuild, no second scan
@@ -233,7 +245,7 @@ object IvfIndex {
         if (!df.columns.contains("vq")) df
         else df.withColumn("ve", expr("transform(vq, x -> cast(x as double) * sc)"))
           .drop("vq", "sc")
-      case PqLists(_, _, _, cb) =>
+      case PqLists(_, _, _, cb, _) =>
         if (!df.columns.contains("pqc")) df
         else df.withColumn("__cb", typedLit(cb))
           .withColumn("ve", expr(
@@ -283,7 +295,7 @@ object IvfIndex {
   private def buildParams(codec: ListCodec): (Boolean, Int, Int) = codec match {
     case FloatLists          => (false, 0, 0)
     case Sq8Lists            => (true, 0, 0)
-    case PqLists(m, ks, _, _) => (false, m, ks)
+    case PqLists(m, ks, _, _, _) => (false, m, ks)
   }
   private def rebuildIntentPath(indexPath: String) = Paths.get(indexPath, "_rebuilding")
 

@@ -80,10 +80,22 @@ object CowUpdateRule extends Rule[LogicalPlan] {
     val inlined = e.transformUp {
       case w: org.apache.spark.sql.catalyst.expressions.With =>
         val byId = w.defs.map(d => d.id -> d.child).toMap
+        // a ref may point at an OUTER With's def (nested BETWEEN/like
+        // shapes) — leave it in place; the enclosing With is visited
+        // later by this same bottom-up pass and inlines it then
+        // (ADVICE r15: Map.apply threw instead of the grammar error)
         w.child.transformUp {
           case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
-            byId(r.id)
+            byId.getOrElse(r.id, r)
         }
+    }
+    inlined.foreach {
+      case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+        throw new UnsupportedOperationException(
+          s"UPDATE a CowTable: common-subexpression reference $r survived " +
+            "inlining (no enclosing With carries its definition) — " +
+            "rewrite the SET/WHERE expression without the shared shape")
+      case _ =>
     }
     inlined.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)

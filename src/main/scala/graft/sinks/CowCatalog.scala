@@ -145,23 +145,39 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
           s"only, got ${fieldNames.mkString(".")}")
       fieldNames.head
     }
-    changes.foreach {
+    // Translate EVERY change before applying ANY: an unsupported change
+    // class or attribute fails here, and the schema-level validations
+    // all run inside ONE CowTable.alterSchema commit — a failed
+    // multi-change ALTER TABLE can never leave a partially-applied DDL
+    // statement behind (ADVICE r15). Attributes the format cannot honor
+    // (NOT NULL on an added column — pre-evolution rows read NULL —
+    // COMMENT, FIRST/AFTER position) are rejected loudly, never dropped.
+    val translated: Seq[SchemaChange] = changes.map {
       case a: TableChange.AddColumn =>
-        CowTable.addColumn(spark, path, top(a.fieldNames, "ADD COLUMN"),
-          a.dataType.sql)
+        val name = top(a.fieldNames, "ADD COLUMN")
+        require(a.isNullable,
+          s"ADD COLUMN $name NOT NULL is unsupported on a CowTable: " +
+            "pre-evolution rows read NULL in the added column")
+        require(a.comment == null,
+          s"ADD COLUMN $name COMMENT is not stored by the CowTable format")
+        require(a.position == null,
+          s"ADD COLUMN $name FIRST/AFTER is unsupported: columns append")
+        require(a.defaultValue == null,
+          s"ADD COLUMN $name DEFAULT is not stored by the CowTable format")
+        SchemaChange.Add(name, a.dataType.sql)
       case r: TableChange.RenameColumn =>
-        CowTable.renameColumn(spark, path,
-          top(r.fieldNames, "RENAME COLUMN"), r.newName)
+        SchemaChange.Rename(top(r.fieldNames, "RENAME COLUMN"), r.newName)
       case d: TableChange.DeleteColumn =>
-        CowTable.dropColumn(spark, path, top(d.fieldNames, "DROP COLUMN"))
+        SchemaChange.Drop(top(d.fieldNames, "DROP COLUMN"))
       case u: TableChange.UpdateColumnType =>
-        CowTable.widenColumn(spark, path,
-          top(u.fieldNames, "ALTER COLUMN TYPE"), u.newDataType.sql)
+        SchemaChange.Widen(top(u.fieldNames, "ALTER COLUMN TYPE"),
+          u.newDataType.sql)
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE on a CowTable supports ADD/RENAME/DROP COLUMN and " +
             s"ALTER COLUMN TYPE (widening); got ${other.getClass.getSimpleName}")
     }
+    CowTable.alterSchema(spark, path, translated)
     loadTable(ident)
   }
 

@@ -1890,6 +1890,44 @@ object CowTable {
       manifestLines(path, Some(base)).filterNot(_.startsWith(SchemaPrefix)) :+
         (SchemaPrefix + schema.json), base)
 
+  /** All names any declared column's rename lineage still claims. A new
+    * column may not take one of these: the read-side coalesce group for
+    * the renamed column would silently absorb the new column's values
+    * wherever the current name stores NULL (ADVICE r15, medium).
+    */
+  private def lineageCols(schema: types.StructType): Set[String] =
+    schema.fields.iterator.flatMap(f =>
+      if (f.metadata.contains("was")) f.metadata.getStringArray("was").toSeq
+      else Seq.empty).toSet
+
+  /** Schema with rename lineage dropped — committed by the full-rewrite
+    * maintenance ops ([[compact]]/[[cluster]]): the rewrite emits every
+    * row under the CURRENT names, so no surviving file carries a
+    * renamed-away name and the lineage is dead weight that would
+    * otherwise let a later [[addColumn]] re-introduce a lineage name
+    * into live coalesce groups.
+    */
+  private def stripLineage(schema: types.StructType): types.StructType =
+    types.StructType(schema.fields.map { f =>
+      if (!f.metadata.contains("was")) f
+      else {
+        val mb = new types.MetadataBuilder().withMetadata(f.metadata)
+        mb.remove("was")
+        f.copy(metadata = mb.build())
+      }
+    })
+
+  /** [[specLines]] for a commit that REWRITES every data file under the
+    * declared names: the schema line drops its rename lineage (see
+    * [[stripLineage]]); partition/txn/stats lines carry unchanged.
+    */
+  private def specLinesRewritten(path: String, base: Int): Seq[String] =
+    specLines(path, base).map { l =>
+      if (!l.startsWith(SchemaPrefix)) l
+      else SchemaPrefix + stripLineage(types.DataType
+        .fromJson(l.stripPrefix(SchemaPrefix)).asInstanceOf[types.StructType]).json
+    }
+
   /** ADD a column (type as a DDL string, e.g. "bigint", "decimal(12,2)").
     * Pre-evolution rows read null. The name must be genuinely new —
     * colliding with a physical column still present in any file (e.g.
@@ -1897,66 +1935,90 @@ object CowTable {
     * data into the "new" column, so it fails loudly; [[compact]] first
     * to physically retire old names.
     */
-  def addColumn(spark: SparkSession, path: String, name: String, ddl: String): Int = {
-    val base = currentVersion(path)
-    val cur = specOrDerived(spark, path, base)
-    require(!cur.fieldNames.contains(name), s"column $name already declared")
-    require(!physicalCols(spark, path, base).contains(name),
-      s"column $name still exists physically in snapshot files (dropped or " +
-        "renamed-away earlier) — compact before re-adding the name")
-    commitSchema(path, types.StructType(
-      cur.fields :+ types.StructField(name, types.DataType.fromDDL(ddl))), base)
-  }
+  def addColumn(spark: SparkSession, path: String, name: String, ddl: String): Int =
+    alterSchema(spark, path, Seq(SchemaChange.Add(name, ddl)))
 
   /** RENAME a column — metadata only. The field keeps its rename
     * lineage (`was`, newest first), so a snapshot mixing files written
     * under either name resolves per row; files are never rewritten.
     */
-  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Int = {
-    val base = currentVersion(path)
-    val cur = specOrDerived(spark, path, base)
-    require(cur.fieldNames.contains(from), s"no declared column $from")
-    require(!cur.fieldNames.contains(to), s"column $to already declared")
-    require(!physicalCols(spark, path, base).contains(to),
-      s"column $to still exists physically in snapshot files — compact first")
-    commitSchema(path, types.StructType(cur.fields.map { f =>
-      if (f.name != from) f
-      else {
-        val was = if (f.metadata.contains("was")) f.metadata.getStringArray("was") else Array.empty[String]
-        types.StructField(to, f.dataType, f.nullable,
-          new types.MetadataBuilder().putStringArray("was", from +: was).build())
-      }
-    }), base)
-  }
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Int =
+    alterSchema(spark, path, Seq(SchemaChange.Rename(from, to)))
 
   /** DROP a column — metadata only; the data stays in old files
     * (invisible through the declared schema) until a rewrite retires
     * it. Re-adding the same name requires a [[compact]] first (see
     * [[addColumn]]).
     */
-  def dropColumn(spark: SparkSession, path: String, name: String): Int = {
-    val base = currentVersion(path)
-    val cur = specOrDerived(spark, path, base)
-    require(cur.fieldNames.contains(name), s"no declared column $name")
-    commitSchema(path, types.StructType(cur.fields.filterNot(_.name == name)), base)
-  }
+  def dropColumn(spark: SparkSession, path: String, name: String): Int =
+    alterSchema(spark, path, Seq(SchemaChange.Drop(name)))
 
   /** WIDEN a column's declared type (int→long, float→double,
     * decimal precision growth — Iceberg's type-promotion lanes).
     * Readers cast every file's physical values to the declared type;
     * narrowing is refused (it would silently truncate old rows).
     */
-  def widenColumn(spark: SparkSession, path: String, name: String, ddl: String): Int = {
+  def widenColumn(spark: SparkSession, path: String, name: String, ddl: String): Int =
+    alterSchema(spark, path, Seq(SchemaChange.Widen(name, ddl)))
+
+  /** ATOMIC multi-change schema evolution: validate EVERY change against
+    * the evolving declared schema, then commit ONCE — a later change
+    * failing can never leave earlier changes durably applied (ADVICE
+    * r15: per-change commits made a failed multi-change `ALTER TABLE`
+    * a partially-applied DDL statement). All the single-change rules
+    * hold per step: new names must not collide with declared names,
+    * with names still physically present in any snapshot file, or with
+    * any declared column's rename lineage (the coalesce-group leak);
+    * widening must be an up-cast.
+    */
+  def alterSchema(spark: SparkSession, path: String,
+                  changes: Seq[SchemaChange]): Int = {
+    require(changes.nonEmpty, "alterSchema: no changes")
     val base = currentVersion(path)
-    val cur = specOrDerived(spark, path, base)
-    val idx = cur.fieldNames.indexOf(name)
-    require(idx >= 0, s"no declared column $name")
-    val to = types.DataType.fromDDL(ddl)
-    val from = cur.fields(idx).dataType
-    require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
-      s"cannot widen ${from.simpleString} to ${to.simpleString} (not an up-cast)")
-    commitSchema(path, types.StructType(cur.fields.updated(idx,
-      cur.fields(idx).copy(dataType = to))), base)
+    // computed lazily ONCE — only changes that introduce a name pay the
+    // physical-schema listing
+    lazy val phys = physicalCols(spark, path, base)
+    def freshName(name: String, cur: types.StructType, what: String): Unit = {
+      require(!cur.fieldNames.contains(name),
+        s"$what: column $name already declared")
+      require(!lineageCols(cur).contains(name),
+        s"$what: column $name is still claimed by a renamed column's " +
+          "lineage — compact to retire the lineage before reusing the name")
+      require(!phys.contains(name),
+        s"$what: column $name still exists physically in snapshot files " +
+          "(dropped or renamed-away earlier) — compact before reusing the name")
+    }
+    val evolved = changes.foldLeft(specOrDerived(spark, path, base)) {
+      case (cur, SchemaChange.Add(name, ddl)) =>
+        freshName(name, cur, "ADD COLUMN")
+        types.StructType(cur.fields :+
+          types.StructField(name, types.DataType.fromDDL(ddl)))
+      case (cur, SchemaChange.Rename(from, to)) =>
+        require(cur.fieldNames.contains(from), s"no declared column $from")
+        freshName(to, cur, "RENAME COLUMN")
+        types.StructType(cur.fields.map { f =>
+          if (f.name != from) f
+          else {
+            val was = if (f.metadata.contains("was")) f.metadata.getStringArray("was")
+                      else Array.empty[String]
+            types.StructField(to, f.dataType, f.nullable,
+              new types.MetadataBuilder().withMetadata(f.metadata)
+                .putStringArray("was", from +: was).build())
+          }
+        })
+      case (cur, SchemaChange.Drop(name)) =>
+        require(cur.fieldNames.contains(name), s"no declared column $name")
+        types.StructType(cur.fields.filterNot(_.name == name))
+      case (cur, SchemaChange.Widen(name, ddl)) =>
+        val idx = cur.fieldNames.indexOf(name)
+        require(idx >= 0, s"no declared column $name")
+        val to = types.DataType.fromDDL(ddl)
+        val from = cur.fields(idx).dataType
+        require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+          s"cannot widen ${from.simpleString} to ${to.simpleString} (not an up-cast)")
+        types.StructType(cur.fields.updated(idx, cur.fields(idx).copy(dataType = to)))
+    }
+    commitSchema(path, evolved, base)
   }
 
   /** COMPACT the current snapshot into `files` bin-packed data files —
@@ -1976,9 +2038,12 @@ object CowTable {
     // folds D and P sidecars (the logical read applied them; no
     // sidecar lines carry over) and physically retires dropped /
     // renamed-away columns (the rewrite emits the declared schema).
-    // Schema + partition spec lines carry forward.
+    // Schema + partition spec lines carry forward, the schema with its
+    // rename lineage STRIPPED — no surviving file carries an old name,
+    // and live lineage would let addColumn re-introduce a lineage name
+    // into the read-side coalesce groups (ADVICE r15).
     commit(path, writeDataWithStats(rows, path, partitionSpec(path, Some(base))) ++
-      specLines(path, base), base)
+      specLinesRewritten(path, base), base)
   }
 
   /** INCREMENTAL VIEW MAINTENANCE: refresh a grouped-aggregate
@@ -2295,7 +2360,7 @@ object CowTable {
       .drop(("__z" +: (0 until n).map(s"__q" + _)) ++
         zcols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
     commit(path, writeDataWithStats(clustered, path, partitionSpec(path, Some(base))) ++
-      specLines(path, base), base)
+      specLinesRewritten(path, base), base)
   }
 
   /** DELETE rows matching `predicate`: rewrite only files containing
@@ -2792,6 +2857,20 @@ object CowTable {
   private def samePath(manifest: String, uri: String): Boolean =
     uri.stripPrefix("file:").stripPrefix("//") == manifest ||
       uri.endsWith(manifest) || manifest.endsWith(uri.stripPrefix("file:"))
+}
+
+/** One declared-schema evolution step, the unit of
+  * [[CowTable.alterSchema]]'s atomic multi-change commit (ALTER TABLE
+  * with several clauses validates every step, then commits once).
+  */
+sealed trait SchemaChange
+object SchemaChange {
+  /** Type as a DDL string, e.g. "bigint", "decimal(12,2)". */
+  final case class Add(name: String, ddl: String) extends SchemaChange
+  final case class Rename(from: String, to: String) extends SchemaChange
+  final case class Drop(name: String) extends SchemaChange
+  /** Up-cast only (int→long, float→double, decimal growth). */
+  final case class Widen(name: String, ddl: String) extends SchemaChange
 }
 
 /** One hidden-partitioning transform (the Iceberg partition-spec

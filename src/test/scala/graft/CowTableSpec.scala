@@ -2210,6 +2210,15 @@ class CowTableSpec extends SparkSpecBase {
       s.sql("UPDATE cowt.ns.u SET v = v + 100 WHERE id BETWEEN 3 AND 4")
       assert(s.sql("SELECT sum(v) FROM cowt.ns.u WHERE id IN (3, 4)").head().getLong(0)
         == (31L + 100) + (401 + 100))
+      // NESTED With: a BETWEEN inside another BETWEEN's operand — a
+      // CommonExpressionRef that resolves against an OUTER With's def
+      // must inline when that With is visited, not crash on the inner
+      // map lookup (ADVICE r15). SET v = v keeps values intact; the
+      // statement still runs the full unresolve + rewrite path.
+      s.sql("UPDATE cowt.ns.u SET v = v WHERE " +
+        "(CASE WHEN id BETWEEN 1 AND 2 THEN v ELSE id END) BETWEEN 0 AND 1000000")
+      assert(s.sql("SELECT sum(v) FROM cowt.ns.u WHERE id IN (3, 4)").head().getLong(0)
+        == (31L + 100) + (401 + 100), "nested-With no-op UPDATE must not change rows")
       // time travel: pre-update snapshot intact
       assert(s.sql(s"SELECT sum(v) FROM cowt.ns.u VERSION AS OF $v1")
         .head().getLong(0) == 100L)
@@ -2394,5 +2403,140 @@ class CowTableSpec extends SparkSpecBase {
           _.getFileName.toString.startsWith("_commit.lock.stale.")))
     }
     assert(sawPark, "takeovers must park the stale lock, not delete it in place")
+  }
+
+  test("rename lineage: lineage names can never be reused; compact retires the lineage") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    CowTable.renameColumn(spark, path, "v", "w")
+    CowTable.renameColumn(spark, path, "w", "x")
+    // "w" never reached a data file (the physical guard can't see it)
+    // but x's lineage still claims it — re-adding would let the read
+    // coalesce group silently substitute the new column's values
+    // wherever x stores NULL (ADVICE r15, medium)
+    val e = intercept[IllegalArgumentException] {
+      CowTable.addColumn(spark, path, "w", "bigint")
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+    // renaming another column ONTO a lineage name is the same hole
+    CowTable.addColumn(spark, path, "tmpc", "string")
+    val eR = intercept[IllegalArgumentException] {
+      CowTable.renameColumn(spark, path, "tmpc", "w")
+    }
+    assert(eR.getMessage.contains("lineage"), eR.getMessage)
+    // "v" is claimed twice over: by x's lineage AND physically in the
+    // original files — either guard must refuse it
+    val e2 = intercept[IllegalArgumentException] {
+      CowTable.addColumn(spark, path, "v", "bigint")
+    }
+    assert(e2.getMessage.contains("lineage") || e2.getMessage.contains("physically"),
+      e2.getMessage)
+    CowTable.dropColumn(spark, path, "tmpc")
+    // compact rewrites every file under CURRENT names and strips the
+    // lineage from the carried schema line: both names are genuinely
+    // free afterwards
+    CowTable.compact(spark, path, 1)
+    assert(CowTable.declaredSchema(path).get.fields
+      .forall(!_.metadata.contains("was")),
+      "compact must strip rename lineage (no surviving file carries an old name)")
+    CowTable.addColumn(spark, path, "v", "bigint")
+    CowTable.addColumn(spark, path, "w", "string")
+    val rows = CowTable.read(spark, path)
+    assert(rows.columns.toSeq == Seq("id", "x", "v", "w"), rows.columns.toSeq)
+    assert(rows.filter(col("v").isNotNull || col("w").isNotNull).count() == 0,
+      "re-added columns read NULL; nothing leaks from the renamed column")
+    assert(rows.agg(sum("x")).head().getLong(0) == 30L)
+    // new writes land in the re-added columns without touching x
+    CowTable.append(spark, path, Seq((3L, 30L, 99L, "t")).toDF("id", "x", "v", "w"))
+    val after = CowTable.read(spark, path)
+    assert(after.filter(col("id") === 3L).select("x", "v", "w")
+      .head().toString == "[30,99,t]")
+    assert(after.filter(col("id") === 1L).select("v").head().isNullAt(0))
+    // time travel: the pre-compact snapshot still resolves x through
+    // its own lineage (old manifests keep their own schema lines)
+    assert(CowTable.read(spark, path, Some(3)).agg(sum("x")).head().getLong(0) == 30L)
+  }
+
+  test("alterSchema: multi-change is atomic — a failing later change applies nothing") {
+    import spark.implicits._
+    import graft.sinks.SchemaChange
+    val path = tmp
+    CowTable.create(Seq((1L, 10L)).toDF("id", "v"), path)
+    val v0 = CowTable.currentVersion(path)
+    // change 2 collides with a declared column: NOTHING commits
+    val e = intercept[IllegalArgumentException] {
+      CowTable.alterSchema(spark, path, Seq(
+        SchemaChange.Add("tag", "string"), SchemaChange.Add("v", "bigint")))
+    }
+    assert(e.getMessage.contains("already declared"), e.getMessage)
+    assert(CowTable.currentVersion(path) == v0,
+      "failed multi-change must leave no commit behind")
+    assert(!CowTable.read(spark, path).columns.contains("tag"),
+      "the earlier change of a failed statement must not be applied")
+    // a valid multi-change lands as ONE commit
+    CowTable.alterSchema(spark, path, Seq(
+      SchemaChange.Add("tag", "string"),
+      SchemaChange.Rename("v", "val"),
+      SchemaChange.Widen("id", "bigint")))
+    assert(CowTable.currentVersion(path) == v0 + 1, "one commit for the statement")
+    assert(CowTable.read(spark, path).columns.toSeq == Seq("id", "val", "tag"))
+  }
+
+  test("SQL ALTER TABLE atomicity + attribute rejection (NOT NULL / FIRST / COMMENT)") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s.sql("CREATE TABLE cowt.ns.at (id BIGINT, v INT)")
+      s.sql("INSERT INTO cowt.ns.at VALUES (1, 10)")
+      // rename so a physically-retired name exists that Spark's own
+      // analysis can't see (it checks the DECLARED schema only)
+      s.sql("ALTER TABLE cowt.ns.at RENAME COLUMN v TO val")
+      val v0 = CowTable.currentVersion(s"$wh/ns/at")
+      // multi-change where the SECOND column fails our physical guard:
+      // the whole statement must apply nothing
+      val e = intercept[Exception] {
+        s.sql("ALTER TABLE cowt.ns.at ADD COLUMNS (tag STRING, v BIGINT)")
+      }
+      assert(e.getMessage.contains("physically") || e.getMessage.contains("lineage"),
+        e.getMessage)
+      assert(CowTable.currentVersion(s"$wh/ns/at") == v0,
+        "failed ALTER TABLE must leave no commit")
+      assert(!s.sql("SELECT * FROM cowt.ns.at").columns.contains("tag"),
+        "partial DDL application (ADVICE r15)")
+      // attributes the format cannot honor are rejected loudly
+      val eNN = intercept[Exception] {
+        s.sql("ALTER TABLE cowt.ns.at ADD COLUMN y INT NOT NULL")
+      }
+      assert(eNN.getMessage.contains("NOT NULL"), eNN.getMessage)
+      val ePos = intercept[Exception] {
+        s.sql("ALTER TABLE cowt.ns.at ADD COLUMN y INT FIRST")
+      }
+      assert(ePos.getMessage.contains("FIRST/AFTER"), ePos.getMessage)
+      val eCom = intercept[Exception] {
+        s.sql("ALTER TABLE cowt.ns.at ADD COLUMN y INT COMMENT 'c'")
+      }
+      assert(eCom.getMessage.contains("COMMENT"), eCom.getMessage)
+      // a multi-clause success is ONE commit
+      s.sql("ALTER TABLE cowt.ns.at ADD COLUMNS (a INT, b STRING)")
+      assert(CowTable.currentVersion(s"$wh/ns/at") == v0 + 1)
+      assert(s.sql("SELECT * FROM cowt.ns.at").columns.toSeq ==
+        Seq("id", "val", "a", "b"))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
   }
 }

@@ -578,4 +578,45 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(IvfIndex.probe(spark, s"$dir/index_f", queries, nprobe = 1, k = 3)
       .collect().isEmpty)
   }
+
+  test("IVF-PQ: dead codebook codes are never emitted by encode (ADVICE r15)") {
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    CowTable.create(graft.ops.Pipeline
+      .clusteredCorpus(spark, n = 400, clusters = 8, dims = 16, noise = 0.05)
+      .repartition(2), corpus)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2,
+      pq = 4, pqCodes = 16)
+    // simulate retraining emptying codes: keep ONLY the largest-norm
+    // codeword per subspace; every other code id is now dead (absent
+    // from the codebooks table but still addressable by old rows)
+    val cbPath = s"$index/codebooks"
+    val cb = CowTable.read(spark, cbPath).collect()
+    val survivors: Map[Int, Int] = cb.groupBy(_.getInt(0)).map { case (s, rows) =>
+      s -> rows.maxBy(r => r.getSeq[Double](2).map(x => x * x).sum).getInt(1)
+    }
+    val keep = survivors.map { case (s, c) => s"(sub = $s AND code = $c)" }
+      .mkString(" OR ")
+    CowTable.delete(spark, cbPath, s"NOT ($keep)")
+    // near-zero new vectors: a zero-filled encode table would win the
+    // argmin for every subspace (distance ~0 to the zero fill) and emit
+    // an UNTRAINED code; the +Infinity sentinels force trained codes
+    CowTable.append(spark, corpus,
+      (1000L until 1020L).map(i => (i, Seq.fill(16)(0.001))).toDF("vec_id", "ve"))
+    IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9)
+    val emitted = CowTable.read(spark, s"$index/assign")
+      .filter(col("vec_id") >= 1000L)
+      .select(posexplode(col("pqc"))).collect()
+      .map(r => (r.getInt(0), r.getByte(1).toInt + 128))
+    assert(emitted.length == 20 * 4, s"20 new vectors x 4 subspaces: ${emitted.length}")
+    emitted.foreach { case (s, c) =>
+      assert(c == survivors(s),
+        s"subspace $s emitted dead code $c (only trained survivor: ${survivors(s)})")
+    }
+    // decode of the dead-coded OLD rows still works (zero-filled decode
+    // is bounded by the exact rerank) — probe must serve without error
+    val q = Seq((0L, Seq.fill(16)(0.5))).toDF("qid", "qe")
+    assert(IvfIndex.probe(spark, index, q, nprobe = 4, k = 5).count() == 5)
+  }
 }
