@@ -444,13 +444,38 @@ object CowSqlTable {
 class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
                      tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var files: Seq[String] = CowTable.snapshotFiles(path, asOf)
+  private var agg: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** AGGREGATE PUSHDOWN: a global (no GROUP BY) COUNT(*) / COUNT(col) /
+    * MIN(col) / MAX(col) on a CLEAN snapshot is answered from the
+    * manifest alone — `R` row-count lines for counts, `C` stats lines
+    * for min/max/COUNT(col) — and plans ZERO data-file reads. The
+    * moment correctness can't be guaranteed from metadata the answer
+    * is declined and Spark plans the ordinary scan: MoR delete
+    * sidecars invalidate file-level stats, a file missing its
+    * stats/row line must be read, NaN-infected float bounds don't
+    * order, and rename lineage means stats may live under old physical
+    * names. Spark only offers aggregates when every filter was fully
+    * pushed — our filters are all residual, so only UNFILTERED
+    * aggregates arrive here, matching the unpruned-file-set guard.
+    */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    CowAggPushdown.answer(spark, path, asOf, tableSchema, files, aggregation).isDefined
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val a = CowAggPushdown.answer(spark, path, asOf, tableSchema, files, aggregation)
+    agg = a
+    a.isDefined
+  }
 
   /** Filters prune at the MANIFEST (which files are opened) via the
     * per-file range stats and dict/bloom lookup sidecars; every filter
@@ -485,8 +510,152 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new CowScan(spark, path, asOf, required, tableSchema, files)
+  override def build(): Scan = agg match {
+    case Some((schema, row)) => new CowAggScan(path, asOf, schema, row)
+    case None => new CowScan(spark, path, asOf, required, tableSchema, files)
+  }
+}
+
+/** Manifest-only answers for pushed-down global aggregates. */
+private[sinks] object CowAggPushdown {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.json4s.{JNull, JString, JValue}
+
+  /** The (output schema, single result row) for `aggregation`, or None
+    * when the manifest cannot answer it EXACTLY (then Spark scans).
+    */
+  def answer(spark: SparkSession, path: String, asOf: Option[Int],
+             tableSchema: StructType, files: Seq[String],
+             aggregation: Aggregation): Option[(StructType, InternalRow)] = {
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    // MoR sidecars subtract rows per file — file-level stats and counts
+    // no longer describe the logical snapshot
+    if (CowTable.snapshotDeletes(path, asOf).nonEmpty ||
+        CowTable.snapshotPositionDeletes(path, asOf).nonEmpty) return None
+    // pushFilters may have pruned the file list; a pruned set no longer
+    // equals the snapshot (Spark doesn't offer aggregates with residual
+    // filters, but keep correctness local to this method)
+    if (files != CowTable.snapshotFiles(path, asOf)) return None
+    // rename lineage: stats may be recorded under old physical names —
+    // require the simple world (no lineage) rather than resolve it here
+    val declared = CowTable.declaredSchema(path, asOf)
+    if (declared.exists(_.fields.exists(_.metadata.contains("was")))) return None
+    val rowCounts = CowTable.fileRowCounts(path, asOf)
+    val stats = CowTable.fileStats(path, asOf)
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            tableSchema.fieldNames.contains(r.fieldNames.head) =>
+          Some(tableSchema(tableSchema.fieldIndex(r.fieldNames.head)))
+        case _ => None
+      }
+    def statsFor(c: String): Option[Seq[(JValue, JValue, Long)]] = {
+      val per = files.map(f => stats.get(f).flatMap(_.get(c)))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
+    }
+    /** A stored min/max JSON → the column's INTERNAL value; None = not
+      * reconstructible (NaN/Infinity floats, unexpected shape) → decline.
+      */
+    def internalOf(j: JValue, t: DataType): Option[Any] = (j, t) match {
+      case (org.json4s.JLong(v), ByteType)    => Some(v.toByte)
+      case (org.json4s.JLong(v), ShortType)   => Some(v.toShort)
+      case (org.json4s.JLong(v), IntegerType) => Some(v.toInt)
+      case (org.json4s.JLong(v), LongType)    => Some(v)
+      case (org.json4s.JLong(v), DateType)    => Some(v.toInt)
+      case (org.json4s.JLong(v), TimestampType) => Some(v)
+      case (org.json4s.JInt(v), ByteType)     => Some(v.toByte)
+      case (org.json4s.JInt(v), ShortType)    => Some(v.toShort)
+      case (org.json4s.JInt(v), IntegerType)  => Some(v.toInt)
+      case (org.json4s.JInt(v), LongType)     => Some(v.toLong)
+      case (org.json4s.JInt(v), DateType)     => Some(v.toInt)
+      case (org.json4s.JInt(v), TimestampType) => Some(v.toLong)
+      case (org.json4s.JDouble(v), FloatType)  => Some(v.toFloat)
+      case (org.json4s.JDouble(v), DoubleType) => Some(v)
+      case (JString(s), d: DecimalType) =>
+        scala.util.Try(org.apache.spark.sql.types.Decimal(
+          BigDecimal(s), d.precision, d.scale)).toOption
+      case (JString(s), StringType) => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+    /** min/max across the per-file bounds (all-null files carry JNull
+      * and are skipped — SQL MIN/MAX ignore nulls). None = a bound
+      * didn't reconstruct; Some(None) = every file all-null → NULL.
+      */
+    def extremum(c: StructField, takeMin: Boolean): Option[Option[Any]] =
+      statsFor(c.name).flatMap { per =>
+        val bounds = per.map(s => if (takeMin) s._1 else s._2).filter(_ != JNull)
+        if (bounds.isEmpty) Some(None)
+        else {
+          val vs = bounds.map(internalOf(_, c.dataType))
+          if (vs.exists(_.isEmpty)) None
+          else {
+            val ord: Ordering[Any] = c.dataType match {
+              case StringType =>
+                Ordering.comparatorToOrdering(
+                  (a: Any, b: Any) => a.asInstanceOf[UTF8String]
+                    .compareTo(b.asInstanceOf[UTF8String]))
+              case _ => org.apache.spark.sql.catalyst.util.TypeUtils
+                .getInterpretedOrdering(c.dataType).asInstanceOf[Ordering[Any]]
+            }
+            Some(Some(vs.flatten.reduce((a, b) =>
+              if ((ord.compare(a, b) <= 0) == takeMin) a else b)))
+          }
+        }
+      }
+
+    val answered: Seq[Option[(StructField, Any)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          if (files.forall(rowCounts.contains))
+            Some((StructField("count_star", LongType, nullable = false),
+              files.map(rowCounts).sum))
+          else None
+        case cnt: Count if !cnt.isDistinct =>
+          colOf(cnt.column).flatMap(f => statsFor(f.name).map(per =>
+            (StructField(s"count_${f.name}", LongType, nullable = false),
+              per.map(_._3).sum)))
+        case m: Min =>
+          colOf(m.column).flatMap(f => extremum(f, takeMin = true).map(v =>
+            (StructField(s"min_${f.name}", f.dataType), v.orNull)))
+        case m: Max =>
+          colOf(m.column).flatMap(f => extremum(f, takeMin = false).map(v =>
+            (StructField(s"max_${f.name}", f.dataType), v.orNull)))
+        case _ => None
+      }
+    if (answered.exists(_.isEmpty) || answered.isEmpty) None
+    else Some((StructType(answered.flatten.map(_._1)),
+      InternalRow.fromSeq(answered.flatten.map(_._2))))
+  }
+}
+
+/** The zero-IO scan a fully-pushed-down aggregate plans to: ONE
+  * partition serving the manifest-computed result row. The row's
+  * values are already internal (UTF8String / Decimal / epoch ints),
+  * shipped to the single task via the factory.
+  */
+class CowAggScan(path: String, asOf: Option[Int],
+                 schema: StructType, row: InternalRow)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CowAggScan[$path${asOf.fold("")(v => s"@v$v")}, manifest-only, 0 data files]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CowAggPartition(row.copy()))
+  override def createReaderFactory(): PartitionReaderFactory = new CowAggReaderFactory
+}
+
+case class CowAggPartition(row: InternalRow) extends InputPartition
+
+class CowAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = if (served) false else { served = true; true }
+      override def get(): InternalRow = partition.asInstanceOf[CowAggPartition].row
+      override def close(): Unit = ()
+    }
 }
 
 /** One scan = the pruned file set + the snapshot's sidecar state.
@@ -496,7 +665,72 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
   */
 class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
               required: StructType, tableSchema: StructType, files: Seq[String])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** The served file set — plan-time pruned by the builder, then
+    * re-pruned at EXECUTION time by [[filter]] (runtime IN filters from
+    * dynamic partition pruning / DSv2 runtime filtering).
+    */
+  private var curFiles: Seq[String] = files
+
+  /** Columns a runtime filter can prune files on: anything the
+    * manifest carries range stats or dict/bloom lookup sidecars for.
+    * Reporting them is what invites Spark's PartitionPruning /
+    * runtime-filtering rules to plan a DPP subquery against this scan
+    * — the biggest remaining scan-volume lever for the 100 TB star
+    * join (SPJ removed the exchange; this removes the untouched files'
+    * IO when the dim side is filtered).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    (CowTable.statsColumns(path, asOf) ++
+      CowTable.lookupSpec(path, asOf).map(_._1).getOrElse(Seq.empty))
+      .distinct.map(Expressions.column).toArray
+
+  /** Runtime re-prune: each IN/= predicate over a stats/lookup column
+    * re-runs the SAME manifest gate plan-time pushdown uses
+    * ([[CowTable.prunedFilesIn]] — range stats + dict/bloom sidecars).
+    * File-level only and conservative by construction: kept files still
+    * re-check every row at the join, so an unprunable value costs IO,
+    * never correctness.
+    */
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      CowScan.runtimeIn(p).foreach { case (c, vs) =>
+        val surviving = CowTable.prunedFilesIn(spark, path, c, vs, asOf).toSet
+        curFiles = curFiles.filter(surviving.contains)
+      }
+    }
+
+  /** Planner statistics from the manifest: `sizeInBytes` = filesystem
+    * bytes of the CURRENT (pruned) file set scaled by
+    * `spark.sql.sources.fileCompressionFactor`; `numRows` = exact `R`
+    * row counts minus MoR-deleted rows, reported only when EVERY file
+    * has a count. This is what lets a small catalog dim AUTO-broadcast
+    * (no hint) and AQE see honest post-pushdown sizes — without it a
+    * DSv2 relation defaults to "infinite" and always shuffles.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val factor = spark.conf.getOption("spark.sql.sources.fileCompressionFactor")
+      .map(_.toDouble).getOrElse(1.0)
+    val bytes = (curFiles.map(f => scala.util.Try(
+      java.nio.file.Files.size(java.nio.file.Paths.get(f))).getOrElse(0L))
+      .sum * factor).toLong
+    val counts = CowTable.fileRowCounts(path, asOf)
+    val morDeleted = keyDeletes.map(_._2.size.toLong).getOrElse(0L) +
+      posRanges.valuesIterator.map(_.map(r => r._2 - r._1 + 1).sum).sum
+    val rows: Option[Long] =
+      if (curFiles.forall(counts.contains))
+        Some(math.max(0L, curFiles.map(counts).sum - morDeleted))
+      else None
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   // RENAME lineage resolves per file WITHOUT footer inspection (round
   // 15): the readers request the current name AND every lineage name
@@ -564,7 +798,7 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"CowScan[$path${asOf.fold("")(v => s"@v$v")}, files=${files.size}]"
+    s"CowScan[$path${asOf.fold("")(v => s"@v$v")}, files=${curFiles.size}]"
 
   override def outputPartitioning(): Partitioning = spjSpec match {
     case Some(t) =>
@@ -577,7 +811,7 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
       // one partition per bucket id, EVERY bucket present (possibly
       // with zero files) so the reported count and the key space stay
       // aligned on both join sides
-      val byBucket = files.groupBy { f =>
+      val byBucket = curFiles.groupBy { f =>
         val tag = s"${t.name}="
         f.split('/').find(_.startsWith(tag)).map(_.stripPrefix(tag).toInt)
           .getOrElse(throw new IllegalStateException(
@@ -587,7 +821,7 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
       (0 until t.n).map(b => CowInputPartition(
         byBucket.getOrElse(b, Seq.empty).toArray, Some(b)): InputPartition).toArray
     case None =>
-      files.map(f => CowInputPartition(Array(f), None): InputPartition).toArray
+      curFiles.map(f => CowInputPartition(Array(f), None): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -626,6 +860,42 @@ object CowScan {
   /** `_metadata.file_path` URI vs manifest filesystem path. */
   private[sinks] def canonPath(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
+  /** A runtime V2 predicate as (column, external values), when it is an
+    * `IN`/`=` over a single top-level column with literal values (the
+    * shape Spark's DPP machinery sends). Literals arrive in the
+    * INTERNAL domain (UTF8String, epoch ints) and convert to the
+    * external values the manifest gates canonicalize; anything else →
+    * None (no pruning, never an approximation).
+    */
+  private[sinks] def runtimeIn(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Seq[Any])] = {
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+    def ext(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+        case _ => None
+      }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.length >= 2 =>
+        for {
+          c <- colName(kids.head)
+          vs <- { val es = kids.tail.toSeq.map(ext)
+                  if (es.exists(_.isEmpty)) None else Some(es.flatten) }
+        } yield (c, vs)
+      case "=" if kids.length == 2 =>
+        for { c <- colName(kids(0)); v <- ext(kids(1)) } yield (c, Seq(v))
+      case _ => None
+    }
+  }
 
   /** One canonical string per INTERNAL value, used on both sides of the
     * MoR key-delete filter (sidecar collection above, per-row reader

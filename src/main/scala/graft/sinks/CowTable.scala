@@ -312,6 +312,17 @@ object CowTable {
     */
   private val StatsColsPrefix = "K "
 
+  /** PER-FILE ROW COUNT (round 16): a line `R <dataFile>\t<count>`,
+    * recorded by every data-writing path and carried/retired
+    * mechanically with the file set like `C`/`B` lines. This is what
+    * lets the catalog scan answer `COUNT(*)` from the manifest alone
+    * and report exact `numRows` estimates to the planner
+    * (SupportsReportStatistics / SupportsPushDownAggregates) — files
+    * written before the line existed simply have no entry, and every
+    * consumer falls back to scanning when ANY file lacks one.
+    */
+  private val RowsPrefix = "R "
+
   /** PER-FILE KEY LOOKUP SIDECARS (round 13, VERDICT r12 task 2 — the
     * Iceberg/Delta bloom-sidecar answer to point lookups): a line
     * `B <dataFile>\t<json>` carrying, for each declared LOOKUP column,
@@ -340,7 +351,8 @@ object CowTable {
       l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix) ||
       l.startsWith(TxnPrefix) || l.startsWith(StatsPrefix) ||
       l.startsWith(StatsColsPrefix) || l.startsWith(BloomPrefix) ||
-      l.startsWith(LookupPrefix) || l.startsWith(WhenPrefix)
+      l.startsWith(LookupPrefix) || l.startsWith(WhenPrefix) ||
+      l.startsWith(RowsPrefix)
 
   private def manifestLines(path: String, asOf: Option[Int]): Seq[String] = {
     val v = asOf.getOrElse(currentVersion(path))
@@ -477,8 +489,9 @@ object CowTable {
     val stamp = math.max(System.currentTimeMillis(), prevStamp + 1)
     val lines = files.filterNot(l =>
       l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix) ||
-        l.startsWith(WhenPrefix)) ++
+        l.startsWith(WhenPrefix) || l.startsWith(RowsPrefix)) ++
       carried(StatsPrefix) ++
+      carried(RowsPrefix) ++
       (if (hasLookupSpec) carried(BloomPrefix) else Seq.empty) ++
       Seq(WhenPrefix + stamp)
     val tmp = d.resolve(s".v$v.${System.nanoTime()}.tmp")
@@ -528,6 +541,7 @@ object CowTable {
                                  spec: Seq[PartitionTransform] = Seq.empty): Seq[String] = {
     val files = writeData(df, path, spec)
     files ++ statsLinesFor(df.sparkSession, path, files, statsColumns(path)) ++
+      rowLinesFor(df.sparkSession, files) ++
       lookupSpec(path).toSeq.flatMap(s =>
         bloomLinesFor(df.sparkSession, path, files, s))
   }
@@ -542,7 +556,8 @@ object CowTable {
     val spec =
       if (transforms.isEmpty) Seq.empty
       else Seq(PartitionPrefix + PartitionTransform.encode(transforms))
-    commit(path, writeData(df, path, transforms) ++ spec,
+    val files = writeData(df, path, transforms)
+    commit(path, files ++ rowLinesFor(df.sparkSession, files) ++ spec,
       base = (listVersions(path) :+ 0).max)
   }
 
@@ -891,6 +906,54 @@ object CowTable {
             org.json4s.jackson.JsonMethods.render(obj))
         }
       }
+  }
+
+  /** Fresh `R <file>\t<count>` lines for newly written files — the
+    * per-file row counts behind manifest-only `COUNT(*)` and the
+    * planner's `numRows` estimate. One metadata-column-only read of
+    * just those files: projecting nothing but `_metadata.file_path`
+    * decodes ZERO data pages (the vectorized reader serves batch row
+    * counts straight from parquet metadata), so this costs a listing,
+    * not a scan.
+    */
+  private def rowLinesFor(spark: SparkSession, files: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    val byNorm = files.map(f => Paths.get(f).normalize.toString -> f).toMap
+    spark.read.parquet(files: _*)
+      .groupBy(col("_metadata.file_path").as("__f")).count()
+      .collect().toSeq.flatMap { r =>
+        val norm = Paths.get(
+          new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+          .normalize.toString
+        byNorm.get(norm).map(f => RowsPrefix + f + "\t" + r.getLong(1))
+      }
+  }
+
+  /** The snapshot's per-file row counts (`R` lines). Files written
+    * before round 16 have no entry — consumers must fall back to
+    * scanning when a referenced file is missing here.
+    */
+  def fileRowCounts(path: String, asOf: Option[Int] = None): Map[String, Long] =
+    manifestLines(path, asOf).filter(_.startsWith(RowsPrefix)).flatMap { l =>
+      val body = l.stripPrefix(RowsPrefix)
+      val i = body.indexOf('\t')
+      if (i < 0) None
+      else scala.util.Try(body.substring(0, i) -> body.substring(i + 1).trim.toLong)
+        .toOption
+    }.toMap
+
+  /** BACKFILL `R` row-count lines for every current data file missing
+    * one (tables created before round 16) — after this, manifest-only
+    * COUNT(*) and exact numRows estimates apply to the whole snapshot.
+    * No-op commit-free when nothing is missing.
+    */
+  def backfillRowCounts(spark: SparkSession, path: String): Int = {
+    val base = currentVersion(path)
+    val have = fileRowCounts(path, Some(base)).keySet
+    val missing = snapshotFiles(path, Some(base)).filterNot(have.contains)
+    if (missing.isEmpty) return base
+    commit(path, manifestLines(path, Some(base)) ++
+      rowLinesFor(spark, missing), base)
   }
 
   /** A collected min/max → portable JSON. Dates persist as epoch days,
@@ -2807,35 +2870,44 @@ object CowTable {
         s"publish: branch '$name' carries positional delete sidecars alongside " +
           "branch-written data files; relocation would invalidate the " +
           "file-path-addressed positions — compact the branch first")
-    // relocate data files AND MoR sidecars (key + positional) the
-    // branch wrote — a sidecar line keeps its prefix around the
-    // relocated path; schema/partition spec lines carry verbatim
-    // the branch's own commit stamp never relocates — commit() below
-    // stamps the publish itself
+    // relocate data files AND every line that references them by path —
+    // MoR sidecar lines (key + positional) and per-file stat lines
+    // (C stats / B lookups / R row counts, whose `<file>\t<payload>`
+    // keeps its payload around the relocated path). Pure spec lines
+    // (schema, partition, txn watermarks, stats/lookup specs) carry
+    // verbatim; the branch's own commit stamp never relocates —
+    // commit() below stamps the publish itself.
+    // one physical link per branch file even when multiple lines
+    // reference it (its data line + its C/B/R lines): memoized target
+    val linked = scala.collection.mutable.Map.empty[String, String]
+    def relocate(f: String): String =
+      if (f.startsWith(parentData)) f
+      else linked.getOrElseUpdate(f, {
+        Files.createDirectories(relocDir)
+        val p = Paths.get(f)
+        // stamp-dir prefix keeps names unique across branch write
+        // batches; relocDir is freshly stamped per publish, so a name
+        // collision is always a bug — let createLink throw
+        // FileAlreadyExistsException loudly rather than silently
+        // pointing the manifest at the first file's content.
+        val target = relocDir.resolve(s"${p.getParent.getFileName}-${p.getFileName}")
+        Files.createLink(target, p)
+        target.toString
+      })
     val relocated = manifestLines(bp, None)
       .filterNot(_.startsWith(WhenPrefix)).map { line =>
-      if (line.startsWith(SchemaPrefix) || line.startsWith(PartitionPrefix)) line
+      if (line.startsWith(SchemaPrefix) || line.startsWith(PartitionPrefix) ||
+          line.startsWith(TxnPrefix) || line.startsWith(StatsColsPrefix) ||
+          line.startsWith(LookupPrefix)) line
       else {
-        val prefix =
-          if (line.startsWith(DeletePrefix)) DeletePrefix
-          else if (line.startsWith(PosDeletePrefix)) PosDeletePrefix
-          else ""
-        val f = line.stripPrefix(prefix)
-        val out =
-          if (f.startsWith(parentData)) f
-          else {
-            Files.createDirectories(relocDir)
-            val p = Paths.get(f)
-            // stamp-dir prefix keeps names unique across branch write
-            // batches; relocDir is freshly stamped per publish, so a name
-            // collision is always a bug — let createLink throw
-            // FileAlreadyExistsException loudly rather than silently
-            // pointing the manifest at the first file's content.
-            val target = relocDir.resolve(s"${p.getParent.getFileName}-${p.getFileName}")
-            Files.createLink(target, p)
-            target.toString
-          }
-        prefix + out
+        val prefix = Seq(DeletePrefix, PosDeletePrefix, StatsPrefix,
+          BloomPrefix, RowsPrefix).find(line.startsWith).getOrElse("")
+        val rest = line.stripPrefix(prefix)
+        val tab = rest.indexOf('\t')
+        val (f, payload) =
+          if (tab >= 0) (rest.substring(0, tab), rest.substring(tab))
+          else (rest, "")
+        prefix + relocate(f) + payload
       }
     }
     commit(path, relocated, cur)

@@ -2405,6 +2405,192 @@ class CowTableSpec extends SparkSpecBase {
     assert(sawPark, "takeovers must park the stale lock, not delete it in place")
   }
 
+  test("row-count manifest lines: exact per-file counts; backfill is a committed no-op when present") {
+    import spark.implicits._
+    val path = tmp
+    CowTable.create((0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
+      .repartition(4), path)
+    CowTable.append(spark, path, (100L until 130L).map(i => (i, i)).toDF("id", "v"))
+    val counts = CowTable.fileRowCounts(path)
+    val files = CowTable.snapshotFiles(path)
+    assert(files.forall(counts.contains), "every data file carries an R line")
+    assert(counts.values.sum == 130L)
+    val v = CowTable.currentVersion(path)
+    assert(CowTable.backfillRowCounts(spark, path) == v,
+      "backfill with nothing missing must not commit")
+    // rewrites retire + re-record counts mechanically
+    CowTable.compact(spark, path, 2)
+    val after = CowTable.fileRowCounts(path)
+    assert(CowTable.snapshotFiles(path).forall(after.contains))
+    assert(after.values.sum == 130L)
+  }
+
+  test("catalog DSv2 statistics: small dim AUTO-broadcasts with no hint; exact rowCount reported") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import s.implicits._
+      CowTable.create((0L until 20000L).map(i => (i, i % 7)).toDF("id", "v")
+        .repartition(4), s"$wh/ns/fact")
+      CowTable.create((0L until 50L).map(i => (i, s"tag_$i")).toDF("id", "tag"),
+        s"$wh/ns/dim")
+      // exact numRows via the R lines, sizeInBytes from the manifest's files
+      val dimStats = s.table("cowt.ns.dim").queryExecution.optimizedPlan.stats
+      assert(dimStats.rowCount.contains(BigInt(50)), dimStats.toString)
+      assert(dimStats.sizeInBytes < 10L * 1024 * 1024,
+        s"dim must report a real (small) size: ${dimStats.sizeInBytes}")
+      // DEFAULT autoBroadcastJoinThreshold, NO hint: the dim broadcasts
+      // only because the scan reports honest statistics
+      val j = s.sql("SELECT f.id, d.tag FROM cowt.ns.fact f " +
+        "JOIN cowt.ns.dim d ON f.id = d.id")
+      assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        j.queryExecution.executedPlan.toString.take(2000))
+      assert(j.count() == 50L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("catalog runtime filtering: a filtered dim join re-prunes the fact FILE LIST at execution") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // AQE ON (the production default): its dynamic-pruning planner is
+      // the one that materializes the broadcast before the V2 scan's
+      // runtime filter is translated (the non-AQE path can't serve
+      // InSubquery values to a DSv2 scan)
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import s.implicits._
+      val fact = s"$wh/ns/fact"
+      // range-clustered fact: 8 files with disjoint id ranges + stats
+      CowTable.create((0L until 8000L).map(i => (i, i % 13)).toDF("id", "v")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("id")), fact)
+      CowTable.setStatsColumns(s, fact, Seq("id"))
+      val nFiles = CowTable.snapshotFiles(fact).size
+      assert(nFiles >= 8, s"want several fact files, got $nFiles")
+      // dim keys all land in the LOWEST id band: the runtime IN filter
+      // must prune the fact scan down to the file(s) covering that band
+      CowTable.create((0L until 1000L by 50L).map(i => (i, i % 3))
+        .toDF("id", "grp"), s"$wh/ns/dim")
+      def q = s.sql("SELECT f.id, f.v FROM cowt.ns.fact f " +
+        "JOIN cowt.ns.dim d ON f.id = d.id WHERE d.grp = 0")
+      val rows = q.collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == (0L until 1000L by 50L).filter(_ % 3 == 0).sorted,
+        s"join result wrong: ${rows.toSeq}")
+      // the fact scan must carry a runtime (dynamic pruning) filter and
+      // its executed RDD must read FEWER files than the snapshot holds
+      val qe = q.queryExecution
+      qe.toRdd.count() // force execution so the adaptive plan is final
+      // AQE wraps operators in query stages; flatten through them
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(allNodes)) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allNodes(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allNodes(qs.plan)
+          case _ => Seq.empty
+        })
+      val scans = allNodes(qe.executedPlan).collect {
+        case b: BatchScanExec if b.scan.description().contains("fact") => b }
+      assert(scans.nonEmpty, qe.executedPlan.toString.take(2000))
+      assert(scans.head.runtimeFilters.nonEmpty,
+        "no runtime filter planned against the fact scan:\n" +
+          qe.executedPlan.toString.take(2000))
+      val read = scans.head.inputRDD.getNumPartitions
+      assert(read <= 2 && read < nFiles,
+        s"runtime filter barely pruned: read $read of $nFiles files " +
+          "(dim keys cover only the lowest range band)")
+      // equality against the DPP-disabled plan
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      val expect = q.collect().map(_.getLong(0)).sorted
+      assert(expect.toSeq == rows.toSeq, "runtime pruning changed results")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("catalog aggregate pushdown: COUNT/MIN/MAX answered from the manifest; MoR-dirty falls back") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import s.implicits._
+      val t = s"$wh/ns/t"
+      CowTable.create((0L until 500L).map(i =>
+        (i, i * 3, s"n_${i % 10}")).toDF("id", "v", "name").repartition(3), t)
+      CowTable.append(s, t,
+        Seq((9999L, -5L, null.asInstanceOf[String])).toDF("id", "v", "name"))
+      CowTable.setStatsColumns(s, t, Seq("id", "v", "name"))
+      val v1 = CowTable.currentVersion(t)
+      def agg = s.sql("SELECT count(*) AS c, min(v) AS mn, max(v) AS mx, " +
+        "count(name) AS cn, min(name) AS mnn FROM cowt.ns.t")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("CowAggScan"), plan.take(2000))
+      val r = agg.head()
+      assert(r.getLong(0) == 501L && r.getLong(1) == -5L &&
+        r.getLong(2) == 499L * 3 && r.getLong(3) == 500L &&
+        r.getString(4) == "n_0", r.toString)
+      // a WHERE keeps filters residual -> no aggregate pushdown, same answer
+      val f = s.sql("SELECT count(*) AS c FROM cowt.ns.t WHERE v >= 0")
+      assert(!f.queryExecution.executedPlan.toString.contains("CowAggScan"))
+      assert(f.head().getLong(0) == 500L)
+      // MoR delete sidecar invalidates file stats: full scan, right answer
+      CowTable.deleteMor(s, t, "id = 9999", "id")
+      val dirty = s.sql("SELECT count(*) AS c, min(v) AS mn FROM cowt.ns.t")
+      assert(!dirty.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "MoR-dirty snapshot must NOT answer from stats")
+      val dr = dirty.head()
+      assert(dr.getLong(0) == 500L && dr.getLong(1) == 0L, dr.toString)
+      // time travel to the clean snapshot still pushes down
+      val tt = s.sql(s"SELECT count(*) AS c FROM cowt.ns.t VERSION AS OF $v1")
+      assert(tt.queryExecution.executedPlan.toString.contains("CowAggScan"))
+      assert(tt.head().getLong(0) == 501L)
+      // compact folds the sidecar: pushdown returns, count reflects the delete
+      CowTable.compact(s, t, 1)
+      val clean = s.sql("SELECT count(*) AS c FROM cowt.ns.t")
+      assert(clean.queryExecution.executedPlan.toString.contains("CowAggScan"))
+      assert(clean.head().getLong(0) == 500L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("rename lineage: lineage names can never be reused; compact retires the lineage") {
     import spark.implicits._
     val path = tmp
