@@ -102,9 +102,18 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   override def tableExists(ident: Identifier): Boolean = CowTable.exists(dir(ident))
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // `ns.t$changes` = the streaming CDC face of ns.t (round 16):
+    // readStream-able row-level changes, schema = declared + CDC meta
+    val suffix = graft.sources.CowCatalogStream.ChangesSuffix
+    if (ident.name().endsWith(suffix) && ident.name() != suffix) {
+      val base = Identifier.of(ident.namespace(), ident.name().stripSuffix(suffix))
+      if (!tableExists(base)) throw new NoSuchTableException(ident)
+      return new graft.sources.CowChangesTable(dir(base), ident.toString)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     else new CowSqlTable(dir(ident), ident.toString, None)
+  }
 
   /** `VERSION AS OF v` time travel. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -368,9 +377,13 @@ class CowSqlTable(val path: String, ident: String, asOf: Option[Int])
   override def name(): String = ident
   override lazy val schema: StructType =
     CowTable.read(SparkSession.active, path, asOf).schema
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+    // append-only row streaming (time-travel snapshots are immutable —
+    // nothing to stream)
+    (if (asOf.isEmpty) base + TableCapability.MICRO_BATCH_READ else base).asJava
+  }
   override def partitioning(): Array[Transform] =
     CowTable.partitionSpec(path, asOf).map { t =>
       t.kind match {
@@ -384,7 +397,7 @@ class CowSqlTable(val path: String, ident: String, asOf: Option[Int])
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CowScanBuilder(SparkSession.active, path, asOf, schema)
+    new CowScanBuilder(SparkSession.active, path, asOf, schema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -442,7 +455,8 @@ object CowSqlTable {
 }
 
 class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
-                     tableSchema: StructType)
+                     tableSchema: StructType,
+                     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = tableSchema
@@ -512,7 +526,7 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
 
   override def build(): Scan = agg match {
     case Some((schema, row)) => new CowAggScan(path, asOf, schema, row)
-    case None => new CowScan(spark, path, asOf, required, tableSchema, files)
+    case None => new CowScan(spark, path, asOf, required, tableSchema, files, options)
   }
 }
 
@@ -664,9 +678,22 @@ class CowAggReaderFactory extends PartitionReaderFactory {
   * reporting `KeyGroupedPartitioning` for zero-exchange joins/aggs).
   */
 class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
-              required: StructType, tableSchema: StructType, files: Seq[String])
+              required: StructType, tableSchema: StructType, files: Seq[String],
+              options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** `spark.readStream.table("cow.ns.t")`: the APPEND-ONLY row stream
+    * (initial snapshot, then each window's added files' rows; rewrite
+    * windows fail loudly naming the `\$changes` CDC face). Option
+    * parity with the V1 cow-cdc source: startingVersion,
+    * maxVersionsPerBatch.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.sources.CowAppendMicroBatchStream(spark, path, required, tableSchema,
+      graft.sources.CowCatalogStream.intOpt(options, "startingVersion"),
+      graft.sources.CowCatalogStream.maxVersions(options))
 
   /** The served file set — plan-time pruned by the builder, then
     * re-pruned at EXECUTION time by [[filter]] (runtime IN filters from

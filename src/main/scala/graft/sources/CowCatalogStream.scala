@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => ss}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.{CowInputPartition, CowReaderFactory, CowTable}
+
+/** STREAMING READ THROUGH THE CATALOG (round 16, VERDICT r15 task 3):
+  * the DSv2 micro-batch face over the same snapshot-version offset
+  * machinery as the path-based V1 [[CowCdcSource]].
+  *
+  * Two faces, because the two stream shapes have different schemas:
+  *
+  * {{{
+  * // CDC rows (full V1 cow-cdc parity: initial snapshot as inserts,
+  * // then per-commit row-level changes; options startingVersion /
+  * // maxVersionsPerBatch / key as in the V1 source):
+  * spark.readStream.option("key", "id").table("cow.ns.`t$changes`")
+  *
+  * // the table's OWN rows, append-only (the Delta convention): the
+  * // initial snapshot, then each window's appended files' rows; a
+  * // window containing a rewrite / delete fails LOUDLY naming the
+  * // $changes face (silently dropping updates would be a wrong mirror)
+  * spark.readStream.table("cow.ns.t")
+  * }}}
+  *
+  * OFFSETS ARE SNAPSHOT VERSIONS (−1 = initial snapshot pending), the
+  * same replay-deterministic contract as the V1 source: a micro-batch
+  * (from, to] is a pure function of the two manifests, so a restart
+  * replans the identical batch.
+  *
+  * PARTITION DECOMPOSITION differs by face. The APPEND face is natively
+  * per-file: the window's added files become [[CowInputPartition]]s
+  * read by the same vectorized [[CowReaderFactory]] the batch scan
+  * uses. The CDC face is a DataFrame-shaped JOIN (preimage/postimage
+  * classification over manifest diffs) that has no row-level reader
+  * decomposition — the V1 source returns the DataFrame directly; DSv2
+  * readers cannot. The bridge: [[planInputPartitions]] executes the
+  * batch as a normal distributed job WRITING the result to a staging
+  * directory under the query's checkpoint, and the partitions are the
+  * staged files (readers stream them back; `_SUCCESS`-gated so a
+  * replayed batch reuses a complete stage and rewrites a torn one;
+  * committed stages are vacuumed). Cost: the CDC rows are written once
+  * extra — bounded by the WINDOW's change volume, never the table.
+  */
+object CowCatalogStream {
+  /** `ident.name` suffix selecting the CDC face. */
+  val ChangesSuffix = "$changes"
+
+  private[graft] def intOpt(o: CaseInsensitiveStringMap, k: String): Option[Int] =
+    Option(o.get(k)).filterNot(_ == "initial").map(_.toInt)
+
+  private[graft] def maxVersions(o: CaseInsensitiveStringMap): Long = {
+    val m = Option(o.get("maxVersionsPerBatch")).map(_.toLong).getOrElse(Long.MaxValue)
+    require(m > 0, "maxVersionsPerBatch must be positive")
+    m
+  }
+
+  /** The CDC face's schema: declared columns (all nullable — a delete
+    * preimage carries nulls for post-evolution columns) + the two CDC
+    * metadata columns. Key-independent, so the table can report it
+    * before read options exist.
+    */
+  def changesSchema(spark: SparkSession, path: String): StructType =
+    StructType(CowTable.read(spark, path).schema.fields
+      .map(f => StructField(f.name, f.dataType, nullable = true)).toIndexedSeq :+
+      StructField("_change_type", StringType, nullable = true) :+
+      StructField("_commit_version", IntegerType, nullable = true))
+}
+
+/** Snapshot-version stream offset; −1 = initial snapshot pending. */
+case class CowVOffset(v: Long) extends ss.Offset {
+  override def json(): String = v.toString
+}
+
+/** Shared admission logic: latestOffset mirrors the V1 source's
+  * `getOffset` (base-anchored `maxVersionsPerBatch` cap, monotone).
+  */
+private[sources] trait CowVersionedStream extends ss.MicroBatchStream {
+  protected def path: String
+  protected def startingVersion: Option[Int]
+  protected def maxVers: Long
+
+  /** Newest version planned or committed — bounds admission, never
+    * correctness (same rationale as the V1 source's base).
+    */
+  @volatile protected var base: Long = startingVersion.map(_.toLong).getOrElse(-1L)
+
+  override def initialOffset(): ss.Offset =
+    CowVOffset(startingVersion.map(_.toLong).getOrElse(-1L))
+  override def latestOffset(): ss.Offset = {
+    val cur = CowTable.currentVersion(path).toLong
+    val cap = base + maxVers // saturating: unlimited default must not wrap
+    val anchored = if (base < 0 || cap < base) cur else math.min(cur, cap)
+    CowVOffset(math.max(anchored, base))
+  }
+  override def deserializeOffset(json: String): ss.Offset =
+    CowVOffset(json.trim.toLong)
+  override def commit(end: ss.Offset): Unit =
+    base = math.max(base, end.asInstanceOf[CowVOffset].v)
+  override def stop(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// CDC face: cow.ns.`t$changes`
+// ---------------------------------------------------------------------------
+
+/** The `$changes` sub-table the catalog serves for streaming CDC. */
+class CowChangesTable(val path: String, ident: String) extends Table with SupportsRead {
+  override def name(): String = ident
+  override lazy val schema: StructType =
+    CowCatalogStream.changesSchema(SparkSession.active, path)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CowChangesScan(SparkSession.active, path, schema, options)
+}
+
+class CowChangesScan(spark: SparkSession, path: String, val cdcSchema: StructType,
+                     options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = cdcSchema
+  override def description(): String = s"CowChangesScan[$path]"
+  override def toMicroBatchStream(checkpointLocation: String): ss.MicroBatchStream = {
+    val key = Option(options.get("key")).getOrElse(throw new IllegalArgumentException(
+      s"streaming $path$$changes requires option 'key' (the CDC classification key)"))
+    require(cdcSchema.fieldNames.contains(key),
+      s"key '$key' not in table schema")
+    new CowChangesMicroBatchStream(spark, path, key, cdcSchema,
+      CowCatalogStream.intOpt(options, "startingVersion"),
+      CowCatalogStream.maxVersions(options), checkpointLocation)
+  }
+}
+
+class CowChangesMicroBatchStream(spark: SparkSession, val path: String,
+                                 key: String, cdcSchema: StructType,
+                                 val startingVersion: Option[Int],
+                                 val maxVers: Long, checkpointLocation: String)
+    extends CowVersionedStream {
+
+  private def stageRoot = {
+    val base = if (checkpointLocation.startsWith("file:"))
+      checkpointLocation.stripPrefix("file:") else checkpointLocation
+    java.nio.file.Paths.get(base, "graft-cdc-stage")
+  }
+  private def stageDir(sv: Long, ev: Long) = stageRoot.resolve(s"b_${sv}_$ev")
+
+  /** The window's CDC rows — the V1 source's `getBatch` verbatim:
+    * initial snapshot as inserts when no start, else the manifest-diff
+    * change feed, conformed to the declared CDC schema.
+    */
+  private def batchDf(sv: Long, ev: Long): DataFrame = {
+    val raw =
+      if (sv < 0)
+        CowTable.read(spark, path, Some(ev.toInt))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(ev.toInt))
+      else if (ev <= sv)
+        CowTable.read(spark, path, Some(math.max(ev, 1L).toInt)).limit(0)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(ev.toInt))
+      else CowTable.changes(spark, path, key, sv.toInt, ev.toInt)
+    raw.select(cdcSchema.fields.toIndexedSeq.map { f =>
+      (if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+  }
+
+  override def planInputPartitions(start: ss.Offset, end: ss.Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[CowVOffset].v
+    val ev = end.asInstanceOf[CowVOffset].v
+    base = math.max(base, ev)
+    val dir = stageDir(sv, ev)
+    // replay-deterministic staging: a complete stage (_SUCCESS) is
+    // reused verbatim on restart; a torn one is rewritten from the
+    // same two manifests
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      batchDf(sv, ev).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir.toString)
+    val files = scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+      st.iterator().asScala.map(_.toString)
+        .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).toArray
+    }
+    files.map(f => CowInputPartition(Array(f), None): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CowReaderFactory(cdcSchema.json, cdcSchema.json,
+      Array.fill(cdcSchema.fields.length)(1), Map.empty, None)
+
+  /** Commit also vacuums staged batches at or before the committed
+    * offset — a committed batch is never replayed. Best-effort: a
+    * failed delete costs disk, not correctness.
+    */
+  override def commit(end: ss.Offset): Unit = {
+    super.commit(end)
+    val v = end.asInstanceOf[CowVOffset].v
+    if (java.nio.file.Files.isDirectory(stageRoot)) {
+      val done = scala.util.Using.resource(java.nio.file.Files.list(stageRoot)) { st =>
+        st.iterator().asScala.filter { d =>
+          d.getFileName.toString.split('_') match {
+            case Array("b", _, e) => scala.util.Try(e.toLong <= v).getOrElse(false)
+            case _ => false
+          }
+        }.toVector
+      }
+      done.foreach(d => scala.util.Try {
+        val paths = scala.util.Using.resource(java.nio.file.Files.walk(d)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toVector
+        }
+        paths.foreach(java.nio.file.Files.deleteIfExists(_))
+      })
+    }
+  }
+
+  override def toString: String = s"CowChangesMicroBatchStream[$path, key=$key]"
+}
+
+// ---------------------------------------------------------------------------
+// Append face: cow.ns.t (the table's own rows)
+// ---------------------------------------------------------------------------
+
+/** Append-only row stream over the plain catalog table: batch (s, e] =
+  * rows of files ADDED in the window. A window that removes a file or
+  * changes the delete-sidecar set is NOT append-only — rewinds, merges,
+  * deletes, compactions — and fails loudly naming the `$changes` face
+  * (emitting only the inserts of a rewrite window would silently build
+  * a wrong mirror downstream). The initial snapshot batch reads through
+  * the FULL batch machinery (MoR sidecars, rename lineage) at the
+  * anchor version.
+  */
+class CowAppendMicroBatchStream(spark: SparkSession, val path: String,
+                                required: StructType, fullSchema: StructType,
+                                val startingVersion: Option[Int],
+                                val maxVers: Long)
+    extends CowVersionedStream {
+
+  /** Per-batch reader context, set by [[planInputPartitions]] and read
+    * by [[createReaderFactory]] in the same trigger (the engine calls
+    * them sequentially on the driver for each batch).
+    */
+  @volatile private var factoryForBatch: PartitionReaderFactory = _
+
+  private def lineageGroups(asOf: Option[Int]): (Array[Int], StructType) = {
+    val lineage: Map[String, Seq[String]] =
+      CowTable.declaredSchema(path, asOf).map(_.fields.collect {
+        case f if f.metadata.contains("was") =>
+          f.name -> f.metadata.getStringArray("was").toSeq
+      }.toMap).getOrElse(Map.empty)
+    val groups = required.fields.map(f =>
+      1 + lineage.getOrElse(f.name, Seq.empty).length)
+    val readFields = required.fields.flatMap(f =>
+      (f.name +: lineage.getOrElse(f.name, Seq.empty)).map(n =>
+        StructField(n, f.dataType, nullable = true)))
+    (groups, StructType(readFields))
+  }
+
+  override def planInputPartitions(start: ss.Offset, end: ss.Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[CowVOffset].v
+    val ev = end.asInstanceOf[CowVOffset].v
+    base = math.max(base, ev)
+    if (ev <= sv && sv >= 0) { factoryForBatch = emptyFactory(); return Array.empty }
+    val evi = Some(ev.toInt)
+    if (sv < 0) {
+      // initial snapshot at the anchor version: the batch scan's own
+      // partitions + reader (sidecars and lineage honored)
+      val scan = new graft.sinks.CowScan(spark, path, evi,
+        required, fullSchema, CowTable.snapshotFiles(path, evi))
+      factoryForBatch = scan.createReaderFactory()
+      scan.planInputPartitions()
+    } else {
+      val svi = Some(sv.toInt)
+      val before = CowTable.snapshotFiles(path, svi)
+      val after = CowTable.snapshotFiles(path, evi)
+      val removed = before.toSet -- after.toSet
+      val delChanged =
+        CowTable.snapshotDeletes(path, svi).toSet !=
+          CowTable.snapshotDeletes(path, evi).toSet ||
+        CowTable.snapshotPositionDeletes(path, svi).toSet !=
+          CowTable.snapshotPositionDeletes(path, evi).toSet
+      if (removed.nonEmpty || delChanged)
+        throw new UnsupportedOperationException(
+          s"stream window v$sv->v$ev on $path is not append-only " +
+            s"(${removed.size} files rewritten/removed" +
+            (if (delChanged) ", delete sidecars changed" else "") +
+            "); stream the CDC face instead: " +
+            s"spark.readStream.option(\"key\", ...).table(\"...`<name>$$changes`\")")
+      val added = after.filterNot(before.toSet)
+      val (groups, readSchema) = lineageGroups(evi)
+      factoryForBatch = new CowReaderFactory(required.json, readSchema.json,
+        groups, Map.empty, None)
+      added.map(f => CowInputPartition(Array(f), None): InputPartition).toArray
+    }
+  }
+
+  private def emptyFactory(): PartitionReaderFactory =
+    new CowReaderFactory(required.json, required.json,
+      Array.fill(required.fields.length)(1), Map.empty, None)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = factoryForBatch
+    require(f != null, "createReaderFactory before planInputPartitions")
+    f
+  }
+
+  override def toString: String = s"CowAppendMicroBatchStream[$path]"
+}

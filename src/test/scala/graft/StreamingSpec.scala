@@ -2033,4 +2033,121 @@ class StreamingSpec extends SparkSpecBase {
       assert(s.state(ref).nonEmpty, s"${s.name}: vacuous fixture (empty final state)")
     }
   }
+
+  test("catalog readStream $changes: DSv2 micro-batch face equals the V1 cow-cdc mirror across the 4-commit battery incl. restart") {
+    import spark.implicits._
+    import graft.sinks.{CowTable, Sinks}
+    import graft.sources.CowCdcSourceProvider
+    val dir = java.nio.file.Files.createTempDirectory("cow_cat_stream").toString
+    spark.conf.set("spark.sql.catalog.cowstr", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cowstr.root", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ns"))
+    val up = s"$dir/ns/up"
+    val (m1, c1) = (s"$dir/mirror_v1", s"$dir/ckpt_v1")
+    val (m2, c2) = (s"$dir/mirror_v2", s"$dir/ckpt_v2")
+    CowTable.create(
+      (1L to 6L).map(i => (i, s"u$i", i * 10L)).toDF("id", "name", "v"), up)
+
+    def feedV1() = spark.readStream
+      .format(classOf[CowCdcSourceProvider].getName)
+      .option("path", up).option("key", "id").load()
+    def feedV2() = spark.readStream.option("key", "id")
+      .table("cowstr.ns.`up$changes`")
+    def canon(p: String): Seq[String] = {
+      val df = CowTable.read(spark, p)
+      df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def bothMirror(): Unit = {
+      val q1 = Sinks.cdcMirrorStream(feedV1(), m1, "id", c1, appId = "v1m")
+      val q2 = Sinks.cdcMirrorStream(feedV2(), m2, "id", c2, appId = "v2m")
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q1.stop(); q2.stop()
+      assert(canon(m2) == canon(up), "catalog stream mirror == upstream")
+      assert(canon(m2) == canon(m1), "catalog stream == V1 source mirror")
+    }
+    // batch 1: initial snapshot as inserts
+    bothMirror()
+    // commit 2: merge window (2 updates + 1 insert)
+    CowTable.merge(spark, up,
+      Seq((2L, "u2x", 200L), (4L, "u4x", 400L), (7L, "u7", 70L))
+        .toDF("id", "name", "v"), "id")
+    bothMirror()
+    // commits 3+4 land while neither query runs (restart battery): a
+    // MoR key delete and a plain append
+    CowTable.deleteMorKeys(spark, up, Seq(1L, 5L).toDF("id"), "id")
+    CowTable.append(spark, up, Seq((9L, "u9", 90L)).toDF("id", "name", "v"))
+    bothMirror()
+    assert(CowTable.read(spark, m2).count() == 6L)
+    // committed staging batches are vacuumed (bounded checkpoint disk)
+    val stage = java.nio.file.Paths.get(c2, "graft-cdc-stage")
+    if (java.nio.file.Files.isDirectory(stage)) {
+      val left = scala.util.Using.resource(java.nio.file.Files.list(stage))(_.count())
+      assert(left == 0, s"$left staged batches survived their commit")
+    }
+  }
+
+  test("catalog readStream plain table: append-only row stream; rewrite windows fail loudly; startingVersion honored") {
+    import spark.implicits._
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("cow_cat_append").toString
+    spark.conf.set("spark.sql.catalog.cowstr2", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cowstr2.root", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ns"))
+    val t = s"$dir/ns/t"
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    CowTable.create((1L to 3L).map(i => (i, i * 10L)).toDF("id", "v"), t)
+
+    def run(): Unit = {
+      val q = spark.readStream.table("cowstr2.ns.t").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    def ids(): Seq[Long] =
+      spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    run() // initial snapshot
+    assert(ids() == Seq(1L, 2L, 3L))
+    CowTable.append(spark, t, Seq((4L, 40L)).toDF("id", "v"))
+    run() // append window streams only the added file's rows
+    assert(ids() == Seq(1L, 2L, 3L, 4L))
+    // two commits while stopped, one batch after restart: still exact
+    CowTable.append(spark, t, Seq((5L, 50L)).toDF("id", "v"))
+    CowTable.append(spark, t, Seq((6L, 60L)).toDF("id", "v"))
+    run()
+    assert(ids() == (1L to 6L), "restart resumed with no gap, no duplicate")
+    // a rewrite window is NOT append-only: fail loudly naming $changes
+    CowTable.delete(spark, t, "id = 2")
+    val q = spark.readStream.table("cowstr2.ns.t").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); () }
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("not append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("not append-only")),
+      e.getMessage)
+    // startingVersion parity: a fresh stream from version 2 sees only
+    // the later windows (no initial snapshot)
+    val out2 = s"$dir/out2"; val ckpt2 = s"$dir/ckpt2"
+    val t2 = s"$dir/ns/t2"
+    CowTable.create(Seq((1L, 1L)).toDF("id", "v"), t2)          // v1
+    CowTable.append(spark, t2, Seq((2L, 2L)).toDF("id", "v"))   // v2
+    CowTable.append(spark, t2, Seq((3L, 3L)).toDF("id", "v"))   // v3
+    val q2 = spark.readStream.option("startingVersion", "2")
+      .table("cowstr2.ns.t2").writeStream
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out2); () }
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(out2).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L),
+      "startingVersion=2 must emit only the post-v2 appends")
+  }
 }
