@@ -797,6 +797,39 @@ object ScaleBench {
       s"pq recall must be monotone in rerankFactor: $pqCurve")
     require(pqCurve.last._2 >= 0.9,
       s"pq + deep exact rerank must recover recall: $pqCurve")
+
+    // ---- round-16: codegen PQ encoder vs the interpreted HOF ----------
+    // The r15 PLANS.md cost center: encode at ks=256 paid interpreted
+    // lambda dispatch per (row, sub, codeword). Same codebook, same
+    // rows, bit-identical codes (IvfIndexSpec parity) — only the
+    // execution strategy differs: one generated m x ks x dsub loop vs
+    // nested transform/aggregate HOFs. 200k-row sample keeps the HOF
+    // side's wall tolerable in the battery; the ratio is the story.
+    {
+      val (mE, ksE, dsubE) = (4, 256, 4)
+      val encCbE: Seq[Seq[Seq[Double]]] = (0 until mE).map(s =>
+        (0 until ksE).map(c =>
+          IndexedSeq.tabulate(dsubE)(j => math.cos(s * 31.0 + c * 5.0 + j))))
+      val encRows = CowTable.read(spark, pvc)
+        .filter(col("vec_id") < 200000L)
+        .select(col("vec_id"), col("ve").cast("array<double>").as("ve"))
+        .localCheckpoint()
+      def force(d: org.apache.spark.sql.DataFrame): Long =
+        d.select(sum(element_at(col("pqc"), 1).cast("long"))).head().getLong(0)
+      val t0c = System.nanoTime()
+      val sCg = force(encRows.withColumn("pqc",
+        graft.functions.VectorFunctions.pq_encode(
+          col("ve"), mE, ksE, dsubE, encCbE.flatten.flatten.toArray)))
+      val tCg = (System.nanoTime() - t0c) / 1e9
+      val t0h = System.nanoTime()
+      val sHof = force(IvfIndex.pqEncodeHof(encRows, mE, dsubE, encCbE))
+      val tHof = (System.nanoTime() - t0h) / 1e9
+      require(sCg == sHof, s"codegen/HOF encode diverged: $sCg vs $sHof")
+      println(f"[scalebench] ivf-pq encode 200k x 16d, ks=256: codegen " +
+        f"${tCg}%5.2f s vs HOF ${tHof}%6.2f s (${tHof / tCg}%.1fx)")
+      require(tHof / tCg >= 1.5,
+        s"codegen encoder regressed below the HOF it replaced: $tCg vs $tHof")
+    }
     } // end ivf section
 
     if (only.forall(_ == "skew")) {

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -436,6 +436,95 @@ case class VecSumLong(child: Expression,
   override def prettyName: String = "vec_sum_long"
 }
 
+/** Product-quantization encoder: `ve` (array<double>, length m·dsub)
+  * → m tinyint codes, each the argmin-L2 codeword of its subvector
+  * (ties to the SMALLEST code via strict `<`, the same tiebreak as the
+  * HOF form it replaces), stored as `code − 128`. The codebook is a
+  * flat `double[]` reference object (`cb[(s·ks + c)·dsub + j]`) with
+  * +Infinity sentinels for dead codes, so generated code is ONE tight
+  * m × ks × dsub loop — no per-row array slicing, no named_struct
+  * accumulators, no interpreted HOF lambda calls. Encode is the
+  * measured index-build cost center (PLANS.md r15: 845 s at ks=256 /
+  * 2M rows through the HOF path), which is exactly the shape codegen
+  * exists for.
+  *
+  * Distance math is bit-identical to the HOF path: per-subvector sums
+  * accumulate in j-order over `(x_j − cw_j)²` doubles, and the strict
+  * `<` comparison against the running best reproduces the aggregate's
+  * first-wins tiebreak.
+  */
+case class PqEncode(child: Expression, m: Int, ks: Int, dsub: Int,
+                    codebook: Array[Double]) extends UnaryExpression {
+  require(codebook.length == m * ks * dsub,
+    s"codebook length ${codebook.length} != m*ks*dsub = ${m * ks * dsub}")
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val ve = v.asInstanceOf[ArrayData]
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.PositiveInfinity
+      var bi = 0
+      var c = 0
+      while (c < ks) {
+        val base = (s * ks + c) * dsub
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = ve.getDouble(s * dsub + j) - codebook(base + j)
+          d += t * t
+          j += 1
+        }
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      out(s) = (bi - 128).toByte
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, ve => {
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val t = ctx.freshName("t"); val base = ctx.freshName("base")
+      val best = ctx.freshName("best"); val bi = ctx.freshName("bi")
+      val out = ctx.freshName("out")
+      s"""
+         |byte[] $out = new byte[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bi = 0;
+         |  for (int $c = 0; $c < $ks; $c++) {
+         |    int $base = ($s * $ks + $c) * $dsub;
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $dsub; $j++) {
+         |      double $t = $ve.getDouble($s * $dsub + $j) - $cbRef[$base + $j];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $best) { $best = $d; $bi = $c; }
+         |  }
+         |  $out[$s] = (byte) ($bi - 128);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level entry point: dot product in double precision. */
   def vec_dot(a: Column, b: Column): Column =
@@ -448,6 +537,11 @@ object VectorFunctions {
 
   /** Σx² — the squared L2 norm, via the same kernel. */
   def vec_sqnorm(v: Column): Column = vec_dot(v, v)
+
+  /** PQ code array for `ve` under a flat codebook (see [[PqEncode]]). */
+  def pq_encode(ve: Column, m: Int, ks: Int, dsub: Int,
+                codebook: Array[Double]): Column =
+    ColumnShim.column(PqEncode(ColumnShim.expression(ve), m, ks, dsub, codebook))
 
   /** Σx — element sum in double precision (see [[VecSum]]). */
   def vec_sum(v: Column): Column =

@@ -129,7 +129,25 @@ object IncrementalDedup {
     * (exactly-once pair delivery; ADVICE r9).
     */
   def ingestStaged(spark: SparkSession, corpusPath: String, indexPath: String,
-                   blockCols: Seq[String]): StagedIngest = {
+                   blockCols: Seq[String]): StagedIngest =
+    ingestStaged(spark, corpusPath, indexPath, blockCols, (_, _) => ())
+
+  /** [[ingestStaged]] with a per-stage wall-clock listener — the
+    * attribution seam (VERDICT r15 task 7): the EAGER stages (signature
+    * + index merge commit, delete scan, band-literal collect) report
+    * their walls; the lazy probe+verify tail is whatever remains of the
+    * caller's end-to-end time. Measurement only — the no-op default
+    * keeps the hot path identical.
+    */
+  def ingestStaged(spark: SparkSession, corpusPath: String, indexPath: String,
+                   blockCols: Seq[String],
+                   onStage: (String, Double) => Unit): StagedIngest = {
+    def timed[T](stage: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      onStage(stage, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val fromV = indexedVersion(indexPath)
     val toV = CowTable.currentVersion(corpusPath)
     val corpusNow = CowTable.read(spark, corpusPath, Some(toV))
@@ -146,15 +164,17 @@ object IncrementalDedup {
     // updates replace their doc's band row wholesale; inserts append.
     // Skipped for delete-only batches: no new docs means no new pairs,
     // so the index is never even scanned.
-    val hasUpserts = !upserts.isEmpty
-    if (hasUpserts) CowTable.merge(spark, indexPath, newSigs, "doc_id")
+    val hasUpserts = timed("feed+upsertScan")(!upserts.isEmpty)
+    if (hasUpserts) timed("sigs+indexMerge")(
+      CowTable.merge(spark, indexPath, newSigs, "doc_id"))
     // Pure-delete cleanup rides the index table's MERGE-ON-READ delete:
     // a key-list sidecar, zero index data files rewritten, no size
     // bound (previously a 1,000-id literal-IN cap left stale rows for
     // a full rebuild). Physical retirement is [[compactIndex]].
     val deleted = feed.filter(col("_change_type") === "delete").select("doc_id")
-    if (!deleted.isEmpty)
-      CowTable.deleteMorKeys(spark, indexPath, deleted, "doc_id")
+    if (timed("deleteScan")(!deleted.isEmpty))
+      timed("indexMorDelete")(
+        CowTable.deleteMorKeys(spark, indexPath, deleted, "doc_id"))
     if (!hasUpserts) return staged(empty)
 
     // candidates: the batch's band keys probe the updated index. The
@@ -168,8 +188,9 @@ object IncrementalDedup {
     // whole band index and touching the probed slice. The equi-join on
     // band_key is the exact residual; an oversized batch degrades to
     // the full scan, never to a wrong one.
-    val bandLits = explodeBands(newSigs).select("band_key").distinct()
-      .limit(BandLiteralMax + 1).collect().map(_.get(0))
+    val bandLits = timed("bandCollect")(
+      explodeBands(newSigs).select("band_key").distinct()
+        .limit(BandLiteralMax + 1).collect().map(_.get(0)))
     val indexNow =
       if (bandLits.length <= BandLiteralMax && !bandLits.contains(null))
         CowTable.readPrunedIn(spark, indexPath, "bands", bandLits.toIndexedSeq)
@@ -282,6 +303,11 @@ object IncrementalDedup {
   // ingest-only query: bounded (one temp dir per data dir per JVM),
   // built on first use, synchronized for Verify's thread pool.
   private val ingestEnvs = scala.collection.mutable.Map.empty[String, (String, String)]
+
+  /** The prepared (corpus, index) paths for a data dir — exposed for
+    * [[graft.IngestProfile]]'s stage attribution. */
+  private[graft] def ingestEnvOf(s: SparkSession, d: String): (String, String) =
+    ingestEnv(s, d)
 
   private def ingestEnv(s: SparkSession, d: String): (String, String) =
     ingestEnvs.synchronized {

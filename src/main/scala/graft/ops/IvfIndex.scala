@@ -216,23 +216,38 @@ object IvfIndex {
           lit(1e-30)))
         .withColumn("vq", expr("transform(ve, x -> cast(round(x / sc) as tinyint))"))
         .drop("ve")
-      case PqLists(m, _, dsub, _, encCb) => df
-        .withColumn("__cb", typedLit(encCb))
-        // subvector sliced ONCE per (row, sub); argmin is a single
-        // aggregate pass over the codewords carrying (best dist, best
-        // code, next index) — no dist array rebuild, no second scan
-        .withColumn("pqc", expr(
-          s"""transform(
-                transform(sequence(0, ${m - 1}), s -> slice(ve, s * $dsub + 1, $dsub)),
-                (sv, s) -> cast(
-                  aggregate(element_at(__cb, s + 1),
-                    named_struct('bd', cast('Infinity' as double), 'bi', 0, 'i', 0),
-                    (acc, cw) -> if (${l2sq("sv", "cw")} < acc.bd,
-                      named_struct('bd', ${l2sq("sv", "cw")}, 'bi', acc.i, 'i', acc.i + 1),
-                      named_struct('bd', acc.bd, 'bi', acc.bi, 'i', acc.i + 1)),
-                    acc -> acc.bi) - 128 as tinyint))"""))
-        .drop("ve", "__cb")
+      case PqLists(m, ks, dsub, _, encCb) => df
+        // codegen'd m × ks × dsub argmin loop (round 16 — the HOF form
+        // below, kept for the parity spec, was the measured index-build
+        // cost center); identical distances, identical smallest-code
+        // tiebreak, so codes are bit-identical by construction AND by test
+        .withColumn("pqc", graft.functions.VectorFunctions.pq_encode(
+          col("ve").cast("array<double>"), m, ks, dsub,
+          encCb.flatten.flatten.toArray))
+        .drop("ve")
     }
+
+  /** The interpreted-HOF PQ encode the codegen [[encodeLists]] path
+    * replaced — retained ONLY as the parity oracle (IvfIndexSpec
+    * asserts bit-identical codes on every row).
+    */
+  private[graft] def pqEncodeHof(df: DataFrame, m: Int, dsub: Int,
+                                 encCb: Seq[Seq[Seq[Double]]]): DataFrame = df
+    .withColumn("__cb", typedLit(encCb))
+    // subvector sliced ONCE per (row, sub); argmin is a single
+    // aggregate pass over the codewords carrying (best dist, best
+    // code, next index) — no dist array rebuild, no second scan
+    .withColumn("pqc", expr(
+      s"""transform(
+            transform(sequence(0, ${m - 1}), s -> slice(ve, s * $dsub + 1, $dsub)),
+            (sv, s) -> cast(
+              aggregate(element_at(__cb, s + 1),
+                named_struct('bd', cast('Infinity' as double), 'bi', 0, 'i', 0),
+                (acc, cw) -> if (${l2sq("sv", "cw")} < acc.bd,
+                  named_struct('bd', ${l2sq("sv", "cw")}, 'bi', acc.i, 'i', acc.i + 1),
+                  named_struct('bd', acc.bd, 'bi', acc.bi, 'i', acc.i + 1)),
+                acc -> acc.bi) - 128 as tinyint))"""))
+    .drop("ve", "__cb")
 
   /** Read list rows back to the `ve` every consumer uses (identity on
     * float lists — schema-detected, so codecs never thread through

@@ -47,8 +47,15 @@ object Metrics8 {
     * rank window partitioned by supplier — fully parallel.
     */
   val supplierCustomerConcentration: Q = (s, d) => {
+    // ONE exchange on l_suppkey after the join serves the whole ladder:
+    // HashPartitioning(sk) satisfies the (sk, ck) aggregate's clustering
+    // (subset rule) AND the rank window's partitioning, so the window
+    // adds only a sort — the agg's own (sk, ck) exchange plus the
+    // window's sk re-exchange both disappear (r16 triage: the two
+    // exchanges were the measured floor, same row volume each)
     val sc = li(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
       .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("cents"))

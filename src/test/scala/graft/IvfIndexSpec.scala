@@ -579,6 +579,45 @@ class IvfIndexSpec extends SparkSpecBase {
       .collect().isEmpty)
   }
 
+  test("PQ codegen encoder: bit-identical codes to the interpreted HOF argmin on every row") {
+    import spark.implicits._
+    val (m, ks, dsub) = (4, 8, 4)
+    // deterministic vectors spanning sign mixes, near-zeros and exact
+    // codeword hits (the tiebreak shape)
+    val vecs = (0L until 500L).map { i =>
+      (i, Array.tabulate(m * dsub)(j =>
+        math.sin(i * 13.0 + j * 7.0) * (if (i % 5 == 0) 1e-6 else 1.0)))
+    }.toDF("vec_id", "ve")
+    // codebook with one DEAD code per subspace (+Infinity sentinels —
+    // both paths must skip it) and one exact duplicate pair (codes 2
+    // and 5 identical in sub 0: strict < keeps the smaller code)
+    val encCb: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      (0 until ks).map { c =>
+        if (c == 6) IndexedSeq.fill(dsub)(Double.PositiveInfinity)
+        else if (s == 0 && c == 5) IndexedSeq.tabulate(dsub)(j => math.cos(s * 31.0 + 2 * 5.0 + j))
+        else if (s == 0 && c == 2) IndexedSeq.tabulate(dsub)(j => math.cos(s * 31.0 + 2 * 5.0 + j))
+        else IndexedSeq.tabulate(dsub)(j => math.cos(s * 31.0 + c * 5.0 + j))
+      }
+    }
+    val viaCodegen = vecs.withColumn("pqc",
+      graft.functions.VectorFunctions.pq_encode(
+        col("ve"), m, ks, dsub, encCb.flatten.flatten.toArray))
+      .select("vec_id", "pqc").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val viaHof = IvfIndex.pqEncodeHof(vecs, m, dsub, encCb)
+      .select("vec_id", "pqc").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(viaCodegen.keySet == viaHof.keySet)
+    viaCodegen.foreach { case (id, codes) =>
+      assert(codes == viaHof(id), s"vec $id: codegen $codes != hof ${viaHof(id)}")
+    }
+    // dead code 6 never emitted; the sub-0 duplicate resolves to the
+    // smaller code 2 whenever it wins
+    assert(!viaCodegen.values.exists(_.contains((6 - 128).toByte)))
+    assert(!viaCodegen.values.exists(_.head == (5 - 128).toByte),
+      "duplicate codeword must tie to the smaller code")
+  }
+
   test("IVF-PQ: dead codebook codes are never emitted by encode (ADVICE r15)") {
     import spark.implicits._
     val dir = tmp
