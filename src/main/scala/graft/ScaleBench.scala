@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd | dpp " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -1037,6 +1037,77 @@ object ScaleBench {
     spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     } // end spj section
+
+    if (only.forall(_ == "dpp")) {
+    // ---- round-16: runtime file pruning on the catalog scan ------------
+    // (VERDICT r15 #1). A 10M-row id-range-clustered catalog fact (64
+    // files, manifest range stats on id) joined to a filtered dim whose
+    // surviving keys live in ONE narrow id band: Spark's dynamic
+    // partition pruning plans a runtime IN filter against the fact's
+    // SupportsRuntimeV2Filtering scan, which re-prunes the file list
+    // through the manifest stats at execution — the fact scan opens the
+    // band's files, not the table. SPJ killed the star join's exchange;
+    // this kills the untouched files' IO when the dim side is filtered.
+    import graft.sinks.CowTable
+    val dppWh = "/tmp/graft_scalebench_dpp"
+    val dppRoot = java.nio.file.Paths.get(dppWh)
+    if (java.nio.file.Files.exists(dppRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dppRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dppWh/ns"))
+    // the measured columns include a ~64-byte payload so the scan-IO
+    // delta is visible at local scale (id+v alone page-cache to noise)
+    CowTable.create(spark.range(40000000L).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("v"),
+        sha2(concat(col("id").cast("string"), lit("pad")), 256).as("pad"))
+        .repartitionByRange(64, col("id")), s"$dppWh/ns/fact")
+    CowTable.setStatsColumns(spark, s"$dppWh/ns/fact", Seq("id"))
+    val dppFiles = CowTable.snapshotFiles(s"$dppWh/ns/fact").size
+    // dim keys confined to ids < 300k (1-2 of 64 fact files), with a
+    // selective equality filter the DPP planner keys on
+    CowTable.create(spark.range(100000L).select((col("id") * 3L).as("id"),
+        pmod(col("id"), lit(10L)).as("grp")), s"$dppWh/ns/dim")
+    spark.conf.set("spark.sql.catalog.dppcat", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dppcat.root", dppWh)
+    def dppQ = spark.sql(
+      "SELECT count(*) c, sum(f.v) s, sum(length(f.pad)) p " +
+        "FROM dppcat.ns.fact f JOIN dppcat.ns.dim d ON f.id = d.id " +
+        "WHERE d.grp = 3")
+    def dppRun(): (String, Double, Int) = {
+      val df = dppQ
+      val qe = df.queryExecution
+      val t0 = System.nanoTime()
+      val r = df.collect().head.toString
+      val sec = (System.nanoTime() - t0) / 1e9
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(nodes)) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            nodes(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            nodes(qs.plan)
+          case _ => Seq.empty
+        })
+      val read = nodes(qe.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.description().contains("fact") => b.inputRDD.getNumPartitions
+      }.headOption.getOrElse(-1)
+      (r, sec, read)
+    }
+    val (rD, tD, filesD) = dppRun()
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    val (rN, tN, filesN) = dppRun()
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    require(rD == rN, s"runtime pruning diverged: $rD vs $rN")
+    require(filesD <= 4 && filesN >= dppFiles - 1,
+      s"file pruning shape: dpp read $filesD (want ≤4 of $dppFiles), " +
+        s"off read $filesN")
+    println(f"[scalebench] dpp @ 40M-row fact (64 range files) ⋈ σ(dim): " +
+      f"runtime filter reads $filesD%d of $dppFiles%d files in ${tD}%5.2f s " +
+      f"vs $filesN%d files / ${tN}%5.2f s with DPP off — checksum-equal")
+    } // end dpp section
 
     if (only.forall(_ == "upd")) {
     // ---- round-15: SQL UPDATE write cost ∝ touched files --------------

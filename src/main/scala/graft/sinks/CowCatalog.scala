@@ -503,10 +503,13 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
            _: LessThan | _: LessThanOrEqual => true
       case _ => false
     }
+    def hint(c: String) = tableSchema.fields.find(_.name == c).map(_.dataType)
     usable.foreach { f =>
       val surviving: Set[String] = (f match {
-        case EqualTo(c, v) => CowTable.prunedFilesIn(spark, path, c, Seq(v), asOf)
-        case In(c, vs)     => CowTable.prunedFilesIn(spark, path, c, vs.toSeq, asOf)
+        case EqualTo(c, v) =>
+          CowTable.prunedFilesIn(spark, path, c, Seq(v), asOf, hint(c))
+        case In(c, vs) =>
+          CowTable.prunedFilesIn(spark, path, c, vs.toSeq, asOf, hint(c))
         case GreaterThan(c, v) =>
           CowTable.prunedFilesRange(spark, path, c, Some(v), None, asOf)
         case GreaterThanOrEqual(c, v) =>
@@ -725,7 +728,9 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     predicates.foreach { p =>
       CowScan.runtimeIn(p).foreach { case (c, vs) =>
-        val surviving = CowTable.prunedFilesIn(spark, path, c, vs, asOf).toSet
+        val hint = tableSchema.fields.find(_.name == c).map(_.dataType)
+        val surviving =
+          CowTable.prunedFilesIn(spark, path, c, vs, asOf, hint).toSet
         curFiles = curFiles.filter(surviving.contains)
       }
     }

@@ -1404,7 +1404,18 @@ object CowTable {
     * sets match nothing.
     */
   def prunedFilesIn(spark: SparkSession, path: String, column: String,
-                    values: Seq[Any], asOf: Option[Int] = None): Seq[String] = {
+                    values: Seq[Any], asOf: Option[Int] = None): Seq[String] =
+    prunedFilesIn(spark, path, column, values, asOf, None)
+
+  /** [[prunedFilesIn]] with the column's type supplied by a caller that
+    * already knows the table schema (the catalog scan) — skips the
+    * footer-sampling `statsColType` fallback, which costs a fresh
+    * DataFrameReader per call and was the measured fixed overhead of
+    * the runtime-filter path (r16 `dpp` bench).
+    */
+  def prunedFilesIn(spark: SparkSession, path: String, column: String,
+                    values: Seq[Any], asOf: Option[Int],
+                    colTypeHint: Option[types.DataType]): Seq[String] = {
     val vs = values.filter(_ != null)
     if (vs.isEmpty) return Seq.empty
     val files = snapshotFiles(path, asOf)
@@ -1412,7 +1423,8 @@ object CowTable {
     val lookups = fileLookups(path, asOf)
     if (stats.isEmpty && lookups.isEmpty) return files
     val names = physicalNamesOf(path, column, asOf)
-    val colType = statsColType(spark, path, column, names, files, asOf)
+    val colType = colTypeHint.orElse(
+      statsColType(spark, path, column, names, files, asOf))
     val isString = colType.contains(types.StringType) ||
       (colType.isEmpty && vs.head.isInstanceOf[String])
     // dictionary/bloom gate (the point-lookup path): a file is skipped
@@ -1439,6 +1451,34 @@ object CowTable {
         }
     }
     if (stats.isEmpty) return files.filter(lookupGate)
+    // canonicalize the requested values ONCE and sort, so the per-file
+    // range gate is a binary search instead of an O(|values|) scan with
+    // per-(file, value) re-canonicalization — runtime join filters
+    // (SupportsRuntimeV2Filtering) routinely carry 10k+ keys, which
+    // made the old shape a measurable driver stall (r16 `dpp` bench).
+    // None = some value has no canonical form under the column type →
+    // that value could match anywhere → the gate keeps every file,
+    // exactly the old exists-with-None semantics.
+    val sortedBigs: Option[Array[BigDecimal]] = {
+      val bs = vs.map(v => litBig(v, colType))
+      if (bs.exists(_.isEmpty)) None else Some(bs.flatten.sorted.toArray)
+    }
+    val sortedStrs: Option[Array[String]] = {
+      // a cross-typed value matches via the residual's implicit numeric
+      // cast, not UTF-8 order — it keeps the file (see prunedFilesRange)
+      if (vs.exists(!_.isInstanceOf[String])) None
+      else Some(vs.map(_.asInstanceOf[String]).toArray
+        .sortWith(utf8Cmp(_, _) < 0))
+    }
+    def anyIn[T](arr: Array[T], lo: T, hi: T, cmp: (T, T) => Int): Boolean = {
+      // first index with arr(i) >= lo, then check <= hi
+      var l = 0; var r = arr.length
+      while (l < r) {
+        val m = (l + r) >>> 1
+        if (cmp(arr(m), lo) < 0) l = m + 1 else r = m
+      }
+      l < arr.length && cmp(arr(l), hi) <= 0
+    }
     files.filter(lookupGate).filter { f =>
       stats.get(f).flatMap(m => names.collectFirst {
         case n if m.contains(n) => m(n)
@@ -1448,22 +1488,13 @@ object CowTable {
         case Some((mn, mx, _)) if isString =>
           (mn, mx) match {
             case (org.json4s.JString(a), org.json4s.JString(b)) =>
-              vs.exists {
-                // a cross-typed value matches via the residual's
-                // implicit numeric cast, not UTF-8 order — it keeps
-                // the file (see prunedFilesRange)
-                case s: String => utf8Cmp(a, s) <= 0 && utf8Cmp(b, s) >= 0
-                case _ => true
-              }
+              sortedStrs.forall(anyIn(_, a, b, utf8Cmp))
             case _ => true
           }
         case Some((mn, mx, _)) =>
           (statBig(mn), statBig(mx)) match {
             case (Some(a), Some(b)) =>
-              vs.exists(v => litBig(v, colType) match {
-                case Some(x) => a <= x && x <= b
-                case None => true // uncanonicalizable value: keep
-              })
+              sortedBigs.forall(anyIn[BigDecimal](_, a, b, _.compare(_)))
             case _ => true
           }
       }
