@@ -864,6 +864,8 @@ class PlanSpec extends SparkSpecBase {
     "orders_queue_backlog" -> "bounded day-domain Lindley windows (fact collapses to daily counts first; the ts_sma_crossover class)",
     "li_ship_dow_profile" -> "1-row revenue-total aggregate (dow census stays parallel)",
     "orders_daily_count_autocorr" -> "bounded day-domain lead window + 1-row final moment aggregate",
+    "ts_spearman_autocorr" -> "bounded day-domain rank windows + 1-row final moment aggregate (the orders_daily_count_autocorr class)",
+    "alloc_dhondt" -> "bounded 25k-row nation x divisor domain rank window over the aggregate (the alloc_largest_remainder class)",
     "events_anomaly_daily" -> "1-row moment aggregate (the broadcast side; day census stays parallel)",
     "dq_clock_uniformity" -> "1-row corpus-total aggregate (minute census stays parallel)",
     "embedding_label_norm_gap" -> "1-row norm-total aggregate (label census stays parallel)",
