@@ -810,6 +810,9 @@ class PlanSpec extends SparkSpecBase {
     "dedup_ngram_jaccard" -> "contract-quadratic (linear twin: dedup_ngram_banded)",
     "dedup_editdist" -> "contract-quadratic, length-gap prefiltered",
     "dedup_embedding_cosine" -> "banded by CosineBandRule; residual in-band verify",
+    "ts_mann_kendall" -> "bounded-bucket: all-pairs over the 366-day year domain (Mann-Kendall sign contract) + 1-row n broadcast",
+    "ml_kendall_tau_nation" -> "bounded-bucket: all-pairs over the 25-row nation domain + 1-row count broadcast",
+    "alloc_greedy_knapsack" -> "1-row scalar: capacity broadcast over the bounded part-type domain",
     "event_funnel" -> "1-row scalar: funnel-total broadcast",
     "ml_auc_rank" -> "1-row scalar: grand-total broadcast",
     "ml_kmeans_2iter" -> "1-row scalar: broadcast centroid array",
@@ -866,6 +869,10 @@ class PlanSpec extends SparkSpecBase {
     "orders_daily_count_autocorr" -> "bounded day-domain lead window + 1-row final moment aggregate",
     "ts_spearman_autocorr" -> "bounded day-domain rank windows + 1-row final moment aggregate (the orders_daily_count_autocorr class)",
     "alloc_dhondt" -> "bounded 25k-row nation x divisor domain rank window over the aggregate (the alloc_largest_remainder class)",
+    "orders_priority_runlength" -> "bounded day-domain island windows (fact collapses to daily majorities first; the ts_runs_updown class)",
+    "ts_mann_kendall" -> "1-row final sign-count aggregate over the bounded 366-day pair domain",
+    "ml_kendall_tau_nation" -> "1-row final concordance aggregate over the 300 nation pairs",
+    "alloc_greedy_knapsack" -> "bounded ~150-row part-type domain density-rank window + 1-row final",
     "events_anomaly_daily" -> "1-row moment aggregate (the broadcast side; day census stays parallel)",
     "dq_clock_uniformity" -> "1-row corpus-total aggregate (minute census stays parallel)",
     "embedding_label_norm_gap" -> "1-row norm-total aggregate (label census stays parallel)",
