@@ -462,15 +462,17 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var files: Seq[String] = CowTable.snapshotFiles(path, asOf)
-  private var agg: Option[(StructType, InternalRow)] = None
+  private var agg: Option[(StructType, Seq[InternalRow])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** AGGREGATE PUSHDOWN: a global (no GROUP BY) COUNT(*) / COUNT(col) /
-    * MIN(col) / MAX(col) on a CLEAN snapshot is answered from the
-    * manifest alone — `R` row-count lines for counts, `C` stats lines
-    * for min/max/COUNT(col) — and plans ZERO data-file reads. The
+  /** AGGREGATE PUSHDOWN: COUNT(*) / COUNT(col) / MIN(col) / MAX(col)
+    * on a CLEAN snapshot — global, or GROUP BY one FILE-CONSTANT
+    * column (identity-partitioned / perfectly clustered layouts) — is
+    * answered from the manifest alone: `R` row-count lines for counts,
+    * `C` stats lines for min/max/COUNT(col), and plans ZERO data-file
+    * reads. The
     * moment correctness can't be guaranteed from metadata the answer
     * is declined and Spark plans the ordinary scan: MoR delete
     * sidecars invalidate file-level stats, a file missing its
@@ -528,7 +530,7 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = agg match {
-    case Some((schema, row)) => new CowAggScan(path, asOf, schema, row)
+    case Some((schema, rows)) => new CowAggScan(path, asOf, schema, rows)
     case None => new CowScan(spark, path, asOf, required, tableSchema, files, options)
   }
 }
@@ -538,13 +540,21 @@ private[sinks] object CowAggPushdown {
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.json4s.{JNull, JString, JValue}
 
-  /** The (output schema, single result row) for `aggregation`, or None
-    * when the manifest cannot answer it EXACTLY (then Spark scans).
+  /** The (output schema, result rows) for `aggregation`, or None when
+    * the manifest cannot answer it EXACTLY (then Spark scans).
+    *
+    * GROUP BY pushdown (round 16, on top of the r15-task global form):
+    * a single grouping column is answerable when it is
+    * FILE-CONSTANT — every file's [min, max] stats coincide and the
+    * file has no nulls in the column (nonNullCount == the file's `R`
+    * row count), or the file is all-null (the NULL group). Identity-
+    * partitioned and perfectly clustered tables have exactly this
+    * shape, so `SELECT day, count(*) ... GROUP BY day` reads zero data
+    * files; one mixed file anywhere → decline, full scan.
     */
   def answer(spark: SparkSession, path: String, asOf: Option[Int],
              tableSchema: StructType, files: Seq[String],
-             aggregation: Aggregation): Option[(StructType, InternalRow)] = {
-    if (aggregation.groupByExpressions.nonEmpty) return None
+             aggregation: Aggregation): Option[(StructType, Seq[InternalRow])] = {
     // MoR sidecars subtract rows per file — file-level stats and counts
     // no longer describe the logical snapshot
     if (CowTable.snapshotDeletes(path, asOf).nonEmpty ||
@@ -567,8 +577,8 @@ private[sinks] object CowAggPushdown {
           Some(tableSchema(tableSchema.fieldIndex(r.fieldNames.head)))
         case _ => None
       }
-    def statsFor(c: String): Option[Seq[(JValue, JValue, Long)]] = {
-      val per = files.map(f => stats.get(f).flatMap(_.get(c)))
+    def statsFor(fs: Seq[String], c: String): Option[Seq[(JValue, JValue, Long)]] = {
+      val per = fs.map(f => stats.get(f).flatMap(_.get(c)))
       if (per.exists(_.isEmpty)) None else Some(per.flatten)
     }
     /** A stored min/max JSON → the column's INTERNAL value; None = not
@@ -599,8 +609,8 @@ private[sinks] object CowAggPushdown {
       * and are skipped — SQL MIN/MAX ignore nulls). None = a bound
       * didn't reconstruct; Some(None) = every file all-null → NULL.
       */
-    def extremum(c: StructField, takeMin: Boolean): Option[Option[Any]] =
-      statsFor(c.name).flatMap { per =>
+    def extremum(fs: Seq[String], c: StructField, takeMin: Boolean): Option[Option[Any]] =
+      statsFor(fs, c.name).flatMap { per =>
         val bounds = per.map(s => if (takeMin) s._1 else s._2).filter(_ != JNull)
         if (bounds.isEmpty) Some(None)
         else {
@@ -621,56 +631,98 @@ private[sinks] object CowAggPushdown {
         }
       }
 
-    val answered: Seq[Option[(StructField, Any)]] =
-      aggregation.aggregateExpressions.toSeq.map {
-        case _: CountStar =>
-          if (files.forall(rowCounts.contains))
-            Some((StructField("count_star", LongType, nullable = false),
-              files.map(rowCounts).sum))
-          else None
-        case cnt: Count if !cnt.isDistinct =>
-          colOf(cnt.column).flatMap(f => statsFor(f.name).map(per =>
-            (StructField(s"count_${f.name}", LongType, nullable = false),
-              per.map(_._3).sum)))
-        case m: Min =>
-          colOf(m.column).flatMap(f => extremum(f, takeMin = true).map(v =>
-            (StructField(s"min_${f.name}", f.dataType), v.orNull)))
-        case m: Max =>
-          colOf(m.column).flatMap(f => extremum(f, takeMin = false).map(v =>
-            (StructField(s"max_${f.name}", f.dataType), v.orNull)))
-        case _ => None
-      }
-    if (answered.exists(_.isEmpty) || answered.isEmpty) None
-    else Some((StructType(answered.flatten.map(_._1)),
-      InternalRow.fromSeq(answered.flatten.map(_._2))))
+    def answeredFor(fs: Seq[String]): Option[Seq[(StructField, Any)]] = {
+      val answered: Seq[Option[(StructField, Any)]] =
+        aggregation.aggregateExpressions.toSeq.map {
+          case _: CountStar =>
+            if (fs.forall(rowCounts.contains))
+              Some((StructField("count_star", LongType, nullable = false),
+                fs.map(rowCounts).sum))
+            else None
+          case cnt: Count if !cnt.isDistinct =>
+            colOf(cnt.column).flatMap(f => statsFor(fs, f.name).map(per =>
+              (StructField(s"count_${f.name}", LongType, nullable = false),
+                per.map(_._3).sum)))
+          case m: Min =>
+            colOf(m.column).flatMap(f => extremum(fs, f, takeMin = true).map(v =>
+              (StructField(s"min_${f.name}", f.dataType), v.orNull)))
+          case m: Max =>
+            colOf(m.column).flatMap(f => extremum(fs, f, takeMin = false).map(v =>
+              (StructField(s"max_${f.name}", f.dataType), v.orNull)))
+          case _ => None
+        }
+      if (answered.exists(_.isEmpty) || answered.isEmpty) None
+      else Some(answered.flatten)
+    }
+
+    aggregation.groupByExpressions.toSeq match {
+      case Seq() =>
+        answeredFor(files).map(a => (StructType(a.map(_._1)),
+          Seq(InternalRow.fromSeq(a.map(_._2)))))
+      case Seq(g) =>
+        colOf(g).flatMap { gf =>
+          // per-file group key: file-constant (min == max, zero nulls —
+          // nonNullCount equals the R row count) or the all-null file
+          // (the NULL group). Any mixed file → decline.
+          val keyed: Seq[Option[(Option[Any], String)]] = files.map { f =>
+            (rowCounts.get(f), stats.get(f).flatMap(_.get(gf.name))) match {
+              case (Some(n), Some((mn, mx, nn))) =>
+                if (nn == 0L && n > 0L) Some((None, f))
+                else if (nn == n && mn == mx)
+                  internalOf(mn, gf.dataType).map(v => (Some(v), f))
+                else None
+              case _ => None
+            }
+          }
+          if (keyed.isEmpty || keyed.exists(_.isEmpty)) None
+          else {
+            val groups = keyed.flatten.groupBy(_._1)
+              .view.mapValues(_.map(_._2)).toSeq
+            val perGroup = groups.map { case (k, fs) =>
+              answeredFor(fs).map(a => (k, a)) }
+            if (perGroup.exists(_.isEmpty)) None
+            else {
+              val rowsOut = perGroup.flatten
+              val schema = StructType(
+                StructField(gf.name, gf.dataType) +: rowsOut.head._2.map(_._1))
+              Some((schema, rowsOut.map { case (k, a) =>
+                InternalRow.fromSeq(k.orNull +: a.map(_._2)) }))
+            }
+          }
+        }
+      case _ => None
+    }
   }
 }
 
 /** The zero-IO scan a fully-pushed-down aggregate plans to: ONE
-  * partition serving the manifest-computed result row. The row's
+  * partition serving the manifest-computed result rows (one for a
+  * global aggregate, one per group for a file-constant GROUP BY). Row
   * values are already internal (UTF8String / Decimal / epoch ints),
   * shipped to the single task via the factory.
   */
 class CowAggScan(path: String, asOf: Option[Int],
-                 schema: StructType, row: InternalRow)
+                 schema: StructType, rows: Seq[InternalRow])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"CowAggScan[$path${asOf.fold("")(v => s"@v$v")}, manifest-only, 0 data files]"
+    s"CowAggScan[$path${asOf.fold("")(v => s"@v$v")}, manifest-only, " +
+      s"${rows.size} rows, 0 data files]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(CowAggPartition(row.copy()))
+    Array(CowAggPartition(rows.map(_.copy()).toArray))
   override def createReaderFactory(): PartitionReaderFactory = new CowAggReaderFactory
 }
 
-case class CowAggPartition(row: InternalRow) extends InputPartition
+case class CowAggPartition(rows: Array[InternalRow]) extends InputPartition
 
 class CowAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var served = false
-      override def next(): Boolean = if (served) false else { served = true; true }
-      override def get(): InternalRow = partition.asInstanceOf[CowAggPartition].row
+      private val rows = partition.asInstanceOf[CowAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
       override def close(): Unit = ()
     }
 }

@@ -2591,6 +2591,56 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("catalog aggregate pushdown GROUP BY: file-constant group columns answer from the manifest") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import s.implicits._
+      import graft.sinks.PartitionTransform
+      val t = s"$wh/ns/g"
+      // identity-partitioned by grp → each file carries ONE grp value
+      CowTable.create((0L until 900L).map(i => (i, i % 3, i * 2))
+        .toDF("id", "grp", "v").repartition(4),
+        t, Seq(PartitionTransform.identity("grp")))
+      CowTable.setStatsColumns(s, t, Seq("grp", "v"))
+      def q = s.sql("SELECT grp, count(*) AS c, min(v) AS mn, max(v) AS mx " +
+        "FROM cowt.ns.g GROUP BY grp")
+      assert(q.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        q.queryExecution.executedPlan.toString.take(1500))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+      val want = (0L until 900L).map(i => (i % 3, i * 2)).groupBy(_._1)
+        .map { case (g, xs) => (g, xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max) }
+        .toSeq.sortBy(_._1)
+      assert(got == want, s"got $got want $want")
+      // grouping by a NON-file-constant column declines → ordinary
+      // aggregate over the scan, same answers
+      val f = s.sql("SELECT v % 2 AS p, count(*) AS c FROM cowt.ns.g GROUP BY v % 2")
+      assert(!f.queryExecution.executedPlan.toString.contains("CowAggScan"))
+      assert(f.collect().map(_.getLong(1)).sum == 900L)
+      // a non-file-constant group key (v varies within every file, and
+      // its min != max stats prove it) also declines
+      val m = s.sql("SELECT v, count(*) AS c FROM cowt.ns.g GROUP BY v")
+      assert(!m.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "v is not file-constant — pushdown must decline")
+      assert(m.count() == 900L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("rename lineage: lineage names can never be reused; compact retires the lineage") {
     import spark.implicits._
     val path = tmp
