@@ -236,15 +236,23 @@ object Metrics10 {
     * 20-step bands.
     */
   val exprCollatzSteps: Q = (s, d) => {
+    // single-LONG accumulator (value·1024 + steps — Collatz peaks for
+    // seeds ≤ 1002 stay far under 2^52, steps < 1024): higher-order
+    // lambdas run interpreted, so per-step struct allocation was the
+    // measured cost; the repartition barrier materializes `st` once
+    // instead of re-running the 300-step fold inline in the filter,
+    // the group key and both extrema (the optimizer inlines project
+    // expressions into every consumer)
     orders(s, d).select(expr("o_orderkey % 1000 + 2").as("k")).distinct()
       .withColumn("st", expr(
         """aggregate(sequence(1, 300),
-             named_struct('v', k, 'st', 0L),
-             (acc, i) -> IF(acc.v = 1L, acc,
-               named_struct(
-                 'v', CASE WHEN acc.v % 2 = 0 THEN acc.v div 2 ELSE 3*acc.v + 1 END,
-                 'st', acc.st + 1L)),
-             acc -> IF(acc.v = 1L, acc.st, -1L))"""))
+             k * 1024L,
+             (acc, i) -> IF((acc div 1024) = 1L, acc,
+               CASE WHEN (acc div 1024) % 2 = 0
+                    THEN (acc div 2048) * 1024 + (acc % 1024) + 1
+                    ELSE (3 * (acc div 1024) + 1) * 1024 + (acc % 1024) + 1 END),
+             acc -> IF((acc div 1024) = 1L, acc % 1024, -1L))"""))
+      .repartition(col("k"))
       .filter(col("st") >= 0)
       .groupBy(expr("st div 20").cast("long").as("band"))
       .agg(cnt.as("keys"), min("st").cast("long").as("min_steps"),
