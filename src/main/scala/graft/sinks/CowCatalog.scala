@@ -458,11 +458,40 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
                      tableSchema: StructType,
                      options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var files: Seq[String] = CowTable.snapshotFiles(path, asOf)
   private var agg: Option[(StructType, Seq[InternalRow])] = None
+
+  /** LIMIT pushdown as FILE-LIST pruning: on a clean snapshot with no
+    * pushed filters, a `LIMIT n` needs only the shortest file prefix
+    * whose `R` row counts cover n — the rest never plan input
+    * partitions (at 100 TB, `SELECT * ... LIMIT 10` opens one file,
+    * not one million). Partial by declaration (Spark keeps its own
+    * limit above the scan); declined whenever a file lacks a row count,
+    * a filter could shrink rows, or MoR sidecars could delete them —
+    * an under-producing prefix would silently return fewer rows.
+    */
+  private var limitPruned = false
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty || agg.isDefined || limit <= 0) return false
+    if (CowTable.snapshotDeletes(path, asOf).nonEmpty ||
+        CowTable.snapshotPositionDeletes(path, asOf).nonEmpty) return false
+    val counts = CowTable.fileRowCounts(path, asOf)
+    if (!files.forall(counts.contains)) return false
+    var acc = 0L
+    val prefix = files.takeWhile { f =>
+      val need = acc < limit
+      acc += counts(f)
+      need
+    }
+    files = prefix
+    limitPruned = true
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -531,7 +560,9 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
 
   override def build(): Scan = agg match {
     case Some((schema, rows)) => new CowAggScan(path, asOf, schema, rows)
-    case None => new CowScan(spark, path, asOf, required, tableSchema, files, options)
+    case None =>
+      new CowScan(spark, path, asOf, required, tableSchema, files, options,
+        limitPruned)
   }
 }
 
@@ -734,7 +765,8 @@ class CowAggReaderFactory extends PartitionReaderFactory {
   */
 class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
               required: StructType, tableSchema: StructType, files: Seq[String],
-              options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+              options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+              limitPruned: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
@@ -765,7 +797,11 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
     * IO when the dim side is filtered).
     */
   override def filterAttributes(): Array[NamedReference] =
-    (CowTable.statsColumns(path, asOf) ++
+    // a limit-pruned file prefix must not shrink further at runtime:
+    // the prefix was sized to COVER the limit, and a runtime filter
+    // dropping prefix files could under-produce it
+    if (limitPruned) Array.empty
+    else (CowTable.statsColumns(path, asOf) ++
       CowTable.lookupSpec(path, asOf).map(_._1).getOrElse(Seq.empty))
       .distinct.map(Expressions.column).toArray
 

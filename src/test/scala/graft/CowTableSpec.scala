@@ -2591,6 +2591,69 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("catalog LIMIT pushdown: the scan plans only the file prefix covering the limit") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import s.implicits._
+      val t = s"$wh/ns/l"
+      CowTable.create((0L until 4000L).map(i => (i, i * 3)).toDF("id", "v")
+        .repartition(8), t)
+      val nFiles = CowTable.snapshotFiles(t).size
+      assert(nFiles >= 8)
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case _ => Seq.empty
+          })
+        nodes(df.queryExecution.executedPlan).collectFirst {
+          case b: BatchScanExec => b.inputRDD.getNumPartitions }.getOrElse(-1)
+      }
+      val q5 = s.sql("SELECT * FROM cowt.ns.l LIMIT 5")
+      assert(q5.count() == 5)
+      assert(scanFiles(s.sql("SELECT * FROM cowt.ns.l LIMIT 5")) == 1,
+        "LIMIT 5 must plan exactly the first file")
+      // a limit above one file's rows takes a longer prefix, still < all
+      val big = s.sql("SELECT * FROM cowt.ns.l LIMIT 600")
+      assert(big.count() == 600)
+      val readBig = scanFiles(s.sql("SELECT * FROM cowt.ns.l LIMIT 600"))
+      assert(readBig >= 2 && readBig < nFiles, s"read $readBig of $nFiles")
+      // a limit beyond the table returns everything
+      assert(s.sql("SELECT * FROM cowt.ns.l LIMIT 99999").count() == 4000)
+      // filters keep the scan unpruned-by-limit (residual rows could
+      // fall short of the limit)
+      val f = s.sql("SELECT * FROM cowt.ns.l WHERE v % 2 = 0 LIMIT 5")
+      assert(f.count() == 5)
+      // MoR-dirty: declined — counts no longer cover the limit honestly
+      CowTable.deleteMorKeys(s, t, Seq(0L, 1L).toDF("id"), "id")
+      val m = s.sql("SELECT * FROM cowt.ns.l LIMIT 3999")
+      assert(m.count() == 3998L, "2 deleted of 4000")
+      assert(scanFiles(s.sql("SELECT * FROM cowt.ns.l LIMIT 3999")) == nFiles,
+        "dirty snapshot must not limit-prune")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("catalog aggregate pushdown GROUP BY: file-constant group columns answer from the manifest") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
