@@ -132,6 +132,10 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    require(!ident.name().endsWith(graft.sources.CowCatalogStream.ChangesSuffix),
+      s"table name ${ident.name()} is reserved: the " +
+        s"'${graft.sources.CowCatalogStream.ChangesSuffix}' suffix addresses " +
+        "a table's streaming CDC face (loadTable would shadow this table)")
     require(!tableExists(ident), s"table $ident already exists")
     CowTable.createEmpty(dir(ident), schema,
       partitions.toSeq.map(CowCatalog.toCowTransform))
@@ -198,6 +202,10 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
+    require(!to.name().endsWith(graft.sources.CowCatalogStream.ChangesSuffix),
+      s"table name ${to.name()} is reserved: the " +
+        s"'${graft.sources.CowCatalogStream.ChangesSuffix}' suffix addresses " +
+        "a table's streaming CDC face")
     require(tableExists(from), s"no table $from")
     require(!tableExists(to), s"table $to already exists")
     java.nio.file.Files.createDirectories(
@@ -780,7 +788,8 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new graft.sources.CowAppendMicroBatchStream(spark, path, required, tableSchema,
       graft.sources.CowCatalogStream.intOpt(options, "startingVersion"),
-      graft.sources.CowCatalogStream.maxVersions(options))
+      graft.sources.CowCatalogStream.maxVersions(options),
+      Option(options.get("maxRowsPerBatch")).map(_.toLong))
 
   /** The served file set — plan-time pruned by the builder, then
     * re-pruned at EXECUTION time by [[filter]] (runtime IN filters from

@@ -216,6 +216,13 @@ object CowTable {
   /** True once [[create]] has committed snapshot v1. */
   def exists(path: String): Boolean = listVersions(path).nonEmpty
 
+  /** The OLDEST version whose manifest is still on disk (snapshot
+    * expiry removes old ones) — the row-capped streaming source's
+    * initial-snapshot anchor. 0 for a non-existent table.
+    */
+  def earliestVersion(path: String): Int =
+    listVersions(path).headOption.getOrElse(0)
+
   /** MERGE-ON-READ delete sidecars (round 10, generalized round 11): a
     * manifest line starting with this prefix names a parquet file of
     * DELETED KEYS (one or more key columns — the composite-key form

@@ -240,8 +240,58 @@ class CowChangesMicroBatchStream(spark: SparkSession, val path: String,
 class CowAppendMicroBatchStream(spark: SparkSession, val path: String,
                                 required: StructType, fullSchema: StructType,
                                 val startingVersion: Option[Int],
-                                val maxVers: Long)
-    extends CowVersionedStream {
+                                val maxVers: Long,
+                                maxRows: Option[Long] = None)
+    extends CowVersionedStream with ss.SupportsAdmissionControl {
+
+  /** ADMISSION BY ROWS (round 16): `maxRowsPerBatch` caps how many
+    * ADDED rows one micro-batch may span, measured exactly from the
+    * manifest `R` row-count lines — whole table versions are admitted
+    * until the next one would overflow the budget (always at least
+    * one, so a single oversized commit still drains). Under a row cap
+    * the initial snapshot anchors at the OLDEST AVAILABLE version
+    * (snapshot there + incremental windows forward ≡ the full snapshot
+    * for append-only history, and each window honors the budget; an
+    * uncapped stream keeps the anchor-at-current convention). A file
+    * missing its row count admits conservatively as budget-exhausting.
+    * The version-based `maxVersionsPerBatch` cap composes: rows bound
+    * within the version-capped target.
+    */
+  override def getDefaultReadLimit(): ss.ReadLimit =
+    maxRows.map(ss.ReadLimit.maxRows).getOrElse(ss.ReadLimit.allAvailable())
+
+  override def latestOffset(start: ss.Offset, limit: ss.ReadLimit): ss.Offset = {
+    val target = latestOffset().asInstanceOf[CowVOffset]
+    val sv = start.asInstanceOf[CowVOffset].v
+    limit match {
+      case _: ss.ReadMaxRows if sv < 0 && target.v > 0 =>
+        val anchor = math.max(CowTable.earliestVersion(path).toLong,
+          startingVersion.map(_.toLong).getOrElse(1L))
+        base = math.max(base, anchor)
+        CowVOffset(anchor)
+      case mr: ss.ReadMaxRows if sv >= 0 && target.v > sv =>
+        var acc = 0L
+        var v = sv
+        var prev = CowTable.snapshotFiles(path, Some(sv.toInt)).toSet
+        var stop = false
+        while (!stop && v < target.v) {
+          val nextFiles = CowTable.snapshotFiles(path, Some((v + 1).toInt))
+          val counts = CowTable.fileRowCounts(path, Some((v + 1).toInt))
+          val rows = nextFiles.filterNot(prev.contains)
+            .map(f => counts.getOrElse(f, Long.MaxValue / 4)).sum
+          if (acc > 0L && acc + rows > mr.maxRows()) stop = true
+          else {
+            acc += rows
+            prev = nextFiles.toSet
+            v += 1
+            if (acc >= mr.maxRows()) stop = true
+          }
+        }
+        base = math.max(base, v)
+        CowVOffset(v)
+      case _ => target
+    }
+  }
 
   /** Per-batch reader context, set by [[planInputPartitions]] and read
     * by [[createReaderFactory]] in the same trigger (the engine calls

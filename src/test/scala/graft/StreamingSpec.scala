@@ -2150,4 +2150,30 @@ class StreamingSpec extends SparkSpecBase {
       .map(_.getLong(0)).sorted.toSeq == Seq(3L),
       "startingVersion=2 must emit only the post-v2 appends")
   }
+
+  test("catalog readStream admission by rows: maxRowsPerBatch admits whole versions up to the budget") {
+    import spark.implicits._
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("cow_cat_adm").toString
+    spark.conf.set("spark.sql.catalog.cowstr3", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cowstr3.root", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ns"))
+    val t = s"$dir/ns/t"
+    CowTable.create((1L to 3L).map(i => (i, i)).toDF("id", "v"), t)      // v1: 3 rows
+    CowTable.append(spark, t, Seq((4L, 4L), (5L, 5L)).toDF("id", "v"))  // v2: +2
+    CowTable.append(spark, t, Seq((6L, 6L), (7L, 7L)).toDF("id", "v"))  // v3: +2
+    CowTable.append(spark, t, Seq((8L, 8L), (9L, 9L)).toDF("id", "v"))  // v4: +2
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("maxRowsPerBatch", "4")
+      .table("cowstr3.ns.t").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += b.count() }; () }
+      .start()
+    q.processAllAvailable(); q.stop()
+    // batch 1 = the initial snapshot (one version, admits whole);
+    // batch 2 = v2+v3 (2+2 = the 4-row budget); batch 3 = v4
+    assert(sizes.toSeq == Seq(3L, 4L, 2L), sizes.toSeq.toString)
+    assert(sizes.sum == 9L, "no gap, no duplicate under row admission")
+  }
 }
