@@ -484,7 +484,9 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
     */
   private var limitPruned = false
   override def pushLimit(limit: Int): Boolean = {
-    if (pushed.nonEmpty || agg.isDefined || limit <= 0) return false
+    // exact-pushed filters keep only all-matching files, so the prefix
+    // row counts stay honest; any RESIDUAL filter could shrink rows
+    if (residuals.nonEmpty || agg.isDefined || limit <= 0) return false
     if (CowTable.snapshotDeletes(path, asOf).nonEmpty ||
         CowTable.snapshotPositionDeletes(path, asOf).nonEmpty) return false
     val counts = CowTable.fileRowCounts(path, asOf)
@@ -521,20 +523,29 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
     */
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    CowAggPushdown.answer(spark, path, asOf, tableSchema, files, aggregation).isDefined
+    CowAggPushdown.answer(spark, path, asOf, tableSchema, files, aggregation,
+      filesExact).isDefined
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val a = CowAggPushdown.answer(spark, path, asOf, tableSchema, files, aggregation)
+    val a = CowAggPushdown.answer(spark, path, asOf, tableSchema, files, aggregation,
+      filesExact)
     agg = a
     a.isDefined
   }
 
   /** Filters prune at the MANIFEST (which files are opened) via the
-    * per-file range stats and dict/bloom lookup sidecars; every filter
-    * is also returned as residual (Spark re-evaluates above the scan —
-    * the parquet-reader contract).
+    * per-file range stats and dict/bloom lookup sidecars. Most filters
+    * are also returned as residual (rows re-checked above the scan —
+    * the parquet-reader contract). The EXCEPTION (round 16): an
+    * equality/IN over a column the manifest PROVES file-constant
+    * ([[CowTable.exactConstantPrune]] — identity-partitioned /
+    * perfectly clustered layouts) is accepted FULLY: the kept files
+    * contain only matching rows, so no residual is needed — which is
+    * what lets Spark offer aggregate and limit pushdown UNDER the
+    * filter (`SELECT count(*) ... WHERE day = X` stays manifest-only).
     */
+  private var residuals: Array[Filter] = Array.empty
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.filter {
       case EqualTo(_, null) => false
@@ -543,12 +554,23 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
       case _ => false
     }
     def hint(c: String) = tableSchema.fields.find(_.name == c).map(_.dataType)
+    def exact(c: String, vs: Seq[Any]): Option[Seq[String]] =
+      hint(c).flatMap(t =>
+        CowTable.exactConstantPrune(spark, path, c, vs, asOf, t))
+    val fullyPushed = scala.collection.mutable.Set.empty[Filter]
+    val exactCols = scala.collection.mutable.Set.empty[String]
     usable.foreach { f =>
       val surviving: Set[String] = (f match {
         case EqualTo(c, v) =>
-          CowTable.prunedFilesIn(spark, path, c, Seq(v), asOf, hint(c))
+          exact(c, Seq(v)) match {
+            case Some(kept) => fullyPushed += f; exactCols += c; kept
+            case None => CowTable.prunedFilesIn(spark, path, c, Seq(v), asOf, hint(c))
+          }
         case In(c, vs) =>
-          CowTable.prunedFilesIn(spark, path, c, vs.toSeq, asOf, hint(c))
+          exact(c, vs.toSeq) match {
+            case Some(kept) => fullyPushed += f; exactCols += c; kept
+            case None => CowTable.prunedFilesIn(spark, path, c, vs.toSeq, asOf, hint(c))
+          }
         case GreaterThan(c, v) =>
           CowTable.prunedFilesRange(spark, path, c, Some(v), None, asOf)
         case GreaterThanOrEqual(c, v) =>
@@ -561,10 +583,28 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
       }).toSet
       files = files.filter(surviving.contains)
     }
-    pushed = usable
-    filters // all residual: pruning is file-level, rows still checked
+    // the companion IsNotNull the analyzer adds beside an equality is
+    // fully pushed too when the equality was exact — the certificate
+    // required zero nulls in every kept file, so the null check can
+    // never fire (leaving it residual would block aggregate/limit
+    // pushdown under the filter for no reason)
+    filters.foreach {
+      case f @ org.apache.spark.sql.sources.IsNotNull(c) if exactCols.contains(c) =>
+        fullyPushed += f
+      case _ =>
+    }
+    pushed = usable ++ filters.collect {
+      case f @ org.apache.spark.sql.sources.IsNotNull(c) if exactCols.contains(c) => f
+    }
+    residuals = filters.filterNot(fullyPushed.contains)
+    residuals
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** The scan's file list equals the exact answer set: no filter was
+    * accepted with a residual, and no limit prefix was cut.
+    */
+  private def filesExact: Boolean = residuals.isEmpty && !limitPruned
 
   override def build(): Scan = agg match {
     case Some((schema, rows)) => new CowAggScan(path, asOf, schema, rows)
@@ -593,15 +633,18 @@ private[sinks] object CowAggPushdown {
     */
   def answer(spark: SparkSession, path: String, asOf: Option[Int],
              tableSchema: StructType, files: Seq[String],
-             aggregation: Aggregation): Option[(StructType, Seq[InternalRow])] = {
+             aggregation: Aggregation,
+             filesExact: Boolean): Option[(StructType, Seq[InternalRow])] = {
     // MoR sidecars subtract rows per file — file-level stats and counts
     // no longer describe the logical snapshot
     if (CowTable.snapshotDeletes(path, asOf).nonEmpty ||
         CowTable.snapshotPositionDeletes(path, asOf).nonEmpty) return None
-    // pushFilters may have pruned the file list; a pruned set no longer
-    // equals the snapshot (Spark doesn't offer aggregates with residual
-    // filters, but keep correctness local to this method)
-    if (files != CowTable.snapshotFiles(path, asOf)) return None
+    // the file list must be the EXACT answer set: the full snapshot, or
+    // a subset certified by exactConstantPrune (every kept row matches
+    // the fully-pushed filters, every dropped file provably matched
+    // nothing) — then COUNT/MIN/MAX over the subset ARE the filtered
+    // aggregates. A residual-pruned or limit-cut list never qualifies.
+    if (!filesExact) return None
     // rename lineage: stats may be recorded under old physical names —
     // require the simple world (no lineage) rather than resolve it here
     val declared = CowTable.declaredSchema(path, asOf)

@@ -1508,6 +1508,75 @@ object CowTable {
     }
   }
 
+  /** EXACT partition-equality certificate: `Some(keptFiles)` when the
+    * manifest PROVES that filtering `column IN values` keeps exactly
+    * the rows of `keptFiles` and no residual per-row check is needed —
+    * i.e. every snapshot file either (a) is CONSTANT at one of the
+    * requested values with zero nulls in the column (min == max ==
+    * value, nonNullCount == the file's `R` row count), or (b) provably
+    * excludes every requested value ([min, max] disjoint, or all-null).
+    * Any file with a value strictly inside a non-constant range, any
+    * missing stat/row line, a null-bearing constant file, or an
+    * uncanonicalizable value → None (the caller keeps the ordinary
+    * prune-plus-residual path). This is what lets the catalog scan
+    * accept `day = X` on an identity-partitioned table as FULLY
+    * pushed, unlocking aggregate/limit pushdown under the filter.
+    */
+  def exactConstantPrune(spark: SparkSession, path: String, column: String,
+                         values: Seq[Any], asOf: Option[Int],
+                         colType: types.DataType): Option[Seq[String]] = {
+    if (values.isEmpty || values.contains(null)) return None
+    if (!statsSupported(colType)) return None
+    val files = snapshotFiles(path, asOf)
+    val stats = fileStats(path, asOf)
+    val rowCounts = fileRowCounts(path, asOf)
+    val names = physicalNamesOf(path, column, asOf)
+    // rename lineage means stats could live under old names per file —
+    // require the simple single-name world
+    if (names.length != 1) return None
+    val isString = colType == types.StringType
+    val wantBig: Option[Seq[BigDecimal]] =
+      if (isString) None
+      else { val bs = values.map(litBig(_, Some(colType)))
+             if (bs.exists(_.isEmpty)) return None else Some(bs.flatten) }
+    val wantStr: Option[Seq[String]] =
+      if (!isString) None
+      else if (values.forall(_.isInstanceOf[String]))
+        Some(values.map(_.asInstanceOf[String]))
+      else return None
+    val kept = Vector.newBuilder[String]
+    for (f <- files) {
+      val st = stats.get(f).flatMap(_.get(names.head))
+      val rc = rowCounts.get(f)
+      (st, rc) match {
+        case (Some((mn, mx, nn)), Some(rows)) =>
+          if (nn == 0L) () // all-null file: no value matches — exclude
+          else if (isString) (mn, mx) match {
+            case (org.json4s.JString(a), org.json4s.JString(b)) =>
+              if (a == b && wantStr.get.contains(a)) {
+                if (nn != rows) return None // constant but null-bearing
+                kept += f
+              } else if (a == b) () // constant at a non-requested value
+              else if (wantStr.get.forall(s =>
+                utf8Cmp(s, a) < 0 || utf8Cmp(s, b) > 0)) () // disjoint
+              else return None // a value inside a non-constant range
+            case _ => return None
+          } else (statBig(mn), statBig(mx)) match {
+            case (Some(a), Some(b)) =>
+              if (a == b && wantBig.get.contains(a)) {
+                if (nn != rows) return None
+                kept += f
+              } else if (a == b) ()
+              else if (wantBig.get.forall(x => x < a || x > b)) ()
+              else return None
+            case _ => return None // NaN marker / corrupt: not provable
+          }
+        case _ => return None // missing stats or row count
+      }
+    }
+    Some(kept.result())
+  }
+
   /** STATS-PRUNED range read: [[read]] restricted to
     * [[prunedFilesRange]]'s files, with the residual `lo <= column <=
     * hi` filter still applied — pruning is purely an IO optimization,

@@ -2654,6 +2654,86 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("exact filter pushdown: file-constant equality unlocks filtered aggregate + limit pushdown") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import s.implicits._
+      import graft.sinks.PartitionTransform
+      val t = s"$wh/ns/e"
+      CowTable.create((0L until 1200L).map(i => (i, i % 3, i * 2))
+        .toDF("id", "grp", "v").repartition(4),
+        t, Seq(PartitionTransform.identity("grp")))
+      CowTable.setStatsColumns(s, t, Seq("grp", "v"))
+      // filtered COUNT/MIN/MAX answers from the manifest: grp = 1 is
+      // file-exact (identity partitioning), so the filter is FULLY
+      // pushed and the aggregate rides the certified subset
+      val q = s.sql("SELECT count(*) AS c, min(v) AS mn, max(v) AS mx " +
+        "FROM cowt.ns.e WHERE grp = 1")
+      assert(q.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        q.queryExecution.executedPlan.toString.take(1500))
+      val r = q.head()
+      val want = (0L until 1200L).filter(_ % 3 == 1).map(_ * 2)
+      assert(r.getLong(0) == want.size.toLong && r.getLong(1) == want.min &&
+        r.getLong(2) == want.max, r.toString)
+      // IN over two exact values
+      val q2 = s.sql("SELECT count(*) AS c FROM cowt.ns.e WHERE grp IN (0, 2)")
+      assert(q2.queryExecution.executedPlan.toString.contains("CowAggScan"))
+      assert(q2.head().getLong(0) == (0L until 1200L).count(i => i % 3 != 1).toLong)
+      // a NON-file-constant column keeps its residual: no aggregate
+      // pushdown, same answer
+      val nf = s.sql("SELECT count(*) AS c FROM cowt.ns.e WHERE v = 4")
+      assert(!nf.queryExecution.executedPlan.toString.contains("CowAggScan"))
+      assert(nf.head().getLong(0) == 1L)
+      // LIMIT under the exact filter: prefix-pruned within the kept files
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scanParts(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case _ => Seq.empty
+          })
+        nodes(df.queryExecution.executedPlan).collectFirst {
+          case b: BatchScanExec => b.inputRDD.getNumPartitions }.getOrElse(-1)
+      }
+      val lim = s.sql("SELECT * FROM cowt.ns.e WHERE grp = 1 LIMIT 5")
+      assert(lim.count() == 5)
+      assert(lim.collect().forall(_.getLong(1) == 1L), "every limited row matches")
+      assert(scanParts(s.sql("SELECT * FROM cowt.ns.e WHERE grp = 1 LIMIT 5")) == 1,
+        "limit under an exact filter plans one kept file")
+      // rows equal the unfiltered-plan computation across the board
+      assert(s.sql("SELECT sum(v) FROM cowt.ns.e WHERE grp = 1").head().getLong(0)
+        == want.sum)
+      // a null in the filter column anywhere breaks the certificate:
+      // plans fall back, answers stay right
+      CowTable.append(s, t,
+        Seq((9999L, null.asInstanceOf[java.lang.Long], 0L))
+          .toDF("id", "grp", "v"))
+      val afterNull = s.sql("SELECT count(*) AS c FROM cowt.ns.e WHERE grp = 1")
+      assert(afterNull.head().getLong(0) == want.size.toLong,
+        "null rows never match the equality")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("catalog aggregate pushdown GROUP BY: file-constant group columns answer from the manifest") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
