@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd | dpp " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp", "mfa").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd | dpp | mfa " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -1108,6 +1108,61 @@ object ScaleBench {
       f"runtime filter reads $filesD%d of $dppFiles%d files in ${tD}%5.2f s " +
       f"vs $filesN%d files / ${tN}%5.2f s with DPP off — checksum-equal")
     } // end dpp section
+
+    if (only.forall(_ == "mfa")) {
+    // ---- round-16: manifest-only aggregates -----------------------------
+    // COUNT/MIN/MAX answered from R row-count + C stats lines (zero
+    // data-file reads), global and UNDER a file-exact partition filter
+    // — vs the same queries forced through the data files. At 100 TB
+    // the scan side is the whole table's IO; the manifest side is a
+    // metadata read whose cost is independent of data volume.
+    import graft.sinks.{CowTable, PartitionTransform}
+    val mfaWh = "/tmp/graft_scalebench_mfa"
+    val mfaRoot = java.nio.file.Paths.get(mfaWh)
+    if (java.nio.file.Files.exists(mfaRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(mfaRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$mfaWh/ns"))
+    CowTable.create(spark.range(10000000L).select(col("id"),
+        pmod(col("id"), lit(16L)).as("grp"),
+        sha2(concat(col("id").cast("string"), lit("p")), 256).as("pad"))
+        .repartition(4), s"$mfaWh/ns/t",
+      Seq(PartitionTransform.identity("grp")))
+    CowTable.setStatsColumns(spark, s"$mfaWh/ns/t", Seq("grp", "id"))
+    spark.conf.set("spark.sql.catalog.mfacat", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mfacat.root", mfaWh)
+    def timeQ(sql: String): (String, Double) = {
+      val df = spark.sql(sql)
+      val t0 = System.nanoTime()
+      val r = df.collect().head.toString
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (rG, tG) = timeQ("SELECT count(*) c, min(id) mn, max(id) mx FROM mfacat.ns.t")
+    val (rF, tF) = timeQ(
+      "SELECT count(*) c, min(id) mn, max(id) mx FROM mfacat.ns.t WHERE grp = 7")
+    // the forced-scan twins (path read: same files, no manifest answers)
+    val scanDf = CowTable.read(spark, s"$mfaWh/ns/t")
+    val t0s = System.nanoTime()
+    val rGs = scanDf.agg(count(lit(1)), min("id"), max("id")).collect().head.toString
+    val tGs = (System.nanoTime() - t0s) / 1e9
+    val t1s = System.nanoTime()
+    val rFs = scanDf.filter(col("grp") === 7)
+      .agg(count(lit(1)), min("id"), max("id")).collect().head.toString
+    val tFs = (System.nanoTime() - t1s) / 1e9
+    require(rG == rGs && rF == rFs, s"manifest aggregates diverged: $rG/$rGs $rF/$rFs")
+    val pG = spark.sql("SELECT count(*) FROM mfacat.ns.t")
+      .queryExecution.executedPlan.toString
+    require(pG.contains("CowAggScan"), s"global agg must plan CowAggScan: ${pG.take(300)}")
+    val pF = spark.sql("SELECT count(*) FROM mfacat.ns.t WHERE grp = 7")
+      .queryExecution.executedPlan.toString
+    require(pF.contains("CowAggScan"),
+      s"filtered agg must plan CowAggScan under the exact filter: ${pF.take(300)}")
+    println(f"[scalebench] mfa @ 10M rows, 16 identity partitions: " +
+      f"global count/min/max ${tG}%5.2f s (manifest) vs ${tGs}%5.2f s (scan); " +
+      f"grp-filtered ${tF}%5.2f s vs ${tFs}%5.2f s — values equal, zero data files read")
+    } // end mfa section
 
     if (only.forall(_ == "upd")) {
     // ---- round-15: SQL UPDATE write cost ∝ touched files --------------
