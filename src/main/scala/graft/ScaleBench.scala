@@ -768,13 +768,16 @@ object ScaleBench {
     // exact-rerank buffer (FAISS's reorder_k) — on these HARD queries
     // (margins < 0.002, under the quantization error by construction)
     // recall climbs with rerankFactor instead of being free at 64 the
-    // way sq8's finer codes allow. ks=256 books reach 1.000 at
-    // rf=1024 but cost a 4x slower encode (measured in PLANS.md);
-    // the default battery keeps ks=64 and shows the curve.
+    // way sq8's finer codes allow. The battery runs ks=256 books —
+    // affordable since the r16 codegen encoder removed the encode tax
+    // (64.7x; the r15 battery kept ks=64 because 256 quadrupled an
+    // already-interpreted cost) — and the finer books reach full
+    // recall a 4x SHALLOWER rerank than ks=64 needed (1.0@1024 vs
+    // 1.0@4096, PLANS.md r15/r16).
     val pvp = s"$vDir/index_pq"
     val tPqb0 = System.nanoTime()
     IvfIndex.buildIndex(spark, pvc, pvp, numCells = 64, iters = 2,
-      pq = 4, pqCodes = 64, pqTrainSample = 100)
+      pq = 4, pqCodes = 256, pqTrainSample = 100)
     val tPb = (System.nanoTime() - tPqb0) / 1e9
     CowTable.cluster(spark, s"$pvp/assign", files = 64, zcols = Seq("cell"))
     val bP = dataBytes(s"$pvp/assign")
@@ -797,6 +800,8 @@ object ScaleBench {
       s"pq recall must be monotone in rerankFactor: $pqCurve")
     require(pqCurve.last._2 >= 0.9,
       s"pq + deep exact rerank must recover recall: $pqCurve")
+    require(pqCurve.toMap.getOrElse(1024, 0.0) >= 0.9,
+      s"ks=256 books must recover recall by rf=1024 (the finer-book win): $pqCurve")
 
     // ---- round-16: codegen PQ encoder vs the interpreted HOF ----------
     // The r15 PLANS.md cost center: encode at ks=256 paid interpreted
