@@ -521,15 +521,33 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
     * pushed — our filters are all residual, so only UNFILTERED
     * aggregates arrive here, matching the unpruned-file-set guard.
     */
+  /** Spark calls supportCompletePushDown then pushAggregation with the
+    * SAME aggregation in one planning pass — memoize the (identity,
+    * file-set) → answer so the manifest analysis (row-count parse,
+    * stats parse, per-file classification) runs once per query, not
+    * twice (ADVICE r16). Keyed on the file list too: a different
+    * pushdown order would otherwise serve a stale answer set.
+    */
+  private var aggMemo: Option[(AnyRef, Seq[String],
+    Option[(StructType, Seq[InternalRow])])] = None
+  private def answerMemo(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[InternalRow])] = aggMemo match {
+    case Some((a, fs, ans)) if (a eq aggregation) && fs == files => ans
+    case _ =>
+      val ans = CowAggPushdown.answer(spark, path, asOf, tableSchema, files,
+        aggregation, filesExact)
+      aggMemo = Some((aggregation, files, ans))
+      ans
+  }
+
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    CowAggPushdown.answer(spark, path, asOf, tableSchema, files, aggregation,
-      filesExact).isDefined
+    answerMemo(aggregation).isDefined
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val a = CowAggPushdown.answer(spark, path, asOf, tableSchema, files, aggregation,
-      filesExact)
+    val a = answerMemo(aggregation)
     agg = a
     a.isDefined
   }
@@ -742,7 +760,14 @@ private[sinks] object CowAggPushdown {
         answeredFor(files).map(a => (StructType(a.map(_._1)),
           Seq(InternalRow.fromSeq(a.map(_._2)))))
       case Seq(g) =>
-        colOf(g).flatMap { gf =>
+        colOf(g).filter { gf =>
+          // float/double group keys decline (ADVICE r16): files constant
+          // at -0.0 and 0.0 would group by boxed inequality into two
+          // rows where Spark's NormalizeFloatingNumbers merges them
+          // (NaN bit patterns have the mirror hazard). Integral /
+          // string / decimal / date keys have one internal form.
+          gf.dataType != FloatType && gf.dataType != DoubleType
+        }.flatMap { gf =>
           // per-file group key: file-constant (min == max, zero nulls —
           // nonNullCount equals the R row count) or the all-null file
           // (the NULL group). Any mixed file → decline.

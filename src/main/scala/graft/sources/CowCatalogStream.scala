@@ -260,16 +260,60 @@ class CowAppendMicroBatchStream(spark: SparkSession, val path: String,
   override def getDefaultReadLimit(): ss.ReadLimit =
     maxRows.map(ss.ReadLimit.maxRows).getOrElse(ss.ReadLimit.allAvailable())
 
+  /** The row cap inside `limit`, unwrapping `CompositeReadLimit`
+    * (Spark composes limits under some triggers — falling through to
+    * "admit everything" would silently bypass the user's
+    * maxRowsPerBatch; ADVICE r16).
+    */
+  private def rowCapOf(limit: ss.ReadLimit): Option[ss.ReadMaxRows] = limit match {
+    case mr: ss.ReadMaxRows => Some(mr)
+    case c: ss.CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(l => rowCapOf(l)).headOption
+    case _ => None
+  }
+
+  /** The capped stream's initial-snapshot anchor: the earliest retained
+    * version ADVANCED past the newest rewrite boundary (a window whose
+    * file set shrank or whose delete sidecars changed is not
+    * append-only — replaying it would throw; ADVICE r16 medium). The
+    * snapshot at the anchor plus append-only windows forward is exactly
+    * the table's rows, and every replayed window honors the row budget;
+    * only the one snapshot batch may exceed it (same acceptance as the
+    * uncapped path's anchor-at-current first batch). An explicit
+    * startingVersion pins the anchor — skipping past a rewrite the user
+    * asked to replay stays a loud failure, never silent.
+    */
+  private def cappedAnchor(target: Long): Long = {
+    val earliest = CowTable.earliestVersion(path).toLong
+    var anchor = earliest
+    var v = earliest
+    var files = CowTable.snapshotFiles(path, Some(v.toInt)).toSet
+    var dels = (CowTable.snapshotDeletes(path, Some(v.toInt)).toSet,
+      CowTable.snapshotPositionDeletes(path, Some(v.toInt)).toSet)
+    while (v < target) {
+      v += 1
+      val nf = CowTable.snapshotFiles(path, Some(v.toInt)).toSet
+      val nd = (CowTable.snapshotDeletes(path, Some(v.toInt)).toSet,
+        CowTable.snapshotPositionDeletes(path, Some(v.toInt)).toSet)
+      if ((files -- nf).nonEmpty || dels != nd) anchor = v
+      files = nf
+      dels = nd
+    }
+    anchor
+  }
+
   override def latestOffset(start: ss.Offset, limit: ss.ReadLimit): ss.Offset = {
     val target = latestOffset().asInstanceOf[CowVOffset]
     val sv = start.asInstanceOf[CowVOffset].v
-    limit match {
-      case _: ss.ReadMaxRows if sv < 0 && target.v > 0 =>
-        val anchor = math.max(CowTable.earliestVersion(path).toLong,
-          startingVersion.map(_.toLong).getOrElse(1L))
+    rowCapOf(limit) match {
+      case Some(_) if sv < 0 && target.v > 0 =>
+        val anchor = startingVersion match {
+          case Some(s) => math.max(CowTable.earliestVersion(path).toLong, s.toLong)
+          case None    => cappedAnchor(target.v)
+        }
         base = math.max(base, anchor)
         CowVOffset(anchor)
-      case mr: ss.ReadMaxRows if sv >= 0 && target.v > sv =>
+      case Some(mr) if sv >= 0 && target.v > sv =>
         var acc = 0L
         var v = sv
         var prev = CowTable.snapshotFiles(path, Some(sv.toInt)).toSet

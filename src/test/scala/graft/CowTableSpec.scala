@@ -2776,6 +2776,19 @@ class CowTableSpec extends SparkSpecBase {
       assert(!m.queryExecution.executedPlan.toString.contains("CowAggScan"),
         "v is not file-constant — pushdown must decline")
       assert(m.count() == 900L)
+      // float/double group keys decline even when file-constant: -0.0
+      // and 0.0 are distinct boxed values but ONE group under Spark's
+      // NormalizeFloatingNumbers semantics (ADVICE r16)
+      val tf = s"$wh/ns/gf"
+      CowTable.create(Seq((1L, -0.0), (2L, -0.0)).toDF("id", "d"), tf)
+      CowTable.append(s, tf, Seq((3L, 0.0), (4L, 0.0)).toDF("id", "d"))
+      CowTable.setStatsColumns(s, tf, Seq("d"))
+      val fq = s.sql("SELECT d, count(*) AS c FROM cowt.ns.gf GROUP BY d")
+      assert(!fq.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "double group key must decline manifest GROUP BY pushdown")
+      val frows = fq.collect()
+      assert(frows.length == 1 && frows.head.getLong(1) == 4L,
+        s"-0.0 and 0.0 are one group: ${frows.mkString(",")}")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -2176,4 +2176,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(sizes.toSeq == Seq(3L, 4L, 2L), sizes.toSeq.toString)
     assert(sizes.sum == 9L, "no gap, no duplicate under row admission")
   }
+
+  test("catalog readStream row cap: anchor advances past rewrite history (ADVICE r16)") {
+    import spark.implicits._
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("cow_cat_adm2").toString
+    spark.conf.set("spark.sql.catalog.cowstr4", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cowstr4.root", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ns"))
+    val t = s"$dir/ns/t"
+    CowTable.create((1L to 3L).map(i => (i, i)).toDF("id", "v"), t)      // v1
+    CowTable.append(spark, t, Seq((4L, 4L)).toDF("id", "v"))             // v2
+    CowTable.delete(spark, t, "id = 2")                                  // v3: REWRITE
+    CowTable.append(spark, t, Seq((5L, 5L), (6L, 6L)).toDF("id", "v"))  // v4
+    CowTable.append(spark, t, Seq((7L, 7L), (8L, 8L)).toDF("id", "v"))  // v5
+    // capped + no startingVersion: the old earliest-version anchor
+    // replayed the v2->v3 rewrite window and threw 'not append-only';
+    // the anchor must advance to v3 (snapshot there), then honor the
+    // 2-row budget across the append-only windows forward
+    val out = s"$dir/out"
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("maxRowsPerBatch", "2")
+      .table("cowstr4.ns.t").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += b.count() }
+        b.write.mode("append").parquet(out); () }
+      .start()
+    q.processAllAvailable(); q.stop()
+    // batch 1 = snapshot at v3 (1,3,4 — post-delete), then v4, then v5
+    assert(sizes.toSeq == Seq(3L, 2L, 2L), sizes.toSeq.toString)
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L),
+      "snapshot-at-rewrite-boundary + windows forward = the table's rows")
+    // an explicit startingVersion BEFORE the rewrite still fails loudly
+    // (the user pinned the replay; skipping it would be silent)
+    val q2 = spark.readStream.option("maxRowsPerBatch", "2")
+      .option("startingVersion", "1")
+      .table("cowstr4.ns.t").writeStream
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getMessage.contains("not append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("not append-only")), e.getMessage)
+  }
 }
