@@ -230,29 +230,17 @@ object Metrics10 {
   }
 
   /** Collatz stopping times for the key-derived seeds 2..1001, computed
-    * as ONE bounded codegen `aggregate` HOF per row (≤300 iterations;
-    * the oracle is DuckDB's native WITH RECURSIVE — same trajectory,
-    * engine-appropriate control flow on each side). Censused into
-    * 20-step bands.
+    * by the native codegen [[graft.functions.CollatzSteps]] bounded
+    * loop (≤300 iterations; the oracle is DuckDB's native WITH
+    * RECURSIVE — same trajectory, engine-appropriate control flow on
+    * each side). Censused into 20-step bands. The interpreted
+    * `aggregate` HOF twin this replaced ran the 300-step lambda per
+    * row at 13.5× DuckDB (VERDICT r16); the compiled loop is the
+    * PqEncode fix pattern, and FuncsSpec gates the two bit-identical.
     */
   val exprCollatzSteps: Q = (s, d) => {
-    // single-LONG accumulator (value·1024 + steps — Collatz peaks for
-    // seeds ≤ 1002 stay far under 2^52, steps < 1024): higher-order
-    // lambdas run interpreted, so per-step struct allocation was the
-    // measured cost; the repartition barrier materializes `st` once
-    // instead of re-running the 300-step fold inline in the filter,
-    // the group key and both extrema (the optimizer inlines project
-    // expressions into every consumer)
     orders(s, d).select(expr("o_orderkey % 1000 + 2").as("k")).distinct()
-      .withColumn("st", expr(
-        """aggregate(sequence(1, 300),
-             k * 1024L,
-             (acc, i) -> IF((acc div 1024) = 1L, acc,
-               CASE WHEN (acc div 1024) % 2 = 0
-                    THEN (acc div 2048) * 1024 + (acc % 1024) + 1
-                    ELSE (3 * (acc div 1024) + 1) * 1024 + (acc % 1024) + 1 END),
-             acc -> IF((acc div 1024) = 1L, acc % 1024, -1L))"""))
-      .repartition(col("k"))
+      .withColumn("st", graft.functions.FoldFunctions.collatz_steps(col("k")))
       .filter(col("st") >= 0)
       .groupBy(expr("st div 20").cast("long").as("band"))
       .agg(cnt.as("keys"), min("st").cast("long").as("min_steps"),

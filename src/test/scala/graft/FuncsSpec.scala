@@ -185,4 +185,37 @@ class FuncsSpec extends SparkSpecBase {
       assert(r.getDouble(2) == jw(r.getString(0), r.getString(1)))
     }
   }
+
+  test("collatz_steps: codegen loop bit-identical to the interpreted HOF fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the packed-long aggregate() fold the codegen expression replaced
+    // (VERDICT r16 #1) is retained here as the oracle — same contract
+    // as PqEncode vs its HOF twin
+    val seeds = (1L to 1002L).toDF("k")
+    val got = seeds
+      .withColumn("cg", graft.functions.FoldFunctions.collatz_steps(col("k")))
+      .withColumn("hof", expr(
+        """aggregate(sequence(1, 300),
+             k * 1024L,
+             (acc, i) -> IF((acc div 1024) = 1L, acc,
+               CASE WHEN (acc div 1024) % 2 = 0
+                    THEN (acc div 2048) * 1024 + (acc % 1024) + 1
+                    ELSE (3 * (acc div 1024) + 1) * 1024 + (acc % 1024) + 1 END),
+             acc -> IF((acc div 1024) = 1L, acc % 1024, -1L))"""))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"seed ${r.getLong(0)}: codegen ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // edges: seed 1 takes 0 steps; 27 is the classic 111-step seed;
+    // non-positive seeds never reach 1 → −1, never an infinite loop
+    val e = Seq(1L, 27L, 0L, -5L).toDF("k")
+      .select(graft.functions.FoldFunctions.collatz_steps(col("k")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(e == Seq(0L, 111L, -1L, -1L), e.toString)
+    // nulls propagate
+    val n = Seq[java.lang.Long](null, 6L).toDF("k")
+      .select(graft.functions.FoldFunctions.collatz_steps(col("k")).as("s"))
+      .collect()
+    assert(n(0).isNullAt(0) && n(1).getLong(0) == 8L)
+  }
 }
