@@ -1144,17 +1144,19 @@ object ScaleBench {
       val r = df.collect().head.toString
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val (rG, tG) = timeQ("SELECT count(*) c, min(id) mn, max(id) mx FROM mfacat.ns.t")
-    val (rF, tF) = timeQ(
-      "SELECT count(*) c, min(id) mn, max(id) mx FROM mfacat.ns.t WHERE grp = 7")
+    val (rG, tG) = timeQ("SELECT count(*) c, min(id) mn, max(id) mx, " +
+      "sum(id) sm FROM mfacat.ns.t")
+    val (rF, tF) = timeQ("SELECT count(*) c, min(id) mn, max(id) mx, " +
+      "sum(id) sm FROM mfacat.ns.t WHERE grp = 7")
     // the forced-scan twins (path read: same files, no manifest answers)
     val scanDf = CowTable.read(spark, s"$mfaWh/ns/t")
     val t0s = System.nanoTime()
-    val rGs = scanDf.agg(count(lit(1)), min("id"), max("id")).collect().head.toString
+    val rGs = scanDf.agg(count(lit(1)), min("id"), max("id"), sum("id"))
+      .collect().head.toString
     val tGs = (System.nanoTime() - t0s) / 1e9
     val t1s = System.nanoTime()
     val rFs = scanDf.filter(col("grp") === 7)
-      .agg(count(lit(1)), min("id"), max("id")).collect().head.toString
+      .agg(count(lit(1)), min("id"), max("id"), sum("id")).collect().head.toString
     val tFs = (System.nanoTime() - t1s) / 1e9
     require(rG == rGs && rF == rFs, s"manifest aggregates diverged: $rG/$rGs $rF/$rFs")
     val pG = spark.sql("SELECT count(*) FROM mfacat.ns.t")

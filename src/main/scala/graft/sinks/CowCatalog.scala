@@ -669,6 +669,7 @@ private[sinks] object CowAggPushdown {
     if (declared.exists(_.fields.exists(_.metadata.contains("was")))) return None
     val rowCounts = CowTable.fileRowCounts(path, asOf)
     val stats = CowTable.fileStats(path, asOf)
+    val sums = CowTable.fileSums(path, asOf)
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
@@ -731,6 +732,49 @@ private[sinks] object CowAggPushdown {
         }
       }
 
+    /** Exact SUM over `fs` from the per-file sum elements (round 17):
+      * integral columns re-add the per-file long partials (addition
+      * mod 2^64 is associative, so this IS the scan's answer under
+      * non-ANSI wrap semantics); decimal columns combine exact string
+      * partials in BigDecimal and must fit Spark's sum result type
+      * `decimal(p+10, s)` — an overflowing total declines (the scan
+      * path owns Spark's own overflow behavior). A file missing its
+      * sum element (pre-r17 line — [[CowTable.setStatsColumns]]
+      * backfills) or a float/double column declines. All-null files
+      * carry JNull and contribute nothing; every file all-null → NULL,
+      * SQL's empty-sum.
+      */
+    def sumOf(fs: Seq[String], f: StructField): Option[(StructField, Any)] = {
+      val per = fs.map(fl => sums.get(fl).flatMap(_.get(f.name)))
+      if (per.exists(_.isEmpty)) return None
+      val vals = per.flatten.filter(_ != JNull)
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val longs = vals.map {
+            case org.json4s.JLong(v) => Some(v)
+            case org.json4s.JInt(v)  => Some(v.toLong)
+            case _                   => None
+          }
+          if (longs.exists(_.isEmpty)) None
+          else Some((StructField(s"sum_${f.name}", LongType),
+            if (longs.isEmpty) null else longs.flatten.reduce(_ + _)))
+        case d: DecimalType =>
+          val rp = math.min(38, d.precision + 10)
+          val bds = vals.map {
+            case JString(s) => scala.util.Try(BigDecimal(s)).toOption
+            case _          => None
+          }
+          if (bds.exists(_.isEmpty)) None
+          else if (bds.isEmpty)
+            Some((StructField(s"sum_${f.name}", DecimalType(rp, d.scale)), null))
+          else scala.util.Try(
+            org.apache.spark.sql.types.Decimal(
+              bds.flatten.reduce(_ + _), rp, d.scale)).toOption
+            .map(v => (StructField(s"sum_${f.name}", DecimalType(rp, d.scale)), v))
+        case _ => None
+      }
+    }
+
     def answeredFor(fs: Seq[String]): Option[Seq[(StructField, Any)]] = {
       val answered: Seq[Option[(StructField, Any)]] =
         aggregation.aggregateExpressions.toSeq.map {
@@ -749,6 +793,32 @@ private[sinks] object CowAggPushdown {
           case m: Max =>
             colOf(m.column).flatMap(f => extremum(fs, f, takeMin = false).map(v =>
               (StructField(s"max_${f.name}", f.dataType), v.orNull)))
+          case s: Sum if !s.isDistinct =>
+            colOf(s.column).flatMap(f => sumOf(fs, f))
+          // AVG = exact-sum / nonNullCount, integral columns only: one
+          // double rounding at the end (deterministic), where the scan
+          // path accumulates doubles incrementally — within an ulp,
+          // and this is the complete-pushdown path Spark only takes
+          // when supportCompletePushDown said yes. Decimal avg has
+          // engine-specific scale/rounding rules — decline, the
+          // sum+count rewrite Spark applies when complete pushdown is
+          // refused still answers manifest-only.
+          case a: Avg if !a.isDistinct =>
+            colOf(a.column).flatMap { f =>
+              f.dataType match {
+                case ByteType | ShortType | IntegerType | LongType =>
+                  for {
+                    s <- sumOf(fs, f)
+                    per <- statsFor(fs, f.name)
+                  } yield {
+                    val n = per.map(_._3).sum
+                    (StructField(s"avg_${f.name}", DoubleType),
+                      if (n == 0L || s._2 == null) null
+                      else s._2.asInstanceOf[Long].toDouble / n)
+                  }
+                case _ => None
+              }
+            }
           case _ => None
         }
       if (answered.exists(_.isEmpty) || answered.isEmpty) None

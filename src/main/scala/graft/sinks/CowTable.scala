@@ -891,8 +891,30 @@ object CowTable {
     val typed = cols.filter(df.columns.contains)
       .map(c => c -> df.schema(c).dataType).filter(ct => statsSupported(ct._2))
     if (typed.isEmpty) return Seq.empty
-    val aggs = typed.flatMap { case (c, _) =>
-      Seq(min(col(c)), max(col(c)), count(col(c)))
+    // 4th element (round 17): the column's exact per-file SUM, recorded
+    // for integral (wraps mod 2^64 — associative, so per-file partials
+    // re-sum to the scan's answer) and decimal (exact string) columns —
+    // the manifest lines behind SUM/AVG aggregate pushdown. Float /
+    // double sums are NOT recorded: FP addition is order-dependent, so
+    // a manifest answer could not be exact. Other types carry JNull.
+    def summable(t: types.DataType): Boolean = t match {
+      case types.ByteType | types.ShortType | types.IntegerType |
+           types.LongType | _: types.DecimalType => true
+      case _ => false
+    }
+    val aggs = typed.flatMap { case (c, t) =>
+      Seq(min(col(c)), max(col(c)), count(col(c)),
+        if (summable(t)) sum(col(c)) else lit(null))
+    }
+    def sumJson(v: Any, t: types.DataType): org.json4s.JValue = {
+      import org.json4s._
+      if (v == null) JNull
+      else t match {
+        case types.ByteType | types.ShortType | types.IntegerType | types.LongType =>
+          JLong(v.asInstanceOf[Number].longValue)
+        case _: types.DecimalType => JString(v.toString)
+        case _ => JNull
+      }
     }
     val byNorm = files.map(f => Paths.get(f).normalize.toString -> f).toMap
     df.groupBy(col("_metadata.file_path").as("__f"))
@@ -905,9 +927,10 @@ object CowTable {
           import org.json4s._
           val obj = JObject(typed.zipWithIndex.map { case ((c, t), i) =>
             c -> JArray(List(
-              statJson(r.get(1 + i * 3), t),
-              statJson(r.get(2 + i * 3), t),
-              JLong(r.getLong(3 + i * 3))))
+              statJson(r.get(1 + i * 4), t),
+              statJson(r.get(2 + i * 4), t),
+              JLong(r.getLong(3 + i * 4)),
+              sumJson(r.get(4 + i * 4), t)))
           }.toList)
           StatsPrefix + f + "\t" + org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(obj))
@@ -1010,8 +1033,36 @@ object CowTable {
       else scala.util.Try {
         val cols = org.json4s.jackson.JsonMethods.parse(body.substring(i + 1))
           .asInstanceOf[JObject].obj.flatMap {
-            case (c, JArray(List(mn, mx, nn))) =>
+            // 3-element = pre-r17 lines; 4-element carry the sum too
+            // (served by [[fileSums]], invisible here)
+            case (c, JArray(mn :: mx :: nn :: _)) =>
               statBig(nn).map(n => c -> ((mn, mx, n.toLong)))
+            case _ => None
+          }.toMap
+        body.substring(0, i) -> cols
+      }.toOption
+    }.toMap
+  }
+
+  /** Per-file exact column SUMS (the 4th `C`-line element, round 17):
+    * file → column → sum JSON — `JLong` for integral columns (wraps
+    * mod 2^64, associative), `JString` exact decimal, `JNull` when the
+    * file's column is all-null. A column ABSENT from a file's map means
+    * the line predates the sum element (or the type is unsummable) —
+    * SUM/AVG pushdown must decline for that file; re-running
+    * [[setStatsColumns]] backfills.
+    */
+  def fileSums(path: String, asOf: Option[Int] = None)
+      : Map[String, Map[String, org.json4s.JValue]] = {
+    import org.json4s._
+    manifestLines(path, asOf).filter(_.startsWith(StatsPrefix)).flatMap { l =>
+      val body = l.stripPrefix(StatsPrefix)
+      val i = body.indexOf('\t')
+      if (i < 0) None
+      else scala.util.Try {
+        val cols = org.json4s.jackson.JsonMethods.parse(body.substring(i + 1))
+          .asInstanceOf[JObject].obj.flatMap {
+            case (c, JArray(List(_, _, _, sm))) => Some(c -> sm)
             case _ => None
           }.toMap
         body.substring(0, i) -> cols

@@ -2591,6 +2591,89 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("catalog aggregate pushdown SUM/AVG: manifest sum lines answer exactly; FP and pre-sum lines decline") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import s.implicits._
+      val t = s"$wh/ns/sm"
+      // long + decimal + double columns; one all-null-v file; appended
+      // in parts so per-file partials must actually combine
+      CowTable.create((0L until 400L).map(i =>
+        (i, i * 7, BigDecimal(i).setScale(2), i / 2.0)).toDF("id", "v", "amt", "d")
+        .repartition(3), t)
+      CowTable.append(s, t, Seq(
+        (9000L, null.asInstanceOf[java.lang.Long],
+          new java.math.BigDecimal("0.25"), 0.5))
+        .toDF("id", "v", "amt", "d"))
+      CowTable.setStatsColumns(s, t, Seq("id", "v", "amt", "d"))
+      def q = s.sql("SELECT sum(v) AS sv, avg(v) AS av, sum(amt) AS sa, " +
+        "count(*) AS c FROM cowt.ns.sm")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("CowAggScan"), plan.take(2000))
+      val r = q.head()
+      val wantSum = (0L until 400L).map(_ * 7).sum
+      assert(r.getLong(0) == wantSum, r.toString)
+      assert(r.getDouble(1) == wantSum.toDouble / 400L, r.toString)
+      assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("79800.25")) == 0,
+        r.toString)
+      assert(r.getLong(3) == 401L)
+      // double sums are never recorded (FP order-dependence): decline
+      val fp = s.sql("SELECT sum(d) AS sd FROM cowt.ns.sm")
+      assert(!fp.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "double SUM must scan")
+      assert(fp.head().getDouble(0) == ((0L until 400L).map(_ / 2.0).sum + 0.5))
+      // GROUP BY a file-constant key composes with SUM per group
+      val tg = s"$wh/ns/smg"
+      CowTable.create((0L until 300L).map(i => (i, i % 3, i))
+        .toDF("id", "grp", "v").repartition(2),
+        tg, Seq(graft.sinks.PartitionTransform.identity("grp")))
+      CowTable.setStatsColumns(s, tg, Seq("grp", "v"))
+      val g = s.sql("SELECT grp, sum(v) AS sv FROM cowt.ns.smg GROUP BY grp")
+      assert(g.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        g.queryExecution.executedPlan.toString.take(1500))
+      val got = g.collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+      val want = (0L until 300L).groupBy(_ % 3)
+        .map { case (k, xs) => (k, xs.sum) }.toSeq.sortBy(_._1)
+      assert(got == want, s"got $got want $want")
+      // pre-r17 stats lines (no 4th element) decline SUM but keep
+      // MIN/MAX/COUNT: strip the sum element from the manifest in place
+      val tOld = s"$wh/ns/smo"
+      CowTable.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), tOld)
+      CowTable.setStatsColumns(s, tOld, Seq("v"))
+      val mf = java.nio.file.Paths.get(tOld, "_snapshots",
+        s"v${CowTable.currentVersion(tOld)}.json")
+      val rewritten = new String(java.nio.file.Files.readAllBytes(mf))
+        .split("\n").map { l =>
+          if (!l.startsWith("C ")) l
+          else l.replaceAll("""\[(-?[\d.]+),(-?[\d.]+),(\d+),[^\]]*\]""", "[$1,$2,$3]")
+        }.mkString("\n")
+      java.nio.file.Files.write(mf, rewritten.getBytes)
+      val so = s.sql("SELECT sum(v) AS sv FROM cowt.ns.smo")
+      assert(!so.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "missing sum element must decline SUM pushdown")
+      assert(so.head().getLong(0) == 5050L)
+      val mo = s.sql("SELECT min(v) AS mn, count(v) AS c FROM cowt.ns.smo")
+      assert(mo.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "3-element lines still serve MIN/COUNT")
+      assert(mo.head().getLong(0) == 1L && mo.head().getLong(1) == 100L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("catalog LIMIT pushdown: the scan plans only the file prefix covering the limit") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
