@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp", "mfa").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd | dpp | mfa " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp", "mfa", "mft").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd | dpp | mfa | mft " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -1170,6 +1170,94 @@ object ScaleBench {
       f"global count/min/max ${tG}%5.2f s (manifest) vs ${tGs}%5.2f s (scan); " +
       f"grp-filtered ${tF}%5.2f s vs ${tFs}%5.2f s — values equal, zero data files read")
     } // end mfa section
+
+    if (only.forall(_ == "mft")) {
+    // ---- round-17: manifest SCALE — planning against 100k files ---------
+    // At 100 TB a snapshot references 10⁵–10⁶ files; every plan walks
+    // the manifest (file list, R row counts, C stats JSON, lookup
+    // gates). This probe synthesizes a 100k-entry manifest (fake file
+    // paths — nothing below the planner ever opens them) and measures
+    // the PLANNING sequence a filtered aggregate runs: snapshotFiles +
+    // fileRowCounts + exactConstantPrune + prunedFilesIn. Cold = first
+    // touch pays the text+JSON parse once; warm = every subsequent
+    // plan against the same snapshot serves from the (manifest, size,
+    // mtime)-keyed driver cache. The gate: warm ≥10× colder-than-cold
+    // (VERDICT r16 task 3's done bar).
+    import graft.sinks.CowTable
+    val mftWh = "/tmp/graft_scalebench_mft"
+    val mftRoot = java.nio.file.Paths.get(mftWh)
+    if (java.nio.file.Files.exists(mftRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(mftRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val mftT = s"$mftWh/ns/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$mftT/_snapshots"))
+    val nFiles = 100000
+    val sb = new StringBuilder(nFiles * 160)
+    sb.append("K k\n")
+    var i = 0
+    while (i < nFiles) {
+      val f = s"$mftT/data/fake_$i.parquet"
+      sb.append(f).append('\n')
+      sb.append("R ").append(f).append('\t').append(1000).append('\n')
+      // k file-constant at i (the identity-partitioned shape), v ranging
+      sb.append("C ").append(f).append('\t')
+        .append(s"""{"k":[$i,$i,1000,${1000L * i}],"v":[${i * 10},${i * 10 + 9},1000,${1000L * (i * 10 + 4)}]}""")
+        .append('\n')
+      i += 1
+    }
+    sb.append("W ").append(System.currentTimeMillis()).append('\n')
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$mftT/_snapshots/v1.json"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def planOnce(): Int = {
+      val fs = CowTable.snapshotFiles(mftT)
+      val counts = CowTable.fileRowCounts(mftT)
+      require(fs.size == nFiles && counts.size == nFiles)
+      val exact = CowTable.exactConstantPrune(spark, mftT, "k", Seq(42L),
+        None, org.apache.spark.sql.types.LongType)
+      require(exact.exists(_.size == 1), s"exact prune kept ${exact.map(_.size)}")
+      val ranged = CowTable.prunedFilesIn(spark, mftT, "v", Seq(421L), None,
+        Some(org.apache.spark.sql.types.LongType))
+      require(ranged.size == 1, s"range prune kept ${ranged.size}")
+      exact.get.size + ranged.size
+    }
+    def timePlans(n: Int): Double = {
+      val t0 = System.nanoTime(); var j = 0
+      while (j < n) { planOnce(); j += 1 }
+      (System.nanoTime() - t0) / 1e9 / n
+    }
+    val tCold = timePlans(1) // first touch: full parse
+    val tWarm = timePlans(20) // steady state: cache hits
+    // per-shape steady-state: point filter on the file-constant column
+    // (O(values) via the const index) vs range-ish IN on the
+    // non-constant column (the honest O(files) stats loop)
+    def timeN(n: Int)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); var j = 0
+      while (j < n) { f; j += 1 }
+      (System.nanoTime() - t0) / 1e6 / n
+    }
+    val tPoint = timeN(50)(require(CowTable.exactConstantPrune(spark, mftT, "k",
+      Seq(42L), None, org.apache.spark.sql.types.LongType).exists(_.size == 1)))
+    val tRange = timeN(20)(require(CowTable.prunedFilesIn(spark, mftT, "v",
+      Seq(421L), None, Some(org.apache.spark.sql.types.LongType)).size == 1))
+    println(f"[scalebench] mft @ $nFiles%,d manifest entries: plan cold ${tCold}%6.3f s, " +
+      f"warm ${tWarm}%8.5f s (${tCold / tWarm}%,.0f×) — parse once per snapshot; " +
+      f"point-filter plan ${tPoint}%6.2f ms (const index), " +
+      f"stats-loop plan ${tRange}%6.2f ms")
+    require(tCold / tWarm >= 10.0,
+      f"manifest cache must cut plan time ≥10× (got ${tCold / tWarm}%.1f×)")
+    // a NEW commit (different manifest) must re-parse — never stale
+    val l2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$mftT/_snapshots/v1.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$mftT/_snapshots/v2.json"),
+      (l2 + s"$mftT/data/fake_extra.parquet\nR $mftT/data/fake_extra.parquet\t7\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(CowTable.snapshotFiles(mftT).size == nFiles + 1,
+      "new snapshot version must be re-read, not served stale")
+    } // end mft section
 
     if (only.forall(_ == "upd")) {
     // ---- round-15: SQL UPDATE write cost ∝ touched files --------------
