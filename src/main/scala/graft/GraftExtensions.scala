@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.AsOfRewriteRule)
+    // distributed MoR key deletes: large sidecars rewrite the catalog
+    // scan into a LEFT ANTI JOIN instead of a driver-collected key set
+    ext.injectOptimizerRule(_ => graft.plans.CowMorAntiJoinRule)
     // Whole-operator tier: plans the custom AsOfMergeJoin logical node
     // to its merge exec (SURVEY §4.3 preference (c)).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)

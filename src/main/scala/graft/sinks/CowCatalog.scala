@@ -253,12 +253,18 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     true
   }
 
-  // ---- FunctionCatalog: the bucket transform for SPJ ---------------------
+  // ---- FunctionCatalog: bucket (SPJ + write distribution) and the time
+  // transforms (write distribution — V2ExpressionUtils resolves a
+  // days/months/years clustering expression through this catalog) -------
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array("bucket", "days", "months", "years")
+      .map(Identifier.of(namespace, _))
   override def loadFunction(ident: Identifier): UnboundFunction =
     ident.name() match {
       case "bucket" => CowBucketUnbound
+      case "days"   => new CowTimePartUnbound("days")
+      case "months" => new CowTimePartUnbound("months")
+      case "years"  => new CowTimePartUnbound("years")
       case other    => throw new NoSuchTableException(Seq("function", other))
     }
 }
@@ -335,8 +341,12 @@ final class CowBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.cow.bucket"
-  override def isResultNullable: Boolean = false
+  override def isResultNullable: Boolean = true
   override def produceResult(input: InternalRow): Integer = {
+    // a null key rows into the null-partition directory; as a write
+    // clustering key all nulls land in one task (SPJ never evaluates
+    // this per row — plan-time partition matching only)
+    if (input.isNullAt(1)) return null
     val n = input.getInt(0)
     // the SAME canonical string form PartitionTransform's
     // cast-to-string uses, per key type
@@ -354,12 +364,59 @@ final class CowBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
   }
 }
 
+/** UTC time-partition functions for WRITE DISTRIBUTION: when a write
+  * on a `days/months/years(ts)`-partitioned table requires clustering,
+  * Spark resolves the transform through the catalog's FunctionCatalog
+  * to one of these. Values are ordinal (epoch day / months-since-epoch
+  * / year) computed from the instant's UTC calendar day — the same
+  * UTC-day resolution [[PartitionTransform.exprOf]] lays directories
+  * out by, so equal directory value ⟺ equal clustering key (the only
+  * property distribution needs; the directory STRING itself is still
+  * produced by exprOf at write time).
+  */
+final class CowTimePartUnbound(part: String) extends UnboundFunction {
+  override def name(): String = part
+  override def description(): String =
+    s"$part(col) - UTC ordinal ${part.stripSuffix("s")} of a date/timestamp"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      (inputType.fields(0).dataType == DateType ||
+       inputType.fields(0).dataType == TimestampType),
+      s"$part expects one date/timestamp column, got $inputType")
+    new CowTimePartBound(part, inputType.fields(0).dataType)
+  }
+}
+
+final class CowTimePartBound(part: String, keyType: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = part
+  override def canonicalName(): String = s"graft.cow.$part"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(0)) return null
+    val epochDay: Int = keyType match {
+      case DateType      => input.getInt(0)
+      case TimestampType => Math.floorDiv(input.getLong(0), 86400000000L).toInt
+      case other => throw new UnsupportedOperationException(s"$part key type $other")
+    }
+    part match {
+      case "days" => epochDay
+      case "months" =>
+        val ld = java.time.LocalDate.ofEpochDay(epochDay.toLong)
+        ld.getYear * 12 + ld.getMonthValue - 1
+      case _ => java.time.LocalDate.ofEpochDay(epochDay.toLong).getYear
+    }
+  }
+}
+
 /** The catalog table: DSv2 read face (manifest-pruned vectorized
   * parquet readers honoring MoR sidecars) + V1 write face (INSERT INTO
   * = [[CowTable.append]], INSERT OVERWRITE = [[CowTable.overwrite]] —
   * DataFrame-level seams, same rationale as the CDC source).
   */
-class CowSqlTable(val path: String, ident: String, asOf: Option[Int])
+class CowSqlTable(val path: String, ident: String, val asOf: Option[Int])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** `DELETE FROM cow.ns.t WHERE …`: the pushed filters compile to the
@@ -386,7 +443,7 @@ class CowSqlTable(val path: String, ident: String, asOf: Option[Int])
   override lazy val schema: StructType =
     CowTable.read(SparkSession.active, path, asOf).schema
   override def capabilities(): util.Set[TableCapability] = {
-    val base = Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
     // append-only row streaming (time-travel snapshots are immutable —
     // nothing to stream)
@@ -407,23 +464,94 @@ class CowSqlTable(val path: String, ident: String, asOf: Option[Int])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CowScanBuilder(SparkSession.active, path, asOf, schema, options)
 
+  /** The V2 WRITE FACE (round 17, VERDICT r16 task 1): a real
+    * `BatchWrite` ([[CowBatchWrite]] — task-side parquet writers +
+    * manifest commit from the driver) declaring
+    * `RequiresDistributionAndOrdering` clustering + ordering on the
+    * table's partition transforms. Spark shuffles and sorts the
+    * incoming query accordingly (the V2 exec runs the PREPARED plan —
+    * the V1 fallback discarded it, which is why this face moved off
+    * `V1Write`), so each transform value lands contiguously in one
+    * task and `INSERT INTO` writes ONE file per partition value: the
+    * file-constant / co-bucketed layout every manifest pushdown (exact
+    * filter, GROUP BY aggregates, SUM lines, SPJ, const-index pruning)
+    * fires on. Transforms the function catalog cannot express for the
+    * column's type (truncate, string-typed dates) drop out of the
+    * clustering; an empty remainder degrades to unspecified
+    * distribution — never an analysis error on a previously-working
+    * INSERT. Clustering is non-strict (AQE may coalesce small
+    * partitions and split skewed ones — at 100 TB a hot partition
+    * value SHOULD fan out to several files rather than one straggler
+    * task).
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-            require(asOf.isEmpty, "cannot write to a time-travel snapshot")
-            if (overwrite) CowTable.overwrite(data.sparkSession, path, data)
-            else CowTable.append(data.sparkSession, path, data)
-            ()
-          }
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        private val writeSchema: StructType =
+          Option(info).map(_.schema()).getOrElse(schema)
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution = {
+          import org.apache.spark.sql.connector.distributions.Distributions
+          val exprs = CowSqlTable.clusteringExprs(path, writeSchema)
+          if (asOf.nonEmpty || exprs.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(exprs.toArray)
+        }
+        /** Sorted within tasks by the same transforms, so a task
+          * holding several values writes them contiguously — the
+          * writer keeps one open file at a time instead of one per
+          * value.
+          */
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          CowSqlTable.clusteringExprs(path, writeSchema).map(e =>
+            Expressions.sort(e,
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+              : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+        override def distributionStrictlyRequired(): Boolean = false
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+          require(asOf.isEmpty, "cannot write to a time-travel snapshot")
+          new CowBatchWrite(SparkSession.active, path, writeSchema, overwrite)
+        }
       }
     }
 }
 
 object CowSqlTable {
+  /** The V2 clustering expressions a write on this table should
+    * distribute by — the partition transforms the function catalog can
+    * evaluate for the source column's type. Identity needs no function
+    * (it resolves to the attribute); bucket covers the
+    * [[CowBucketBound]] key types; days/months/years cover
+    * date/timestamp sources. Anything else (truncate, string-typed
+    * dates) is skipped — clustering by a SUBSET still collapses the
+    * per-task file fan-out on the covered transforms.
+    */
+  private[sinks] def clusteringExprs(path: String, schema: StructType)
+      : Seq[org.apache.spark.sql.connector.expressions.Expression] = {
+    def typeOf(src: String): Option[DataType] =
+      schema.fields.find(_.name == src).map(_.dataType)
+    val bucketable: Set[DataType] = Set(StringType, LongType, IntegerType,
+      ShortType, ByteType, DateType)
+    val timely: Set[DataType] = Set(DateType, TimestampType)
+    CowTable.partitionSpec(path, None).flatMap { t =>
+      (t.kind, typeOf(t.src)) match {
+        case ("identity", Some(_)) => Some(Expressions.identity(t.src))
+        case ("bucket", Some(dt)) if bucketable.contains(dt) =>
+          Some(Expressions.bucket(t.n, t.src))
+        case ("day", Some(dt)) if timely.contains(dt) =>
+          Some(Expressions.days(t.src))
+        case ("month", Some(dt)) if timely.contains(dt) =>
+          Some(Expressions.months(t.src))
+        case ("year", Some(dt)) if timely.contains(dt) =>
+          Some(Expressions.years(t.src))
+        case _ => None
+      }
+    }
+  }
+
   /** Exact SQL rendering of a pushed V1 filter, or None (untranslatable
     * → the DELETE is rejected in analysis, never approximated). String
     * literals escape single quotes; other literal types render through
@@ -1034,14 +1162,21 @@ class CowScan(spark: SparkSession, path: String, asOf: Option[Int],
     * nothing for date/timestamp/binary keys — ADVICE r14 (high).
     */
   private val keyDeletes: Option[(Seq[String], Set[Seq[String]])] = {
-    val sidecars = CowTable.snapshotDeletes(path, asOf)
+    // the MoR anti-join rule owns the deletes for this scan: the rule
+    // rewrote the relation into scan LEFT ANTI JOIN sidecar and set
+    // this option, so filtering here too would be redundant work
+    val sidecars =
+      if (options.containsKey(graft.plans.CowMorAntiJoinRule.Flag)) Seq.empty
+      else CowTable.snapshotDeletes(path, asOf)
     if (sidecars.isEmpty) None
     else {
       val df = spark.read.parquet(sidecars: _*).distinct()
       val n = df.count()
       require(n <= 100000,
         s"$n MoR-deleted keys exceed the catalog scan's 100k per-task bound; " +
-          "run CowTable.compact to fold sidecars, or read via CowTable.read")
+          "install GraftExtensions (CowMorAntiJoinRule routes this scan " +
+          "through a distributed anti-join above the bound), run " +
+          "CowTable.compact to fold sidecars, or read via CowTable.read")
       val cols = df.columns.toSeq
       val types = df.schema.fields.map(_.dataType)
       types.zip(cols).foreach { case (t, c) =>

@@ -545,6 +545,19 @@ object CowTable {
     manifestLines(path, asOf).filter(_.startsWith(DeletePrefix))
       .map(_.stripPrefix(DeletePrefix))
 
+  /** Total ROW count of sidecar parquet files from their footers alone
+    * (pre-distinct — routing signal, not a semantic count): one footer
+    * read per file, no data pages. Used by the MoR anti-join rule to
+    * decide reader-set vs join formulation.
+    */
+  private[graft] def sidecarRowCount(sidecars: Seq[String]): Long =
+    sidecars.map { f =>
+      scala.util.Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration())))(_.getRecordCount)
+    }.sum
+
   /** The snapshot's positional-delete sidecar files (often empty). */
   def snapshotPositionDeletes(path: String, asOf: Option[Int] = None): Seq[String] =
     manifestLines(path, asOf).filter(_.startsWith(PosDeletePrefix))
@@ -860,6 +873,41 @@ object CowTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Commit data files the V2 batch writer ([[graft.sinks.CowBatchWrite]])
+    * already wrote: fresh C/R/B sidecar lines are computed for them
+    * (same helpers as every Scala write path), then the manifest
+    * commits with [[append]]'s rebase semantics — losing a race costs
+    * a manifest recompute, never a data rewrite — or, for INSERT
+    * OVERWRITE, with [[overwrite]]'s replace-everything-carry-spec
+    * semantics under the optimistic retry. An empty append (zero rows
+    * wrote zero files) is a no-op, not an empty commit.
+    */
+  private[sinks] def commitWrittenFiles(spark: SparkSession, path: String,
+                                        files: Seq[String],
+                                        overwrite: Boolean): Int = {
+    if (files.isEmpty && !overwrite) return currentVersion(path)
+    val fresh = files ++
+      statsLinesFor(spark, path, files, statsColumns(path)) ++
+      rowLinesFor(spark, files) ++
+      lookupSpec(path).toSeq.flatMap(s => bloomLinesFor(spark, path, files, s))
+    if (overwrite) withCommitRetry() {
+      val base = currentVersion(path)
+      commit(path, fresh ++ specLines(path, base), base)
+    } else {
+      var attempts = 0
+      while (true) {
+        val base = currentVersion(path)
+        try return commit(path, manifestLines(path, Some(base)) ++ fresh, base)
+        catch {
+          case e: ConcurrentCommitException =>
+            attempts += 1
+            if (attempts > 5) throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
   }
 
   /** OPTIMISTIC RETRY for read-modify-write commits ([[merge]],

@@ -2591,6 +2591,81 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("write distribution: SQL INSERT INTO produces the clustered layout the pushdowns need") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import graft.sinks.CowTable
+      // identity-partitioned: CREATE via SQL, INSERT from a DELIBERATELY
+      // scattered upstream (every upstream partition holds every grp) —
+      // without write-side clustering this wrote tasks × values files
+      s.sql("CREATE TABLE cowt.ns.wd (id BIGINT, grp BIGINT, v BIGINT) " +
+        "PARTITIONED BY (grp)")
+      s.sql("INSERT INTO cowt.ns.wd " +
+        "SELECT id, id % 3 AS grp, id * 2 AS v FROM range(900)")
+      val t = s"$wh/ns/wd"
+      val files = CowTable.snapshotFiles(t)
+      assert(files.size == 3, s"one file per grp value, got ${files.size}")
+      // the layout is what the manifest machinery needs: declare stats,
+      // and both the exact filter and the GROUP BY aggregate answer
+      // manifest-only on SQL-WRITTEN data
+      CowTable.setStatsColumns(s, t, Seq("grp", "v"))
+      val g = s.sql("SELECT grp, count(*) AS c, sum(v) AS sv " +
+        "FROM cowt.ns.wd GROUP BY grp")
+      assert(g.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        g.queryExecution.executedPlan.toString.take(1500))
+      assert(g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq ==
+        (0L until 900L).groupBy(_ % 3).toSeq.map { case (k, xs) =>
+          (k, xs.size.toLong, xs.map(_ * 2).sum) }.sortBy(_._1))
+      val f = s.sql("SELECT count(*) AS c FROM cowt.ns.wd WHERE grp = 1")
+      assert(f.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "exact filter + agg pushdown must fire on SQL-written layout")
+      assert(f.head().getLong(0) == 300L)
+      // bucket-clustered: INSERT INTO a bucket(4, id) table lands one
+      // file per bucket, under the bucket=N directories SPJ groups by
+      s.sql("CREATE TABLE cowt.ns.wb (id BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, id))")
+      s.sql("INSERT INTO cowt.ns.wb SELECT id, id AS v FROM range(400)")
+      val bFiles = CowTable.snapshotFiles(s"$wh/ns/wb")
+      assert(bFiles.size == 4, s"one file per bucket, got ${bFiles.size}")
+      assert(bFiles.forall(_.contains("p_bucket4_id=")), bFiles.take(2).toString)
+      assert(s.sql("SELECT count(*) AS c FROM cowt.ns.wb").head().getLong(0) == 400L)
+      // days-partitioned timestamps cluster through the catalog's days()
+      // function (UTC day), one file per calendar day
+      s.sql("CREATE TABLE cowt.ns.wt (ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+      s.sql("INSERT INTO cowt.ns.wt SELECT " +
+        "timestamp_micros(cast(1700000000000000 + (id % 5) * 86400000000 + id AS bigint)) AS ts, " +
+        "id AS v FROM range(500)")
+      val tFiles = CowTable.snapshotFiles(s"$wh/ns/wt")
+      assert(tFiles.size == 5, s"one file per UTC day, got ${tFiles.size}")
+      assert(s.sql("SELECT count(DISTINCT v) AS c FROM cowt.ns.wt").head().getLong(0) == 500L)
+      // a second INSERT appends its own per-value files (append never
+      // rewrites); the layout stays file-constant so pushdown still fires
+      s.sql("INSERT INTO cowt.ns.wd SELECT id, id % 3, id * 2 FROM range(900, 1200)")
+      val files2 = CowTable.snapshotFiles(t)
+      assert(files2.size == 6, s"3 + 3 per-value files, got ${files2.size}")
+      val f2 = s.sql("SELECT count(*) AS c FROM cowt.ns.wd WHERE grp = 1")
+      assert(f2.queryExecution.executedPlan.toString.contains("CowAggScan"))
+      assert(f2.head().getLong(0) == 400L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("catalog aggregate pushdown SUM/AVG: manifest sum lines answer exactly; FP and pre-sum lines decline") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
@@ -2666,6 +2741,62 @@ class CowTableSpec extends SparkSpecBase {
       assert(mo.queryExecution.executedPlan.toString.contains("CowAggScan"),
         "3-element lines still serve MIN/COUNT")
       assert(mo.head().getLong(0) == 1L && mo.head().getLong(1) == 100L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("distributed MoR key deletes: large sidecars route through a LEFT ANTI JOIN, no driver cap") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      // semantics under the FORCED join path: small sidecar, every read
+      // shape (count, filter, projection pruning the key column)
+      val t = s"$wh/ns/mj"
+      CowTable.create((0L until 1000L).map(i => (i, i * 3, s"n_$i"))
+        .toDF("id", "v", "name").repartition(3), t)
+      CowTable.deleteMorKeys(s, t, (0L until 1000L by 100).toDF("id"), "id")
+      s.conf.set("spark.graft.morAntiJoinForce", "true")
+      def q = s.sql("SELECT count(*) AS c FROM cowt.ns.mj")
+      assert(q.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+        q.queryExecution.optimizedPlan.toString.take(1500))
+      assert(q.head().getLong(0) == 990L)
+      // projection that prunes the key column still deletes correctly
+      val vs = s.sql("SELECT sum(v) AS sv FROM cowt.ns.mj").head().getLong(0)
+      assert(vs == (0L until 1000L).filterNot(_ % 100 == 0).map(_ * 3).sum, vs)
+      // filters compose above the anti-join
+      assert(s.sql("SELECT count(*) AS c FROM cowt.ns.mj WHERE id < 250")
+        .head().getLong(0) == 247L) // 0,100,200 deleted
+      s.conf.unset("spark.graft.morAntiJoinForce")
+      // the REAL trigger: a >100k-key sidecar — the reader path's loud
+      // cap is unreachable because footer row counts route to the join
+      val tb = s"$wh/ns/mjbig"
+      CowTable.create(s.range(300000L).select(col("id"), (col("id") * 2).as("v")), tb)
+      CowTable.deleteMorKeys(s, tb, s.range(130000L).select(col("id")), "id")
+      val big = s.sql("SELECT count(*) AS c, sum(v) AS sv FROM cowt.ns.mjbig")
+      assert(big.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+        "a 130k-key sidecar must take the anti-join, not the capped reader path")
+      val bigRow = big.head()
+      assert(bigRow.getLong(0) == 170000L)
+      assert(bigRow.getLong(1) == (130000L until 300000L).map(_ * 2).sum)
+      // time travel to the pre-delete snapshot is untouched
+      val v1 = 1
+      assert(s.sql(s"SELECT count(*) AS c FROM cowt.ns.mjbig VERSION AS OF $v1")
+        .head().getLong(0) == 300000L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
