@@ -65,11 +65,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * at n, the wrong trade for a scan-bound query (same honest gate as
   * `topkRewrite`/`bandJoin`).
   *
-  * LIMITS (loud, never silent): the DSv2 read face requires a
-  * non-evolved declared schema (renames/drops/widening route through
-  * [[CowTable.read]] — the TVF face covers them in SQL); key-delete
-  * sidecars beyond 100k rows fail the scan with a compaction hint
-  * rather than ship unbounded state to every task.
+  * SCHEMA EVOLUTION (round 17 parity): the DSv2 read face serves the
+  * full evolution battery — adds, renames (lineage-coalesced in the
+  * reader), drops, and widens, including snapshots MIXING pre- and
+  * post-widen files (each file reads independently at the declared
+  * type; no footer-merge inference, which cannot merge a widen's
+  * physical types). `schema` itself resolves from the manifest's
+  * declared line — metadata-only, no file listing.
+  *
+  * LIMITS (loud, never silent): key-delete sidecars beyond 100k rows
+  * fail the scan with a compaction hint rather than ship unbounded
+  * state to every task — unless [[graft.plans.CowMorAntiJoinRule]] is
+  * installed (GraftExtensions), which rewrites such scans into a
+  * distributed anti-join with no bound.
   */
 class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
   private var catalogName: String = _
@@ -440,8 +448,13 @@ class CowSqlTable(val path: String, ident: String, val asOf: Option[Int])
     ()
   }
   override def name(): String = ident
+  /** Declared schema when the table evolved (metadata-only — no file
+    * listing, no footer merge that a widen's mixed physical types
+    * would break), else the snapshot's merged file schema.
+    */
   override lazy val schema: StructType =
-    CowTable.read(SparkSession.active, path, asOf).schema
+    CowTable.declaredSchema(path, asOf).map(CowTable.stripLineage)
+      .getOrElse(CowTable.read(SparkSession.active, path, asOf).schema)
   override def capabilities(): util.Set[TableCapability] = {
     val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)

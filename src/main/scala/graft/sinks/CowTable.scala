@@ -1890,7 +1890,25 @@ object CowTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
         .getOrElse(throw new IllegalStateException(
           s"snapshot of $path has no data files and no declared schema"))
-    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    // An EVOLVED snapshot reads with an EXPLICIT schema — declared
+    // fields plus each field's rename-lineage names, all at the
+    // DECLARED type (parquet readers upcast a widened column's old
+    // INT32/FLOAT pages; absent columns read null). Schema-merge
+    // inference cannot merge a widen's mixed physical types
+    // (CANNOT_MERGE_SCHEMAS on any post-widen append), and would
+    // also open every footer — O(files) at 100 TB. Non-evolved
+    // snapshots keep the merge (no declared shape to trust).
+    val raw = declaredSchema(path, asOf) match {
+      case Some(ds) =>
+        val readFields = ds.fields.flatMap { f =>
+          val was =
+            if (f.metadata.contains("was")) f.metadata.getStringArray("was").toSeq
+            else Seq.empty
+          (f.name +: was).map(n => types.StructField(n, f.dataType, nullable = true))
+        }
+        spark.read.schema(types.StructType(readFields)).parquet(files: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
     val pos = applyPosDeletes(spark, raw, snapshotPositionDeletes(path, asOf))
     val projected = declaredSchema(path, asOf).fold(pos)(projectDeclared(pos, _))
     applyKeyDeletes(spark, projected, snapshotDeletes(path, asOf))
@@ -2313,11 +2331,19 @@ object CowTable {
 
   /** All physical column names any snapshot file carries (current
     * names and renamed-away ones) — the collision domain for
-    * [[addColumn]]/[[renameColumn]].
+    * [[addColumn]]/[[renameColumn]]. Names come from each footer
+    * independently: schema-MERGE inference would throw on a widened
+    * column's mixed physical types, and only the name set matters.
     */
   private def physicalCols(spark: SparkSession, path: String, base: Int): Set[String] =
-    spark.read.option("mergeSchema", "true")
-      .parquet(snapshotFiles(path, Some(base)): _*).columns.toSet
+    snapshotFiles(path, Some(base)).flatMap { f =>
+      scala.util.Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration()))) { r =>
+        r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+      }
+    }.toSet
 
   private def commitSchema(path: String, schema: types.StructType, base: Int): Int =
     commit(path,
@@ -2341,7 +2367,7 @@ object CowTable {
     * otherwise let a later [[addColumn]] re-introduce a lineage name
     * into live coalesce groups.
     */
-  private def stripLineage(schema: types.StructType): types.StructType =
+  private[sinks] def stripLineage(schema: types.StructType): types.StructType =
     types.StructType(schema.fields.map { f =>
       if (!f.metadata.contains("was")) f
       else {
