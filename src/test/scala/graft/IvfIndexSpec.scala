@@ -79,6 +79,58 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(!r2.rebuilt && r2.toVersion == r.toVersion)
   }
 
+  test("refresh on a PQ index: the window re-encodes under FROZEN codebooks; drift re-seed retrains") {
+    import spark.implicits._
+    val dir = tmp
+    val (corpus, index) = (s"$dir/corpus", s"$dir/index")
+    mkCorpus(corpus, 240L)
+    IvfIndex.buildIndex(spark, corpus, index, numCells = 4, iters = 2,
+      pq = 4, pqCodes = 16)
+    def cbRows(): Seq[(Int, Int, Seq[Double])] =
+      CowTable.read(spark, s"$index/codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val cbBefore = cbRows()
+    // incremental window: updates move, inserts arrive, deletes retire
+    CowTable.merge(spark, corpus,
+      (0L until 8L).map(i => (i * 3, vecOf(i * 3 + 900))).toDF("vec_id", "ve"),
+      "vec_id")
+    CowTable.append(spark, corpus,
+      (600L until 606L).map(i => (i, vecOf(i))).toDF("vec_id", "ve"))
+    CowTable.deleteMorKeys(spark, corpus,
+      (50L until 55L).map(Tuple1(_)).toDF("vec_id"), "vec_id")
+    val r = IvfIndex.refresh(spark, corpus, index, maxDrift = 1e9, numCells = 4)
+    assert(!r.rebuilt, "mild delta must not re-seed a PQ index")
+    assert(cbRows() == cbBefore, "codebooks FROZEN across an incremental window")
+    // every live row's STORED codes == the codegen encode of its float
+    // vector under the FROZEN books (the window re-encoded only its own
+    // rows, yet the whole table remains one consistent encoding)
+    val (m, ks) = (4, 16)
+    val byCode: Map[Int, Map[Int, Seq[Double]]] =
+      cbBefore.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val dsub = cbBefore.head._3.size
+    val encFlat = (0 until m).flatMap(s => (0 until ks).flatMap(c =>
+      byCode(s).getOrElse(c, Seq.fill(dsub)(Double.PositiveInfinity)))).toArray
+    val expected = CowTable.read(spark, corpus)
+      .select(col("vec_id"), graft.functions.VectorFunctions.pq_encode(
+        col("ve").cast("array<double>"), m, ks, dsub, encFlat).as("exp"))
+    val stored = CowTable.read(spark, s"$index/assign")
+      .select(col("vec_id"), col("pqc"))
+    assert(stored.count() == expected.count())
+    assert(stored.join(expected, Seq("vec_id"))
+      .filter(expr("pqc <> exp")).count() == 0L,
+      "stored codes must equal frozen-book encode for every live vector")
+    // DRIFT: move essentially every vector far away — the gate re-seeds
+    // and the re-seed RETRAINS the codebooks on the new distribution
+    CowTable.merge(spark, corpus,
+      (0L until 240L).map(i => (i, vecOf(i + 50000).map(_ * 5)))
+        .toDF("vec_id", "ve"), "vec_id")
+    val r2 = IvfIndex.refresh(spark, corpus, index, maxDrift = 0.01, numCells = 4)
+    assert(r2.rebuilt, s"wholesale movement must trip the drift gate: $r2")
+    assert(cbRows() != cbBefore, "a drift re-seed retrains the codebooks")
+    assert(IvfIndex.indexedVersion(index) == CowTable.currentVersion(corpus))
+  }
+
   test("ivfIngestStream: live vector upserts maintain the served index end-to-end") {
     // the streaming face (Sinks.ivfIngestStream): batch 1 bootstraps
     // corpus + index; batch 2's upserts + inserts fold via refresh.

@@ -811,6 +811,11 @@ class PlanSpec extends SparkSpecBase {
     "dedup_editdist" -> "contract-quadratic, length-gap prefiltered",
     "dedup_embedding_cosine" -> "banded by CosineBandRule; residual in-band verify",
     "ts_mann_kendall" -> "bounded-bucket: all-pairs over the 366-day year domain (Mann-Kendall sign contract) + 1-row n broadcast",
+    "ml_cramers_v" -> "1-row scalar: grand-total + bounded brand/size marginal broadcasts",
+    "orders_runs_test" -> "1-row scalar: count-total broadcast over the bounded day domain",
+    "orders_weekday_anova" -> "1-row scalar: grand-total broadcast over the 7-row dow domain",
+    "ts_hurst_rs" -> "1-row scalar: series-length broadcast over the bounded day domain x 4 window sizes",
+    "ts_ljung_box" -> "1-row scalar: mean/denominator broadcasts over the bounded day domain x 7 lags",
     "ml_kendall_tau_nation" -> "bounded-bucket: all-pairs over the 25-row nation domain + 1-row count broadcast",
     "alloc_greedy_knapsack" -> "1-row scalar: capacity broadcast over the bounded part-type domain",
     "event_funnel" -> "1-row scalar: funnel-total broadcast",
@@ -951,7 +956,12 @@ class PlanSpec extends SparkSpecBase {
     "ts_mom_growth" -> "bounded month-domain lag window (fact collapses to monthly cents first)",
     "ts_dom_seasonality" -> "bounded 31-row day-of-month domain total window (fact collapses first)",
     "dq_fk_fanout_profile" -> "per-relation 1-row profile union (the profile_table_stats shape)",
-    "segment_wallet_share" -> "1-row totals scalar over the bounded segment table")
+    "segment_wallet_share" -> "1-row totals scalar over the bounded segment table",
+    "ml_cramers_v" -> "1-row chi-square/V final aggregate over the bounded contingency grid",
+    "orders_runs_test" -> "1-row runs/z final + bounded day-domain lag window (fact collapses to days first)",
+    "orders_weekday_anova" -> "1-row F final over the 7-row dow group table",
+    "ts_hurst_rs" -> "bounded day-domain ranking window (fact collapses to ~2.4k days first) + per-size means",
+    "ts_ljung_box" -> "1-row Q final + bounded day-domain ranking window (fact collapses to days first)")
 
   test("AQE OptimizeSkewedJoin splits a hot-key shuffle join at runtime (salting OFF)") {
     // the declarative skew path a 100 TB user gets by DEFAULT — the
