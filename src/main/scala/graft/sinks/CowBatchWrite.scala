@@ -101,12 +101,77 @@ object CowBatchWrite {
 
 case class CowCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
+/** STREAMING write face (round 17): `df.writeStream.toTable("cow.ns.t")`.
+  *
+  * Each micro-batch runs the same task-side parquet writers as the
+  * batch face (clustered by the declared distribution — Spark applies
+  * `RequiresDistributionAndOrdering` to streaming writes too), under a
+  * per-epoch staging prefix; `commit(epochId, …)` lands the epoch's
+  * files through the manifest machinery stamped with an
+  * `(appId = cowstream-<queryId>, epochId)` txn watermark. The
+  * watermark is what makes restart semantics EXACTLY-ONCE: Spark
+  * replays the last uncommitted batchId after a crash, and a replayed
+  * epoch (watermark already at/past it) deletes its just-written
+  * orphans instead of re-landing rows — the same foreachBatch contract
+  * [[Sinks.appendStream]] documents, now native to the DSv2 face.
+  * Append mode only: Complete/Update rewrite history per epoch, which
+  * is [[CowTable.overwrite]]'s job at the API level, not a live
+  * table's.
+  */
+class CowStreamingWrite(spark: SparkSession, path: String, writeSchema: StructType,
+                        queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spec = CowTable.partitionSpec(path)
+    val stampDir = s"$path/data/${System.nanoTime()}"
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = ParquetUtils.prepareWrite(spark.sessionState.conf, job, writeSchema,
+      new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
+    val inner = new CowDataWriterFactory(stampDir, writeSchema.json,
+      spec.map(_.name).toArray, CowBatchWrite.boundPartExprs(spark, writeSchema, spec),
+      owf, new SerializableConfiguration(job.getConfiguration))
+    new CowStreamingWriterFactory(inner)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq.filter(_ != null)
+      .flatMap(_.asInstanceOf[CowCommitMessage].files)
+    CowTable.commitWrittenFiles(spark, path, files, overwrite = false,
+      txn = Some((s"cowstream-$queryId", epochId)))
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.filter(_ != null).flatMap(_.asInstanceOf[CowCommitMessage].files)
+      .foreach(f => scala.util.Try(
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f))))
+
+  override def toString: String = s"CowStreamingWrite[$path, query=$queryId]"
+}
+
+/** Per-epoch adapter: epoch files nest under `epoch-<id>/` so replayed
+  * epochs can never collide with their first attempt's names.
+  */
+class CowStreamingWriterFactory(inner: CowDataWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    inner.createWriterIn(s"/epoch-$epochId", partitionId, taskId)
+}
+
 class CowDataWriterFactory(stampDir: String, schemaJson: String,
                            partNames: Array[String], partExprs: Array[Expression],
                            owf: OutputWriterFactory,
                            conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CowDataWriter(stampDir, schemaJson, partNames, partExprs, owf, conf,
+    createWriterIn("", partitionId, taskId)
+
+  /** Writer rooted under `stampDir + sub` (streaming epochs nest). */
+  private[sinks] def createWriterIn(sub: String, partitionId: Int,
+                                    taskId: Long): DataWriter[InternalRow] =
+    new CowDataWriter(stampDir + sub, schemaJson, partNames, partExprs, owf, conf,
       partitionId, taskId)
 }
 

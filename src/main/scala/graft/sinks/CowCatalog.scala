@@ -79,7 +79,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * installed (GraftExtensions), which rewrites such scans into a
   * distributed anti-join with no bound.
   */
-class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -103,7 +104,9 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // ops leaked descriptors)
     scala.util.Using.resource(java.nio.file.Files.list(d)) { st =>
       st.iterator().asScala
-        .filter(p => CowTable.exists(p.toString))
+        // dot-prefixed dirs are staging areas (atomic CTAS/RTAS), not tables
+        .filter(p => !p.getFileName.toString.startsWith(".") &&
+          CowTable.exists(p.toString))
         .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
     }
   }
@@ -261,6 +264,53 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     true
   }
 
+  // ---- StagingTableCatalog: ATOMIC CTAS / RTAS (round 17) ----------------
+  // The staged table is a REAL CowTable in a dot-prefixed sibling
+  // directory (hidden from listTables); the CTAS query writes into it
+  // through the ordinary V2 write face (clustered layout included),
+  // and commit publishes it into place as ONE manifest commit
+  // ([[CowTable.publishStaged]] — hard-linked data files, rewritten
+  // line paths). CREATE TABLE ... AS SELECT is therefore all-or-
+  // nothing (a failed query leaves no half-table), and REPLACE TABLE
+  // ... AS SELECT lands as the NEXT VERSION of the existing table —
+  // prior snapshots stay time-travelable, where the non-staging
+  // drop-and-recreate fallback destroyed history.
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform], mustExist: Option[Boolean])
+      : StagedTable = {
+    require(!ident.name().endsWith(graft.sources.CowCatalogStream.ChangesSuffix),
+      s"table name ${ident.name()} is reserved: the " +
+        s"'${graft.sources.CowCatalogStream.ChangesSuffix}' suffix addresses " +
+        "a table's streaming CDC face")
+    mustExist.foreach { e =>
+      if (e) { if (!tableExists(ident)) throw new NoSuchTableException(ident) }
+      else if (tableExists(ident))
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
+    }
+    val stagedDir = (root +: ident.namespace().toSeq :+
+      s".stage-${ident.name()}-${System.nanoTime()}").mkString("/")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stagedDir).getParent)
+    CowTable.createEmpty(stagedDir, schema,
+      partitions.toSeq.map(CowCatalog.toCowTransform))
+    new StagedCowTable(stagedDir, dir(ident), ident.toString)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, mustExist = Some(false))
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, mustExist = Some(true))
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, mustExist = None)
+
   // ---- FunctionCatalog: bucket (SPJ + write distribution) and the time
   // transforms (write distribution — V2ExpressionUtils resolves a
   // days/months/years clustering expression through this catalog) -------
@@ -372,6 +422,29 @@ final class CowBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
   }
 }
 
+/** A staged CTAS/RTAS target: a real CowTable in a hidden sibling
+  * directory, served through the ordinary table faces (so the CTAS
+  * query's write gets the clustered V2 path), published into place or
+  * deleted on the catalog's signal.
+  */
+class StagedCowTable(stagedPath: String, realPath: String, ident: String)
+    extends StagedTable with SupportsWrite {
+  private val inner = new CowSqlTable(stagedPath, ident, None)
+  override def name(): String = ident
+  override lazy val schema: StructType = inner.schema
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = {
+    CowTable.publishStaged(SparkSession.active, stagedPath, realPath)
+    ()
+  }
+  override def abortStagedChanges(): Unit =
+    CowCatalog.deleteTree(java.nio.file.Paths.get(stagedPath))
+}
+
 /** UTC time-partition functions for WRITE DISTRIBUTION: when a write
   * on a `days/months/years(ts)`-partitioned table requires clustering,
   * Spark resolves the transform through the catalog's FunctionCatalog
@@ -458,9 +531,11 @@ class CowSqlTable(val path: String, ident: String, val asOf: Option[Int])
   override def capabilities(): util.Set[TableCapability] = {
     val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
-    // append-only row streaming (time-travel snapshots are immutable —
-    // nothing to stream)
-    (if (asOf.isEmpty) base + TableCapability.MICRO_BATCH_READ else base).asJava
+    // append-only row streaming, both directions (time-travel
+    // snapshots are immutable — nothing to stream)
+    (if (asOf.isEmpty)
+       base + TableCapability.MICRO_BATCH_READ + TableCapability.STREAMING_WRITE
+     else base).asJava
   }
   override def partitioning(): Array[Transform] =
     CowTable.partitionSpec(path, asOf).map { t =>
@@ -527,6 +602,15 @@ class CowSqlTable(val path: String, ident: String, val asOf: Option[Int])
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
           require(asOf.isEmpty, "cannot write to a time-travel snapshot")
           new CowBatchWrite(SparkSession.active, path, writeSchema, overwrite)
+        }
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(asOf.isEmpty, "cannot write to a time-travel snapshot")
+          require(!overwrite,
+            "streaming Complete/Update modes rewrite history per epoch — " +
+              "append mode only (use CowTable.overwrite for batch replaces)")
+          new CowStreamingWrite(SparkSession.active, path, writeSchema,
+            Option(info).map(_.queryId()).getOrElse("anon"))
         }
       }
     }

@@ -884,22 +884,44 @@ object CowTable {
     * semantics under the optimistic retry. An empty append (zero rows
     * wrote zero files) is a no-op, not an empty commit.
     */
-  private[sinks] def commitWrittenFiles(spark: SparkSession, path: String,
+  private[graft] def commitWrittenFiles(spark: SparkSession, path: String,
                                         files: Seq[String],
-                                        overwrite: Boolean): Int = {
-    if (files.isEmpty && !overwrite) return currentVersion(path)
+                                        overwrite: Boolean,
+                                        txn: Option[(String, Long)] = None): Int = {
+    // exactly-once for the STREAMING write face: a replayed epoch
+    // (appId watermark already at/past this version) must not re-land
+    // its rows — its files are orphans, reclaimed here immediately
+    // (expireSnapshots would get them anyway)
+    def replayed: Boolean = txn.exists { case (app, v) =>
+      txnVersion(path, app) >= v
+    }
+    if (replayed) {
+      files.foreach(f => scala.util.Try(
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f))))
+      return currentVersion(path)
+    }
+    if (files.isEmpty && !overwrite && txn.isEmpty) return currentVersion(path)
+    val mark = txn.map { case (app, v) => s"$TxnPrefix$app $v" }.toSeq
     val fresh = files ++
       statsLinesFor(spark, path, files, statsColumns(path)) ++
       rowLinesFor(spark, files) ++
-      lookupSpec(path).toSeq.flatMap(s => bloomLinesFor(spark, path, files, s))
+      lookupSpec(path).toSeq.flatMap(s => bloomLinesFor(spark, path, files, s)) ++
+      mark
     if (overwrite) withCommitRetry() {
       val base = currentVersion(path)
-      commit(path, fresh ++ specLines(path, base), base)
+      val spec = specLines(path, base).filterNot(l =>
+        txn.exists { case (app, _) => l.startsWith(TxnPrefix + app + " ") })
+      commit(path, fresh ++ spec, base)
     } else {
       var attempts = 0
       while (true) {
         val base = currentVersion(path)
-        try return commit(path, manifestLines(path, Some(base)) ++ fresh, base)
+        if (replayed) return base // a same-app racer won
+        val kept = txn.fold(manifestLines(path, Some(base))) { case (app, _) =>
+          manifestLines(path, Some(base))
+            .filterNot(_.startsWith(TxnPrefix + app + " "))
+        }
+        try return commit(path, kept ++ fresh, base)
         catch {
           case e: ConcurrentCommitException =>
             attempts += 1
@@ -908,6 +930,61 @@ object CowTable {
       }
       throw new IllegalStateException("unreachable")
     }
+  }
+
+  /** Publish a STAGED table (atomic CTAS / RTAS — see
+    * [[CowCatalog.stageCreate]]) into `realPath`: the staged table's
+    * data files hard-link into the real table's `data/` tree with
+    * their partition-directory segments PRESERVED (the pruners parse
+    * `p_x=v` path segments), every manifest line referencing them
+    * rewrites to the new location, the staged S/T spec lines carry
+    * (they ARE the new table definition), and the result commits as
+    * ONE version — v1 for a create, or the next version of an existing
+    * table for a replace (prior versions stay time-travelable; the
+    * non-staged drop-and-recreate fallback destroyed history). The
+    * real table's txn watermarks carry on replace (idempotent writers
+    * stay guarded); the staged table's own watermarks do not (its
+    * writer identity dies with the staging directory).
+    */
+  private[sinks] def publishStaged(spark: SparkSession, stagedPath: String,
+                                   realPath: String): Int = {
+    val stagedData = Paths.get(stagedPath, "data")
+    val destRoot = Paths.get(realPath, "data", s"staged${System.nanoTime()}")
+    val lines = manifestLines(stagedPath, None)
+    val linked = scala.collection.mutable.Map.empty[String, String]
+    def relocate(f: String): String = linked.getOrElseUpdate(f, {
+      val p = Paths.get(f)
+      val target =
+        if (p.startsWith(stagedData)) destRoot.resolve(stagedData.relativize(p))
+        else destRoot.resolve(p.getFileName)
+      Files.createDirectories(target.getParent)
+      Files.createLink(target, p)
+      target.toString
+    })
+    val rewritten = lines.flatMap { line =>
+      if (line.startsWith(WhenPrefix) || line.startsWith(TxnPrefix)) None
+      else if (line.startsWith(SchemaPrefix) || line.startsWith(PartitionPrefix) ||
+               line.startsWith(StatsColsPrefix) || line.startsWith(LookupPrefix))
+        Some(line)
+      else {
+        val prefix = Seq(DeletePrefix, PosDeletePrefix, StatsPrefix,
+          BloomPrefix, RowsPrefix).find(line.startsWith).getOrElse("")
+        val rest = line.stripPrefix(prefix)
+        val tab = rest.indexOf('\t')
+        val (f, payload) =
+          if (tab >= 0) (rest.substring(0, tab), rest.substring(tab))
+          else (rest, "")
+        Some(prefix + relocate(f) + payload)
+      }
+    }
+    val v =
+      if (exists(realPath)) withCommitRetry() {
+        val base = currentVersion(realPath)
+        val xLines = manifestLines(realPath, Some(base)).filter(_.startsWith(TxnPrefix))
+        commit(realPath, rewritten ++ xLines, base)
+      } else commit(realPath, rewritten, base = 0)
+    CowCatalog.deleteTree(Paths.get(stagedPath))
+    v
   }
 
   /** OPTIMISTIC RETRY for read-modify-write commits ([[merge]],

@@ -2749,6 +2749,71 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("atomic CTAS/RTAS: staged publish, clustered layout, history preserved, no half-tables") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import graft.sinks.CowTable
+      // partitioned CTAS: the staged write runs the clustered V2 path,
+      // so the published v1 carries one file per partition value
+      s.sql("CREATE TABLE cowt.ns.c2 PARTITIONED BY (g) " +
+        "AS SELECT id, id % 3 AS g FROM range(90)")
+      val t = s"$wh/ns/c2"
+      assert(CowTable.snapshotFiles(t).size == 3)
+      assert(CowTable.currentVersion(t) == 1, "atomic CTAS publishes ONE version")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.c2").head().getLong(0) == 90L)
+      // the published layout serves the manifest machinery
+      CowTable.setStatsColumns(s, t, Seq("g"))
+      val f = s.sql("SELECT count(*) AS c FROM cowt.ns.c2 WHERE g = 1")
+      assert(f.queryExecution.executedPlan.toString.contains("CowAggScan"))
+      assert(f.head().getLong(0) == 30L)
+      // RTAS: the replace lands as the NEXT version of the SAME table —
+      // pre-replace snapshots stay time-travelable (the non-staging
+      // drop-and-recreate fallback destroyed them)
+      s.sql("INSERT INTO cowt.ns.c2 SELECT id, id % 3 FROM range(90, 120)")
+      s.sql("REPLACE TABLE cowt.ns.c2 AS SELECT id AS k, id * 2 AS v FROM range(10)")
+      assert(s.table("cowt.ns.c2").columns.toSeq == Seq("k", "v"))
+      assert(s.sql("SELECT count(*) FROM cowt.ns.c2").head().getLong(0) == 10L)
+      assert(s.sql("SELECT count(*) FROM cowt.ns.c2 VERSION AS OF 3")
+        .head().getLong(0) == 120L, "pre-replace snapshot must survive RTAS")
+      // a failing CTAS aborts: no table, no staged leftovers
+      intercept[Throwable] {
+        s.sql("CREATE TABLE cowt.ns.bad AS " +
+          "SELECT assert_true(id < 5) AS a, id FROM range(10)")
+      }
+      assert(!s.catalog.tableExists("cowt.ns.bad"))
+      val leftovers = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$wh/ns"))) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(_.getFileName.toString.startsWith("."))
+      }
+      assert(leftovers == 0, "aborted stage directories must be deleted")
+      // staging dirs never leak into SHOW TABLES
+      assert(s.sql("SHOW TABLES IN cowt.ns").collect()
+        .map(_.getString(1)).toSet == Set("c2"))
+      // CREATE OR REPLACE covers both arms
+      s.sql("CREATE OR REPLACE TABLE cowt.ns.c3 AS SELECT id FROM range(5)")
+      s.sql("CREATE OR REPLACE TABLE cowt.ns.c3 AS SELECT id FROM range(7)")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.c3").head().getLong(0) == 7L)
+      assert(CowTable.currentVersion(s"$wh/ns/c3") == 2,
+        "create-or-replace on an existing table is its next version")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("schema evolution parity on the DSv2 identifier face: widen/drop/add/rename, mixed-era files") {
     import org.apache.spark.sql.SparkSession
     val prev = spark

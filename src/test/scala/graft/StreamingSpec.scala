@@ -2177,6 +2177,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(sizes.sum == 9L, "no gap, no duplicate under row admission")
   }
 
+  test("catalog writeStream.toTable: exactly-once append through the V2 streaming face") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("cow_swrite").toString
+    spark.conf.set("spark.sql.catalog.cowsw", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cowsw.root", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ns"))
+    spark.sql("CREATE TABLE cowsw.ns.t (id BIGINT, g BIGINT) PARTITIONED BY (g)")
+    val t = s"$dir/ns/t"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[(Long, Long)]
+    def start() = stream.toDF().toDF("id", "g").writeStream
+      .option("checkpointLocation", ckpt).toTable("cowsw.ns.t")
+    val q = start()
+    try {
+      stream.addData((0L until 90L).map(i => (i, i % 3)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cowsw.ns.t").head().getLong(0) == 90L)
+      // the epoch's files carry the CLUSTERED layout (streaming writes
+      // go through the same RequiresDistributionAndOrdering prep)
+      val f1 = CowTable.snapshotFiles(t)
+      assert(f1.size == 3, s"one file per g value per epoch, got ${f1.size}")
+      assert(f1.forall(_.contains("p_g=")), f1.take(2).toString)
+      stream.addData((90L until 120L).map(i => (i, i % 3)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cowsw.ns.t").head().getLong(0) == 120L)
+    } finally q.stop()
+    // restart on the same checkpoint: resumes exactly, no duplicates
+    val q2 = start()
+    try {
+      stream.addData((120L until 150L).map(i => (i, i % 3)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.sql("SELECT count(DISTINCT id) FROM cowsw.ns.t").head().getLong(0) == 150L)
+    assert(spark.sql("SELECT count(*) FROM cowsw.ns.t").head().getLong(0) == 150L,
+      "restart must not duplicate rows")
+    // the exactly-once machinery: epoch watermarks rode the manifest,
+    // and a REPLAYED epoch commit is a no-op that reclaims its files
+    val app = CowTable.txnVersion(t, s"cowstream-${q2.id}")
+    assert(app >= 0L, s"epoch watermark missing: $app")
+    val before = CowTable.currentVersion(t)
+    Seq((999L, 0L)).toDF("id", "g").repartition(1).write.parquet(s"$t/data/orphan_dir")
+    val of = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$t/data/orphan_dir"))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    graft.sinks.CowTable.commitWrittenFiles(spark, t, Seq(of.toString),
+      overwrite = false, txn = Some((s"cowstream-${q2.id}", 0L)))
+    assert(CowTable.currentVersion(t) == before, "replayed epoch must not commit")
+    assert(!java.nio.file.Files.exists(of), "replayed epoch's files are reclaimed")
+  }
+
   test("catalog readStream row cap: anchor advances past rewrite history (ADVICE r16)") {
     import spark.implicits._
     import graft.sinks.CowTable
