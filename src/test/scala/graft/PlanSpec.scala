@@ -812,6 +812,10 @@ class PlanSpec extends SparkSpecBase {
     "dedup_embedding_cosine" -> "banded by CosineBandRule; residual in-band verify",
     "ts_mann_kendall" -> "bounded-bucket: all-pairs over the 366-day year domain (Mann-Kendall sign contract) + 1-row n broadcast",
     "ml_cramers_v" -> "1-row scalar: grand-total + bounded brand/size marginal broadcasts",
+    "alloc_sainte_lague" -> "1-row scalar: 1000-divisor literal broadcast over the 25-row nation domain",
+    "customer_kaplan_meier" -> "1-row scalar: censoring-horizon broadcast over the customer census",
+    "li_abc_xyz" -> "1-row scalar: revenue-total broadcast over the part domain",
+    "nation_kendall_w" -> "1-row scalar: nation-count broadcast over the 25-row domain",
     "orders_runs_test" -> "1-row scalar: count-total broadcast over the bounded day domain",
     "orders_weekday_anova" -> "1-row scalar: grand-total broadcast over the 7-row dow domain",
     "ts_hurst_rs" -> "1-row scalar: series-length broadcast over the bounded day domain x 4 window sizes",
@@ -958,6 +962,11 @@ class PlanSpec extends SparkSpecBase {
     "dq_fk_fanout_profile" -> "per-relation 1-row profile union (the profile_table_stats shape)",
     "segment_wallet_share" -> "1-row totals scalar over the bounded segment table",
     "ml_cramers_v" -> "1-row chi-square/V final aggregate over the bounded contingency grid",
+    "ts_holt_linear" -> "1-row sequential-fold final (fact collapses to the bounded day array first)",
+    "customer_kaplan_meier" -> "bounded month-domain at-risk/survival windows (fact collapses to lifetimes first)",
+    "li_abc_xyz" -> "1-row revenue-total + bucket-parallel prefix sum (globalPrefixSum, no part-domain single-partition sort)",
+    "nation_kendall_w" -> "bounded 25-row nation ranking windows + 1-row W final",
+    "li_bartlett_k2" -> "1-row K-squared final over the 3-row flag group table",
     "orders_runs_test" -> "1-row runs/z final + bounded day-domain lag window (fact collapses to days first)",
     "orders_weekday_anova" -> "1-row F final over the 7-row dow group table",
     "ts_hurst_rs" -> "bounded day-domain ranking window (fact collapses to ~2.4k days first) + per-size means",
