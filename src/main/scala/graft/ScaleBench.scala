@@ -23,8 +23,8 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp", "mfa", "mft").contains),
-      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd | dpp | mfa | mft " +
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp", "mfa", "mft", "wrt").contains),
+      s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd | dpp | mfa | mft | wrt " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
 
@@ -1304,6 +1304,67 @@ object ScaleBench {
     require(CowTable.snapshotFiles(mftT).size == nFiles + 1,
       "new snapshot version must be re-read, not served stale")
     } // end mft section
+
+    if (only.forall(_ == "wrt")) {
+    // ---- round-17: write-side distribution before/after -----------------
+    // 10M rows into an identity-partitioned (16 values) catalog table,
+    // from a deliberately scattered 32-partition upstream. AFTER = the
+    // V2 write face (RequiresDistributionAndOrdering clustering): one
+    // file per partition value. BEFORE = the undistributed layout the
+    // V1 fallback produced, reproduced via CowTable.append of the same
+    // scattered frame (partitionBy splits per task): tasks × values
+    // files. The file count IS the pushdown story: the clustered table
+    // answers a filtered aggregate manifest-only over 16 entries; the
+    // scattered one carries 512 and, at 100 TB, tiny-file IO and
+    // manifest bloat in proportion.
+    import graft.sinks.{CowTable, PartitionTransform}
+    val wrtWh = "/tmp/graft_scalebench_wrt"
+    val wrtRoot = java.nio.file.Paths.get(wrtWh)
+    if (java.nio.file.Files.exists(wrtRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wrtRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wrtWh/ns"))
+    spark.conf.set("spark.sql.catalog.wrtcat", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wrtcat.root", wrtWh)
+    def src = spark.range(10000000L).select(col("id"),
+      pmod(col("id"), lit(16L)).as("grp"),
+      sha2(concat(col("id").cast("string"), lit("w")), 256).as("pad"))
+      .repartition(32) // every upstream partition holds every grp
+    spark.sql("CREATE TABLE wrtcat.ns.t (id BIGINT, grp BIGINT, pad STRING) " +
+      "PARTITIONED BY (grp)")
+    val tA0 = System.nanoTime()
+    src.createOrReplaceTempView("wrt_src")
+    spark.sql("INSERT INTO wrtcat.ns.t SELECT id, grp, pad FROM wrt_src")
+    val tAfter = (System.nanoTime() - tA0) / 1e9
+    val fAfter = CowTable.snapshotFiles(s"$wrtWh/ns/t").size
+    // BEFORE twin: same rows, same partition spec, no distribution
+    val tB0 = System.nanoTime()
+    CowTable.create(src, s"$wrtWh/ns/t_undist",
+      Seq(PartitionTransform.identity("grp")))
+    val tBefore = (System.nanoTime() - tB0) / 1e9
+    val fBefore = CowTable.snapshotFiles(s"$wrtWh/ns/t_undist").size
+    // clustering is NON-STRICT by design: AQE splits a partition value
+    // whose bytes exceed the advisory size across several tasks (a hot
+    // day at 100 TB SHOULD fan out rather than straggle), so the gate
+    // is "order of the value count", not exactly one file per value —
+    // every file is still partition-constant (directory layout)
+    require(fAfter <= 2 * 16, s"clustered INSERT wrote $fAfter files (want ≤32)")
+    require(fBefore >= 16 * 8, s"undistributed twin should scatter, got $fBefore")
+    // the layout pays off at read: exact-filter + agg pushdown answers
+    // manifest-only on the SQL-written table
+    CowTable.setStatsColumns(spark, s"$wrtWh/ns/t", Seq("grp", "id"))
+    val q = spark.sql("SELECT count(*) c, sum(id) s FROM wrtcat.ns.t WHERE grp = 7")
+    require(q.queryExecution.executedPlan.toString.contains("CowAggScan"),
+      "filtered aggregate must answer from the manifest on SQL-written data")
+    val r7 = q.collect().head
+    require(r7.getLong(0) == 625000L, r7.toString)
+    println(f"[scalebench] wrt @ 10M rows, 16 identity partitions: clustered " +
+      f"INSERT $fAfter%d files in ${tAfter}%5.1f s vs undistributed " +
+      f"$fBefore%d files in ${tBefore}%5.1f s (${fBefore / fAfter}%dx fewer " +
+      "files; filtered count+sum answers manifest-only, zero data reads)")
+    } // end wrt section
 
     if (only.forall(_ == "upd")) {
     // ---- round-15: SQL UPDATE write cost ∝ touched files --------------

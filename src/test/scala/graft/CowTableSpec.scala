@@ -2749,6 +2749,53 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("concurrent SQL INSERTs: the V2 write face serializes via append-rebase, no lost rows") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import graft.sinks.CowTable
+      s.sql("CREATE TABLE cowt.ns.race (id BIGINT, g BIGINT) PARTITIONED BY (g)")
+      // 6 racing INSERT INTO statements on driver threads: losing the
+      // manifest race must cost only a rebase (files written once),
+      // never a lost or duplicated row
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val writes = (0 until 6).map { w =>
+        scala.concurrent.Future {
+          SparkSession.setActiveSession(s)
+          s.sql(s"INSERT INTO cowt.ns.race SELECT id, id % 3 AS g " +
+            s"FROM range(${w * 1000}, ${w * 1000 + 1000})")
+          ()
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      assert(s.sql("SELECT count(*) FROM cowt.ns.race").head().getLong(0) == 6000L)
+      assert(s.sql("SELECT count(DISTINCT id) FROM cowt.ns.race")
+        .head().getLong(0) == 6000L, "no duplicates under the commit race")
+      // versions are gap-free and serialized: one commit per insert
+      assert(CowTable.currentVersion(s"$wh/ns/race") == 7, // create + 6 inserts
+        s"expected 7 serialized versions, got ${CowTable.currentVersion(s"$wh/ns/race")}")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("atomic CTAS/RTAS: staged publish, clustered layout, history preserved, no half-tables") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
