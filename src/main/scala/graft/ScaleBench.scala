@@ -1286,12 +1286,18 @@ object ScaleBench {
     }
     val tPoint = timeN(50)(require(CowTable.exactConstantPrune(spark, mftT, "k",
       Seq(42L), None, org.apache.spark.sql.types.LongType).exists(_.size == 1)))
-    val tRange = timeN(20)(require(CowTable.prunedFilesIn(spark, mftT, "v",
+    // v's per-file [i·10, i·10+9] intervals are pairwise disjoint (the
+    // range-clustered layout), so point AND range pruning on v ride
+    // the sorted range index — O(log files), not the stats loop
+    val tRange = timeN(50)(require(CowTable.prunedFilesIn(spark, mftT, "v",
       Seq(421L), None, Some(org.apache.spark.sql.types.LongType)).size == 1))
+    val tSpan = timeN(50)(require(CowTable.prunedFilesRange(spark, mftT, "v",
+      Some(415L), Some(445L), None,
+      Some(org.apache.spark.sql.types.LongType)).size == 4))
     println(f"[scalebench] mft @ $nFiles%,d manifest entries: plan cold ${tCold}%6.3f s, " +
       f"warm ${tWarm}%8.5f s (${tCold / tWarm}%,.0f×) — parse once per snapshot; " +
-      f"point-filter plan ${tPoint}%6.2f ms (const index), " +
-      f"stats-loop plan ${tRange}%6.2f ms")
+      f"point plan ${tPoint}%6.2f ms (const index), clustered-range point " +
+      f"${tRange}%6.2f ms / span ${tSpan}%6.2f ms (disjoint-interval index)")
     require(tCold / tWarm >= 10.0,
       f"manifest cache must cut plan time ≥10× (got ${tCold / tWarm}%.1f×)")
     // a NEW commit (different manifest) must re-parse — never stale

@@ -815,13 +815,13 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
             case None => CowTable.prunedFilesIn(spark, path, c, vs.toSeq, asOf, hint(c))
           }
         case GreaterThan(c, v) =>
-          CowTable.prunedFilesRange(spark, path, c, Some(v), None, asOf)
+          CowTable.prunedFilesRange(spark, path, c, Some(v), None, asOf, hint(c))
         case GreaterThanOrEqual(c, v) =>
-          CowTable.prunedFilesRange(spark, path, c, Some(v), None, asOf)
+          CowTable.prunedFilesRange(spark, path, c, Some(v), None, asOf, hint(c))
         case LessThan(c, v) =>
-          CowTable.prunedFilesRange(spark, path, c, None, Some(v), asOf)
+          CowTable.prunedFilesRange(spark, path, c, None, Some(v), asOf, hint(c))
         case LessThanOrEqual(c, v) =>
-          CowTable.prunedFilesRange(spark, path, c, None, Some(v), asOf)
+          CowTable.prunedFilesRange(spark, path, c, None, Some(v), asOf, hint(c))
         case _ => files
       }).toSet
       files = files.filter(surviving.contains)
