@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   * within `maxSteps` (the bound that keeps the expression total — the
   * conjecture is open, the operator is not). Bit-identical to the
   * packed-long HOF fold it replaces: same trajectory, same step count,
-  * same −1 sentinel.
+  * same −1 sentinel. Seeds whose 3n+1 step would overflow a signed
+  * long (n > (Long.MaxValue − 1) / 3) return the −1 sentinel rather
+  * than silently continuing a wrapped trajectory.
   */
 case class CollatzSteps(child: Expression, maxSteps: Int) extends UnaryExpression {
   require(maxSteps > 0, s"maxSteps must be positive, got $maxSteps")
@@ -39,8 +41,11 @@ case class CollatzSteps(child: Expression, maxSteps: Int) extends UnaryExpressio
   override def nullSafeEval(v: Any): Any = {
     var n = v.asInstanceOf[Long]
     var st = 0L
+    val lim = (Long.MaxValue - 1L) / 3L
     while (st < maxSteps && n != 1L && n > 0L) {
-      n = if (n % 2L == 0L) n / 2L else 3L * n + 1L
+      if (n % 2L == 0L) n = n / 2L
+      else if (n > lim) { n = -1L } // 3n+1 would wrap: bail to sentinel
+      else n = 3L * n + 1L
       st += 1L
     }
     if (n == 1L) st else -1L
@@ -54,7 +59,9 @@ case class CollatzSteps(child: Expression, maxSteps: Int) extends UnaryExpressio
          |long $n = $seed;
          |long $st = 0L;
          |while ($st < ${maxSteps}L && $n != 1L && $n > 0L) {
-         |  $n = ($n % 2L == 0L) ? $n / 2L : 3L * $n + 1L;
+         |  if ($n % 2L == 0L) { $n = $n / 2L; }
+         |  else if ($n > (Long.MAX_VALUE - 1L) / 3L) { $n = -1L; }
+         |  else { $n = 3L * $n + 1L; }
          |  $st++;
          |}
          |${ev.value} = ($n == 1L) ? $st : -1L;

@@ -182,7 +182,10 @@ object Metrics13 {
   /** Sainte-Laguë (odd-divisor) apportionment of 1000 seats by nation
     * revenue — the divisor-method contrast to `alloc_dhondt`'s
     * 1..n quotients; same deterministic (quotient, nation, divisor)
-    * tiebreak over the 25×1000 divisor domain.
+    * tiebreak over the 25×1000 divisor domain. Quotients are exact
+    * integer floor divisions of cent totals (divisors ≤ 1999, so the
+    * sub-cent truncation cannot reorder a real seat gap) — no FP
+    * surface, matching the dhondt twin's discipline.
     */
   val allocSainteLague: Q = (s, d) => {
     val v = nation(s, d)
@@ -192,7 +195,7 @@ object Metrics13 {
       .agg(sumCents(col("o_totalprice")).as("votes"))
     val q = v.crossJoin(broadcast(
         s.range(0, 1000).select(col("id").as("i"))))
-      .withColumn("quot", col("votes").cast("double") / (lit(2) * col("i") + 1))
+      .withColumn("quot", expr("votes div (2 * i + 1)"))
     val w = Window.orderBy(col("quot").desc, col("nation"), col("i"))
     q.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 1000)

@@ -138,19 +138,38 @@ object Relational {
       .orderBy("c_custkey")
       .limit(200)
 
-  /** Non-equi band join; Spark plans a broadcast nested-loop join with
-    * the small supplier side broadcast. At 100 TB the scale path is a
-    * banded equi-join: bucket both sides on floor(acctbal / bandwidth)
-    * and join on adjacent buckets, turning O(n·m) into a co-partitioned
-    * equi-join.
+  /** Non-equi band join (|c_acctbal − s_acctbal| ≤ 100) as a BANDED
+    * EQUI-JOIN — never a nested loop. Each customer lands in exactly
+    * one width-200 acctbal bucket; each supplier is exploded into the
+    * 3 adjacent buckets its ±100 band can touch, the join is a plain
+    * hash equi-join on (bucket, salt), and the exact band predicate
+    * verifies. A matching pair meets in exactly one (bucket, salt)
+    * cell, so no dedup is needed. The salt matters at scale: acctbal's
+    * DOMAIN is fixed (−1k..10k → ~55 buckets) regardless of data size,
+    * so bucket alone would cap a 100 TB shuffle at 55 reducers;
+    * salting by hash(c_custkey) mod S (supplier side exploded ×S)
+    * restores full parallelism at 3·S small-side rows — the same
+    * linear-candidates shape as `join_interval_overlap`.
     */
-  val joinThetaBand: Q = (s, d) =>
-    broadcast(supplier(s, d))
-      .join(customer(s, d),
-            col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+  val joinThetaBand: Q = (s, d) => {
+    val W = 200L // full band width: the ±100 band spans ≤ 2 bucket edges
+    val S = s.conf.getOption("spark.graft.bandJoinSalt").map(_.toInt).getOrElse(8)
+    val sup = supplier(s, d)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        floor(col("s_acctbal") / W).cast("long").as("sb"))
+      .withColumn("bk", explode(array(col("sb") - 1, col("sb"), col("sb") + 1)))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    val cust = customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal") / W).cast("long").as("cb"),
+        pmod(hash(col("c_custkey")), lit(S)).as("csalt"))
+    cust.join(sup,
+        col("cb") === col("bk") && col("csalt") === col("salt") &&
+          col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
       .groupBy("s_suppkey")
       .agg(cnt.as("c"))
       .orderBy("s_suppkey")
+  }
 
   val joinCrossSmall: Q = (s, d) =>
     region(s, d).crossJoin(broadcast(nation(s, d)))

@@ -101,11 +101,11 @@ FROM agg""",
     sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) votes
   FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
   JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY 1),
- q AS (SELECT nation, votes, CAST(votes AS DOUBLE) / (2 * d.i + 1) quot, d.i
+ q AS (SELECT nation, votes, votes // (2 * d.i + 1) quot, d.i
    FROM v JOIN (SELECT unnest(range(0, 1000)) i) d ON true),
  top AS (SELECT nation FROM q ORDER BY quot DESC, nation, i LIMIT 1000)
 SELECT nation, CAST(count(*) AS BIGINT) seats,
-  max(v.votes) AS votes_cents
+  CAST(max(v.votes) AS BIGINT) AS votes_cents
 FROM top JOIN v USING (nation) GROUP BY 1 ORDER BY nation""",
 
     "li_leadtime_weibull" ->

@@ -63,7 +63,13 @@ object CowMorAntiJoinRule extends Rule[LogicalPlan] {
     if (spark.conf.getOption("spark.graft.morAntiJoinForce").contains("true"))
       return true
     val threshold = spark.conf.getOption("spark.graft.morAntiJoinKeys")
-      .map(_.toLong).getOrElse(100000L)
+      .map { v =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.morAntiJoinKeys must be a long row-count threshold, " +
+              s"got '$v' — e.g. SET spark.graft.morAntiJoinKeys=100000")
+        }
+      }.getOrElse(100000L)
     CowTable.sidecarRowCount(sidecars) > threshold
   }
 

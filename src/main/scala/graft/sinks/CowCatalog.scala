@@ -99,6 +99,9 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = java.nio.file.Paths.get(dir(namespace.toSeq))
     if (!java.nio.file.Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    // a driver crash mid-CTAS strands its .stage-* dir (full data,
+    // hidden from listings) — reclaim stale ones here and on stage()
+    CowCatalog.sweepOrphanedStages(d)
     // Files.list streams hold a directory fd until closed — always
     // materialize inside Using.resource (ADVICE r14: repeated catalog
     // ops leaked descriptors)
@@ -293,6 +296,8 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       s".stage-${ident.name()}-${System.nanoTime()}").mkString("/")
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(stagedDir).getParent)
+    CowCatalog.sweepOrphanedStages(
+      java.nio.file.Paths.get(stagedDir).getParent)
     CowTable.createEmpty(stagedDir, schema,
       partitions.toSeq.map(CowCatalog.toCowTransform))
     new StagedCowTable(stagedDir, dir(ident), ident.toString)
@@ -328,6 +333,46 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 }
 
 object CowCatalog {
+  /** Age (ms) past which a `.stage-*` directory counts as a crashed
+    * CTAS/RTAS and is reclaimed. Any LIVE stage is either seconds old
+    * (the query is still writing into it) or gets renamed/deleted at
+    * commit/abort — a day-old one can only be a driver-crash orphan.
+    * Override with `spark.graft.stageOrphanTtlMs` (tests use a small
+    * value).
+    */
+  private def stageOrphanTtlMs: Long = {
+    val v = scala.util.Try(SparkSession.active).toOption
+      .flatMap(_.conf.getOption("spark.graft.stageOrphanTtlMs"))
+    v.map { s =>
+      try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.stageOrphanTtlMs must be a millisecond TTL, got '$s'")
+      }
+    }.getOrElse(24L * 3600 * 1000)
+  }
+
+  /** Delete crashed-CTAS staging directories (`.stage-*` older than
+    * [[stageOrphanTtlMs]]) under `parent`. Invoked from `stage()` and
+    * `listTables` — cost is one dirent scan both already pay, plus an
+    * mtime probe per dot-dir (normally zero of them).
+    */
+  private[sinks] def sweepOrphanedStages(parent: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.isDirectory(parent)) return
+    val ttl = stageOrphanTtlMs
+    val now = System.currentTimeMillis()
+    val stale = scala.util.Using.resource(java.nio.file.Files.list(parent)) { st =>
+      st.iterator().asScala.filter { p =>
+        p.getFileName.toString.startsWith(".stage-") &&
+          (try now - java.nio.file.Files.getLastModifiedTime(p).toMillis > ttl
+           catch { case _: java.io.IOException => false }) // raced with commit/abort
+      }.toVector
+    }
+    stale.foreach { p =>
+      try deleteTree(p)
+      catch { case _: java.io.IOException => () } // concurrent sweeper won
+    }
+  }
+
   /** Recursive delete with the walk stream materialized and CLOSED
     * before any deletion (an open Files.walk stream both holds a
     * directory fd and sees its own deletions).

@@ -583,17 +583,40 @@ object CowTable {
     manifestLines(path, asOf).filter(_.startsWith(DeletePrefix))
       .map(_.stripPrefix(DeletePrefix))
 
+  /** Per-file footer row counts, memoized forever: a committed sidecar
+    * parquet is content-immutable (written once under a fresh name,
+    * published by the manifest commit), so the path is a sound cache
+    * key for the life of the JVM. Bounded LRU mirrors [[metaCache]].
+    */
+  private val sidecarCountCache =
+    new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > 1024
+    }
+
   /** Total ROW count of sidecar parquet files from their footers alone
     * (pre-distinct — routing signal, not a semantic count): one footer
-    * read per file, no data pages. Used by the MoR anti-join rule to
-    * decide reader-set vs join formulation.
+    * read per file on first sight, memoized after — the operator-
+    * optimization batches run this rule to fixed point, so without the
+    * cache every plan of a MoR-dirty table re-opens every footer per
+    * batch iteration. Used by the MoR anti-join rule to decide
+    * reader-set vs join formulation.
     */
   private[graft] def sidecarRowCount(sidecars: Seq[String]): Long =
     sidecars.map { f =>
-      scala.util.Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f),
-          new org.apache.hadoop.conf.Configuration())))(_.getRecordCount)
+      sidecarCountCache.synchronized(Option(sidecarCountCache.get(f))) match {
+        case Some(n) => n.longValue()
+        case None =>
+          val n = scala.util.Using.resource(
+            org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f),
+                new org.apache.hadoop.conf.Configuration())))(_.getRecordCount)
+          sidecarCountCache.synchronized(
+            sidecarCountCache.put(f, java.lang.Long.valueOf(n)))
+          n
+      }
     }.sum
 
   /** The snapshot's positional-delete sidecar files (often empty). */

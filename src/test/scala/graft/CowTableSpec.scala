@@ -2853,6 +2853,21 @@ class CowTableSpec extends SparkSpecBase {
       assert(s.sql("SELECT count(*) FROM cowt.ns.c3").head().getLong(0) == 7L)
       assert(CowTable.currentVersion(s"$wh/ns/c3") == 2,
         "create-or-replace on an existing table is its next version")
+      // a driver CRASH mid-CTAS (no abort call) strands its .stage-*
+      // dir; the TTL sweep on listTables/stage reclaims it (ADVICE r17)
+      val orphan = java.nio.file.Paths.get(s"$wh/ns/.stage-crashed-1")
+      java.nio.file.Files.createDirectories(orphan)
+      java.nio.file.Files.write(orphan.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+      s.sql("SHOW TABLES IN cowt.ns").collect() // default 24h TTL: survives
+      assert(java.nio.file.Files.isDirectory(orphan),
+        "a fresh stage dir (a live CTAS) must NOT be swept")
+      s.conf.set("spark.graft.stageOrphanTtlMs", "1")
+      Thread.sleep(20)
+      s.sql("SHOW TABLES IN cowt.ns").collect()
+      assert(!java.nio.file.Files.exists(orphan),
+        "a stage dir older than the TTL is a crashed CTAS: swept")
+      s.conf.unset("spark.graft.stageOrphanTtlMs")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

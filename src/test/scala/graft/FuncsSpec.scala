@@ -217,5 +217,16 @@ class FuncsSpec extends SparkSpecBase {
       .select(graft.functions.FoldFunctions.collatz_steps(col("k")).as("s"))
       .collect()
     assert(n(0).isNullAt(0) && n(1).getLong(0) == 8L)
+    // overflow guard (ADVICE r17): an odd seed whose 3n+1 step would
+    // wrap a signed long returns the −1 sentinel instead of silently
+    // continuing a wrong trajectory — interpreted and codegen agree
+    val lim = (Long.MaxValue - 1L) / 3L
+    val big = Seq(lim + 2L, Long.MaxValue - 2L).map { s =>
+      if (s % 2L == 0L) s + 1L else s // force the odd branch
+    }
+    val ov = big.toDF("k")
+      .select(graft.functions.FoldFunctions.collatz_steps(col("k")).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ov.forall(_ == -1L), s"wrapping seeds must return -1: $ov")
   }
 }

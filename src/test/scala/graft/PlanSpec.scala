@@ -88,11 +88,39 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("join_theta_band: shipped form is a banded equi-join equal to the naive BNLJ twin") {
+    import org.apache.spark.sql.functions._
+    val p = plan("join_theta_band")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "shipped theta-band must never plan a nested loop:\n" + p.take(800))
+    val naive = broadcast(graft.tables.Tables.t(spark, sf, "supplier"))
+      .join(graft.tables.Tables.t(spark, sf, "customer"),
+        col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+      .groupBy("s_suppkey").agg(count(lit(1)).as("c")).orderBy("s_suppkey")
+      .collect().map(_.toSeq).toSeq
+    assert(q("join_theta_band").collect().map(_.toSeq).toSeq == naive,
+      "banded equi-join must equal the naive nested-loop twin")
+  }
+
   test("bandJoinRewrite flag: band theta-join becomes a bucketed equi-join, identical rows") {
     import org.apache.spark.sql.SparkSession
-    val off = q("join_theta_band").collect().map(_.toSeq).toSeq
-    assert(plan("join_theta_band").contains("BroadcastNestedLoopJoin"),
-      "default (off) must keep the declared nested-loop band join")
+    // a user-declared naive band join (the shape the shipped
+    // join_theta_band used before it was natively banded in r18)
+    def naiveBand(s: SparkSession) = {
+      import org.apache.spark.sql.functions._
+      graft.tables.Tables.t(s, sf, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"))
+        .join(graft.tables.Tables.t(s, sf, "customer")
+            .select(col("c_custkey"), col("c_acctbal")),
+          col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("c"))
+        .orderBy("s_suppkey")
+    }
+    val off = naiveBand(spark).collect().map(_.toSeq).toSeq
+    assert(naiveBand(spark).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+      "plain session must plan the declared nested-loop band join")
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     try {
@@ -100,12 +128,12 @@ class PlanSpec extends SparkSpecBase {
         .master("local[4]")
         .withExtensions(new GraftExtensions)
         .getOrCreate()
-      val extOffPlan = SparkEntry.queries("join_theta_band")(extended, sf)
+      val extOffPlan = naiveBand(extended)
         .queryExecution.executedPlan.toString
       assert(extOffPlan.contains("BroadcastNestedLoopJoin"),
         "rule registered but flag off must keep the nested loop:\n" + extOffPlan.take(600))
       extended.conf.set("spark.graft.bandJoinRewrite", "true")
-      val dfOn = SparkEntry.queries("join_theta_band")(extended, sf)
+      val dfOn = naiveBand(extended)
       val onPlan = dfOn.queryExecution.executedPlan.toString
       assert(!onPlan.contains("BroadcastNestedLoopJoin") &&
              !onPlan.contains("CartesianProduct") && onPlan.contains("__bandb"),
