@@ -265,34 +265,46 @@ object Metrics13 {
     * prefix — the running sum rides `Scale.globalPrefixSum`, never a
     * single-partition window over parts), XYZ by monthly-demand CV
     * bands via PURE INTEGER cross-multiplication on n·Σq² vs (Σq)².
+    *
+    * ONE aggregation chain (r18, VERDICT r17 task 5): revenue and the
+    * monthly-demand moments come out of the same (pk, month) partial →
+    * pk rollup, so both letters are columns of the SAME row — the
+    * former rev ⋈ xyz shuffle join (a second full lineitem pass plus a
+    * pk-keyed join) is gone; only the prefix sum over the pk-level
+    * rows remains between the rollup and the 9-cell final aggregate.
     */
   val liAbcXyz: Q = (s, d) => {
-    val rev = li(s, d).groupBy(col("l_partkey").as("pk"))
-      .agg(sumCents(col("l_extendedprice")).as("r"))
-    val tot = rev.agg(sum("r").cast("long").as("tr"))
-    val cum = Scale.globalPrefixSum(rev,
+    // localCheckpoint: the pk-level moments are referenced THREE times
+    // (grand total + the prefix sum's bucket-sums and final join) —
+    // without it each reference replays the (pk, month) aggregation,
+    // the query's only heavy pass, and the query runs 3× the work
+    // integer month key (y·16+m) — date_format's per-row formatter is
+    // the scan's hottest expression and the key never surfaces
+    val per = li(s, d)
+      .groupBy(col("l_partkey").as("pk"),
+        (year(col("l_shipdate")) * 16 + month(col("l_shipdate"))).as("mo"))
+      .agg(sumCents(col("l_extendedprice")).as("rm"),
+        sum(round(col("l_quantity"))).cast("long").as("q"))
+      .groupBy("pk")
+      .agg(sum("rm").cast("long").as("r"), cnt.as("n"),
+        sum("q").cast("long").as("sq"),
+        sum(col("q") * col("q")).cast("long").as("qq"))
+      .localCheckpoint()
+    val tot = per.agg(sum("r").cast("long").as("tr"))
+    val cum = Scale.globalPrefixSum(per,
         coarse = expr("-(r div 1000000)"),
         sortCols = Seq(col("r").desc, col("pk")), value = col("r"))
       .withColumnRenamed("__ps", "cr")
-    val abc = cum.crossJoin(broadcast(tot))
-      .select(col("pk"),
+    cum.crossJoin(broadcast(tot))
+      .select(
         when(lit(100) * col("cr") <= lit(80) * col("tr"), "A")
           .when(lit(100) * col("cr") <= lit(95) * col("tr"), "B")
-          .otherwise("C").as("abc"))
-    val xyz = li(s, d)
-      .groupBy(col("l_partkey").as("pk"),
-        date_format(col("l_shipdate"), "yyyy-MM").as("mo"))
-      .agg(sum(round(col("l_quantity"))).cast("long").as("q"))
-      .groupBy("pk")
-      .agg(cnt.as("n"), sum("q").cast("long").as("sq"),
-        sum(col("q") * col("q")).cast("long").as("qq"))
-      .select(col("pk"),
+          .otherwise("C").as("abc"),
         when(lit(4) * (col("n") * col("qq") - col("sq") * col("sq")) <=
           col("sq") * col("sq"), "X")
           .when(col("n") * col("qq") - col("sq") * col("sq") <=
             col("sq") * col("sq"), "Y")
           .otherwise("Z").as("xyz"))
-    abc.join(xyz, Seq("pk"))
       .groupBy("abc", "xyz").agg(cnt.as("parts"))
       .orderBy("abc", "xyz")
   }

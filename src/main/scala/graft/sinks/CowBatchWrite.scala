@@ -42,8 +42,27 @@ import org.apache.spark.util.SerializableConfiguration
   * written files, append-rebase or overwrite semantics, optimistic
   * retry — identical guarantees to the Scala-API write paths.
   */
+/** How a [[CowBatchWrite]] commit replaces existing data. */
+sealed trait CowWriteMode
+object CowWriteMode {
+  /** INSERT INTO — append, rebase on race. */
+  case object Append extends CowWriteMode
+  /** INSERT OVERWRITE (static mode, no surviving filters) — replace
+    * the whole table, carry the spec lines.
+    */
+  case object Truncate extends CowWriteMode
+  /** INSERT OVERWRITE under partitionOverwriteMode=dynamic — replace
+    * exactly the partitions the written files landed in.
+    */
+  case object Dynamic extends CowWriteMode
+  /** INSERT OVERWRITE … PARTITION (col=v, …) — replace the partitions
+    * selected by the static equality filters.
+    */
+  final case class Filtered(eqs: Seq[(String, Any)]) extends CowWriteMode
+}
+
 class CowBatchWrite(spark: SparkSession, path: String, writeSchema: StructType,
-                    overwrite: Boolean) extends BatchWrite {
+                    mode: CowWriteMode) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spec = CowTable.partitionSpec(path)
@@ -60,7 +79,16 @@ class CowBatchWrite(spark: SparkSession, path: String, writeSchema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq.flatMap(_.asInstanceOf[CowCommitMessage].files)
-    CowTable.commitWrittenFiles(spark, path, files, overwrite)
+    mode match {
+      case CowWriteMode.Append =>
+        CowTable.commitWrittenFiles(spark, path, files, overwrite = false)
+      case CowWriteMode.Truncate =>
+        CowTable.commitWrittenFiles(spark, path, files, overwrite = true)
+      case CowWriteMode.Dynamic =>
+        CowTable.commitWrittenFilesDynamic(spark, path, files)
+      case CowWriteMode.Filtered(eqs) =>
+        CowTable.commitWrittenFilesFiltered(spark, path, files, eqs)
+    }
     ()
   }
 
@@ -69,8 +97,7 @@ class CowBatchWrite(spark: SparkSession, path: String, writeSchema: StructType,
       .foreach(f => scala.util.Try(
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f))))
 
-  override def toString: String =
-    s"CowBatchWrite[$path${if (overwrite) ", overwrite" else ""}]"
+  override def toString: String = s"CowBatchWrite[$path, $mode]"
 }
 
 object CowBatchWrite {

@@ -320,7 +320,7 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   // transforms (write distribution — V2ExpressionUtils resolves a
   // days/months/years clustering expression through this catalog) -------
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array("bucket", "days", "months", "years")
+    Array("bucket", "days", "months", "years", "zorder")
       .map(Identifier.of(namespace, _))
   override def loadFunction(ident: Identifier): UnboundFunction =
     ident.name() match {
@@ -328,6 +328,7 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       case "days"   => new CowTimePartUnbound("days")
       case "months" => new CowTimePartUnbound("months")
       case "years"  => new CowTimePartUnbound("years")
+      case "zorder" => CowZorderUnbound
       case other    => throw new NoSuchTableException(Seq("function", other))
     }
 }
@@ -467,6 +468,64 @@ final class CowBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
   }
 }
 
+/** The write-side z-order function (round 18, VERDICT r17 task 7):
+  * `zorder(bits, x1, mn1, mx1[, x2, mn2, mx2[, x3, mn3, mx3]])` — the
+  * interleaved z-value of up to 3 columns under FIXED normalization
+  * bounds. The bounds arrive as literals baked from the table's stored
+  * [[ZOrderSpec]], which is what makes this a pure row function the
+  * V2 write machinery (`RequiresDistributionAndOrdering` →
+  * `V2ExpressionUtils` → this catalog) can range-shuffle and sort by.
+  */
+object CowZorderUnbound extends UnboundFunction {
+  override def name(): String = "zorder"
+  override def description(): String =
+    "zorder(bits, x1, mn1, mx1, ...) - interleaved z-value under fixed bounds"
+  override def bind(inputType: StructType): BoundFunction = {
+    val n = (inputType.fields.length - 1) / 3
+    require(n >= 1 && n <= 3 && inputType.fields.length == 1 + 3 * n &&
+      inputType.fields(0).dataType == IntegerType,
+      s"zorder expects (int bits, then per column: value, double mn, double mx), " +
+        s"got $inputType")
+    new CowZorderBound(inputType.fields.toIndexedSeq.map(_.dataType))
+  }
+}
+
+final class CowZorderBound(argTypes: Seq[DataType])
+    extends ScalarFunction[java.lang.Long] {
+  private val n = (argTypes.length - 1) / 3
+  override def inputTypes(): Array[DataType] = argTypes.toArray
+  override def resultType(): DataType = LongType
+  override def name(): String = "zorder"
+  override def canonicalName(): String = "graft.cow.zorder"
+  override def isResultNullable: Boolean = false
+  private def toDouble(input: InternalRow, i: Int): Double = argTypes(i) match {
+    case DoubleType            => input.getDouble(i)
+    case FloatType             => input.getFloat(i).toDouble
+    case LongType              => input.getLong(i).toDouble
+    case IntegerType | DateType => input.getInt(i).toDouble
+    case ShortType             => input.getShort(i).toDouble
+    case ByteType              => input.getByte(i).toDouble
+    case TimestampType | TimestampNTZType => input.getLong(i).toDouble
+    case d: DecimalType        => input.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(
+      s"zorder column type $other is not numeric-normalizable")
+  }
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    val bits = input.getInt(0)
+    var z = 0L
+    var k = 0
+    while (k < n) {
+      val vi = 1 + 3 * k
+      val isNull = input.isNullAt(vi)
+      z = CowTable.zValue(bits, n, k,
+        input.getDouble(vi + 1), input.getDouble(vi + 2),
+        if (isNull) 0.0 else toDouble(input, vi), isNull, z)
+      k += 1
+    }
+    z
+  }
+}
+
 /** A staged CTAS/RTAS target: a real CowTable in a hidden sibling
   * directory, served through the ordinary table faces (so the CTAS
   * query's write gets the clustered V2 path), published into place or
@@ -575,7 +634,8 @@ class CowSqlTable(val path: String, ident: String, val asOf: Option[Int])
       .getOrElse(CowTable.read(SparkSession.active, path, asOf).schema)
   override def capabilities(): util.Set[TableCapability] = {
     val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.OVERWRITE_BY_FILTER)
     // append-only row streaming, both directions (time-travel
     // snapshots are immutable — nothing to stream)
     (if (asOf.isEmpty)
@@ -617,36 +677,113 @@ class CowSqlTable(val path: String, ident: String, val asOf: Option[Int])
     * value SHOULD fan out to several files rather than one straggler
     * task).
     */
+  /** OVERWRITE routing (round 18, VERDICT r17 task 3): TRUNCATE is the
+    * static INSERT OVERWRITE with no surviving partition filters;
+    * `overwriteDynamicPartitions` (partitionOverwriteMode=dynamic)
+    * replaces exactly the partitions the written files land in; and
+    * `overwrite(filters)` (INSERT OVERWRITE … PARTITION (col=v))
+    * replaces the partitions the static equalities select — each
+    * riding the per-value file layout, so untouched partitions' FILES
+    * carry over by reference (inode-identical) and prior snapshots
+    * stay time-travelable. Filters beyond partition-source equalities
+    * refuse in `canOverwrite` (Spark raises its standard
+    * overwrite-by-filter error) rather than approximating.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var mode: CowWriteMode = CowWriteMode.Append
+      private def overwrite: Boolean = mode != CowWriteMode.Append
+      override def truncate(): WriteBuilder = { mode = CowWriteMode.Truncate; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = CowWriteMode.Dynamic; this
+      }
+      private def eqOf(f: org.apache.spark.sql.sources.Filter)
+          : Option[(String, Any)] = f match {
+        case org.apache.spark.sql.sources.EqualTo(a, v) => Some(a -> v)
+        case org.apache.spark.sql.sources.EqualNullSafe(a, v) => Some(a -> v)
+        case _ => None
+      }
+      override def canOverwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+        filters.forall {
+          case org.apache.spark.sql.sources.AlwaysTrue() => true
+          case f => eqOf(f).exists { case (a, _) =>
+            CowTable.canOverwriteByEquality(path, a) }
+        }
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        val eqs = filters.toSeq.filterNot(
+          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]).map(f =>
+          eqOf(f).getOrElse(throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE filter not a partition equality: $f")))
+        mode = if (eqs.isEmpty) CowWriteMode.Truncate else CowWriteMode.Filtered(eqs)
+        this
+      }
       override def build(): Write = new Write
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         private val writeSchema: StructType =
           Option(info).map(_.schema()).getOrElse(schema)
+        /** The declared z-order as a V2 sort over the catalog's
+          * `zorder` function, bounds baked in as literals from the
+          * stored spec (round 18). None when any z column is absent
+          * from this write's schema or not numeric-normalizable — an
+          * INSERT never fails for a layout hint.
+          */
+        private def zorderSort
+            : Option[org.apache.spark.sql.connector.expressions.SortOrder] =
+          CowTable.zorderSpec(path).flatMap { spec =>
+            val zable: Set[DataType] = Set(DoubleType, FloatType, LongType,
+              IntegerType, ShortType, ByteType, DateType, TimestampType,
+              TimestampNTZType)
+            val ok = spec.cols.forall { case (c, _, _) =>
+              writeSchema.fields.exists(f => f.name == c &&
+                (zable.contains(f.dataType) || f.dataType.isInstanceOf[DecimalType]))
+            }
+            if (!ok) None
+            else {
+              def dlit(v: Double): org.apache.spark.sql.connector.expressions.Expression =
+                Expressions.literal(v)
+              val args: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+                Expressions.literal(spec.bits) +:
+                  spec.cols.flatMap { case (c, mn, mx) => Seq(
+                    Expressions.column(c), dlit(mn), dlit(mx)) }
+              Some(Expressions.sort(Expressions.apply("zorder", args: _*),
+                org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+            }
+          }
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution = {
           import org.apache.spark.sql.connector.distributions.Distributions
           val exprs = CowSqlTable.clusteringExprs(path, writeSchema)
-          if (asOf.nonEmpty || exprs.isEmpty) Distributions.unspecified()
-          else Distributions.clustered(exprs.toArray)
+          if (asOf.nonEmpty) Distributions.unspecified()
+          else if (exprs.nonEmpty) Distributions.clustered(exprs.toArray)
+          // no partition transforms: a declared z-order RANGE-shuffles
+          // on the z-value, so each task (→ file) covers a tight z
+          // range — cluster()'s repartitionByRange as a write property
+          else zorderSort match {
+            case Some(zs) => Distributions.ordered(Array(zs))
+            case None     => Distributions.unspecified()
+          }
         }
-        /** Sorted within tasks by the same transforms, so a task
-          * holding several values writes them contiguously — the
-          * writer keeps one open file at a time instead of one per
-          * value.
+        /** Sorted within tasks by the partition transforms (a task
+          * holding several values writes them contiguously — one open
+          * file at a time), then by the declared z-value, so rows
+          * inside each file follow the curve and row-group stats stay
+          * tight on every z column.
           */
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          CowSqlTable.clusteringExprs(path, writeSchema).map(e =>
+          (CowSqlTable.clusteringExprs(path, writeSchema).map(e =>
             Expressions.sort(e,
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-              : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+              : org.apache.spark.sql.connector.expressions.SortOrder) ++
+            (if (asOf.nonEmpty) None else zorderSort)).toArray
         override def distributionStrictlyRequired(): Boolean = false
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
           require(asOf.isEmpty, "cannot write to a time-travel snapshot")
-          new CowBatchWrite(SparkSession.active, path, writeSchema, overwrite)
+          new CowBatchWrite(SparkSession.active, path, writeSchema, mode)
         }
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {

@@ -353,13 +353,27 @@ object CowTable {
   /** The declared lookup-column spec: `L <dictMax> <bits> col1,col2`. */
   private val LookupPrefix = "L "
 
+  /** WRITE-SIDE Z-ORDER spec (round 18, VERDICT r17 task 7):
+    * `ZO <bits> <col>:<mn>:<mx>,…` — the clustering columns and the
+    * FIXED normalization bounds every subsequent INSERT interleaves
+    * under. [[cluster]] normalizes with a per-rewrite data pass, which
+    * a streaming-in INSERT cannot do (each batch would normalize to
+    * its own bounds and the curves would not compose); storing the
+    * bounds once makes the z-value a PURE function of the row, so the
+    * V2 write face can expose it to `RequiresDistributionAndOrdering`
+    * through the function catalog. Out-of-bounds late data clamps to
+    * the curve's edge cell — pruning stays sound because file-skipping
+    * reads the real per-file `C` stats, never the spec.
+    */
+  private val ZOrderPrefix = "ZO "
+
   private def isMetaLine(l: String): Boolean =
     l.startsWith(DeletePrefix) || l.startsWith(PosDeletePrefix) ||
       l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix) ||
       l.startsWith(TxnPrefix) || l.startsWith(StatsPrefix) ||
       l.startsWith(StatsColsPrefix) || l.startsWith(BloomPrefix) ||
       l.startsWith(LookupPrefix) || l.startsWith(WhenPrefix) ||
-      l.startsWith(RowsPrefix)
+      l.startsWith(RowsPrefix) || l.startsWith(ZOrderPrefix)
 
   /** Parsed view of ONE immutable snapshot manifest. The text parse
     * and the per-file JSON stat/sum parses are each done at most once
@@ -655,7 +669,7 @@ object CowTable {
     manifestLines(path, Some(base)).filter(l =>
       l.startsWith(SchemaPrefix) || l.startsWith(PartitionPrefix) ||
         l.startsWith(TxnPrefix) || l.startsWith(StatsColsPrefix) ||
-        l.startsWith(LookupPrefix))
+        l.startsWith(LookupPrefix) || l.startsWith(ZOrderPrefix))
 
   /** The highest committed writer version for `appId` (−1 if this
     * application never committed) — the [[append]] `txn` watermark.
@@ -993,6 +1007,149 @@ object CowTable {
     }
   }
 
+  /** Per-spec partition-value tuple of a data file, parsed from its
+    * `name=value` path segments — None when any current transform's
+    * segment is missing (an old-layout file written before the spec).
+    * Values stay in their ESCAPED directory form: every comparand came
+    * through the same writer escaping, so raw segment strings compare
+    * exactly.
+    */
+  private def partTupleOf(names: Seq[String], f: String): Option[Seq[String]] = {
+    val m = f.split('/').iterator.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i > 0) Some(s.take(i) -> s.drop(i + 1)) else None
+    }.toMap
+    val vals = names.map(m.get)
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+  }
+
+  /** Shared guards for partition-replacing commits: replacing "a
+    * partition" is only sound when membership is decidable from file
+    * PATHS alone, so (a) key-delete sidecars must be folded first (a
+    * carried global key tombstone would hide same-keyed FRESH rows;
+    * dropping it would resurrect rows in untouched partitions), and
+    * (b) every live data file must carry the segments being matched
+    * (an old-layout file may contain replaced-partition rows — keeping
+    * it duplicates, dropping it loses other partitions' data).
+    */
+  private def requireReplaceSafe(path: String, base: Int, op: String,
+                                 blind: Seq[String]): Unit = {
+    require(snapshotDeletes(path, Some(base)).isEmpty,
+      s"$op is ambiguous while merge-on-read key-delete sidecars are live " +
+        s"on $path — compact the table to fold them first")
+    require(blind.isEmpty,
+      s"$op needs every live data file under the current partition layout; " +
+        s"${blind.size} predate it (e.g. ${blind.take(3).mkString(", ")}) — " +
+        "rewrite first: CowTable.cluster/compact")
+  }
+
+  /** Commit V2-written files with DYNAMIC partition-overwrite semantics
+    * (`INSERT OVERWRITE` under partitionOverwriteMode=dynamic, via
+    * [[graft.sinks.CowBatchWrite]]): base data files whose partition-
+    * value tuple appears among the FRESH files' tuples are replaced;
+    * every other partition's files carry over untouched — the fresh
+    * files' directory segments themselves declare what is replaced, no
+    * data pass needed. Zero rows written ⇒ zero partitions replaced ⇒
+    * the table is unchanged (Hive/Spark dynamic semantics, NOT a
+    * truncate). An unpartitioned table degrades to a full overwrite.
+    * Positional-delete sidecars carry (entries for dropped files go
+    * inert with their file; entries for kept files stay live); C/R/B
+    * lines retire mechanically with the dropped files in [[commit]].
+    */
+  private[graft] def commitWrittenFilesDynamic(spark: SparkSession, path: String,
+                                               files: Seq[String]): Int = {
+    if (files.isEmpty) return currentVersion(path)
+    // fresh-file sidecar lines are base-independent: compute once, not
+    // per optimistic-retry round
+    val freshMeta = statsLinesFor(spark, path, files, statsColumns(path)) ++
+      rowLinesFor(spark, files) ++
+      lookupSpec(path).toSeq.flatMap(s => bloomLinesFor(spark, path, files, s))
+    withCommitRetry() {
+      val base = currentVersion(path)
+      val spec = partitionSpec(path, Some(base))
+      if (spec.isEmpty)
+        commit(path, files ++ freshMeta ++ specLines(path, base), base)
+      else {
+        val names = spec.map(_.name)
+        val freshTuples = files.flatMap(partTupleOf(names, _)).toSet
+        require(freshTuples.nonEmpty && files.forall(partTupleOf(names, _).isDefined),
+          s"dynamic overwrite wrote files without the current partition segments " +
+            s"under $path — writer/spec mismatch")
+        val baseFiles = snapshotFiles(path, Some(base))
+        requireReplaceSafe(path, base, "dynamic partition overwrite",
+          baseFiles.filter(partTupleOf(names, _).isEmpty))
+        val kept = baseFiles.filter(f => !freshTuples.contains(partTupleOf(names, f).get))
+        commit(path, kept ++ files ++ freshMeta ++
+          snapshotPositionDeletes(path, Some(base)).map(PosDeletePrefix + _) ++
+          specLines(path, base), base)
+      }
+    }
+  }
+
+  /** True iff `src` is a partition-spec source whose equality filter
+    * can soundly select whole files by directory segment — identity or
+    * bucket/truncate always; time transforms only at spec semantics
+    * ≥ v2 (older directories may be session-zone-dependent, the
+    * [[prunedFilesEq]] hazard, which for an overwrite-DROP would lose
+    * or duplicate rows rather than merely under-prune).
+    */
+  private[graft] def canOverwriteByEquality(path: String, src: String): Boolean =
+    partitionSpec(path, None).exists(t => t.src == src &&
+      (!Set("day", "month", "year").contains(t.kind) ||
+        partitionSpecVersion(path, None) >= PartitionTransform.SpecV))
+
+  /** Commit V2-written files with STATIC filter-overwrite semantics
+    * (`INSERT OVERWRITE … PARTITION (col=v, …)`): base data files whose
+    * directory segment for EVERY filtered transform equals the
+    * transform of the literal are replaced; everything else carries
+    * over. The literal→segment evaluation is [[prunedFilesEq]]'s own
+    * (cast to the source type, same transform expression, same
+    * escaping), so the dropped set is exactly the file set a read of
+    * that partition would serve.
+    */
+  private[graft] def commitWrittenFilesFiltered(spark: SparkSession, path: String,
+                                                files: Seq[String],
+                                                eqs: Seq[(String, Any)]): Int = {
+    require(eqs.nonEmpty, "filtered overwrite needs at least one equality")
+    val freshMeta = statsLinesFor(spark, path, files, statsColumns(path)) ++
+      rowLinesFor(spark, files) ++
+      lookupSpec(path).toSeq.flatMap(s => bloomLinesFor(spark, path, files, s))
+    withCommitRetry() {
+      val base = currentVersion(path)
+      val spec = partitionSpec(path, Some(base))
+      val segs = eqs.map { case (src, value) =>
+        val t = spec.find(_.src == src).getOrElse(throw new UnsupportedOperationException(
+          s"INSERT OVERWRITE filter on '$src' which is not a partition source of $path"))
+        require(canOverwriteByEquality(path, src),
+          s"'$src' carries a pre-v2 time-transform spec — directories may be " +
+            "session-zone-dependent; rewrite the table first")
+        val srcType: types.DataType =
+          declaredSchema(path, Some(base))
+            .flatMap(_.fields.find(_.name == src).map(_.dataType))
+            .orElse(files.headOption.flatMap(f =>
+              scala.util.Try(spark.read.parquet(f).schema).toOption
+                .flatMap(_.fields.find(_.name == src).map(_.dataType))))
+            .getOrElse(spark.range(1).select(lit(value)).schema.head.dataType)
+        val v = Option(value).map(_ =>
+          spark.range(1).select(t.exprOf(lit(value), srcType).cast("string"))
+            .head.getString(0))
+        val dirVal = v match {
+          case Some(s) if s != null =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+          case _ => "__HIVE_DEFAULT_PARTITION__"
+        }
+        (s"/${t.name}=$dirVal/", s"/${t.name}=")
+      }
+      val baseFiles = snapshotFiles(path, Some(base))
+      requireReplaceSafe(path, base, "static partition overwrite",
+        baseFiles.filter(f => segs.exists { case (_, marker) => !f.contains(marker) }))
+      val kept = baseFiles.filterNot(f => segs.forall { case (seg, _) => f.contains(seg) })
+      commit(path, kept ++ files ++ freshMeta ++
+        snapshotPositionDeletes(path, Some(base)).map(PosDeletePrefix + _) ++
+        specLines(path, base), base)
+    }
+  }
+
   /** Publish a STAGED table (atomic CTAS / RTAS — see
     * [[CowCatalog.stageCreate]]) into `realPath`: the staged table's
     * data files hard-link into the real table's `data/` tree with
@@ -1214,6 +1371,98 @@ object CowTable {
             else Seq(StatsColsPrefix + cols.mkString(","))
     commit(path, kept ++ k ++
       statsLinesFor(spark, path, snapshotFiles(path, Some(base)), cols), base)
+  }
+
+  /** The declared write-side z-order spec (see [[ZOrderPrefix]]). */
+  def zorderSpec(path: String, asOf: Option[Int] = None): Option[ZOrderSpec] =
+    manifestLines(path, asOf).find(_.startsWith(ZOrderPrefix)).map { l =>
+      val body = l.stripPrefix(ZOrderPrefix)
+      val sp = body.indexOf(' ')
+      ZOrderSpec(body.take(sp).toInt,
+        body.drop(sp + 1).split(',').toIndexedSeq.map { e =>
+          val Array(c, mn, mx) = e.split(':')
+          (c, mn.toDouble, mx.toDouble)
+        })
+    }
+
+  /** Declare write-side Z-ORDER clustering: every subsequent INSERT
+    * through the V2 face range-shuffles and sorts on the interleaved
+    * z-value of `cols` under bounds FIXED here (measured from the
+    * current snapshot — one min/max aggregate), so each written file
+    * covers a tight range in EVERY clustering column and min/max
+    * pruning fires on any of them, not just a leading sort column.
+    * This is [[cluster]]'s layout as a STANDING WRITE PROPERTY instead
+    * of a one-shot rewrite: cluster() re-normalizes per rewrite (a
+    * data pass new inserts can't repeat), the stored bounds make the
+    * z-value a pure row function the function catalog can serve to
+    * `RequiresDistributionAndOrdering`. Existing files are NOT
+    * rewritten (run cluster() for that); late out-of-bounds values
+    * clamp to the curve's edge — their files' real `C` stats keep
+    * pruning sound, just less tight. Declare the same columns via
+    * [[setStatsColumns]] to record those stats.
+    */
+  def setZorderColumns(spark: SparkSession, path: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty && cols.size <= 3, "1-3 z-order columns")
+    val base = currentVersion(path)
+    val df = read(spark, path, Some(base))
+    cols.foreach(c => require(df.columns.contains(c), s"no column '$c' in $path"))
+    require(df.take(1).nonEmpty,
+      s"cannot measure z-order bounds on empty $path — pass explicit bounds")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    setZorderBounds(spark, path,
+      cols.zipWithIndex.map { case (c, i) => (c, r.getDouble(2 * i), r.getDouble(2 * i + 1)) })
+  }
+
+  /** [[setZorderColumns]] with caller-declared normalization bounds
+    * (empty table, or domain knowledge tighter than the measured
+    * min/max). Values outside the bounds clamp to the curve edge.
+    */
+  def setZorderBounds(spark: SparkSession, path: String,
+                      bounds: Seq[(String, Double, Double)]): Int = {
+    require(bounds.nonEmpty && bounds.size <= 3, "1-3 z-order columns")
+    bounds.foreach { case (c, mn, mx) =>
+      require(!c.exists(ch => ch == ',' || ch == ':' || ch.isWhitespace),
+        s"z-order column names must not contain ',', ':' or whitespace: $c")
+      require(mn <= mx && !mn.isNaN && !mx.isNaN, s"bad bounds for $c: [$mn, $mx]")
+    }
+    val bits = math.min(20, 62 / bounds.size)
+    val base = currentVersion(path)
+    val kept = manifestLines(path, Some(base)).filterNot(_.startsWith(ZOrderPrefix))
+    commit(path, kept ++ Seq(ZOrderPrefix + s"$bits " +
+      bounds.map { case (c, mn, mx) => s"$c:$mn:$mx" }.mkString(",")), base)
+  }
+
+  /** Drop the write-side z-order declaration (inserts stop shuffling). */
+  def clearZorderColumns(spark: SparkSession, path: String): Int = {
+    val base = currentVersion(path)
+    commit(path,
+      manifestLines(path, Some(base)).filterNot(_.startsWith(ZOrderPrefix)), base)
+  }
+
+  /** One row's z-value under a spec: clamped min/max normalization to
+    * `bits` quantiles per column, bits interleaved (bit i of column k →
+    * position i·n + k — [[cluster]]'s exact layout). Shared by the V2
+    * `zorder` catalog function.
+    */
+  private[sinks] def zValue(bits: Int, n: Int, k: Int, mn: Double, mx: Double,
+                            x: Double, isNull: Boolean, acc: Long): Long = {
+    val scale = (1L << bits) - 1
+    val q: Long =
+      if (isNull || mx <= mn) 0L
+      else {
+        val t = (x - mn) / (mx - mn) * scale
+        if (t.isNaN || t < 0.0) 0L else if (t > scale) scale else t.toLong
+      }
+    var z = acc
+    var i = 0
+    while (i < bits) {
+      z |= ((q >> i) & 1L) << (i * n + k)
+      i += 1
+    }
+    z
   }
 
   /** Atomic types stats can order portably. Strings compare as UTF-8
@@ -3555,6 +3804,12 @@ object SchemaChange {
   * evolve without touching a reader. `n` parameterizes bucket /
   * truncate; 0 otherwise.
   */
+/** Write-side z-order declaration: `bits` bits of each column's
+  * clamped [mn, mx] normalization, interleaved. See
+  * [[CowTable.setZorderColumns]].
+  */
+final case class ZOrderSpec(bits: Int, cols: Seq[(String, Double, Double)])
+
 final case class PartitionTransform(src: String, kind: String, n: Int = 0) {
   require(PartitionTransform.Kinds.contains(kind), s"unknown transform kind '$kind'")
   require(kind != "bucket" && kind != "truncate" || n > 0,

@@ -84,8 +84,20 @@ case class CowVOffset(v: Long) extends ss.Offset {
 
 /** Shared admission logic: latestOffset mirrors the V1 source's
   * `getOffset` (base-anchored `maxVersionsPerBatch` cap, monotone).
+  *
+  * `Trigger.AvailableNow` (round 18, VERDICT r17 task 4) is NATIVE
+  * here rather than via Spark's wrapper: the wrapper captures one
+  * target offset and hands it back for every `latestOffset(start,
+  * limit)` call, which would drain the whole backlog in ONE batch —
+  * silently bypassing `maxVersionsPerBatch`/`maxRowsPerBatch`. The
+  * native fence instead pins only the admission TARGET at the trigger-
+  * start table version; each batch still admits through the caps, so
+  * an AvailableNow run processes everything available at start in as
+  * many capped batches as the limits dictate, then stops. Versions
+  * committed AFTER the trigger started are left for the next run.
   */
-private[sources] trait CowVersionedStream extends ss.MicroBatchStream {
+private[sources] trait CowVersionedStream extends ss.MicroBatchStream
+    with ss.SupportsTriggerAvailableNow {
   protected def path: String
   protected def startingVersion: Option[Int]
   protected def maxVers: Long
@@ -95,14 +107,28 @@ private[sources] trait CowVersionedStream extends ss.MicroBatchStream {
     */
   @volatile protected var base: Long = startingVersion.map(_.toLong).getOrElse(-1L)
 
+  /** The AvailableNow target fence — None under ordinary triggers. */
+  @volatile protected var availableNowFence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = Some(CowTable.currentVersion(path).toLong)
+
   override def initialOffset(): ss.Offset =
     CowVOffset(startingVersion.map(_.toLong).getOrElse(-1L))
   override def latestOffset(): ss.Offset = {
-    val cur = CowTable.currentVersion(path).toLong
+    val cur0 = CowTable.currentVersion(path).toLong
+    val cur = availableNowFence.fold(cur0)(math.min(cur0, _))
     val cap = base + maxVers // saturating: unlimited default must not wrap
     val anchored = if (base < 0 || cap < base) cur else math.min(cur, cap)
     CowVOffset(math.max(anchored, base))
   }
+
+  /** Capped admission for sources with no finer-grained control: the
+    * version-capped (and AvailableNow-fenced) target. The append
+    * stream overrides this with row-budget admission.
+    */
+  override def latestOffset(start: ss.Offset, limit: ss.ReadLimit): ss.Offset =
+    latestOffset()
   override def deserializeOffset(json: String): ss.Offset =
     CowVOffset(json.trim.toLong)
   override def commit(end: ss.Offset): Unit =

@@ -3326,4 +3326,149 @@ class CowTableSpec extends SparkSpecBase {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("write-side z-order: INSERT range-shuffles on the stored curve; pruning fires on EVERY z column") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "16")
+        // at test scale AQE would coalesce the z range-shuffle into one
+        // fat partition (the CORRECT at-scale behavior — files track the
+        // advisory size; 100k modular longs compress to a few KB of
+        // shuffle bytes); shrink the advisory so the fan-out is visible
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import graft.sinks.CowTable
+      // Z table: both columns declared; bounds from explicit spec (the
+      // table is empty at declaration time)
+      s.sql("CREATE TABLE cowt.ns.z (x BIGINT, y BIGINT, p BIGINT)")
+      val t = s"$wh/ns/z"
+      CowTable.setZorderBounds(s, t, Seq(("x", 0.0, 999.0), ("y", 0.0, 999.0)))
+      CowTable.setStatsColumns(s, t, Seq("x", "y"))
+      s.sql("INSERT INTO cowt.ns.z SELECT id % 1000, (id * 7919) % 1000, id FROM range(100000)")
+      val zf = CowTable.snapshotFiles(t)
+      assert(zf.size >= 8, s"ordered distribution must fan out: ${zf.size} files")
+      assert(s.sql("SELECT count(*), sum(p) FROM cowt.ns.z").head().getLong(0) == 100000L,
+        "z shuffle must not lose rows")
+      // the curve gives BOTH columns tight per-file ranges: a 10%-of-
+      // domain predicate on either column prunes most files
+      val px = CowTable.prunedFilesRange(s, t, "x", Some(0L), Some(99L))
+      val py = CowTable.prunedFilesRange(s, t, "y", Some(0L), Some(99L))
+      assert(px.size <= zf.size / 2, s"x prune kept ${px.size}/${zf.size}")
+      assert(py.size <= zf.size / 2, s"y prune kept ${py.size}/${zf.size} — " +
+        "the SECOND z column must prune too")
+      // single-column twin: same data, z-order on x alone — y pruning
+      // keeps everything, which is exactly what the 2-D curve fixes
+      s.sql("CREATE TABLE cowt.ns.z1 (x BIGINT, y BIGINT, p BIGINT)")
+      val t1 = s"$wh/ns/z1"
+      CowTable.setZorderBounds(s, t1, Seq(("x", 0.0, 999.0)))
+      CowTable.setStatsColumns(s, t1, Seq("x", "y"))
+      s.sql("INSERT INTO cowt.ns.z1 SELECT id % 1000, (id * 7919) % 1000, id FROM range(100000)")
+      val f1 = CowTable.snapshotFiles(t1)
+      val px1 = CowTable.prunedFilesRange(s, t1, "x", Some(0L), Some(99L))
+      val py1 = CowTable.prunedFilesRange(s, t1, "y", Some(0L), Some(99L))
+      assert(px1.size <= f1.size / 2, "leading column prunes under 1-D ordering")
+      assert(py1.size == f1.size,
+        s"non-leading column cannot prune a 1-D layout (${py1.size}/${f1.size})")
+      // filtered result equality: pruned read ≡ full scan
+      val exp = s.sql("SELECT sum(p) FROM cowt.ns.z WHERE y BETWEEN 0 AND 99")
+        .head().getLong(0)
+      val got = CowTable.readFiles(s, t, py, None)
+        .filter(org.apache.spark.sql.functions.col("y").between(0, 99))
+        .agg(org.apache.spark.sql.functions.sum("p")).head().getLong(0)
+      assert(got == exp, "pruned file set must cover every matching row")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("INSERT OVERWRITE: dynamic replaces only written partitions, static PARTITION(col=v), inode-carried survivors") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    def fileKey(f: String): Object =
+      java.nio.file.Files.readAttributes(java.nio.file.Paths.get(f),
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import graft.sinks.CowTable
+      // days-partitioned table, three days of data
+      s.sql("CREATE TABLE cowt.ns.ow (id BIGINT, d DATE) PARTITIONED BY (days(d))")
+      s.sql("INSERT INTO cowt.ns.ow SELECT id, " +
+        "date_add(DATE'2024-03-01', CAST(id % 3 AS INT)) FROM range(90)")
+      val t = s"$wh/ns/ow"
+      val vPre = CowTable.currentVersion(t)
+      val preFiles = CowTable.snapshotFiles(t)
+      assert(preFiles.size == 3, s"clustered insert: one file per day, got $preFiles")
+      val survivors = preFiles.filterNot(_.contains("=2024-03-02"))
+      val survivorKeys = survivors.map(f => f -> fileKey(f)).toMap
+      // DYNAMIC: overwrite carrying only day 2024-03-02 rows
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.sql("INSERT OVERWRITE cowt.ns.ow SELECT id, DATE'2024-03-02' FROM range(1000, 1005)")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.ow").head().getLong(0) == 65L,
+        "30 + 30 untouched days + 5 fresh rows")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.ow WHERE d = DATE'2024-03-02'")
+        .head().getLong(0) == 5L, "replaced day holds ONLY the fresh rows")
+      val postFiles = CowTable.snapshotFiles(t)
+      survivors.foreach { f =>
+        assert(postFiles.contains(f), s"untouched day's file must carry: $f")
+        assert(fileKey(f) == survivorKeys(f), s"survivor rewritten (inode changed): $f")
+      }
+      // time travel: the pre-overwrite day is still there
+      assert(s.sql(s"SELECT count(*) FROM cowt.ns.ow VERSION AS OF $vPre " +
+        "WHERE d = DATE'2024-03-02'").head().getLong(0) == 30L)
+      // dynamic overwrite with ZERO rows replaces nothing (not a truncate)
+      val vNoop = CowTable.currentVersion(t)
+      s.sql("INSERT OVERWRITE cowt.ns.ow SELECT id, DATE'2024-03-02' FROM range(0)")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.ow").head().getLong(0) == 65L)
+      assert(CowTable.currentVersion(t) == vNoop, "zero-row dynamic overwrite is a no-op")
+      // STATIC single-partition replace on an identity-partitioned table
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      s.sql("CREATE TABLE cowt.ns.ows (id BIGINT, g INT) PARTITIONED BY (g)")
+      s.sql("INSERT INTO cowt.ns.ows SELECT id, CAST(id % 3 AS INT) FROM range(30)")
+      val ts2 = s"$wh/ns/ows"
+      val keep = CowTable.snapshotFiles(ts2).filterNot(_.contains("p_g=1"))
+      s.sql("INSERT OVERWRITE cowt.ns.ows PARTITION (g = 1) SELECT id FROM range(500, 502)")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.ows WHERE g = 1").head().getLong(0) == 2L)
+      assert(s.sql("SELECT count(*) FROM cowt.ns.ows").head().getLong(0) == 22L,
+        "two untouched groups of 10 + 2 fresh rows")
+      keep.foreach(f => assert(CowTable.snapshotFiles(ts2).contains(f),
+        s"untouched static partition must carry: $f"))
+      // STATIC with no PARTITION clause truncates the whole table
+      s.sql("INSERT OVERWRITE cowt.ns.ows SELECT id, CAST(id AS INT) FROM range(4)")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.ows").head().getLong(0) == 4L)
+      // guard: dynamic overwrite refuses while MoR key-delete sidecars live
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      CowTable.deleteMorKeys(s, t, s.range(0, 1).selectExpr("id"), Seq("id"))
+      val eMor = intercept[Exception] {
+        s.sql("INSERT OVERWRITE cowt.ns.ow SELECT id, DATE'2024-03-01' FROM range(3)")
+      }
+      assert(eMor.getMessage != null &&
+        (eMor.getMessage.contains("merge-on-read") ||
+          Option(eMor.getCause).exists(_.getMessage.contains("merge-on-read"))),
+        s"MoR guard must fire loudly: ${eMor.getMessage}")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }

@@ -2177,6 +2177,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(sizes.sum == 9L, "no gap, no duplicate under row admission")
   }
 
+  test("catalog Trigger.AvailableNow: capped drain covers the start-time backlog in several batches, then terminates") {
+    import spark.implicits._
+    import graft.sinks.CowTable
+    val dir = java.nio.file.Files.createTempDirectory("cow_cat_an").toString
+    spark.conf.set("spark.sql.catalog.cowan", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cowan.root", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ns"))
+    val t = s"$dir/ns/t"
+    CowTable.create((1L to 3L).map(i => (i, i)).toDF("id", "v"), t)      // v1: 3 rows
+    CowTable.append(spark, t, Seq((4L, 4L), (5L, 5L)).toDF("id", "v"))  // v2: +2
+    CowTable.append(spark, t, Seq((6L, 6L), (7L, 7L)).toDF("id", "v"))  // v3: +2
+    CowTable.append(spark, t, Seq((8L, 8L), (9L, 9L)).toDF("id", "v"))  // v4: +2
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Seq[Long] = {
+      sizes.synchronized(sizes.clear())
+      val q = spark.readStream.option("maxRowsPerBatch", "4")
+        .table("cowan.ns.t").writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          sizes.synchronized { sizes += b.count() }; () }
+        .start()
+      // AvailableNow must STOP BY ITSELF once the start-time backlog
+      // drains — this await is the termination assertion
+      assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+      sizes.synchronized(sizes.toSeq)
+    }
+    // the row cap still shapes admission under AvailableNow (the native
+    // fence, NOT Spark's one-giant-batch wrapper): snapshot, v2+v3
+    // within the 4-row budget, v4 — 3 capped batches, one run
+    assert(drain() == Seq(3L, 4L, 2L), sizes.toSeq.toString)
+    // a second run with nothing new is an empty no-op that terminates
+    assert(drain().forall(_ == 0L))
+    // versions committed after the previous run belong to the NEXT run
+    CowTable.append(spark, t, Seq((10L, 10L)).toDF("id", "v"))          // v5: +1
+    CowTable.append(spark, t, Seq((11L, 11L)).toDF("id", "v"))          // v6: +1
+    assert(drain().filter(_ > 0L) == Seq(2L), sizes.toSeq.toString)
+    // the $changes CDC face drains under AvailableNow too, one version
+    // per batch under maxVersionsPerBatch=1
+    val vcount = CowTable.currentVersion(t)
+    val csizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cq = spark.readStream.option("maxVersionsPerBatch", "1")
+      .option("key", "id").option("startingVersion", "1")
+      .table("cowan.ns.`t$changes`").writeStream
+      .option("checkpointLocation", s"$dir/ckpt_cdc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        csizes.synchronized { csizes += b.count() }; () }
+      .start()
+    assert(cq.awaitTermination(120000), "CDC AvailableNow run did not terminate")
+    val cs = csizes.synchronized(csizes.toSeq).filter(_ > 0L)
+    assert(cs == Seq(2L, 2L, 2L, 1L, 1L),
+      s"one version per batch from startingVersion=1 through v6: $cs")
+    assert(vcount == CowTable.currentVersion(t))
+  }
+
   test("catalog writeStream.toTable: exactly-once append through the V2 streaming face") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
