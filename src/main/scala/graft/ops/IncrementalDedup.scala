@@ -157,24 +157,54 @@ object IncrementalDedup {
       StagedIngest(pairs, toV, () => writeIndexedVersion(indexPath, toV))
     if (toV == fromV) return StagedIngest(empty, toV, () => ())
 
+    // the CDC window is batch-sized by contract: checkpoint it ONCE and
+    // count change types in the same pass — the former two isEmpty
+    // probes were each a full window job (r18, VERDICT r17 task 6)
     val feed = CowTable.changes(spark, corpusPath, "doc_id", fromV, toV)
+      .select(col("doc_id"), col("_change_type"),
+        blockOf(blockCols).as("block"), col("text"))
+      .localCheckpoint()
+    val typeCounts = timed("feed+upsertScan")(
+      feed.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val hasUpserts = typeCounts.getOrElse("insert", 0L) +
+      typeCounts.getOrElse("update", 0L) > 0L
     val upserts = feed.filter(col("_change_type").isin("insert", "update"))
-      .select(col("doc_id"), blockOf(blockCols).as("block"), col("text"))
-    val newSigs = signatures(upserts)
+      .select(col("doc_id"), col("block"), col("text"))
+    // the batch's MinHash signatures feed THREE consumers (index
+    // merge, band-literal collect, broadcast probe) — checkpoint so
+    // the codegen signature pass runs once, not three times
+    val newSigs =
+      if (hasUpserts) timed("sigs")(signatures(upserts).localCheckpoint())
+      else signatures(upserts)
     // updates replace their doc's band row wholesale; inserts append.
     // Skipped for delete-only batches: no new docs means no new pairs,
     // so the index is never even scanned.
-    val hasUpserts = timed("feed+upsertScan")(!upserts.isEmpty)
-    if (hasUpserts) timed("sigs+indexMerge")(
-      CowTable.merge(spark, indexPath, newSigs, "doc_id"))
+    //
+    // INSERT-ONLY fast path (r18, VERDICT r17 task 6): a batch with no
+    // updates introduces only NEW keys, so merge's touched-file scan
+    // (a full key-column read of the index plus a per-file footer
+    // merge) can prove nothing — append the sig rows directly. The txn
+    // watermark keeps the crash-retry contract merge gave us for free
+    // (idempotent upsert): a replayed CDC window (marker not advanced,
+    // same toV) is a no-op instead of a duplicate append. Guarded off
+    // while key-delete sidecars are live — append cannot REVIVE a
+    // previously-deleted doc_id the window re-inserts; merge can.
+    if (hasUpserts) {
+      val hasUpdates = typeCounts.getOrElse("update", 0L) > 0L
+      timed("indexMerge")(
+        if (!hasUpdates && CowTable.snapshotDeletes(indexPath).isEmpty)
+          CowTable.append(spark, indexPath, newSigs,
+            txn = Some(("incdedup", toV.toLong)))
+        else CowTable.merge(spark, indexPath, newSigs, "doc_id"))
+    }
     // Pure-delete cleanup rides the index table's MERGE-ON-READ delete:
     // a key-list sidecar, zero index data files rewritten, no size
     // bound (previously a 1,000-id literal-IN cap left stale rows for
     // a full rebuild). Physical retirement is [[compactIndex]].
-    val deleted = feed.filter(col("_change_type") === "delete").select("doc_id")
-    if (timed("deleteScan")(!deleted.isEmpty))
-      timed("indexMorDelete")(
-        CowTable.deleteMorKeys(spark, indexPath, deleted, "doc_id"))
+    if (typeCounts.getOrElse("delete", 0L) > 0L)
+      timed("indexMorDelete")(CowTable.deleteMorKeys(spark, indexPath,
+        feed.filter(col("_change_type") === "delete").select("doc_id"), "doc_id"))
     if (!hasUpserts) return staged(empty)
 
     // candidates: the batch's band keys probe the updated index. The
@@ -206,10 +236,19 @@ object IncrementalDedup {
       .select(least(col("doc_id"), col("b_id")).as("a_id"),
               greatest(col("doc_id"), col("b_id")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // exact verify on CURRENT tokens — candidate-id semi-joins into
-    // the corpus, so cost ∝ candidates (and deleted ids vanish here)
-    val tk = corpusNow.select(col("doc_id"),
-      array_sort(array_distinct(split(col("text"), " "))).as("tk"))
+      // candidate-sized — checkpoint so the id set below and the two
+      // verify joins don't each replay the index probe
+      .localCheckpoint()
+    // exact verify on CURRENT tokens: ONE corpus pass tokenizes only
+    // candidate-involved docs (semi-join), checkpointed candidate-
+    // sized; the former per-side joins tokenized the corpus twice
+    val ids = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id"))).distinct()
+    val tk = corpusNow
+      .join(broadcast(ids), "doc_id", "left_semi")
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("tk"))
+      .localCheckpoint()
     staged(candidates
       .join(tk.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
       .join(tk.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")

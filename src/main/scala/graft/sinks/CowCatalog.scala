@@ -874,7 +874,7 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
                      options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var files: Seq[String] = CowTable.snapshotFiles(path, asOf)
@@ -909,6 +909,39 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
     true
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** TOP-N pushdown as ORDERED file-prefix pruning (round 18):
+    * `ORDER BY k LIMIT n` on a snapshot whose range index proves the
+    * files disjoint in k plans only the covering prefix IN k ORDER —
+    * manifest-order LIMIT pruning's missing half. Partial: Spark keeps
+    * the real sort+limit above; only the leading sort key prunes
+    * (disjointness makes every excluded row strictly beyond every kept
+    * one, so secondary keys cannot pull rows back in). Declined on any
+    * residual filter, an already-pruned file set (the covering proof
+    * is over the whole snapshot), or whenever
+    * [[CowTable.orderedCoveringPrefix]] cannot prove coverage.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (orders.isEmpty || limit <= 0 || residuals.nonEmpty || agg.isDefined)
+      return false
+    if (files != CowTable.snapshotFiles(path, asOf)) return false
+    val head = orders.head
+    val colName = head.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    val desc = head.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+    CowTable.orderedCoveringPrefix(path, asOf, colName, desc, limit.toLong) match {
+      case Some(prefix) =>
+        files = prefix
+        limitPruned = true
+        true
+      case None => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1202,14 +1235,21 @@ private[sinks] object CowAggPushdown {
               (StructField(s"max_${f.name}", f.dataType), v.orNull)))
           case s: Sum if !s.isDistinct =>
             colOf(s.column).flatMap(f => sumOf(fs, f))
-          // AVG = exact-sum / nonNullCount, integral columns only: one
-          // double rounding at the end (deterministic), where the scan
-          // path accumulates doubles incrementally — within an ulp,
-          // and this is the complete-pushdown path Spark only takes
-          // when supportCompletePushDown said yes. Decimal avg has
-          // engine-specific scale/rounding rules — decline, the
-          // sum+count rewrite Spark applies when complete pushdown is
-          // refused still answers manifest-only.
+          // AVG = exact-sum / nonNullCount. Integral: one double
+          // rounding at the end (deterministic), where the scan path
+          // accumulates doubles incrementally — within an ulp, and
+          // this is the complete-pushdown path Spark only takes when
+          // supportCompletePushDown said yes. DECIMAL (round 18,
+          // VERDICT r17 task 9): the exact BigDecimal sum divides by
+          // the non-null count under Spark's own rules — quotient at
+          // MAX_SCALE with HALF_UP (`Decimal./`), then one
+          // changePrecision to the Average result type
+          // decimal(p+4, s+4), again HALF_UP — so the manifest answer
+          // is bit-equal to the scan's. p+4 > 38 declines (Spark
+          // shrinks the scale under precision pressure; the sum+count
+          // rewrite still answers manifest-only). Overflow cannot
+          // occur below that: an average's integer digits never exceed
+          // the addends' p−s, which (p+4, s+4) preserves.
           case a: Avg if !a.isDistinct =>
             colOf(a.column).flatMap { f =>
               f.dataType match {
@@ -1222,6 +1262,26 @@ private[sinks] object CowAggPushdown {
                     (StructField(s"avg_${f.name}", DoubleType),
                       if (n == 0L || s._2 == null) null
                       else s._2.asInstanceOf[Long].toDouble / n)
+                  }
+                case d: DecimalType if d.precision + 4 <= 38 =>
+                  for {
+                    s <- sumOf(fs, f)
+                    per <- statsFor(fs, f.name)
+                  } yield {
+                    val n = per.map(_._3).sum
+                    val rt = DecimalType(d.precision + 4, d.scale + 4)
+                    (StructField(s"avg_${f.name}", rt),
+                      if (n == 0L || s._2 == null) null
+                      else {
+                        val sumBD = s._2
+                          .asInstanceOf[org.apache.spark.sql.types.Decimal]
+                          .toJavaBigDecimal
+                        val q = sumBD.divide(java.math.BigDecimal.valueOf(n),
+                          DecimalType.MAX_SCALE, java.math.RoundingMode.HALF_UP)
+                        org.apache.spark.sql.types.Decimal(
+                          q.setScale(rt.scale, java.math.RoundingMode.HALF_UP),
+                          rt.precision, rt.scale)
+                      })
                   }
                 case _ => None
               }

@@ -1888,6 +1888,49 @@ object CowTable {
       : Map[String, Map[String, StatDigest]] =
     snapshotMeta(path, asOf).digests
 
+  /** ORDERED-PREFIX LIMIT (round 18, VERDICT r17 task 8): for
+    * `ORDER BY column [DESC] LIMIT n` on a range-clustered snapshot,
+    * the shortest file run IN CLUSTERING ORDER that provably contains
+    * the n extreme rows — `LIMIT 10` on a 100k-file table plans ONE
+    * file, in value order rather than manifest order. Provable only
+    * when: the column's range index exists (pairwise-disjoint file
+    * intervals — every row outside the prefix is strictly beyond every
+    * row inside, so the prefix holds the top-n under any secondary
+    * sort keys), EVERY data file carries stats and a row count (a
+    * blind file could hide extreme rows), no file holds a NULL in the
+    * column (NULLS FIRST/LAST would interleave arbitrary files), and
+    * no delete sidecar can shrink a file's contribution. Anything less
+    * returns None and the scan plans normally.
+    */
+  private[sinks] def orderedCoveringPrefix(path: String, asOf: Option[Int],
+                                           column: String, desc: Boolean,
+                                           n: Long): Option[Seq[String]] = {
+    if (snapshotDeletes(path, asOf).nonEmpty ||
+        snapshotPositionDeletes(path, asOf).nonEmpty) return None
+    val meta = snapshotMeta(path, asOf)
+    meta.rangeIndexFor(column) match {
+      case Some(idx) if idx.alwaysKeep.isEmpty &&
+          idx.sorted.size == snapshotFiles(path, asOf).size =>
+        val counts = fileRowCounts(path, asOf)
+        val digests = fileDigests(path, asOf)
+        val allCounted = idx.sorted.forall { case (_, _, f) =>
+          counts.get(f).exists(rc =>
+            digests.get(f).flatMap(_.get(column)).exists(_.nn == rc))
+        }
+        if (!allCounted) None
+        else {
+          val ordered = if (desc) idx.sorted.reverse else idx.sorted
+          var acc = 0L
+          val out = Vector.newBuilder[String]
+          ordered.foreach { case (_, _, f) =>
+            if (acc < n) { out += f; acc += counts(f) }
+          }
+          Some(out.result())
+        }
+      case _ => None
+    }
+  }
+
   /** Parsed `B` sidecars of a snapshot: file → column → entry
     * (cached with the snapshot — base64 bloom decode is O(files)).
     */

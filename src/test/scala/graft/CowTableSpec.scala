@@ -2707,12 +2707,24 @@ class CowTableSpec extends SparkSpecBase {
       assert(!fp.queryExecution.executedPlan.toString.contains("CowAggScan"),
         "double SUM must scan")
       assert(fp.head().getDouble(0) == ((0L until 400L).map(_ / 2.0).sum + 0.5))
+      // DECIMAL AVG (round 18): exact sum / count under Spark's own
+      // division + changePrecision rounding — manifest answer bit-equal
+      // (value AND scale) to the real scan's
+      val da = s.sql("SELECT avg(amt) AS aa FROM cowt.ns.sm")
+      assert(da.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "decimal AVG must answer from the manifest:\n" +
+          da.queryExecution.executedPlan.toString.take(1200))
+      val scanAvg = CowTable.read(s, t)
+        .agg(org.apache.spark.sql.functions.avg("amt")).head().getDecimal(0)
+      val gotAvg = da.head().getDecimal(0)
+      assert(gotAvg.equals(scanAvg), s"manifest $gotAvg vs scan $scanAvg")
       // GROUP BY a file-constant key composes with SUM per group
       val tg = s"$wh/ns/smg"
-      CowTable.create((0L until 300L).map(i => (i, i % 3, i))
-        .toDF("id", "grp", "v").repartition(2),
+      CowTable.create((0L until 300L).map(i =>
+          (i, i % 3, i, BigDecimal(i * 11).setScale(2)))
+        .toDF("id", "grp", "v", "amt").repartition(2),
         tg, Seq(graft.sinks.PartitionTransform.identity("grp")))
-      CowTable.setStatsColumns(s, tg, Seq("grp", "v"))
+      CowTable.setStatsColumns(s, tg, Seq("grp", "v", "amt"))
       val g = s.sql("SELECT grp, sum(v) AS sv FROM cowt.ns.smg GROUP BY grp")
       assert(g.queryExecution.executedPlan.toString.contains("CowAggScan"),
         g.queryExecution.executedPlan.toString.take(1500))
@@ -2720,6 +2732,19 @@ class CowTableSpec extends SparkSpecBase {
       val want = (0L until 300L).groupBy(_ % 3)
         .map { case (k, xs) => (k, xs.sum) }.toSeq.sortBy(_._1)
       assert(got == want, s"got $got want $want")
+      // grouped + filtered DECIMAL AVG stay manifest-only and bit-equal
+      val gd = s.sql("SELECT grp, avg(amt) AS aa FROM cowt.ns.smg GROUP BY grp")
+      assert(gd.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "grouped decimal AVG must answer from the manifest")
+      val gdScan = CowTable.read(s, tg).groupBy("grp")
+        .agg(org.apache.spark.sql.functions.avg("amt").as("aa"))
+        .collect().map(x => (x.getLong(0), x.getDecimal(1))).toMap
+      gd.collect().foreach(x => assert(x.getDecimal(1).equals(gdScan(x.getLong(0))),
+        s"grp ${x.getLong(0)}: manifest ${x.getDecimal(1)} vs scan ${gdScan(x.getLong(0))}"))
+      val fd = s.sql("SELECT avg(amt) AS aa FROM cowt.ns.smg WHERE grp = 1")
+      assert(fd.queryExecution.executedPlan.toString.contains("CowAggScan"),
+        "exact-filtered decimal AVG must answer from the manifest")
+      assert(fd.head().getDecimal(0).equals(gdScan(1L)))
       // pre-r17 stats lines (no 4th element) decline SUM but keep
       // MIN/MAX/COUNT: strip the sum element from the manifest in place
       val tOld = s"$wh/ns/smo"
@@ -3041,6 +3066,81 @@ class CowTableSpec extends SparkSpecBase {
       assert(m.count() == 3998L, "2 deleted of 4000")
       assert(scanFiles(s.sql("SELECT * FROM cowt.ns.l LIMIT 3999")) == nFiles,
         "dirty snapshot must not limit-prune")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("catalog TopN pushdown: ORDER BY clustering key LIMIT n plans only the covering ORDERED prefix") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val t = s"$wh/ns/tn"
+      // range-clustered on id (8 disjoint files); v deliberately
+      // OVERLAPS across files (modular), so only id carries the proof
+      CowTable.create((0L until 4000L).map(i => (i, (i * 7919) % 4000))
+        .toDF("id", "v").repartitionByRange(8, col("id")), t)
+      CowTable.setStatsColumns(s, t, Seq("id", "v"))
+      val nFiles = CowTable.snapshotFiles(t).size
+      assert(nFiles == 8)
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case _ => Seq.empty
+          })
+        nodes(df.queryExecution.executedPlan).collectFirst {
+          case b: BatchScanExec => b.inputRDD.getNumPartitions }.getOrElse(-1)
+      }
+      // ascending: the min-id file alone covers LIMIT 5, values exact
+      val asc = s.sql("SELECT id FROM cowt.ns.tn ORDER BY id LIMIT 5")
+      assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 5L).toSeq)
+      assert(scanFiles(s.sql("SELECT id FROM cowt.ns.tn ORDER BY id LIMIT 5")) == 1,
+        "ascending top-5 must plan exactly the first file IN id ORDER")
+      // descending: the max-id file alone
+      val desc = s.sql("SELECT id FROM cowt.ns.tn ORDER BY id DESC LIMIT 5")
+      assert(desc.collect().map(_.getLong(0)).toSeq ==
+        (3999L to 3995L by -1L).toSeq)
+      assert(scanFiles(s.sql("SELECT id FROM cowt.ns.tn ORDER BY id DESC LIMIT 5")) == 1,
+        "descending top-5 must plan exactly the last file")
+      // a limit spanning one file boundary takes a longer prefix
+      val mid = scanFiles(s.sql("SELECT id FROM cowt.ns.tn ORDER BY id LIMIT 600"))
+      assert(mid >= 2 && mid < nFiles, s"read $mid of $nFiles")
+      // secondary sort keys ride the leading-key proof
+      assert(scanFiles(s.sql("SELECT id FROM cowt.ns.tn ORDER BY id, v LIMIT 5")) == 1)
+      // an OVERLAPPING column has no disjoint index: full scan
+      assert(scanFiles(s.sql("SELECT v FROM cowt.ns.tn ORDER BY v LIMIT 5")) == nFiles,
+        "overlapping file ranges must not TopN-prune")
+      // NULLs in the sort column anywhere: declined (ordering would
+      // interleave arbitrary files)
+      val t2 = s"$wh/ns/tn2"
+      CowTable.create((0L until 400L)
+        .map(i => (if (i == 7) None else Some(i), i))
+        .toDF("id", "v").repartitionByRange(4, col("id")), t2)
+      CowTable.setStatsColumns(s, t2, Seq("id"))
+      val n2 = CowTable.snapshotFiles(t2).size
+      assert(scanFiles(s.sql("SELECT id FROM cowt.ns.tn2 ORDER BY id LIMIT 5")) == n2,
+        "a null in the sort column must decline the prefix proof")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
