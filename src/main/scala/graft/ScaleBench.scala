@@ -23,7 +23,7 @@ object ScaleBench {
     // `runMain graft.ScaleBench het` runs ONLY the round-7
     // heterogeneous-corpus section; no args runs the full battery
     val only = args.headOption
-    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp", "mfa", "mft", "wrt").contains),
+    require(only.forall(Set("het", "ivm", "ivmj", "fkj", "ivf", "stats", "asof", "inc", "rule", "mor", "app", "band", "skew", "lookup", "spj", "cdc", "upd", "dpp", "mfa", "mft", "wrt", "zow").contains),
       s"unknown section '${only.getOrElse("")}' — supported: het | ivm | ivmj | fkj | ivf | stats | asof | inc | rule | mor | app | band | skew | lookup | spj | cdc | upd | dpp | mfa | mft | wrt " +
         "(no arg = full run; `asof` runs ONLY when named — its 4M/2M hot-key " +
         "cogroup comparison is too heavy for the default battery)")
@@ -1371,6 +1371,96 @@ object ScaleBench {
       f"$fBefore%d files in ${tBefore}%5.1f s (${fBefore / fAfter}%dx fewer " +
       "files; filtered count+sum answers manifest-only, zero data reads)")
     } // end wrt section
+
+    if (only.forall(_ == "zow")) {
+    // ---- round-18: write-side Z-ORDER vs 1-D clustering (task 7) -------
+    // 10M rows with two INDEPENDENT uniform keys x, y ∈ [0, 10000).
+    // Both tables land through plain SQL INSERT on the V2 write face;
+    // the only difference is the stored z-order spec: (x, y) vs (x).
+    // The 2-D curve must give a selective predicate on EITHER column a
+    // pruned file list, where the 1-D layout prunes only its leading
+    // column — the payoff of the r17 range machinery for multi-column
+    // predicates, now produced by ordinary INSERTs instead of a
+    // cluster() rewrite pass. Plus the r18 ordered-prefix TopN: ORDER
+    // BY x LIMIT 10 on the 1-D table plans O(covering) files.
+    import graft.sinks.CowTable
+    val zowWh = "/tmp/graft_scalebench_zow"
+    val zowRoot = java.nio.file.Paths.get(zowWh)
+    if (java.nio.file.Files.exists(zowRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(zowRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$zowWh/ns"))
+    spark.conf.set("spark.sql.catalog.zowcat", classOf[graft.sinks.CowCatalog].getName)
+    spark.conf.set("spark.sql.catalog.zowcat.root", zowWh)
+    def zsrc = spark.range(10000000L).select(col("id"),
+      pmod(xxhash64(col("id")), lit(10000L)).as("x"),
+      pmod(xxhash64(col("id") + 7), lit(10000L)).as("y"),
+      sha2(concat(col("id").cast("string"), lit("z")), 256).as("pad"))
+    zsrc.createOrReplaceTempView("zow_src")
+    spark.sql("CREATE TABLE zowcat.ns.z2 (id BIGINT, x BIGINT, y BIGINT, pad STRING)")
+    spark.sql("CREATE TABLE zowcat.ns.z1 (id BIGINT, x BIGINT, y BIGINT, pad STRING)")
+    CowTable.setZorderBounds(spark, s"$zowWh/ns/z2",
+      Seq(("x", 0.0, 9999.0), ("y", 0.0, 9999.0)))
+    CowTable.setZorderBounds(spark, s"$zowWh/ns/z1", Seq(("x", 0.0, 9999.0)))
+    CowTable.setStatsColumns(spark, s"$zowWh/ns/z2", Seq("x", "y"))
+    CowTable.setStatsColumns(spark, s"$zowWh/ns/z1", Seq("x", "y"))
+    val tZ0 = System.nanoTime()
+    spark.sql("INSERT INTO zowcat.ns.z2 SELECT id, x, y, pad FROM zow_src")
+    val tZ2 = (System.nanoTime() - tZ0) / 1e9
+    val tZ1s = System.nanoTime()
+    spark.sql("INSERT INTO zowcat.ns.z1 SELECT id, x, y, pad FROM zow_src")
+    val tZ1 = (System.nanoTime() - tZ1s) / 1e9
+    val fz2 = CowTable.snapshotFiles(s"$zowWh/ns/z2").size
+    val fz1 = CowTable.snapshotFiles(s"$zowWh/ns/z1").size
+    require(fz2 >= 8 && fz1 >= 8, s"expected a fan-out, got z2=$fz2 z1=$fz1")
+    // a 5%-of-domain predicate per column: kept-file fractions
+    def kept(t: String, c: String): Int =
+      CowTable.prunedFilesRange(spark, s"$zowWh/ns/$t", c,
+        Some(0L), Some(499L)).size
+    val (kx2, ky2) = (kept("z2", "x"), kept("z2", "y"))
+    val (kx1, ky1) = (kept("z1", "x"), kept("z1", "y"))
+    require(kx2 <= fz2 / 2 && ky2 <= fz2 / 2,
+      s"2-D curve must prune BOTH columns: x $kx2/$fz2, y $ky2/$fz2")
+    require(kx1 <= fz1 / 2, s"1-D leading column must prune: $kx1/$fz1")
+    require(ky1 == fz1,
+      s"1-D layout cannot prune its second column: $ky1/$fz1")
+    // correctness: pruned read ≡ full answer on the 2-D table
+    val zExp = spark.sql(
+      "SELECT count(*) c, sum(id) s FROM zowcat.ns.z2 WHERE y BETWEEN 0 AND 499")
+      .head()
+    val zGot = spark.read.parquet(CowTable.prunedFilesRange(spark,
+        s"$zowWh/ns/z2", "y", Some(0L), Some(499L)): _*)
+      .filter(col("y").between(0L, 499L))
+      .agg(count(lit(1)), sum(col("id"))).head()
+    require(zGot.getLong(0) == zExp.getLong(0) && zGot.getLong(1) == zExp.getLong(1),
+      s"pruned read must equal full answer: $zGot vs $zExp")
+    // ordered-prefix TopN at scale: ORDER BY x LIMIT 10 on the 1-D
+    // table plans only the covering prefix (disjoint range index)
+    val topn = spark.sql("SELECT x FROM zowcat.ns.z1 ORDER BY x LIMIT 10")
+    topn.collect()
+    def nscan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nscan)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nscan(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nscan(qs.plan)
+        case _ => Seq.empty
+      })
+    val topnParts = nscan(topn.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.getOrElse(-1)
+    require(topnParts >= 1 && topnParts <= 2,
+      s"ordered TopN must plan O(covering) files, planned $topnParts of $fz1")
+    println(f"[scalebench] zow @ 10M rows: 2-D z INSERT ${tZ2}%5.1f s " +
+      f"($fz2%d files, 5%% predicate keeps x $kx2%d / y $ky2%d) vs 1-D " +
+      f"${tZ1}%5.1f s ($fz1%d files, keeps x $kx1%d / y $ky1%d=ALL); " +
+      f"ORDER BY x LIMIT 10 plans $topnParts%d file(s); pruned read " +
+      "checksum-equal")
+    } // end zow section
 
     if (only.forall(_ == "upd")) {
     // ---- round-15: SQL UPDATE write cost ∝ touched files --------------

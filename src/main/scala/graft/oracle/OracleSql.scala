@@ -756,7 +756,7 @@ object OracleSql {
   FROM t""",
   )
 
-  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ wave1314 ++ wave15 ++ wave16 ++ OracleW18.sql ++ OracleW19.sql ++ OracleW20.sql ++ OracleW21.sql ++ OracleW22.sql ++ OracleW23.sql ++ OracleW24.sql ++ OracleW25.sql ++ OracleW26.sql ++ OracleW27.sql ++ OracleW28.sql ++ OracleW29.sql ++ OracleW30.sql ++ OracleW31.sql ++ OracleW32.sql ++ Map(
+  val sql: Map[String, String] = wave89 ++ wave10 ++ wave11 ++ wave1314 ++ wave15 ++ wave16 ++ OracleW18.sql ++ OracleW19.sql ++ OracleW20.sql ++ OracleW21.sql ++ OracleW22.sql ++ OracleW23.sql ++ OracleW24.sql ++ OracleW25.sql ++ OracleW26.sql ++ OracleW27.sql ++ OracleW28.sql ++ OracleW29.sql ++ OracleW30.sql ++ OracleW31.sql ++ OracleW32.sql ++ OracleW33.sql ++ OracleW34.sql ++ Map(
     "graph_pagerank" -> pagerankSql,
     // (l_orderkey, l_linenumber) is not unique in this corpus; LIMIT
     // queries extend the sort to the measured-unique 5-tuple so the cut

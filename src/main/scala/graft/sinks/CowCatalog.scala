@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
@@ -80,9 +81,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * distributed anti-join with no bound.
   */
 class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  /** Table path for a procedure's dotted `'ns.t'` argument. */
+  private[sinks] def tablePath(ref: String): String = {
+    val parts = ref.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table reference '$ref' — expected 'ns.table'")
+    (root +: parts).mkString("/")
+  }
+
+  // ---- ProcedureCatalog: SQL CALL maintenance (round 18) -----------------
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    CowProcedures.Names.map(Identifier.of(namespace, _)).toArray
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    CowProcedures.load(this, ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -116,23 +131,41 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   override def tableExists(ident: Identifier): Boolean = CowTable.exists(dir(ident))
 
-  override def loadTable(ident: Identifier): Table = {
-    // `ns.t$changes` = the streaming CDC face of ns.t (round 16):
-    // readStream-able row-level changes, schema = declared + CDC meta
-    val suffix = graft.sources.CowCatalogStream.ChangesSuffix
+  /** `t$suffix` sub-table routing: the base identifier when `name`
+    * carries `suffix` over an EXISTING base table, else None.
+    */
+  private def subTableBase(ident: Identifier, suffix: String): Option[Identifier] =
     if (ident.name().endsWith(suffix) && ident.name() != suffix) {
       val base = Identifier.of(ident.namespace(), ident.name().stripSuffix(suffix))
       if (!tableExists(base)) throw new NoSuchTableException(ident)
-      return new graft.sources.CowChangesTable(dir(base), ident.toString)
-    }
+      Some(base)
+    } else None
+
+  override def loadTable(ident: Identifier): Table = {
+    // `ns.t$changes` = the streaming CDC face of ns.t (round 16):
+    // readStream-able row-level changes, schema = declared + CDC meta
+    subTableBase(ident, graft.sources.CowCatalogStream.ChangesSuffix).foreach(b =>
+      return new graft.sources.CowChangesTable(dir(b), ident.toString))
+    // metadata-table faces (round 18): snapshot history and the
+    // current snapshot's file inventory, Iceberg/Delta-style
+    subTableBase(ident, CowMetaTable.HistorySuffix).foreach(b =>
+      return new CowMetaTable(dir(b), ident.toString, "history", None))
+    subTableBase(ident, CowMetaTable.FilesSuffix).foreach(b =>
+      return new CowMetaTable(dir(b), ident.toString, "files", None))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     else new CowSqlTable(dir(ident), ident.toString, None)
   }
 
-  /** `VERSION AS OF v` time travel. */
-  override def loadTable(ident: Identifier, version: String): Table =
+  /** `VERSION AS OF v` time travel — `t$files` time-travels too (the
+    * file inventory OF that snapshot); history is version-free.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    subTableBase(ident, CowMetaTable.FilesSuffix).foreach(b =>
+      return new CowMetaTable(dir(b), ident.toString, "files",
+        Some(version.toInt)))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     else new CowSqlTable(dir(ident), ident.toString, Some(version.toInt))
+  }
 
   /** `TIMESTAMP AS OF ts` time travel — Spark hands epoch MICROS; the
     * snapshot is the greatest commit stamped at or before it
@@ -146,10 +179,7 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(!ident.name().endsWith(graft.sources.CowCatalogStream.ChangesSuffix),
-      s"table name ${ident.name()} is reserved: the " +
-        s"'${graft.sources.CowCatalogStream.ChangesSuffix}' suffix addresses " +
-        "a table's streaming CDC face (loadTable would shadow this table)")
+    CowCatalog.requireUnreserved(ident.name())
     require(!tableExists(ident), s"table $ident already exists")
     CowTable.createEmpty(dir(ident), schema,
       partitions.toSeq.map(CowCatalog.toCowTransform))
@@ -216,10 +246,7 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
-    require(!to.name().endsWith(graft.sources.CowCatalogStream.ChangesSuffix),
-      s"table name ${to.name()} is reserved: the " +
-        s"'${graft.sources.CowCatalogStream.ChangesSuffix}' suffix addresses " +
-        "a table's streaming CDC face")
+    CowCatalog.requireUnreserved(to.name())
     require(tableExists(from), s"no table $from")
     require(!tableExists(to), s"table $to already exists")
     java.nio.file.Files.createDirectories(
@@ -282,10 +309,7 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   private def stage(ident: Identifier, schema: StructType,
                     partitions: Array[Transform], mustExist: Option[Boolean])
       : StagedTable = {
-    require(!ident.name().endsWith(graft.sources.CowCatalogStream.ChangesSuffix),
-      s"table name ${ident.name()} is reserved: the " +
-        s"'${graft.sources.CowCatalogStream.ChangesSuffix}' suffix addresses " +
-        "a table's streaming CDC face")
+    CowCatalog.requireUnreserved(ident.name())
     mustExist.foreach { e =>
       if (e) { if (!tableExists(ident)) throw new NoSuchTableException(ident) }
       else if (tableExists(ident))
@@ -334,6 +358,19 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 }
 
 object CowCatalog {
+  /** Suffixes that address a table's derived faces rather than a
+    * table: `$changes` (streaming CDC), `$history` / `$files`
+    * (metadata tables). Creating or renaming onto one would shadow
+    * the face in loadTable.
+    */
+  private[sinks] def requireUnreserved(name: String): Unit = {
+    val reserved = Seq(graft.sources.CowCatalogStream.ChangesSuffix,
+      CowMetaTable.HistorySuffix, CowMetaTable.FilesSuffix)
+    reserved.find(name.endsWith).foreach(sfx => throw new IllegalArgumentException(
+      s"table name $name is reserved: the '$sfx' suffix addresses a " +
+        "table's derived face (loadTable would shadow this table)"))
+  }
+
   /** Age (ms) past which a `.stage-*` directory counts as a crashed
     * CTAS/RTAS and is reclaimed. Any LIVE stage is either seconds old
     * (the query is still writing into it) or gets renamed/deleted at
@@ -524,6 +561,84 @@ final class CowZorderBound(argTypes: Seq[DataType])
     }
     z
   }
+}
+
+/** METADATA-TABLE faces (round 18): `cow.ns.`t$history`` — one row per
+  * retained snapshot (version, file/sidecar counts, schema/spec
+  * markers, commit stamp) — and `cow.ns.`t$files`` — the snapshot's
+  * file inventory (path, kind, bytes, manifest row count), time-
+  * travelable via `VERSION AS OF`. Rows come from the MANIFEST alone
+  * (plus one `Files.size` probe per file), computed on the driver and
+  * served through a single InputPartition: the frame is manifest-
+  * sized, which the snapshot parse cache already bounds — the same
+  * data DESCRIBE-style tooling reads, now addressable from plain SQL.
+  */
+object CowMetaTable {
+  val HistorySuffix = "$history"
+  val FilesSuffix = "$files"
+  private[sinks] def schemaOf(kind: String): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_data_files", LongType, nullable = false),
+      StructField("n_delete_sidecars", LongType, nullable = false),
+      StructField("n_pos_sidecars", LongType, nullable = false),
+      StructField("has_schema", BooleanType, nullable = false),
+      StructField("has_partition_spec", BooleanType, nullable = false),
+      StructField("commit_time_ms", LongType, nullable = false)))
+    case _ => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true)))
+  }
+}
+
+class CowMetaTable(path: String, ident: String, kind: String, asOf: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = ident
+  override lazy val schema: StructType = CowMetaTable.schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = schema
+      override def description(): String = s"CowMetaScan[$kind, $path]"
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] = {
+          val rows: Array[Array[Any]] = kind match {
+            case "history" => CowTable.historyTuples(path).map(t =>
+              Array[Any](t._1, t._2, t._3, t._4, t._5, t._6, t._7)).toArray
+            case _ =>
+              val counts = CowTable.fileRowCounts(path, asOf)
+              CowTable.filesTuples(path, asOf).map { case (f, k, sz) =>
+                Array[Any](f, k, sz,
+                  counts.get(f).map(java.lang.Long.valueOf).orNull)
+              }.toArray
+          }
+          Array(CowMetaPartition(rows))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new CowMetaReaderFactory
+      }
+    }
+}
+
+private[sinks] case class CowMetaPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+private[sinks] class CowMetaReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[CowMetaPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(rows(i).toIndexedSeq.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+      override def close(): Unit = ()
+    }
 }
 
 /** A staged CTAS/RTAS target: a real CowTable in a hidden sibling

@@ -828,6 +828,14 @@ object CowTable {
   def filesMeta(spark: SparkSession, path: String,
                 asOf: Option[Int] = None): DataFrame = {
     import spark.implicits._
+    filesTuples(path, asOf).toDF("file", "kind", "size_bytes")
+  }
+
+  /** [[filesMeta]]'s raw rows — shared with the catalog's `t$files`
+    * metadata-table face. `row_count` consumers use [[fileRowCounts]].
+    */
+  private[sinks] def filesTuples(path: String, asOf: Option[Int])
+      : Seq[(String, String, Long)] = {
     val v = asOf.getOrElse(currentVersion(path))
     manifestLines(path, Some(v)).flatMap { l =>
       val (kind, f) =
@@ -839,7 +847,7 @@ object CowTable {
         val p = Paths.get(f)
         (f, k, if (Files.exists(p)) Files.size(p) else -1L)
       }
-    }.toDF("file", "kind", "size_bytes")
+    }
   }
 
   /** METADATA TABLE: one row per RETAINED snapshot (expired versions
@@ -849,6 +857,16 @@ object CowTable {
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    historyTuples(path).toDF("version", "n_data_files", "n_delete_sidecars",
+      "n_pos_sidecars", "has_schema", "has_partition_spec",
+      "commit_time_ms")
+  }
+
+  /** [[history]]'s raw rows — shared with the catalog's `t$history`
+    * metadata-table face, which builds InternalRows without a session.
+    */
+  private[sinks] def historyTuples(path: String)
+      : Seq[(Long, Long, Long, Long, Boolean, Boolean, Long)] =
     listVersions(path).sorted.map { v =>
       val ls = manifestLines(path, Some(v))
       (v.toLong, ls.count(l => !isMetaLine(l)).toLong,
@@ -857,10 +875,7 @@ object CowTable {
        ls.exists(_.startsWith(SchemaPrefix)),
        ls.exists(_.startsWith(PartitionPrefix)),
        commitTimeMs(path, v).getOrElse(0L))
-    }.toDF("version", "n_data_files", "n_delete_sidecars",
-           "n_pos_sidecars", "has_schema", "has_partition_spec",
-           "commit_time_ms")
-  }
+    }
 
   /** The commit wall-clock (epoch millis) stamped on `v`'s manifest;
     * None on manifests that predate the stamp line.

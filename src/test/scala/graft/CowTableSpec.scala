@@ -3427,6 +3427,103 @@ class CowTableSpec extends SparkSpecBase {
     }
   }
 
+  test("SQL CALL procedures: compact / expire_snapshots / cluster / stats + zorder declarations") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import graft.sinks.CowTable
+      s.sql("CREATE TABLE cowt.ns.p (id BIGINT, x BIGINT, y BIGINT)")
+      (0 until 4).foreach(i => s.sql(
+        s"INSERT INTO cowt.ns.p SELECT id, id % 97, (id * 31) % 89 FROM range(${i * 1000}, ${i * 1000 + 1000})"))
+      val t = s"$wh/ns/p"
+      val filesBefore = CowTable.snapshotFiles(t).size
+      assert(filesBefore >= 4)
+      // compact: fewer files, same rows, returns the new version
+      val vc = s.sql("CALL cowt.system.compact(`table` => 'ns.p', files => 2)")
+        .head().getLong(0)
+      assert(vc == CowTable.currentVersion(t))
+      assert(CowTable.snapshotFiles(t).size <= 2)
+      assert(s.sql("SELECT count(*) FROM cowt.ns.p").head().getLong(0) == 4000L)
+      // stats + zorder declarations through CALL
+      s.sql("CALL cowt.system.set_stats_columns('ns.p', 'x,y')")
+      s.sql("CALL cowt.system.set_zorder('ns.p', 'x,y')")
+      assert(CowTable.zorderSpec(t).exists(_.cols.map(_._1) == Seq("x", "y")))
+      // cluster (z-order rewrite) through CALL; same rows
+      s.sql("CALL cowt.system.cluster('ns.p', 'x,y', 4)")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.p").head().getLong(0) == 4000L)
+      // expire: keep last 2 snapshots, old manifests gone, data intact
+      val r = s.sql("CALL cowt.system.expire_snapshots('ns.p', 2)").head()
+      assert(r.getLong(0) > 0L, "must expire old manifests")
+      assert(s.sql("SELECT count(*) FROM cowt.ns.p").head().getLong(0) == 4000L)
+      intercept[Exception] {
+        s.sql("CALL cowt.system.no_such_proc('ns.p')").collect() }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("metadata tables: t$history and t$files serve manifest rows from SQL, time-travelable files") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    val wh = tmp
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/ns"))
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.catalog.cowt", classOf[graft.sinks.CowCatalog].getName)
+        .config("spark.sql.catalog.cowt.root", wh)
+        .getOrCreate()
+      import graft.sinks.CowTable
+      s.sql("CREATE TABLE cowt.ns.m (id BIGINT, g BIGINT) PARTITIONED BY (g)")
+      s.sql("INSERT INTO cowt.ns.m SELECT id, id % 3 FROM range(30)")
+      s.sql("INSERT INTO cowt.ns.m SELECT id, id % 3 FROM range(30, 60)")
+      val t = s"$wh/ns/m"
+      // history: one row per version, version/count columns live
+      val h = s.sql("SELECT version, n_data_files, commit_time_ms " +
+        "FROM cowt.ns.`m$history` ORDER BY version").collect()
+      assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), h.mkString(","))
+      assert(h.last.getLong(1) == 6L, "v3 carries both inserts' 3+3 files")
+      assert(h.forall(_.getLong(2) > 0L), "commit stamps present")
+      // files: inventory of the CURRENT snapshot with row counts
+      val f = s.sql("SELECT kind, count(*) c, sum(row_count) r " +
+        "FROM cowt.ns.`m$files` GROUP BY kind").collect()
+      assert(f.length == 1 && f.head.getString(0) == "data" &&
+        f.head.getLong(1) == 6L && f.head.getLong(2) == 60L, f.mkString(","))
+      // VERSION AS OF on $files = that snapshot's inventory
+      assert(s.sql("SELECT count(*) FROM cowt.ns.`m$files` VERSION AS OF 2")
+        .head().getLong(0) == 3L)
+      // a MoR delete shows as a sidecar row
+      CowTable.deleteMorKeys(s, t, s.range(0, 2).toDF("id"), "id")
+      val kinds = s.sql("SELECT DISTINCT kind FROM cowt.ns.`m$files`")
+        .collect().map(_.getString(0)).toSet
+      assert(kinds == Set("data", "delete_keys"), kinds.toString)
+      // reserved names refuse creation; missing base refuses loading
+      val eRes = intercept[Exception] {
+        s.sql("CREATE TABLE cowt.ns.`x$files` (id BIGINT)") }
+      assert(eRes.getMessage.contains("reserved"), eRes.getMessage)
+      intercept[Exception] { s.sql("SELECT * FROM cowt.ns.`nope$history`").collect() }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("write-side z-order: INSERT range-shuffles on the stored curve; pruning fires on EVERY z column") {
     import org.apache.spark.sql.SparkSession
     val prev = spark

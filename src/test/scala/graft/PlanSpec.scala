@@ -890,7 +890,14 @@ class PlanSpec extends SparkSpecBase {
     "part_type_price_median_gap" -> "1-row scalar: global-median broadcast",
     "customer_balance_spend_quadrant" -> "1-row scalar: two-median broadcast",
     "supplier_nation_price_index" -> "1-row scalar: global price-total broadcast",
-    "segment_wallet_share" -> "1-row scalar: balance/revenue totals broadcast over the bounded segment table")
+    "segment_wallet_share" -> "1-row scalar: balance/revenue totals broadcast over the bounded segment table",
+    "mw_u_segments" -> "1-row scalar: n1/n2 totals broadcast + bounded-bucket prefix-sum offsets",
+    "ks_price_segments" -> "1-row scalar: n1/n2 totals broadcast + bounded-bucket prefix-sum offsets (two cumulatives)",
+    "js_div_nation_prices" -> "1-row scalar: per-nation totals broadcast over the bounded 50k-dollar bucket table",
+    "little_law_openorders" -> "1-row scalar: corpus-span broadcast over the order-duration census",
+    "pacf2_daily_revenue" -> "1-row scalar: day-count broadcast over the bounded day domain",
+    "page_hinkley_revenue" -> "1-row scalar: (n, S) broadcast over the bounded day domain",
+    "cust_rfm_cells" -> "1-row scalar: corpus-horizon broadcast + bounded-bucket globalRank offsets (three rankings)")
 
   /** Queries permitted an Exchange SinglePartition, and why. The only
     * legitimate class: a FINAL aggregate/limit whose input is already
@@ -998,7 +1005,15 @@ class PlanSpec extends SparkSpecBase {
     "orders_runs_test" -> "1-row runs/z final + bounded day-domain lag window (fact collapses to days first)",
     "orders_weekday_anova" -> "1-row F final over the 7-row dow group table",
     "ts_hurst_rs" -> "bounded day-domain ranking window (fact collapses to ~2.4k days first) + per-size means",
-    "ts_ljung_box" -> "1-row Q final + bounded day-domain ranking window (fact collapses to days first)")
+    "ts_ljung_box" -> "1-row Q final + bounded day-domain ranking window (fact collapses to days first)",
+    "mw_u_segments" -> "1-row final rank-sum aggregate (value cumulatives bucket-parallel via globalPrefixSum)",
+    "ks_price_segments" -> "1-row final max-deviation aggregate (cumulatives bucket-parallel via globalPrefixSum)",
+    "js_div_nation_prices" -> "1-row final JS aggregate over the bounded bucket table",
+    "little_law_openorders" -> "1-row final over the single corpus-span group",
+    "cohens_d_segments" -> "1-row final pooled-moment aggregate over the 2-row segment frame",
+    "pacf2_daily_revenue" -> "bounded day-domain lag windows + 1-row moment finals (the orders_daily_count_autocorr class)",
+    "page_hinkley_revenue" -> "bounded day-domain cumulative windows + 1-row final (the ts_cusum_changepoint class)",
+    "cust_rfm_cells" -> "1-row corpus-horizon aggregate (the broadcast side; customer rankings stay bucket-parallel — the customer_churn_labels class)")
 
   test("AQE OptimizeSkewedJoin splits a hot-key shuffle join at runtime (salting OFF)") {
     // the declarative skew path a 100 TB user gets by DEFAULT — the
