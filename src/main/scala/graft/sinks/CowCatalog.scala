@@ -152,6 +152,8 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       return new CowMetaTable(dir(b), ident.toString, "history", None))
     subTableBase(ident, CowMetaTable.FilesSuffix).foreach(b =>
       return new CowMetaTable(dir(b), ident.toString, "files", None))
+    subTableBase(ident, CowMetaTable.PartitionsSuffix).foreach(b =>
+      return new CowMetaTable(dir(b), ident.toString, "partitions", None))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     else new CowSqlTable(dir(ident), ident.toString, None)
   }
@@ -162,6 +164,9 @@ class CowCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def loadTable(ident: Identifier, version: String): Table = {
     subTableBase(ident, CowMetaTable.FilesSuffix).foreach(b =>
       return new CowMetaTable(dir(b), ident.toString, "files",
+        Some(version.toInt)))
+    subTableBase(ident, CowMetaTable.PartitionsSuffix).foreach(b =>
+      return new CowMetaTable(dir(b), ident.toString, "partitions",
         Some(version.toInt)))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     else new CowSqlTable(dir(ident), ident.toString, Some(version.toInt))
@@ -365,7 +370,8 @@ object CowCatalog {
     */
   private[sinks] def requireUnreserved(name: String): Unit = {
     val reserved = Seq(graft.sources.CowCatalogStream.ChangesSuffix,
-      CowMetaTable.HistorySuffix, CowMetaTable.FilesSuffix)
+      CowMetaTable.HistorySuffix, CowMetaTable.FilesSuffix,
+      CowMetaTable.PartitionsSuffix)
     reserved.find(name.endsWith).foreach(sfx => throw new IllegalArgumentException(
       s"table name $name is reserved: the '$sfx' suffix addresses a " +
         "table's derived face (loadTable would shadow this table)"))
@@ -576,6 +582,7 @@ final class CowZorderBound(argTypes: Seq[DataType])
 object CowMetaTable {
   val HistorySuffix = "$history"
   val FilesSuffix = "$files"
+  val PartitionsSuffix = "$partitions"
   private[sinks] def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -585,6 +592,11 @@ object CowMetaTable {
       StructField("has_schema", BooleanType, nullable = false),
       StructField("has_partition_spec", BooleanType, nullable = false),
       StructField("commit_time_ms", LongType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true)))
     case _ => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -608,6 +620,25 @@ class CowMetaTable(path: String, ident: String, kind: String, asOf: Option[Int])
           val rows: Array[Array[Any]] = kind match {
             case "history" => CowTable.historyTuples(path).map(t =>
               Array[Any](t._1, t._2, t._3, t._4, t._5, t._6, t._7)).toArray
+            case "partitions" =>
+              // per partition-VALUE census from the data files' path
+              // segments (old-layout files roll up under "") — the
+              // row_count is the manifest R-line sum, null when any
+              // member file lacks one
+              val counts = CowTable.fileRowCounts(path, asOf)
+              CowTable.filesTuples(path, asOf)
+                .filter(_._2 == "data")
+                .groupBy { case (f, _, _) =>
+                  f.split('/').filter(_.contains('=')).mkString("/")
+                }
+                .toSeq.sortBy(_._1)
+                .map { case (part, fs) =>
+                  val rcs = fs.map(t => counts.get(t._1))
+                  Array[Any](part, fs.size.toLong, fs.map(_._3).sum,
+                    if (rcs.forall(_.isDefined))
+                      java.lang.Long.valueOf(rcs.flatten.sum)
+                    else null)
+                }.toArray
             case _ =>
               val counts = CowTable.fileRowCounts(path, asOf)
               CowTable.filesTuples(path, asOf).map { case (f, k, sz) =>

@@ -21,6 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL cowt.system.cluster('ns.t', 'x,y', 16)
   *   CALL cowt.system.set_stats_columns('ns.t', 'x,y')
   *   CALL cowt.system.set_zorder('ns.t', 'x,y')
+  *   CALL cowt.system.set_lookup_columns('ns.t', 'k', 128, 8192)
+  *   CALL cowt.system.backfill_row_counts('ns.t')
   * }}}
   *
   * Each call runs the corresponding [[CowTable]] API against the
@@ -33,7 +35,7 @@ private[sinks] object CowProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "cluster", "set_stats_columns",
-      "set_zorder")
+      "set_zorder", "set_lookup_columns", "backfill_row_counts")
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -116,6 +118,20 @@ private[sinks] object CowProcedures {
             in("table", StringType), in("columns", StringType))) { r =>
           val v = CowTable.setZorderColumns(SparkSession.active,
             cat.tablePath(str(r, 0)), cols(r, 1))
+          result(versionResult, v.toLong)
+        }
+        case "set_lookup_columns" => bound(procName, Seq(
+            in("table", StringType), in("columns", StringType),
+            inDefault("dict_max", IntegerType, "128"),
+            inDefault("bloom_bits", IntegerType, "8192"))) { r =>
+          val v = CowTable.setLookupColumns(SparkSession.active,
+            cat.tablePath(str(r, 0)), cols(r, 1), r.getInt(2), r.getInt(3))
+          result(versionResult, v.toLong)
+        }
+        case "backfill_row_counts" => bound(procName, Seq(
+            in("table", StringType))) { r =>
+          val v = CowTable.backfillRowCounts(SparkSession.active,
+            cat.tablePath(str(r, 0)))
           result(versionResult, v.toLong)
         }
       }

@@ -3464,6 +3464,11 @@ class CowTableSpec extends SparkSpecBase {
       val r = s.sql("CALL cowt.system.expire_snapshots('ns.p', 2)").head()
       assert(r.getLong(0) > 0L, "must expire old manifests")
       assert(s.sql("SELECT count(*) FROM cowt.ns.p").head().getLong(0) == 4000L)
+      // lookup sidecars + row-count backfill through CALL
+      s.sql("CALL cowt.system.set_lookup_columns('ns.p', 'id', 64, 4096)")
+      assert(CowTable.lookupSpec(t).isDefined)
+      s.sql("CALL cowt.system.backfill_row_counts('ns.p')")
+      assert(CowTable.fileRowCounts(t).values.sum == 4000L)
       intercept[Exception] {
         s.sql("CALL cowt.system.no_such_proc('ns.p')").collect() }
     } finally {
@@ -3506,6 +3511,15 @@ class CowTableSpec extends SparkSpecBase {
       // VERSION AS OF on $files = that snapshot's inventory
       assert(s.sql("SELECT count(*) FROM cowt.ns.`m$files` VERSION AS OF 2")
         .head().getLong(0) == 3L)
+      // $partitions: per-value census with row counts
+      val parts = s.sql("SELECT partition, n_files, row_count " +
+        "FROM cowt.ns.`m$partitions` ORDER BY partition").collect()
+      assert(parts.length == 3 &&
+        parts.map(_.getString(0)).toSeq == Seq("p_g=0", "p_g=1", "p_g=2") &&
+        parts.forall(p => p.getLong(1) == 2L && p.getLong(2) == 20L),
+        parts.mkString(","))
+      assert(s.sql("SELECT sum(row_count) FROM cowt.ns.`m$partitions` VERSION AS OF 2")
+        .head().getLong(0) == 30L)
       // a MoR delete shows as a sidecar row
       CowTable.deleteMorKeys(s, t, s.range(0, 2).toDF("id"), "id")
       val kinds = s.sql("SELECT DISTINCT kind FROM cowt.ns.`m$files`")
