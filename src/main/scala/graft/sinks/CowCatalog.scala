@@ -1062,17 +1062,20 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
     * manifest-order LIMIT pruning's missing half. Partial: Spark keeps
     * the real sort+limit above; only the leading sort key prunes
     * (disjointness makes every excluded row strictly beyond every kept
-    * one, so secondary keys cannot pull rows back in). Declined on any
-    * residual filter, an already-pruned file set (the covering proof
-    * is over the whole snapshot), or whenever
-    * [[CowTable.orderedCoveringPrefix]] cannot prove coverage.
+    * one, so secondary keys cannot pull rows back in). COMPOSES with
+    * exact-pushed filters (round 18): the kept files are
+    * whole-matching and a subset of pairwise-disjoint intervals stays
+    * disjoint, so `WHERE day = X ORDER BY k LIMIT n` plans the
+    * covering prefix of that day's files alone. Declined on any
+    * residual filter or whenever
+    * [[CowTable.orderedCoveringPrefix]] cannot prove coverage over the
+    * current file set.
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     if (orders.isEmpty || limit <= 0 || residuals.nonEmpty || agg.isDefined)
       return false
-    if (files != CowTable.snapshotFiles(path, asOf)) return false
     val head = orders.head
     val colName = head.expression() match {
       case nr: NamedReference if nr.fieldNames().length == 1 => nr.fieldNames()(0)
@@ -1080,7 +1083,8 @@ class CowScanBuilder(spark: SparkSession, path: String, asOf: Option[Int],
     }
     val desc = head.direction() ==
       org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
-    CowTable.orderedCoveringPrefix(path, asOf, colName, desc, limit.toLong) match {
+    CowTable.orderedCoveringPrefix(path, asOf, colName, desc, limit.toLong,
+        files) match {
       case Some(prefix) =>
         files = prefix
         limitPruned = true

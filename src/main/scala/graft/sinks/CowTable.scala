@@ -1919,22 +1919,30 @@ object CowTable {
     */
   private[sinks] def orderedCoveringPrefix(path: String, asOf: Option[Int],
                                            column: String, desc: Boolean,
-                                           n: Long): Option[Seq[String]] = {
+                                           n: Long,
+                                           subset: Seq[String]): Option[Seq[String]] = {
     if (snapshotDeletes(path, asOf).nonEmpty ||
         snapshotPositionDeletes(path, asOf).nonEmpty) return None
     val meta = snapshotMeta(path, asOf)
     meta.rangeIndexFor(column) match {
-      case Some(idx) if idx.alwaysKeep.isEmpty &&
-          idx.sorted.size == snapshotFiles(path, asOf).size =>
+      case Some(idx) =>
+        // the proof holds over any SUBSET of the disjoint index (an
+        // exact-pushed filter's kept files are whole-matching, and a
+        // subset of pairwise-disjoint intervals stays disjoint) — but
+        // every subset member must be index-carried: a stats-less or
+        // all-null-in-column file could hide extreme or NULL rows
+        val want = subset.toSet
+        val restricted = idx.sorted.filter { case (_, _, f) => want.contains(f) }
+        if (restricted.size != want.size) return None
         val counts = fileRowCounts(path, asOf)
         val digests = fileDigests(path, asOf)
-        val allCounted = idx.sorted.forall { case (_, _, f) =>
+        val allCounted = restricted.forall { case (_, _, f) =>
           counts.get(f).exists(rc =>
             digests.get(f).flatMap(_.get(column)).exists(_.nn == rc))
         }
         if (!allCounted) None
         else {
-          val ordered = if (desc) idx.sorted.reverse else idx.sorted
+          val ordered = if (desc) restricted.reverse else restricted
           var acc = 0L
           val out = Vector.newBuilder[String]
           ordered.foreach { case (_, _, f) =>

@@ -3131,6 +3131,22 @@ class CowTableSpec extends SparkSpecBase {
       // an OVERLAPPING column has no disjoint index: full scan
       assert(scanFiles(s.sql("SELECT v FROM cowt.ns.tn ORDER BY v LIMIT 5")) == nFiles,
         "overlapping file ranges must not TopN-prune")
+      // COMPOSITION with an exact-pushed filter (r18): an identity-
+      // partitioned table whose per-value files are id-disjoint — the
+      // filtered subset keeps the disjointness proof, so
+      // WHERE g = 1 ORDER BY id LIMIT plans ONE file of that value's
+      val t3 = s"$wh/ns/tn3"
+      CowTable.create((0L until 4000L).map(i => (i, i / 2000L))
+        .toDF("id", "g").repartitionByRange(4, col("id")), t3,
+        Seq(graft.sinks.PartitionTransform.identity("g")))
+      CowTable.setStatsColumns(s, t3, Seq("id", "g"))
+      val n3 = CowTable.snapshotFiles(t3).size
+      assert(n3 >= 4, s"expected per-value id-range files, got $n3")
+      val ft = s.sql("SELECT id FROM cowt.ns.tn3 WHERE g = 1 ORDER BY id LIMIT 5")
+      assert(ft.collect().map(_.getLong(0)).toSeq == (2000L until 2005L).toSeq)
+      assert(scanFiles(
+        s.sql("SELECT id FROM cowt.ns.tn3 WHERE g = 1 ORDER BY id LIMIT 5")) == 1,
+        "exact filter + ordered top-5 must plan one file of the kept value")
       // NULLs in the sort column anywhere: declined (ordering would
       // interleave arbitrary files)
       val t2 = s"$wh/ns/tn2"
