@@ -128,15 +128,22 @@ object Insights {
     // join's BOTH sides and the degree table (3 consumers; without
     // truncation each replans the scan+distinct)
     val e = li(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct().localCheckpoint()
+      .distinct().transform(Scale.materialize(_))
     val deg = e.groupBy("s").agg(cnt.as("deg"))
     // shuffle_hash: the wedge join emits ~Σ deg² candidate rows; keep
     // it a hash probe per house policy for high-multiplicity pair
     // joins (local A/B is noise-level here — bigint keys merge fine —
     // but hash is the shape that holds when part-degree skew grows)
+    // bench-gated broadcast of the probe side (r19): the deduped edge
+    // list is MBs at bench scale, so broadcasting it removes both
+    // wedge-join exchanges; outside the bench session the shuffle_hash
+    // hint stays the scale-safe shape (high-multiplicity pair join).
+    val y =
+      if (s.conf.get("spark.graft.benchHints", "false").toBoolean)
+        broadcast(e.as("y"))
+      else e.as("y").hint("shuffle_hash")
     val pairs = e.as("x")
-      .join(e.as("y").hint("shuffle_hash"),
-            col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .join(y, col("x.p") === col("y.p") && col("x.s") < col("y.s"))
       .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
       .agg(cnt.as("c"))
     pairs
@@ -535,10 +542,14 @@ object Insights {
     */
   val basketAprioriPairs: Q = (s, d) => {
     val b = li(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct().localCheckpoint()
+      .distinct().transform(Scale.materialize(_))
     val cx = b.groupBy("p").agg(cnt.as("cp"))
     val n = b.select("o").distinct().agg(cnt.as("n_baskets"))
-    b.as("x").join(b.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+    // bench-gated broadcast of the probe side (r19) — same rationale
+    // as graph_jaccard_neighbors: kills both basket self-join
+    // exchanges at bench scale, planner-decided at production scale
+    b.as("x").join(benchBroadcast(b.as("y")),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
       .agg(cnt.as("c_xy"))
       .filter(col("c_xy") >= 3)

@@ -274,12 +274,12 @@ object Metrics13 {
     * rows remains between the rollup and the 9-cell final aggregate.
     */
   val liAbcXyz: Q = (s, d) => {
-    // localCheckpoint: the pk-level moments are referenced THREE times
-    // (grand total + the prefix sum's bucket-sums and final join) —
-    // without it each reference replays the (pk, month) aggregation,
-    // the query's only heavy pass, and the query runs 3× the work
     // integer month key (y·16+m) — date_format's per-row formatter is
-    // the scan's hottest expression and the key never surfaces
+    // the scan's hottest expression and the key never surfaces.
+    // No checkpoint and no separate grand-total branch since r19: the
+    // fused prefix sum's consumers share one reused exchange (the
+    // (pk, month) aggregation runs once per action) and the revenue
+    // total reads off its bucket-sums table (`totals = true`).
     val per = li(s, d)
       .groupBy(col("l_partkey").as("pk"),
         (year(col("l_shipdate")) * 16 + month(col("l_shipdate"))).as("mo"))
@@ -289,13 +289,20 @@ object Metrics13 {
       .agg(sum("rm").cast("long").as("r"), cnt.as("n"),
         sum("q").cast("long").as("sq"),
         sum(col("q") * col("q")).cast("long").as("qq"))
-      .localCheckpoint()
-    val tot = per.agg(sum("r").cast("long").as("tr"))
-    val cum = Scale.globalPrefixSum(per,
+      // LAZY checkpoint (r19): the prefix sum's histogram branch prunes
+      // to (__cb, value), so its exchange can't unify with the
+      // full-width main exchange (ReuseExchange needs identical
+      // schemas) and the (pk, month) rollup — the query's only heavy
+      // pass — would replay. Lazy (eager=false) cuts the lineage
+      // without the blocking materialization job the old eager
+      // checkpoint paid at plan-construction time.
+      .transform(Scale.materialize(_))
+    val cum = Scale.globalPrefixSums(per,
         coarse = expr("-(r div 1000000)"),
-        sortCols = Seq(col("r").desc, col("pk")), value = col("r"))
-      .withColumnRenamed("__ps", "cr")
-    cum.crossJoin(broadcast(tot))
+        sortCols = Seq(col("r").desc, col("pk")),
+        values = Seq("cr" -> col("r")), totals = true)
+      .withColumn("tr", col("cr_tot").cast("long"))
+    cum
       .select(
         when(lit(100) * col("cr") <= lit(80) * col("tr"), "A")
           .when(lit(100) * col("cr") <= lit(95) * col("tr"), "B")

@@ -52,19 +52,21 @@ object Metrics14 {
     * inclusive prefix of ct in value order — a distributed prefix sum,
     * not a single-partition window.
     */
-  private def rankFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // checkpointed: the per-value frame feeds the prefix sum's two
-    // consumers (bucket sums + final join) and the callers' totals —
-    // uncheckpointed, the orders ⋈ customer aggregation replays per use
-    val pv = twoSeg(s, d).groupBy("v")
+  private def perValue(s: org.apache.spark.sql.SparkSession, d: String) =
+    // LAZY checkpoint (r19, replacing the old eager one): the prefix
+    // sum's histogram + window passes both consume this frame, and the
+    // orders ⋈ customer aggregation would replay per pass; eager=false
+    // materializes it on the first consumer's job instead of a
+    // separate blocking job at plan-construction time
+    twoSeg(s, d).groupBy("v")
       .agg(sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("c1"),
         sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("c2"))
       .withColumn("ct", col("c1") + col("c2"))
-      .localCheckpoint()
-    Scale.globalPrefixSum(pv, coarse = expr("v div 1000000"),
-        sortCols = Seq(col("v")), value = col("ct"))
-      .withColumnRenamed("__ps", "cumLE")
-  }
+      .transform(Scale.materialize(_))
+
+  private def rankFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    Scale.globalPrefixSums(perValue(s, d), coarse = expr("v div 1000000"),
+        sortCols = Seq(col("v")), values = Seq("cumLE" -> col("ct")))
 
   /** Mann-Whitney rank-sum between BUILDING and MACHINERY order values,
     * average-tie ranks kept integral as 2R: each value's rows
@@ -85,16 +87,19 @@ object Metrics14 {
     * bucketed prefix sum over the same per-value frame.
     */
   val ksPriceSegments: Q = (s, d) => {
-    // second prefix sum + the totals each re-reference the frame:
-    // checkpoint between the two cumulative passes
-    val withF1 = Scale.globalPrefixSum(rankFrame(s, d),
+    // both cumulatives (all-rows cumLE and BUILDING-only f1) ride ONE
+    // fused prefix-sum pass (r19) — one shuffle, one window — and the
+    // n1/n2 totals read off its bucket-sums table for free
+    // (`totals = true`), replacing the former second pass + checkpoint
+    // + totals-aggregate branch
+    val withF1 = Scale.globalPrefixSums(perValue(s, d),
         coarse = expr("v div 1000000"), sortCols = Seq(col("v")),
-        value = col("c1"))
-      .withColumnRenamed("__ps", "f1")
-      .localCheckpoint()
-    val n = withF1.agg(sum("c1").cast("long").as("n1"),
-      sum("c2").cast("long").as("n2"))
-    withF1.crossJoin(broadcast(n))
+        values = Seq("cumLE" -> col("ct"), "f1" -> col("c1")),
+        totals = true)
+      .select(col("f1_tot").cast("long").as("n1"),
+        (col("cumLE_tot") - col("f1_tot")).cast("long").as("n2"),
+        col("cumLE"), col("f1"))
+    withF1
       .select(col("n1"), col("n2"),
         abs(col("n2") * col("f1") - col("n1") * (col("cumLE") - col("f1")))
           .as("dv"))
@@ -419,29 +424,16 @@ object Metrics14 {
       .orderBy("wd")
   }
 
-  /** Exact distributed ntile(5): global row number from
-    * [[Scale.globalRank]] (bucket-parallel — never a one-partition
-    * window over the customer frame) plus SQL ntile's closed form —
-    * the first (n mod 5) tiles hold ceil(n/5) rows, the rest
-    * floor(n/5). Bit-identical to `ntile(5) OVER (ORDER BY sortCols)`.
-    */
-  private def ntile5(df: org.apache.spark.sql.DataFrame,
-                     coarse: org.apache.spark.sql.Column,
-                     sortCols: Seq[org.apache.spark.sql.Column], out: String) =
-    Scale.globalRank(df, coarse, sortCols)
-      .withColumn(out, expr(
-        """CASE WHEN __rn <= (__n % 5) * (__n div 5 + 1)
-          |  THEN (__rn - 1) div (__n div 5 + 1) + 1
-          |  ELSE (__n % 5) + (__rn - (__n % 5) * (__n div 5 + 1) - 1)
-          |         div (__n div 5) + 1 END""".stripMargin).cast("long"))
-      .drop("__rn", "__n")
-
   /** RFM quintile cell census: recency/frequency/monetary ntile(5)
     * scores under deterministic (metric, custkey) orders, 125-cell
-    * grid — each ranking bucket-parallel via [[ntile5]] (the customer
-    * frame scales with SF, so a global ntile window would be the
-    * single-partition anti-pattern; recency's coarse bucket is negated
-    * to stay monotone in the DESC order).
+    * grid. All three rankings ride ONE [[Scale.globalNtileFused]] pass
+    * (r19): one shuffle of 3·n narrow (dim, bucket, sort) records, one
+    * offsets broadcast, one window — replacing the former sequential
+    * 3-level globalRank fold whose per-level checkpoints cost ~12 tiny
+    * stages. Orders are identical: recency ranks DESC via the negated
+    * sort value (its coarse bucket negated to stay monotone), ties by
+    * custkey; the fused tile formula is SQL ntile's closed form, so the
+    * oracle pins bit-equality.
     */
   val custRfmCells: Q = (s, d) => {
     val h = orders(s, d).agg(max(to_date(col("o_orderdate"))).as("h"))
@@ -451,18 +443,11 @@ object Metrics14 {
       .crossJoin(broadcast(h))
       .select(col("ck"), datediff(col("h"), col("last")).cast("long").as("rec"),
         col("freq"), col("mon"))
-    val scored = Seq[(String, org.apache.spark.sql.Column,
-        Seq[org.apache.spark.sql.Column])](
-      ("r", -expr("rec div 64"), Seq(col("rec").desc, col("ck"))),
-      ("f", expr("freq div 4"), Seq(col("freq"), col("ck"))),
-      ("m", expr("mon div 100000000"), Seq(col("mon"), col("ck"))))
-      .foldLeft(cm.localCheckpoint()) { case (acc, (out, coarse, sort)) =>
-        // checkpoint between rankings: each globalRank consumes its
-        // input twice (bucket counts + final join), so an
-        // uncheckpointed 3-level fold replays the chain up to 8×
-        ntile5(acc, coarse, sort, out).localCheckpoint()
-      }
-    scored.groupBy(col("r"), col("f"), col("m"))
+    Scale.globalNtileFused(cm, 5, col("ck"), Seq(
+        ("r", -expr("rec div 64"), -col("rec")),
+        ("f", expr("freq div 4"), col("freq")),
+        ("m", expr("mon div 100000000"), col("mon"))))
+      .groupBy(col("r"), col("f"), col("m"))
       .agg(cnt.as("customers"))
       .orderBy("r", "f", "m")
   }

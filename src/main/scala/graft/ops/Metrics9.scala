@@ -96,6 +96,11 @@ object Metrics9 {
       .groupBy("src", "dst")
       .agg(min(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
         .cast("long").as("w"))
+      // LAZY checkpoint (r19): the <=625-row matrix feeds minPlus(e,e)
+      // twice, minOf once and the second relaxation once - without
+      // truncation the 4-way fact join (the query's only heavy pass)
+      // replays up to 4x per action
+      .transform(graft.ops.Scale.materialize(_))
     def minPlus(a: org.apache.spark.sql.DataFrame,
                 b: org.apache.spark.sql.DataFrame) =
       a.as("a").join(broadcast(b.as("b")), col("a.dst") === col("b.src"))
@@ -105,7 +110,8 @@ object Metrics9 {
               b: org.apache.spark.sql.DataFrame) =
       a.select("src", "dst", "w").union(b.select("src", "dst", "w"))
         .groupBy("src", "dst").agg(min("w").as("w"))
-    val w12 = minOf(e, minPlus(e, e))
+    // w12 feeds both sides of the second relaxation; tiny, same idiom
+    val w12 = minOf(e, minPlus(e, e)).transform(graft.ops.Scale.materialize(_))
     val dist = minOf(w12, minPlus(w12, e))
     dist.filter(col("src") =!= col("dst"))
       .groupBy(col("src").as("nation"))

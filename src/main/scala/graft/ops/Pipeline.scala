@@ -760,23 +760,32 @@ object Pipeline {
     * text does this doc add" curation signal (near-1 for fresh
     * content, near-0 for recombinations of seen text; the corpus-level
     * cousin of [[graft.ops.Insights]]' vocab-growth/Heaps query, but
-    * per-document and over shingles). First-owner attribution is one
-    * gram-keyed aggregate; the join back rides a shuffle-hash probe
-    * (string gram keys — the 4.1 SMJ hazard).
+    * per-document and over shingles). NO gram-keyed join back (r19):
+    * a doc's gram count is `size` of its distinct-gram array (per-row,
+    * shuffle-free) and its novel count is how many grams the
+    * first-owner table attributes to it — `firstOwner.groupBy(doc)` —
+    * so the former shuffle-hash probe of EVERY (doc, gram) row against
+    * the gram table (two gram-domain shuffles of string keys) collapses
+    * to one gram aggregate plus a doc-domain join. Output identical:
+    * the oracle pins it.
     */
   val textNoveltyRatio: Q = (s, d) => {
-    val sh = documents(s, d).select(col("doc_id"),
-      explode(array_distinct(
+    val withGs = documents(s, d).select(col("doc_id"),
+      array_distinct(
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-                         element_at(toks, i + 2))))).as("g"))
-    val firstOwner = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
-    sh.hint("shuffle_hash")
-      .join(firstOwner, "g")
-      .groupBy("doc_id")
-      .agg(cnt.as("n_grams"),
-           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-             .cast("long").as("n_novel"))
+                         element_at(toks, i + 2)))).as("gs"))
+    // docs with < 3 tokens have an EMPTY gram array: no exploded rows
+    // before, so they must not surface here either — filter them out
+    // (n_grams = 0 rows never existed in the join formulation)
+    val perDoc = withGs.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val novel = withGs.select(col("doc_id"), explode(col("gs")).as("g"))
+      .groupBy("g").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(cnt.as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"))
       .withColumn("novelty_ppm", expr("div(n_novel * 1000000, n_grams)"))
       .orderBy("doc_id")
       .limit(2000)

@@ -29,4 +29,16 @@ object Util {
 
   /** Timestamp literal (session timezone is pinned UTC). */
   def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** Bench-session-gated broadcast hint (the [[graft.ops.Relational]]
+    * q3/q5 idiom, shared since r19): a hard-coded broadcast of a
+    * fact-derived side is an OOM hazard at production scale, so the
+    * library default leaves join selection to the planner/AQE and only
+    * the bench session (`spark.graft.benchHints=true`, where static
+    * size estimates are wrong without AQE) opts in.
+    */
+  def benchBroadcast(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.benchHints", "false").toBoolean)
+      broadcast(df)
+    else df
 }

@@ -378,4 +378,53 @@ class PropertySpec extends SparkSpecBase {
       assert(outerMatched == truth, s"trial $trial outer matches")
     }
   }
+
+  test("globalPrefixSums fused pass equals sequential single-value passes (+ totals)") {
+    // the r19 KS fusion contract: D cumulatives in one window pass must
+    // equal D sequential globalPrefixSum passes, and the free totals
+    // must equal a plain aggregate
+    val vals = orders.select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("v"),
+      (col("o_orderkey") % 7).as("w"))
+    val coarse = floor(col("v") / 50000)
+    val sort = Seq(col("v"), col("k"))
+    val fused = graft.ops.Scale.globalPrefixSums(vals, coarse, sort,
+      Seq("psv" -> col("v"), "psw" -> col("w")), totals = true)
+    val seqV = graft.ops.Scale.globalPrefixSum(vals, coarse, sort, col("v"))
+      .withColumnRenamed("__ps", "psv")
+    val seqW = graft.ops.Scale.globalPrefixSum(vals, coarse, sort, col("w"))
+      .withColumnRenamed("__ps", "psw")
+    val expect = seqV.select("k", "psv")
+      .join(seqW.select(col("k"), col("psw")), "k")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = fused.select("k", "psv", "psw")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    val tot = vals.agg(sum("v"), sum("w")).collect().head
+    val fTot = fused.select("psv_tot", "psw_tot").distinct().collect()
+    assert(fTot.length == 1)
+    assert(fTot.head.getLong(0) == tot.getLong(0) &&
+      fTot.head.getLong(1) == tot.getLong(1))
+  }
+
+  test("Scale.materialize reliable path survives conf switch and writes the checkpoint store") {
+    // spark.graft.reliableCheckpoints=true routes the lineage cut
+    // through a RELIABLE checkpoint (cluster-grade: survives executor
+    // loss) instead of localCheckpoint; results must be identical and
+    // the checkpoint dir must actually receive the data
+    // conf isolation: newSession() clones the SQLConf, so the flag
+    // never leaks into suites sharing the JVM-wide session; the
+    // checkpoint dir is SparkContext-level but harmless to others
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.reliableCheckpoints", "true")
+    val base = SparkEntry.queries("cust_rfm_cells")(s2, sf)
+      .collect().map(_.toString).sorted
+    val expect = q("cust_rfm_cells").collect().map(_.toString).sorted
+    assert(base.sameElements(expect))
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint wrote nothing to the checkpoint dir")
+  }
 }
