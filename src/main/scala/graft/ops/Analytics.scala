@@ -556,8 +556,11 @@ object Analytics {
     * bounded by the distinct degree values.
     */
   val graphDegreeDistribution: Q = (s, d) => {
+    // lazy checkpoint (r19): both union sides consume the edge list —
+    // without truncation the lineitem distinct replays per side
     val e = Tables.t(s, d, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
+      .transform(Scale.materialize(_))
     e.select(col("p").as("node"), lit("part").as("side"))
       .unionAll(e.select(col("sp").as("node"), lit("supplier").as("side")))
       .groupBy("side", "node").agg(cnt.as("deg"))

@@ -141,8 +141,11 @@ object Audits {
     */
   val graphBfsLayers: Q = (s, d) => {
     val e0 = bipartite(s, d)
+    // pre-partitioned by the frontier-join key (a); hash(a) survives
+    // the checkpoint, so no BFS round re-shuffles the adjacency (r19)
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .repartition(col("a"))
+      .transform(graft.ops.Scale.materialize(_, eager = true))
     val allNodes = und.select(col("a").as("n")).distinct()
     var settled = supplier(s, d).filter(col("s_nationkey") === 0)
       .select((col("s_suppkey") * 2 + 1).as("n"))

@@ -276,10 +276,8 @@ object Metrics13 {
   val liAbcXyz: Q = (s, d) => {
     // integer month key (y·16+m) — date_format's per-row formatter is
     // the scan's hottest expression and the key never surfaces.
-    // No checkpoint and no separate grand-total branch since r19: the
-    // fused prefix sum's consumers share one reused exchange (the
-    // (pk, month) aggregation runs once per action) and the revenue
-    // total reads off its bucket-sums table (`totals = true`).
+    // No separate grand-total branch since r19: the revenue total
+    // reads off the prefix sum's bucket-sums table (`totals = true`).
     val per = li(s, d)
       .groupBy(col("l_partkey").as("pk"),
         (year(col("l_shipdate")) * 16 + month(col("l_shipdate"))).as("mo"))

@@ -191,9 +191,13 @@ object Scale {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 25): DataFrame = {
+    // pre-partitioned by the per-round join key (v): the checkpoint
+    // preserves hash(v), so no propagation round re-shuffles the
+    // static adjacency (r19)
     val und = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
+      .repartition(col("v"))
       .transform(materialize(_, eager = true))
     // Each generation is lineage-TRUNCATED via localCheckpoint, not
     // persist(): `labels` feeds BOTH the neighbour-min join and the
@@ -320,7 +324,11 @@ object Scale {
     * hazard [[connectedComponents]] documents).
     */
   def pagerankInt(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).transform(materialize(_, eager = true))
+    // pre-partition the static edge list by the per-round join key so
+    // the checkpoint preserves hash(src) and NO round re-shuffles the
+    // edges (r19) - only the rank side moves each iteration
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .transform(materialize(_, eager = true))
     val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .transform(materialize(_, eager = true))
     val nodes = e.select(col("src").as("node")).distinct().transform(materialize(_, eager = true))

@@ -59,7 +59,12 @@ object Subqueries {
     val o = tb(s, d, "orders")
       .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
               col("o_orderdate") < ts("1997-01-01 00:00:00"))
-    val l = tb(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    // the semi's build side is the 2-column lineitem projection —
+    // broadcast-sized at bench scale only (a semi join can only build
+    // right, and un-hinted both sides shuffle); planner/AQE decides at
+    // production scale (see Util.benchBroadcast)
+    val l = benchBroadcast(
+      tb(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")))
     o.join(l, o("o_orderkey") === l("l_orderkey") &&
               l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
            "left_semi")
@@ -217,14 +222,18 @@ object Subqueries {
     */
   val q18LargeOrders: Q = (s, d) => {
     val l = tb(s, d, "lineitem")
-    val big = l.groupBy("l_orderkey")
+    // the >150 filter leaves a handful of orderkeys, but without AQE
+    // the planner sizes the filtered aggregate at its child's estimate
+    // and shuffle-joins everything; bench-gated broadcasts put the
+    // tiny sides on the build side (production: planner/AQE decides)
+    val big = benchBroadcast(l.groupBy("l_orderkey")
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
       .filter(col("qty") > 150)
-      .select(col("l_orderkey").as("big_ok"))
+      .select(col("l_orderkey").as("big_ok")))
     val o = tb(s, d, "orders").select("o_orderkey", "o_custkey")
       .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
     val c = tb(s, d, "customer").select("c_custkey")
-    o.join(c, col("o_custkey") === col("c_custkey"))
+    benchBroadcast(o.join(c, col("o_custkey") === col("c_custkey")))
       .join(l.select("l_orderkey", "l_quantity"), col("o_orderkey") === col("l_orderkey"))
       .groupBy("c_custkey", "o_orderkey")
       .agg(sum(col("l_quantity").cast("long")).cast("long").as("total_qty"))
