@@ -114,9 +114,14 @@ object Audits {
       // measured 3.8 s → 1.8 s at sf0.1; the remainder is the
       // iterative-family round floor, same bracket as
       // graph_cc_minlabel's 1.6 s / graph_pagerank's 1.4 s).
+      // LAZY checkpoint on the peel set (r19): both anti-join probes
+      // broadcast it, and their renamed-column subtrees don't
+      // canonicalize equal, so un-materialized the degree aggregate —
+      // the round's only full-edge pass — ran once PER PROBE
       val peel = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
         .groupBy("n").agg(cnt.as("deg")).filter(col("deg") < 2)
         .select("n")
+        .transform(graft.ops.Scale.materialize(_))
       // lazy checkpoint: the next round's degree aggregate is the
       // materializing consumer, so no standalone checkpoint job runs
       e = e.join(peel.withColumnRenamed("n", "a"), Seq("a"), "left_anti")

@@ -142,10 +142,17 @@ object Insights {
       if (s.conf.get("spark.graft.benchHints", "false").toBoolean)
         broadcast(e.as("y"))
       else e.as("y").hint("shuffle_hash")
+    // pair key packed into ONE long (r19): a single LongType group key
+    // rides codegen's primitive fast hash map where the two-column key
+    // takes the row-based path — measurable on an 8.7M-row aggregate.
+    // Exact: suppkeys are non-negative and < 2^31, so s1·2^32 + s2 is
+    // collision-free and in-range.
     val pairs = e.as("x")
       .join(y, col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+      .groupBy((col("x.s") * lit(4294967296L) + col("y.s")).as("pk"))
       .agg(cnt.as("c"))
+      .select(expr("pk div 4294967296").as("s1"),
+        expr("pk % 4294967296").as("s2"), col("c"))
     pairs
       .join(deg.select(col("s").as("s1"), col("deg").as("d1")), "s1")
       .join(deg.select(col("s").as("s2"), col("deg").as("d2")), "s2")
@@ -548,11 +555,15 @@ object Insights {
     // bench-gated broadcast of the probe side (r19) — same rationale
     // as graph_jaccard_neighbors: kills both basket self-join
     // exchanges at bench scale, planner-decided at production scale
+    // pair key packed into one long (same single-long fast-hashmap
+    // rationale as graph_jaccard_neighbors; partkeys < 2^31)
     b.as("x").join(benchBroadcast(b.as("y")),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      .groupBy((col("x.p") * lit(4294967296L) + col("y.p")).as("pk"))
       .agg(cnt.as("c_xy"))
       .filter(col("c_xy") >= 3)
+      .select(expr("pk div 4294967296").as("p1"),
+        expr("pk % 4294967296").as("p2"), col("c_xy"))
       .join(cx.select(col("p").as("p1"), col("cp").as("c1")), "p1")
       .join(cx.select(col("p").as("p2"), col("cp").as("c2")), "p2")
       .crossJoin(broadcast(n))

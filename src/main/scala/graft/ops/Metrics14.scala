@@ -176,23 +176,38 @@ object Metrics14 {
 
   /** Median absolute deviation of quantity per return flag — both
     * medians are the exact discrete element at (n+1) div 2 under the
-    * per-flag value order (3-value partition key).
+    * per-flag value order.
+    *
+    * r19 rework: quantity rounds to a BOUNDED integer domain (~50
+    * values), so the medians read off a per-(flag, value) COUNT frame
+    * (~150 rows) instead of row-ranking the fact table twice through
+    * 3-partition windows (flag cardinality capped the old windows at
+    * 3-way parallelism and each median was a full-data pass). The
+    * element at position k = the smallest value whose cumulative count
+    * reaches k — identical to the row_number formulation for any
+    * duplicate multiset; the AD counts derive from the SAME value
+    * counts (no second fact pass at all).
     */
   val liMadQuantity: Q = (s, d) => {
-    val q = li(s, d).select(col("l_returnflag").as("flag"),
-      round(col("l_quantity")).cast("long").as("v"))
+    val counts = li(s, d).select(col("l_returnflag").as("flag"),
+        round(col("l_quantity")).cast("long").as("v"))
+      .groupBy("flag", "v").agg(cnt.as("c"))
+      .transform(Scale.materialize(_)) // two consumers; upstream is the only fact pass
     def discreteMedian(df: org.apache.spark.sql.DataFrame, c: String) = {
       val w = Window.partitionBy("flag").orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wn = Window.partitionBy("flag")
-      df.withColumn("i", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-        .filter(col("i") === expr("(n + 1) div 2")) // integral division
+      df.withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(wn))
+        .filter(col("cum") - col("c") < expr("(n + 1) div 2") &&
+          col("cum") >= expr("(n + 1) div 2")) // integral division
         .select(col("flag"), col(c).as("med"))
     }
-    val m = discreteMedian(q, "v").withColumnRenamed("med", "median_qty")
-    val ad = q.join(broadcast(m), "flag")
-      .select(col("flag"), abs(col("v") - col("median_qty")).as("a"))
-    discreteMedian(ad, "a").withColumnRenamed("med", "mad_qty")
+    val m = discreteMedian(counts, "v").withColumnRenamed("med", "median_qty")
+    val adCounts = counts.join(broadcast(m), "flag")
+      .select(col("flag"), abs(col("v") - col("median_qty")).as("a"), col("c"))
+      .groupBy("flag", "a").agg(sum("c").as("c"))
+    discreteMedian(adCounts, "a").withColumnRenamed("med", "mad_qty")
       .join(broadcast(m), "flag")
       .select(col("flag").as("returnflag"), col("median_qty").cast("long"),
         col("mad_qty").cast("long"))

@@ -313,13 +313,16 @@ object Metrics5 {
     // degree is ~30 in the corpus (not the 4–8 the original comment
     // assumed), so the unoriented wedge was 18M rows at sf0.1 and
     // orientation halves the volume feeding the pair dedup.
+    // pair key packed into one long for the dedup (single-long fast
+    // hashmap, the graph_jaccard_neighbors rationale; suppkeys < 2^31)
     val pairs = ps
       .join(benchBroadcast(ps.select(col("p"), col("sk").as("sk2"))), Seq("p"))
       .filter(col("sk") < col("sk2"))
-      .select("sk", "sk2").distinct()
+      .select((col("sk") * lit(4294967296L) + col("sk2")).as("pk")).distinct()
     // one explode, not a self-union (a union would replay the pair
     // dedup once per side)
-    val co = pairs.select(explode(array(col("sk"), col("sk2"))).as("sk"))
+    val co = pairs.select(explode(array(expr("pk div 4294967296"),
+        expr("pk % 4294967296"))).as("sk"))
       .groupBy("sk")
       .agg(cnt.as("codeg"))
     co.groupBy(expr("div(codeg, 50)").as("codeg_band"))
