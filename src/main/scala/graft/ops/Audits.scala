@@ -150,7 +150,7 @@ object Audits {
     // the checkpoint, so no BFS round re-shuffles the adjacency (r19)
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("a"))
-      .transform(graft.ops.Scale.materialize(_, eager = true))
+      .transform(graft.ops.Scale.materialize(_))
     val allNodes = und.select(col("a").as("n")).distinct()
     var settled = supplier(s, d).filter(col("s_nationkey") === 0)
       .select((col("s_suppkey") * 2 + 1).as("n"))

@@ -198,7 +198,7 @@ object Scale {
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
       .repartition(col("v"))
-      .transform(materialize(_, eager = true))
+      .transform(materialize(_))
     // Each generation is lineage-TRUNCATED via localCheckpoint, not
     // persist(): `labels` feeds BOTH the neighbour-min join and the
     // carry-forward join, so without truncation the logical plan
@@ -213,7 +213,7 @@ object Scale {
     // of this loop's state (round-2 advice).
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .transform(materialize(_, eager = true))
+      .transform(materialize(_))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -223,7 +223,7 @@ object Scale {
         .select(col("node"), col("label"),
                 least(col("label"), coalesce(col("nbr_label"), col("label")))
                   .as("new_label"))
-        .transform(materialize(_, eager = true))
+        .transform(materialize(_))
       changed = next.filter(col("new_label") =!= col("label")).count()
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
@@ -267,10 +267,10 @@ object Scale {
                               maxIter: Int = 30): (DataFrame, Int) = {
     val nodes = edges.select(col(src).as("node"))
       .union(edges.select(col(dst).as("node")))
-      .distinct().transform(materialize(_, eager = true))
+      .distinct().transform(materialize(_))
     var e = edges.select(least(col(src), col(dst)).as("a"),
                          greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().transform(materialize(_, eager = true))
+      .filter(col("a") =!= col("b")).distinct().transform(materialize(_))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -282,7 +282,7 @@ object Scale {
       val ls = und.join(mins, "u").filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("a"),
                 greatest(col("v"), col("m")).as("b"))
-        .filter(col("a") =!= col("b")).distinct().transform(materialize(_, eager = true))
+        .filter(col("a") =!= col("b")).distinct().transform(materialize(_))
       // small-star: orient edges large→small, group by the large end;
       // every member of Γ⁻(u) ∪ {u} rewires to the group minimum
       val sm = ls.select(col("b").as("u"), col("a").as("v"))
@@ -291,7 +291,7 @@ object Scale {
         .select(explode(array(col("u"), col("v"))).as("x"), col("m"))
         .filter(col("x") =!= col("m"))
         .select(col("m").as("a"), col("x").as("b"))
-        .distinct().transform(materialize(_, eager = true))
+        .distinct().transform(materialize(_))
       done = ss.except(e).isEmpty && e.except(ss).isEmpty
       e = ss
       iter += 1
@@ -328,10 +328,10 @@ object Scale {
     // the checkpoint preserves hash(src) and NO round re-shuffles the
     // edges (r19) - only the rank side moves each iteration
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
-      .transform(materialize(_, eager = true))
+      .transform(materialize(_))
     val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .transform(materialize(_, eager = true))
-    val nodes = e.select(col("src").as("node")).distinct().transform(materialize(_, eager = true))
+      .transform(materialize(_))
+    val nodes = e.select(col("src").as("node")).distinct().transform(materialize(_))
     var rank = nodes.withColumn("rank", lit(1000000L))
     for (i <- 1 to iterations) {
       val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
@@ -352,7 +352,7 @@ object Scale {
       // the final 1–3 rounds (iterations mod 3, or 3 when it divides) — a caller running several actions on it
       // re-executes those rounds; the library's single-action callers
       // (Verify dump, bench timings) never do.
-      if (i % 3 == 0 && i < iterations) rank = rank.transform(materialize(_, eager = true))
+      if (i % 3 == 0 && i < iterations) rank = rank.transform(materialize(_))
     }
     rank
   }
