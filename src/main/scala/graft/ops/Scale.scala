@@ -29,10 +29,10 @@ object Scale {
     *    checkpoint (the classic RDD-checkpoint recompute), which is
     *    the price of fault tolerance on long iterative jobs.
     *
-    * `eager = false` rides the first consumer's job instead of paying
-    * a blocking materialization job at plan-construction time; use
-    * eager only when the caller immediately actions the frame anyway
-    * (the iterative loops' convergence counts do).
+    * `eager = false` (used everywhere since r19) rides the first
+    * consumer's job — the loops' convergence counts / fixpoint probes
+    * or the caller's single action — instead of paying a blocking
+    * materialization job at plan-construction time.
     */
   def materialize(df: DataFrame, eager: Boolean = false): DataFrame =
     if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoints")
