@@ -93,40 +93,78 @@ object Audits {
       .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
 
-  /** 2-core decomposition, 4 peel rounds (declared semantics: the
-    * census after EXACTLY 4 rounds, identical on both engines — the
-    * `graph_cc_minlabel` convention): each round recomputes degrees
-    * over the surviving edge set and drops every edge touching a
-    * degree-<2 node. The census reports surviving edges plus node
-    * counts by side. Each round is one degree aggregate + two
-    * equi-joins; lineage truncates mid-loop.
+  /** The peel loop of [[graphKcore]] (2-core decomposition, ≤ 4 peel
+    * rounds; declared semantics: the census after EXACTLY 4 rounds of
+    * "recompute degrees over the surviving edges, drop every edge
+    * touching a degree-<2 node" — the `graph_cc_minlabel` convention,
+    * identical on both engines), over any (a, b) edge list —
+    * extracted so AuditsKcoreSpec can drive it with synthetic graphs
+    * that actually peel (the TPC-H bipartite graph is its own 2-core
+    * at every SF: no node has degree < 2, so the corpus never
+    * exercises rounds past the first fixpoint probe).
+    *
+    * r20 rework (VERDICT r19 #1, guide §1.2/§2.3):
+    *  - INCREMENTAL DEGREES: the full-edge degree aggregate runs ONCE,
+    *    before the loop; each round maintains the table by subtracting
+    *    the peeled endpoints' contributions — the per-round aggregate
+    *    is keyed on the edges the peel frontier touches, never the
+    *    survivor edge set. The maintenance joins are all keyed on `n`:
+    *    deg's aggregate partitioning carries through `materialize`, so
+    *    the node table never re-shuffles round-over-round.
+    *  - FIXPOINT EXIT: an empty peel cannot change any degree, so
+    *    every remaining round is a provable no-op — the loop stops at
+    *    the first empty frontier instead of running the declared 4
+    *    rounds against an unchanged edge set (the census is identical
+    *    BY CONSTRUCTION, at any scale; the declared "exactly 4 rounds"
+    *    semantics only bound how far peeling may proceed). On this
+    *    corpus that is round 1: the whole query collapses to one
+    *    degree aggregate + the fixpoint probe + the census.
     */
-  val graphKcore: Q = (s, d) => {
-    var e = bipartite(s, d).localCheckpoint()
-    for (_ <- 1 to 4) {
-      // join against the PEEL set (degree < 2) rather than the survivor
-      // set: the peel frontier is small after the first round (it IS
-      // the thing k-core converges on), so the anti joins broadcast and
-      // the edge set never re-shuffles — survivor semi-joins would
-      // shuffle |E| twice per round. Checkpoint EVERY round: each
-      // round's edges feed the degree aggregate and both join probes of
-      // the next (without truncation the recompute fan-out compounds —
-      // measured 3.8 s → 1.8 s at sf0.1; the remainder is the
-      // iterative-family round floor, same bracket as
-      // graph_cc_minlabel's 1.6 s / graph_pagerank's 1.4 s).
-      // LAZY checkpoint on the peel set (r19): both anti-join probes
-      // broadcast it, and their renamed-column subtrees don't
-      // canonicalize equal, so un-materialized the degree aggregate —
-      // the round's only full-edge pass — ran once PER PROBE
-      val peel = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-        .groupBy("n").agg(cnt.as("deg")).filter(col("deg") < 2)
-        .select("n")
+  private[graft] def kcoreCensus(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    var e = edges.localCheckpoint()
+    var deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(cnt.as("deg"))
+      .transform(graft.ops.Scale.materialize(_))
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // deg is materialized, so each peel probe below replays only a
+      // filter over its blocks (the r19 canonicalization caveat — the
+      // renamed probe subtrees never share a plan — costs nothing now)
+      val peel = deg.filter(col("deg") < 2).select("n")
         .transform(graft.ops.Scale.materialize(_))
-      // lazy checkpoint: the next round's degree aggregate is the
-      // materializing consumer, so no standalone checkpoint job runs
-      e = e.join(peel.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
-        .join(peel.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
-        .localCheckpoint(false)
+      if (peel.isEmpty) done = true
+      else {
+        // one edge pass per round: flag both endpoints against the
+        // peel set (broadcast hash probes — the edges never shuffle),
+        // checkpoint the flagged frame once; the survivors and the
+        // frontier delta are FILTERS over its blocks, so the peel
+        // broadcasts build once per round, not once per consumer
+        val flagged = e
+          .join(peel.select(col("n").as("a"), lit(true).as("__pa")), Seq("a"), "left_outer")
+          .join(peel.select(col("n").as("b"), lit(true).as("__pb")), Seq("b"), "left_outer")
+          .localCheckpoint(false)
+        e = flagged.filter(col("__pa").isNull && col("__pb").isNull)
+          .select("a", "b")
+        if (r < rounds) {
+          // degree maintenance: a surviving endpoint loses one degree
+          // per incident edge whose OTHER endpoint peeled — exactly the
+          // removed-edge incidences, a frontier-sized aggregate. (A
+          // node whose edges all die keeps a 0-degree row; it peels
+          // next round and its probes match nothing — census-neutral.)
+          val delta = flagged.filter(col("__pa").isNotNull || col("__pb").isNotNull)
+            .select(explode(array(
+              when(col("__pa").isNull, col("a")),
+              when(col("__pb").isNull, col("b")))).as("n"))
+            .filter(col("n").isNotNull)
+            .groupBy("n").agg(cnt.as("dd"))
+          deg = deg.join(peel, Seq("n"), "left_anti")
+            .join(delta, Seq("n"), "left_outer")
+            .select(col("n"), (col("deg") - coalesce(col("dd"), lit(0L))).as("deg"))
+            .transform(graft.ops.Scale.materialize(_))
+        }
+      }
+      r += 1
     }
     val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n"))).distinct()
     e.agg(cnt.as("n_edges"))
@@ -136,6 +174,8 @@ object Audits {
         sum(when(col("n") % 2 === 1, 1L).otherwise(0L)).cast("long").as("n_suppliers"))))
       .select("n_edges", "n_nodes", "n_parts", "n_suppliers")
   }
+
+  val graphKcore: Q = (s, d) => kcoreCensus(bipartite(s, d))
 
   /** Multi-source BFS layers: distance (in hops, 4 rounds) from the
     * suppliers of nation 0 across the bipartite graph; census of node
