@@ -98,19 +98,40 @@ object Insights {
     val e = li(s, d)
       .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+    // pre-partitioned by the per-round join key (b), the r19 iterative
+    // trick (pagerank/bfs/Scale.connectedComponents) this inline loop
+    // had missed: hash(b) survives the checkpoint, and lbl is
+    // hash(node)-partitioned by its per-round aggregate, so the
+    // neighbour join below co-partitions BOTH sides — no propagation
+    // round re-shuffles the 2|E| adjacency (r20)
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .localCheckpoint()
     var lbl = und.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    for (i <- 1 to 6) {
+    // Fixpoint exit on a 1-row witness (r20): labels are monotone
+    // non-increasing under min-propagation, so Σ lbl (exact in
+    // DECIMAL(38) — node ids at 100 TB overflow a long sum) is
+    // unchanged between rounds IFF no label changed — and an unchanged
+    // round makes every later round identical by determinism, so the
+    // census after 6 declared rounds equals the census at first
+    // repeat, at any scale. Each generation is lazily checkpointed
+    // (the witness aggregate is its materializing consumer), which
+    // also fixes the r19 tail: rounds past the single mid-loop
+    // checkpoint self-referenced lbl twice per round, doubling the
+    // replayed plan per remaining round.
+    var prevSum: Option[java.math.BigDecimal] = None
+    var i = 1
+    var done = false
+    while (i <= 6 && !done) {
       val nb = und.join(lbl, und("b") === lbl("node"))
         .select(und("a").as("node"), lbl("lbl"))
       lbl = lbl.union(nb).groupBy("node").agg(min("lbl").as("lbl"))
-      // truncate lineage mid-loop like graph_pagerank — the 6-round
-      // plan otherwise nests joins 6 deep; no checkpoint after the
-      // LAST round (the census consumes lbl exactly once — a final
-      // materialization would be a pure extra pass)
-      if (i == 3) lbl = lbl.localCheckpoint()
+        .localCheckpoint(false)
+      val s = lbl.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (prevSum.exists(_.compareTo(s) == 0)) done = true
+      prevSum = Some(s)
+      i += 1
     }
     lbl.groupBy("lbl").agg(cnt.as("sz"))
       .orderBy(col("sz").desc, col("lbl"))
