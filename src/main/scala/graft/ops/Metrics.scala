@@ -222,11 +222,8 @@ object Metrics {
               size(split(col("text"), " ")).cast("long").as("toks"))
     Scale.globalNtileCensus(docs, 10,
         expr("div(n_chars, 20)"), Seq(col("n_chars"), col("doc_id")),
-        partialAggs = Seq(cnt.as("__pc"), sum("toks").as("__pt"),
-                          min("n_chars").as("__pm")),
-        mergeAggs = Seq(sum("__pc").cast("long").as("n_docs"),
-                        sum("__pt").cast("long").as("tokens"),
-                        min("__pm").cast("long").as("min_chars")))
+        aggs = Seq(cnt.as("n_docs"), sum("toks").cast("long").as("tokens"),
+                   min("n_chars").cast("long").as("min_chars")))
       .select(col("__tile").as("decile"), col("n_docs"), col("tokens"),
               col("min_chars"))
       .orderBy("decile")

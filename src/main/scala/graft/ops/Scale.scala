@@ -386,19 +386,21 @@ object Scale {
     * the full-data pass is one hash aggregate keyed by tile; the
     * window touches a vanishing fraction.
     *
-    * Aggregates are supplied in partial/merge form (the same algebraic
-    * split Spark's own partial aggregation uses): `partialAggs` run
-    * per tile on each path and MUST be aliased; `mergeAggs` combine
-    * those aliases across the two paths into the final per-tile row.
-    * E.g. count = `count(lit(1)).as("pc")` / `sum("pc").as("c")`.
-    * Output: one row per non-empty tile: (`__tile`, mergeAggs...).
-    * Same bucket/sort contract as [[globalRank]]; same tile sizing as
-    * [[globalNtile]] (oracle-pinned identical).
+    * Aggregates are supplied as ROW-LEVEL expressions computed per
+    * tile over the union of both paths (r20 — the old partial/merge
+    * pair added one partial-aggregate exchange per path plus a merge
+    * exchange; Spark's own partial aggregation already map-side
+    * combines each union branch, so one groupBy does the same work
+    * with two fewer exchanges and one fewer stage wave). They MUST be
+    * aliased and decomposable (count/sum/min/max — what the partial/
+    * merge contract required anyway). Output: one row per non-empty
+    * tile: (`__tile`, aggs...). Same bucket/sort contract as
+    * [[globalRank]]; same tile sizing as [[globalNtile]]
+    * (oracle-pinned identical).
     */
   def globalNtileCensus(df: DataFrame, k: Int, coarse: Column,
                         sortCols: Seq[Column],
-                        partialAggs: Seq[Column],
-                        mergeAggs: Seq[Column]): DataFrame = {
+                        aggs: Seq[Column]): DataFrame = {
     val withB = df.withColumn("__cb", coalesce(coarse.cast("long"), lit(Long.MinValue)))
     val counts = withB.groupBy("__cb").agg(count(lit(1)).as("__bn"))
     // offsets + grand total via the tiny B×B broadcast join, exactly as
@@ -423,17 +425,20 @@ object Scale {
       .withColumn("__tfirst", tileOf(col("__off") + 1))
       .withColumn("__tlast", tileOf(col("__off") + col("__bn")))
     val joined = withB.join(broadcast(flagged), "__cb")
+    // both paths stay ROW-level and meet in ONE final aggregate: the
+    // interior rows' tile is the histogram constant, the straddlers'
+    // comes off the window rank; each union branch partial-aggregates
+    // map-side before the single tile exchange
     val interior = joined.filter(col("__tfirst") === col("__tlast"))
-      .groupBy(col("__tfirst").as("__tile"))
-      .agg(partialAggs.head, partialAggs.tail: _*)
+      .withColumn("__tile", col("__tfirst"))
     val w = Window.partitionBy("__cb").orderBy(sortCols: _*)
     val straddling = joined.filter(col("__tfirst") =!= col("__tlast"))
       .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
-      .groupBy(tileOf(col("__rn")).as("__tile"))
-      .agg(partialAggs.head, partialAggs.tail: _*)
+      .withColumn("__tile", tileOf(col("__rn")))
+      .drop("__rn")
     interior.unionByName(straddling)
       .groupBy("__tile")
-      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Fused multi-dimension [[globalNtile]]: computes `NTILE(k)` over

@@ -83,9 +83,7 @@ object Windows {
         // oracle pins the output).
         floor(col("o_totalprice") / 20000),
         Seq(col("o_totalprice"), col("o_orderkey")),
-        partialAggs = Seq(cnt.as("__pc"), min(col("o_totalprice")).as("__pm")),
-        mergeAggs = Seq(sum("__pc").cast("long").as("c"),
-                        cents(min(col("__pm"))).as("mn")))
+        aggs = Seq(cnt.as("c"), cents(min(col("o_totalprice"))).as("mn")))
       .select(col("__tile").as("b"), col("c"), col("mn"))
       .orderBy("b")
 

@@ -131,8 +131,7 @@ class PropertySpec extends SparkSpecBase {
       val got = graft.ops.Scale
         .globalNtileCensus(src, k, floor(col("o_totalprice") / w),
           Seq(col("o_totalprice"), col("o_orderkey")),
-          partialAggs = Seq(count(lit(1)).as("pc"), min("o_totalprice").as("pm")),
-          mergeAggs = Seq(sum("pc").cast("long").as("c"), min("pm").as("mn")))
+          aggs = Seq(count(lit(1)).as("c"), min("o_totalprice").as("mn")))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == expected, s"width $w k $k")
     }
@@ -142,8 +141,7 @@ class PropertySpec extends SparkSpecBase {
     val tinyGot = graft.ops.Scale
       .globalNtileCensus(tiny, 5, floor(col("o_totalprice") / 1000),
         Seq(col("o_totalprice"), col("o_orderkey")),
-        partialAggs = Seq(count(lit(1)).as("pc")),
-        mergeAggs = Seq(sum("pc").cast("long").as("c")))
+        aggs = Seq(count(lit(1)).as("c")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tinyGot == Set((1L, 1L), (2L, 1L), (3L, 1L)), tinyGot.toString)
   }
