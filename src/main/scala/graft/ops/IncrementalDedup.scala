@@ -237,8 +237,11 @@ object IncrementalDedup {
               greatest(col("doc_id"), col("b_id")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
       // candidate-sized — checkpoint so the id set below and the two
-      // verify joins don't each replay the index probe
-      .localCheckpoint()
+      // verify joins don't each replay the index probe; LAZY (r20): it
+      // materializes inside the first consumer's job instead of paying
+      // a blocking driver job of its own (the r19 lazy-seam sweep had
+      // missed this path)
+      .localCheckpoint(false)
     // exact verify on CURRENT tokens: ONE corpus pass tokenizes only
     // candidate-involved docs (semi-join), checkpointed candidate-
     // sized; the former per-side joins tokenized the corpus twice
@@ -248,7 +251,7 @@ object IncrementalDedup {
       .join(broadcast(ids), "doc_id", "left_semi")
       .select(col("doc_id"),
         array_sort(array_distinct(split(col("text"), " "))).as("tk"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: rides the verify join's job (r20)
     staged(candidates
       .join(tk.select(col("doc_id").as("a_id"), col("tk").as("a_tk")), "a_id")
       .join(tk.select(col("doc_id").as("b_id"), col("tk").as("b_tk")), "b_id")

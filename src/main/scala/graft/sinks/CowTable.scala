@@ -1813,8 +1813,17 @@ object CowTable {
              col(c).as("__raw")), t)
       }
       canonKeyCol(col("__raw"), keyT).foreach { canon =>
+        // ONE read of the written files (r20): the NDV census, the
+        // dictionary collect and the bloom-position aggregate below
+        // all consume this distinct (file, key) table — without the
+        // checkpoint each replayed the parquet scan + explode +
+        // distinct exchange (2-3 full re-reads per declared column,
+        // the dominant cost of every sidecar-writing commit).
+        // Executor blocks spill to disk, so a table-wide backfill
+        // stays bounded; the blocks free with the frame.
         val base = raw.select(col("__f"), canon.as("__v"))
           .filter(col("__v").isNotNull).distinct()
+          .localCheckpoint()
         val ndv = base.groupBy("__f").agg(count(lit(1)).as("__n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val smallSet = ndv.filter(_._2 <= dictMax).keySet
