@@ -48,18 +48,24 @@ object Pipeline {
     * PipelineSpec), produced without the quadratic block join.
     */
   val dedupMinhashLsh: Q = (s, d) => {
+    // tokenization feeds the signature pass and both verify joins;
+    // materialized once (r20, the dedup_ngram_banded seam)
     val docs = documents(s, d).select(
       col("doc_id"), col("lang"), col("source"),
       array_sort(array_distinct(toks)).as("tk"))
+      .transform(Scale.materialize(_))
     // Band phase shuffles only (id, block, band, bucket) — never the
     // token arrays — and candidate pairs are dedup'd as bare id pairs
-    // before the arrays are joined back for the verify.
+    // before the arrays are joined back for the verify. Checkpointed:
+    // both self-join sides consume it, so the 128-hash MinHash pass
+    // runs once, not per side (r20).
     val banded = docs
       .withColumn("sig", minhash(col("tk"), NumHashes))
       .select(col("doc_id"), col("lang"), col("source"),
               posexplode(transform(sequence(lit(0), lit(Bands - 1)),
                 b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
                 .as(Seq("band_idx", "band_key")))
+      .transform(Scale.materialize(_))
     val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("source"),
                           col("band_idx"), col("band_key"))
     val b = banded.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
@@ -183,7 +189,11 @@ object Pipeline {
     * shingles don't).
     */
   val dedupNgramJaccard: Q = (s, d) => {
-    val sh = shingleDocs(s, d)
+    // materialize the shingle table once: BOTH self-join sides consume
+    // it, and the 3-gram construction (transform + sort + distinct per
+    // doc) is the query's dominant compute — un-checkpointed it ran
+    // once per side (r20)
+    val sh = shingleDocs(s, d).transform(Scale.materialize(_))
     val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"),
                       col("sh").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
@@ -209,13 +219,18 @@ object Pipeline {
     * — shingle arrays rejoin only for the in-bucket verify.
     */
   val dedupNgramBanded: Q = (s, d) => {
-    val sh = shingleDocs(s, d)
+    // materialize the shingle table once — THREE consumers (the banded
+    // signature pass and both verify joins) otherwise each re-run the
+    // 3-gram construction; the banded keys get their own checkpoint so
+    // the minhash pass runs once, not once per self-join side (r20)
+    val sh = shingleDocs(s, d).transform(Scale.materialize(_))
     val banded = sh
       .withColumn("sig", minhash(col("sh"), NumHashes))
       .select(col("doc_id"), col("lang"), col("source"),
               posexplode(transform(sequence(lit(0), lit(Bands - 1)),
                 b => hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
                 .as(Seq("band_idx", "band_key")))
+      .transform(Scale.materialize(_))
     val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("source"),
                           col("band_idx"), col("band_key"))
     val b = banded.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),

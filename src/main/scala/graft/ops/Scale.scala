@@ -329,13 +329,17 @@ object Scale {
     // edges (r19) - only the rank side moves each iteration
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
       .transform(materialize(_))
-    val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-degree is static too: join it onto the edges ONCE (both
+    // sides hash(src) — the aggregate's partitioning matches the
+    // repartition, so this join never exchanges) and checkpoint the
+    // fused adjacency. Each round then runs ONE join instead of two —
+    // the old loop re-joined the degree table per iteration (r20).
+    val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .transform(materialize(_))
     val nodes = e.select(col("src").as("node")).distinct().transform(materialize(_))
     var rank = nodes.withColumn("rank", lit(1000000L))
     for (i <- 1 to iterations) {
-      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
-        .join(outd, "src")
+      val contrib = eo.join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
       rank = nodes.join(contrib, Seq("node"), "left")
