@@ -569,11 +569,17 @@ object Scale {
     * row (n_triangles, n_edges, n_nodes).
     */
   def triangleCount(rawEdges: DataFrame): DataFrame = {
+    // materialized seams (r20): `und` feeds the degree aggregate, the
+    // orientation join and the edge-count census (3 consumers), and
+    // `oriented` feeds both wedge sides plus the closure probe (3
+    // more) — un-checkpointed, the canonicalize-distinct shuffle and
+    // the two degree joins replayed once per consumer
     val und = rawEdges
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .transform(materialize(_))
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -585,17 +591,23 @@ object Scale {
       .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
               when(fwd, col("b")).otherwise(col("a")).as("v"),
               when(fwd, col("db")).otherwise(col("da")).as("dv"))
+      .transform(materialize(_))
     val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    // wedge endpoints packed into ONE long (r20 — the r19
+    // graph_jaccard_neighbors rationale): the closure probe hashes one
+    // primitive key per candidate instead of a two-column row; node
+    // ids are non-negative and < 2^31, so v1·2^32 + v2 is
+    // collision-free and in-range
     val wedges = e1.join(e2, "u")
       .filter(col("dv1") < col("dv2") ||
               (col("dv1") === col("dv2") && col("v1") < col("v2")))
-      .select("v1", "v2")
+      .select((col("v1") * lit(4294967296L) + col("v2")).as("wk"))
     // inner join, NOT semi: (v1, v2) repeats across apexes and each
     // occurrence is a distinct triangle (the apex is the triangle's
     // (deg, id)-minimum vertex, so each triangle closes exactly once)
     val closures = wedges
-      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .join(oriented.select((col("u") * lit(4294967296L) + col("v")).as("wk")), Seq("wk"))
       .agg(count(lit(1)).as("n_triangles"))
     closures
       .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
