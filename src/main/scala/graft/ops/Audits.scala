@@ -199,6 +199,12 @@ object Audits {
       .localCheckpoint()
     for (r <- 1 to 4) {
       val frontier = settled.filter(col("dist") === (r - 1))
+      // NOTE (r20): anti-before-distinct (filter before the exchange,
+      // guide §2.3) was A/B'd and REJECTED — moving the settled anti
+      // probe below the raw neighbor fan-out re-planned it off the
+      // broadcast path and the row went 1.0 → 2.0 s; the dedup-first
+      // order keeps the anti probe settled×|next| instead of
+      // settled×|neighbor fan-out|.
       val next = und.join(frontier, und("a") === frontier("n"))
         .select(und("b").as("n")).distinct()
         .join(settled, Seq("n"), "left_anti")
